@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.Cdc
+
+/** Named query registry: every operator from SURVEY.md §2 (+ extensions)
+  * as a (SparkSession, sfDir) => DataFrame, with equivalent ANSI SQL for
+  * the DuckDB oracle where expressible.
+  *
+  * Determinism rules (SURVEY §5): every query ends in a total-order
+  * ORDER BY; window ranks carry full tiebreak keys; UTC timezone;
+  * doubles that aggregate are rounded.
+  */
+object Queries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  final case class Entry(name: String, fn: QFn, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------------
+  // CDC parity queries (SURVEY §2.2/§2.5: W1, P4, P5, P6; §2.3 J1)
+  // ---------------------------------------------------------------------
+
+  /** Shared oracle CTE: the CDC shape derived from `events`
+    * (FIXTURES.md §CDC). ts handled as epoch nanos for exactness. */
+  private val cdcCte =
+    """WITH cdc AS (
+      |  SELECT event_id % 100 AS key, event_id, event_type, value,
+      |         epoch_us(ts) AS ts_us,
+      |         CASE WHEN event_type = 'error' THEN 'D'
+      |              WHEN event_type = 'signup' THEN 'I'
+      |              ELSE 'U' END AS op
+      |  FROM events)
+      |""".stripMargin
+
+  private def cdcFrame(s: SparkSession, dir: String): DataFrame =
+    Cdc.derive(t(s, dir, "events"), k = 100)
+      .select(col("key"), col("event_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("ts_us"), col("op"))
+
+  val cdcDedupLatest: Entry = Entry(
+    "cdc_dedup_latest",
+    (s, dir) => {
+      val deduped = Cdc.dedupLatest(cdcFrame(s, dir), Seq("key"),
+        Seq(col("ts_us").desc, col("event_id").desc))
+      Cdc.dropTombstones(deduped)
+        .select("key", "event_id", "event_type", "value", "ts_us", "op")
+        .orderBy("key")
+    },
+    Some(cdcCte +
+      """SELECT key, event_id, event_type, value, ts_us, op FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS row_num
+        |  FROM cdc) a
+        |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
+        |ORDER BY key""".stripMargin))
+
+  /** Full-load path (icberg/iceberg_tables.py:90-112): floor-date filter
+    * (string-vs-timestamp comparison trap §7.7.1), dedup, tombstone drop. */
+  val cdcFullLoad: Entry = Entry(
+    "cdc_full_load",
+    (s, dir) => {
+      val floorNs = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
+        .toInstant.getEpochSecond * 1000000L
+      val filtered = cdcFrame(s, dir).where(col("ts_us") > floorNs)
+      Cdc.dropTombstones(Cdc.dedupLatest(filtered, Seq("key"),
+          Seq(col("ts_us").desc, col("event_id").desc)))
+        .select("key", "event_id", "value", "ts_us")
+        .orderBy("key")
+    },
+    Some(cdcCte +
+      """SELECT key, event_id, value, ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS row_num
+        |  FROM cdc
+        |  WHERE ts_us > epoch_us(TIMESTAMP '1900-01-01 00:00:00')) a
+        |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
+        |ORDER BY key""".stripMargin))
+
+  /** Incremental path (icberg/iceberg_tables.py:115-153) simulated in one
+    * plan: destination = full load of the first half (by time midpoint),
+    * updates = strictly-newer rows, dedup-keep-latest, MERGE-delete
+    * (left-anti, J1) then append survivors (S8) minus tombstones. */
+  val cdcIncrementalMerge: Entry = Entry(
+    "cdc_incremental_merge",
+    (s, dir) => {
+      val cdc = cdcFrame(s, dir).cache()
+      val Array(mn, mx) = cdc.agg(min("ts_us"), max("ts_us"))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val cut = (mn + mx) / 2
+      val ord = Seq(col("ts_us").desc, col("event_id").desc)
+      val dest = Cdc.dropTombstones(
+        Cdc.dedupLatest(cdc.where(col("ts_us") <= cut), Seq("key"), ord))
+      val updates = Cdc.dedupLatest(
+        cdc.where(col("ts_us") > cut), Seq("key"), ord)
+      val afterDelete = dest.join(updates.select("key"), Seq("key"), "left_anti")
+      val survivors = Cdc.dropTombstones(updates)
+      afterDelete.select("key", "event_id", "value", "ts_us")
+        .unionByName(survivors.select("key", "event_id", "value", "ts_us"))
+        .orderBy("key")
+    },
+    Some(cdcCte +
+      """, cut AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS c FROM events),
+        |dest AS (
+        |  SELECT key, event_id, value, ts_us FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |              ORDER BY ts_us DESC, event_id DESC) AS row_num
+        |    FROM cdc WHERE ts_us <= (SELECT c FROM cut)) a
+        |  WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))),
+        |updates AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY key
+        |              ORDER BY ts_us DESC, event_id DESC) AS row_num
+        |    FROM cdc WHERE ts_us > (SELECT c FROM cut)) a
+        |  WHERE row_num = 1)
+        |SELECT key, event_id, value, ts_us FROM dest
+        |WHERE key NOT IN (SELECT key FROM updates)
+        |UNION ALL
+        |SELECT key, event_id, value, ts_us FROM updates
+        |WHERE op IS NULL OR op IN ('I','U')
+        |ORDER BY key""".stripMargin))
+
+  /** A1/A2: global watermark aggregate (max process_date) —
+    * icberg/iceberg_tables.py:131. */
+  val cdcWatermark: Entry = Entry(
+    "cdc_watermark_max",
+    (s, dir) => t(s, dir, "events")
+      .agg(expr("max(ts) div 1000").as("max_ts_us"), count(lit(1)).as("n")),
+    Some("SELECT max(epoch_us(ts)) AS max_ts_us, count(*) AS n FROM events"))
+
+  /** P1+P2: crawler-partition stripping after discovery by name —
+    * icberg/iceberg_tables.py:84-87,:176-177. Proves the partition_*
+    * columns are gone and data untouched. */
+  val cdcStripPartitions: Entry = Entry(
+    "cdc_strip_partitions",
+    (s, dir) => {
+      val cdc = Cdc.derive(t(s, dir, "events"), k = 100)
+      val stripped = Cdc.removeColumns(cdc, Cdc.partitionCols(cdc))
+      stripped.select(col("event_id"), col("key"), col("op"),
+          expr("ts div 1000").as("ts_us"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT event_id, event_id % 100 AS key,
+        |       CASE WHEN event_type = 'error' THEN 'D'
+        |            WHEN event_type = 'signup' THEN 'I'
+        |            ELSE 'U' END AS op,
+        |       epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Star-schema breadth: scans, filters, joins, aggregations
+  // ---------------------------------------------------------------------
+
+  /** S1+P4: scan, filter (string-literal timestamp comparison), project,
+    * pushed to parquet. */
+  val scanFilterProject: Entry = Entry(
+    "scan_filter_project",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_shipdate") > lit("1997-06-15 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-15 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  /** TPC-H Q1 shape: grouped aggregation with arithmetic (sum/avg/count). */
+  val q1PricingSummary: Entry = Entry(
+    "q1_pricing_summary",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** Multi-way join + group + top-k (TPC-H Q3 shape). Small dims are
+    * broadcast automatically; explicit broadcast on customer. */
+  val q3TopOrders: Entry = Entry(
+    "q3_top_orders",
+    (s, dir) => {
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin))
+
+  /** J1 standalone: left-anti join (the MERGE-delete primitive). */
+  val joinAnti: Entry = Entry(
+    "join_anti_customers_no_orders",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin))
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+  val entries: Seq[Entry] = Seq(
+    cdcDedupLatest, cdcFullLoad, cdcIncrementalMerge, cdcWatermark,
+    cdcStripPartitions, scanFilterProject, q1PricingSummary, q3TopOrders,
+    joinAnti)
+
+  def queries: Map[String, QFn] =
+    entries.map(e => e.name -> e.fn).toMap
+  def oracleSql: Map[String, String] =
+    entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+}
