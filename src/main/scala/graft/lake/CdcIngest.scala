@@ -1,0 +1,71 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Cdc
+
+/** The reference pipeline end-to-end: full-load / incremental-load
+  * dispatch with all its semantic traps preserved (SURVEY §7.7).
+  *
+  * Mirrors `main` in icberg/iceberg_tables.py:157-213 /
+  * delta/delta_tables.py:171-227.
+  */
+object CdcIngest {
+
+  final case class Config(
+      primaryKey: String = "key",
+      dateCol: String = "process_date",
+      /** Full-load floor — compared as a STRING against the (timestamp)
+        * date column, preserving the reference's implicit-cast semantics
+        * (icberg/iceberg_tables.py:33-34,:103, trap §7.7.1). */
+      floorDate: String = "1900-01-01 00:00:00")
+
+  sealed trait Outcome
+  case object FullLoad extends Outcome
+  final case class IncrementalLoad(newRows: Long) extends Outcome
+  case object NoNewData extends Outcome
+
+  /** C1 dispatch: full vs incremental on table existence
+    * (icberg/iceberg_tables.py:179-212). */
+  def ingest(spark: SparkSession, store: TableStore, table: String,
+             source: DataFrame, cfg: Config = Config()): Outcome = {
+    // P1+P2: strip crawler partition columns (:176-177)
+    val stripped = Cdc.removeColumns(source, Cdc.partitionCols(source))
+    if (!store.exists(table)) fullLoad(store, table, stripped, cfg)
+    else incrementalLoad(spark, store, table, stripped, cfg)
+  }
+
+  /** Full load (icberg/iceberg_tables.py:90-112): floor filter, dedup
+    * keep-latest, tombstone drop (only when an op column exists — C2
+    * fallback :184-187), create. */
+  def fullLoad(store: TableStore, table: String, source: DataFrame,
+               cfg: Config): Outcome = {
+    val filtered = source.where(col(cfg.dateCol) > lit(cfg.floorDate))
+    val deduped = Cdc.dedupLatest(filtered, Seq(cfg.primaryKey),
+      Seq(col(cfg.dateCol).desc))
+    val kept = if (Cdc.hasOpCol(source)) Cdc.dropTombstones(deduped) else deduped
+    store.create(table, kept.drop("row_num", "Op"))
+    FullLoad
+  }
+
+  /** Incremental load (icberg/iceberg_tables.py:115-153): strict `>`
+    * watermark (ties with the destination max are silently dropped —
+    * trap §7.7.3), dedup, merge-delete + append survivors as ONE
+    * atomic commit (stronger than the reference's two commits). */
+  def incrementalLoad(spark: SparkSession, store: TableStore, table: String,
+                      source: DataFrame, cfg: Config): Outcome = {
+    val dest = store.read(table)
+    // A1/A2: watermark = max(process_date) in the destination (:131)
+    val maxDate = dest.agg(max(col(cfg.dateCol))).first().get(0)
+    val newRows = source.where(col(cfg.dateCol) > lit(maxDate))
+    if (newRows.isEmpty) NoNewData // C3 (:152-153), A3 via Dataset.isEmpty
+    else {
+      val deduped = Cdc.dedupLatest(newRows, Seq(cfg.primaryKey),
+        Seq(col(cfg.dateCol).desc))
+      val merged = CdcMerge.upsert(dest, deduped, Seq(cfg.primaryKey))
+      val n = deduped.count()
+      store.overwrite(table, merged)
+      IncrementalLoad(n)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TableStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() = new TableStore(spark, tmpDir("store"))
+
+  test("exists is false before create, true after") {
+    val store = freshStore()
+    assert(!store.exists("t"))
+    store.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(store.exists("t"))
+    assert(store.currentVersion("t").contains(0L))
+  }
+
+  test("create fails on existing table") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      store.create("t", Seq((2, "b")).toDF("id", "v"))
+    }
+  }
+
+  test("read returns what was written") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    assert(store.read("t").orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("overwrite bumps version and replaces content atomically") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.overwrite("t", Seq((9, "z")).toDF("id", "v"))
+    assert(store.currentVersion("t").contains(1L))
+    assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((9, "z")))
+    // old snapshot still readable (time travel)
+    assert(store.readVersion("t", 0L).as[(Int, String)].collect()
+      .toSeq == Seq((1, "a")))
+    assert(store.versions("t") == Seq(0L, 1L))
+  }
+
+  test("append unions with current content") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    assert(store.read("t").orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+    assert(store.currentVersion("t").contains(1L))
+  }
+
+  test("append on missing table creates it") {
+    val store = freshStore()
+    store.append("t", Seq((1, "a")).toDF("id", "v"))
+    assert(store.exists("t") && store.currentVersion("t").contains(0L))
+  }
+
+  test("append evolves schema union-by-name (mergeSchema semantics)") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.append("t", Seq((2, 3.5)).toDF("id", "extra"))
+    val out = store.read("t").orderBy("id")
+    assert(out.columns.toSet == Set("id", "v", "extra"))
+    val rows = out.collect()
+    assert(rows(0).getAs[String]("v") == "a" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getAs[Double]("extra") == 3.5)
+  }
+}
