@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * content-hash dedup and MinHash-LSH near-dedup (north-star extension).
+  *
+  * Scale design (100 TB): every stage is a hash-partitioned groupBy or
+  * equi-join — no pairwise O(n^2) anywhere. Exact dedup shuffles once on
+  * the content hash. MinHash: per-doc signature computation is
+  * embarrassingly parallel (explode → groupBy doc), candidate
+  * generation joins on LSH band keys so only same-bucket docs ever
+  * meet, and bucket skew is bounded because band keys are md5s.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) per distinct content hash.
+    * groupBy(md5) = single shuffle on the hash — the 100 TB plan. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: for hash function i, minhash_i(doc) =
+    * min over shingles of md5(i || ':' || shingle). The lexicographic
+    * min of the md5 hex string is a valid permutation-min (md5 is the
+    * "random permutation"), and — deliberately — computes identically
+    * in any engine with md5, which makes it oracle-checkable.
+    *
+    * Returns (idCol, h: Int, minhash: String), one row per (doc, i).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol),
+        explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
+    val hs = sh.select(col(idCol), explode(
+        transform(sequence(lit(0), lit(numHashes - 1)),
+          i => struct(i.as("h"),
+            md5(concat_ws(":", i.cast("string"), col("shingle"))).as("mh")))).as("x"))
+      .select(col(idCol), col("x.h").as("h"), col("x.mh").as("mh"))
+    hs.groupBy(col(idCol), col("h")).agg(min("mh").as("minhash"))
+  }
+
+  /** LSH banding: group `rowsPerBand` consecutive minhashes into a band
+    * key; docs sharing any band key become candidate pairs. Returns
+    * (idCol, band: Int, band_key: String). */
+  def lshBands(signatures: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", (col("h") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      // md5 strings sorted by h then concatenated -> band key
+      .agg(md5(concat_ws("|", array_sort(collect_list(
+        concat_ws(":", col("h").cast("string"), col("minhash")))))).as("band_key"))
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. The join is
+    * on band_key — only same-bucket docs meet. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(
+      minhashSignatures(df, idCol, textCol, shingleN, numHashes),
+      idCol, rowsPerBand)
+    val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
+    val r = bands.select(col(idCol).as("b"), col("band").as("band_r"),
+      col("band_key").as("band_key_r"))
+    l.join(r, col("band") === col("band_r") &&
+        col("band_key") === col("band_key_r") && col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Exact token-set Jaccard for a set of candidate pairs — the verify
+    * stage after LSH candidate generation. */
+  def jaccard(df: DataFrame, idCol: String, textCol: String,
+              pairs: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol).as("jid"),
+      array_distinct(TextOps.tokens(col(textCol))).as("toks"))
+    pairs
+      .join(toks.withColumnRenamed("jid", "a_id").withColumnRenamed("toks", "ta"),
+        col("a") === col("a_id"))
+      .join(toks.withColumnRenamed("jid", "b_id").withColumnRenamed("toks", "tb"),
+        col("b") === col("b_id"))
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
+  }
+
+  /** SimHash (32-bit) from token hashes: per-bit majority vote over
+    * xxhash64(token). Near-dups = small Hamming distance. Spark-native
+    * (bit ops + HOFs); not oracle-checkable (engine-specific hash). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokHash = df.select(col(idCol),
+      explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("th"))
+    // per bit: sum(+1 if bit set else -1); simhash bit = sign of the vote
+    val bitStructs = (0 until 32).map { b =>
+      struct(lit(b).as("bit"),
+        when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1).as("vote"))
+    }
+    val bits = tokHash
+      .select(col(idCol), explode(array(bitStructs: _*)).as("x"))
+      .select(col(idCol), col("x.bit").as("bit"), col("x.vote").as("vote"))
+    bits.groupBy(col(idCol), col("bit"))
+      .agg(sum("vote").as("v"))
+      .groupBy(col(idCol))
+      // 2^bit exact in double for bit < 32; total < 2^32 exact
+      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("bit"))).otherwise(0.0))
+        .cast("long").as("simhash"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column support (north-star extension): image/audio/video
+  * as opaque `binary` columns plus typed metadata, with feature
+  * extraction as batched per-partition functions — the Scala analogue
+  * of `mapInPandas` (iterator-of-batches, no per-row JVM crossing).
+  *
+  * The container has no image/audio codecs, so `decodeStub` is a
+  * clearly-marked DETERMINISTIC FAKE standing in for a real decoder
+  * (libjpeg/ffmpeg behind a vectorized native call). Everything else —
+  * the binary column, metadata schema, partition-batched extraction
+  * shape, and the feature aggregation — is the real plumbing a 100 TB
+  * multimodal pipeline needs (binary payloads stay distributed; only
+  * fixed-width features come back to columnar land).
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(media_id: Long, format: String, bytes: Array[Byte])
+
+  /** Fixed-width features extracted per payload. */
+  final case class MediaFeatures(media_id: Long, format: String,
+      n_bytes: Long, head_sum: Long, tail_byte: Long)
+
+  /** Derive a media table from `documents`: payload = UTF-8 bytes of
+    * the text, format assigned round-robin. A real pipeline reads the
+    * payloads from an object store; the schema is the same. */
+  def deriveMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      concat(lit("fmt"), (col("doc_id") % 3).cast("string")).as("format"),
+      encode(col("text"), "UTF-8").as("bytes"))
+
+  /** STUB DECODER — deterministic fake for the absent native codec.
+    * Real impl: decode image/audio, emit embeddings / dimensions /
+    * frame samples. Signature and batch shape are the real thing. */
+  private def decodeStub(bytes: Array[Byte]): (Long, Long, Long) = {
+    val n = bytes.length.toLong
+    val headSum = bytes.iterator.take(8).map(b => (b & 0xff).toLong).sum
+    val tail = if (bytes.isEmpty) 0L else (bytes(bytes.length - 1) & 0xff).toLong
+    (n, headSum, tail)
+  }
+
+  /** Batched per-partition feature extraction (mapPartitions = the
+    * iterator-of-rows batch shape; stays distributed, no collect). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.map { row =>
+        val (n, headSum, tail) = decodeStub(row.bytes)
+        MediaFeatures(row.media_id, row.format, n, headSum, tail)
+      }
+    }
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]) — north-star
+  * extension. Native higher-order functions (zip_with / aggregate) keep
+  * the dot product inside codegen; accumulation in double for
+  * determinism.
+  *
+  * Scale design (100 TB): brute-force top-k is the correctness
+  * baseline — probes broadcast against the corpus, so the corpus never
+  * shuffles and the scan parallelizes per-partition. The scale path is
+  * LSH bucketing (random hyperplane signs): candidate generation
+  * becomes an equi-join on bucket keys, turning O(probes × corpus) into
+  * O(probes × bucket). IVF would replace the hyperplanes with k-means
+  * centroids — same join shape.
+  */
+object Similarity {
+
+  /** Dot product of two float arrays, accumulated left-to-right in
+    * double (deterministic; exact enough that 4-dp rounding is stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each probe (broadcast small side),
+    * rank the corpus by rounded cosine with id tiebreak. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = probes.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("vvec"))
+    val scored = c.join(broadcast(p), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(cosine(col("qvec"), col("vvec")), 4).as("cos"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+  }
+
+  /** All near-duplicate pairs (a < b) with cosine above `threshold`
+    * within a (pre-filtered) corpus. Pairwise — bound the input or use
+    * `lshBuckets` first at scale. */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val l = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val r = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    l.join(r, col("a") < col("b"))
+      .select(col("a"), col("b"), round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") > threshold)
+  }
+
+  /** Random-hyperplane LSH bucket key: sign bits of dot products with
+    * `numPlanes` deterministic pseudo-random hyperplanes. Hyperplane
+    * component (p, d) = centered hash in [-0.5, 0.5) from xxhash64 —
+    * deterministic across runs, engine-specific (no oracle). */
+  def lshBuckets(df: DataFrame, numPlanes: Int,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val planeBits = (0 until numPlanes).map { p =>
+      // dot(vec, plane_p) where plane_p[d] = hashUnit(p, d)
+      val contrib = aggregate(
+        zip_with(col(vecCol),
+          sequence(lit(0), size(col(vecCol)) - 1),
+          (x, d) => x.cast("double") *
+            ((pmod(xxhash64(concat_ws(":", lit(p).cast("string"),
+              d.cast("string"))), lit(1000000)).cast("double") / 1000000.0) - 0.5)),
+        lit(0.0), (acc, v) => acc + v)
+      when(contrib >= 0, pow(lit(2.0), lit(p))).otherwise(0.0)
+    }
+    df.select(col(idCol), col(vecCol),
+      planeBits.reduce(_ + _).cast("long").as("bucket"))
+  }
+
+  /** ANN top-k via LSH: probes only compare against same-bucket corpus
+    * vectors (the scale path; recall < 1 by construction). */
+  def annTopK(corpus: DataFrame, probes: DataFrame, k: Int, numPlanes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = lshBuckets(corpus, numPlanes, idCol, vecCol)
+      .select(col(idCol).as("vid"), col(vecCol).as("vvec"), col("bucket"))
+    val pb = lshBuckets(probes, numPlanes, idCol, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col("bucket").as("qbucket"))
+    val scored = cb.join(broadcast(pb),
+        col("bucket") === col("qbucket") && col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(cosine(col("qvec"), col("vvec")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+}

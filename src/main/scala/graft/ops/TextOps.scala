@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * extension, BASELINE.json): tokenization, quality scoring, language-ID
+  * heuristics, fingerprinting. All built from codegen'd native functions
+  * — no UDFs — so they stay inside whole-stage codegen at 100 TB.
+  *
+  * Fixture `documents.text` is single-space-separated lowercase tokens,
+  * so tokenization is an exact `split`; on real corpora swap the
+  * delimiter regex.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Type-token ratio — a standard lexical-diversity quality signal. */
+  def typeTokenRatio(text: Column): Column =
+    round(distinctTokenCount(text).cast("double") / tokenCount(text), 4)
+
+  /** Mean token length (chars excluding the single separators). */
+  def avgTokenLen(text: Column): Column =
+    round((length(text) - (tokenCount(text) - 1)).cast("double") / tokenCount(text), 4)
+
+  /** Stopword-hit count against a fixed vocabulary — the building block
+    * of both quality scoring and n-gram language ID. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(text)),
+      array(stopwords.map(lit): _*)))
+
+  /** Heuristic language ID: vote by stopword-list hits, 'unk' when no
+    * list scores. Deterministic, SQL-expressible (oracle-checkable). */
+  def langId(text: Column, lists: Seq[(String, Seq[String])]): Column = {
+    val scored = lists.map { case (lang, words) => (lang, stopwordHits(text, words)) }
+    // argmax by hits, first-in-list-order wins ties (strict > below)
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestHits), (lang, hits)) =>
+        (when(hits > bestHits, lang).otherwise(bestLang),
+          greatest(bestHits, hits))
+    } match {
+      case (lang, hits) => when(hits > 0, lang).otherwise("unk")
+    }
+  }
+
+  /** Content fingerprint: md5 of head shingle + token count + char
+    * count — a cheap document signature for blocking. */
+  def fingerprint(text: Column): Column = {
+    val toks = tokens(text)
+    md5(concat_ws("|",
+      concat_ws(" ", slice(toks, 1, 3)),
+      size(toks).cast("string"),
+      length(text).cast("string")))
+  }
+
+  /** Word n-gram shingles (n consecutive tokens joined by space) —
+    * input to MinHash. Native HOF: transform over index sequence. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(filter(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))),
+      s => s =!= ""))
+  }
+}

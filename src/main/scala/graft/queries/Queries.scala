@@ -19,7 +19,7 @@ object Queries {
 
   final case class Entry(name: String, fn: QFn, oracle: Option[String])
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
   // ---------------------------------------------------------------------
@@ -232,7 +232,8 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     cdcDedupLatest, cdcFullLoad, cdcIncrementalMerge, cdcWatermark,
     cdcStripPartitions, scanFilterProject, q1PricingSummary, q3TopOrders,
-    joinAnti)
+    joinAnti) ++ StarQueries.entries ++ EventQueries.entries ++
+    TextQueries.entries ++ VectorQueries.entries ++ MultimodalQueries.entries
 
   def queries: Map[String, QFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+import Queries.{Entry, t}
+
+/** LLM-pipeline text operators over `documents` (north-star extension):
+  * exact + MinHash dedup, quality scoring, language ID, token stats,
+  * fingerprinting. Oracle SQL mirrors the exact same algorithm in
+  * DuckDB dialect wherever the building blocks (md5, string_split,
+  * list ops) exist in both engines.
+  */
+object TextQueries {
+
+  /** Exact dedup by content hash — groupBy(md5), single shuffle. */
+  val dedupExact: Entry = Entry(
+    "dedup_exact_docs",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin))
+
+  /** Per-document quality metrics: token counts, lexical diversity. */
+  val textQuality: Entry = Entry(
+    "text_quality_metrics",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+        TextOps.typeTokenRatio(col("text")).as("ttr"),
+        TextOps.avgTokenLen(col("text")).as("avg_tok_len"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS ttr,
+        |  round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Corpus stats per language label. */
+  val langStats: Entry = Entry(
+    "lang_corpus_stats",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        sum(TextOps.tokenCount(col("text"))).as("total_tokens"))
+      .orderBy("lang"),
+    Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  sum(len(string_split(text, ' '))) AS total_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** Global token frequency top-20 (explode → count). */
+  val tokenFrequency: Entry = Entry(
+    "token_frequency_top20",
+    (s, dir) => t(s, dir, "documents")
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20),
+    Some("""SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin))
+
+  /** Heuristic language ID by stopword votes, scored against the label.
+    * (Fixture text is synthetic English-ish for every lang label, so
+    * the interesting output is the vote distribution, not accuracy.) */
+  private val stopwordLists = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  val langIdNgram: Entry = Entry(
+    "lang_id_stopword_votes",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"),
+        TextOps.langId(col("text"), stopwordLists).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang"),
+    Some {
+      def hits(words: Seq[String]) =
+        words.map(w => s"list_contains(toks, '$w')::INT").mkString(" + ")
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${stopwordLists.map { case (l, ws) =>
+               s"(${hits(ws)}) AS hits_$l" }.mkString(",\n    ")}
+         |  FROM (SELECT lang, list_distinct(string_split(text, ' ')) AS toks
+         |        FROM documents)),
+         |pred AS (
+         |  SELECT lang, CASE
+         |    WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0 THEN 'unk'
+         |    WHEN hits_fr > hits_de AND hits_fr > hits_es AND hits_fr > hits_en THEN 'fr'
+         |    WHEN hits_de > hits_es AND hits_de > hits_en THEN 'de'
+         |    WHEN hits_es > hits_en THEN 'es'
+         |    ELSE 'en' END AS pred_lang
+         |  FROM scored)
+         |SELECT lang, pred_lang, count(*) AS n FROM pred
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+    })
+
+  /** Head/tail/length document fingerprint (blocking signature). */
+  val docFingerprint: Entry = Entry(
+    "doc_fingerprint_collisions",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .agg(count(lit(1)).as("distinct_fps"),
+        sum("n_docs").as("total_docs"),
+        max("n_docs").as("max_bucket"),
+        min("fp").as("first_fp"))
+      ,
+    Some("""WITH fp AS (
+        |  SELECT doc_id, md5(
+        |    array_to_string(toks[1:3], ' ') || '|' ||
+        |    CAST(len(toks) AS VARCHAR) || '|' ||
+        |    CAST(length(text) AS VARCHAR)) AS fp
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |buckets AS (
+        |  SELECT fp, count(*) AS n_docs FROM fp GROUP BY fp)
+        |SELECT count(*) AS distinct_fps, sum(n_docs) AS total_docs,
+        |       max(n_docs) AS max_bucket, min(fp) AS first_fp
+        |FROM buckets""".stripMargin))
+
+  /** MinHash-LSH near-dup candidates + exact Jaccard verify ≥ 0.5.
+    * Same md5-permutation minhash in both engines (see Dedup scaladoc). */
+  val minhashNearDup: Entry = Entry(
+    "minhash_lsh_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      Dedup.jaccard(docs, "doc_id", "text", cands)
+        .where(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    },
+    Some("""WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |sig AS (
+        |  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+        |  FROM sh, (SELECT unnest(range(8)) AS h)
+        |  GROUP BY doc_id, h),
+        |bands AS (
+        |  SELECT doc_id, h // 2 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|' ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
+        |  FROM sig GROUP BY doc_id, h // 2),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id),
+        |toksets AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT a, b, round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+        |FROM cands JOIN toksets ta ON a = ta.doc_id
+        |JOIN toksets tb ON b = tb.doc_id
+        |WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5
+        |ORDER BY a, b""".stripMargin))
+
+  /** N-gram (token-set) Jaccard near-dup on a blocked subset — the
+    * exact-verify counterpart without LSH, lang-blocked to bound pairs. */
+  val ngramJaccard: Entry = Entry(
+    "ngram_jaccard_blocked",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(TextOps.tokens(col("text"))).as("toks"))
+      val l = docs.select(col("doc_id").as("a"), col("lang").as("lang_a"),
+        col("toks").as("ta"))
+      val r = docs.select(col("doc_id").as("b"), col("lang").as("lang_b"),
+        col("toks").as("tb"))
+      l.join(r, col("lang_a") === col("lang_b") && col("a") < col("b"))
+        .select(col("a"), col("b"),
+          round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
+        .where(col("jaccard") >= 0.6)
+        .orderBy("a", "b")
+    },
+    Some("""WITH d AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(l.toks, r.toks))), 4) AS jaccard
+        |FROM d l JOIN d r ON l.lang = r.lang AND l.doc_id < r.doc_id
+        |WHERE round(CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(l.toks, r.toks))), 4) >= 0.6
+        |ORDER BY a, b""".stripMargin))
+
+  /** SimHash signatures (engine-specific xxhash64 — rows-only check). */
+  val simhashSig: Entry = Entry(
+    "simhash_signatures",
+    (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id"),
+    None)
+
+  val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats,
+    tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
+    ngramJaccard, simhashSig)
+}
