@@ -59,22 +59,21 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket key: sign bits of dot products with
-    * `numPlanes` deterministic pseudo-random hyperplanes. Hyperplane
-    * component (p, d) = centered hash in [-0.5, 0.5) from xxhash64 —
-    * deterministic across runs, engine-specific (no oracle). */
+    * `numPlanes` seeded pseudo-random hyperplanes. Planes are
+    * driver-side literal arrays (seed 42, gaussian) — zero hashing in
+    * the per-row hot path, the dot products stay in codegen. */
   def lshBuckets(df: DataFrame, numPlanes: Int,
                  idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding",
+                 dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
     val planeBits = (0 until numPlanes).map { p =>
-      // dot(vec, plane_p) where plane_p[d] = hashUnit(p, d)
+      val plane = array(planes(p).map(lit).toIndexedSeq: _*)
       val contrib = aggregate(
-        zip_with(col(vecCol),
-          sequence(lit(0), size(col(vecCol)) - 1),
-          (x, d) => x.cast("double") *
-            ((pmod(xxhash64(concat_ws(":", lit(p).cast("string"),
-              d.cast("string"))), lit(1000000)).cast("double") / 1000000.0) - 0.5)),
+        zip_with(col(vecCol), plane, (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
-      when(contrib >= 0, pow(lit(2.0), lit(p))).otherwise(0.0)
+      when(contrib >= 0, math.pow(2.0, p)).otherwise(0.0)
     }
     df.select(col(idCol), col(vecCol),
       planeBits.reduce(_ + _).cast("long").as("bucket"))
