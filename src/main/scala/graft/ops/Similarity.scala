@@ -65,8 +65,9 @@ object Similarity {
   def lshBuckets(df: DataFrame, numPlanes: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding",
-                 dim: Int = 64): DataFrame = {
-    val rnd = new scala.util.Random(42)
+                 dim: Int = 64,
+                 seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
     val planeBits = (0 until numPlanes).map { p =>
       val plane = array(planes(p).map(lit).toIndexedSeq: _*)
@@ -79,20 +80,35 @@ object Similarity {
       planeBits.reduce(_ + _).cast("long").as("bucket"))
   }
 
-  /** ANN top-k via LSH: probes only compare against same-bucket corpus
-    * vectors (the scale path; recall < 1 by construction). */
+  /** Multi-table LSH bucketing (the standard recall lever): `numTables`
+    * independent plane sets; a (vec, table, bucket) row per table.
+    * Candidates = pairs sharing a bucket in ANY table. */
+  def lshBucketsMulti(df: DataFrame, numPlanes: Int, numTables: Int,
+                      idCol: String, vecCol: String): DataFrame =
+    (0 until numTables).map { t =>
+      lshBuckets(df, numPlanes, idCol, vecCol, seed = 42L + t)
+        .withColumn("table", lit(t))
+    }.reduce(_ unionByName _)
+
+  /** ANN top-k via multi-table LSH: probes only compare against corpus
+    * vectors sharing a bucket in at least one table (the scale path;
+    * recall tuned by numPlanes down / numTables up). */
   def annTopK(corpus: DataFrame, probes: DataFrame, k: Int, numPlanes: Int = 8,
+              numTables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = lshBuckets(corpus, numPlanes, idCol, vecCol)
-      .select(col(idCol).as("vid"), col(vecCol).as("vvec"), col("bucket"))
-    val pb = lshBuckets(probes, numPlanes, idCol, vecCol)
+    val cb = lshBucketsMulti(corpus, numPlanes, numTables, idCol, vecCol)
+      .select(col(idCol).as("vid"), col(vecCol).as("vvec"),
+        col("table"), col("bucket"))
+    val pb = lshBucketsMulti(probes, numPlanes, numTables, idCol, vecCol)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
-        col("bucket").as("qbucket"))
-    val scored = cb.join(broadcast(pb),
-        col("bucket") === col("qbucket") && col("qid") =!= col("vid"))
-      .select(col("qid"), col("vid"),
-        round(cosine(col("qvec"), col("vvec")), 4).as("cos"))
+        col("table").as("qtable"), col("bucket").as("qbucket"))
+    val cands = cb.join(broadcast(pb),
+        col("table") === col("qtable") && col("bucket") === col("qbucket") &&
+          col("qid") =!= col("vid"))
+      .select("qid", "qvec", "vid", "vvec").distinct()
+    val scored = cands.select(col("qid"), col("vid"),
+      round(cosine(col("qvec"), col("vvec")), 4).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }

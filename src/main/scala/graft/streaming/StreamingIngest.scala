@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.lake.{CdcIngest, TableStore}
+
+/** Streaming ingestion mode (SURVEY §2.7/§7.6): the reference pipeline
+  * is micro-batch-shaped (watermark = max(process_date), strictly-newer
+  * filter), which maps 1:1 onto Structured Streaming `foreachBatch` —
+  * each micro-batch flows through the SAME CdcIngest full/incremental
+  * dispatch as the batch path, so semantics (dedup-keep-latest,
+  * tombstone propagation, strict > watermark) are identical by
+  * construction.
+  *
+  * Scale notes: the source is file-based (parquet dirs are how CDC
+  * batches land in a lake); `maxFilesPerTrigger` bounds micro-batch
+  * size; state is carried by the destination table itself (the
+  * watermark re-derives from max(process_date)), so the query restarts
+  * cleanly from any checkpoint.
+  */
+object StreamingIngest {
+
+  /** Start a streaming CDC upsert from a parquet directory into
+    * `store`/`table`. Caller stops the returned query. */
+  def start(spark: SparkSession, sourceDir: String,
+            store: TableStore, table: String,
+            cfg: CdcIngest.Config = CdcIngest.Config(),
+            checkpointDir: Option[String] = None,
+            maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+    val writer = stream.writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          CdcIngest.ingest(spark, store, table, batch, cfg): Unit
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** Streaming windowed aggregation with a watermark — the standard
+    * streaming-analytics surface (event-time tumbling counts), exposed
+    * for the `events` table shape. */
+  def windowedCounts(events: DataFrame, tsCol: String, window: String,
+                     watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+}

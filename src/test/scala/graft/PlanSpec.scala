@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.Queries
+
+/** Physical-plan shape assertions: the optimizations that matter at
+  * 100 TB must actually appear in the plan, not be assumed.
+  * (SURVEY §4: InferWindowGroupLimit is the main perf lever for the
+  * dedup operator; filter/projection pushdown and broadcast joins are
+  * the scale levers for scans and CDC merge.)
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("cdc dedup (row_number=1) plans a WindowGroupLimit, not a full sort-rank") {
+    val p = plan(Queries.cdcDedupLatest.fn(spark, dir))
+    assert(p.contains("WindowGroupLimit"), s"missing WindowGroupLimit:\n$p")
+  }
+
+  test("scan filter+projection push into the parquet reader") {
+    val df = Tables.load(spark, dir, "lineitem")
+      .where(col("l_quantity") > 49.0)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,49.0)"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("CDC merge anti-join broadcasts the (small) update side") {
+    import spark.implicits._
+    val target = spark.range(100000).select(col("id").as("key"), rand(7).as("v"))
+    val updates = Seq(1L, 2L, 3L).toDF("key")
+    val merged = graft.lake.CdcMerge.deleteMatched(target, updates, Seq("key"))
+    val p = plan(merged)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$p")
+  }
+
+  test("q3 join keeps the explicitly-broadcast dimension broadcast") {
+    val p = plan(Queries.q3TopOrders.fn(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    val df = Queries.q1PricingSummary.fn(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    // codegen'd operators render as "*(n) Op" in the final adaptive plan
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      s"no codegen spans:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregate:\n$p")
+  }
+
+  test("partial aggregation (map-side combine) precedes the q1 shuffle") {
+    val qe = Queries.q1PricingSummary.fn(spark, dir).queryExecution
+    // two HashAggregate nodes (partial + final) around one exchange
+    val s = qe.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(s).size >= 2, s"no partial agg:\n$s")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavior tests for the LLM-pipeline operators on crafted inputs. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark engines and data lakes at scale"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "unrelated text mentioning databases indexes transactions and storage")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds the exact and near duplicates, not the distinct docs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 3L)), "exact dup pair missed")
+    assert(cands.contains((0L, 1L)) || cands.contains((1L, 3L)), "near-dup pair missed")
+    assert(!cands.contains((2L, 4L)), "distinct docs flagged")
+  }
+
+  test("jaccard is 1.0 for identical docs and low for distinct ones") {
+    val pairs = Seq((0L, 3L), (2L, 4L)).toDF("a", "b")
+    val out = Dedup.jaccard(docs, "doc_id", "text", pairs)
+      .orderBy("a").as[(Long, Long, Double)].collect().toSeq
+    assert(out(0)._3 == 1.0)
+    assert(out(1)._3 < 0.2)
+  }
+
+  test("simhash of identical docs is identical; distinct docs differ") {
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(3L))
+    assert(sh(0L) != sh(2L))
+  }
+
+  test("language ID votes pick the list with most stopword hits") {
+    val texts = Seq(
+      (1L, "the cat and the dog of a house"),      // en
+      (2L, "el gato y la casa de que si"),          // es
+      (3L, "xyzzy plugh quux")                      // none -> unk
+    ).toDF("id", "text")
+    val lists = Seq(
+      "en" -> Seq("the", "a", "of", "and", "to"),
+      "es" -> Seq("el", "la", "de", "y", "que"))
+    val out = texts.select(col("id"), TextOps.langId(col("text"), lists).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "unk"))
+  }
+
+  test("ANN LSH top-k achieves reasonable recall vs brute force") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annTopK(emb, probes, k = 10, numPlanes = 3,
+        numTables = 6)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 6 tables x 8 buckets over 500 vectors; sanity floor, not a tight bound
+    assert(recall > 0.4, s"recall $recall suspiciously low")
+    // and the ANN candidates must be a subset of plausible ids
+    assert(approx.forall { case (q, v) => q != v })
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val one = Seq((1L, Array(0.5f, 0.5f, 0.1f))).toDF("vec_id", "embedding")
+    val c = one.select(round(Similarity.cosine(col("embedding"), col("embedding")), 6))
+      .as[Double].head()
+    assert(c == 1.0)
+  }
+
+  test("multimodal feature extraction matches the payload bytes") {
+    val media = Multimodal.deriveMediaTable(
+      Seq((7L, "abc")).toDF("doc_id", "text"))
+    val f = Multimodal.extractFeatures(spark, media).collect().head
+    assert(f.media_id == 7L && f.format == "fmt1")
+    assert(f.n_bytes == 3L && f.head_sum == 97 + 98 + 99 && f.tail_byte == 99L)
+  }
+}

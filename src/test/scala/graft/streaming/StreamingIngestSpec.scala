@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.TableStore
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cdcBatch(rows: (String, String, String)*) =
+    rows.toSeq.toDF("key", "ts_str", "op")
+      .withColumn("process_date", col("ts_str").cast("timestamp"))
+      .drop("ts_str")
+
+  test("streaming CDC upsert: micro-batches reach the same table state") {
+    val src = tmpDir("stream-src")
+    val store = new TableStore(spark, tmpDir("stream-store"))
+    // batch 1 lands before the stream starts
+    cdcBatch(
+      ("k1", "2024-01-01 10:00:00", "I"),
+      ("k2", "2024-01-01 10:30:00", "I"))
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val q = StreamingIngest.start(spark, src, store, "t",
+      checkpointDir = Some(tmpDir("stream-ckpt")))
+    try {
+      q.processAllAvailable()
+      assert(store.read("t").select("key").as[String].collect().sorted
+        .toSeq == Seq("k1", "k2"))
+
+      // batch 2: update k1, delete k2, insert k3
+      cdcBatch(
+        ("k1", "2024-01-02 10:00:00", "U"),
+        ("k2", "2024-01-02 10:00:00", "D"),
+        ("k3", "2024-01-02 10:00:00", "I"))
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      assert(store.read("t").select("key").as[String].collect().sorted
+        .toSeq == Seq("k1", "k3"))
+    } finally q.stop()
+  }
+
+  test("windowed counts with watermark over bounded events input") {
+    val events = Seq(
+      (1L, "2024-01-01 10:01:00", "click", 1.0),
+      (2L, "2024-01-01 10:04:00", "click", 2.0),
+      (3L, "2024-01-01 10:06:00", "view", 3.0))
+      .toDF("event_id", "ts_str", "event_type", "value")
+      .withColumn("ts", col("ts_str").cast("timestamp"))
+    val out = StreamingIngest.windowedCounts(events, "ts", "5 minutes", "10 minutes")
+      .select(col("window.start").cast("string").as("start"),
+        col("event_type"), col("n"))
+      .orderBy("start", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      ("2024-01-01 10:00:00", "click", 2L),
+      ("2024-01-01 10:05:00", "view", 1L)))
+  }
+}
