@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Cdc
+import graft.lake.{CdcIngest, TableStore}
+import Queries.{Entry, t}
+
+/** End-to-end engine queries: the real TableStore + CdcIngest pipeline
+  * (not a plan-level simulation), plus remaining relational breadth
+  * (TPC-H Q4/Q6 shapes, numeric statistics).
+  */
+object PipelineQueries {
+
+  /** THE engine end-to-end: derive a CDC stream from events, split it
+    * into 3 time-ordered batches, run full-load + 2 incremental merges
+    * through the versioned-Parquet store, read the final table back.
+    * Oracle: replaying batches in order == one dedup-keep-latest full
+    * load (invariant iv, SURVEY §5.3) — so the oracle is pure SQL over
+    * `events` even though the engine path writes real table versions.
+    */
+  val cdcPipelineE2e: Entry = Entry(
+    "cdc_pipeline_e2e",
+    (s, dir) => {
+      val events = t(s, dir, "events")
+      val cdc = Cdc.derive(events, k = 100)
+        .withColumn("process_date", Tables.nsToTimestamp("ts"))
+      val Array(mnUs, mxUs) = events
+        .agg(expr("min(ts) div 1000"), expr("max(ts) div 1000"))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val cut1 = timestamp_micros(lit(mnUs + (mxUs - mnUs) / 3))
+      val cut2 = timestamp_micros(lit(mnUs + 2 * ((mxUs - mnUs) / 3)))
+      val store = new TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-e2e").toString)
+      val tbl = "events_upsert"
+      CdcIngest.ingest(s, store, tbl, cdc.where(col("process_date") <= cut1))
+      CdcIngest.ingest(s, store, tbl,
+        cdc.where(col("process_date") > cut1 && col("process_date") <= cut2))
+      CdcIngest.ingest(s, store, tbl, cdc.where(col("process_date") > cut2))
+      store.read(tbl)
+        .select(col("key"), col("event_id"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+        .orderBy("key")
+    },
+    Some("""WITH cdc AS (
+        |  SELECT event_id % 100 AS key, event_id, value, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'error' THEN 'D'
+        |              WHEN event_type = 'signup' THEN 'I'
+        |              ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT key, event_id, value, ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS row_num
+        |  FROM cdc) a
+        |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
+        |ORDER BY key""".stripMargin))
+
+  /** TPC-H Q6 shape: tight range filter + arithmetic aggregate —
+    * everything pushes to the scan. */
+  val q6Forecast: Entry = Entry(
+    "q6_revenue_forecast",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"), count(lit(1)).as("n")),
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin))
+
+  /** TPC-H Q4 shape: EXISTS subquery (semi join) + grouped count. */
+  val q4OrderPriority: Entry = Entry(
+    "q4_order_priority",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").select("l_orderkey")
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
+  /** Numeric statistics: exact interpolated percentiles, stddev,
+    * variance, correlation. */
+  val statsNumeric: Entry = Entry(
+    "stats_numeric_lineitem",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(cdcPipelineE2e, q6Forecast, q4OrderPriority,
+    statsNumeric)
+}

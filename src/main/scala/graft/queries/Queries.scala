@@ -233,7 +233,8 @@ object Queries {
     cdcDedupLatest, cdcFullLoad, cdcIncrementalMerge, cdcWatermark,
     cdcStripPartitions, scanFilterProject, q1PricingSummary, q3TopOrders,
     joinAnti) ++ StarQueries.entries ++ EventQueries.entries ++
-    TextQueries.entries ++ VectorQueries.entries ++ MultimodalQueries.entries
+    TextQueries.entries ++ VectorQueries.entries ++
+    MultimodalQueries.entries ++ PipelineQueries.entries
 
   def queries: Map[String, QFn] =
     entries.map(e => e.name -> e.fn).toMap
