@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression for the embedding hot path: dot product
+  * of two float arrays with left-to-right double accumulation —
+  * numerically identical to the HOF
+  * `aggregate(zip_with(a, b, (x, y) -> x*y), 0d, +)` it replaces
+  * (so DuckDB-oracle values are unchanged), but with a tight
+  * codegen'd loop over ArrayData instead of interpreted lambda calls
+  * and per-element array allocation. At 100 TB the dot product runs
+  * billions of times; this is the operator worth dropping to custom
+  * codegen for (SURVEY §7.4).
+  */
+case class DotProductF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(e => e.dataType match {
+        case ArrayType(FloatType, _) => true
+        case org.apache.spark.sql.types.NullType => true // null in -> null out
+        case _ => false
+      }))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects two array<float> args, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductF =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration + Column-level API for the graft native functions. */
+object GraftFunctions {
+  @volatile private var registered = Set.empty[Int]
+
+  /** Idempotently register graft SQL functions on a session (makes
+    * them available to both `call_function` and `spark.sql`). */
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark.sessionState)
+    if (!registered.contains(key)) synchronized {
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
+      registered += key
+    }
+  }
+
+  /** Codegen'd float-array dot product (requires `register`). */
+  def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

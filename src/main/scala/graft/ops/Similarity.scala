@@ -19,8 +19,17 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two float arrays, accumulated left-to-right in
-    * double (deterministic; exact enough that 4-dp rounding is stable). */
-  def dot(a: Column, b: Column): Column =
+    * double (deterministic; exact enough that 4-dp rounding is stable).
+    * Uses the codegen'd native expression (graft.functions.DotProductF);
+    * `dotHof` is the equivalent pure-builtin fallback. */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    graft.functions.GraftFunctions.dotF(a, b)
+  }
+
+  /** Same semantics via builtin HOFs only (no custom expression). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

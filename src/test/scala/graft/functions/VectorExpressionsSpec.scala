@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native dot product equals the HOF formulation bit-for-bit") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = emb.limit(200)
+      .select(Similarity.dot(col("embedding"), col("embedding")).as("fast"),
+        Similarity.dotHof(col("embedding"), col("embedding")).as("hof"))
+    assert(both.where(col("fast") =!= col("hof")).count() == 0)
+  }
+
+  test("native dot is null-safe and usable from SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").as[Double].head()
+    assert(r == 11.0)
+    val n = spark.sql("SELECT graft_dot(NULL, array(CAST(1.0 AS FLOAT))) AS d")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("dot product participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = emb.select(Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      .where(col("d") > 0)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1)") || p.contains("WholeStageCodegen"),
+      s"expression fell out of codegen:\n$p")
+  }
+}
