@@ -66,9 +66,13 @@ final class TableStore(spark: SparkSession, root: String) {
     spark.read.parquet(versionDir(table, v).toString)
   }
 
-  /** S6: CTAS — fails if the table already exists. */
-  def create(table: String, df: DataFrame): Unit = {
+  /** S6: CTAS — fails if the table already exists. `partitionBy`
+    * selects a hive-style directory layout; subsequent reads get
+    * partition pruning (and Catalyst dynamic partition pruning) on
+    * those columns — the scan-avoidance lever at 100 TB. */
+  def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
+    if (partitionBy.nonEmpty) writeMeta(table, partitionBy)
     commit(table, 0L, df)
   }
 
@@ -89,10 +93,38 @@ final class TableStore(spark: SparkSession, root: String) {
         commit(table, v + 1, current.unionByName(df, allowMissingColumns = true))
     }
 
+  /** Partition columns recorded at create time (empty = unpartitioned). */
+  def partitioning(table: String): Seq[String] = {
+    val meta = new Path(tablePath(table), "_PARTITIONING")
+    val fs = meta.getFileSystem(hadoopConf)
+    if (!fs.exists(meta)) Seq.empty
+    else {
+      val in = fs.open(meta)
+      try {
+        val bytes = new Array[Byte](4096)
+        val n = in.read(bytes)
+        if (n <= 0) Seq.empty
+        else new String(bytes, 0, n, StandardCharsets.UTF_8).trim
+          .split(",").toSeq.filter(_.nonEmpty)
+      } finally in.close()
+    }
+  }
+
+  private def writeMeta(table: String, partitionBy: Seq[String]): Unit = {
+    val meta = new Path(tablePath(table), "_PARTITIONING")
+    val fs = meta.getFileSystem(hadoopConf)
+    val out = fs.create(meta, true)
+    try out.write(partitionBy.mkString(",").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Write snapshot dir fully, then atomically swing the pointer. */
   private def commit(table: String, v: Long, df: DataFrame): Unit = {
     val dir = versionDir(table, v)
-    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val parts = partitioning(table)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+      .parquet(dir.toString)
     val ptr = versionPtr(table)
     val tmp = new Path(tablePath(table), s"._VERSION.${UUID.randomUUID()}.tmp")
     val fs = ptr.getFileSystem(hadoopConf)
