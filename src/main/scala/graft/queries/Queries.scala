@@ -126,6 +126,34 @@ object Queries {
         |WHERE op IS NULL OR op IN ('I','U')
         |ORDER BY key""".stripMargin))
 
+  /** The reference's literal mechanism: a driver-side SQL template
+    * (load_sql_template, icberg/iceberg_tables.py:39-44) interpolated
+    * and executed via spark.sql over temp views (S10). Same result as
+    * cdc_dedup_latest through the SQL-text front door. */
+  val cdcDedupSqlPath: Entry = Entry(
+    "cdc_dedup_sql_template",
+    (s, dir) => {
+      cdcFrame(s, dir).createOrReplaceTempView("incremental_table")
+      val pk = "key"
+      val dateCol = "ts_us"
+      val where = "a.row_num = 1 AND (a.op IS NULL OR a.op IN ('I','U'))"
+      // Scala-interpolated template == the reference's .format(...) macro
+      val sql =
+        s"""SELECT key, event_id, event_type, value, ts_us, op FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY $pk
+           |            ORDER BY $dateCol DESC, event_id DESC) AS row_num
+           |  FROM incremental_table) a
+           |WHERE $where ORDER BY $pk""".stripMargin
+      s.sql(sql)
+    },
+    Some(cdcCte +
+      """SELECT key, event_id, event_type, value, ts_us, op FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS row_num
+        |  FROM cdc) a
+        |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
+        |ORDER BY key""".stripMargin))
+
   /** A1/A2: global watermark aggregate (max process_date) —
     * icberg/iceberg_tables.py:131. */
   val cdcWatermark: Entry = Entry(
@@ -229,10 +257,22 @@ object Queries {
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
+  /** Approximate sketches (HLL distinct, approximate percentile) —
+    * engine-specific sketch internals, so rows-only check (no oracle). */
+  val approxSketches: Entry = Entry(
+    "approx_sketches_lineitem",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+      .orderBy("l_returnflag"),
+    None)
+
   val entries: Seq[Entry] = Seq(
     cdcDedupLatest, cdcFullLoad, cdcIncrementalMerge, cdcWatermark,
-    cdcStripPartitions, scanFilterProject, q1PricingSummary, q3TopOrders,
-    joinAnti) ++ StarQueries.entries ++ EventQueries.entries ++
+    cdcStripPartitions, cdcDedupSqlPath, scanFilterProject, q1PricingSummary,
+    q3TopOrders, joinAnti, approxSketches) ++
+    StarQueries.entries ++ EventQueries.entries ++
     TextQueries.entries ++ VectorQueries.entries ++
     MultimodalQueries.entries ++ PipelineQueries.entries
 
