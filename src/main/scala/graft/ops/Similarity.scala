@@ -89,6 +89,37 @@ object Similarity {
       planeBits.reduce(_ + _).cast("long").as("bucket"))
   }
 
+  /** IVF-style ANN: partition the corpus into `nlist` inverted lists by
+    * nearest centroid; probes search only their `nprobe` closest lists.
+    * Centroids here are deterministic seed vectors (id < nlist) — one
+    * k-means iteration away from real IVF, same join shape either way:
+    * assignment is a broadcast cross-score + argmax, search is an
+    * equi-join on the centroid id. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    def assign(df: DataFrame, asId: String, asVec: String, keep: Int): DataFrame = {
+      val scored = df.select(col(idCol).as(asId), col(vecCol).as(asVec))
+        .join(broadcast(cents))
+        .select(col(asId), col(asVec), col("cent_id"),
+          cosine(col(asVec), col("cvec")).as("ccos"))
+      val w = Window.partitionBy(asId).orderBy(col("ccos").desc, col("cent_id"))
+      scored.withColumn("crnk", row_number().over(w))
+        .where(col("crnk") <= keep).drop("ccos", "crnk")
+    }
+    val lists = assign(corpus, "vid", "vvec", 1)
+    val probeLists = assign(probes, "qid", "qvec", nprobe)
+    val scored = lists.join(probeLists, Seq("cent_id"))
+      .where(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(cosine(col("qvec"), col("vvec")), 4).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
   /** Multi-table LSH bucketing (the standard recall lever): `numTables`
     * independent plane sets; a (vec, table, bucket) row per table.
     * Candidates = pairs sharing a bucket in ANY table. */

@@ -123,6 +123,19 @@ object VectorQueries {
     },
     None)
 
+  /** IVF-style ANN (inverted lists by nearest centroid; rows-only
+    * check, recall tested in OpsSpec against brute force). */
+  val ivfTopK: Entry = Entry(
+    "ivf_ann_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 5,
+          nlist = 16, nprobe = 4)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    None)
+
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
-    labelCentroids, annLsh)
+    labelCentroids, annLsh, ivfTopK)
 }

@@ -74,6 +74,33 @@ class OpsSpec extends SparkSpec {
     assert(approx.forall { case (q, v) => q != v })
   }
 
+  test("typed top-k aggregator equals the window-rank formulation") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.where(col("vec_id") < 5)
+    val windowed = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .select("qid", "rnk", "vid", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val p = probes.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = emb.select(col("vec_id").as("vid"), col("embedding").as("vvec"))
+    val scored = c.join(broadcast(p), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        round(Similarity.cosine(col("qvec"), col("vvec")), 4).as("cos"))
+    val agged = TopK.topKPerGroup(spark, scored, k = 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(agged == windowed)
+  }
+
+  test("IVF top-k achieves reasonable recall vs brute force") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, probes, k = 10, nlist = 8, nprobe = 4)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall > 0.4, s"ivf recall $recall suspiciously low")
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Seq((1L, Array(0.5f, 0.5f, 0.1f))).toDF("vec_id", "embedding")
     val c = one.select(round(Similarity.cosine(col("embedding"), col("embedding")), 6))
