@@ -145,4 +145,14 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Time-travel read of a specific committed version. */
   def readVersion(table: String, v: Long): DataFrame =
     spark.read.parquet(versionDir(table, v).toString)
+
+  /** Drop all snapshots older than the `keep` most recent (never the
+    * current one). Safe order: the pointer never references a dropped
+    * version, so readers racing a vacuum still resolve. */
+  def vacuum(table: String, keep: Int = 1): Unit = {
+    val cur = currentVersion(table).getOrElse(return)
+    val drop = versions(table).filter(_ < cur).dropRight(math.max(keep - 1, 0))
+    val fs = tablePath(table).getFileSystem(hadoopConf)
+    drop.foreach(v => fs.delete(versionDir(table, v), true))
+  }
 }

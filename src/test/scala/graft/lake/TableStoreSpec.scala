@@ -58,6 +58,17 @@ class TableStoreSpec extends SparkSpec {
     assert(store.exists("t") && store.currentVersion("t").contains(0L))
   }
 
+  test("vacuum drops old snapshots but never the current one") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+    store.overwrite("t", Seq((3, "c")).toDF("id", "v"))
+    assert(store.versions("t") == Seq(0L, 1L, 2L))
+    store.vacuum("t", keep = 1)
+    assert(store.versions("t") == Seq(2L))
+    assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((3, "c")))
+  }
+
   test("append evolves schema union-by-name (mergeSchema semantics)") {
     val store = freshStore()
     store.create("t", Seq((1, "a")).toDF("id", "v"))
