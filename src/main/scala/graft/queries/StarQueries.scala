@@ -94,17 +94,22 @@ object StarQueries {
         |      FROM supplier GROUP BY s_nationkey) p ON c.nk = p.nk2
         |ORDER BY nationkey""".stripMargin))
 
-  /** Distinct aggregation forms. */
+  /** Distinct aggregation forms. Money total goes through an exact
+    * DECIMAL sum: a double `avg` rounded at 4 dp can land exactly on a
+    * half-way boundary with 2-decimal inputs (observed at sf0.001) and
+    * then engines disagree in the last digit. */
   val aggDistinct: Entry = Entry(
     "agg_distinct_per_segment",
     (s, dir) => t(s, dir, "customer")
       .groupBy("c_mktsegment")
       .agg(countDistinct("c_nationkey").as("n_nations"),
         count(lit(1)).as("n_customers"),
-        round(avg("c_acctbal"), 4).as("avg_bal"))
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("total_bal"))
       .orderBy("c_mktsegment"),
     Some("""SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
-        |  count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+        |  count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
   /** ROLLUP grouping set (null group keys coalesced to 'ALL' so NULL
