@@ -106,20 +106,19 @@ object Dedup {
     val tokHash = df.select(col(idCol),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
       .select(col(idCol), xxhash64(col("tok")).as("th"))
-    // per bit: sum(+1 if bit set else -1); simhash bit = sign of the vote
-    val bitStructs = (0 until 32).map { b =>
-      struct(lit(b).as("bit"),
-        when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1).as("vote"))
+    // per bit: sum(+1 if set else -1) as 32 codegen'd conditional
+    // aggregates over ONE exploded-token pass (no 32x row blowup);
+    // partial sums combine map-side, shuffle carries 32 longs per doc
+    val votes = (0 until 32).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v_$b")
     }
-    val bits = tokHash
-      .select(col(idCol), explode(array(bitStructs: _*)).as("x"))
-      .select(col(idCol), col("x.bit").as("bit"), col("x.vote").as("vote"))
-    bits.groupBy(col(idCol), col("bit"))
-      .agg(sum("vote").as("v"))
-      .groupBy(col(idCol))
-      // 2^bit exact in double for bit < 32; total < 2^32 exact
-      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("bit"))).otherwise(0.0))
-        .cast("long").as("simhash"))
+    tokHash.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      // 2^b exact in double for b < 32; total < 2^32 exact
+      .select(col(idCol),
+        (0 until 32).map(b =>
+          when(col(s"v_$b") > 0, math.pow(2.0, b)).otherwise(0.0))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 }
