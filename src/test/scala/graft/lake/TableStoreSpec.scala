@@ -52,6 +52,29 @@ class TableStoreSpec extends SparkSpec {
     assert(store.currentVersion("t").contains(1L))
   }
 
+  test("append is O(batch): carries v0 files by reference, writes only new ones") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    val v0Files = store.manifest("t", 0L)
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    val v1Files = store.manifest("t", 1L)
+    // v1 manifest = v0 files (by reference) + the new batch's files
+    assert(v0Files.toSet.subsetOf(v1Files.toSet))
+    assert(v1Files.toSet.diff(v0Files.toSet).forall(_.contains("/v=1/")))
+    // the old snapshot was not rewritten
+    assert(v0Files.forall(_.contains("/v=0/")))
+  }
+
+  test("vacuum after append keeps carried files alive") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    store.vacuum("t", keep = 1)
+    // v0's files are still referenced by v1's manifest -> must survive
+    assert(store.read("t").orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+  }
+
   test("append on missing table creates it") {
     val store = freshStore()
     store.append("t", Seq((1, "a")).toDF("id", "v"))
