@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Cdc
-import graft.lake.{CdcIngest, TableStore}
+import graft.lake.{CdcIngest, GraftSql, TableStore}
 import Queries.{Entry, t}
 
 /** End-to-end engine queries: the real TableStore + CdcIngest pipeline
@@ -113,6 +113,35 @@ object PipelineQueries {
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** MERGE INTO SQL text (the reference's merge_sql_stmnt,
+    * icberg/iceberg_tables.py:45-50) executed through GraftSql against
+    * a store table: delete every customer key that appears in the
+    * high-balance updates view, return the survivors. */
+  val mergeSqlDelete: Entry = Entry(
+    "cdc_merge_sql_text",
+    (s, dir) => {
+      val store = new TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-msql").toString)
+      store.create("dest", t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal"))
+      t(s, dir, "customer").where(col("c_acctbal") > 5000)
+        .select("c_custkey")
+        .createOrReplaceTempView("input_data_updates")
+      GraftSql.execute(s, store,
+        """MERGE INTO dest t USING input_data_updates u
+          |ON t.c_custkey = u.c_custkey
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer
+        |                        WHERE c_acctbal > 5000)
+        |ORDER BY c_custkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, q6Forecast, q4OrderPriority,
-    statsNumeric)
+    statsNumeric, mergeSqlDelete)
 }
