@@ -49,6 +49,18 @@ object TextOps {
     }
   }
 
+  /** BPE-ish pre-tokenization (GPT-2-style pattern simplified to the
+    * classes that matter for counting: contractions, letter runs, digit
+    * runs, other-symbol runs, each with optional leading space). The
+    * fixture text is plain lowercase words, but the operator is the
+    * real one a token-budget pipeline runs before byte-pair merges. */
+  val bpePattern: String = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Content fingerprint: md5 of head shingle + token count + char
     * count — a cheap document signature for blocking. */
   def fingerprint(text: Column): Column = {

@@ -206,7 +206,24 @@ object TextQueries {
       .orderBy("doc_id"),
     None)
 
-  val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats,
+  /** Token budgeting: whitespace vs BPE-ish token counts per source —
+    * the sizing pass an LLM data pipeline runs over a corpus. */
+  val tokenBudget: Entry = Entry(
+    "token_budget_by_source",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("ws_tokens"),
+        sum(TextOps.bpeTokenCount(col("text"))).as("bpe_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy("source"),
+    Some(s"""SELECT source, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}'))) AS bpe_tokens,
+        |  sum(length(text)) AS n_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     ngramJaccard, simhashSig)
 }

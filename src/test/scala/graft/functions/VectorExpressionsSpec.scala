@@ -26,6 +26,20 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("GraftExtensions injects graft_dot at session build") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
+        .collect().head.getDouble(0)
+      assert(r == 6.0)
+    } finally () // shared local JVM: do not stop the session others use
+  }
+
   test("dot product participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
