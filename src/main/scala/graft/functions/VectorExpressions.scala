@@ -32,15 +32,23 @@ case class DotProductF(left: Expression, right: Expression)
       s"graft_dot expects two array<float> args, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = DoubleType
+  // can produce NULL even for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
+  // NULL semantics match the HOF formulation exactly: zip_with pads a
+  // length mismatch with nulls and null*x = null, and aggregate's sum
+  // with any null term is null — so mismatched lengths or any null
+  // element yield NULL here too (oracle-parity invariant).
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -50,12 +58,17 @@ case class DotProductF(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
+         |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = acc;
          |}
-         |${ev.value} = acc;
        """.stripMargin
     })
 

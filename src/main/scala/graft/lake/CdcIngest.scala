@@ -18,7 +18,13 @@ object CdcIngest {
       /** Full-load floor — compared as a STRING against the (timestamp)
         * date column, preserving the reference's implicit-cast semantics
         * (icberg/iceberg_tables.py:33-34,:103, trap §7.7.1). */
-      floorDate: String = "1900-01-01 00:00:00")
+      floorDate: String = "1900-01-01 00:00:00",
+      /** Extra DESC tiebreak columns after dateCol. The reference
+        * orders only by process_date (trap §7.7.4) — nondeterministic
+        * when a key has two rows at the same timestamp (routine with
+        * second-granularity DMS stamps). Supply e.g. a sequence/LSN
+        * column for deterministic merges. */
+      tiebreak: Seq[String] = Nil)
 
   sealed trait Outcome
   case object FullLoad extends Outcome
@@ -42,7 +48,7 @@ object CdcIngest {
                cfg: Config): Outcome = {
     val filtered = source.where(col(cfg.dateCol) > lit(cfg.floorDate))
     val deduped = Cdc.dedupLatest(filtered, Seq(cfg.primaryKey),
-      Seq(col(cfg.dateCol).desc))
+      (cfg.dateCol +: cfg.tiebreak).map(col(_).desc))
     val kept = if (Cdc.hasOpCol(source)) Cdc.dropTombstones(deduped) else deduped
     store.create(table, kept.drop("row_num", "Op"))
     FullLoad
@@ -61,7 +67,7 @@ object CdcIngest {
     if (newRows.isEmpty) NoNewData // C3 (:152-153), A3 via Dataset.isEmpty
     else {
       val deduped = Cdc.dedupLatest(newRows, Seq(cfg.primaryKey),
-        Seq(col(cfg.dateCol).desc))
+        (cfg.dateCol +: cfg.tiebreak).map(col(_).desc))
       val merged = CdcMerge.upsert(dest, deduped, Seq(cfg.primaryKey))
       val n = deduped.count()
       store.overwrite(table, merged)

@@ -38,9 +38,12 @@ object GraftSql {
 
     val target = tableName(m.targetTable)
     val source = tableName(m.sourceTable)
-    val keys = equiKeys(m.mergeCondition)
-    require(keys.nonEmpty, s"merge condition must be AND-ed equi-joins, " +
-      s"got ${m.mergeCondition.sql}")
+    // every conjunct must be a same-name equi-join — a dropped non-equi
+    // conjunct would silently delete MORE rows than the SQL specifies
+    val keys = equiKeys(m.mergeCondition).getOrElse(
+      throw new IllegalArgumentException(
+        s"merge condition must be AND-ed same-column equi-joins, " +
+          s"got ${m.mergeCondition.sql}"))
 
     val updates = spark.table(source)
     val merged = CdcMerge.deleteMatched(store.read(target), updates, keys)
@@ -56,12 +59,14 @@ object GraftSql {
       s"cannot resolve table from ${plan.getClass.getSimpleName}"))
   }
 
-  /** Extract key column names from an AND-tree of `t.k = u.k`. */
-  private def equiKeys(cond: Expression): Seq[String] = cond match {
-    case And(l, r) => equiKeys(l) ++ equiKeys(r)
+  /** Extract key column names from an AND-tree of `t.k = u.k`;
+    * None if ANY conjunct is not a same-name equi-join. */
+  private def equiKeys(cond: Expression): Option[Seq[String]] = cond match {
+    case And(l, r) =>
+      for (a <- equiKeys(l); b <- equiKeys(r)) yield a ++ b
     case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
         if a.nameParts.last == b.nameParts.last =>
-      Seq(a.nameParts.last)
-    case _ => Seq.empty
+      Some(Seq(a.nameParts.last))
+    case _ => None
   }
 }

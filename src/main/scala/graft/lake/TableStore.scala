@@ -1,113 +1,122 @@
 package graft.lake
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-/** Versioned-directory Parquet table store: ACID-ish table semantics
+/** Versioned Parquet table store: ACID-ish table semantics
   * (create / append / overwrite / exists / read / time travel / vacuum)
   * over plain Parquet, replacing the reference's Iceberg v2 / Delta
   * destinations (icberg/iceberg_tables.py:112 `.writeTo(...).create()`,
   * delta/delta_tables.py:131,:166) — no connector jars are available.
   *
-  * Protocol (Delta paper, VLDB 2020, simplified to a single pointer +
-  * per-version manifests):
+  * Protocol (Delta paper, VLDB 2020, simplified to per-version
+  * manifests + a pointer):
   *
   * {{{
-  *   <root>/<table>/v=<n>/part-*.parquet   data files written by commit n
-  *   <root>/<table>/manifest-<n>           file list composing version n
-  *   <root>/<table>/_VERSION               current version pointer
-  *   <root>/<table>/_PARTITIONING          optional partition columns
+  *   <root>/<table>/d-<uuid>/part-*.parquet  data files of ONE commit
+  *   <root>/<table>/manifest-<n>             file list composing version n
+  *   <root>/<table>/_VERSION                 current version pointer
+  *   <root>/<table>/_PARTITIONING            optional partition columns
   * }}}
   *
-  * A commit writes its data files fully, writes `manifest-<n>`, then
-  * swings `_VERSION` via temp-file + atomic rename
-  * (`FileContext.rename(OVERWRITE)` — atomic on HDFS and local FS).
-  * Readers resolve the pointer once, then only ever see a
-  * fully-written, immutable file set. Unlike the reference's
-  * delete-commit-then-append-commit sequence (SURVEY §3.2), a merge
-  * here is ONE pointer swing.
+  * Commit: write the batch's data files into a fresh `d-<uuid>` dir
+  * (never shared between writers), then CLAIM version n by renaming a
+  * fully-written temp manifest to `manifest-<n>` WITHOUT overwrite —
+  * rename-if-absent is the optimistic-concurrency primitive (atomic on
+  * HDFS/local FS): the loser gets a conflict and retries against the
+  * new current version, so concurrent appends serialize instead of
+  * silently losing a batch. `_VERSION` then publishes the highest
+  * claimed version (forward-only; the claim, not the pointer, is the
+  * source of truth — `currentVersion` takes max(pointer, manifests)).
+  * On S3 (no atomic rename) the claim should go through a conditional
+  * PUT / DynamoDB-style lock, as Delta's LogStore does.
   *
   * Scale design: `append` is O(batch), not O(table) — it writes only
   * the new files and its manifest carries the previous version's files
-  * forward by reference (this is what makes 100 TB tables appendable).
-  * `overwrite` (and therefore CDC merge) rewrites by nature.
-  * On S3 (no atomic rename) the pointer swing should go through a
-  * conditional PUT / DynamoDB-style lock, as Delta's LogStore does.
+  * forward by reference (what makes 100 TB tables appendable).
+  * `overwrite` (and therefore CDC merge) rewrites by nature. Reads
+  * resolve a manifest once and only ever see fully-written, immutable
+  * files. Time travel reads any retained manifest; `vacuum` deletes
+  * data files unreferenced by retained versions and their manifests —
+  * a vacuumed version then fails loudly on read instead of returning
+  * partial data.
   */
 final class TableStore(spark: SparkSession, root: String) {
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
-  private def tablePath(table: String): Path = new Path(root, table)
+  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
+  /** Fully-qualified table path — manifests store qualified URIs so
+    * relative or scheme-qualified roots behave identically. */
+  private def tablePath(table: String): Path = {
+    val raw = new Path(root, table)
+    fs(raw).makeQualified(raw)
+  }
   private def versionPtr(table: String): Path = new Path(tablePath(table), "_VERSION")
-  private def versionDir(table: String, v: Long): Path = new Path(tablePath(table), s"v=$v")
   private def manifestPath(table: String, v: Long): Path =
     new Path(tablePath(table), s"manifest-$v")
-  private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
   private def fc(p: Path): FileContext = FileContext.getFileContext(p.toUri, hadoopConf)
 
   /** S5: table-exists probe (icberg/iceberg_tables.py:73-78). */
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
+  /** Highest committed (claimed) version. The pointer is a fast path;
+    * claimed manifests are authoritative (a writer may have claimed and
+    * not yet published). */
   def currentVersion(table: String): Option[Long] = {
+    val fromManifests = versions(table).lastOption
     val ptr = versionPtr(table)
-    val f = fs(ptr)
-    if (!f.exists(ptr)) None
-    else Some(readSmallFile(ptr).trim.toLong)
+    val fromPtr =
+      if (!fs(ptr).exists(ptr)) None
+      else scala.util.Try(readSmallFile(ptr).trim.toLong).toOption
+    (fromManifests ++ fromPtr).reduceOption(_ max _)
   }
 
-  /** S3/S4: destination table scan of the current committed version —
-    * the manifest's file list, grouped by writing version so hive
-    * partition columns resolve against the right base path. */
+  /** S3/S4: destination table scan of the current committed version. */
   def read(table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist"))
     readVersion(table, v)
   }
 
-  /** Time-travel read of a specific committed version. */
+  /** Time-travel read of a retained version — fails loudly if the
+    * version was vacuumed (its manifest is gone). */
   def readVersion(table: String, v: Long): DataFrame = {
     val files = manifest(table, v)
     val prefix = tablePath(table).toString
     val byBase = files.groupBy { f =>
-      // base = .../<table>/v=<k>
       val rel = f.stripPrefix(prefix).stripPrefix("/")
       s"$prefix/${rel.takeWhile(_ != '/')}"
     }
-    byBase.toSeq.sortBy(_._1).map { case (base, fsList) =>
+    byBase.toSeq.sortBy(_._1).map { case (base, group) =>
       spark.read.option("mergeSchema", "true").option("basePath", base)
-        .parquet(fsList: _*)
+        .parquet(group: _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** S6: CTAS — fails if the table already exists. `partitionBy`
-    * selects a hive-style directory layout; subsequent reads get
-    * partition pruning (and Catalyst dynamic partition pruning) on
+    * selects a hive-style layout; reads then get partition pruning on
     * those columns — the scan-avoidance lever at 100 TB. */
   def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
     if (partitionBy.nonEmpty)
       writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
         partitionBy.mkString(","))
-    commit(table, 0L, df, carryFrom = None)
+    commit(table, df, carry = false, mustCreate = true)
   }
 
   /** S7: atomic overwrite (vs. non-atomic raw `mode("overwrite")`). */
-  def overwrite(table: String, df: DataFrame): Unit = {
-    val next = currentVersion(table).map(_ + 1).getOrElse(0L)
-    commit(table, next, df, carryFrom = None)
-  }
+  def overwrite(table: String, df: DataFrame): Unit =
+    commit(table, df, carry = false, mustCreate = false)
 
   /** S8: append — O(batch): writes only the new files; the manifest
     * carries the previous version's files forward by reference.
     * Schema evolution is union-by-name at read time (mergeSchema). */
   def append(table: String, df: DataFrame): Unit =
-    currentVersion(table) match {
-      case None    => create(table, df)
-      case Some(v) => commit(table, v + 1, df, carryFrom = Some(v))
-    }
+    if (!exists(table)) create(table, df)
+    else commit(table, df, carry = true, mustCreate = false)
 
   /** Partition columns recorded at create time (empty = unpartitioned). */
   def partitioning(table: String): Seq[String] = {
@@ -116,65 +125,97 @@ final class TableStore(spark: SparkSession, root: String) {
     else readSmallFile(meta).trim.split(",").toSeq.filter(_.nonEmpty)
   }
 
-  /** File list composing version v. */
+  /** File list composing a retained version. */
   def manifest(table: String, v: Long): Seq[String] = {
     val m = manifestPath(table, v)
-    if (fs(m).exists(m))
-      readSmallFile(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
-    else // pre-manifest layout fallback: the version dir's own files
-      listDataFiles(versionDir(table, v))
+    if (!fs(m).exists(m))
+      throw new IllegalStateException(
+        s"version $v of $table is not retained (vacuumed or never committed)")
+    readSmallFile(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Write data files + manifest fully, then atomically swing the
-    * pointer. `carryFrom` = previous version whose files the new
-    * manifest inherits (append path). */
-  private def commit(table: String, v: Long, df: DataFrame,
-                     carryFrom: Option[Long]): Unit = {
-    val dir = versionDir(table, v)
+  /** Write data + claim the next version via rename-if-absent; retry
+    * on claim conflict (optimistic concurrency). */
+  private def commit(table: String, df: DataFrame, carry: Boolean,
+                     mustCreate: Boolean): Unit = {
+    val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = partitioning(table)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(dir.toString)
-    val newFiles = listDataFiles(dir)
-    val carried = carryFrom.map(manifest(table, _)).getOrElse(Seq.empty)
-    writeSmallFile(manifestPath(table, v), (carried ++ newFiles).mkString("\n"))
-    val ptr = versionPtr(table)
-    val tmp = new Path(tablePath(table), s"._VERSION.${UUID.randomUUID()}.tmp")
-    writeSmallFile(tmp, v.toString)
-    fc(ptr).rename(tmp, ptr, Options.Rename.OVERWRITE)
+      .parquet(dataDir.toString)
+    val newFiles = listDataFiles(dataDir)
+
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 100, s"gave up claiming a version for $table")
+      val cur = currentVersion(table)
+      if (mustCreate && cur.isDefined)
+        throw new IllegalArgumentException(s"table $table already exists")
+      val v = cur.map(_ + 1).getOrElse(0L)
+      val carried = if (carry) cur.map(manifest(table, _)).getOrElse(Nil) else Nil
+      val tmp = new Path(tablePath(table), s".manifest.${UUID.randomUUID()}.tmp")
+      writeSmallFile(tmp, (carried ++ newFiles).mkString("\n"))
+      try {
+        // rename WITHOUT overwrite = atomic claim of version v
+        fc(tmp).rename(tmp, manifestPath(table, v))
+        committed = true
+        publishPointer(table, v)
+      } catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
+          fs(tmp).delete(tmp, false) // lost the race; retry against new current
+      }
+    }
   }
 
-  /** Version history (for time-travel reads / vacuum). */
+  /** Forward-only pointer publish (claims are authoritative; the
+    * pointer is a read fast path). */
+  private def publishPointer(table: String, v: Long): Unit = {
+    val ptr = versionPtr(table)
+    val already = if (fs(ptr).exists(ptr))
+      scala.util.Try(readSmallFile(ptr).trim.toLong).getOrElse(-1L)
+    else -1L
+    if (already < v) {
+      val tmp = new Path(tablePath(table), s"._VERSION.${UUID.randomUUID()}.tmp")
+      writeSmallFile(tmp, v.toString)
+      fc(ptr).rename(tmp, ptr, Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** Committed version history (manifest-backed; readable versions). */
   def versions(table: String): Seq[Long] = {
     val dir = tablePath(table)
     val f = fs(dir)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toLong).sorted
+      .filter(_.startsWith("manifest-")).map(_.stripPrefix("manifest-").toLong)
+      .sorted
   }
 
   /** Drop data files not referenced by any of the `keep` most recent
-    * versions (never the current one). Manifest-aware: an old v=K dir
-    * may still hold files referenced by newer manifests — only
-    * unreferenced files are deleted. Safe order: the pointer never
-    * references deleted files. */
+    * versions (never the current one), plus the dropped versions'
+    * manifests. Carried files referenced by retained manifests always
+    * survive; a vacuumed version then fails loudly on read. */
   def vacuum(table: String, keep: Int = 1): Unit = {
     val cur = currentVersion(table).getOrElse(return)
     val all = versions(table)
-    val keptVersions = (all.filter(_ < cur).takeRight(math.max(keep - 1, 0)) :+ cur)
-    val referenced = keptVersions.flatMap(manifest(table, _)).toSet
+    val kept = (all.filter(_ < cur).takeRight(math.max(keep - 1, 0)) :+ cur)
+    val referenced = kept.flatMap(manifest(table, _)).toSet
     val f = fs(tablePath(table))
-    all.filterNot(keptVersions.contains).foreach { v =>
-      listDataFiles(versionDir(table, v))
-        .filterNot(referenced.contains)
+    all.filterNot(kept.contains).foreach { v =>
+      manifest(table, v).filterNot(referenced.contains)
         .foreach(p => f.delete(new Path(p), false))
-      // remove the dir if nothing referenced survives inside it
-      if (listDataFiles(versionDir(table, v)).isEmpty)
-        f.delete(versionDir(table, v), true)
       f.delete(manifestPath(table, v), false)
     }
+    // drop data dirs emptied of parquet files
+    f.listStatus(tablePath(table)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      .filter(st => listDataFiles(st.getPath).isEmpty)
+      .foreach(st => f.delete(st.getPath, true))
   }
 
+  /** Fully-qualified data file URIs under `dir` (recursively). */
   private def listDataFiles(dir: Path): Seq[String] = {
     val f = fs(dir)
     if (!f.exists(dir)) Seq.empty
@@ -185,7 +226,7 @@ final class TableStore(spark: SparkSession, root: String) {
         val st = it.next()
         val name = st.getPath.getName
         if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-          buf += st.getPath.toUri.getPath
+          buf += st.getPath.toString
       }
       buf.result().sorted
     }

@@ -23,8 +23,12 @@ object Similarity {
     * Uses the codegen'd native expression (graft.functions.DotProductF);
     * `dotHof` is the equivalent pure-builtin fallback. */
   def dot(a: Column, b: Column): Column = {
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+    // Column carries no session handle; register on the thread's
+    // active/default session. The DataFrame-level entry points below
+    // also register on their input's own session (multi-session safe).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.functions.GraftFunctions.register)
     graft.functions.GraftFunctions.dotF(a, b)
   }
 
@@ -43,6 +47,7 @@ object Similarity {
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val p = probes.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("vvec"))
     val scored = c.join(broadcast(p), col("qid") =!= col("vid"))
@@ -60,6 +65,7 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double,
                    idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val l = corpus.select(col(idCol).as("a"), col(vecCol).as("va"))
     val r = corpus.select(col(idCol).as("b"), col(vecCol).as("vb"))
     l.join(r, col("a") < col("b"))
@@ -99,6 +105,7 @@ object Similarity {
               nlist: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cents = corpus.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
     def assign(df: DataFrame, asId: String, asVec: String, keep: Int): DataFrame = {
@@ -137,6 +144,7 @@ object Similarity {
               numTables: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val cb = lshBucketsMulti(corpus, numPlanes, numTables, idCol, vecCol)
       .select(col(idCol).as("vid"), col(vecCol).as("vvec"),
         col("table"), col("bucket"))

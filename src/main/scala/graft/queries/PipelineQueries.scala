@@ -33,10 +33,13 @@ object PipelineQueries {
       val store = new TableStore(s,
         java.nio.file.Files.createTempDirectory("graft-e2e").toString)
       val tbl = "events_upsert"
-      CdcIngest.ingest(s, store, tbl, cdc.where(col("process_date") <= cut1))
+      val cfg = CdcIngest.Config(tiebreak = Seq("event_id"))
       CdcIngest.ingest(s, store, tbl,
-        cdc.where(col("process_date") > cut1 && col("process_date") <= cut2))
-      CdcIngest.ingest(s, store, tbl, cdc.where(col("process_date") > cut2))
+        cdc.where(col("process_date") <= cut1), cfg)
+      CdcIngest.ingest(s, store, tbl,
+        cdc.where(col("process_date") > cut1 && col("process_date") <= cut2), cfg)
+      CdcIngest.ingest(s, store, tbl,
+        cdc.where(col("process_date") > cut2), cfg)
       store.read(tbl)
         .select(col("key"), col("event_id"), col("value"),
           expr("ts div 1000").as("ts_us"))

@@ -89,7 +89,10 @@ object Queries {
   val cdcIncrementalMerge: Entry = Entry(
     "cdc_incremental_merge",
     (s, dir) => {
-      val cdc = cdcFrame(s, dir).cache()
+      // no cache: read twice (once for the min/max scalar, once in the
+      // main plan) — caching here leaked block-manager memory across
+      // the long-lived bench session
+      val cdc = cdcFrame(s, dir)
       val Array(mn, mx) = cdc.agg(min("ts_us"), max("ts_us"))
         .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
       val cut = (mn + mx) / 2

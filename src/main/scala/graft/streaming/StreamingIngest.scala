@@ -27,8 +27,11 @@ object StreamingIngest {
             store: TableStore, table: String,
             cfg: CdcIngest.Config = CdcIngest.Config(),
             checkpointDir: Option[String] = None,
-            maxFilesPerTrigger: Int = 16): StreamingQuery = {
-    val schema = spark.read.parquet(sourceDir).schema
+            maxFilesPerTrigger: Int = 16,
+            sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+    // file streams need a schema up front; pass `sourceSchema` when the
+    // landing dir may still be empty at start (the normal deploy order)
+    val schema = sourceSchema.getOrElse(spark.read.parquet(sourceDir).schema)
     val stream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

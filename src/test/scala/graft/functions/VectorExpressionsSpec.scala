@@ -27,17 +27,28 @@ class VectorExpressionsSpec extends SparkSpec {
   }
 
   test("GraftExtensions injects graft_dot at session build") {
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // force SparkSpec session to exist
+    // getOrCreate returns the existing session (extensions silently
+    // ignored) unless active+default are cleared first — clear them so
+    // a genuinely new session is built with the extensions applied
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig, "builder returned the shared session; test would be vacuous")
       val r = s2.sql(
         "SELECT graft_dot(array(CAST(2.0 AS FLOAT)), array(CAST(3.0 AS FLOAT))) AS d")
         .collect().head.getDouble(0)
       assert(r == 6.0)
-    } finally () // shared local JVM: do not stop the session others use
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
   }
 
   test("dot product participates in whole-stage codegen") {

@@ -58,11 +58,31 @@ class TableStoreSpec extends SparkSpec {
     val v0Files = store.manifest("t", 0L)
     store.append("t", Seq((2, "b")).toDF("id", "v"))
     val v1Files = store.manifest("t", 1L)
-    // v1 manifest = v0 files (by reference) + the new batch's files
+    // v1 manifest = v0 files (by reference, byte-identical paths) +
+    // the new batch's files in a commit dir v0 never wrote to
     assert(v0Files.toSet.subsetOf(v1Files.toSet))
-    assert(v1Files.toSet.diff(v0Files.toSet).forall(_.contains("/v=1/")))
-    // the old snapshot was not rewritten
-    assert(v0Files.forall(_.contains("/v=0/")))
+    val newFiles = v1Files.toSet.diff(v0Files.toSet)
+    assert(newFiles.nonEmpty)
+    def commitDir(f: String) = f.split("/").takeWhile(!_.startsWith("part-")).last
+    assert(newFiles.map(commitDir).intersect(v0Files.map(commitDir).toSet).isEmpty)
+  }
+
+  test("concurrent appends both survive via the optimistic claim") {
+    val store = freshStore()
+    store.create("t", Seq((0, "z")).toDF("id", "v"))
+    val dfA = Seq((1, "a")).toDF("id", "v")
+    val dfB = Seq((2, "b")).toDF("id", "v")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(dfA, dfB).map { d =>
+      new Thread(() =>
+        try store.append("t", d) catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"append failed: ${errs.peek()}")
+    // no lost update: both batches present, two distinct claimed versions
+    assert(store.read("t").select("id").as[Int].collect().sorted
+      .toSeq == Seq(0, 1, 2))
+    assert(store.currentVersion("t").contains(2L))
   }
 
   test("vacuum after append keeps carried files alive") {
