@@ -270,8 +270,75 @@ object StarQueries {
         |                   WHERE c2.c_nationkey = c.c_nationkey)
         |ORDER BY c_custkey""".stripMargin))
 
+  /** Distribution window functions: ntile, percent_rank, cume_dist,
+    * first/last value with explicit frames. */
+  val windowDistribution: Entry = Entry(
+    "window_distribution_funcs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          first("c_custkey").over(wf).as("poorest"),
+          last("c_custkey").over(wf).as("richest"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+    Some("""SELECT c_mktsegment, c_custkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS poorest,
+        |  last_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING) AS richest
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin))
+
+  /** TPC-H Q2 shape: min-per-group subquery join (cheapest part per
+    * brand, matched back against the detail row). */
+  val q2MinCost: Entry = Entry(
+    "q2_min_price_per_brand",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val mins = p.groupBy(col("p_brand").as("b"))
+        .agg(min("p_retailprice").as("min_price"))
+      p.join(broadcast(mins),
+          col("p_brand") === col("b") && col("p_retailprice") === col("min_price"))
+        .select(col("p_brand"), col("p_partkey"),
+          round(col("p_retailprice"), 2).as("price"))
+        .orderBy("p_brand", "p_partkey")
+    },
+    Some("""SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price
+        |FROM part p
+        |WHERE p_retailprice = (SELECT min(p_retailprice) FROM part p2
+        |                       WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_brand, p_partkey""".stripMargin))
+
+  /** Null-handling scalars: nullif / coalesce / null-safe compare over
+    * computed nulls. */
+  val nullHandling: Entry = Entry(
+    "scalar_null_handling",
+    (s, dir) => t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status2"),
+        (col("o_orderstatus") <=> lit("F")).as("is_f_nullsafe"))
+      .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_or_null,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status2,
+        |  o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
+        |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q5RegionalRevenue, joinLeftOuter, joinSemi, joinFullOuter, aggDistinct,
-    aggRollup, aggCube, windowAnalytics, topkOrders, setOps, havingFilter,
-    scalarFuncs, dateFuncs, subqueryAboveAvg)
+    aggRollup, aggCube, windowAnalytics, windowDistribution, topkOrders,
+    setOps, havingFilter, scalarFuncs, dateFuncs, subqueryAboveAvg,
+    q2MinCost, nullHandling)
 }
