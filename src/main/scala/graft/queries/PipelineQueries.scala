@@ -66,9 +66,9 @@ object PipelineQueries {
       .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
         .as("revenue"), count(lit(1)).as("n")),
-    Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    Some("""SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
         |  count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -145,6 +145,72 @@ object PipelineQueries {
         |                        WHERE c_acctbal > 5000)
         |ORDER BY c_custkey""".stripMargin))
 
+  /** TPC-H Q7 shape: two-nation volume shipping — multiway join with a
+    * disjunctive cross-nation predicate + year bucketing. */
+  val q7VolumeShipping: Entry = Entry(
+    "q7_volume_shipping",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT supp_nation, cust_nation, l_year,
+        |  round(sum(volume), 4) AS revenue, count(*) AS n
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |         year(l_shipdate) AS l_year,
+        |         l_extendedprice * (1 - l_discount) AS volume
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin))
+
+  /** TPC-H Q9 shape: product profit by nation and year (5-way join,
+    * arithmetic over two fact columns, substring filter on part name). */
+  val q9ProductProfit: Entry = Entry(
+    "q9_product_profit",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .where(col("p_name").contains("a"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * col("l_quantity") * 0.1), 4).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc),
+    Some("""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)
+        |        - p_retailprice * l_quantity * 0.1), 4) AS profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, q6Forecast, q4OrderPriority,
-    statsNumeric, mergeSqlDelete)
+    statsNumeric, mergeSqlDelete, q7VolumeShipping, q9ProductProfit)
 }

@@ -208,7 +208,7 @@ object Queries {
       .agg(
         round(sum("l_quantity"), 2).as("sum_qty"),
         round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("sum_disc_price"),
         round(avg("l_quantity"), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
@@ -216,7 +216,7 @@ object Queries {
     Some("""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -233,13 +233,13 @@ object Queries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
     Some("""SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
@@ -260,6 +260,25 @@ object Queries {
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
+  /** C2 fallback (icberg/iceberg_tables.py:184-187): source without an
+    * Op column — dedup keeps latest per key with NO tombstone predicate. */
+  val cdcDedupNoOpCol: Entry = Entry(
+    "cdc_dedup_noop_fallback",
+    (s, dir) => {
+      val cdc = Cdc.derive(t(s, dir, "events"), k = 100, withOp = false)
+        .select(col("key"), col("event_id"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+      assert(!Cdc.hasOpCol(cdc)) // the fallback branch is the one under test
+      Cdc.dedupLatest(cdc, Seq("key"), Seq(col("ts_us").desc, col("event_id").desc))
+        .orderBy("key")
+    },
+    Some("""SELECT key, event_id, value, ts_us FROM (
+        |  SELECT event_id % 100 AS key, event_id, value, epoch_us(ts) AS ts_us,
+        |         row_number() OVER (PARTITION BY event_id % 100
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS row_num
+        |  FROM events) a
+        |WHERE row_num = 1 ORDER BY key""".stripMargin))
+
   /** Approximate sketches (HLL distinct, approximate percentile) —
     * engine-specific sketch internals, so rows-only check (no oracle). */
   val approxSketches: Entry = Entry(
@@ -273,8 +292,8 @@ object Queries {
 
   val entries: Seq[Entry] = Seq(
     cdcDedupLatest, cdcFullLoad, cdcIncrementalMerge, cdcWatermark,
-    cdcStripPartitions, cdcDedupSqlPath, scanFilterProject, q1PricingSummary,
-    q3TopOrders, joinAnti, approxSketches) ++
+    cdcStripPartitions, cdcDedupSqlPath, cdcDedupNoOpCol, scanFilterProject,
+    q1PricingSummary, q3TopOrders, joinAnti, approxSketches) ++
     StarQueries.entries ++ EventQueries.entries ++
     TextQueries.entries ++ VectorQueries.entries ++
     MultimodalQueries.entries ++ PipelineQueries.entries
