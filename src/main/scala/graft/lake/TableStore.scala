@@ -82,17 +82,20 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Time-travel read of a retained version — fails loudly if the
-    * version was vacuumed (its manifest is gone). */
+    * version was vacuumed (its manifest is gone). Commit groups are
+    * read in manifest order (carried files precede each append), so
+    * evolved columns land after the original schema deterministically. */
   def readVersion(table: String, v: Long): DataFrame = {
     val files = manifest(table, v)
     val prefix = tablePath(table).toString
-    val byBase = files.groupBy { f =>
+    def baseOf(f: String): String = {
       val rel = f.stripPrefix(prefix).stripPrefix("/")
       s"$prefix/${rel.takeWhile(_ != '/')}"
     }
-    byBase.toSeq.sortBy(_._1).map { case (base, group) =>
+    val byBase = files.groupBy(baseOf)
+    files.map(baseOf).distinct.map { base =>
       spark.read.option("mergeSchema", "true").option("basePath", base)
-        .parquet(group: _*)
+        .parquet(byBase(base): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
