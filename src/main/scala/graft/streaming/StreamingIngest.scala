@@ -47,6 +47,41 @@ object StreamingIngest {
       .start()
   }
 
+  /** One CDC record in the stateful-dedup stream. */
+  final case class KeyedRec(key: Long, ts: Long, op: String, value: Double)
+
+  /** Stateful streaming dedup-keep-latest: per-key state holds the
+    * current winner across micro-batches (flatMapGroupsWithState —
+    * the custom-state operator for when watermark+window can't express
+    * the semantics). Emits the key's latest record whenever it changes;
+    * a tombstone (op=D) clears the state and emits nothing — the
+    * streaming analogue of dedupLatest + dropTombstones.
+    */
+  def statefulDedupLatest(records: org.apache.spark.sql.Dataset[KeyedRec])
+      : org.apache.spark.sql.Dataset[KeyedRec] = {
+    import records.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    records.groupByKey(_.key)
+      .flatMapGroupsWithState[KeyedRec, KeyedRec](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[KeyedRec], state: GroupState[KeyedRec]) =>
+          val incoming = batch.toSeq
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            val candidates = state.getOption.toSeq ++ incoming
+            val latest = candidates.maxBy(r => (r.ts, r.value))
+            if (latest.op == "D") {
+              state.remove()
+              Iterator.empty
+            } else if (state.getOption.contains(latest)) Iterator.empty
+            else {
+              state.update(latest)
+              Iterator.single(latest)
+            }
+          }
+      }
+  }
+
   /** Streaming windowed aggregation with a watermark — the standard
     * streaming-analytics surface (event-time tumbling counts), exposed
     * for the `events` table shape. */

@@ -41,6 +41,32 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful dedup keeps latest per key across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.KeyedRec
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[KeyedRec]
+    val q = StreamingIngest.statefulDedupLatest(in.toDS())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").start()
+    try {
+      in.addData(KeyedRec(1L, 10L, "I", 1.0), KeyedRec(2L, 10L, "I", 2.0))
+      q.processAllAvailable()
+      // batch 2: newer k1 update wins; k2 tombstoned; stale k1 ignored
+      in.addData(KeyedRec(1L, 20L, "U", 9.0), KeyedRec(1L, 5L, "U", 0.5),
+        KeyedRec(2L, 20L, "D", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[KeyedRec].collect().toSeq
+      // emissions: both initial inserts, then the k1 update only
+      assert(out.count(_.key == 1L) == 2 && out.count(_.key == 2L) == 1)
+      assert(out.filter(_.key == 1L).map(_.ts).max == 20L)
+      // batch 3: older-than-state record must NOT re-emit
+      in.addData(KeyedRec(1L, 15L, "U", 4.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == out.size)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over bounded events input") {
     val events = Seq(
       (1L, "2024-01-01 10:01:00", "click", 1.0),
