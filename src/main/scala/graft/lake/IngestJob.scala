@@ -1,0 +1,57 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+import graft.ops.Cdc
+
+/** Job entry point mirroring the reference's Glue bootstrap (C4:
+  * getResolvedOptions + Job.init/commit, icberg/iceberg_tables.py:11-17,
+  * :157-213): a reference user swaps their Glue job submit for
+  *
+  * {{{
+  *   spark-submit --class graft.lake.IngestJob app.jar \
+  *     --src_path s3a://bucket/cdc/ --store_root s3a://bucket/lake \
+  *     --dest_table survey_details --pk survey_details_id \
+  *     --date_col process_date
+  * }}}
+  *
+  * and gets the same full-load / incremental dispatch, partition-column
+  * stripping, op-column fallback and tombstone semantics.
+  */
+object IngestJob {
+
+  final case class Args(srcPath: String, storeRoot: String, destTable: String,
+                        pk: String, dateCol: String, floorDate: String)
+
+  /** getResolvedOptions equivalent: --key value pairs, with defaults
+    * matching the reference's job parameters. */
+  def parseArgs(argv: Array[String]): Args = {
+    val m = argv.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2).toLowerCase -> v
+    }.toMap
+    def req(k: String) = m.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required --$k"))
+    Args(req("src_path"), req("store_root"), req("dest_table"),
+      m.getOrElse("pk", "key"),
+      m.getOrElse("date_col", "process_date"),
+      m.getOrElse("floor_date", "1900-01-01 00:00:00"))
+  }
+
+  /** The reference's `main` flow (icberg/iceberg_tables.py:157-213). */
+  def run(spark: SparkSession, args: Args): CdcIngest.Outcome = {
+    val store = new TableStore(spark, args.storeRoot)
+    val source = spark.read.option("mergeSchema", "true").parquet(args.srcPath)
+    CdcIngest.ingest(spark, store, args.destTable, source,
+      CdcIngest.Config(args.pk, args.dateCol, args.floorDate))
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .appName(s"graft-ingest-${args.destTable}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val outcome = run(spark, args)
+    println(s"[graft] ${args.destTable}: $outcome") // Job.commit analogue
+    spark.stop()
+  }
+}
