@@ -211,6 +211,74 @@ object PipelineQueries {
         |GROUP BY n_name, year(o_orderdate)
         |ORDER BY nation, o_year DESC""".stripMargin))
 
+  /** TPC-H Q8 shape: market-share fraction (conditional sum over total
+    * sum) per year for one nation within one region's PROMO-part trade. */
+  val q8MarketShare: Entry = Entry(
+    "q8_market_share",
+    (s, dir) => {
+      val widgetParts = t(s, dir, "part").where(col("p_type") === "PROMO")
+        .select("p_partkey")
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region").where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val supNation = t(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(widgetParts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(supNation), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_1",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT year(o_orderdate) AS o_year,
+        |  round(sum(CASE WHEN n2.n_name = 'NATION_1'
+        |            THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |        / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin))
+
+  /** TPC-H Q10 shape: revenue lost to returned items per customer,
+    * top 20. */
+  val q10ReturnedItems: Entry = Entry(
+    "q10_returned_items",
+    (s, dir) => t(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20),
+    Some("""SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, q6Forecast, q4OrderPriority,
-    statsNumeric, mergeSqlDelete, q7VolumeShipping, q9ProductProfit)
+    statsNumeric, mergeSqlDelete, q7VolumeShipping, q9ProductProfit,
+    q8MarketShare, q10ReturnedItems)
 }
