@@ -95,19 +95,55 @@ object Similarity {
       planeBits.reduce(_ + _).cast("long").as("bucket"))
   }
 
-  /** IVF-style ANN: partition the corpus into `nlist` inverted lists by
-    * nearest centroid; probes search only their `nprobe` closest lists.
-    * Centroids here are deterministic seed vectors (id < nlist) — one
-    * k-means iteration away from real IVF, same join shape either way:
-    * assignment is a broadcast cross-score + argmax, search is an
-    * equi-join on the centroid id. */
+  /** Lloyd k-means over the corpus, fully in DataFrame ops: assignment
+    * is a broadcast cross-score + argmax per vector, the update step a
+    * posexplode + per-(cluster, dim) average. Returns (cent_id, cvec).
+    * Deterministic: seeds are the lowest-id vectors; empty clusters
+    * keep their previous centroid. At 100 TB you run this on a sample —
+    * the assignment join shape is unchanged. */
+  def kmeansCentroids(corpus: DataFrame, nlist: Int, iterations: Int,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    import org.apache.spark.sql.expressions.Window
+    var cents = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cvec"))
+    for (_ <- 0 until iterations) {
+      val scored = corpus.select(col(idCol), col(vecCol))
+        .join(broadcast(cents))
+        .select(col(idCol), col(vecCol), col("cent_id"),
+          cosine(col(vecCol), col("cvec").cast("array<float>")).as("ccos"))
+      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
+      val assigned = scored.withColumn("r", row_number().over(w))
+        .where(col("r") === 1).select(col("cent_id"), col(vecCol))
+      val updated = assigned
+        .select(col("cent_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy("cent_id", "i")
+        .agg(avg(col("x").cast("double")).as("cx"))
+        .groupBy("cent_id")
+        .agg(map_from_arrays(collect_list("i"), collect_list("cx")).as("m"))
+        .select(col("cent_id"),
+          transform(sequence(lit(0), size(col("m")) - 1),
+            i => element_at(col("m"), i)).as("cvec"))
+      // empty clusters keep the previous centroid
+      cents = cents.join(updated.withColumnRenamed("cvec", "newvec")
+          .withColumnRenamed("cent_id", "uid"),
+          col("cent_id") === col("uid"), "left_outer")
+        .select(col("cent_id"), coalesce(col("newvec"), col("cvec")).as("cvec"))
+    }
+    cents.select(col("cent_id"), col("cvec").cast("array<float>").as("cvec"))
+  }
+
+  /** IVF ANN: partition the corpus into `nlist` inverted lists by
+    * nearest k-means centroid; probes search only their `nprobe`
+    * closest lists. Assignment is a broadcast cross-score + argmax,
+    * search is an equi-join on the centroid id. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
+              nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val cents = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cvec"))
+    val cents = kmeansCentroids(corpus, nlist, kmeansIters, idCol, vecCol)
     def assign(df: DataFrame, asId: String, asVec: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(asId), col(vecCol).as(asVec))
         .join(broadcast(cents))
