@@ -113,9 +113,14 @@ object Similarity {
         .join(broadcast(cents))
         .select(col(idCol), col(vecCol), col("cent_id"),
           cosine(col(vecCol), col("cvec").cast("array<float>")).as("ccos"))
-      val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
-      val assigned = scored.withColumn("r", row_number().over(w))
-        .where(col("r") === 1).select(col("cent_id"), col(vecCol))
+      // argmax via hash aggregate (no sort): max struct picks highest
+      // ccos, then lowest cent_id; vec rides along (never compared —
+      // (ccos, cent_id) is unique per row)
+      val assigned = scored
+        .groupBy(col(idCol))
+        .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"),
+          col(vecCol).as("v"))).as("m"))
+        .select((-col("m.nc")).as("cent_id"), col("m.v").as(vecCol))
       val updated = assigned
         .select(col("cent_id"), posexplode(col(vecCol)).as(Seq("i", "x")))
         .groupBy("cent_id", "i")
@@ -125,13 +130,27 @@ object Similarity {
         .select(col("cent_id"),
           transform(sequence(lit(0), size(col("m")) - 1),
             i => element_at(col("m"), i)).as("cvec"))
-      // empty clusters keep the previous centroid
-      cents = cents.join(updated.withColumnRenamed("cvec", "newvec")
+      // empty clusters keep the previous centroid; materialize the
+      // (tiny: nlist x dim) centroid set to the driver each iteration —
+      // otherwise the iterative lineage recomputes every prior
+      // assignment pass for each downstream reference
+      val next = cents.join(updated.withColumnRenamed("cvec", "newvec")
           .withColumnRenamed("cent_id", "uid"),
           col("cent_id") === col("uid"), "left_outer")
         .select(col("cent_id"), coalesce(col("newvec"), col("cvec")).as("cvec"))
+      cents = materialize(corpus.sparkSession, next)
     }
     cents.select(col("cent_id"), col("cvec").cast("array<float>").as("cvec"))
+  }
+
+  /** Collect a (cent_id, cvec) frame and rebuild it as a literal local
+    * DataFrame — cuts iterative lineage. */
+  private def materialize(spark: org.apache.spark.sql.SparkSession,
+                          cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    cents.collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toDF("cent_id", "cvec")
   }
 
   /** IVF ANN: partition the corpus into `nlist` inverted lists by
@@ -149,9 +168,17 @@ object Similarity {
         .join(broadcast(cents))
         .select(col(asId), col(asVec), col("cent_id"),
           cosine(col(asVec), col("cvec")).as("ccos"))
-      val w = Window.partitionBy(asId).orderBy(col("ccos").desc, col("cent_id"))
-      scored.withColumn("crnk", row_number().over(w))
-        .where(col("crnk") <= keep).drop("ccos", "crnk")
+      if (keep == 1)
+        // hash-agg argmax: no per-key sort (see kmeansCentroids)
+        scored.groupBy(col(asId))
+          .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"),
+            col(asVec).as("v"))).as("m"))
+          .select(col(asId), col("m.v").as(asVec), (-col("m.nc")).as("cent_id"))
+      else {
+        val w = Window.partitionBy(asId).orderBy(col("ccos").desc, col("cent_id"))
+        scored.withColumn("crnk", row_number().over(w))
+          .where(col("crnk") <= keep).drop("ccos", "crnk")
+      }
     }
     val lists = assign(corpus, "vid", "vvec", 1)
     val probeLists = assign(probes, "qid", "qvec", nprobe)
