@@ -17,7 +17,6 @@ object Bucketing {
     * merge-friendly reads). Replaces any existing table of that name. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
     val w = df.write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -25,8 +25,11 @@ object IngestJob {
   /** getResolvedOptions equivalent: --key value pairs, with defaults
     * matching the reference's job parameters. */
   def parseArgs(argv: Array[String]): Args = {
-    val m = argv.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2).toLowerCase -> v
+    val m = argv.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.drop(2).toLowerCase -> v
+      case other => throw new IllegalArgumentException(
+        s"expected --key value pairs, got: ${other.mkString(" ")}")
     }.toMap
     def req(k: String) = m.getOrElse(k,
       throw new IllegalArgumentException(s"missing required --$k"))

@@ -1,6 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
+import java.nio.file.{Files, Paths, FileAlreadyExistsException => NioExistsException}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import java.nio.charset.StandardCharsets
@@ -23,16 +24,18 @@ import java.util.UUID
   * }}}
   *
   * Commit: write the batch's data files into a fresh `d-<uuid>` dir
-  * (never shared between writers), then CLAIM version n by renaming a
-  * fully-written temp manifest to `manifest-<n>` WITHOUT overwrite —
-  * rename-if-absent is the optimistic-concurrency primitive (atomic on
-  * HDFS/local FS): the loser gets a conflict and retries against the
-  * new current version, so concurrent appends serialize instead of
-  * silently losing a batch. `_VERSION` then publishes the highest
-  * claimed version (forward-only; the claim, not the pointer, is the
-  * source of truth — `currentVersion` takes max(pointer, manifests)).
-  * On S3 (no atomic rename) the claim should go through a conditional
-  * PUT / DynamoDB-style lock, as Delta's LogStore does.
+  * (never shared between writers), then CLAIM version n by exclusively
+  * creating `.claim-<n>` — O_EXCL create is the optimistic-concurrency
+  * primitive (java.nio on local file://, HDFS atomic create elsewhere):
+  * the loser gets a conflict and retries against the new current
+  * version, so concurrent appends serialize instead of silently losing
+  * a batch. The winner then publishes `manifest-<n>` fully-written via
+  * temp + rename-overwrite; manifests are the only source of truth
+  * (`currentVersion` = max manifest). A writer crashing between claim
+  * and manifest publish leaves a stale `.claim-<n>` that blocks the
+  * version — recovery = delete stale claims; production would give
+  * claims a TTL (S3: conditional PUT / DynamoDB lock, as Delta's
+  * LogStore does).
   *
   * Scale design: `append` is O(batch), not O(table) — it writes only
   * the new files and its manifest carries the previous version's files
@@ -54,25 +57,19 @@ final class TableStore(spark: SparkSession, root: String) {
     val raw = new Path(root, table)
     fs(raw).makeQualified(raw)
   }
-  private def versionPtr(table: String): Path = new Path(tablePath(table), "_VERSION")
   private def manifestPath(table: String, v: Long): Path =
     new Path(tablePath(table), s"manifest-$v")
+  private def claimPath(table: String, v: Long): Path =
+    new Path(tablePath(table), s".claim-$v")
   private def fc(p: Path): FileContext = FileContext.getFileContext(p.toUri, hadoopConf)
 
   /** S5: table-exists probe (icberg/iceberg_tables.py:73-78). */
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
-  /** Highest committed (claimed) version. The pointer is a fast path;
-    * claimed manifests are authoritative (a writer may have claimed and
-    * not yet published). */
-  def currentVersion(table: String): Option[Long] = {
-    val fromManifests = versions(table).lastOption
-    val ptr = versionPtr(table)
-    val fromPtr =
-      if (!fs(ptr).exists(ptr)) None
-      else scala.util.Try(readSmallFile(ptr).trim.toLong).toOption
-    (fromManifests ++ fromPtr).reduceOption(_ max _)
-  }
+  /** Highest committed version (published manifests are the sole
+    * source of truth). */
+  def currentVersion(table: String): Option[Long] =
+    versions(table).lastOption
 
   /** S3/S4: destination table scan of the current committed version. */
   def read(table: String): DataFrame = {
@@ -104,10 +101,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * those columns — the scan-avoidance lever at 100 TB. */
   def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
-    if (partitionBy.nonEmpty)
-      writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
-        partitionBy.mkString(","))
-    commit(table, df, carry = false, mustCreate = true)
+    commit(table, df, carry = false, mustCreate = true, createParts = partitionBy)
   }
 
   /** S7: atomic overwrite (vs. non-atomic raw `mode("overwrite")`). */
@@ -116,10 +110,15 @@ final class TableStore(spark: SparkSession, root: String) {
 
   /** S8: append — O(batch): writes only the new files; the manifest
     * carries the previous version's files forward by reference.
-    * Schema evolution is union-by-name at read time (mergeSchema). */
+    * Schema evolution is union-by-name at read time (mergeSchema).
+    * Two first-appends racing on a fresh table: the create loser
+    * retries as a carry append instead of failing. */
   def append(table: String, df: DataFrame): Unit =
-    if (!exists(table)) create(table, df)
-    else commit(table, df, carry = true, mustCreate = false)
+    if (exists(table)) commit(table, df, carry = true, mustCreate = false)
+    else try create(table, df) catch {
+      case e: IllegalArgumentException if e.getMessage.contains("already exists") =>
+        commit(table, df, carry = true, mustCreate = false)
+    }
 
   /** Partition columns recorded at create time (empty = unpartitioned). */
   def partitioning(table: String): Seq[String] = {
@@ -137,12 +136,15 @@ final class TableStore(spark: SparkSession, root: String) {
     readSmallFile(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  /** Write data + claim the next version via rename-if-absent; retry
-    * on claim conflict (optimistic concurrency). */
+  /** Write data + claim the next version exclusively; retry on claim
+    * conflict (optimistic concurrency). `createParts` is the partition
+    * layout for a create — recorded only after the claim succeeds, so
+    * a failed create can't poison a later one with stale metadata. */
   private def commit(table: String, df: DataFrame, carry: Boolean,
-                     mustCreate: Boolean): Unit = {
+                     mustCreate: Boolean,
+                     createParts: Seq[String] = Nil): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
-    val parts = partitioning(table)
+    val parts = if (mustCreate) createParts else partitioning(table)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dataDir.toString)
@@ -154,35 +156,39 @@ final class TableStore(spark: SparkSession, root: String) {
       attempts += 1
       require(attempts <= 100, s"gave up claiming a version for $table")
       val cur = currentVersion(table)
-      if (mustCreate && cur.isDefined)
+      if (mustCreate && cur.isDefined) {
+        fs(dataDir).delete(dataDir, true) // don't leave an orphan commit dir
         throw new IllegalArgumentException(s"table $table already exists")
-      val v = cur.map(_ + 1).getOrElse(0L)
-      val carried = if (carry) cur.map(manifest(table, _)).getOrElse(Nil) else Nil
-      val tmp = new Path(tablePath(table), s".manifest.${UUID.randomUUID()}.tmp")
-      writeSmallFile(tmp, (carried ++ newFiles).mkString("\n"))
-      try {
-        // rename WITHOUT overwrite = atomic claim of version v
-        fc(tmp).rename(tmp, manifestPath(table, v))
-        committed = true
-        publishPointer(table, v)
-      } catch {
-        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.PathExistsException =>
-          fs(tmp).delete(tmp, false) // lost the race; retry against new current
       }
+      val v = cur.map(_ + 1).getOrElse(0L)
+      if (tryClaim(table, v)) {
+        if (mustCreate && createParts.nonEmpty)
+          writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
+            createParts.mkString(","))
+        val carried = if (carry) cur.map(manifest(table, _)).getOrElse(Nil) else Nil
+        val tmp = new Path(tablePath(table), s".manifest.${UUID.randomUUID()}.tmp")
+        writeSmallFile(tmp, (carried ++ newFiles).mkString("\n"))
+        fc(tmp).rename(tmp, manifestPath(table, v), Options.Rename.OVERWRITE)
+        committed = true
+      }
+      // lost the race: loop re-reads the new current version
     }
   }
 
-  /** Forward-only pointer publish (claims are authoritative; the
-    * pointer is a read fast path). */
-  private def publishPointer(table: String, v: Long): Unit = {
-    val ptr = versionPtr(table)
-    val already = if (fs(ptr).exists(ptr))
-      scala.util.Try(readSmallFile(ptr).trim.toLong).getOrElse(-1L)
-    else -1L
-    if (already < v) {
-      val tmp = new Path(tablePath(table), s"._VERSION.${UUID.randomUUID()}.tmp")
-      writeSmallFile(tmp, v.toString)
-      fc(ptr).rename(tmp, ptr, Options.Rename.OVERWRITE)
+  /** Exclusive claim of version v: O_EXCL file create — java.nio for
+    * local file:// (Hadoop's local no-overwrite rename/create is
+    * check-then-act), HDFS-atomic create(overwrite=false) otherwise. */
+  private def tryClaim(table: String, v: Long): Boolean = {
+    val claim = claimPath(table, v)
+    if ("file" == claim.toUri.getScheme) {
+      try { Files.createFile(Paths.get(claim.toUri)); true }
+      catch { case _: NioExistsException => false }
+    } else {
+      try { fs(claim).create(claim, false).close(); true }
+      catch {
+        case _: FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException => false
+      }
     }
   }
 
@@ -210,6 +216,7 @@ final class TableStore(spark: SparkSession, root: String) {
       manifest(table, v).filterNot(referenced.contains)
         .foreach(p => f.delete(new Path(p), false))
       f.delete(manifestPath(table, v), false)
+      f.delete(claimPath(table, v), false)
     }
     // drop data dirs emptied of parquet files
     f.listStatus(tablePath(table)).toSeq

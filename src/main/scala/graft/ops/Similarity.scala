@@ -144,13 +144,12 @@ object Similarity {
   }
 
   /** Collect a (cent_id, cvec) frame and rebuild it as a literal local
-    * DataFrame — cuts iterative lineage. */
+    * DataFrame — cuts iterative lineage. Schema-preserving (works for
+    * any id type, not just BIGINT). */
   private def materialize(spark: org.apache.spark.sql.SparkSession,
                           cents: DataFrame): DataFrame = {
-    import spark.implicits._
-    cents.collect().toSeq
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .toDF("cent_id", "cvec")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(cents.collect().toSeq.asJava, cents.schema)
   }
 
   /** IVF ANN: partition the corpus into `nlist` inverted lists by

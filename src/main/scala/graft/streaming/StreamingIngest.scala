@@ -53,9 +53,15 @@ object StreamingIngest {
   /** Stateful streaming dedup-keep-latest: per-key state holds the
     * current winner across micro-batches (flatMapGroupsWithState —
     * the custom-state operator for when watermark+window can't express
-    * the semantics). Emits the key's latest record whenever it changes;
-    * a tombstone (op=D) clears the state and emits nothing — the
-    * streaming analogue of dedupLatest + dropTombstones.
+    * the semantics). Emits the key's latest non-tombstone record
+    * whenever it changes. A tombstone (op=D) is KEPT in state (emitting
+    * nothing): dropping it would let a late record older than the
+    * delete resurrect the key, diverging from the batch
+    * dedupLatest+dropTombstones result. Ties at the same ts prefer the
+    * tombstone (deterministic, conservative); production streams should
+    * carry a sequence/LSN column instead (see CdcIngest.Config.tiebreak).
+    * State grows with one record per live-or-deleted key — bound it
+    * with a GroupStateTimeout in long-running deployments.
     */
   def statefulDedupLatest(records: org.apache.spark.sql.Dataset[KeyedRec])
       : org.apache.spark.sql.Dataset[KeyedRec] = {
@@ -69,14 +75,12 @@ object StreamingIngest {
           if (incoming.isEmpty) Iterator.empty
           else {
             val candidates = state.getOption.toSeq ++ incoming
-            val latest = candidates.maxBy(r => (r.ts, r.value))
-            if (latest.op == "D") {
-              state.remove()
-              Iterator.empty
-            } else if (state.getOption.contains(latest)) Iterator.empty
+            // latest by ts; tombstone wins a ts tie
+            val latest = candidates.maxBy(r => (r.ts, r.op == "D"))
+            if (state.getOption.contains(latest)) Iterator.empty
             else {
               state.update(latest)
-              Iterator.single(latest)
+              if (latest.op == "D") Iterator.empty else Iterator.single(latest)
             }
           }
       }

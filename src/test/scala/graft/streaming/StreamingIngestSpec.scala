@@ -60,8 +60,9 @@ class StreamingIngestSpec extends SparkSpec {
       // emissions: both initial inserts, then the k1 update only
       assert(out.count(_.key == 1L) == 2 && out.count(_.key == 2L) == 1)
       assert(out.filter(_.key == 1L).map(_.ts).max == 20L)
-      // batch 3: older-than-state record must NOT re-emit
-      in.addData(KeyedRec(1L, 15L, "U", 4.0))
+      // batch 3: older-than-state record must NOT re-emit, and a late
+      // record older than a delete must NOT resurrect the deleted key
+      in.addData(KeyedRec(1L, 15L, "U", 4.0), KeyedRec(2L, 15L, "U", 5.0))
       q.processAllAvailable()
       assert(spark.table("dedup_out").count() == out.size)
     } finally q.stop()
