@@ -336,9 +336,47 @@ object StarQueries {
         |  o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f_nullsafe
         |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  /** TPC-H Q13 shape: distribution of customers by order count —
+    * outer-join aggregate of an aggregate (all-integer, no float risk). */
+  val q13OrderDistribution: Entry = Entry(
+    "q13_customer_order_distribution",
+    (s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** TPC-H Q11 shape: per-part supplier volume kept when above a
+    * fraction of the global total (scalar subquery over an aggregate;
+    * integer quantities only). */
+  val q11ImportantStock: Entry = Entry(
+    "q11_important_stock",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val totalQty = li.agg(sum("l_quantity")).first().getDouble(0)
+      li.groupBy("l_partkey")
+        .agg(sum("l_quantity").cast("long").as("part_qty"))
+        .where(col("part_qty") > totalQty / 1000)
+        .orderBy(col("part_qty").desc, col("l_partkey"))
+    },
+    Some("""SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS part_qty
+        |FROM lineitem GROUP BY l_partkey
+        |HAVING sum(l_quantity) > (SELECT sum(l_quantity) FROM lineitem) / 1000
+        |ORDER BY part_qty DESC, l_partkey""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q5RegionalRevenue, joinLeftOuter, joinSemi, joinFullOuter, aggDistinct,
     aggRollup, aggCube, windowAnalytics, windowDistribution, topkOrders,
     setOps, havingFilter, scalarFuncs, dateFuncs, subqueryAboveAvg,
-    q2MinCost, nullHandling)
+    q2MinCost, nullHandling, q13OrderDistribution, q11ImportantStock)
 }
