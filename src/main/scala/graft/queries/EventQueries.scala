@@ -27,7 +27,7 @@ object EventQueries {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type"),
     Some("""SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
@@ -81,9 +81,9 @@ object EventQueries {
         |        OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM x),
         |z AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
         |      ORDER BY ts_us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM y)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -101,10 +101,10 @@ object EventQueries {
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
       .orderBy("user_id"),
     Some("""SELECT user_id,
-        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
   val entries: Seq[Entry] = Seq(jsonExtract, hourlyAgg, sessionize, pivotCounts)

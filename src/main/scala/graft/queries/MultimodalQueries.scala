@@ -36,7 +36,7 @@ object MultimodalQueries {
         round(avg("head_sum"), 4).as("avg_head_sum"))
       .orderBy("format"),
     Some("""SELECT 'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
-        |  count(*) AS n, sum(length(text)) AS total_bytes,
+        |  count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS total_bytes,
         |  round(avg(list_sum([ascii(substring(text, i, 1))
         |    FOR i IN range(1, least(length(text), 8) + 1)])), 4) AS avg_head_sum
         |FROM documents GROUP BY format ORDER BY format""".stripMargin))

@@ -50,7 +50,7 @@ object TextQueries {
         sum(TextOps.tokenCount(col("text"))).as("total_tokens"))
       .orderBy("lang"),
     Some("""SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
-        |  sum(len(string_split(text, ' '))) AS total_tokens
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
   /** Global token frequency top-20 (explode → count). */
@@ -125,7 +125,7 @@ object TextQueries {
         |        FROM documents)),
         |buckets AS (
         |  SELECT fp, count(*) AS n_docs FROM fp GROUP BY fp)
-        |SELECT count(*) AS distinct_fps, sum(n_docs) AS total_docs,
+        |SELECT count(*) AS distinct_fps, CAST(sum(n_docs) AS BIGINT) AS total_docs,
         |       max(n_docs) AS max_bucket, min(fp) AS first_fp
         |FROM buckets""".stripMargin))
 
@@ -218,9 +218,9 @@ object TextQueries {
         sum(length(col("text"))).as("n_chars"))
       .orderBy("source"),
     Some(s"""SELECT source, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS ws_tokens,
-        |  sum(len(regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}'))) AS bpe_tokens,
-        |  sum(length(text)) AS n_chars
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '${TextOps.bpePattern.replace("'", "''")}'))) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,

@@ -47,6 +47,16 @@ def main(sf_dir, out_dir):
         for c in duck.columns:
             a, b = spark[c], duck[c]
             try:
+                # The driver's hash is dtype-sensitive: int64 vs float64
+                # (e.g. DuckDB HUGEINT sums landing as float64) hash-fails
+                # even when values are numerically equal. Flag it here.
+                a_num = pd.api.types.is_numeric_dtype(a)
+                b_num = pd.api.types.is_numeric_dtype(b)
+                if a_num and b_num and \
+                        pd.api.types.is_float_dtype(a) != pd.api.types.is_float_dtype(b):
+                    print(f"  col {c}: dtype mismatch spark={a.dtype} duck={b.dtype}"
+                          f" (driver hash would fail — CAST the oracle agg)")
+                    ok = False
                 if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                     av, bv = a.astype(float).values, b.astype(float).values
                     eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
