@@ -40,7 +40,10 @@ import java.util.UUID
   * Scale design: `append` is O(batch), not O(table) — it writes only
   * the new files and its manifest carries the previous version's files
   * forward by reference (what makes 100 TB tables appendable).
-  * `overwrite` (and therefore CDC merge) rewrites by nature. Reads
+  * `overwritePartitions` extends the same carry-by-reference trick to
+  * partitioned tables, so a CDC merge rewrites only the partitions
+  * holding matched keys (O(touched), not O(table)); full `overwrite`
+  * rewrites by nature. Reads
   * resolve a manifest once and only ever see fully-written, immutable
   * files. Time travel reads any retained manifest; `vacuum` deletes
   * data files unreferenced by retained versions and their manifests —
@@ -101,12 +104,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * those columns — the scan-avoidance lever at 100 TB. */
   def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
-    commit(table, df, carry = false, mustCreate = true, createParts = partitionBy)
+    commit(table, df, carried = _ => Nil, mustCreate = true, createParts = partitionBy)
   }
 
   /** S7: atomic overwrite (vs. non-atomic raw `mode("overwrite")`). */
   def overwrite(table: String, df: DataFrame): Unit =
-    commit(table, df, carry = false, mustCreate = false)
+    commit(table, df, carried = _ => Nil, mustCreate = false)
 
   /** S8: append — O(batch): writes only the new files; the manifest
     * carries the previous version's files forward by reference.
@@ -114,11 +117,44 @@ final class TableStore(spark: SparkSession, root: String) {
     * Two first-appends racing on a fresh table: the create loser
     * retries as a carry append instead of failing. */
   def append(table: String, df: DataFrame): Unit =
-    if (exists(table)) commit(table, df, carry = true, mustCreate = false)
+    if (exists(table)) commit(table, df, carryAll(table), mustCreate = false)
     else try create(table, df) catch {
       case e: IllegalArgumentException if e.getMessage.contains("already exists") =>
-        commit(table, df, carry = true, mustCreate = false)
+        commit(table, df, carryAll(table), mustCreate = false)
     }
+
+  private def carryAll(table: String): Option[Long] => Seq[String] =
+    cur => cur.map(manifest(table, _)).getOrElse(Nil)
+
+  /** Dynamic partition overwrite — the O(touched partitions) commit
+    * that keeps CDC merges from rewriting 100 TB to delete a day's
+    * keys. `touched` lists the hive partition dirs being replaced
+    * (e.g. `p_bucket=2024-01`, nested `a=1/b=2` for multi-level
+    * layouts); every file of the previous version OUTSIDE those dirs
+    * is carried forward by reference (same trick as `append`), files
+    * inside them are superseded by `df`'s. A touched dir for which
+    * `df` holds no rows simply gets no new files — that's how a
+    * fully-deleted partition empties out. Values must be path-literal
+    * (date buckets are); a null bucket maps to Hive's default
+    * partition name. */
+  def overwritePartitions(table: String, df: DataFrame, touched: Seq[String]): Unit = {
+    require(partitioning(table).nonEmpty,
+      s"table $table is not partitioned; use overwrite")
+    val touchedSet = touched.toSet
+    commit(table, df,
+      carried = cur => cur.map(manifest(table, _)
+        .filterNot(f => touchedSet.contains(partitionDirOf(table, f))))
+        .getOrElse(Nil),
+      mustCreate = false,
+      requireWithin = Some(touchedSet))
+  }
+
+  /** Hive partition dir of a data file, relative to its commit dir:
+    * `<table>/d-<uuid>/a=1/b=2/part-x.parquet` → `a=1/b=2`. */
+  private def partitionDirOf(table: String, fileUri: String): String = {
+    val rel = fileUri.stripPrefix(tablePath(table).toString).stripPrefix("/")
+    rel.split("/").drop(1).dropRight(1).mkString("/")
+  }
 
   /** Partition columns recorded at create time (empty = unpartitioned). */
   def partitioning(table: String): Seq[String] = {
@@ -137,18 +173,34 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** Write data + claim the next version exclusively; retry on claim
-    * conflict (optimistic concurrency). `createParts` is the partition
-    * layout for a create — recorded only after the claim succeeds, so
-    * a failed create can't poison a later one with stale metadata. */
-  private def commit(table: String, df: DataFrame, carry: Boolean,
+    * conflict (optimistic concurrency). `carried` maps the current
+    * version (as of the winning claim — re-evaluated per attempt so a
+    * lost race carries the racer's files, not a stale list) to the
+    * previous files this commit keeps by reference. `createParts` is
+    * the partition layout for a create — recorded only after the claim
+    * succeeds, so a failed create can't poison a later one with stale
+    * metadata. `requireWithin` asserts every new file lands inside the
+    * declared partition dirs (a row outside them would silently
+    * double-count against a carried file). */
+  private def commit(table: String, df: DataFrame,
+                     carried: Option[Long] => Seq[String],
                      mustCreate: Boolean,
-                     createParts: Seq[String] = Nil): Unit = {
+                     createParts: Seq[String] = Nil,
+                     requireWithin: Option[Set[String]] = None): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dataDir.toString)
     val newFiles = listDataFiles(dataDir)
+    requireWithin.foreach { allowed =>
+      val outside = newFiles.map(partitionDirOf(table, _)).toSet -- allowed
+      if (outside.nonEmpty) {
+        fs(dataDir).delete(dataDir, true)
+        throw new IllegalArgumentException(
+          s"rows outside the declared touched partitions: ${outside.mkString(", ")}")
+      }
+    }
 
     var committed = false
     var attempts = 0
@@ -165,9 +217,8 @@ final class TableStore(spark: SparkSession, root: String) {
         if (mustCreate && createParts.nonEmpty)
           writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
             createParts.mkString(","))
-        val carried = if (carry) cur.map(manifest(table, _)).getOrElse(Nil) else Nil
         val tmp = new Path(tablePath(table), s".manifest.${UUID.randomUUID()}.tmp")
-        writeSmallFile(tmp, (carried ++ newFiles).mkString("\n"))
+        writeSmallFile(tmp, (carried(cur) ++ newFiles).mkString("\n"))
         fc(tmp).rename(tmp, manifestPath(table, v), Options.Rename.OVERWRITE)
         committed = true
       }

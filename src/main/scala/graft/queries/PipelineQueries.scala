@@ -33,7 +33,11 @@ object PipelineQueries {
       val store = new TableStore(s,
         java.nio.file.Files.createTempDirectory("graft-e2e").toString)
       val tbl = "events_upsert"
-      val cfg = CdcIngest.Config(tiebreak = Seq("event_id"))
+      // Bucketed layout → incremental merges rewrite only touched
+      // partitions (the O(table)-overwrite fix); the final projection
+      // drops the p_bucket partition column.
+      val cfg = CdcIngest.Config(tiebreak = Seq("event_id"),
+        bucketFormat = Some("yyyy-MM"))
       CdcIngest.ingest(s, store, tbl,
         cdc.where(col("process_date") <= cut1), cfg)
       CdcIngest.ingest(s, store, tbl,

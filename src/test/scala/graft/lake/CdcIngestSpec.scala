@@ -86,6 +86,60 @@ class CdcIngestSpec extends SparkSpec {
     assert(keys(store.read("t")) == Seq())
   }
 
+  test("bucketed merge rewrites only touched partitions, same results") {
+    val bucketed = CdcIngest.Config(bucketFormat = Some("yyyy-MM"))
+    val store = new TableStore(spark, tmpDir("ingest"))
+    CdcIngest.ingest(spark, store, "t", cdc(
+      ("k1", "2024-01-05 10:00:00", "I"),
+      ("k2", "2024-02-05 10:00:00", "I"),
+      ("k3", "2024-03-05 10:00:00", "I")), bucketed)
+    val v0 = store.currentVersion("t").get
+    val m0 = store.manifest("t", v0)
+    assert(store.partitioning("t") == Seq(CdcIngest.BucketCol))
+
+    // batch touches k2 (Feb) and inserts k4 (Apr); Jan + Mar untouched
+    CdcIngest.ingest(spark, store, "t", cdc(
+      ("k2", "2024-04-01 10:00:00", "U"),
+      ("k4", "2024-04-02 10:00:00", "I")), bucketed)
+    val m1 = store.manifest("t", store.currentVersion("t").get)
+    for (untouched <- Seq("p_bucket=2024-01", "p_bucket=2024-03"))
+      assert(m1.filter(_.contains(untouched)) == m0.filter(_.contains(untouched)),
+        s"$untouched files were rewritten, not carried")
+    // k2's old Feb row is gone; its new row lives in the April bucket
+    assert(!m1.exists(_.contains("p_bucket=2024-02")))
+    assert(keys(store.read("t")) == Seq("k1", "k2", "k3", "k4"))
+
+    // same outcome as the unpartitioned legacy path
+    val legacy = new TableStore(spark, tmpDir("ingest"))
+    CdcIngest.ingest(spark, legacy, "t", cdc(
+      ("k1", "2024-01-05 10:00:00", "I"),
+      ("k2", "2024-02-05 10:00:00", "I"),
+      ("k3", "2024-03-05 10:00:00", "I")))
+    CdcIngest.ingest(spark, legacy, "t", cdc(
+      ("k2", "2024-04-01 10:00:00", "U"),
+      ("k4", "2024-04-02 10:00:00", "I")))
+    val a = store.read("t").select("key", "process_date")
+      .orderBy("key").collect().toSeq
+    val b = legacy.read("t").select("key", "process_date")
+      .orderBy("key").collect().toSeq
+    assert(a == b)
+  }
+
+  test("bucketed merge deletes a key from an untouched-by-inserts bucket") {
+    val bucketed = CdcIngest.Config(bucketFormat = Some("yyyy-MM"))
+    val store = new TableStore(spark, tmpDir("ingest"))
+    CdcIngest.ingest(spark, store, "t", cdc(
+      ("k1", "2024-01-05 10:00:00", "I"),
+      ("k2", "2024-02-05 10:00:00", "I")), bucketed)
+    // pure tombstone: k1's bucket must be rewritten even though no
+    // survivor lands there
+    CdcIngest.ingest(spark, store, "t",
+      cdc(("k1", "2024-05-01 10:00:00", "D")), bucketed)
+    assert(keys(store.read("t")) == Seq("k2"))
+    val m = store.manifest("t", store.currentVersion("t").get)
+    assert(!m.exists(_.contains("p_bucket=2024-01")))
+  }
+
   test("replaying batches equals one full load when timestamps are unique") {
     val all = cdc(
       ("k1", "2024-01-01 10:00:00", "I"),
