@@ -73,17 +73,52 @@ object Similarity {
       .where(col("cos") > threshold)
   }
 
+  /** Near-dup pairs at scale: multi-table LSH candidate generation
+    * (equi-join on (table, bucket) keys — never all-pairs) followed by
+    * the exact pairwise cosine verify. Output = candidate pairs above
+    * `threshold`; recall is tuned by numPlanes down / numTables up and
+    * concentrates where it matters (≈0.95 at cosine 0.8 with the
+    * defaults, lower for barely-similar pairs). The corpus shuffles
+    * once per table on bucket keys; bucket sizes are corpus/2^planes
+    * so the within-bucket pair count stays bounded. */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                      numPlanes: Int = 3, numTables: Int = 4,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val b = lshBucketsMulti(corpus, numPlanes, numTables, idCol, vecCol)
+    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"),
+      col("table"), col("bucket"))
+    val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      col("table"), col("bucket"))
+    val cands = l.join(r, Seq("table", "bucket"))
+      .where(col("a") < col("b"))
+      .select("a", "va", "b", "vb").distinct()
+    cands
+      .select(col("a"), col("b"),
+        round(cosine(col("va"), col("vb")), 4).as("cos"))
+      .where(col("cos") > threshold)
+  }
+
   /** Random-hyperplane LSH bucket key: sign bits of dot products with
     * `numPlanes` seeded pseudo-random hyperplanes. Planes are
     * driver-side literal arrays (seed 42, gaussian) — zero hashing in
     * the per-row hot path, the dot products stay in codegen. */
+  /** The seeded hyperplane constants behind `lshBuckets` — exposed so
+    * an external checker (the DuckDB oracle) can embed the exact same
+    * literals and reproduce the bucketing bit-for-bit. */
+  def lshPlanes(numPlanes: Int, dim: Int = 64,
+                seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(rnd.nextGaussian())
+  }
+
   def lshBuckets(df: DataFrame, numPlanes: Int,
                  idCol: String = "vec_id",
                  vecCol: String = "embedding",
                  dim: Int = 64,
                  seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
+    val planes = lshPlanes(numPlanes, dim, seed)
     val planeBits = (0 until numPlanes).map { p =>
       val plane = array(planes(p).map(lit).toIndexedSeq: _*)
       val contrib = aggregate(

@@ -47,28 +47,56 @@ object VectorQueries {
         |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin))
 
-  /** Embedding near-dup pairs above cosine 0.25 on an id-sampled subset
-    * (pairwise verify stage; LSH is the candidate-generation path). */
+  /** Embedding near-dup pairs above cosine 0.25 over the FULL corpus:
+    * multi-table LSH candidate generation (bucket equi-join — no
+    * all-pairs theta join anywhere in the plan) + exact pairwise
+    * verify. The hyperplanes are driver-side seeded literals
+    * (Similarity.lshPlanes), so the oracle embeds the identical
+    * constants and reproduces the bucketing exactly. */
+  private val ndPlanes = 3
+  private val ndTables = 4
+
+  /** `(tbl, p, i, w)` VALUES rows for every plane weight; `i` is
+    * 1-based to match generate_subscripts. */
+  private def planeValuesSql: String =
+    (for {
+      tbl <- 0 until ndTables
+      planes = Similarity.lshPlanes(ndPlanes, dim = 64, seed = 42L + tbl)
+      p <- 0 until ndPlanes
+      i <- 0 until 64
+    } yield s"($tbl, $p, ${i + 1}, ${planes(p)(i)})").mkString(", ")
+
   val embeddingNearDup: Entry = Entry(
     "embedding_neardup_pairs",
-    (s, dir) => Similarity.nearDupPairs(
-        t(s, dir, "embeddings").where(col("vec_id") % 10 === 0),
-        threshold = 0.25)
+    (s, dir) => Similarity.nearDupPairsLsh(
+        t(s, dir, "embeddings"), threshold = 0.25,
+        numPlanes = ndPlanes, numTables = ndTables)
       .orderBy("a", "b"),
-    Some("""WITH sub AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-        |exp AS (
-        |  SELECT vec_id, unnest(embedding) AS x,
+    Some(s"""WITH exp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |         generate_subscripts(embedding, 1) AS i
-        |  FROM sub),
+        |  FROM embeddings),
+        |planes(tbl, p, i, w) AS (VALUES $planeValuesSql),
+        |contrib AS (
+        |  SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.w) AS dt
+        |  FROM exp e JOIN planes pl ON e.i = pl.i
+        |  GROUP BY e.vec_id, pl.tbl, pl.p),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    CAST(sum(CASE WHEN dt >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM contrib GROUP BY vec_id, tbl),
+        |cands AS (
+        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+        |  FROM buckets l JOIN buckets r
+        |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
         |norms AS (
-        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * x)) AS nrm
-        |  FROM exp GROUP BY vec_id),
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
         |dots AS (
-        |  SELECT a.vec_id AS a, b.vec_id AS b,
-        |         sum(CAST(a.x AS DOUBLE) * b.x) AS dp
-        |  FROM exp a JOIN exp b ON a.i = b.i AND a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id)
+        |  SELECT c.a, c.b, sum(ea.x * eb.x) AS dp
+        |  FROM cands c
+        |  JOIN exp ea ON ea.vec_id = c.a
+        |  JOIN exp eb ON eb.vec_id = c.b AND ea.i = eb.i
+        |  GROUP BY c.a, c.b)
         |SELECT a, b, round(dp / (na.nrm * nb.nrm), 4) AS cos
         |FROM dots JOIN norms na ON a = na.vec_id
         |JOIN norms nb ON b = nb.vec_id

@@ -48,6 +48,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
   }
 
+  test("embedding near-dup generates candidates by equi-join, never all-pairs") {
+    val p = plan(graft.queries.VectorQueries.embeddingNearDup.fn(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in the near-dup plan:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     val df = Queries.q1PricingSummary.fn(spark, dir)
     df.collect() // finalize the adaptive plan
