@@ -99,13 +99,17 @@ object Dedup {
           size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
   }
 
-  /** SimHash (32-bit) from token hashes: per-bit majority vote over
-    * xxhash64(token). Near-dups = small Hamming distance. Spark-native
-    * (bit ops + HOFs); not oracle-checkable (engine-specific hash). */
+  /** SimHash (32-bit) from token hashes: per-bit majority vote over a
+    * 32-bit token hash. Near-dups = small Hamming distance. The token
+    * hash is the first 8 hex chars of md5 parsed as an integer — same
+    * md5-as-random-bits trick as the minhash permutation, so the whole
+    * signature computes identically in any engine with md5 and is
+    * oracle-checkable (vs the engine-specific xxhash64 it replaces). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokHash = df.select(col(idCol),
       explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("th"))
+      .select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("th"))
     // per bit: sum(+1 if set else -1) as 32 codegen'd conditional
     // aggregates over ONE exploded-token pass (no 32x row blowup);
     // partial sums combine map-side, shuffle carries 32 longs per doc

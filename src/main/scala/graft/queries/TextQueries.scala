@@ -199,12 +199,35 @@ object TextQueries {
         |    / len(list_distinct(list_concat(l.toks, r.toks))), 4) >= 0.6
         |ORDER BY a, b""".stripMargin))
 
-  /** SimHash signatures (engine-specific xxhash64 — rows-only check). */
+  /** SimHash signatures — oracle-exact: the 32-bit token hash is the
+    * first 8 hex chars of md5, recomputed digit-by-digit in DuckDB. */
   val simhashSig: Entry = Entry(
     "simhash_signatures",
     (s, dir) => Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id"),
-    None)
+    Some {
+      val votes = (0 until 32).map(b =>
+        s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v_$b")
+        .mkString(",\n    ")
+      val bits = (0 until 32).map(b =>
+        s"CASE WHEN v_$b > 0 THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, md5(unnest(list_distinct(string_split(text, ' ')))) AS h
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id, CAST(list_sum(
+         |    [(strpos('0123456789abcdef', h[d:d]) - 1)
+         |       * ([268435456,16777216,1048576,65536,4096,256,16,1])[d]
+         |     FOR d IN range(1, 9)]) AS BIGINT) AS th
+         |  FROM toks),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM th GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin
+    })
 
   /** Token budgeting: whitespace vs BPE-ish token counts per source —
     * the sizing pass an LLM data pipeline runs over a corpus. */
