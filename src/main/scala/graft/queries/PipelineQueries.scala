@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.Cdc
-import graft.lake.{CdcIngest, GraftSql, TableStore}
+import graft.lake.{Catalog, CdcIngest, GraftSql, TableStore}
 import Queries.{Entry, t}
 
 /** End-to-end engine queries: the real TableStore + CdcIngest pipeline
@@ -61,6 +61,49 @@ object PipelineQueries {
         |  FROM cdc) a
         |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
         |ORDER BY key""".stripMargin))
+
+  /** Iceberg-v2-style time travel through the versioned store: commit
+    * two versions, read version 0 back. Oracle = the version-0
+    * contents recomputed directly (S6 create + S8 append + snapshot
+    * read, SURVEY §2.1). */
+  val timeTravel: Entry = Entry(
+    "time_travel_version0",
+    (s, dir) => {
+      val store = new TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-tt").toString)
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      store.create("cust_tt", cust.where(col("c_custkey") % 3 === 0))
+      store.append("cust_tt", cust.where(col("c_custkey") % 3 =!= 0))
+      store.readVersion("cust_tt", 0)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** S9: external-table DDL against the session catalog (the Athena
+    * CREATE EXTERNAL TABLE stand-in) — register the parquet path, then
+    * query it by name through spark.table. Dropped first so re-runs
+    * against a different SF dir re-point the location. */
+  val externalDdl: Entry = Entry(
+    "external_table_ddl",
+    (s, dir) => {
+      s.sql("DROP TABLE IF EXISTS ext_customer")
+      new Catalog(s).registerExternal("ext_customer", s"$dir/customer.parquet")
+      s.table("ext_customer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          min("c_custkey").as("min_key"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_key,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
 
   /** TPC-H Q6 shape: tight range filter + arithmetic aggregate —
     * everything pushes to the scan. */
@@ -282,7 +325,7 @@ object PipelineQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(cdcPipelineE2e, q6Forecast, q4OrderPriority,
-    statsNumeric, mergeSqlDelete, q7VolumeShipping, q9ProductProfit,
-    q8MarketShare, q10ReturnedItems)
+  val entries: Seq[Entry] = Seq(cdcPipelineE2e, timeTravel, externalDdl,
+    q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
+    q7VolumeShipping, q9ProductProfit, q8MarketShare, q10ReturnedItems)
 }
