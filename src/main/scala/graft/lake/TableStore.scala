@@ -243,6 +243,33 @@ final class TableStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Admin recovery for a writer that crashed between claiming a
+    * version and publishing its manifest: delete `.claim-<n>` files
+    * older than `ttlMs` whose `manifest-<n>` never appeared, unblocking
+    * that version for the next writer. Returns the recovered version
+    * numbers. The TTL is the safety margin (Delta LogStore's lock
+    * takeover works the same way): a claim younger than it may belong
+    * to a writer still mid-publish, so pick a TTL above your longest
+    * commit; a publish racing the takeover in the instant after the
+    * manifest check is the inherent residual window of TTL-based
+    * recovery. */
+  def recoverStaleClaims(table: String, ttlMs: Long): Seq[Long] = {
+    val dir = tablePath(table)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Seq.empty
+    val now = System.currentTimeMillis()
+    f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(".claim-"))
+      .flatMap { st =>
+        val v = st.getPath.getName.stripPrefix(".claim-").toLong
+        val published = fs(manifestPath(table, v)).exists(manifestPath(table, v))
+        if (!published && now - st.getModificationTime >= ttlMs) {
+          f.delete(st.getPath, false)
+          Some(v)
+        } else None
+      }.sorted
+  }
+
   /** Committed version history (manifest-backed; readable versions). */
   def versions(table: String): Seq[Long] = {
     val dir = tablePath(table)

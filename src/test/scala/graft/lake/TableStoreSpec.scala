@@ -112,6 +112,39 @@ class TableStoreSpec extends SparkSpec {
     assert(store.read("t").as[(Int, String)].collect().toSeq == Seq((3, "c")))
   }
 
+  test("recoverStaleClaims unblocks a crash between claim and publish") {
+    val root = tmpDir("store")
+    val store = new TableStore(spark, root)
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    // simulate a writer that died after claiming v1, before its manifest
+    val orphan = java.nio.file.Paths.get(root, "t", ".claim-1")
+    java.nio.file.Files.createFile(orphan)
+    // v1 is deadlocked: every attempt loses the claim
+    intercept[IllegalArgumentException] {
+      store.append("t", Seq((2, "b")).toDF("id", "v"))
+    }
+    // a claim younger than the TTL is left alone (its writer may be alive)
+    assert(store.recoverStaleClaims("t", ttlMs = 60 * 60 * 1000L).isEmpty)
+    assert(java.nio.file.Files.exists(orphan))
+    // past the TTL it is recovered and the version becomes claimable
+    assert(store.recoverStaleClaims("t", ttlMs = 0L) == Seq(1L))
+    assert(!java.nio.file.Files.exists(orphan))
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    assert(store.read("t").orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("recoverStaleClaims never touches a published version's claim") {
+    val root = tmpDir("store")
+    val store = new TableStore(spark, root)
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    // claims 0 and 1 both have manifests — nothing to recover even at ttl 0
+    assert(store.recoverStaleClaims("t", ttlMs = 0L).isEmpty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "t", ".claim-1")))
+  }
+
   test("append evolves schema union-by-name (mergeSchema semantics)") {
     val store = freshStore()
     store.create("t", Seq((1, "a")).toDF("id", "v"))
