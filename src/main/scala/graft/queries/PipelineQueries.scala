@@ -192,6 +192,35 @@ object PipelineQueries {
         |                        WHERE c_acctbal > 5000)
         |ORDER BY c_custkey""".stripMargin))
 
+  /** Conditional MERGE through the SQL front door: matched customers
+    * are deleted only above a balance threshold, unmatched update rows
+    * are inserted — the full delete+insert compiled form in one atomic
+    * commit. */
+  val mergeSqlConditional: Entry = Entry(
+    "cdc_merge_sql_conditional",
+    (s, dir) => {
+      val store = new TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-msqlc").toString)
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      store.create("destc", cust.where(col("c_custkey") % 2 === 0))
+      cust.createOrReplaceTempView("updates_all")
+      GraftSql.execute(s, store,
+        """MERGE INTO destc t USING updates_all u
+          |ON t.c_custkey = u.c_custkey
+          |WHEN MATCHED AND u.c_acctbal > 5000 THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer
+        |WHERE (c_custkey % 2 = 0 AND c_acctbal <= 5000)
+        |   OR c_custkey % 2 = 1
+        |ORDER BY c_custkey""".stripMargin))
+
   /** TPC-H Q7 shape: two-nation volume shipping — multiway join with a
     * disjunctive cross-nation predicate + year bucketing. */
   val q7VolumeShipping: Entry = Entry(
@@ -327,5 +356,6 @@ object PipelineQueries {
 
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, timeTravel, externalDdl,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    q7VolumeShipping, q9ProductProfit, q8MarketShare, q10ReturnedItems)
+    mergeSqlConditional, q7VolumeShipping, q9ProductProfit, q8MarketShare,
+    q10ReturnedItems)
 }

@@ -39,6 +39,58 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.as[Int].head() == 2)
   }
 
+  test("conditional WHEN MATCHED AND <cond> THEN DELETE filters the matches") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dc", Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("pk", "v"))
+    Seq(("k1", 10), ("k3", 1)).toDF("pk", "uv")
+      .createOrReplaceTempView("updc")
+    // k1 matched with uv=10 → deleted; k3 matched with uv=1 → kept
+    GraftSql.execute(spark, store,
+      "MERGE INTO dc t USING updc u ON t.pk = u.pk " +
+        "WHEN MATCHED AND u.uv > 5 THEN DELETE")
+    assert(store.read("dc").select("pk").as[String].collect().sorted
+      .toSeq == Seq("k2", "k3"))
+  }
+
+  test("matched condition can reference the target side") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dt", Seq(("k1", 1), ("k2", 8)).toDF("pk", "v"))
+    Seq("k1", "k2").toDF("pk").createOrReplaceTempView("updt")
+    GraftSql.execute(spark, store,
+      "MERGE INTO dt t USING updt u ON t.pk = u.pk " +
+        "WHEN MATCHED AND t.v > 5 THEN DELETE")
+    assert(store.read("dt").select("pk").as[String].collect().toSeq == Seq("k1"))
+  }
+
+  test("WHEN NOT MATCHED THEN INSERT * appends unmatched source rows") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("di", Seq(("k1", 1)).toDF("pk", "v"))
+    Seq(("k1", 99), ("k4", 4)).toDF("pk", "v")
+      .createOrReplaceTempView("updi")
+    // k1 matched (no matched action → untouched), k4 inserted
+    GraftSql.execute(spark, store,
+      "MERGE INTO di t USING updi u ON t.pk = u.pk " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(store.read("di").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 1), ("k4", 4)))
+  }
+
+  test("delete + conditional insert compose as one atomic commit") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dx", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
+    Seq(("k1", 0), ("k4", 40), ("k5", 1)).toDF("pk", "v")
+      .createOrReplaceTempView("updx")
+    val v0 = store.currentVersion("dx").get
+    // k1 deleted; k4 inserted (v>5); k5 NOT inserted (v=1)
+    GraftSql.execute(spark, store,
+      "MERGE INTO dx t USING updx u ON t.pk = u.pk " +
+        "WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED AND u.v > 5 THEN INSERT *")
+    assert(store.read("dx").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k2", 2), ("k4", 40)))
+    assert(store.currentVersion("dx").get == v0 + 1)
+  }
+
   test("unsupported merge forms are rejected with a clear error") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("d3", Seq(("k1", 1)).toDF("pk", "v"))
@@ -48,6 +100,6 @@ class GraftSqlSpec extends SparkSpec {
         "MERGE INTO d3 t USING upd3 u ON t.pk = u.pk " +
           "WHEN MATCHED THEN UPDATE SET *")
     }
-    assert(e.getMessage.contains("WHEN MATCHED THEN DELETE"))
+    assert(e.getMessage.contains("use CdcIngest for upserts"))
   }
 }
