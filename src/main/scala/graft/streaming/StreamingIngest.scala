@@ -60,27 +60,47 @@ object StreamingIngest {
     * dedupLatest+dropTombstones result. Ties at the same ts prefer the
     * tombstone (deterministic, conservative); production streams should
     * carry a sequence/LSN column instead (see CdcIngest.Config.tiebreak).
-    * State grows with one record per live-or-deleted key — bound it
-    * with a GroupStateTimeout in long-running deployments.
+    *
+    * State grows with one record per live-or-deleted key; `stateTtl`
+    * (a duration string, e.g. "30 days") bounds it with a
+    * processing-time timeout, refreshed on every touch of the key.
+    * The trade: once a key's state times out, a late record older
+    * than its last version (including a tombstone) IS re-admitted —
+    * the resurrection guard only holds within the TTL, which is why
+    * it should exceed the source's maximum lateness. None = unbounded
+    * state, exact semantics forever.
     */
-  def statefulDedupLatest(records: org.apache.spark.sql.Dataset[KeyedRec])
+  def statefulDedupLatest(records: org.apache.spark.sql.Dataset[KeyedRec],
+                          stateTtl: Option[String] = None)
       : org.apache.spark.sql.Dataset[KeyedRec] = {
     import records.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf = if (stateTtl.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     records.groupByKey(_.key)
       .flatMapGroupsWithState[KeyedRec, KeyedRec](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, timeoutConf) {
         (key: Long, batch: Iterator[KeyedRec], state: GroupState[KeyedRec]) =>
-          val incoming = batch.toSeq
-          if (incoming.isEmpty) Iterator.empty
-          else {
-            val candidates = state.getOption.toSeq ++ incoming
-            // latest by ts; tombstone wins a ts tie
-            val latest = candidates.maxBy(r => (r.ts, r.op == "D"))
-            if (state.getOption.contains(latest)) Iterator.empty
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = batch.toSeq
+            if (incoming.isEmpty) Iterator.empty
             else {
-              state.update(latest)
-              if (latest.op == "D") Iterator.empty else Iterator.single(latest)
+              val candidates = state.getOption.toSeq ++ incoming
+              // latest by ts; tombstone wins a ts tie
+              val latest = candidates.maxBy(r => (r.ts, r.op == "D"))
+              val out =
+                if (state.getOption.contains(latest)) Iterator.empty
+                else {
+                  state.update(latest)
+                  if (latest.op == "D") Iterator.empty
+                  else Iterator.single(latest)
+                }
+              // refresh the clock on every touch (state exists here)
+              stateTtl.foreach(state.setTimeoutDuration)
+              out
             }
           }
       }

@@ -68,6 +68,42 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("state TTL: a timed-out tombstone re-admits late data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingIngest.KeyedRec
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[KeyedRec]
+    // ProcessingTimeTimeout forces a batch every trigger (the timeout
+    // sweep), so noNewData never latches and processAllAvailable would
+    // block forever — poll progress/results with a deadline instead.
+    val q = StreamingIngest.statefulDedupLatest(in.toDS(),
+        stateTtl = Some("50 milliseconds"))
+      .writeStream.format("memory").queryName("dedup_ttl_out")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def awaitUntil(what: String)(pred: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!pred && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(pred, s"timed out waiting for $what")
+    }
+    try {
+      in.addData(KeyedRec(2L, 20L, "D", 0.0))
+      awaitUntil("tombstone batch")(
+        q.recentProgress.map(_.numInputRows).sum >= 1)
+      assert(spark.table("dedup_ttl_out").count() == 0)
+      // let the TTL lapse; the per-trigger sweep expires the tombstone
+      Thread.sleep(500)
+      // late record OLDER than the delete: with the tombstone expired,
+      // it is re-admitted — the documented TTL trade-off
+      in.addData(KeyedRec(2L, 15L, "U", 5.0))
+      awaitUntil("re-admitted late record")(
+        spark.table("dedup_ttl_out").as[KeyedRec].collect()
+          .exists(r => r.key == 2L && r.ts == 15L))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over bounded events input") {
     val events = Seq(
       (1L, "2024-01-01 10:01:00", "click", 1.0),
