@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.ops.{AsofJoin, RangeJoin}
 import Queries.{Entry, t}
 
 /** Event-stream-shaped queries over `events`: JSON props extraction,
@@ -107,5 +108,80 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(jsonExtract, hourlyAgg, sessionize, pivotCounts)
+  /** As-of join: each click event picks up the user's most recent view
+    * at-or-before it (the point-in-time feature lookup). Views are
+    * pre-aggregated to one row per (user, ts) so the match is
+    * deterministic; the engine path is the union-window formulation —
+    * no join operator in the plan (asserted in PlanSpec). Oracle:
+    * DuckDB's native ASOF LEFT JOIN. */
+  val asofLastView: Entry = Entry(
+    "asof_join_last_view",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("view_us"),
+          col("value"))
+        .groupBy("user_id", "view_us")
+        .agg(round(max("value"), 4).as("view_value"))
+      AsofJoin.backward(clicks, views, keys = Seq("user_id"),
+          leftTs = "ts_us", rightTs = "view_us",
+          rightCols = Seq("view_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, epoch_us(ts) AS view_us,
+        |         round(max(value), 4) AS view_value
+        |  FROM events WHERE event_type = 'view'
+        |  GROUP BY user_id, epoch_us(ts))
+        |SELECT c.user_id, c.ts_us, c.event_id, v.view_us, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts_us >= v.view_us
+        |ORDER BY event_id""".stripMargin))
+
+  /** Range join: overlapping time windows × events via bucketed
+    * equi-join (never a theta join). 20 windows of width 2×step tile
+    * [min, max] with 50% overlap, so most events land in two windows.
+    * Step arithmetic is integral in both engines for exact parity. */
+  val rangeJoinWindows: Entry = Entry(
+    "range_join_windows",
+    (s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val Array(mnUs, mxUs) = ev
+        .agg(expr("min(ts) div 1000"), expr("max(ts) div 1000"))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val step = (mxUs - mnUs) / 20
+      val intervals = (0 until 20).map(i =>
+        (i.toLong, mnUs + i * step, mnUs + i * step + 2 * step))
+        .toDF("interval_id", "s_us", "e_us")
+      val points = ev.select(expr("ts div 1000").as("p_us"), col("value"))
+      RangeJoin.pointInInterval(points, intervals,
+          pCol = "p_us", startCol = "s_us", endCol = "e_us",
+          bucketWidth = step)
+        .groupBy("interval_id")
+        .agg(count(lit(1)).as("n"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("interval_id")
+    },
+    Some("""WITH b AS (
+        |  SELECT min(epoch_us(ts)) AS mn,
+        |         (max(epoch_us(ts)) - min(epoch_us(ts))) // 20 AS step
+        |  FROM events),
+        |iv AS (
+        |  SELECT i AS interval_id, mn + i * step AS s_us,
+        |         mn + i * step + 2 * step AS e_us
+        |  FROM b, (SELECT unnest(range(20)) AS i)),
+        |p AS (SELECT epoch_us(ts) AS p_us, value FROM events)
+        |SELECT interval_id, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM iv JOIN p ON p_us >= s_us AND p_us < e_us
+        |GROUP BY interval_id ORDER BY interval_id""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(jsonExtract, hourlyAgg, sessionize,
+    pivotCounts, asofLastView, rangeJoinWindows)
 }

@@ -294,7 +294,7 @@ object Queries {
     cdcDedupLatest, cdcFullLoad, cdcIncrementalMerge, cdcWatermark,
     cdcStripPartitions, cdcDedupSqlPath, cdcDedupNoOpCol, scanFilterProject,
     q1PricingSummary, q3TopOrders, joinAnti, approxSketches) ++
-    StarQueries.entries ++ EventQueries.entries ++
+    StarQueries.entries ++ StarQueries2.entries ++ EventQueries.entries ++
     TextQueries.entries ++ VectorQueries.entries ++
     MultimodalQueries.entries ++ PipelineQueries.entries
 

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Queries.{Entry, t}
+
+/** Second tranche of TPC-H shapes (Q14–Q19, Q22) adapted to the fixture
+  * schema (no partsupp / shipmode / commitdate columns, so Q12/Q20/Q21
+  * have no faithful equivalent; Q22's phone country code becomes a
+  * key-modulo class). Money-only sums go through DECIMAL before the
+  * double cast so summation order can't move a rounding boundary.
+  */
+object StarQueries2 {
+
+  /** Q14: promo revenue share inside one ship month (conditional
+    * aggregate over a fact-dim join). */
+  val q14PromoShare: Entry = Entry(
+    "q14_promo_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("promo_share"),
+        count(lit(1)).as("n")),
+    Some("""SELECT round(100 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |    / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin))
+
+  /** Q15: top supplier(s) by quarterly revenue — aggregate, then keep
+    * the rows equal to the global max (window max over the tiny
+    * aggregated frame; the oracle uses the scalar-subquery form). */
+  val q15TopSupplier: Entry = Entry(
+    "q15_top_supplier",
+    (s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_rev"))
+      val withMax = rev.withColumn("mx",
+        max("total_rev").over(Window.partitionBy()))
+      t(s, dir, "supplier")
+        .join(withMax.where(col("total_rev") === col("mx")).drop("mx"),
+          col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin))
+
+  /** Q16: supplier counts per (brand, type, size) bucket — distinct
+    * aggregate over a join with NOT-IN dimension filters. */
+  val q16PartsSuppliers: Entry = Entry(
+    "q16_parts_suppliers",
+    (s, dir) => t(s, dir, "part")
+      .where(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size")),
+    Some("""SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin))
+
+  /** Q17: revenue from small-quantity orders — correlated scalar
+    * subquery (0.2 × per-part average quantity) planned as a join with
+    * a per-part aggregate. Quantities are integer-valued doubles, so
+    * both engines' averages are bit-identical. */
+  val q17SmallQuantity: Entry = Entry(
+    "q17_small_quantity",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      li.join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .where(col("p_brand") === "Brand#23")
+        .join(perPart, col("l_partkey") === col("ap_partkey"))
+        .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(sum("l_extendedprice") / 7.0, 4).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin))
+
+  /** Q18: large-volume customers — HAVING over a grouped join, then
+    * re-join dimensions for the report. */
+  val q18LargeVolume: Entry = Entry(
+    "q18_large_volume_customers",
+    (s, dir) => {
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      t(s, dir, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("total_price"),
+          col("sum_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  CAST(sum_qty AS BIGINT) AS sum_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 150) big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey""".stripMargin))
+
+  /** Q19: discounted revenue under three disjunctive brand/size/qty
+    * predicate branches — the OR-of-ANDs pushdown shape. */
+  val q19DiscountedRevenue: Entry = Entry(
+    "q19_discounted_revenue",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"), count(lit(1)).as("n")),
+    Some("""SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
+  /** Q22 shape: positive-balance customers above the class average with
+    * no HIGH-VALUE orders (anti join + scalar-subquery threshold); the
+    * phone country code becomes a key-modulo class, and the no-orders
+    * clause becomes no-orders-above-300k because every fixture customer
+    * has at least one order (a bare anti join would be vacuously
+    * empty). The money sum goes through DECIMAL so summation order
+    * can't move the 2-dp rounding. */
+  val q22GlobalSales: Entry = Entry(
+    "q22_global_sales",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("cntrycode", col("c_custkey") % 7)
+        .where(col("cntrycode").isin(0, 1, 2))
+      val avgBal = cust.where(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal")).first().getDouble(0)
+      cust.where(col("c_acctbal") > avgBal)
+        .join(t(s, dir, "orders").where(col("o_totalprice") > 300000)
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("totacctbal"))
+        .orderBy("cntrycode")
+    },
+    Some("""WITH cust AS (
+        |  SELECT c_custkey, c_acctbal, c_custkey % 7 AS cntrycode
+        |  FROM customer WHERE c_custkey % 7 IN (0, 1, 2))
+        |SELECT cntrycode, count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS totacctbal
+        |FROM cust
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM cust WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_totalprice > 300000)
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(q14PromoShare, q15TopSupplier,
+    q16PartsSuppliers, q17SmallQuantity, q18LargeVolume,
+    q19DiscountedRevenue, q22GlobalSales)
+}

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of backward join picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 8L, 1.0), (1L, 10L, 2.0), (1L, 15L, 3.0), (3L, 1L, 9.0))
+      .toDF("k", "rts", "rv")
+    val out = AsofJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+      .orderBy("k", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (1L, 5L, "c", -1L, -1.0),   // nothing at-or-before 5
+      (1L, 10L, "a", 10L, 2.0),   // inclusive: rts == ts matches
+      (1L, 20L, "b", 15L, 3.0),   // latest of {8,10,15}
+      (2L, 10L, "d", -1L, -1.0))) // key with no right rows
+  }
+
+  test("as-of tolerance nulls out matches older than the bound") {
+    val left = Seq((1L, 100L)).toDF("k", "ts")
+    val right = Seq((1L, 10L, 7.0)).toDF("k", "rts", "rv")
+    val near = AsofJoin.backward(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"), toleranceUs = Some(200L)).collect()(0)
+    assert(near.getLong(2) == 10L && near.getDouble(3) == 7.0)
+    val far = AsofJoin.backward(left, right, Seq("k"), "ts", "rts",
+      Seq("rv"), toleranceUs = Some(50L)).collect()(0)
+    assert(far.isNullAt(2) && far.isNullAt(3))
+  }
+
+  test("as-of plan contains no join operator (union-window formulation)") {
+    val left = Seq((1L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 8L, 1.0)).toDF("k", "rts", "rv")
+    val p = AsofJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("rv"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"join in the as-of plan:\n$p")
+    assert(p.contains("Window"), s"no window in the as-of plan:\n$p")
+  }
+
+  test("range join matches brute-force BETWEEN semantics on half-open intervals") {
+    val points = Seq(0L, 5L, 10L, 15L, 99L, 100L, 250L).toDF("p")
+    val intervals = Seq((1L, 0L, 10L), (2L, 5L, 100L), (3L, 90L, 300L))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+        bucketWidth = 7L)
+      .select("iid", "p").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (iid, s, e) <- Seq((1L, 0L, 10L), (2L, 5L, 100L), (3L, 90L, 300L))
+      p <- Seq(0L, 5L, 10L, 15L, 99L, 100L, 250L) if p >= s && p < e
+    } yield (iid, p)).toSet
+    assert(got == want)
+  }
+
+  test("range join plans an equi-join on the bucket id, not a theta join") {
+    val points = spark.range(100).select(col("id").as("p"))
+    val intervals = Seq((1L, 0L, 50L)).toDF("iid", "s", "e")
+    val p = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"theta join in range-join plan:\n$p")
+  }
+}
