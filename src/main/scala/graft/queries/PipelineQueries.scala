@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.Cdc
-import graft.lake.{Catalog, CdcIngest, GraftSql, TableStore}
+import graft.ops.{Cdc, Skew, TopK}
+import graft.lake.{Catalog, CdcIngest, GraftSql, Layout, TableStore}
 import Queries.{Entry, t}
 
 /** End-to-end engine queries: the real TableStore + CdcIngest pipeline
@@ -104,6 +104,71 @@ object PipelineQueries {
     Some("""SELECT c_mktsegment, count(*) AS n, min(c_custkey) AS min_key,
         |  round(max(c_acctbal), 2) AS max_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Typed map-side top-k Aggregator wired end-to-end: top-3 customers
+    * by balance per nation. The shuffle carries at most k rows per
+    * (nation, partition) — the O(groups x k) plan — and matches the
+    * window-rank oracle exactly (score desc, id asc ordering). */
+  val topkTyped: Entry = Entry(
+    "topk_typed_per_nation",
+    (s, dir) => TopK.topKPerGroup(s,
+        t(s, dir, "customer").select(col("c_nationkey").as("qid"),
+          col("c_custkey").as("vid"), col("c_acctbal").as("cos")),
+        k = 3)
+      .select(col("qid").as("n_nationkey"), col("rnk"),
+        col("vid").as("c_custkey"), col("cos").as("bal"))
+      .orderBy("n_nationkey", "rnk"),
+    Some("""SELECT n_nationkey, rnk, c_custkey, bal FROM (
+        |  SELECT c_nationkey AS n_nationkey, c_custkey, c_acctbal AS bal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer)
+        |WHERE rnk <= 3 ORDER BY n_nationkey, rnk""".stripMargin))
+
+  /** Salted two-stage aggregation on a genuinely skewed key
+    * (3 return-flag values over the whole fact table): stage one
+    * shuffles on (key, salt) so no reducer owns a hot key alone,
+    * stage two combines the 3 x salts partials. Result is identical
+    * to the direct group-by — quantities are integer-valued, so the
+    * re-associated sums stay exact. */
+  val skewSaltedAgg: Entry = Entry(
+    "skew_salted_agg",
+    (s, dir) => Skew.saltedSumCount(t(s, dir, "lineitem"),
+        keyCol = "l_returnflag", valueCol = "l_quantity", salts = 16)
+      .select(col("l_returnflag"), col("sum_value").cast("long").as("sum_qty"),
+        col("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** Z-order clustering end-to-end: rewrite a lineitem projection into
+    * z-ordered files over (l_partkey, l_suppkey), then answer a
+    * two-dimensional range predicate from the clustered copy. Content
+    * is layout-invariant, so the oracle is the same filter on the raw
+    * table — what the clustering buys (row-group pruning on BOTH
+    * columns) is asserted in LayoutSpec. */
+  val zorderScan: Entry = Entry(
+    "zorder_clustered_scan",
+    (s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-z").toString
+      Layout.cluster(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+        Seq("l_partkey", "l_suppkey"), numFiles = 16)
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 50))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"))
+        .orderBy("l_partkey")
+    },
+    Some("""SELECT l_partkey, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
+        |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
 
   /** TPC-H Q6 shape: tight range filter + arithmetic aggregate —
     * everything pushes to the scan. */
@@ -355,7 +420,7 @@ object PipelineQueries {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, timeTravel, externalDdl,
-    q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    mergeSqlConditional, q7VolumeShipping, q9ProductProfit, q8MarketShare,
-    q10ReturnedItems)
+    topkTyped, skewSaltedAgg, zorderScan, q6Forecast, q4OrderPriority,
+    statsNumeric, mergeSqlDelete, mergeSqlConditional, q7VolumeShipping,
+    q9ProductProfit, q8MarketShare, q10ReturnedItems)
 }
