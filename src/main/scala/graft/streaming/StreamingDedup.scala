@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.ops.{Dedup, TextOps}
+
+/** Incremental (streaming) MinHash-LSH near-dup detection: as documents
+  * arrive, emit candidate pairs against everything previously seen —
+  * the online form of `Dedup.minhashCandidates` for dedup-at-ingest.
+  *
+  * Streaming constraint drives the shape: the batch signature path is
+  * a groupBy (a streaming aggregation, which can't feed a second
+  * stateful operator), so signatures here are computed PER ROW with
+  * array HOFs (`array_min` over transformed shingles — same md5
+  * permutation, provably identical output, no shuffle), banding is the
+  * same stateless explode, and the only stateful operator is bucket
+  * membership: state(band bucket) = doc ids seen, new arrivals emit a
+  * pair per existing member. State per bucket is capped (`maxBucket`)
+  * — a hot bucket stops admitting members rather than growing without
+  * bound; at LSH band sizes a legitimate bucket is tiny, so the cap
+  * only bites degenerate content.
+  *
+  * The same pair can surface from multiple bands (no cross-bucket
+  * dedup without a second stateful stage); the downstream exact-verify
+  * join (`Dedup.jaccard`) is idempotent, so duplicates cost work, not
+  * correctness.
+  */
+object StreamingDedup {
+
+  final case class BandedDoc(bucket: String, docId: Long)
+  final case class CandPair(a: Long, b: Long)
+
+  /** Per-row minhash signatures — semantically identical to
+    * `Dedup.minhashSignatures` (asserted in spec) but expressed as
+    * array HOFs so it stays a stateless projection. */
+  def rowwiseSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int, numHashes: Int): DataFrame = {
+    val sh = TextOps.shingles(col(textCol), shingleN)
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(sh,
+        s => md5(concat_ws(":", lit(i.toString), s))))): _*)
+    df.select(col(idCol), sig.as("sig"))
+  }
+
+  /** Stateless banding on top of the row-wise signatures: one
+    * `band#band_key -> doc` row per band. */
+  def bandedDocs(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 8,
+                 rowsPerBand: Int = 2): Dataset[BandedDoc] = {
+    import docs.sparkSession.implicits._
+    Dedup.lshBands(
+        rowwiseSignatures(docs, idCol, textCol, shingleN, numHashes),
+        idCol, numHashes, rowsPerBand)
+      .select(concat_ws("#", col("band"), col("band_key")).as("bucket"),
+        col(idCol).cast("long").as("docId"))
+      .as[BandedDoc]
+  }
+
+  /** The stateful stage: per LSH bucket, remember members and emit a
+    * candidate pair for every (new arrival, prior member). */
+  def candidatePairs(bands: Dataset[BandedDoc],
+                     maxBucket: Int = 64): Dataset[CandPair] = {
+    import bands.sparkSession.implicits._
+    bands.groupByKey(_.bucket)
+      .flatMapGroupsWithState[Seq[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, it, state: GroupState[Seq[Long]]) =>
+          val seen = state.getOption.getOrElse(Seq.empty)
+          val incoming = it.map(_.docId).toVector.distinct.sorted
+            .filterNot(seen.contains)
+          val admitted = incoming.take(math.max(maxBucket - seen.size, 0))
+          if (admitted.nonEmpty) state.update(seen ++ admitted)
+          val pairs = for {
+            n <- admitted
+            o <- seen ++ admitted.takeWhile(_ < n)
+          } yield CandPair(math.min(o, n), math.max(o, n))
+          pairs.iterator
+      }
+  }
+
+  /** Full streaming near-dup pipeline: documents stream in, candidate
+    * pairs stream out. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 8,
+                        rowsPerBand: Int = 2,
+                        maxBucket: Int = 64): Dataset[CandPair] =
+    candidatePairs(
+      bandedDocs(docs, idCol, textCol, shingleN, numHashes, rowsPerBand),
+      maxBucket)
+}

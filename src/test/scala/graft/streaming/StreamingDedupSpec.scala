@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog again and again"
+  private val docB = "completely different content about spark engines and parquet files"
+
+  test("row-wise signatures equal the batch aggregation signatures") {
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val row = StreamingDedup.rowwiseSignatures(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val agg = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    assert(row.toSeq == agg.toSeq)
+  }
+
+  test("streaming candidates: a near-dup arriving later pairs with the original") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = StreamingDedup.nearDupCandidates(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("cand_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, docA), (2L, docB))
+      q.processAllAvailable()
+      // nothing similar seen yet
+      assert(spark.table("cand_out").count() == 0)
+      // an exact dup of doc 1 arrives in a later batch
+      in.addData((3L, docA))
+      q.processAllAvailable()
+      val pairs = spark.table("cand_out")
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L)))
+    } finally q.stop()
+  }
+
+  test("bucket cap stops admitting members instead of growing state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    // cap 2: ids 1,2 admitted; 3 rejected -> only pair (1,2) ever emitted
+    val q = StreamingDedup.nearDupCandidates(docs, "doc_id", "text",
+        maxBucket = 2)
+      .writeStream.format("memory").queryName("cand_cap_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, docA), (2L, docA))
+      q.processAllAvailable()
+      in.addData((3L, docA))
+      q.processAllAvailable()
+      val pairs = spark.table("cand_cap_out")
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)))
+    } finally q.stop()
+  }
+}
