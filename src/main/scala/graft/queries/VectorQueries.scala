@@ -56,15 +56,33 @@ object VectorQueries {
   private val ndPlanes = 3
   private val ndTables = 4
 
-  /** `(tbl, p, i, w)` VALUES rows for every plane weight; `i` is
+  /** `(tbl, p, i, w)` VALUES rows for every plane weight of the
+    * multi-table LSH (seeds 42+tbl, same as lshBucketsMulti); `i` is
     * 1-based to match generate_subscripts. */
-  private def planeValuesSql: String =
+  private def planeValuesSql(numPlanes: Int, numTables: Int): String =
     (for {
-      tbl <- 0 until ndTables
-      planes = Similarity.lshPlanes(ndPlanes, dim = 64, seed = 42L + tbl)
-      p <- 0 until ndPlanes
+      tbl <- 0 until numTables
+      planes = Similarity.lshPlanes(numPlanes, dim = 64, seed = 42L + tbl)
+      p <- 0 until numPlanes
       i <- 0 until 64
     } yield s"($tbl, $p, ${i + 1}, ${planes(p)(i)})").mkString(", ")
+
+  /** Shared oracle CTEs: per-vector (tbl, bucket) keys from the
+    * embedded plane literals. */
+  private def bucketsSql(numPlanes: Int, numTables: Int): String =
+    s"""exp AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |planes(tbl, p, i, w) AS (VALUES ${planeValuesSql(numPlanes, numTables)}),
+       |contrib AS (
+       |  SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.w) AS dt
+       |  FROM exp e JOIN planes pl ON e.i = pl.i
+       |  GROUP BY e.vec_id, pl.tbl, pl.p),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |    CAST(sum(CASE WHEN dt >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM contrib GROUP BY vec_id, tbl)""".stripMargin
 
   val embeddingNearDup: Entry = Entry(
     "embedding_neardup_pairs",
@@ -72,19 +90,7 @@ object VectorQueries {
         t(s, dir, "embeddings"), threshold = 0.25,
         numPlanes = ndPlanes, numTables = ndTables)
       .orderBy("a", "b"),
-    Some(s"""WITH exp AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |         generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |planes(tbl, p, i, w) AS (VALUES $planeValuesSql),
-        |contrib AS (
-        |  SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.w) AS dt
-        |  FROM exp e JOIN planes pl ON e.i = pl.i
-        |  GROUP BY e.vec_id, pl.tbl, pl.p),
-        |buckets AS (
-        |  SELECT vec_id, tbl,
-        |    CAST(sum(CASE WHEN dt >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM contrib GROUP BY vec_id, tbl),
+    Some(s"""WITH ${bucketsSql(ndPlanes, ndTables)},
         |cands AS (
         |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
         |  FROM buckets l JOIN buckets r
@@ -138,8 +144,10 @@ object VectorQueries {
         |       round(max(d), 4) AS max_dist
         |FROM dist GROUP BY label ORDER BY label""".stripMargin))
 
-  /** ANN via random-hyperplane LSH (engine-specific hash → rows-only
-    * check); recall measured against brute force in the test suite. */
+  /** ANN via multi-table random-hyperplane LSH — oracle-exact since
+    * round 2: the planes are seeded driver-side literals, so the
+    * oracle rebuilds the same buckets, candidates, and ranking in SQL;
+    * recall vs brute force is additionally asserted in OpsSpec. */
   val annLsh: Entry = Entry(
     "ann_lsh_topk",
     (s, dir) => {
@@ -149,7 +157,30 @@ object VectorQueries {
         .select("qid", "rnk", "vid", "cos")
         .orderBy("qid", "rnk")
     },
-    None)
+    Some(s"""WITH ${bucketsSql(4, 4)},
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS vid
+        |  FROM buckets q JOIN buckets c
+        |    ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |    AND q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+        |dots AS (
+        |  SELECT cd.qid, cd.vid, sum(eq.x * ec.x) AS dp
+        |  FROM cands cd
+        |  JOIN exp eq ON eq.vec_id = cd.qid
+        |  JOIN exp ec ON ec.vec_id = cd.vid AND eq.i = ec.i
+        |  GROUP BY cd.qid, cd.vid),
+        |scored AS (
+        |  SELECT qid, vid, round(dp / (nq.nrm * nc.nrm), 4) AS cos
+        |  FROM dots JOIN norms nq ON qid = nq.vec_id
+        |  JOIN norms nc ON vid = nc.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin))
 
   /** IVF-style ANN (inverted lists by nearest centroid; rows-only
     * check, recall tested in OpsSpec against brute force). */
