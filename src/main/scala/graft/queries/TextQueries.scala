@@ -246,7 +246,86 @@ object TextQueries {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  /** The flagship LLM-corpus curation pipeline, composed end to end:
+    * exact dedup (canonical = min doc_id per content hash) → MinHash
+    * near-dup removal (drop the higher id of every verified pair) →
+    * quality gate (token count + type-token ratio) → per-language
+    * curation report. Every stage is a shuffle-bounded operator from
+    * the library; the report aggregates are all-integer so the oracle
+    * compare has zero float-summation risk. */
+  val curationE2e: Entry = Entry(
+    "corpus_curation_e2e",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val kept = docs
+        .withColumn("keep_id",
+          min("doc_id").over(Window.partitionBy(md5(col("text")))))
+        .where(col("doc_id") === col("keep_id"))
+        .drop("keep_id")
+      val cands = Dedup.minhashCandidates(kept, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      val dropIds = Dedup.jaccard(kept, "doc_id", "text", cands)
+        .where(col("jaccard") >= 0.5)
+        .select(col("b").as("doc_id")).distinct()
+      kept.join(dropIds, Seq("doc_id"), "left_anti")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .withColumn("n_distinct", TextOps.distinctTokenCount(col("text")))
+        .withColumn("ttr", TextOps.typeTokenRatio(col("text")))
+        .where(col("n_tokens") >= 20 && col("ttr") >= 0.3)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"),
+          sum(col("n_distinct").cast("long")).as("total_distinct"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang")
+    },
+    Some("""WITH kept AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+        |    FROM documents) WHERE doc_id = keep_id),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS shingle
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)),
+        |sig AS (
+        |  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+        |  FROM sh, (SELECT unnest(range(8)) AS h)
+        |  GROUP BY doc_id, h),
+        |bands AS (
+        |  SELECT doc_id, h // 2 AS band,
+        |    md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|' ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
+        |  FROM sig GROUP BY doc_id, h // 2),
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id),
+        |toksets AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM kept),
+        |drops AS (
+        |  SELECT DISTINCT b AS doc_id
+        |  FROM cands JOIN toksets ta ON a = ta.doc_id
+        |  JOIN toksets tb ON b = tb.doc_id
+        |  WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5),
+        |qual AS (
+        |  SELECT lang, doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS ttr
+        |  FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM drops))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
+        |  min(doc_id) AS first_doc
+        |FROM qual WHERE n_tokens >= 20 AND ttr >= 0.3
+        |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
-    ngramJaccard, simhashSig)
+    ngramJaccard, simhashSig, curationE2e)
 }
