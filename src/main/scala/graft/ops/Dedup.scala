@@ -21,31 +21,58 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: for hash function i, minhash_i(doc) =
-    * min over shingles of md5(i || ':' || shingle). The lexicographic
-    * min of the md5 hex string is a valid permutation-min (md5 is the
-    * "random permutation"), and — deliberately — computes identically
-    * in any engine with md5, which makes it oracle-checkable.
+  /** Prime modulus of the minhash permutation family (2^31 - 1). */
+  val MinhashP = 2147483647L
+
+  /** Seeded (a, b) constants of the affine permutations
+    * `p_i(h) = (a_i * h + b_i) mod P` — driver-side literals so the
+    * DuckDB oracle can embed the identical values. */
+  def minhashAB(numHashes: Int, seed: Long = 7L): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (1L + r.nextInt((MinhashP - 1).toInt).toLong,
+        r.nextInt(MinhashP.toInt).toLong))
+  }
+
+  /** 48-bit shingle hash: the first 12 hex chars of md5 as an integer,
+    * reduced mod P. 12 digits keep the digit-wise decode on the oracle
+    * side double-exact (max 16^12 - 1 < 2^53); md5 computes
+    * identically in any engine. */
+  private[ops] def shingleHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 12), 16, 10).cast("long") % MinhashP
+
+  /** MinHash signature: minhash_i(doc) = min over shingles of
+    * `(a_i * h(shingle) + b_i) mod P`, with h = a 48-bit md5-derived
+    * integer — ONE md5 per shingle feeding all `numHashes`
+    * permutations (8x fewer hash evaluations than hashing per
+    * permutation), and every step integer-exact and reproducible in
+    * the oracle engine.
     *
     * Shape: explode shingles once, then ONE hash-partitioned groupBy
-    * with `numHashes` codegen'd min(md5) aggregates — partial mins
-    * combine map-side, so the shuffle carries only numHashes strings
-    * per doc regardless of document size. (A pure-HOF per-row variant
-    * was 4x slower: HOF md5 transforms don't codegen and projection
-    * collapse re-evaluates them per downstream reference.)
+    * with `numHashes` codegen'd min aggregates — partial mins combine
+    * map-side, so the shuffle carries only numHashes longs per doc
+    * regardless of document size. (A pure-HOF per-row variant was 4x
+    * slower: HOF md5 transforms don't codegen and projection collapse
+    * re-evaluates them per downstream reference.)
     *
-    * Returns (idCol, sig: Array[String]) with sig(i) = minhash_i.
+    * Returns (idCol, sig: Array[String]) with sig(i) = minhash_i
+    * (stringified, the banding currency).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
+    val ab = minhashAB(numHashes)
     val sh = df.select(col(idCol),
-      explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
-    val mins = (0 until numHashes).map(i =>
-      min(md5(concat_ws(":", lit(i.toString), col("shingle")))).as(s"mh_$i"))
+        explode(TextOps.shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col(idCol), shingleHash(col("shingle")).as("hh"))
+    val mins = (0 until numHashes).map { i =>
+      val (a, b) = ab(i)
+      min((col("hh") * a + b) % MinhashP).as(s"mh_$i")
+    }
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
       .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+        array((0 until numHashes).map(i =>
+          col(s"mh_$i").cast("string")): _*).as("sig"))
   }
 
   /** LSH banding: group `rowsPerBand` consecutive minhashes into a band

@@ -129,8 +129,37 @@ object TextQueries {
         |       max(n_docs) AS max_bucket, min(fp) AS first_fp
         |FROM buckets""".stripMargin))
 
+  /** Oracle CTE block shared by the minhash queries: shingles → one
+    * 48-bit md5-derived hash per shingle → the same seeded affine
+    * permutations as Dedup.minhashSignatures → LSH band keys. `rel`
+    * must expose (doc_id, text). */
+  private def minhashBandsSql(rel: String): String = {
+    val abRows = Dedup.minhashAB(8).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""sh AS (
+       |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+       |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel)),
+       |hv AS (
+       |  SELECT doc_id, CAST(list_sum(
+       |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
+       |       * ([17592186044416,1099511627776,68719476736,4294967296,
+       |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
+       |     FOR d IN range(1, 13)]) AS BIGINT) % 2147483647 AS hh
+       |  FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)),
+       |ab(h, a, b) AS (VALUES $abRows),
+       |sig AS (
+       |  SELECT doc_id, h, min((hh * a + b) % 2147483647) AS minhash
+       |  FROM hv, ab GROUP BY doc_id, h),
+       |bands AS (
+       |  SELECT doc_id, h // 2 AS band,
+       |    md5(string_agg(CAST(h AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), '|'
+       |        ORDER BY CAST(h AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS band_key
+       |  FROM sig GROUP BY doc_id, h // 2)""".stripMargin
+  }
+
   /** MinHash-LSH near-dup candidates + exact Jaccard verify ≥ 0.5.
-    * Same md5-permutation minhash in both engines (see Dedup scaladoc). */
+    * Same integer-permutation minhash in both engines (Dedup scaladoc). */
   val minhashNearDup: Entry = Entry(
     "minhash_lsh_neardup",
     (s, dir) => {
@@ -141,18 +170,7 @@ object TextQueries {
         .where(col("jaccard") >= 0.5)
         .orderBy("a", "b")
     },
-    Some("""WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-        |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-        |sig AS (
-        |  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
-        |  FROM sh, (SELECT unnest(range(8)) AS h)
-        |  GROUP BY doc_id, h),
-        |bands AS (
-        |  SELECT doc_id, h // 2 AS band,
-        |    md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|' ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
-        |  FROM sig GROUP BY doc_id, h // 2),
+    Some(s"""WITH ${minhashBandsSql("documents")},
         |cands AS (
         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |  FROM bands l JOIN bands r
@@ -280,23 +298,12 @@ object TextQueries {
           min("doc_id").as("first_doc"))
         .orderBy("lang")
     },
-    Some("""WITH kept AS (
+    Some(s"""WITH kept AS (
         |  SELECT doc_id, text, lang FROM (
         |    SELECT doc_id, text, lang,
         |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
         |    FROM documents) WHERE doc_id = keep_id),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
-        |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS shingle
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM kept)),
-        |sig AS (
-        |  SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
-        |  FROM sh, (SELECT unnest(range(8)) AS h)
-        |  GROUP BY doc_id, h),
-        |bands AS (
-        |  SELECT doc_id, h // 2 AS band,
-        |    md5(string_agg(CAST(h AS VARCHAR) || ':' || minhash, '|' ORDER BY CAST(h AS VARCHAR) || ':' || minhash)) AS band_key
-        |  FROM sig GROUP BY doc_id, h // 2),
+        |${minhashBandsSql("kept")},
         |cands AS (
         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
         |  FROM bands l JOIN bands r

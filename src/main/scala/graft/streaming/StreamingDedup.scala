@@ -31,15 +31,20 @@ object StreamingDedup {
   final case class BandedDoc(bucket: String, docId: Long)
   final case class CandPair(a: Long, b: Long)
 
-  /** Per-row minhash signatures — semantically identical to
+  /** Per-row minhash signatures — value-identical to
     * `Dedup.minhashSignatures` (asserted in spec) but expressed as
-    * array HOFs so it stays a stateless projection. */
+    * array HOFs so it stays a stateless projection: one md5-derived
+    * 48-bit hash per shingle, then the same affine permutations. */
   def rowwiseSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame = {
-    val sh = TextOps.shingles(col(textCol), shingleN)
-    val sig = array((0 until numHashes).map(i =>
-      array_min(transform(sh,
-        s => md5(concat_ws(":", lit(i.toString), s))))): _*)
+    val ab = Dedup.minhashAB(numHashes)
+    val hs = transform(TextOps.shingles(col(textCol), shingleN),
+      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long") % Dedup.MinhashP)
+    val sig = array((0 until numHashes).map { i =>
+      val (a, b) = ab(i)
+      array_min(transform(hs, h => (h * a + b) % Dedup.MinhashP))
+        .cast("string")
+    }: _*)
     df.select(col(idCol), sig.as("sig"))
   }
 
