@@ -34,7 +34,13 @@ object CdcIngest {
         * legacy layout with O(table) overwrite — fine at small scale,
         * a scale-killer at 100 TB. The format must produce path-safe
         * values (date patterns do). */
-      bucketFormat: Option[String] = None)
+      bucketFormat: Option[String] = None,
+      /** Merge-on-read: incremental merges commit O(batch) equality
+        * deletes + appended survivors with ZERO rewrite (takes
+        * precedence over the partition-rewrite path). Read-side debt
+        * grows one broadcast anti-join per commit — compact on a
+        * cadence (`TableStore.compact`, gauge via `deleteDebt`). */
+      mergeOnRead: Boolean = false)
 
   /** Hive partition column name used by the bucketed layout. */
   val BucketCol = "p_bucket"
@@ -88,7 +94,16 @@ object CdcIngest {
       val deduped = Cdc.dedupLatest(newRows, Seq(cfg.primaryKey),
         (cfg.dateCol +: cfg.tiebreak).map(col(_).desc))
       val n = deduped.count()
-      if (store.partitioning(table).contains(BucketCol))
+      if (cfg.mergeOnRead) {
+        val survivors0 = Cdc.dropTombstones(deduped).drop("row_num", "Op")
+        val survivors = cfg.bucketFormat match {
+          case Some(fmt) if store.partitioning(table).contains(BucketCol) =>
+            survivors0.withColumn(BucketCol, date_format(col(cfg.dateCol), fmt))
+          case _ => survivors0
+        }
+        store.appendWithDeletes(table, survivors,
+          deduped.select(cfg.primaryKey).distinct())
+      } else if (store.partitioning(table).contains(BucketCol))
         mergeTouchedPartitions(store, table, dest, deduped, cfg)
       else {
         val merged = CdcMerge.upsert(dest, deduped, Seq(cfg.primaryKey))

@@ -42,8 +42,11 @@ import java.util.UUID
   * forward by reference (what makes 100 TB tables appendable).
   * `overwritePartitions` extends the same carry-by-reference trick to
   * partitioned tables, so a CDC merge rewrites only the partitions
-  * holding matched keys (O(touched), not O(table)); full `overwrite`
-  * rewrites by nature. Reads
+  * holding matched keys (O(touched), not O(table));
+  * `appendWithDeletes` goes further — merge-on-read equality deletes
+  * (Iceberg v2 style) make a merge O(batch) with zero rewrite, paying
+  * one broadcast anti-join per commit at read until `compact`. Full
+  * `overwrite` rewrites by nature. Reads
   * resolve a manifest once and only ever see fully-written, immutable
   * files. Time travel reads any retained manifest; `vacuum` deletes
   * data files unreferenced by retained versions and their manifests —
@@ -84,20 +87,43 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Time-travel read of a retained version — fails loudly if the
     * version was vacuumed (its manifest is gone). Commit groups are
     * read in manifest order (carried files precede each append), so
-    * evolved columns land after the original schema deterministically. */
+    * evolved columns land after the original schema deterministically.
+    *
+    * Merge-on-read: `del|` manifest entries are equality-delete files
+    * (their columns = the delete key). A delete applies to every data
+    * group that appears BEFORE it in the manifest — within one commit
+    * the delete lines precede the commit's own data files, so a batch
+    * can delete-and-reinsert a key atomically. Each affected group
+    * anti-joins the union of its later delete sets (small, broadcast);
+    * `compact` folds the debt away. */
   def readVersion(table: String, v: Long): DataFrame = {
-    val files = manifest(table, v)
+    val lines = manifest(table, v)
     val prefix = tablePath(table).toString
     def baseOf(f: String): String = {
       val rel = f.stripPrefix(prefix).stripPrefix("/")
       s"$prefix/${rel.takeWhile(_ != '/')}"
     }
-    val byBase = files.groupBy(baseOf)
-    files.map(baseOf).distinct.map { base =>
-      spark.read.option("mergeSchema", "true").option("basePath", base)
-        .parquet(byBase(base): _*)
+    val dels = lines.zipWithIndex.collect {
+      case (l, i) if l.startsWith(DelPrefix) => (l.stripPrefix(DelPrefix), i)
+    }
+    val data = lines.zipWithIndex.filterNot(_._1.startsWith(DelPrefix))
+    val groups = data.groupBy { case (f, _) => baseOf(f) }.toSeq
+      .map { case (base, fs) => (base, fs.map(_._1), fs.map(_._2).min) }
+      .sortBy(_._3)
+    groups.map { case (base, files, minIdx) =>
+      val df = spark.read.option("mergeSchema", "true").option("basePath", base)
+        .parquet(files: _*)
+      val applicable = dels.collect { case (f, i) if i > minIdx => f }
+      if (applicable.isEmpty) df
+      else {
+        val delKeys = spark.read.parquet(applicable: _*)
+        df.join(org.apache.spark.sql.functions.broadcast(delKeys),
+          delKeys.columns.toSeq, "left_anti")
+      }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  private val DelPrefix = "del|"
 
   /** S6: CTAS — fails if the table already exists. `partitionBy`
     * selects a hive-style layout; reads then get partition pruning on
@@ -126,6 +152,35 @@ final class TableStore(spark: SparkSession, root: String) {
   private def carryAll(table: String): Option[Long] => Seq[String] =
     cur => cur.map(manifest(table, _)).getOrElse(Nil)
 
+  /** Merge-on-read commit (Iceberg v2 equality deletes): append `df`'s
+    * rows AND register `deleteKeys` (its columns ARE the delete key)
+    * in one atomic commit — O(batch) regardless of table size, no
+    * partition rewrite at all. The delete applies to every PRIOR
+    * commit's rows; `df`'s own rows are exempt (delete lines precede
+    * them in the manifest), so a CDC batch deletes-and-reinserts a key
+    * atomically. Each MoR commit adds one broadcast anti-join of
+    * read-side debt — fold it periodically with `compact`. */
+  def appendWithDeletes(table: String, df: DataFrame, deleteKeys: DataFrame): Unit = {
+    require(exists(table), s"table $table does not exist")
+    val delDir = new Path(tablePath(table), s"x-${UUID.randomUUID()}")
+    deleteKeys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(delDir.toString)
+    val delLines = listDataFiles(delDir).map(DelPrefix + _)
+    commit(table, df,
+      carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false)
+  }
+
+  /** Fold merge-on-read delete debt: materialize the current merged
+    * view as one plain data commit (the new manifest carries no del
+    * entries). Old versions stay time-travelable until vacuumed. */
+  def compact(table: String): Unit = overwrite(table, read(table))
+
+  /** Number of equality-delete entries pending in the current version
+    * — the read-side debt gauge for scheduling `compact`. */
+  def deleteDebt(table: String): Int = {
+    val cur = currentVersion(table).getOrElse(return 0)
+    manifest(table, cur).count(_.startsWith(DelPrefix))
+  }
+
   /** Dynamic partition overwrite — the O(touched partitions) commit
     * that keeps CDC merges from rewriting 100 TB to delete a day's
     * keys. `touched` lists the hive partition dirs being replaced
@@ -140,6 +195,8 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwritePartitions(table: String, df: DataFrame, touched: Seq[String]): Unit = {
     require(partitioning(table).nonEmpty,
       s"table $table is not partitioned; use overwrite")
+    require(deleteDebt(table) == 0,
+      s"table $table has pending merge-on-read deletes; compact first")
     val touchedSet = touched.toSet
     commit(table, df,
       carried = cur => cur.map(manifest(table, _)
@@ -288,17 +345,20 @@ final class TableStore(spark: SparkSession, root: String) {
     val cur = currentVersion(table).getOrElse(return)
     val all = versions(table)
     val kept = (all.filter(_ < cur).takeRight(math.max(keep - 1, 0)) :+ cur)
-    val referenced = kept.flatMap(manifest(table, _)).toSet
+    // manifest lines may carry the del| marker — compare raw paths
+    def pathOf(line: String): String = line.stripPrefix(DelPrefix)
+    val referenced = kept.flatMap(manifest(table, _)).map(pathOf).toSet
     val f = fs(tablePath(table))
     all.filterNot(kept.contains).foreach { v =>
-      manifest(table, v).filterNot(referenced.contains)
+      manifest(table, v).map(pathOf).filterNot(referenced.contains)
         .foreach(p => f.delete(new Path(p), false))
       f.delete(manifestPath(table, v), false)
       f.delete(claimPath(table, v), false)
     }
-    // drop data dirs emptied of parquet files
+    // drop data/delete dirs emptied of parquet files
     f.listStatus(tablePath(table)).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("d-"))
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-")))
       .filter(st => listDataFiles(st.getPath).isEmpty)
       .foreach(st => f.delete(st.getPath, true))
   }

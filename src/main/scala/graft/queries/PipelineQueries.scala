@@ -19,37 +19,36 @@ object PipelineQueries {
     * load (invariant iv, SURVEY §5.3) — so the oracle is pure SQL over
     * `events` even though the engine path writes real table versions.
     */
-  val cdcPipelineE2e: Entry = Entry(
-    "cdc_pipeline_e2e",
-    (s, dir) => {
-      val events = t(s, dir, "events")
-      val cdc = Cdc.derive(events, k = 100)
-        .withColumn("process_date", Tables.nsToTimestamp("ts"))
-      val Array(mnUs, mxUs) = events
-        .agg(expr("min(ts) div 1000"), expr("max(ts) div 1000"))
-        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
-      val cut1 = timestamp_micros(lit(mnUs + (mxUs - mnUs) / 3))
-      val cut2 = timestamp_micros(lit(mnUs + 2 * ((mxUs - mnUs) / 3)))
-      val store = new TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-e2e").toString)
-      val tbl = "events_upsert"
-      // Bucketed layout → incremental merges rewrite only touched
-      // partitions (the O(table)-overwrite fix); the final projection
-      // drops the p_bucket partition column.
-      val cfg = CdcIngest.Config(tiebreak = Seq("event_id"),
-        bucketFormat = Some("yyyy-MM"))
-      CdcIngest.ingest(s, store, tbl,
-        cdc.where(col("process_date") <= cut1), cfg)
-      CdcIngest.ingest(s, store, tbl,
-        cdc.where(col("process_date") > cut1 && col("process_date") <= cut2), cfg)
-      CdcIngest.ingest(s, store, tbl,
-        cdc.where(col("process_date") > cut2), cfg)
-      store.read(tbl)
-        .select(col("key"), col("event_id"), col("value"),
-          expr("ts div 1000").as("ts_us"))
-        .orderBy("key")
-    },
-    Some("""WITH cdc AS (
+  private def runCdcPipeline(s: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             cfg: CdcIngest.Config): org.apache.spark.sql.DataFrame = {
+    val events = t(s, dir, "events")
+    val cdc = Cdc.derive(events, k = 100)
+      .withColumn("process_date", Tables.nsToTimestamp("ts"))
+    val Array(mnUs, mxUs) = events
+      .agg(expr("min(ts) div 1000"), expr("max(ts) div 1000"))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val cut1 = timestamp_micros(lit(mnUs + (mxUs - mnUs) / 3))
+    val cut2 = timestamp_micros(lit(mnUs + 2 * ((mxUs - mnUs) / 3)))
+    val store = new TableStore(s,
+      java.nio.file.Files.createTempDirectory("graft-e2e").toString)
+    val tbl = "events_upsert"
+    CdcIngest.ingest(s, store, tbl,
+      cdc.where(col("process_date") <= cut1), cfg)
+    CdcIngest.ingest(s, store, tbl,
+      cdc.where(col("process_date") > cut1 && col("process_date") <= cut2), cfg)
+    CdcIngest.ingest(s, store, tbl,
+      cdc.where(col("process_date") > cut2), cfg)
+    store.read(tbl)
+      .select(col("key"), col("event_id"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+      .orderBy("key")
+  }
+
+  /** Batch-replay invariant oracle shared by the two engine-path e2e
+    * queries: replaying ordered batches == one dedup-keep-latest full
+    * load, regardless of the merge implementation. */
+  private val cdcPipelineOracle = """WITH cdc AS (
         |  SELECT event_id % 100 AS key, event_id, value, epoch_us(ts) AS ts_us,
         |         CASE WHEN event_type = 'error' THEN 'D'
         |              WHEN event_type = 'signup' THEN 'I'
@@ -60,7 +59,28 @@ object PipelineQueries {
         |            ORDER BY ts_us DESC, event_id DESC) AS row_num
         |  FROM cdc) a
         |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
-        |ORDER BY key""".stripMargin))
+        |ORDER BY key""".stripMargin
+
+  /** Bucketed layout → incremental merges rewrite only touched
+    * partitions (the O(table)-overwrite fix); the final projection
+    * drops the p_bucket partition column. */
+  val cdcPipelineE2e: Entry = Entry(
+    "cdc_pipeline_e2e",
+    (s, dir) => runCdcPipeline(s, dir,
+      CdcIngest.Config(tiebreak = Seq("event_id"),
+        bucketFormat = Some("yyyy-MM"))),
+    Some(cdcPipelineOracle))
+
+  /** Same pipeline through merge-on-read equality deletes: each
+    * incremental commit is O(batch) appended survivors + a delete-keys
+    * file, zero rewrite; the read applies the deletes by commit
+    * order. Same batch-replay oracle — the merge implementation must
+    * be invisible in the result. */
+  val cdcPipelineE2eMor: Entry = Entry(
+    "cdc_pipeline_e2e_mor",
+    (s, dir) => runCdcPipeline(s, dir,
+      CdcIngest.Config(tiebreak = Seq("event_id"), mergeOnRead = true)),
+    Some(cdcPipelineOracle))
 
   /** Iceberg-v2-style time travel through the versioned store: commit
     * two versions, read version 0 back. Oracle = the version-0
@@ -419,8 +439,9 @@ object PipelineQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(cdcPipelineE2e, timeTravel, externalDdl,
-    topkTyped, skewSaltedAgg, zorderScan, q6Forecast, q4OrderPriority,
-    statsNumeric, mergeSqlDelete, mergeSqlConditional, q7VolumeShipping,
-    q9ProductProfit, q8MarketShare, q10ReturnedItems)
+  val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
+    timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan,
+    q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
+    mergeSqlConditional, q7VolumeShipping, q9ProductProfit, q8MarketShare,
+    q10ReturnedItems)
 }
