@@ -80,4 +80,42 @@ object TextOps {
         i => concat_ws(" ", slice(toks, i, lit(n)))),
       s => s =!= ""))
   }
+
+  /** Winnowing-style rolling-hash fingerprints (Schleimer et al.,
+    * SIGMOD'03 — the standard document-fingerprint family): hash each
+    * `w`-token window with a polynomial rolling hash over md5-derived
+    * token integers, keep each document's `k` smallest window hashes.
+    * Documents sharing a fingerprint are near-dup candidates (an
+    * equi-join on the hash value — same scale shape as LSH banding).
+    *
+    * The window hash is a single `lead()` pass — no explode, one
+    * shuffle on the doc id — and all arithmetic is integer mod 2^31-1,
+    * so the oracle reproduces it bit-for-bit with the identical
+    * formula. Returns (idCol, fp) with k rows per document (fewer for
+    * docs shorter than w + k tokens).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 4, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val P = Dedup.MinhashP
+    val B = 1000003L
+    // coefficients B^(w-1-j) mod P as driver literals (BigInt-exact)
+    val coefs = (0 until w).map(j =>
+      BigInt(B).modPow(BigInt(w - 1 - j), BigInt(P)).toLong)
+    val byDoc = Window.partitionBy(idCol).orderBy("idx")
+    val th = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("idx", "tok")))
+      .select(col(idCol), col("idx"), Dedup.shingleHash(col("tok")).as("h"))
+    val terms = (0 until w).map(j =>
+      (lead(col("h"), j).over(byDoc) * coefs(j)) % P)
+    val wh = th
+      .withColumn("wh", terms.reduce(_ + _) % P)
+      .where(col("wh").isNotNull)
+      .select(col(idCol), col("wh"))
+      .distinct()
+    val ranked = Window.partitionBy(idCol).orderBy("wh")
+    wh.withColumn("rnk", row_number().over(ranked))
+      .where(col("rnk") <= k)
+      .select(col(idCol), col("wh").as("fp"))
+  }
 }

@@ -332,7 +332,55 @@ object TextQueries {
         |FROM qual WHERE n_tokens >= 20 AND ttr >= 0.3
         |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** Winnowing rolling-hash fingerprints (TextOps.winnowFingerprints):
+    * docs sharing a k-min window hash pair up via a plain equi-join on
+    * the fingerprint value. Every arithmetic step is integer mod
+    * 2^31-1, and the oracle runs the IDENTICAL lead()-window formula. */
+  val winnowPairs: Entry = Entry(
+    "winnow_fingerprint_pairs",
+    (s, dir) => {
+      val fps = TextOps.winnowFingerprints(
+        t(s, dir, "documents"), "doc_id", "text")
+      val l = fps.select(col("doc_id").as("a"), col("fp"))
+      val r = fps.select(col("doc_id").as("b"), col("fp"))
+      l.join(r, Seq("fp")).where(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("a", "b")
+    },
+    Some {
+      val P = 2147483647L
+      val B = 1000003L
+      val c = (0 until 4).map(j =>
+        BigInt(B).modPow(BigInt(3 - j), BigInt(P)).toLong)
+      s"""WITH tk AS (
+         |  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS idx,
+         |         unnest(ts) AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+         |th AS (
+         |  SELECT doc_id, idx, CAST(list_sum(
+         |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
+         |       * ([17592186044416,1099511627776,68719476736,4294967296,
+         |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
+         |     FOR d IN range(1, 13)]) AS BIGINT) % $P AS h
+         |  FROM (SELECT doc_id, idx, md5(tok) AS hx FROM tk)),
+         |wh0 AS (
+         |  SELECT doc_id,
+         |    (h * ${c(0)} % $P + lead(h, 1) OVER w * ${c(1)} % $P
+         |     + lead(h, 2) OVER w * ${c(2)} % $P
+         |     + lead(h, 3) OVER w * ${c(3)} % $P) % $P AS wh
+         |  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY idx)),
+         |wh AS (SELECT DISTINCT doc_id, wh FROM wh0 WHERE wh IS NOT NULL),
+         |fps AS (
+         |  SELECT doc_id, wh AS fp FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY wh) AS rnk
+         |    FROM wh) WHERE rnk <= 4)
+         |SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS n_shared
+         |FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY a, b ORDER BY a, b""".stripMargin
+    })
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
-    ngramJaccard, simhashSig, curationE2e)
+    ngramJaccard, simhashSig, curationE2e, winnowPairs)
 }
