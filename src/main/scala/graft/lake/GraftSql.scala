@@ -98,12 +98,21 @@ object GraftSql {
     store.read(target)
   }
 
+  /** The merge compiles `spark.table(name)` / `store.read(name)` from
+    * the NAME alone, so anything beyond a bare (optionally aliased)
+    * relation — a subquery, a filter, a join — would silently run the
+    * merge against the full underlying table, dropping the subquery's
+    * predicates. Reject those loudly. */
   private def tableName(plan: LogicalPlan): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    plan.collectFirst {
+    plan match {
       case r: UnresolvedRelation => r.multipartIdentifier.last
-    }.getOrElse(throw new IllegalArgumentException(
-      s"cannot resolve table from ${plan.getClass.getSimpleName}"))
+      case SubqueryAlias(_, r: UnresolvedRelation) => r.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"graft MERGE requires a bare table or view name (got " +
+          s"${other.getClass.getSimpleName}); register a temp view for " +
+          "subquery sources")
+    }
   }
 
   private def aliasOf(plan: LogicalPlan): Option[String] = plan.collectFirst {

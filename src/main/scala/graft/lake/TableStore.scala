@@ -116,7 +116,11 @@ final class TableStore(spark: SparkSession, root: String) {
       val applicable = dels.collect { case (f, i) if i > minIdx => f }
       if (applicable.isEmpty) df
       else {
-        val delKeys = spark.read.parquet(applicable: _*)
+        // mergeSchema: delete files from different commits must agree
+        // on the key columns; a missing column would null-fill and a
+        // null key never anti-matches, silently resurrecting rows
+        val delKeys = spark.read.option("mergeSchema", "true")
+          .parquet(applicable: _*)
         df.join(org.apache.spark.sql.functions.broadcast(delKeys),
           delKeys.columns.toSeq, "left_anti")
       }
@@ -361,6 +365,32 @@ final class TableStore(spark: SparkSession, root: String) {
         (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-")))
       .filter(st => listDataFiles(st.getPath).isEmpty)
       .foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** Companion to `recoverStaleClaims`: delete d-/x- commit dirs that
+    * no retained manifest references and that are older than `ttlMs` —
+    * the data a writer wrote before crashing pre-publish. The TTL is
+    * the in-flight-writer guard (a commit dir is written BEFORE its
+    * claim), so pick it above your longest commit, same as the claim
+    * TTL. Returns the deleted dir names. */
+  def vacuumOrphans(table: String, ttlMs: Long): Seq[String] = {
+    val dir = tablePath(table)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Seq.empty
+    val referenced = versions(table)
+      .flatMap(manifest(table, _))
+      .map(_.stripPrefix(DelPrefix))
+      .flatMap { p =>
+        val rel = p.stripPrefix(dir.toString).stripPrefix("/")
+        rel.split("/").headOption
+      }.toSet
+    val now = System.currentTimeMillis()
+    f.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-")))
+      .filterNot(st => referenced.contains(st.getPath.getName))
+      .filter(st => now - st.getModificationTime >= ttlMs)
+      .map { st => f.delete(st.getPath, true); st.getPath.getName }
   }
 
   /** Fully-qualified data file URIs under `dir` (recursively). */

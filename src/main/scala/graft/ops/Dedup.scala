@@ -37,8 +37,9 @@ object Dedup {
   /** 48-bit shingle hash: the first 12 hex chars of md5 as an integer,
     * reduced mod P. 12 digits keep the digit-wise decode on the oracle
     * side double-exact (max 16^12 - 1 < 2^53); md5 computes
-    * identically in any engine. */
-  private[ops] def shingleHash(shingle: Column): Column =
+    * identically in any engine. Shared by the batch, streaming, and
+    * winnowing paths — oracle parity depends on ONE definition. */
+  private[graft] def shingleHash(shingle: Column): Column =
     conv(substring(md5(shingle), 1, 12), 16, 10).cast("long") % MinhashP
 
   /** MinHash signature: minhash_i(doc) = min over shingles of

@@ -91,9 +91,14 @@ object Similarity {
       col("table"), col("bucket"))
     val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"),
       col("table"), col("bucket"))
+    // dedup multi-table repeats on the (a, b) ids only — first() is
+    // exact because the vectors are functionally dependent on the ids;
+    // a distinct() over rows carrying two 64-float arrays would ship
+    // and hash-compare ~64x more data through the shuffle
     val cands = l.join(r, Seq("table", "bucket"))
       .where(col("a") < col("b"))
-      .select("a", "va", "b", "vb").distinct()
+      .groupBy("a", "b")
+      .agg(first("va").as("va"), first("vb").as("vb"))
     cands
       .select(col("a"), col("b"),
         round(cosine(col("va"), col("vb")), 4).as("cos"))

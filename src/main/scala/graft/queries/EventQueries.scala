@@ -156,7 +156,10 @@ object EventQueries {
       val Array(mnUs, mxUs) = ev
         .agg(expr("min(ts) div 1000"), expr("max(ts) div 1000"))
         .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
-      val step = (mxUs - mnUs) / 20
+      // clamp: a degenerate fixture span under 20 us would make the
+      // bucket width 0 (the oracle's window arithmetic also uses the
+      // clamped value, so parity holds)
+      val step = math.max((mxUs - mnUs) / 20, 1L)
       val intervals = (0 until 20).map(i =>
         (i.toLong, mnUs + i * step, mnUs + i * step + 2 * step))
         .toDF("interval_id", "s_us", "e_us")
@@ -171,7 +174,7 @@ object EventQueries {
     },
     Some("""WITH b AS (
         |  SELECT min(epoch_us(ts)) AS mn,
-        |         (max(epoch_us(ts)) - min(epoch_us(ts))) // 20 AS step
+        |         greatest((max(epoch_us(ts)) - min(epoch_us(ts))) // 20, 1) AS step
         |  FROM events),
         |iv AS (
         |  SELECT i AS interval_id, mn + i * step AS s_us,

@@ -7,8 +7,13 @@ import Queries.{Entry, t}
 /** Second tranche of TPC-H shapes (Q14–Q19, Q22) adapted to the fixture
   * schema (no partsupp / shipmode / commitdate columns, so Q12/Q20/Q21
   * have no faithful equivalent; Q22's phone country code becomes a
-  * key-modulo class). Money-only sums go through DECIMAL before the
-  * double cast so summation order can't move a rounding boundary.
+  * key-modulo class). PURE money sums (q18's o_totalprice, q22's
+  * balance total) go through DECIMAL before the double cast so
+  * summation order can't move a rounding boundary; revenue PRODUCT
+  * sums (q14/q15/q17/q19) follow the established round(sum(double))
+  * convention of q5–q10 — a double→DECIMAL cast of the product would
+  * trade the (empirically stable) last-ulp risk for a cross-engine
+  * rounding-mode dependency.
   */
 object StarQueries2 {
 

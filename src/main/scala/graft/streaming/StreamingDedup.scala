@@ -39,13 +39,18 @@ object StreamingDedup {
                         shingleN: Int, numHashes: Int): DataFrame = {
     val ab = Dedup.minhashAB(numHashes)
     val hs = transform(TextOps.shingles(col(textCol), shingleN),
-      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long") % Dedup.MinhashP)
+      s => Dedup.shingleHash(s))
     val sig = array((0 until numHashes).map { i =>
       val (a, b) = ab(i)
       array_min(transform(hs, h => (h * a + b) % Dedup.MinhashP))
         .cast("string")
     }: _*)
+    // a shingle-less doc (empty/whitespace text) has an all-null
+    // signature; the batch path emits no row for it (nothing to
+    // explode), so drop it here too — otherwise concat_ws would
+    // collapse every such doc into one shared band bucket
     df.select(col(idCol), sig.as("sig"))
+      .where(element_at(col("sig"), 1).isNotNull)
   }
 
   /** Stateless banding on top of the row-wise signatures: one

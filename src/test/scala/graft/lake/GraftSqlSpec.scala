@@ -91,6 +91,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.currentVersion("dx").get == v0 + 1)
   }
 
+  test("subquery merge sources are rejected, not silently widened") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("ds", Seq(("k1", 1)).toDF("pk", "v"))
+    Seq(("k1", 9)).toDF("pk", "v").createOrReplaceTempView("upds")
+    // compiling this from the NAME alone would drop the batch filter
+    // and merge against the whole updates table
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "MERGE INTO ds t USING (SELECT * FROM upds WHERE v > 5) u " +
+          "ON t.pk = u.pk WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("bare table"))
+    assert(store.read("ds").count() == 1) // nothing executed
+  }
+
   test("unsupported merge forms are rejected with a clear error") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("d3", Seq(("k1", 1)).toDF("pk", "v"))

@@ -134,6 +134,23 @@ class TableStoreSpec extends SparkSpec {
       .toSeq == Seq((1, "a"), (2, "b")))
   }
 
+  test("vacuumOrphans sweeps unreferenced commit dirs past the TTL only") {
+    val root = tmpDir("store")
+    val store = new TableStore(spark, root)
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    // simulate a writer that wrote its commit dir then died pre-claim
+    val orphan = java.nio.file.Paths.get(root, "t", "d-orphan")
+    java.nio.file.Files.createDirectory(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-0.parquet"), "x")
+    // fresh orphan survives a TTL'd sweep (its writer may be alive)
+    assert(store.vacuumOrphans("t", ttlMs = 60 * 60 * 1000L).isEmpty)
+    assert(java.nio.file.Files.exists(orphan))
+    // past the TTL it is deleted; the referenced commit dir is not
+    assert(store.vacuumOrphans("t", ttlMs = 0L) == Seq("d-orphan"))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(store.read("t").count() == 1)
+  }
+
   test("recoverStaleClaims never touches a published version's claim") {
     val root = tmpDir("store")
     val store = new TableStore(spark, root)
