@@ -20,10 +20,16 @@ import graft.ops.Cdc
 object IngestJob {
 
   final case class Args(srcPath: String, storeRoot: String, destTable: String,
-                        pk: String, dateCol: String, floorDate: String)
+                        pk: String, dateCol: String, floorDate: String,
+                        tiebreak: Seq[String] = Nil,
+                        bucketFormat: Option[String] = None,
+                        mergeOnRead: Boolean = false)
 
   /** getResolvedOptions equivalent: --key value pairs, with defaults
-    * matching the reference's job parameters. */
+    * matching the reference's job parameters. Merge-strategy flags:
+    * `--bucket_format yyyy-MM` (partition-scoped rewrite),
+    * `--merge_on_read true` (equality deletes, zero rewrite),
+    * `--tiebreak col1,col2` (deterministic dedup order). */
   def parseArgs(argv: Array[String]): Args = {
     val m = argv.grouped(2).map {
       case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
@@ -36,7 +42,10 @@ object IngestJob {
     Args(req("src_path"), req("store_root"), req("dest_table"),
       m.getOrElse("pk", "key"),
       m.getOrElse("date_col", "process_date"),
-      m.getOrElse("floor_date", "1900-01-01 00:00:00"))
+      m.getOrElse("floor_date", "1900-01-01 00:00:00"),
+      m.get("tiebreak").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+      m.get("bucket_format"),
+      m.get("merge_on_read").exists(_.toBoolean))
   }
 
   /** The reference's `main` flow (icberg/iceberg_tables.py:157-213). */
@@ -44,7 +53,8 @@ object IngestJob {
     val store = new TableStore(spark, args.storeRoot)
     val source = spark.read.option("mergeSchema", "true").parquet(args.srcPath)
     CdcIngest.ingest(spark, store, args.destTable, source,
-      CdcIngest.Config(args.pk, args.dateCol, args.floorDate))
+      CdcIngest.Config(args.pk, args.dateCol, args.floorDate,
+        args.tiebreak, args.bucketFormat, args.mergeOnRead))
   }
 
   def main(argv: Array[String]): Unit = {
