@@ -55,4 +55,33 @@ object Multimodal {
       }
     }
   }
+
+  /** Frame sampling: cut `frameCount` fixed-width windows at an even
+    * stride out of each payload — the video-frame / audio-clip
+    * extraction shape. A real pipeline would seek to container
+    * keyframes (the codec stub again); the Spark-side plumbing is the
+    * real thing: one row per (media, frame) via posexplode, payload
+    * slices through codegen'd `substring` on binary (no UDF), frames
+    * stay distributed next to their source row. Frame offsets are
+    * 1-based byte positions; payloads shorter than `frameLen` yield
+    * their full remainder, empty slices are dropped.
+    */
+  def frameSample(media: DataFrame, frameCount: Int, frameLen: Int): DataFrame = {
+    require(frameCount > 1 && frameLen > 0, "need >1 frames of >0 bytes")
+    // integral stride on a non-negative domain (div == floor there, in
+    // any engine); the last frame starts flush with the payload tail
+    val stride =
+      s"greatest(greatest(length(bytes) - $frameLen, 0) div ${frameCount - 1}, 1)"
+    media
+      .withColumn("stride", expr(stride))
+      .select(col("media_id"), col("format"), col("bytes"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${frameCount - 1}),
+             |  i -> least(cast(i as bigint) * stride + 1,
+             |             cast(length(bytes) as bigint)))""".stripMargin))
+          .as(Seq("frame_idx", "start")))
+      .select(col("media_id"), col("format"), col("frame_idx"), col("start"),
+        expr(s"substring(bytes, start, $frameLen)").as("frame"))
+      .where(length(col("frame")) > 0)
+  }
 }

@@ -41,5 +41,34 @@ object MultimodalQueries {
         |    FOR i IN range(1, least(length(text), 8) + 1)])), 4) AS avg_head_sum
         |FROM documents GROUP BY format ORDER BY format""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(mediaFeatures, mediaFormatStats)
+  /** Frame sampling through the binary path: 3 fixed-width windows at
+    * an even stride per payload (the video-frame extraction shape, with
+    * the codec seek stubbed by byte offsets). Frames are checked by
+    * md5 — Spark hashes the binary slice, the oracle the identical
+    * substring of the (ASCII) source text. */
+  val frameSample: Entry = Entry(
+    "multimodal_frame_sample",
+    (s, dir) => Multimodal.frameSample(
+        Multimodal.deriveMediaTable(t(s, dir, "documents")),
+        frameCount = 3, frameLen = 16)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("start"), length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("media_id", "frame_idx"),
+    Some("""WITH s AS (
+        |  SELECT doc_id AS media_id, text,
+        |    CAST(length(text) AS BIGINT) AS n,
+        |    greatest(greatest(length(text) - 16, 0) // 2, 1) AS stride
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, i AS frame_idx,
+        |    least(i * stride + 1, n) AS start,
+        |    substring(text, least(i * stride + 1, n), 16) AS frame
+        |  FROM s, (SELECT unnest(range(3)) AS i))
+        |SELECT media_id, frame_idx, start,
+        |  length(frame) AS frame_len, md5(frame) AS frame_md5
+        |FROM f WHERE length(frame) > 0
+        |ORDER BY media_id, frame_idx""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(mediaFeatures, mediaFormatStats, frameSample)
 }
