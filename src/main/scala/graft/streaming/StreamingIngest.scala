@@ -116,4 +116,21 @@ object StreamingIngest {
       .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+  /** Gap-based session windows per key — the streaming form of the
+    * batch lag+running-sum sessionization (EventQueries.sessionize):
+    * `session_window` merges events closer than `gap` into one
+    * growing window, closed by the watermark. Works identically on
+    * bounded input, which is how the spec pins it to the batch
+    * operator's session boundaries. */
+  def sessionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                    gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"))
 }

@@ -104,6 +104,24 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge events within the gap, split beyond it") {
+    val events = Seq(
+      (7L, "2024-01-01 10:00:00"), (7L, "2024-01-01 10:10:00"),
+      (7L, "2024-01-01 11:00:00"), // > 30 min after the previous
+      (8L, "2024-01-01 10:05:00"))
+      .toDF("user_id", "ts_str")
+      .withColumn("ts", col("ts_str").cast("timestamp"))
+    val out = StreamingIngest.sessionCounts(events, "user_id", "ts",
+        gap = "30 minutes", watermark = "1 hour")
+      .select(col("user_id"), col("sess_start").cast("string"), col("n_events"))
+      .orderBy("user_id", "sess_start")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (7L, "2024-01-01 10:00:00", 2L), // 10:00+10:10 merged
+      (7L, "2024-01-01 11:00:00", 1L), // split by the gap
+      (8L, "2024-01-01 10:05:00", 1L)))
+  }
+
   test("windowed counts with watermark over bounded events input") {
     val events = Seq(
       (1L, "2024-01-01 10:01:00", "click", 1.0),
