@@ -43,9 +43,15 @@ object IngestJob {
       m.getOrElse("pk", "key"),
       m.getOrElse("date_col", "process_date"),
       m.getOrElse("floor_date", "1900-01-01 00:00:00"),
-      m.get("tiebreak").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+      m.get("tiebreak").toSeq.flatMap(_.split(","))
+        .map(_.trim).filter(_.nonEmpty),
       m.get("bucket_format"),
-      m.get("merge_on_read").exists(_.toBoolean))
+      m.get("merge_on_read").exists {
+        case "true" => true
+        case "false" => false
+        case other => throw new IllegalArgumentException(
+          s"--merge_on_read expects true or false, got $other")
+      })
   }
 
   /** The reference's `main` flow (icberg/iceberg_tables.py:157-213). */

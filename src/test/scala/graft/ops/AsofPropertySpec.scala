@@ -27,12 +27,14 @@ class AsofPropertySpec extends SparkSpec {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           if (r.isNullAt(3)) None else Some(r.getLong(3))))
-        .toSet
+        .toSeq.sorted
 
+      // sorted Seqs, not Sets: a duplicate-emitting regression in the
+      // union-window plan must fail the cardinality comparison
       val want = left.map { case (k, ts, tag) =>
         val m = right.filter(r => r._1 == k && r._2 <= ts)
         (k, ts, tag, if (m.isEmpty) None else Some(m.map(_._2).max))
-      }.toSet
+      }.sorted
 
       assert(got == want, s"round $round mismatch")
     }

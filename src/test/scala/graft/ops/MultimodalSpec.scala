@@ -25,10 +25,12 @@ class MultimodalSpec extends SparkSpec {
     val media = Seq((1L, "fmt0", "abc".getBytes("UTF-8")))
       .toDF("media_id", "format", "bytes")
     val out = Multimodal.frameSample(media, frameCount = 3, frameLen = 8)
-      .select(col("start"), decode(col("frame"), "UTF-8").as("f"))
-      .distinct().orderBy("start")
-      .as[(Long, String)].collect().toSeq
-    // stride clamps to 1: starts 1,2,3 -> suffixes
-    assert(out == Seq((1L, "abc"), (2L, "bc"), (3L, "c")))
+      .select(col("frame_idx"), col("start"),
+        decode(col("frame"), "UTF-8").as("f"))
+      .orderBy("frame_idx")
+      .as[(Int, Long, String)].collect().toSeq
+    // stride clamps to 1: starts 1,2,3 -> suffixes (exact row list, so
+    // a duplicate-emitting regression fails)
+    assert(out == Seq((0, 1L, "abc"), (1, 2L, "bc"), (2, 3L, "c")))
   }
 }
