@@ -207,7 +207,47 @@ object StarQueries2 {
         |                  AND o_totalprice > 300000)
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin))
 
+  /** Deterministic KMV distinct-count sketch (ops/Sketches) next to
+    * the exact count — unlike HLL, the estimate itself is
+    * oracle-checked because the k-minimum md5 hashes are engine-
+    * independent. */
+  val kmvDistinct: Entry = Entry(
+    "kmv_distinct_parts",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ops.Sketches.kmvDistinct(li, Seq("l_returnflag"), "l_partkey",
+          k = 64)
+        .join(li.groupBy("l_returnflag")
+          .agg(countDistinct("l_partkey").as("exact_distinct")),
+          Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH h AS (
+        |  SELECT DISTINCT l_returnflag, CAST(list_sum(
+        |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
+        |       * ([17592186044416,1099511627776,68719476736,4294967296,
+        |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
+        |     FOR d IN range(1, 13)]) AS BIGINT) AS h
+        |  FROM (SELECT l_returnflag,
+        |          md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem)),
+        |r AS (
+        |  SELECT l_returnflag, h, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n, max(h) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY l_returnflag),
+        |x AS (
+        |  SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT s.l_returnflag,
+        |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+        |       ELSE round(63.0 * 281474976710656 / kth, 4) END AS est_distinct,
+        |  exact_distinct
+        |FROM s JOIN x ON s.l_returnflag = x.l_returnflag
+        |ORDER BY s.l_returnflag""".stripMargin))
+
   val entries: Seq[Entry] = Seq(q14PromoShare, q15TopSupplier,
     q16PartsSuppliers, q17SmallQuantity, q18LargeVolume,
-    q19DiscountedRevenue, q22GlobalSales)
+    q19DiscountedRevenue, q22GlobalSales, kmvDistinct)
 }
