@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and corpus mixing for training-data
+  * pipelines. `df.sample()` draws from a per-partition RNG — the
+  * selection changes under repartitioning, retries, and engines, which
+  * makes sampled corpora irreproducible. Hash gating fixes that: a row
+  * is kept iff its md5-derived 48-bit hash (salted per decision) falls
+  * under fraction * 2^48. The SAME rows are selected on any engine,
+  * any partitioning, any run — and different salts give independent
+  * decisions, so a 10% eval split can't correlate with a 50%
+  * training-mix gate. Pure codegen'd expressions, no RNG state, scan
+  * parallel at any scale.
+  */
+object Sampling {
+
+  private val Space = math.pow(2, 48)
+
+  /** Keep rows whose salted hash of `idCol` falls under `fraction`. */
+  def hashGate(id: Column, fraction: Double, salt: String): Column = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    Sketches.hash48(concat_ws(":", id.cast("string"), lit(salt))) <
+      (fraction * Space).toLong
+  }
+
+  def hashSample(df: DataFrame, idCol: String, fraction: Double,
+                 salt: String): DataFrame =
+    df.where(hashGate(col(idCol), fraction, salt))
+
+  /** Mix sources at per-source rates in ONE pass over a combined
+    * frame: `rates` maps values of `sourceCol` to keep-fractions
+    * (missing sources use `defaultRate`). The gate composes as a
+    * single when-chain, so mixing N sources costs one scan, not N. */
+  def mixBySource(df: DataFrame, sourceCol: String, idCol: String,
+                  rates: Map[String, Double], defaultRate: Double,
+                  salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, r).otherwise(acc)
+    }
+    df.where(Sketches.hash48(
+        concat_ws(":", col(idCol).cast("string"), lit(salt)))
+      .cast("double") < rate * Space)
+  }
+}

@@ -380,7 +380,39 @@ object TextQueries {
          |GROUP BY a, b ORDER BY a, b""".stripMargin
     })
 
+  /** Deterministic corpus mixing (ops/Sampling): per-source keep rates
+    * applied through a salted hash gate in one scan — the SAME rows
+    * are selected on any engine / partitioning / run, which is what
+    * makes a training mix reproducible. Oracle replays the identical
+    * hash decode and rate case. */
+  val corpusMix: Entry = Entry(
+    "corpus_mix_sampled",
+    (s, dir) => graft.ops.Sampling.mixBySource(
+        t(s, dir, "documents"), "source", "doc_id",
+        rates = Map("src0" -> 0.9, "src1" -> 0.5),
+        defaultRate = 0.2, salt = "mix1")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("source"),
+    Some("""WITH h AS (
+        |  SELECT source, doc_id, CAST(list_sum(
+        |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
+        |       * ([17592186044416,1099511627776,68719476736,4294967296,
+        |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
+        |     FOR d IN range(1, 13)]) AS BIGINT) AS h
+        |  FROM (SELECT source, doc_id,
+        |          md5(CAST(doc_id AS VARCHAR) || ':mix1') AS hx
+        |        FROM documents)),
+        |sel AS (
+        |  SELECT source, doc_id FROM h
+        |  WHERE CAST(h AS DOUBLE) <
+        |    (CASE WHEN source = 'src0' THEN 0.9
+        |          WHEN source = 'src1' THEN 0.5
+        |          ELSE 0.2 END) * 281474976710656.0)
+        |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM sel GROUP BY source ORDER BY source""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
-    ngramJaccard, simhashSig, curationE2e, winnowPairs)
+    ngramJaccard, simhashSig, curationE2e, winnowPairs, corpusMix)
 }

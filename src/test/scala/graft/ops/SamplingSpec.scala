@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sampling is deterministic and near the target fraction") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.3, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df, "id", 0.3, salt = "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b) // same rows every run
+    assert(math.abs(a.size - 3000) < 300, s"got ${a.size}") // ~binomial 3sd
+  }
+
+  test("different salts give independent selections") {
+    val df = spark.range(10000).toDF("id")
+    val a = Sampling.hashSample(df, "id", 0.5, salt = "train")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.hashSample(df, "id", 0.5, salt = "eval")
+      .select("id").as[Long].collect().toSet
+    val overlap = a.intersect(b).size.toDouble
+    // independent 50% gates overlap ~25% of the population
+    assert(math.abs(overlap - 2500) < 400, s"overlap $overlap")
+  }
+
+  test("a smaller fraction selects a subset of a larger one (same salt)") {
+    val df = spark.range(5000).toDF("id")
+    val small = Sampling.hashSample(df, "id", 0.1, salt = "s")
+      .select("id").as[Long].collect().toSet
+    val big = Sampling.hashSample(df, "id", 0.4, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(small.subsetOf(big)) // nested splits: grow a sample stably
+  }
+
+  test("mixBySource applies per-source rates") {
+    val df = spark.range(6000)
+      .select(col("id"), when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
+    val out = Sampling.mixBySource(df, "src", "id",
+        rates = Map("a" -> 0.9), defaultRate = 0.1, salt = "m")
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("a") - 2700) < 300, s"a=${out("a")}")
+    assert(math.abs(out("b") - 300) < 150, s"b=${out("b")}")
+  }
+}
