@@ -1,0 +1,69 @@
+package graft.lake
+
+import org.apache.spark.sql.SparkSession
+
+/** Table-maintenance entry point — the scheduled companion to
+  * IngestJob that keeps a 100 TB store healthy: recover claims
+  * orphaned by crashed writers, sweep their unreferenced commit dirs,
+  * fold merge-on-read delete debt once it crosses a threshold, and
+  * vacuum old snapshots.
+  *
+  * {{{
+  *   spark-submit --class graft.lake.MaintenanceJob app.jar \
+  *     --store_root s3a://bucket/lake --table survey_details \
+  *     --claim_ttl_ms 3600000 --compact_debt 8 --vacuum_keep 3
+  * }}}
+  */
+object MaintenanceJob {
+
+  final case class Args(storeRoot: String, table: String,
+                        claimTtlMs: Long = 60 * 60 * 1000L,
+                        compactDebt: Int = 8, vacuumKeep: Int = 3)
+
+  final case class Summary(recoveredClaims: Seq[Long],
+                           sweptOrphanDirs: Seq[String],
+                           compacted: Boolean,
+                           retainedVersions: Seq[Long])
+
+  def parseArgs(argv: Array[String]): Args = {
+    val m = argv.grouped(2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.drop(2).toLowerCase -> v
+      case other => throw new IllegalArgumentException(
+        s"expected --key value pairs, got: ${other.mkString(" ")}")
+    }.toMap
+    def req(k: String) = m.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required --$k"))
+    Args(req("store_root"), req("table"),
+      m.get("claim_ttl_ms").map(_.toLong).getOrElse(60 * 60 * 1000L),
+      m.get("compact_debt").map(_.toInt).getOrElse(8),
+      m.get("vacuum_keep").map(_.toInt).getOrElse(3))
+  }
+
+  /** One maintenance pass. Order matters: claims first (unblocks
+    * writers), orphan sweep second (uses the same TTL), compaction
+    * before vacuum (vacuum then drops the superseded delete files once
+    * their versions age out). */
+  def run(spark: SparkSession, args: Args): Summary = {
+    val store = new TableStore(spark, args.storeRoot)
+    val claims = store.recoverStaleClaims(args.table, args.claimTtlMs)
+    val orphans = store.vacuumOrphans(args.table, args.claimTtlMs)
+    val compacted = store.deleteDebt(args.table) >= args.compactDebt
+    if (compacted) store.compact(args.table)
+    store.vacuum(args.table, keep = args.vacuumKeep)
+    Summary(claims, orphans, compacted, store.versions(args.table))
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    val spark = SparkSession.builder()
+      .appName(s"graft-maintenance-${args.table}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val s = run(spark, args)
+    println(s"[graft] ${args.table}: claims=${s.recoveredClaims.mkString(",")} " +
+      s"orphans=${s.sweptOrphanDirs.mkString(",")} compacted=${s.compacted} " +
+      s"versions=${s.retainedVersions.mkString(",")}")
+    spark.stop()
+  }
+}
