@@ -412,7 +412,44 @@ object TextQueries {
         |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM sel GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Curriculum-style quality binning: decile assignment over the
+    * (rounded, hence engine-identical) type-token ratio with an id
+    * tiebreak, then per-bin corpus stats — the pass that orders
+    * training data easy→hard. ntile needs a global sort here; at
+    * 100 TB you'd derive the 9 cutoffs from quantile summaries (e.g.
+    * a merged KMV/quantile sketch) and assign by range join instead —
+    * same bin semantics, no single-partition window. */
+  val curriculumBins: Entry = Entry(
+    "curriculum_quality_bins",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.typeTokenRatio(col("text")).as("ttr"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("bin",
+          ntile(10).over(Window.orderBy(col("ttr"), col("doc_id")))
+            .cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          min("ttr").as("min_ttr"), max("ttr").as("max_ttr"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("bin")
+    },
+    Some("""WITH q AS (
+        |  SELECT doc_id,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 4) AS ttr,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, ntile(10) OVER (ORDER BY ttr, doc_id) AS bin FROM q)
+        |SELECT bin, count(*) AS n_docs, min(ttr) AS min_ttr,
+        |  max(ttr) AS max_ttr, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
-    ngramJaccard, simhashSig, curationE2e, winnowPairs, corpusMix)
+    ngramJaccard, simhashSig, curationE2e, winnowPairs, corpusMix,
+    curriculumBins)
 }
