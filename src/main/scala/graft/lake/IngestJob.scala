@@ -31,14 +31,10 @@ object IngestJob {
     * `--merge_on_read true` (equality deletes, zero rewrite),
     * `--tiebreak col1,col2` (deterministic dedup order). */
   def parseArgs(argv: Array[String]): Args = {
-    val m = argv.grouped(2).map {
-      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
-        k.drop(2).toLowerCase -> v
-      case other => throw new IllegalArgumentException(
-        s"expected --key value pairs, got: ${other.mkString(" ")}")
-    }.toMap
-    def req(k: String) = m.getOrElse(k,
-      throw new IllegalArgumentException(s"missing required --$k"))
+    val m = CliArgs.parse(argv, allowed = Set("src_path", "store_root",
+      "dest_table", "pk", "date_col", "floor_date", "tiebreak",
+      "bucket_format", "merge_on_read"))
+    def req(k: String) = CliArgs.required(m, k)
     Args(req("src_path"), req("store_root"), req("dest_table"),
       m.getOrElse("pk", "key"),
       m.getOrElse("date_col", "process_date"),

@@ -25,19 +25,19 @@ object MaintenanceJob {
                            compacted: Boolean,
                            retainedVersions: Seq[Long])
 
+  /** Defaults live ONLY on the Args case class; CLI flags override via
+    * copy, so programmatic and CLI construction can't disagree. */
   def parseArgs(argv: Array[String]): Args = {
-    val m = argv.grouped(2).map {
-      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
-        k.drop(2).toLowerCase -> v
-      case other => throw new IllegalArgumentException(
-        s"expected --key value pairs, got: ${other.mkString(" ")}")
-    }.toMap
-    def req(k: String) = m.getOrElse(k,
-      throw new IllegalArgumentException(s"missing required --$k"))
-    Args(req("store_root"), req("table"),
-      m.get("claim_ttl_ms").map(_.toLong).getOrElse(60 * 60 * 1000L),
-      m.get("compact_debt").map(_.toInt).getOrElse(8),
-      m.get("vacuum_keep").map(_.toInt).getOrElse(3))
+    val m = CliArgs.parse(argv, allowed = Set("store_root", "table",
+      "claim_ttl_ms", "compact_debt", "vacuum_keep"))
+    val base = Args(CliArgs.required(m, "store_root"),
+      CliArgs.required(m, "table"))
+    val withTtl = m.get("claim_ttl_ms").map(_.toLong)
+      .fold(base)(v => base.copy(claimTtlMs = v))
+    val withDebt = m.get("compact_debt").map(_.toInt)
+      .fold(withTtl)(v => withTtl.copy(compactDebt = v))
+    m.get("vacuum_keep").map(_.toInt)
+      .fold(withDebt)(v => withDebt.copy(vacuumKeep = v))
   }
 
   /** One maintenance pass. Order matters: claims first (unblocks

@@ -13,16 +13,22 @@ import org.apache.spark.sql.functions._
   * decisions, so a 10% eval split can't correlate with a 50%
   * training-mix gate. Pure codegen'd expressions, no RNG state, scan
   * parallel at any scale.
+  *
+  * Null ids hash to null and are DROPPED (the comparison is null) —
+  * matching SQL `||` concatenation semantics, so the oracle agrees;
+  * sample after assigning ids. All gates compare hash-as-double
+  * against fraction * 2^48 so every API admits the same boundary rows.
   */
 object Sampling {
-
-  private val Space = math.pow(2, 48)
 
   /** Keep rows whose salted hash of `idCol` falls under `fraction`. */
   def hashGate(id: Column, fraction: Double, salt: String): Column = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
-    Sketches.hash48(concat_ws(":", id.cast("string"), lit(salt))) <
-      (fraction * Space).toLong
+    // concat (not concat_ws): a null id must propagate to a null hash,
+    // as the oracle's || does — concat_ws would silently give every
+    // null-id row the identical decision
+    Sketches.hash48(concat(id.cast("string"), lit(":" + salt)))
+      .cast("double") < fraction * Sketches.Space
   }
 
   def hashSample(df: DataFrame, idCol: String, fraction: Double,
@@ -36,11 +42,13 @@ object Sampling {
   def mixBySource(df: DataFrame, sourceCol: String, idCol: String,
                   rates: Map[String, Double], defaultRate: Double,
                   salt: String): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1, s"rate $r not in [0,1]"))
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, r).otherwise(acc)
     }
     df.where(Sketches.hash48(
-        concat_ws(":", col(idCol).cast("string"), lit(salt)))
-      .cast("double") < rate * Space)
+        concat(col(idCol).cast("string"), lit(":" + salt)))
+      .cast("double") < rate * Sketches.Space)
   }
 }

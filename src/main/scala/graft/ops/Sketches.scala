@@ -24,19 +24,28 @@ object Sketches {
   def hash48(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
 
-  private val Space = math.pow(2, 48)
+  private[ops] val Space = math.pow(2, 48)
 
   /** Per-group KMV distinct-count estimate as (groupCols..., est_distinct).
-    * One distinct + one k-bounded rank per group — the shuffle carries
-    * at most k hashes per (group, partition). */
+    * Two-stage rank so no group ever lands on one reducer whole: the
+    * first window ranks within (group, hash mod 32) — 32 balanced
+    * buckets per group, each pruned to its own k smallest — and the
+    * second ranks the surviving <= 32k rows per group. The global k
+    * smallest are always contained in the union of per-bucket k
+    * smallest, so the result is exact. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val hashed = df
       .select(groupCols.map(col) :+ hash48(col(valueCol)).as("__h"): _*)
       .distinct()
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy("__h")
-    hashed.withColumn("__r", row_number().over(w)).where(col("__r") <= k)
+    val local = Window
+      .partitionBy(groupCols.map(col) :+ pmod(col("__h"), lit(32)): _*)
+      .orderBy("__h")
+    val global = Window.partitionBy(groupCols.map(col): _*).orderBy("__h")
+    hashed
+      .withColumn("__lr", row_number().over(local)).where(col("__lr") <= k)
+      .withColumn("__r", row_number().over(global)).where(col("__r") <= k)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"), max("__h").as("__kth"))
       .select(groupCols.map(col) :+

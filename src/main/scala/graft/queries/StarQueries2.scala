@@ -222,12 +222,8 @@ object StarQueries2 {
           Seq("l_returnflag"))
         .orderBy("l_returnflag")
     },
-    Some("""WITH h AS (
-        |  SELECT DISTINCT l_returnflag, CAST(list_sum(
-        |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
-        |       * ([17592186044416,1099511627776,68719476736,4294967296,
-        |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
-        |     FOR d IN range(1, 13)]) AS BIGINT) AS h
+    Some(s"""WITH h AS (
+        |  SELECT DISTINCT l_returnflag, ${OracleSql.hex12ToBigint("hx")} AS h
         |  FROM (SELECT l_returnflag,
         |          md5(CAST(l_partkey AS VARCHAR)) AS hx FROM lineitem)),
         |r AS (

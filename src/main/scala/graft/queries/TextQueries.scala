@@ -141,11 +141,7 @@ object TextQueries {
        |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS shingle
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $rel)),
        |hv AS (
-       |  SELECT doc_id, CAST(list_sum(
-       |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
-       |       * ([17592186044416,1099511627776,68719476736,4294967296,
-       |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
-       |     FOR d IN range(1, 13)]) AS BIGINT) % 2147483647 AS hh
+       |  SELECT doc_id, ${OracleSql.hex12ToBigint("hx")} % 2147483647 AS hh
        |  FROM (SELECT doc_id, md5(shingle) AS hx FROM sh)),
        |ab(h, a, b) AS (VALUES $abRows),
        |sig AS (
@@ -357,11 +353,7 @@ object TextQueries {
          |         unnest(ts) AS tok
          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
          |th AS (
-         |  SELECT doc_id, idx, CAST(list_sum(
-         |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
-         |       * ([17592186044416,1099511627776,68719476736,4294967296,
-         |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
-         |     FOR d IN range(1, 13)]) AS BIGINT) % $P AS h
+         |  SELECT doc_id, idx, ${OracleSql.hex12ToBigint("hx")} % $P AS h
          |  FROM (SELECT doc_id, idx, md5(tok) AS hx FROM tk)),
          |wh0 AS (
          |  SELECT doc_id,
@@ -394,12 +386,8 @@ object TextQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
       .orderBy("source"),
-    Some("""WITH h AS (
-        |  SELECT source, doc_id, CAST(list_sum(
-        |    [(strpos('0123456789abcdef', hx[d:d]) - 1)
-        |       * ([17592186044416,1099511627776,68719476736,4294967296,
-        |           268435456,16777216,1048576,65536,4096,256,16,1])[d]
-        |     FOR d IN range(1, 13)]) AS BIGINT) AS h
+    Some(s"""WITH h AS (
+        |  SELECT source, doc_id, ${OracleSql.hex12ToBigint("hx")} AS h
         |  FROM (SELECT source, doc_id,
         |          md5(CAST(doc_id AS VARCHAR) || ':mix1') AS hx
         |        FROM documents)),

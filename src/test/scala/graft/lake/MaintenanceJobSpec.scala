@@ -39,5 +39,11 @@ class MaintenanceJobSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       MaintenanceJob.parseArgs(Array("--store_root", "/lake"))
     }
+    // a typo'd flag must fail loudly, not silently run with defaults
+    val e = intercept[IllegalArgumentException] {
+      MaintenanceJob.parseArgs(Array("--store_root", "/lake",
+        "--table", "t", "--claim_ttl", "60000"))
+    }
+    assert(e.getMessage.contains("--claim_ttl"))
   }
 }
