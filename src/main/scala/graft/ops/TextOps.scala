@@ -81,6 +81,37 @@ object TextOps {
       s => s =!= ""))
   }
 
+  /** Content-defined chunking (the rsync / storage-dedup family):
+    * split each document at token positions whose hash satisfies
+    * `h mod divisor == 0` — boundaries move WITH the content, so an
+    * insertion early in a document only changes the chunks it touches,
+    * unlike fixed-size chunking which shifts every later chunk. Chunk
+    * id = running count of boundaries (the same window shape as
+    * sessionization); chunk hash = md5 of the order-preserved token
+    * span. Shared chunk hashes across documents are the dedup signal
+    * (common boilerplate, quoted passages, mirrored content).
+    *
+    * Returns (idCol, chunk_id, chunk_hash, n_tokens). Expected chunk
+    * length ≈ `divisor` tokens. One shuffle on the doc id for the
+    * running count, one on (doc, chunk) for the span hash.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(idCol).orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("idx", "tok")))
+      .withColumn("boundary",
+        when(Dedup.shingleHash(col("tok")) % divisor === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum("boundary").over(byDoc))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("tok")))),
+            s => s.getField("tok")))).as("chunk_hash"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** Winnowing-style rolling-hash fingerprints (Schleimer et al.,
     * SIGMOD'03 — the standard document-fingerprint family): hash each
     * `w`-token window with a polynomial rolling hash over md5-derived

@@ -436,8 +436,51 @@ object TextQueries {
         |  max(ttr) AS max_ttr, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
 
+  /** Content-defined chunk sharing (TextOps.cdcChunks): chunk hashes
+    * appearing in two or more documents — boilerplate and mirrored
+    * passages. Boundary hashes, running chunk ids, and span hashes all
+    * replay identically in the oracle. */
+  val cdcChunkShared: Entry = Entry(
+    "cdc_chunk_shared",
+    // divisor 6 (≈6-token chunks) fits the short synthetic docs — the
+    // fixture's near-dups share spans at that granularity but not at
+    // 16; real corpora would chunk coarser
+    (s, dir) => TextOps.cdcChunks(t(s, dir, "documents"),
+        "doc_id", "text", divisor = 6)
+      .groupBy("chunk_hash")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        max("n_tokens").as("chunk_tokens"))
+      .where(col("n_docs") >= 2)
+      .orderBy("chunk_hash"),
+    Some(s"""WITH tk AS (
+        |  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS idx,
+        |         unnest(ts) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)),
+        |b AS (
+        |  SELECT doc_id, idx, tok,
+        |    CASE WHEN ${OracleSql.hex12ToBigint("hx")}
+        |         % 2147483647 % 6 = 0 THEN 1 ELSE 0 END AS boundary
+        |  FROM (SELECT doc_id, idx, tok, md5(tok) AS hx FROM tk)),
+        |c AS (
+        |  SELECT doc_id, idx, tok, sum(boundary) OVER (
+        |    PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, chunk_id,
+        |    md5(string_agg(tok, ' ' ORDER BY idx)) AS chunk_hash,
+        |    count(*) AS n_tokens
+        |  FROM c GROUP BY doc_id, chunk_id)
+        |SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occurrences,
+        |  CAST(max(n_tokens) AS BIGINT) AS chunk_tokens
+        |FROM ch GROUP BY chunk_hash
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     ngramJaccard, simhashSig, curationE2e, winnowPairs, corpusMix,
-    curriculumBins)
+    curriculumBins, cdcChunkShared)
 }
