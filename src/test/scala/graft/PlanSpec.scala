@@ -54,6 +54,27 @@ class PlanSpec extends SparkSpec {
       s"all-pairs join in the near-dup plan:\n$p")
   }
 
+  test("winnowing and chunk-sharing plans contain no all-pairs join") {
+    for (q <- Seq("winnow_fingerprint_pairs", "cdc_chunk_shared")) {
+      val p = plan(Queries.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs join in $q:\n$p")
+    }
+  }
+
+  test("KMV rank is two-stage: a bucketed window precedes the per-group window") {
+    val p = plan(graft.ops.Sketches.kmvDistinct(
+      Tables.load(spark, dir, "lineitem"), Seq("l_returnflag"), "l_partkey", 64))
+    // stage 1 partitions by (group, hash bucket) — the pmod bucket is
+    // pre-projected and renders as _w0 — stage 2 by group only, so no
+    // group's full distinct-hash set ever sorts on one reducer; Spark
+    // additionally prunes both stages with partial WindowGroupLimits
+    assert("windowspecdefinition\\(l_returnflag#\\d+, _w0".r.findFirstIn(p).isDefined,
+      s"no bucketed first window stage:\n$p")
+    assert("Window ".r.findAllIn(p).size >= 2, s"missing a window stage:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"no top-k pruning:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     val df = Queries.q1PricingSummary.fn(spark, dir)
     df.collect() // finalize the adaptive plan
