@@ -479,8 +479,72 @@ object TextQueries {
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin))
 
+  /** Eval-set decontamination: split the corpus with the deterministic
+    * hash gate (10% eval, salt "eval"), then find train documents
+    * sharing ≥ 5 distinct 3-shingles with any eval document — the
+    * leakage check every benchmark pipeline runs before training. The
+    * join is a shingle equi-join, pre-filtered to shingles appearing
+    * in ≤ 100 documents (boilerplate shingles would otherwise blow up
+    * the join fanout — a no-op at fixture scale, the load-bearing
+    * guard at 100 TB). */
+  val decontamination: Entry = Entry(
+    "decontamination_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val thr = 0.1 * math.pow(2, 48)
+      val h = graft.ops.Sketches.hash48(
+        concat(col("doc_id").cast("string"), lit(":eval"))).cast("double")
+      val evalDocs = docs.where(h < thr)
+      val trainDocs = docs.where(h >= thr)
+      def sh(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("doc_id").as(as),
+          explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      val rare = sh(docs, "doc_id").groupBy("sh")
+        .agg(countDistinct("doc_id").as("df")).where(col("df") <= 100)
+        .select("sh")
+      sh(trainDocs, "train_id").join(rare, Seq("sh"), "left_semi")
+        .join(sh(evalDocs, "eval_id"), Seq("sh"))
+        .groupBy("train_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 5)
+        .orderBy("train_id", "eval_id")
+    },
+    Some(s"""WITH g AS (
+        |  SELECT doc_id, text, ${OracleSql.hex12ToBigint("hx")} AS h
+        |  FROM (SELECT doc_id, text,
+        |          md5(CAST(doc_id AS VARCHAR) || ':eval') AS hx
+        |        FROM documents)),
+        |ev AS (SELECT doc_id, text FROM g
+        |       WHERE CAST(h AS DOUBLE) < 0.1 * 281474976710656.0),
+        |tr AS (SELECT doc_id, text FROM g
+        |       WHERE CAST(h AS DOUBLE) >= 0.1 * 281474976710656.0),
+        |allsh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |rare AS (
+        |  SELECT sh FROM allsh GROUP BY sh
+        |  HAVING count(DISTINCT doc_id) <= 100),
+        |es AS (
+        |  SELECT doc_id AS eval_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ')
+        |     FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ev)),
+        |ts AS (
+        |  SELECT doc_id AS train_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+2], ' ')
+        |     FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM tr))
+        |SELECT train_id, eval_id, count(*) AS n_shared
+        |FROM ts
+        |JOIN rare USING (sh)
+        |JOIN es USING (sh)
+        |GROUP BY train_id, eval_id
+        |HAVING count(*) >= 5
+        |ORDER BY train_id, eval_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     ngramJaccard, simhashSig, curationE2e, winnowPairs, corpusMix,
-    curriculumBins, cdcChunkShared)
+    curriculumBins, cdcChunkShared, decontamination)
 }
