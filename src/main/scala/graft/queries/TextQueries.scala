@@ -491,11 +491,10 @@ object TextQueries {
     "decontamination_overlap",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val thr = 0.1 * math.pow(2, 48)
-      val h = graft.ops.Sketches.hash48(
-        concat(col("doc_id").cast("string"), lit(":eval"))).cast("double")
-      val evalDocs = docs.where(h < thr)
-      val trainDocs = docs.where(h >= thr)
+      // the one hash-gate definition (Sampling) — eval in, train out
+      val gate = graft.ops.Sampling.hashGate(col("doc_id"), 0.1, "eval")
+      val evalDocs = docs.where(gate)
+      val trainDocs = docs.where(!gate)
       def sh(df: org.apache.spark.sql.DataFrame, as: String) =
         df.select(col("doc_id").as(as),
           explode(TextOps.shingles(col("text"), 3)).as("sh"))
@@ -510,13 +509,13 @@ object TextQueries {
         .orderBy("train_id", "eval_id")
     },
     Some(s"""WITH g AS (
-        |  SELECT doc_id, text, ${OracleSql.hex12ToBigint("hx")} AS h
-        |  FROM (SELECT doc_id, text,
+        |  SELECT doc_id, ${OracleSql.hex12ToBigint("hx")} AS h
+        |  FROM (SELECT doc_id,
         |          md5(CAST(doc_id AS VARCHAR) || ':eval') AS hx
         |        FROM documents)),
-        |ev AS (SELECT doc_id, text FROM g
+        |ev AS (SELECT doc_id FROM g
         |       WHERE CAST(h AS DOUBLE) < 0.1 * 281474976710656.0),
-        |tr AS (SELECT doc_id, text FROM g
+        |tr AS (SELECT doc_id FROM g
         |       WHERE CAST(h AS DOUBLE) >= 0.1 * 281474976710656.0),
         |allsh AS (
         |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -525,16 +524,8 @@ object TextQueries {
         |rare AS (
         |  SELECT sh FROM allsh GROUP BY sh
         |  HAVING count(DISTINCT doc_id) <= 100),
-        |es AS (
-        |  SELECT doc_id AS eval_id, unnest(list_distinct(
-        |    [array_to_string(toks[i:i+2], ' ')
-        |     FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ev)),
-        |ts AS (
-        |  SELECT doc_id AS train_id, unnest(list_distinct(
-        |    [array_to_string(toks[i:i+2], ' ')
-        |     FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS sh
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM tr))
+        |es AS (SELECT doc_id AS eval_id, sh FROM allsh JOIN ev USING (doc_id)),
+        |ts AS (SELECT doc_id AS train_id, sh FROM allsh JOIN tr USING (doc_id))
         |SELECT train_id, eval_id, count(*) AS n_shared
         |FROM ts
         |JOIN rare USING (sh)

@@ -3,32 +3,6 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
-class CdcChunkingSpec extends SparkSpec {
-  import spark.implicits._
-
-  private def chunkHashes(text: String): Set[String] =
-    TextOps.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"),
-        "doc_id", "text", divisor = 8)
-      .select("chunk_hash").as[String].collect().toSet
-
-  test("identical documents produce identical chunk sets") {
-    val t = (1 to 100).map(i => s"tok${i * 37 % 91}").mkString(" ")
-    assert(chunkHashes(t) == chunkHashes(t))
-  }
-
-  test("a prefix insertion only disturbs chunks before the next boundary") {
-    // content-defined property: boundaries move WITH the content, so
-    // everything after the first boundary past the edit re-aligns
-    val base = (1 to 200).map(i => s"tok${i * 37 % 91}").mkString(" ")
-    val edited = "inserted words here " + base
-    val a = chunkHashes(base)
-    val b = chunkHashes(edited)
-    val shared = a.intersect(b).size.toDouble
-    assert(shared / a.size > 0.5,
-      s"only $shared of ${a.size} chunks survived a prefix edit")
-  }
-}
-
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
