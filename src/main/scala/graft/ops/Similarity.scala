@@ -230,6 +230,26 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * 4x storage-compression path for a 100 TB vector corpus (float32 →
+    * int8 codes + one float scale per vector). Pure array HOFs:
+    * `code_i = round(x_i / scale * 127)`, scale = max |x_i| (clamped
+    * away from zero for degenerate vectors). Returns the input plus
+    * `q_scale` and `q_codes`; `dequantize` reconstructs doubles. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val scale = greatest(
+      aggregate(col(vecCol), lit(0.0),
+        (acc, x) => greatest(acc, abs(x.cast("double")))),
+      lit(1e-12))
+    df.withColumn("q_scale", scale)
+      .withColumn("q_codes", transform(col(vecCol),
+        x => round(x.cast("double") / col("q_scale") * 127, 0).cast("int")))
+  }
+
+  /** Reconstructed double vector from (q_scale, q_codes). */
+  def dequantize(scale: Column, codes: Column): Column =
+    transform(codes, c => c.cast("double") * scale / 127)
+
   /** Multi-table LSH bucketing (the standard recall lever): `numTables`
     * independent plane sets; a (vec, table, bucket) row per table.
     * Candidates = pairs sharing a bucket in ANY table. */

@@ -195,6 +195,58 @@ object VectorQueries {
     },
     None)
 
+  /** Int8 quantization quality report: per label, the worst absolute
+    * reconstruction error and the worst original↔reconstructed cosine
+    * — the check run before committing a corpus to compressed storage.
+    * Max/min aggregates only (order-free), per-row values rounded
+    * before aggregation, so the compare is exact. */
+  val quantizationError: Entry = Entry(
+    "embedding_quantization_error",
+    (s, dir) => {
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      val recon = Similarity.dequantize(col("q_scale"), col("q_codes"))
+      val err = aggregate(
+        zip_with(col("embedding"), recon,
+          (a, b) => abs(a.cast("double") - b)),
+        lit(0.0), (acc, v) => greatest(acc, v))
+      val dot = aggregate(
+        zip_with(col("embedding"), recon,
+          (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, v) => acc + v)
+      def norm2(v: org.apache.spark.sql.Column,
+                f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(v, lit(0.0), (acc, x) => acc + f(x) * f(x))
+      val cos = dot / sqrt(norm2(col("embedding"), _.cast("double")) *
+        norm2(recon, identity))
+      q.select(col("label"), round(err, 6).as("e"), round(cos, 4).as("c"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max("e").as("max_err"),
+          min("c").as("min_cos"))
+        .orderBy("label")
+    },
+    Some("""WITH q AS (
+        |  SELECT label,
+        |    greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]),
+        |             1e-12) AS s,
+        |    embedding
+        |  FROM embeddings),
+        |r AS (
+        |  SELECT label,
+        |    round(list_max([abs(CAST(embedding[i] AS DOUBLE)
+        |      - round(CAST(embedding[i] AS DOUBLE) / s * 127, 0) * s / 127)
+        |      FOR i IN range(1, len(embedding) + 1)]), 6) AS e,
+        |    round(
+        |      list_sum([CAST(embedding[i] AS DOUBLE)
+        |        * (round(CAST(embedding[i] AS DOUBLE) / s * 127, 0) * s / 127)
+        |        FOR i IN range(1, len(embedding) + 1)])
+        |      / sqrt(list_sum([CAST(x AS DOUBLE) * x FOR x IN embedding])
+        |        * list_sum([pow(round(CAST(embedding[i] AS DOUBLE) / s * 127, 0)
+        |            * s / 127, 2)
+        |          FOR i IN range(1, len(embedding) + 1)])), 4) AS c
+        |  FROM q)
+        |SELECT label, count(*) AS n, max(e) AS max_err, min(c) AS min_cos
+        |FROM r GROUP BY label ORDER BY label""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
-    labelCentroids, annLsh, ivfTopK)
+    labelCentroids, annLsh, ivfTopK, quantizationError)
 }

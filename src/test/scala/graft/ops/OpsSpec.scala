@@ -115,4 +115,20 @@ class OpsSpec extends SparkSpec {
     assert(f.media_id == 7L && f.format == "fmt1")
     assert(f.n_bytes == 3L && f.head_sum == 97 + 98 + 99 && f.tail_byte == 99L)
   }
+
+  test("int8 quantization reconstructs within scale/254 per component") {
+    val df = Seq((1L, Array(0.5f, -0.25f, 0.127f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df)
+    val row = q.select(col("q_scale"),
+        aggregate(zip_with(col("embedding"),
+          Similarity.dequantize(col("q_scale"), col("q_codes")),
+          (a, b) => abs(a.cast("double") - b)), lit(0.0),
+          (acc, v) => greatest(acc, v)).as("max_err"))
+      .as[(Double, Double)].head()
+    val (scale, maxErr) = row
+    assert(scale == 0.5)
+    // symmetric int8: worst-case error is half a code step
+    assert(maxErr <= scale / 254 + 1e-12, s"err $maxErr for scale $scale")
+  }
 }
