@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ordering primitives that never sort on one reducer.
+  *
+  * A window over an empty partition spec (`ntile(k).over(orderBy(...))`)
+  * moves the WHOLE frame to a single partition — the classic
+  * scale-killer. The distributed-exact alternative is the same shape
+  * Spark's own `orderBy` uses: range-repartition on the sort keys
+  * (sampled boundaries, balanced partitions), rank WITHIN each
+  * partition (partition-local window), then add each partition's
+  * cumulative row offset. The offsets are one `count` per partition —
+  * `numPartitions` longs collected driver-side, the A2-style scalar
+  * materialization pattern — so no stage ever sees more than one
+  * partition's rows.
+  *
+  * Requires `orderCols` to be a total order (include a unique
+  * tiebreak column); ties across partition boundaries would otherwise
+  * make the split nondeterministic.
+  */
+object Ranking {
+
+  /** Frame range-partitioned on the keys plus a pinned partition id,
+    * its per-partition row counts, and the grand total. The counts
+    * job and the downstream consumer recompute the same shuffle; the
+    * range partitioner's sampling is deterministic on identical input,
+    * so both executions agree on every row's partition.
+    */
+  private def rangeParted(df: DataFrame, orderCols: Seq[Column],
+                          numPartitions: Int): (DataFrame, Array[Long], Long) = {
+    val parted = df.repartitionByRange(numPartitions, orderCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    val counts = Array.fill[Long](numPartitions)(0L)
+    parted.groupBy("__gr_pid").count().collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    (parted, counts, counts.sum)
+  }
+
+  /** Map-literal lookup pid -> rows-before-this-partition. */
+  private def offsetExpr(counts: Array[Long]): Column = {
+    val offsets = counts.scanLeft(0L)(_ + _).init
+    val pairs = offsets.zipWithIndex.flatMap { case (off, pid) =>
+      Seq(lit(pid), lit(off))
+    }
+    element_at(map(pairs.toIndexedSeq: _*), col("__gr_pid"))
+  }
+
+  /** Exact global 1-based row_number over the total order given by
+    * `orderCols`, with no single-partition stage. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column], outCol: String,
+                      numPartitions: Int = 32): DataFrame = {
+    val (parted, counts, _) = rangeParted(df, orderCols, numPartitions)
+    val w = Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
+    parted
+      .withColumn(outCol,
+        row_number().over(w).cast("long") + offsetExpr(counts))
+      .drop("__gr_pid")
+  }
+
+  /** Exact `ntile(n)` over the total order given by `orderCols` —
+    * bit-identical to the global-window form (first `total % n` bins
+    * get the extra row), but built on [[globalRowNumber]] so the sort
+    * stays range-partitioned. */
+  def ntileExact(df: DataFrame, orderCols: Seq[Column], n: Int, outCol: String,
+                 numPartitions: Int = 32): DataFrame = {
+    require(n >= 1, "ntile needs n >= 1")
+    val rankCol = "__gr_rank"
+    val (parted, counts, total) = rangeParted(df, orderCols, numPartitions)
+    val w = Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
+    val ranked = parted
+      .withColumn(rankCol,
+        row_number().over(w).cast("long") + offsetExpr(counts))
+    val q = total / n
+    val rem = total % n
+    val head = rem * (q + 1)
+    // 0-based rank; ranks are < 2^53 so the double division below is
+    // exact and the positive cast-to-long truncation is a floor.
+    val r0 = col(rankCol) - 1
+    val bin =
+      when(lit(head) > lit(0L) && r0 < lit(head),
+        (r0 / lit(q + 1)).cast("long"))
+      .otherwise(lit(rem) + ((r0 - lit(head)) / lit(math.max(q, 1L))).cast("long"))
+    ranked
+      .withColumn(outCol, bin + lit(1L))
+      .drop(rankCol, "__gr_pid")
+  }
+}

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import Queries.{Entry, t}
 
 /** Second tranche of TPC-H shapes (Q14–Q19, Q22) adapted to the fixture
@@ -42,8 +41,12 @@ object StarQueries2 {
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin))
 
   /** Q15: top supplier(s) by quarterly revenue — aggregate, then keep
-    * the rows equal to the global max (window max over the tiny
-    * aggregated frame; the oracle uses the scalar-subquery form). */
+    * the rows equal to the global max. The max is a 1-row aggregate
+    * cross-joined back (auto-broadcast): unlike `max over an empty
+    * window partition`, which moves the whole per-supplier frame to a
+    * single reducer, this keeps the frame partitioned and ships one
+    * scalar — the shape that survives O(suppliers) growing 100x.
+    * The oracle uses the equivalent scalar-subquery form. */
   val q15TopSupplier: Entry = Entry(
     "q15_top_supplier",
     (s, dir) => {
@@ -53,11 +56,10 @@ object StarQueries2 {
         .groupBy(col("l_suppkey"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("total_rev"))
-      val withMax = rev.withColumn("mx",
-        max("total_rev").over(Window.partitionBy()))
+      val mx = rev.agg(max("total_rev").as("mx"))
       t(s, dir, "supplier")
-        .join(withMax.where(col("total_rev") === col("mx")).drop("mx"),
-          col("s_suppkey") === col("l_suppkey"))
+        .join(rev.join(broadcast(mx)).where(col("total_rev") === col("mx"))
+          .drop("mx"), col("s_suppkey") === col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     },

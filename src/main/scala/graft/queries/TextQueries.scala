@@ -403,21 +403,21 @@ object TextQueries {
   /** Curriculum-style quality binning: decile assignment over the
     * (rounded, hence engine-identical) type-token ratio with an id
     * tiebreak, then per-bin corpus stats — the pass that orders
-    * training data easy→hard. ntile needs a global sort here; at
-    * 100 TB you'd derive the 9 cutoffs from quantile summaries (e.g.
-    * a merged KMV/quantile sketch) and assign by range join instead —
-    * same bin semantics, no single-partition window. */
+    * training data easy→hard. The deciles come from
+    * [[graft.ops.Ranking.ntileExact]]: range-repartitioned exact
+    * global rank (the distributed sort Spark's own orderBy does) plus
+    * arithmetic bin assignment — bit-identical to the oracle's global
+    * `ntile(10)` window without ever moving the corpus to one
+    * reducer. */
   val curriculumBins: Entry = Entry(
     "curriculum_quality_bins",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, dir, "documents")
+      val scored = t(s, dir, "documents")
         .select(col("doc_id"),
           TextOps.typeTokenRatio(col("text")).as("ttr"),
           TextOps.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("bin",
-          ntile(10).over(Window.orderBy(col("ttr"), col("doc_id")))
-            .cast("long"))
+      graft.ops.Ranking
+        .ntileExact(scored, Seq(col("ttr"), col("doc_id")), 10, "bin")
         .groupBy("bin")
         .agg(count(lit(1)).as("n_docs"),
           min("ttr").as("min_ttr"), max("ttr").as("max_ttr"),

@@ -75,6 +75,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no top-k pruning:\n$p")
   }
 
+  test("minhash band self-join reuses the signature exchange, not recomputes it") {
+    // the candidate join's two sides are the same explode→groupBy
+    // signature pipeline under different aliases; exchange reuse must
+    // collapse them to ONE computation (signatures over the full corpus
+    // are the expensive half of near-dedup)
+    val df = Queries.queries("minhash_lsh_neardup")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = plan(df)
+    assert(p.contains("ReusedExchange"),
+      s"signature pipeline computed twice (no ReusedExchange):\n$p")
+  }
+
+  test("no registered query plans a partition-less (single-reducer) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // A Window with an empty partitionSpec moves the whole frame to one
+    // reducer — the shape that dies at 100x. Sweep EVERY registered
+    // query so a future query can't reintroduce one unnoticed.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with a global (partition-less) window: $offenders")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     val df = Queries.q1PricingSummary.fn(spark, dir)
     df.collect() // finalize the adaptive plan

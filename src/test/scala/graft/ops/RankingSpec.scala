@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ranking must be bit-identical to the global-window forms it
+  * replaces — same rank, same ntile bins — while never planning a
+  * partition-less window. */
+class RankingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // deliberately awkward sizes: not divisible by the bin count or the
+  // partition count, with duplicate sort keys broken by a unique id
+  private lazy val df = spark.range(1037)
+    .select(col("id"), pmod(hash(col("id")), lit(97)).cast("long").as("score"))
+
+  test("globalRowNumber equals the single-partition row_number") {
+    val expected = df.withColumn("r",
+      row_number().over(Window.orderBy("score", "id")).cast("long"))
+    val got = Ranking.globalRowNumber(df, Seq(col("score"), col("id")), "r",
+      numPartitions = 7)
+    assert(got.join(expected.withColumnRenamed("r", "r2"), Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+    assert(got.count() == 1037)
+  }
+
+  test("ntileExact matches global ntile for several n, incl. n > rows") {
+    for (n <- Seq(1, 3, 10, 64, 2000)) {
+      val expected = df.withColumn("bin",
+        ntile(n).over(Window.orderBy("score", "id")).cast("long"))
+      val got = Ranking.ntileExact(df, Seq(col("score"), col("id")), n, "bin",
+        numPartitions = 7)
+      val diffs = got.withColumnRenamed("bin", "got")
+        .join(expected, Seq("id"))
+        .where(col("got") =!= col("bin")).count()
+      assert(diffs == 0, s"ntile($n) mismatch on $diffs rows")
+    }
+  }
+
+  test("ntileExact plans only partitioned windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = Ranking
+      .ntileExact(df, Seq(col("score"), col("id")), 10, "bin")
+      .queryExecution.optimizedPlan
+    val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(global.isEmpty, "found a partition-less window")
+  }
+}
