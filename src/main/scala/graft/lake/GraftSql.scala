@@ -3,8 +3,8 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.functions.{col, expr, lit, when}
 
 /** SQL-text front door for the one statement Spark can parse but not
   * execute without a v2 row-level-operation catalog: MERGE INTO — the
@@ -15,16 +15,30 @@ import org.apache.spark.sql.functions.{col, expr, lit}
   * `MergeIntoTable`, compiled onto the graft engine as joins + ONE
   * atomic commit. Supported forms:
   *
-  *   - `WHEN MATCHED [AND <cond>] THEN DELETE` — matched keys whose
-  *     joined (target, source) row satisfies the condition are removed
-  *     via a left-anti join.
+  *   - `WHEN MATCHED [AND <cond>] THEN DELETE` — matched rows whose
+  *     joined (target, source) row satisfies the condition are removed.
+  *   - `WHEN MATCHED [AND <cond>] THEN UPDATE SET c = expr, ...` and
+  *     `UPDATE SET *` — matched rows are rewritten with the
+  *     assignments (un-assigned target columns carry through; `SET *`
+  *     assigns every target column from the same-named source column).
   *   - `WHEN NOT MATCHED [AND <cond>] THEN INSERT *` — source rows
   *     whose key is absent from the (pre-merge) target are appended
   *     by name (schema evolution tolerated, as `append` does).
   *
-  * Any other statement delegates to `spark.sql` untouched; UPDATE
-  * actions are rejected with a pointer at CdcIngest, whose dedup/merge
-  * pipeline is the engine's upsert path.
+  * Matched actions follow SQL MERGE semantics: evaluated in
+  * declaration order per matched row, first satisfied condition wins;
+  * a matched row satisfying no action carries through unchanged. As
+  * one plan: inner-join target×source to resolve each matched row's
+  * action, anti-join the acted keys out of the target, union the
+  * rewritten update rows and the not-matched inserts, ONE atomic
+  * commit. Each leg is a shuffle-bounded join on the merge keys — no
+  * per-row driver work, broadcast when the source is small.
+  *
+  * The source is assumed key-unique (a CDC-deduped batch — the P5
+  * output); like Delta/Iceberg, multiple source matches for one
+  * target row make UPDATE ambiguous.
+  *
+  * Any other statement delegates to `spark.sql` untouched.
   */
 object GraftSql {
 
@@ -39,12 +53,14 @@ object GraftSql {
 
   private def executeMerge(spark: SparkSession, store: TableStore,
                            m: MergeIntoTable): DataFrame = {
-    require(m.matchedActions.forall(_.isInstanceOf[DeleteAction]) &&
+    require(m.matchedActions.forall(a => a.isInstanceOf[DeleteAction] ||
+        a.isInstanceOf[UpdateAction] || a.isInstanceOf[UpdateStarAction]) &&
       m.notMatchedActions.forall(_.isInstanceOf[InsertStarAction]) &&
       m.notMatchedBySourceActions.isEmpty &&
       (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty),
-      "graft MERGE supports WHEN MATCHED [AND <cond>] THEN DELETE and " +
-        "WHEN NOT MATCHED [AND <cond>] THEN INSERT *; use CdcIngest for upserts")
+      "graft MERGE supports WHEN MATCHED [AND <cond>] THEN DELETE | " +
+        "UPDATE SET ... | UPDATE SET *, and WHEN NOT MATCHED [AND <cond>] " +
+        "THEN INSERT *")
 
     val target = tableName(m.targetTable)
     val source = tableName(m.sourceTable)
@@ -60,38 +76,69 @@ object GraftSql {
     val dest = store.read(target)
     val updates = spark.table(source)
 
-    // Action conditions re-enter as Columns via their generated SQL and
-    // resolve against the statement's own aliases (t.x / u.y).
-    def anyCond(conds: Seq[Option[Expression]]): Column =
-      conds.map(_.map(e => expr(e.sql)).getOrElse(lit(true))).reduce(_ || _)
+    // Action conditions and assignment values re-enter as Columns via
+    // their generated SQL and resolve against the statement's own
+    // aliases (t.x / u.y).
+    def condOf(c: Option[Expression]): Column =
+      c.map(e => expr(e.sql)).getOrElse(lit(true))
 
-    val afterDelete =
+    val survivors =
       if (m.matchedActions.isEmpty) dest
       else {
-        val delCond = anyCond(m.matchedActions.collect {
-          case DeleteAction(c) => c
-        })
         val joinCond = keys.map(k => col(s"$tAlias.$k") === col(s"$uAlias.$k"))
           .reduce(_ && _)
-        val delKeys = dest.alias(tAlias).join(updates.alias(uAlias), joinCond)
-          .where(delCond)
-          .select(keys.map(k => col(s"$tAlias.$k").as(k)): _*)
-          .distinct()
-        dest.join(delKeys, keys, "left_anti")
+        // one inner join resolves every matched row's action: the
+        // first action (declaration order) whose condition holds
+        val actConds = m.matchedActions.map {
+          case DeleteAction(c) => condOf(c)
+          case UpdateAction(c, _, _) => condOf(c)
+          case UpdateStarAction(c) => condOf(c)
+        }
+        val act = actConds.zipWithIndex
+          .foldLeft(lit(null).cast("int")) { case (acc, (c, i)) =>
+            when(acc.isNotNull, acc).otherwise(when(c, lit(i)))
+          }
+        val matched = dest.alias(tAlias).join(updates.alias(uAlias), joinCond)
+          .withColumn("__act", act)
+          .where(col("__act").isNotNull)
+        // target rows whose action fired leave the table in one anti
+        // join; deletes end there, updates re-enter rewritten
+        val actedKeys = matched
+          .select(keys.map(k => col(s"$tAlias.$k").as(k)): _*).distinct()
+        val untouched = dest.join(actedKeys, keys, "left_anti")
+        val rewritten = m.matchedActions.zipWithIndex.collect {
+          case (UpdateAction(_, assigns, _), i) =>
+            val byName = assigns.map { a =>
+              val k = a.key match {
+                case u: UnresolvedAttribute => u.nameParts.last
+                case other => throw new IllegalArgumentException(
+                  s"unsupported assignment target ${other.sql}")
+              }
+              k.toLowerCase -> expr(a.value.sql)
+            }.toMap
+            matched.where(col("__act") === i).select(dest.columns.toIndexedSeq
+              .map(n => byName.getOrElse(n.toLowerCase,
+                col(s"$tAlias.$n")).as(n)): _*)
+          case (UpdateStarAction(_), i) =>
+            matched.where(col("__act") === i).select(dest.columns.toIndexedSeq
+              .map(n => col(s"$uAlias.$n").as(n)): _*)
+        }
+        rewritten.foldLeft(untouched)(
+          (acc, upd) => acc.unionByName(upd, allowMissingColumns = true))
       }
 
     val result =
-      if (m.notMatchedActions.isEmpty) afterDelete
+      if (m.notMatchedActions.isEmpty) survivors
       else {
-        val insCond = anyCond(m.notMatchedActions.collect {
-          case InsertStarAction(c) => c
-        })
+        val insCond = m.notMatchedActions.collect {
+          case InsertStarAction(c) => condOf(c)
+        }.reduce(_ || _)
         // NOT MATCHED is judged against the pre-merge target, so the
-        // anti join runs on `dest`, not `afterDelete`
+        // anti join runs on `dest`, not `survivors`
         val inserts = updates.alias(uAlias)
           .join(dest.select(keys.map(col): _*).distinct(), keys, "left_anti")
           .where(insCond)
-        afterDelete.unionByName(inserts, allowMissingColumns = true)
+        survivors.unionByName(inserts, allowMissingColumns = true)
       }
 
     store.overwrite(target, result)

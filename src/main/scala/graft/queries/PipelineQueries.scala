@@ -306,6 +306,45 @@ object PipelineQueries {
         |   OR c_custkey % 2 = 1
         |ORDER BY c_custkey""".stripMargin))
 
+  /** Upsert MERGE through the SQL front door: ordered matched actions
+    * (conditional DELETE wins over conditional multi-assignment
+    * UPDATE, first-match semantics) plus conditional INSERT — the full
+    * MERGE form, one atomic commit. The source equals the full
+    * customer table, so every matched (t, u) pair is the same row and
+    * the oracle can state each action branch as a plain predicate. */
+  val mergeSqlUpdate: Entry = Entry(
+    "cdc_merge_sql_update",
+    (s, dir) => {
+      val store = new TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-msqlu").toString)
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      store.create("destu", cust.where(col("c_custkey") % 2 === 0))
+      cust.createOrReplaceTempView("updates_upsert")
+      GraftSql.execute(s, store,
+        """MERGE INTO destu t USING updates_upsert u
+          |ON t.c_custkey = u.c_custkey
+          |WHEN MATCHED AND u.c_acctbal > 7000 THEN DELETE
+          |WHEN MATCHED AND u.c_acctbal > 2000 THEN UPDATE SET
+          |  c_acctbal = u.c_acctbal + 100, c_name = concat(t.c_name, '*')
+          |WHEN NOT MATCHED AND u.c_custkey % 3 = 0 THEN INSERT *""".stripMargin)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 2 = 0 AND c_acctbal <= 2000
+        |  UNION ALL
+        |  SELECT c_custkey, c_name || '*', c_acctbal + 100 FROM customer
+        |  WHERE c_custkey % 2 = 0 AND c_acctbal > 2000 AND c_acctbal <= 7000
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  WHERE c_custkey % 2 = 1 AND c_custkey % 3 = 0)
+        |SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM merged ORDER BY c_custkey""".stripMargin))
+
   /** TPC-H Q7 shape: two-nation volume shipping — multiway join with a
     * disjunctive cross-nation predicate + year bucketing. */
   val q7VolumeShipping: Entry = Entry(
@@ -442,6 +481,7 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    mergeSqlConditional, q7VolumeShipping, q9ProductProfit, q8MarketShare,
+    mergeSqlConditional, mergeSqlUpdate, q7VolumeShipping, q9ProductProfit,
+    q8MarketShare,
     q10ReturnedItems)
 }

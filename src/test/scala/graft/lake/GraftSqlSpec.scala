@@ -106,6 +106,63 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.read("ds").count() == 1) // nothing executed
   }
 
+  test("WHEN MATCHED THEN UPDATE SET applies multi-assignments to matched rows") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("du", Seq(("k1", 1, "a"), ("k2", 2, "b"), ("k3", 3, "c"))
+      .toDF("pk", "v", "tag"))
+    Seq(("k1", 10), ("k3", 30)).toDF("pk", "uv")
+      .createOrReplaceTempView("updu")
+    // assignments may mix source refs, target refs, and literals;
+    // unassigned columns (pk) carry through
+    GraftSql.execute(spark, store,
+      "MERGE INTO du t USING updu u ON t.pk = u.pk " +
+        "WHEN MATCHED THEN UPDATE SET v = u.uv + t.v, tag = concat(t.tag, '!')")
+    assert(store.read("du").orderBy("pk").as[(String, Int, String)].collect()
+      .toSeq == Seq(("k1", 11, "a!"), ("k2", 2, "b"), ("k3", 33, "c!")))
+  }
+
+  test("conditional UPDATE leaves non-qualifying matched rows untouched") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dcu", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
+    Seq(("k1", 100), ("k2", 1)).toDF("pk", "uv")
+      .createOrReplaceTempView("updcu")
+    GraftSql.execute(spark, store,
+      "MERGE INTO dcu t USING updcu u ON t.pk = u.pk " +
+        "WHEN MATCHED AND u.uv > 50 THEN UPDATE SET v = u.uv")
+    assert(store.read("dcu").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 100), ("k2", 2)))
+  }
+
+  test("matched actions fire in declaration order, first condition wins") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dord", Seq(("k1", 8), ("k2", 6), ("k3", 1))
+      .toDF("pk", "v"))
+    Seq("k1", "k2", "k3").toDF("pk").createOrReplaceTempView("updord")
+    // k1 (v=8) satisfies BOTH actions → the earlier DELETE wins;
+    // k2 (v=6) only the UPDATE; k3 (v=1) neither → untouched
+    GraftSql.execute(spark, store,
+      "MERGE INTO dord t USING updord u ON t.pk = u.pk " +
+        "WHEN MATCHED AND t.v > 7 THEN DELETE " +
+        "WHEN MATCHED AND t.v > 5 THEN UPDATE SET v = t.v * 10")
+    assert(store.read("dord").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k2", 60), ("k3", 1)))
+  }
+
+  test("UPDATE SET * rewrites matched rows from the source by name") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dstar", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
+    Seq(("k1", 99), ("k9", 9)).toDF("pk", "v")
+      .createOrReplaceTempView("updstar")
+    GraftSql.execute(spark, store,
+      "MERGE INTO dstar t USING updstar u ON t.pk = u.pk " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    assert(store.read("dstar").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 99), ("k2", 2), ("k9", 9)))
+    // full upsert, one commit
+    assert(store.currentVersion("dstar").contains(1L))
+  }
+
   test("unsupported merge forms are rejected with a clear error") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("d3", Seq(("k1", 1)).toDF("pk", "v"))
@@ -113,8 +170,8 @@ class GraftSqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       GraftSql.execute(spark, store,
         "MERGE INTO d3 t USING upd3 u ON t.pk = u.pk " +
-          "WHEN MATCHED THEN UPDATE SET *")
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
     }
-    assert(e.getMessage.contains("use CdcIngest for upserts"))
+    assert(e.getMessage.contains("graft MERGE supports"))
   }
 }
