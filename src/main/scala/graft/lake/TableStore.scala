@@ -1,7 +1,6 @@
 package graft.lake
 
-import org.apache.hadoop.fs.{FileAlreadyExistsException, FileContext, FileSystem, Options, Path}
-import java.nio.file.{Files, Paths, FileAlreadyExistsException => NioExistsException}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import java.nio.charset.StandardCharsets
@@ -24,18 +23,18 @@ import java.util.UUID
   * }}}
   *
   * Commit: write the batch's data files into a fresh `d-<uuid>` dir
-  * (never shared between writers), then CLAIM version n by exclusively
-  * creating `.claim-<n>` — O_EXCL create is the optimistic-concurrency
-  * primitive (java.nio on local file://, HDFS atomic create elsewhere):
-  * the loser gets a conflict and retries against the new current
-  * version, so concurrent appends serialize instead of silently losing
-  * a batch. The winner then publishes `manifest-<n>` fully-written via
-  * temp + rename-overwrite; manifests are the only source of truth
-  * (`currentVersion` = max manifest). A writer crashing between claim
-  * and manifest publish leaves a stale `.claim-<n>` that blocks the
-  * version — recovery = delete stale claims; production would give
-  * claims a TTL (S3: conditional PUT / DynamoDB lock, as Delta's
-  * LogStore does).
+  * (never shared between writers), then CLAIM version n exclusively
+  * via the pluggable [[CommitPrimitive]] — O_EXCL file create on
+  * file://‌/HDFS (the default), conditional PUT on S3-class object
+  * stores: the loser gets a conflict and retries against the new
+  * current version, so concurrent appends serialize instead of
+  * silently losing a batch. The winner then publishes `manifest-<n>`
+  * all-or-nothing (temp + rename-overwrite, or one atomic object
+  * PUT); manifests are the only source of truth (`currentVersion` =
+  * max manifest). A writer crashing between claim and manifest
+  * publish leaves a stale `.claim-<n>` that blocks the version —
+  * `recoverStaleClaims` gives claims a TTL (Delta LogStore-style
+  * lock takeover).
   *
   * Scale design: `append` is O(batch), not O(table) — it writes only
   * the new files and its manifest carries the previous version's files
@@ -53,9 +52,12 @@ import java.util.UUID
   * a vacuumed version then fails loudly on read instead of returning
   * partial data.
   */
-final class TableStore(spark: SparkSession, root: String) {
+final class TableStore(spark: SparkSession, root: String,
+                       primitive: Option[CommitPrimitive] = None) {
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
+  private val claims: CommitPrimitive =
+    primitive.getOrElse(new HadoopCommitPrimitive(hadoopConf))
   private def fs(p: Path): FileSystem = p.getFileSystem(hadoopConf)
   /** Fully-qualified table path — manifests store qualified URIs so
     * relative or scheme-qualified roots behave identically. */
@@ -65,9 +67,6 @@ final class TableStore(spark: SparkSession, root: String) {
   }
   private def manifestPath(table: String, v: Long): Path =
     new Path(tablePath(table), s"manifest-$v")
-  private def claimPath(table: String, v: Long): Path =
-    new Path(tablePath(table), s".claim-$v")
-  private def fc(p: Path): FileContext = FileContext.getFileContext(p.toUri, hadoopConf)
 
   /** S5: table-exists probe (icberg/iceberg_tables.py:73-78). */
   def exists(table: String): Boolean = currentVersion(table).isDefined
@@ -274,33 +273,15 @@ final class TableStore(spark: SparkSession, root: String) {
         throw new IllegalArgumentException(s"table $table already exists")
       }
       val v = cur.map(_ + 1).getOrElse(0L)
-      if (tryClaim(table, v)) {
+      if (claims.tryClaim(tablePath(table), v)) {
         if (mustCreate && createParts.nonEmpty)
           writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
             createParts.mkString(","))
-        val tmp = new Path(tablePath(table), s".manifest.${UUID.randomUUID()}.tmp")
-        writeSmallFile(tmp, (carried(cur) ++ newFiles).mkString("\n"))
-        fc(tmp).rename(tmp, manifestPath(table, v), Options.Rename.OVERWRITE)
+        claims.publish(manifestPath(table, v),
+          (carried(cur) ++ newFiles).mkString("\n"))
         committed = true
       }
       // lost the race: loop re-reads the new current version
-    }
-  }
-
-  /** Exclusive claim of version v: O_EXCL file create — java.nio for
-    * local file:// (Hadoop's local no-overwrite rename/create is
-    * check-then-act), HDFS-atomic create(overwrite=false) otherwise. */
-  private def tryClaim(table: String, v: Long): Boolean = {
-    val claim = claimPath(table, v)
-    if ("file" == claim.toUri.getScheme) {
-      try { Files.createFile(Paths.get(claim.toUri)); true }
-      catch { case _: NioExistsException => false }
-    } else {
-      try { fs(claim).create(claim, false).close(); true }
-      catch {
-        case _: FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.PathExistsException => false
-      }
     }
   }
 
@@ -316,16 +297,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * recovery. */
   def recoverStaleClaims(table: String, ttlMs: Long): Seq[Long] = {
     val dir = tablePath(table)
-    val f = fs(dir)
-    if (!f.exists(dir)) return Seq.empty
     val now = System.currentTimeMillis()
-    f.listStatus(dir).toSeq
-      .filter(_.getPath.getName.startsWith(".claim-"))
-      .flatMap { st =>
-        val v = st.getPath.getName.stripPrefix(".claim-").toLong
+    claims.listClaims(dir)
+      .flatMap { case (v, claimedAt) =>
         val published = fs(manifestPath(table, v)).exists(manifestPath(table, v))
-        if (!published && now - st.getModificationTime >= ttlMs) {
-          f.delete(st.getPath, false)
+        if (!published && now - claimedAt >= ttlMs) {
+          claims.deleteClaim(dir, v)
           Some(v)
         } else None
       }.sorted
@@ -357,7 +334,7 @@ final class TableStore(spark: SparkSession, root: String) {
       manifest(table, v).map(pathOf).filterNot(referenced.contains)
         .foreach(p => f.delete(new Path(p), false))
       f.delete(manifestPath(table, v), false)
-      f.delete(claimPath(table, v), false)
+      claims.deleteClaim(tablePath(table), v)
     }
     // drop data/delete dirs emptied of parquet files
     f.listStatus(tablePath(table)).toSeq
