@@ -90,6 +90,31 @@ object EventQueries {
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM z GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin))
 
+  /** Batch pin of the streaming windowed-counts surface: runs the
+    * SAME `StreamingIngest.windowedCounts` operator (watermarked
+    * event-time tumbling aggregation) on the bounded events table —
+    * the watermark node is eliminated on batch input, leaving exactly
+    * the windowed aggregation a running stream computes per window.
+    * With the oracle row checked here and StreamingIngestSpec
+    * asserting stream == batch on the same input, the streaming
+    * surface is transitively oracle-pinned. */
+  val windowedCountsBatch: Entry = Entry(
+    "streaming_windowed_counts_batch",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(Tables.nsToTimestamp("ts").as("ts_t"),
+          col("event_type"), col("value"))
+      graft.streaming.StreamingIngest
+        .windowedCounts(ev, "ts_t", "1 hour", "2 hours")
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+    Some("""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY hour, event_type
+        |ORDER BY hour, event_type""".stripMargin))
+
   /** Pivot-style conditional aggregation (event-type counts as columns). */
   val pivotCounts: Entry = Entry(
     "events_pivot_type_counts",
@@ -186,5 +211,5 @@ object EventQueries {
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin))
 
   val entries: Seq[Entry] = Seq(jsonExtract, hourlyAgg, sessionize,
-    pivotCounts, asofLastView, rangeJoinWindows)
+    pivotCounts, asofLastView, rangeJoinWindows, windowedCountsBatch)
 }

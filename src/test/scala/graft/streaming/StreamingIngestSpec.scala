@@ -122,6 +122,44 @@ class StreamingIngestSpec extends SparkSpec {
       (8L, "2024-01-01 10:05:00", 1L)))
   }
 
+  test("windowed counts: a real stream converges to the batch result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val rows = Seq(
+      ("2024-01-01 10:01:00", "click", 1.0),
+      ("2024-01-01 10:04:00", "click", 2.0),
+      ("2024-01-01 10:06:00", "view", 3.0),
+      ("2024-01-01 10:03:30", "view", 0.5), // late, within watermark
+      ("2024-01-01 10:11:00", "click", 4.0))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start").cast("string").as("start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("start", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    val in = MemoryStream[(String, String, Double)]
+    val stream = in.toDF().toDF("ts_str", "event_type", "value")
+      .withColumn("ts", col("ts_str").cast("timestamp"))
+    val q = StreamingIngest.windowedCounts(stream, "ts", "5 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("wc_stream")
+      .outputMode("complete").start()
+    try {
+      // two micro-batches with the late row split across them
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = shape(spark.table("wc_stream"))
+      val batch = shape(StreamingIngest.windowedCounts(
+        rows.toDF("ts_str", "event_type", "value")
+          .withColumn("ts", col("ts_str").cast("timestamp")),
+        "ts", "5 minutes", "10 minutes"))
+      // the operator the oracle-checked batch query pins IS what the
+      // stream computes
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over bounded events input") {
     val events = Seq(
       (1L, "2024-01-01 10:01:00", "click", 1.0),
