@@ -127,6 +127,53 @@ object Dedup {
           size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
   }
 
+  /** Connected components over an undirected edge list — the cluster
+    * step that turns near-dup PAIRS into dedup GROUPS (keep one doc
+    * per component). Iterated min-label propagation: every round each
+    * node adopts the minimum label among itself and its neighbors;
+    * at fixpoint each node's label is the smallest node id in its
+    * component.
+    *
+    * Scale: each round is one hash-partitioned equi-join + groupBy
+    * over (id, label) pairs — no single-reducer stage, no driver-side
+    * graph. Labels are localCheckpointed per round (iterative lineage
+    * would otherwise re-derive every prior round per reference);
+    * convergence is a driver-side emptiness probe (A2-style).
+    * Rounds needed = the largest component's diameter — near-dup
+    * clusters (mirror families, boilerplate) are shallow; for
+    * adversarially long path graphs use a star-contraction variant.
+    * Converges-or-throws within `maxIters` rather than returning
+    * half-propagated labels.
+    *
+    * Returns (id, component) for every node incident to an edge. */
+  def connectedComponents(edges: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxIters: Int = 20): DataFrame = {
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    while (iter < maxIters) {
+      iter += 1
+      val msgs = und.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.union(msgs).groupBy("id")
+        .agg(min("component").as("component"))
+        .localCheckpoint()
+      val changed = !next
+        .join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .where(col("component") =!= col("old"))
+        .isEmpty
+      labels = next
+      if (!changed) return labels
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "component diameter exceeds the bound; raise maxIters")
+  }
+
   /** SimHash (32-bit) from token hashes: per-bit majority vote over a
     * 32-bit token hash. Near-dups = small Hamming distance. The token
     * hash is the first 8 hex chars of md5 parsed as an integer — same

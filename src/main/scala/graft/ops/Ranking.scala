@@ -24,15 +24,22 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   /** Frame range-partitioned on the keys plus a pinned partition id,
-    * its per-partition row counts, and the grand total. The counts
-    * job and the downstream consumer recompute the same shuffle; the
-    * range partitioner's sampling is deterministic on identical input,
-    * so both executions agree on every row's partition.
+    * its per-partition row counts, and the grand total.
+    *
+    * The frame is localCheckpointed BEFORE the counts job: the range
+    * partitioner re-samples its boundaries on every materialization
+    * of the exchange, so without the checkpoint the counts job and
+    * the downstream rank job can disagree on which partition a row
+    * lands in — shifting every offset (observed at sf0.01: ~97% of
+    * ranks off). One materialization, both jobs read it. This is the
+    * TeraSort discipline: compute boundaries once, reuse; the
+    * checkpointed frame is only the (narrow) sort-key projection.
     */
   private def rangeParted(df: DataFrame, orderCols: Seq[Column],
                           numPartitions: Int): (DataFrame, Array[Long], Long) = {
     val parted = df.repartitionByRange(numPartitions, orderCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint()
     val counts = Array.fill[Long](numPartitions)(0L)
     parted.groupBy("__gr_pid").count().collect()
       .foreach(r => counts(r.getInt(0)) = r.getLong(1))

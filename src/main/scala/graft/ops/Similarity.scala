@@ -199,15 +199,27 @@ object Similarity {
     * search is an equi-join on the centroid id. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(corpus, probes,
+      kmeansCentroids(corpus, nlist, kmeansIters, idCol, vecCol),
+      k, nprobe, idCol, vecCol)
+
+  /** The search half of IVF against an already-trained (or otherwise
+    * fixed) (cent_id, cvec) centroid set. Assignment cosines are
+    * rounded to 4dp before the argmax/rank with a cent_id tiebreak —
+    * the same rounded-compare discipline as the pair scores — so an
+    * oracle holding the identical centroid literals reproduces list
+    * assignment exactly. */
+  def ivfSearch(corpus: DataFrame, probes: DataFrame, cents: DataFrame,
+                k: Int, nprobe: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val cents = kmeansCentroids(corpus, nlist, kmeansIters, idCol, vecCol)
     def assign(df: DataFrame, asId: String, asVec: String, keep: Int): DataFrame = {
       val scored = df.select(col(idCol).as(asId), col(vecCol).as(asVec))
         .join(broadcast(cents))
         .select(col(asId), col(asVec), col("cent_id"),
-          cosine(col(asVec), col("cvec")).as("ccos"))
+          round(cosine(col(asVec), col("cvec")), 4).as("ccos"))
       if (keep == 1)
         // hash-agg argmax: no per-key sort (see kmeansCentroids)
         scored.groupBy(col(asId))

@@ -61,6 +61,34 @@ object TextOps {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Sequence packing by stream concatenation — the pass that turns a
+    * ragged document corpus into fixed-`budget`-token training
+    * examples (GPT-style: documents laid end-to-end, cut every
+    * `budget` tokens). Documents are concatenated per stream in
+    * `idCol` order; each doc's pack is the example its FIRST token
+    * lands in: `pack_id = start_offset div budget`.
+    *
+    * `streamCols` shards the corpus into independent streams (e.g.
+    * (lang, doc_id % k)): packing is inherently sequential within a
+    * stream, so shard count — not corpus size — bounds the window
+    * parallelism; any deterministic sharding yields valid packs.
+    * The running sum is a partitioned cumulative window: one shuffle
+    * on the stream key, no single-reducer stage.
+    *
+    * Returns the input plus (start_off, pack_id, n_tokens). */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    budget: Int, streamCols: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "token budget must be positive")
+    val w = Window.partitionBy(streamCols: _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+      .withColumn("start_off",
+        sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("pack_id",
+        (col("start_off") / lit(budget)).cast("long"))
+  }
+
   /** Content fingerprint: md5 of head shingle + token count + char
     * count — a cheap document signature for blocking. */
   def fingerprint(text: Column): Column = {

@@ -345,6 +345,43 @@ object PipelineQueries {
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM merged ORDER BY c_custkey""".stripMargin))
 
+  /** Exact global percentiles by distributed rank selection: the
+    * scalable alternative to a single `percentile` aggregate when the
+    * exact order statistic (not an interpolation) is wanted —
+    * [[graft.ops.Ranking.globalRowNumber]] range-partitions the sort,
+    * then the rows at ranks ceil(p·N) are picked by a broadcast join
+    * against the three target ranks. No single-reducer stage. */
+  val exactPercentiles: Entry = Entry(
+    "exact_percentiles_rank",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("price"),
+          col("l_orderkey"), col("l_linenumber"))
+      val n = li.count()
+      val targets = Seq("p50" -> 50L, "p90" -> 90L, "p99" -> 99L)
+        .map { case (lbl, p) => (lbl, (n * p + 99) / 100) }
+        .toDF("pctl", "r")
+      graft.ops.Ranking
+        .globalRowNumber(li,
+          Seq(col("price"), col("l_orderkey"), col("l_linenumber")), "r")
+        .join(broadcast(targets), "r")
+        .select("pctl", "r", "price")
+        .orderBy("pctl")
+    },
+    Some("""WITH li AS (
+        |  SELECT l_extendedprice AS price, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT price, row_number() OVER (
+        |    ORDER BY price, l_orderkey, l_linenumber) AS r
+        |  FROM li),
+        |n AS (SELECT count(*) AS n FROM li),
+        |t(pctl, p) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        |SELECT t.pctl, rk.r, rk.price
+        |FROM t JOIN n ON TRUE JOIN rk ON rk.r = (n.n * t.p + 99) // 100
+        |ORDER BY t.pctl""".stripMargin))
+
   /** TPC-H Q7 shape: two-nation volume shipping — multiway join with a
     * disjunctive cross-nation predicate + year bucketing. */
   val q7VolumeShipping: Entry = Entry(
@@ -481,7 +518,7 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    mergeSqlConditional, mergeSqlUpdate, q7VolumeShipping, q9ProductProfit,
-    q8MarketShare,
+    mergeSqlConditional, mergeSqlUpdate, exactPercentiles, q7VolumeShipping,
+    q9ProductProfit, q8MarketShare,
     q10ReturnedItems)
 }

@@ -17,7 +17,18 @@ import graft.ops.Cdc
 object Queries {
   type QFn = (SparkSession, String) => DataFrame
 
-  final case class Entry(name: String, fn: QFn, oracle: Option[String])
+  /** A registered query. `oracleFn` is evaluated when the oracle map
+    * is dumped — AFTER Verify has run every query — so an oracle may
+    * embed values the query derived from the data at runtime (e.g.
+    * trained k-means centroids as literals, the dynamic extension of
+    * the seeded-LSH-plane trick). Most entries pass a static
+    * Option[String]. */
+  final case class Entry(name: String, fn: QFn, oracleFn: () => Option[String])
+
+  object Entry {
+    def apply(name: String, fn: QFn, oracle: Option[String]): Entry =
+      new Entry(name, fn, () => oracle)
+  }
 
   private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
@@ -301,5 +312,5 @@ object Queries {
   def queries: Map[String, QFn] =
     entries.map(e => e.name -> e.fn).toMap
   def oracleSql: Map[String, String] =
-    entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+    entries.flatMap(e => e.oracleFn().map(e.name -> _)).toMap
 }

@@ -183,6 +183,80 @@ object TextQueries {
         |    / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5
         |ORDER BY a, b""".stripMargin))
 
+  /** Near-dup clusters: the verified minhash pairs promoted to
+    * connected components (min-label propagation) — the step that
+    * elects ONE representative per duplicate family instead of
+    * dropping both ends of every pair. Oracle: the same pairs CTE
+    * plus a recursive min-label closure — each node's component is
+    * the smallest doc_id it can reach. */
+  val nearDupComponents: Entry = Entry(
+    "neardup_components",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      val pairs = Dedup.jaccard(docs, "doc_id", "text", cands)
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      Dedup.connectedComponents(pairs).orderBy("id")
+    },
+    Some(s"""WITH RECURSIVE ${minhashBandsSql("documents")},
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id),
+        |toksets AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a, b FROM cands JOIN toksets ta ON a = ta.doc_id
+        |  JOIN toksets tb ON b = tb.doc_id
+        |  WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a)
+        |SELECT id, min(lbl) AS component FROM reach
+        |GROUP BY id ORDER BY id""".stripMargin))
+
+  /** Sequence packing (TextOps.packSequences): documents concatenated
+    * per (lang, shard) stream in doc_id order, cut into 512-token
+    * training examples; per-pack fill stats. The cumulative window is
+    * partitioned by the stream key — sharding, not corpus size,
+    * bounds each window. */
+  val sequencePacking: Entry = Entry(
+    "sequence_packing",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(4)).cast("long"))
+      TextOps.packSequences(docs, "doc_id", "text",
+          budget = 512, streamCols = Seq(col("lang"), col("shard")))
+        .groupBy("lang", "shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("pack_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("lang", "shard", "pack_id")
+    },
+    Some("""WITH q AS (
+        |  SELECT lang, doc_id % 4 AS shard, doc_id,
+        |         len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang, shard
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |    AS BIGINT) AS start_off
+        |  FROM q)
+        |SELECT lang, shard, start_off // 512 AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY lang, shard, pack_id
+        |ORDER BY lang, shard, pack_id""".stripMargin))
+
   /** N-gram (token-set) Jaccard near-dup on a blocked subset — the
     * exact-verify counterpart without LSH, lang-blocked to bound pairs. */
   val ngramJaccard: Entry = Entry(
@@ -536,6 +610,7 @@ object TextQueries {
 
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
-    ngramJaccard, simhashSig, curationE2e, winnowPairs, corpusMix,
-    curriculumBins, cdcChunkShared, decontamination)
+    nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
+    corpusMix, curriculumBins, cdcChunkShared, decontamination,
+    sequencePacking)
 }

@@ -182,18 +182,84 @@ object VectorQueries {
         |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin))
 
-  /** IVF-style ANN (inverted lists by nearest centroid; rows-only
-    * check, recall tested in OpsSpec against brute force). */
-  val ivfTopK: Entry = Entry(
+  /** Oracle SQL for ivf_ann_topk, derived when the query runs: the
+    * k-means training is deterministic (lowest-id seeds, 2 fixed
+    * iterations), so the trained centroids become VALUES literals —
+    * the dynamic extension of the seeded-plane trick. Entry.oracleFn
+    * is read after Verify has executed the queries, so the literals
+    * match the scale factor being verified. */
+  @volatile private var ivfOracle: Option[String] = None
+
+  /** IVF-style ANN: inverted lists by nearest trained centroid,
+    * probes search their 4 closest of 16 lists. With the trained
+    * centroids embedded as literals, the oracle reproduces list
+    * assignment (rounded cosine, cent_id tiebreak) and the candidate
+    * search exactly; recall vs brute force is additionally tested in
+    * OpsSpec. */
+  val ivfTopK: Entry = new Entry(
     "ivf_ann_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 5,
-          nlist = 16, nprobe = 4)
+      val cents = Similarity.kmeansCentroids(emb, nlist = 16, iterations = 2)
+      val centValues = cents.collect().map { r =>
+        val cid = r.get(0)
+        val vec = r.getSeq[Float](1)
+        vec.zipWithIndex
+          .map { case (x, i) => s"($cid, ${i + 1}, ${x.toDouble})" }
+          .mkString(", ")
+      }.mkString(", ")
+      ivfOracle = Some(
+        s"""WITH exp AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |cent(cent_id, i, cx) AS (VALUES $centValues),
+           |norms AS (
+           |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+           |cnorms AS (
+           |  SELECT cent_id, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY cent_id),
+           |cdots AS (
+           |  SELECT e.vec_id, c.cent_id, sum(e.x * c.cx) AS dp
+           |  FROM exp e JOIN cent c ON e.i = c.i
+           |  GROUP BY e.vec_id, c.cent_id),
+           |cscore AS (
+           |  SELECT vec_id, cent_id, round(dp / (n.nrm * cn.cnrm), 4) AS ccos
+           |  FROM cdots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cent_id)),
+           |assign AS (
+           |  SELECT vec_id AS vid, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY ccos DESC, cent_id) AS r
+           |    FROM cscore) WHERE r = 1),
+           |probes AS (
+           |  SELECT vec_id AS qid, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY ccos DESC, cent_id) AS r
+           |    FROM cscore WHERE vec_id < 5) WHERE r <= 4),
+           |cands AS (
+           |  SELECT p.qid, a.vid FROM probes p JOIN assign a
+           |  ON p.cent_id = a.cent_id WHERE p.qid <> a.vid),
+           |dots AS (
+           |  SELECT cd.qid, cd.vid, sum(eq.x * ec.x) AS dp
+           |  FROM cands cd
+           |  JOIN exp eq ON eq.vec_id = cd.qid
+           |  JOIN exp ec ON ec.vec_id = cd.vid AND eq.i = ec.i
+           |  GROUP BY cd.qid, cd.vid),
+           |scored AS (
+           |  SELECT qid, vid, round(dp / (nq.nrm * nc.nrm), 4) AS cos
+           |  FROM dots JOIN norms nq ON qid = nq.vec_id
+           |  JOIN norms nc ON vid = nc.vec_id),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos DESC, vid) AS rnk
+           |  FROM scored)
+           |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin)
+      Similarity.ivfSearch(emb, emb.where(col("vec_id") < 5), cents,
+          k = 5, nprobe = 4)
         .select("qid", "rnk", "vid", "cos")
         .orderBy("qid", "rnk")
     },
-    None)
+    () => ivfOracle)
 
   /** Int8 quantization quality report: per label, the worst absolute
     * reconstruction error and the worst original↔reconstructed cosine

@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-components clustering and sequence packing — the two
+  * round-3 pipeline additions with sequential-looking semantics that
+  * must stay shuffle-parallel. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels a path, a triangle, and a pair") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),       // path 1-2-3-4
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (21L, 20L))                         // lone pair, reversed order
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within the bound") {
+    val edges = (1 until 15).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 15 && labels.forall(_._2 == 1L))
+  }
+
+  test("connectedComponents throws instead of returning partial labels") {
+    val edges = (1 until 10).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIters = 2)
+    }
+  }
+
+  test("packSequences assigns packs by concatenated start offset") {
+    val docs = Seq(
+      (1L, "x", "a b c"),   // start 0  -> pack 0
+      (2L, "x", "d e f"),   // start 3  -> pack 0
+      (3L, "x", "g h"),     // start 6  -> pack 1 (budget 5)
+      (4L, "y", "i j k l m n"), // own stream: start 0 -> pack 0
+      (5L, "y", "o"))       // start 6 -> pack 1
+      .toDF("doc_id", "lang", "text")
+    val got = TextOps.packSequences(docs, "doc_id", "text",
+        budget = 5, streamCols = Seq(col("lang")))
+      .select("doc_id", "start_off", "pack_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 6L, 1L),
+      (4L, 0L, 0L), (5L, 6L, 1L)))
+  }
+}
