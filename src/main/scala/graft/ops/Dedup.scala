@@ -148,9 +148,15 @@ object Dedup {
     * Returns (id, component) for every node incident to an edge. */
   def connectedComponents(edges: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIters: Int = 20): DataFrame = {
+    // checkpoint the adjacency ONCE: edges often arrive as the output
+    // of an expensive pipeline (LSH candidates + verify), and every
+    // propagation round joins against them — without the checkpoint
+    // each round would recompute the whole edge derivation (measured
+    // 4-5x the query cost). The checkpointed frame is two ids per edge.
     val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
       .localCheckpoint()

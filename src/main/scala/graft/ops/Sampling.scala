@@ -35,6 +35,27 @@ object Sampling {
                  salt: String): DataFrame =
     df.where(hashGate(col(idCol), fraction, salt))
 
+  /** Exact-size deterministic stratified sample: the `n` rows of each
+    * stratum whose salted hash ranks smallest — hash-gating's
+    * fixed-COUNT counterpart (a fraction gate yields a binomial-sized
+    * sample; eval sets and per-source quotas need exact counts).
+    * Selection is still engine/partitioning/run-independent: the hash
+    * is the order, the id the tiebreak. One partitioned window per
+    * stratum — rank pruning (WindowGroupLimit) keeps the shuffle at
+    * ≤ n rows per (stratum, map partition), so a 100 TB stratum ships
+    * n rows, not its population. */
+  def stratifiedExact(df: DataFrame, strataCol: String, idCol: String,
+                      n: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "sample size must be positive")
+    val h = Sketches.hash48(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = Window.partitionBy(strataCol).orderBy(col("__sh"), col(idCol))
+    df.withColumn("__sh", h)
+      .withColumn("__sr", row_number().over(w))
+      .where(col("__sr") <= n)
+      .drop("__sh", "__sr")
+  }
+
   /** Mix sources at per-source rates in ONE pass over a combined
     * frame: `rates` maps values of `sourceCol` to keep-fractions
     * (missing sources use `defaultRate`). The gate composes as a

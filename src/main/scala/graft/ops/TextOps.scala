@@ -61,6 +61,36 @@ object TextOps {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Sliding-window chunking with overlap — the retrieval/context-prep
+    * counterpart of content-defined chunking: fixed `width`-token
+    * windows every `stride` tokens (stride < width ⇒ overlapping
+    * chunks). Pure per-row array expressions (sequence → slice →
+    * explode): embarrassingly parallel, no shuffle at all until the
+    * caller aggregates. Emits one row per (doc, chunk): chunk_idx,
+    * chunk start offset, text and token count of the chunk. Every doc
+    * emits at least one chunk (a short doc is its own chunk). */
+  def slidingChunks(df: DataFrame, idCol: String, textCol: String,
+                    width: Int, stride: Int): DataFrame = {
+    require(width > 0 && stride > 0, "width and stride must be positive")
+    val toks = tokens(col(textCol))
+    // number of windows: 1 + ceil(max(len - width, 0) / stride), via
+    // integer arithmetic on the token count
+    val extra = greatest(size(toks) - width, lit(0))
+    val nChunks = lit(1) + (extra + (stride - 1)).cast("long") / lit(stride)
+    val chunks = transform(
+      sequence(lit(0L), nChunks.cast("long") - 1),
+      k => struct(k.as("chunk_idx"),
+        (k * stride).as("chunk_off"),
+        concat_ws(" ", slice(toks, (k * stride + 1).cast("int"), lit(width)))
+          .as("chunk_text")))
+    df.select(col(idCol), explode(chunks).as("c"))
+      .select(col(idCol),
+        col("c.chunk_idx").cast("long").as("chunk_idx"),
+        col("c.chunk_off").cast("long").as("chunk_off"),
+        col("c.chunk_text").as("chunk_text"))
+      .withColumn("chunk_tokens", tokenCount(col("chunk_text")).cast("long"))
+  }
+
   /** Sequence packing by stream concatenation — the pass that turns a
     * ragged document corpus into fixed-`budget`-token training
     * examples (GPT-style: documents laid end-to-end, cut every

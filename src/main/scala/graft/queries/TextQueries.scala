@@ -223,6 +223,82 @@ object TextQueries {
         |SELECT id, min(lbl) AS component FROM reach
         |GROUP BY id ORDER BY id""".stripMargin))
 
+  /** Exact-size deterministic stratified sample (Sampling
+    * .stratifiedExact): the 20 docs per lang with the smallest salted
+    * hashes — same selection on any engine/partitioning/run, asserted
+    * by the oracle picking identical rows from the replayed hash. */
+  val stratifiedSample: Entry = Entry(
+    "stratified_sample_exact",
+    (s, dir) => graft.ops.Sampling.stratifiedExact(t(s, dir, "documents"),
+        "lang", "doc_id", n = 20, salt = "strat1")
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id"),
+    Some(s"""WITH h AS (
+        |  SELECT lang, doc_id,
+        |    ${OracleSql.hex12ToBigint("md5(CAST(doc_id AS VARCHAR) || ':strat1')")} AS hh
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang
+        |      ORDER BY hh, doc_id) AS rn FROM h)
+        |SELECT lang, doc_id FROM r WHERE rn <= 20
+        |ORDER BY lang, doc_id""".stripMargin))
+
+  /** Per-language heavy hitters: top-10 bigrams by document frequency
+    * — the vocabulary/boilerplate scan over a corpus. One shuffle on
+    * (lang, bigram) with map-side partial counts, then a per-lang
+    * top-k window (WindowGroupLimit-pruned). Shingle construction is
+    * shared with the minhash family, so the oracle replays it
+    * verbatim. */
+  val bigramTop: Entry = Entry(
+    "bigram_top_per_lang",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bg = t(s, dir, "documents")
+        .select(col("lang"), explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+      val counts = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("lang").orderBy(col("df").desc, col("bigram"))
+      counts.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 10)
+        .orderBy("lang", "rnk")
+    },
+    Some("""WITH bg AS (
+        |  SELECT lang, unnest(list_distinct([array_to_string(toks[i:i+1], ' ')
+        |           FOR i IN range(1, greatest(len(toks), 2))])) AS bigram
+        |  FROM (SELECT lang, doc_id, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |c AS (SELECT lang, bigram, count(*) AS df FROM bg GROUP BY lang, bigram),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY df DESC, bigram) AS rnk FROM c)
+        |SELECT lang, bigram, df, rnk FROM r WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin))
+
+  /** Sliding-window chunking (TextOps.slidingChunks): 8-token windows
+    * every 4 tokens — the overlapping-chunk pass for retrieval
+    * indexing. Pure per-row array expressions; the oracle replays the
+    * same window arithmetic with a list comprehension. Bounded to
+    * doc_id < 50 so the per-chunk text rows stay comparable. */
+  val slidingChunksQ: Entry = Entry(
+    "sliding_chunks_windows",
+    (s, dir) => TextOps.slidingChunks(
+        t(s, dir, "documents").where(col("doc_id") < 50),
+        "doc_id", "text", width = 8, stride = 4)
+      .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH q AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |         1 + (greatest(len(toks) - 8, 0) + 3) // 4 AS nc
+        |  FROM q),
+        |ch AS (
+        |  SELECT doc_id, unnest([{'i': k, 'o': k * 4,
+        |      't': array_to_string(toks[k*4+1 : k*4+8], ' ')}
+        |    FOR k IN range(0, nc)]) AS c
+        |  FROM n)
+        |SELECT doc_id, c.i AS chunk_idx, c.o AS chunk_off,
+        |  c.t AS chunk_text, len(string_split(c.t, ' ')) AS chunk_tokens
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
+
   /** Sequence packing (TextOps.packSequences): documents concatenated
     * per (lang, shard) stream in doc_id order, cut into 512-token
     * training examples; per-pack fill stats. The cumulative window is
@@ -612,5 +688,5 @@ object TextQueries {
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
-    sequencePacking)
+    sequencePacking, stratifiedSample, bigramTop, slidingChunksQ)
 }

@@ -75,6 +75,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no top-k pruning:\n$p")
   }
 
+  test("stratified exact sample prunes with WindowGroupLimit (ships n rows per stratum)") {
+    val p = plan(graft.ops.Sampling.stratifiedExact(
+      Tables.load(spark, dir, "documents"), "lang", "doc_id", 20, "s"))
+    assert(p.contains("WindowGroupLimit"),
+      s"no top-n pruning — a 100 TB stratum would ship whole:\n$p")
+  }
+
   test("minhash band self-join reuses the signature exchange, not recomputes it") {
     // the candidate join's two sides are the same explode→groupBy
     // signature pipeline under different aliases; exchange reuse must

@@ -36,6 +36,24 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(big)) // nested splits: grow a sample stably
   }
 
+  test("stratifiedExact returns exactly n per stratum, stable under repartitioning") {
+    val df = spark.range(3000)
+      .select(col("id"), (col("id") % 3).cast("string").as("grp"))
+    val a = Sampling.stratifiedExact(df, "grp", "id", n = 25, salt = "x")
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.stratifiedExact(df.repartition(13), "grp", "id",
+        n = 25, salt = "x")
+      .select("id").as[Long].collect().toSet
+    assert(a == b, "selection changed under repartitioning")
+    val sizes = Sampling.stratifiedExact(df, "grp", "id", n = 25, salt = "x")
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("0" -> 25L, "1" -> 25L, "2" -> 25L))
+    // a stratum smaller than n is returned whole
+    val tiny = Sampling.stratifiedExact(df.where(col("id") < 5), "grp", "id",
+      n = 25, salt = "x")
+    assert(tiny.count() == 5)
+  }
+
   test("mixBySource applies per-source rates") {
     val df = spark.range(6000)
       .select(col("id"), when(col("id") % 2 === 0, "a").otherwise("b").as("src"))
