@@ -37,10 +37,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { run(fn(spark, sfDir)); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, samples.min, samples.max)
+      // min over SUCCESSFUL reps only: a failing rep returns almost
+      // instantly and would otherwise win the min, reporting a fake
+      // speedup that hides both the failure and any real regression
+      val good = samples.collect { case (t, true) => t }
+      val pool = if (good.nonEmpty) good else samples.map(_._1)
+      (name, pool.min, pool.max)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

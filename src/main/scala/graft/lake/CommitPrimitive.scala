@@ -15,8 +15,8 @@ import java.util.UUID
   *     ([[HadoopCommitPrimitive]], the default);
   *   - S3-class object stores — conditional PUT (`If-None-Match: *`)
   *     for the claim and a plain atomic PUT for the manifest (no
-  *     rename exists there; see the fake-S3 impl in TableStoreSpec
-  *     proving the swap-in point).
+  *     rename exists there; see FakeS3Primitive in
+  *     CommitPrimitiveSpec proving the swap-in point).
   *
   * Protocol contract (TableStore.commit): `tryClaim(v)` must succeed
   * for EXACTLY ONE writer per (table, v) — the loser re-reads the

@@ -28,11 +28,12 @@ import org.apache.spark.sql.functions.{col, expr, lit, when}
   * Matched actions follow SQL MERGE semantics: evaluated in
   * declaration order per matched row, first satisfied condition wins;
   * a matched row satisfying no action carries through unchanged. As
-  * one plan: inner-join target×source to resolve each matched row's
-  * action, anti-join the acted keys out of the target, union the
-  * rewritten update rows and the not-matched inserts, ONE atomic
-  * commit. Each leg is a shuffle-bounded join on the merge keys — no
-  * per-row driver work, broadcast when the source is small.
+  * one plan: a single left-outer join target×source classifies each
+  * target ROW's action; deletes are filtered out, one projection
+  * CASEs each column over the action index (update assignments or
+  * the carried target value), and the not-matched inserts union in —
+  * ONE join pass, ONE atomic commit. Shuffle-bounded on the merge
+  * keys, broadcast when the source is small.
   *
   * The source is assumed key-unique (a CDC-deduped batch — the P5
   * output); like Delta/Iceberg, multiple source matches for one
@@ -87,8 +88,15 @@ object GraftSql {
       else {
         val joinCond = keys.map(k => col(s"$tAlias.$k") === col(s"$uAlias.$k"))
           .reduce(_ && _)
-        // one inner join resolves every matched row's action: the
-        // first action (declaration order) whose condition holds
+        // ONE left-outer join classifies every target ROW (not key):
+        // __act = index of the first action (declaration order) whose
+        // condition holds, null for unmatched rows and matched rows no
+        // action claims — both carry through unchanged. Row-level
+        // classification matters: with duplicate target keys, a
+        // key-level anti-join would silently drop a sibling row whose
+        // own conditions all failed. The `__m` marker (not the action
+        // conditions) decides matched-ness, so a condition like
+        // `u.x IS NULL` can't fire on unmatched rows.
         val actConds = m.matchedActions.map {
           case DeleteAction(c) => condOf(c)
           case UpdateAction(c, _, _) => condOf(c)
@@ -98,33 +106,47 @@ object GraftSql {
           .foldLeft(lit(null).cast("int")) { case (acc, (c, i)) =>
             when(acc.isNotNull, acc).otherwise(when(c, lit(i)))
           }
-        val matched = dest.alias(tAlias).join(updates.alias(uAlias), joinCond)
-          .withColumn("__act", act)
-          .where(col("__act").isNotNull)
-        // target rows whose action fired leave the table in one anti
-        // join; deletes end there, updates re-enter rewritten
-        val actedKeys = matched
-          .select(keys.map(k => col(s"$tAlias.$k").as(k)): _*).distinct()
-        val untouched = dest.join(actedKeys, keys, "left_anti")
-        val rewritten = m.matchedActions.zipWithIndex.collect {
-          case (UpdateAction(_, assigns, _), i) =>
-            val byName = assigns.map { a =>
-              val k = a.key match {
-                case u: UnresolvedAttribute => u.nameParts.last
-                case other => throw new IllegalArgumentException(
-                  s"unsupported assignment target ${other.sql}")
-              }
-              k.toLowerCase -> expr(a.value.sql)
-            }.toMap
-            matched.where(col("__act") === i).select(dest.columns.toIndexedSeq
-              .map(n => byName.getOrElse(n.toLowerCase,
-                col(s"$tAlias.$n")).as(n)): _*)
-          case (UpdateStarAction(_), i) =>
-            matched.where(col("__act") === i).select(dest.columns.toIndexedSeq
-              .map(n => col(s"$uAlias.$n").as(n)): _*)
+        val joined = dest.alias(tAlias)
+          .join(updates.withColumn("__m", lit(1)).alias(uAlias),
+            joinCond, "left_outer")
+          .withColumn("__act", when(col("__m").isNotNull, act))
+        // deletes drop; every other row is produced by ONE projection
+        // whose columns CASE over the action index (update assignments
+        // per leg, else the target value) — single pass, no union of
+        // re-executed join legs
+        val deleteIdx = m.matchedActions.zipWithIndex.collect {
+          case (_: DeleteAction, i) => i
         }
-        rewritten.foldLeft(untouched)(
-          (acc, upd) => acc.unionByName(upd, allowMissingColumns = true))
+        val assignsByIdx: Map[Int, Map[String, Column]] =
+          m.matchedActions.zipWithIndex.collect {
+            case (UpdateAction(_, assigns, _), i) =>
+              i -> assigns.map { a =>
+                val k = a.key match {
+                  case u: UnresolvedAttribute => u.nameParts.last
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported assignment target ${other.sql}")
+                }
+                k.toLowerCase -> expr(a.value.sql)
+              }.toMap
+            case (UpdateStarAction(_), i) =>
+              i -> dest.columns.map(n => n.toLowerCase -> col(s"$uAlias.$n")).toMap
+          }.toMap
+        // a typo'd assignment target must fail, not silently no-op
+        val destCols = dest.columns.map(_.toLowerCase).toSet
+        val unknown = assignsByIdx.values.flatMap(_.keys).filterNot(destCols)
+        require(unknown.isEmpty,
+          s"UPDATE SET targets unknown column(s): ${unknown.mkString(", ")}")
+        val kept = deleteIdx
+          .foldLeft(joined)((df, i) => df.where(
+            col("__act").isNull || col("__act") =!= i))
+        kept.select(dest.columns.toIndexedSeq.map { n =>
+          assignsByIdx.foldLeft(col(s"$tAlias.$n")) {
+            case (acc, (i, byName)) =>
+              byName.get(n.toLowerCase)
+                .map(v => when(col("__act") === i, v).otherwise(acc))
+                .getOrElse(acc)
+          }.as(n)
+        }: _*)
       }
 
     val result =

@@ -32,8 +32,11 @@ object Ranking {
     * the downstream rank job can disagree on which partition a row
     * lands in — shifting every offset (observed at sf0.01: ~97% of
     * ranks off). One materialization, both jobs read it. This is the
-    * TeraSort discipline: compute boundaries once, reuse; the
-    * checkpointed frame is only the (narrow) sort-key projection.
+    * TeraSort discipline: compute boundaries once, reuse. The WHOLE
+    * input frame is checkpointed (the ranked rows must come back
+    * out), so callers ranking a wide corpus should project the
+    * columns they need BEFORE calling — both registered consumers
+    * rank 3-column projections.
     */
   private def rangeParted(df: DataFrame, orderCols: Seq[Column],
                           numPartitions: Int): (DataFrame, Array[Long], Long) = {

@@ -163,6 +163,49 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.currentVersion("dstar").contains(1L))
   }
 
+  test("a duplicate-key sibling row whose conditions all fail carries through") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    // two target rows share pk k1; only the v=10 row satisfies the
+    // action — the v=1 sibling must survive untouched (row-level, not
+    // key-level, matching)
+    store.create("ddup", Seq(("k1", 10), ("k1", 1), ("k2", 7))
+      .toDF("pk", "v"))
+    Seq("k1", "k2").toDF("pk").createOrReplaceTempView("upddup")
+    GraftSql.execute(spark, store,
+      "MERGE INTO ddup t USING upddup u ON t.pk = u.pk " +
+        "WHEN MATCHED AND t.v > 5 THEN UPDATE SET v = t.v * 10")
+    assert(store.read("ddup").orderBy("pk", "v").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 1), ("k1", 100), ("k2", 70)))
+  }
+
+  test("matched conditions probing source nulls cannot fire on unmatched rows") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dnul", Seq(("k1", 1), ("k9", 9)).toDF("pk", "v"))
+    Seq(("k1", Option.empty[Int])).toDF("pk", "uv")
+      .createOrReplaceTempView("updnul")
+    // k9 is unmatched: u.uv IS NULL holds vacuously on the outer join
+    // row, but must not delete it — matched-ness is decided by the
+    // join marker, not the condition
+    GraftSql.execute(spark, store,
+      "MERGE INTO dnul t USING updnul u ON t.pk = u.pk " +
+        "WHEN MATCHED AND u.uv IS NULL THEN DELETE")
+    assert(store.read("dnul").select("pk").as[String].collect().toSeq
+      == Seq("k9"))
+  }
+
+  test("UPDATE SET on a column absent from the target fails loudly") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dtypo", Seq(("k1", 1)).toDF("pk", "v"))
+    Seq("k1").toDF("pk").createOrReplaceTempView("updtypo")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "MERGE INTO dtypo t USING updtypo u ON t.pk = u.pk " +
+          "WHEN MATCHED THEN UPDATE SET vv = 0")
+    }
+    assert(e.getMessage.contains("unknown column"))
+    assert(store.read("dtypo").count() == 1) // nothing committed
+  }
+
   test("unsupported merge forms are rejected with a clear error") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("d3", Seq(("k1", 1)).toDF("pk", "v"))
