@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expression for the embedding hot path: dot product
-  * of two float arrays with left-to-right double accumulation —
-  * numerically identical to the HOF
+  * of two float or double arrays (sides may mix — e.g. float probes
+  * against a dequantized double corpus) with left-to-right double
+  * accumulation — numerically identical to the HOF
   * `aggregate(zip_with(a, b, (x, y) -> x*y), 0d, +)` it replaces
   * (so DuckDB-oracle values are unchanged), but with a tight
   * codegen'd loop over ArrayData instead of interpreted lambda calls
@@ -21,15 +22,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemOk(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case org.apache.spark.sql.types.NullType => true // null in -> null out
+    case _ => false
+  }
+  private def isDoubleArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(e => e.dataType match {
-        case ArrayType(FloatType, _) => true
-        case org.apache.spark.sql.types.NullType => true // null in -> null out
-        case _ => false
-      }))
-      TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(elemOk)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"graft_dot expects two array<float> args, got " +
+      s"graft_dot expects two array<float>/array<double> args, got " +
         s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
   override def dataType: DataType = DoubleType
   // can produce NULL even for non-null inputs (length mismatch / null element)
@@ -45,11 +51,15 @@ case class DotProductF(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
+    val lx = isDoubleArr(left)
+    val ly = isDoubleArr(right)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (lx) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (ly) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -57,6 +67,8 @@ case class DotProductF(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      def get(arr: String, e: Expression) =
+        if (isDoubleArr(e)) s"$arr.getDouble(i)" else s"(double) $arr.getFloat(i)"
       s"""
          |int n = $a.numElements();
          |if (n != $b.numElements()) {
@@ -65,7 +77,7 @@ case class DotProductF(left: Expression, right: Expression)
          |  double acc = 0.0;
          |  for (int i = 0; i < n; i++) {
          |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |    acc += ${get(a, left)} * ${get(b, right)};
          |  }
          |  if (!${ev.isNull}) ${ev.value} = acc;
          |}

@@ -313,6 +313,62 @@ object VectorQueries {
         |SELECT label, count(*) AS n, max(e) AS max_err, min(c) AS min_cos
         |FROM r GROUP BY label ORDER BY label""".stripMargin))
 
+  /** Top-k retrieval over the int8-QUANTIZED corpus (float probes,
+    * dequantized-on-the-fly corpus vectors) — the compressed-storage
+    * search path: at 100 TB the corpus is stored as int8 codes (4x
+    * less IO) and only probe-side floats stay full precision. The
+    * oracle replays quantize→dequantize→cosine→rank exactly, so the
+    * small ranking differences vs the float corpus are pinned, not
+    * approximated. */
+  val quantizedTopK: Entry = Entry(
+    "quantized_ann_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qcorpus = Similarity.quantizeInt8(emb)
+        .select(col("vec_id"),
+          Similarity.dequantize(col("q_scale"), col("q_codes")).as("embedding"))
+      // float probes against the double reconstructed corpus — the
+      // mixed-width mode graft_dot supports natively
+      Similarity.bruteForceTopK(qcorpus, emb.where(col("vec_id") < 5), k = 5)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    Some("""WITH qe AS (
+        |  SELECT vec_id,
+        |    greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]),
+        |             1e-12) AS s,
+        |    embedding
+        |  FROM embeddings),
+        |recon AS (
+        |  SELECT vec_id,
+        |    [round(CAST(embedding[i] AS DOUBLE) / s * 127, 0) * s / 127
+        |     FOR i IN range(1, len(embedding) + 1)] AS v
+        |  FROM qe),
+        |cexp AS (
+        |  SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x
+        |  FROM recon),
+        |pexp AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings WHERE vec_id < 5),
+        |cnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM cexp GROUP BY vec_id),
+        |pnorms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM pexp GROUP BY vec_id),
+        |dots AS (
+        |  SELECT p.vec_id AS qid, c.vec_id AS vid, sum(p.x * c.x) AS dp
+        |  FROM pexp p JOIN cexp c ON p.i = c.i
+        |  WHERE p.vec_id <> c.vec_id
+        |  GROUP BY p.vec_id, c.vec_id),
+        |scored AS (
+        |  SELECT qid, vid, round(dp / (pn.nrm * cn.nrm), 4) AS cos
+        |  FROM dots JOIN pnorms pn ON qid = pn.vec_id
+        |  JOIN cnorms cn ON vid = cn.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rnk
+        |  FROM scored)
+        |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
-    labelCentroids, annLsh, ivfTopK, quantizationError)
+    labelCentroids, annLsh, ivfTopK, quantizationError, quantizedTopK)
 }

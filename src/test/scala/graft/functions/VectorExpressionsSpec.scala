@@ -26,6 +26,28 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("mixed float/double arrays dot correctly in both eval modes") {
+    GraftFunctions.register(spark)
+    // interpreted eval (constant folding) and codegen'd eval over a
+    // frame must both widen per side: float x double, double x double
+    val r = spark.sql(
+      "SELECT graft_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS DOUBLE), CAST(0.5 AS DOUBLE))) AS d")
+      .as[Double].head()
+    assert(r == 4.0)
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(100)
+      .select(col("embedding"),
+        col("embedding").cast("array<double>").as("demb"))
+    val mixed = emb.select(
+      Similarity.dot(col("embedding"), col("demb")).as("fd"),
+      Similarity.dot(col("demb"), col("demb")).as("dd"),
+      Similarity.dot(col("embedding"), col("embedding")).as("ff"))
+    // float->double cast is exact, so all three agree bit-for-bit
+    assert(mixed.where(col("fd") =!= col("dd") || col("fd") =!= col("ff"))
+      .count() == 0)
+  }
+
   test("GraftExtensions injects graft_dot at session build") {
     import org.apache.spark.sql.SparkSession
     val orig = spark // force SparkSpec session to exist
