@@ -24,6 +24,10 @@ import org.apache.spark.sql.functions.{col, expr, lit, when}
   *   - `WHEN NOT MATCHED [AND <cond>] THEN INSERT *` — source rows
   *     whose key is absent from the (pre-merge) target are appended
   *     by name (schema evolution tolerated, as `append` does).
+  *   - `WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE |
+  *     UPDATE SET ...` — target rows with no source match are pruned
+  *     or rewritten (conditions/assignments may reference only t.*),
+  *     completing the full table-sync matrix.
   *
   * Matched actions follow SQL MERGE semantics: evaluated in
   * declaration order per matched row, first satisfied condition wins;
@@ -57,11 +61,14 @@ object GraftSql {
     require(m.matchedActions.forall(a => a.isInstanceOf[DeleteAction] ||
         a.isInstanceOf[UpdateAction] || a.isInstanceOf[UpdateStarAction]) &&
       m.notMatchedActions.forall(_.isInstanceOf[InsertStarAction]) &&
-      m.notMatchedBySourceActions.isEmpty &&
-      (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty),
+      m.notMatchedBySourceActions.forall(a => a.isInstanceOf[DeleteAction] ||
+        a.isInstanceOf[UpdateAction]) &&
+      (m.matchedActions.nonEmpty || m.notMatchedActions.nonEmpty ||
+        m.notMatchedBySourceActions.nonEmpty),
       "graft MERGE supports WHEN MATCHED [AND <cond>] THEN DELETE | " +
-        "UPDATE SET ... | UPDATE SET *, and WHEN NOT MATCHED [AND <cond>] " +
-        "THEN INSERT *")
+        "UPDATE SET ... | UPDATE SET *, WHEN NOT MATCHED [AND <cond>] " +
+        "THEN INSERT *, and WHEN NOT MATCHED BY SOURCE [AND <cond>] " +
+        "THEN DELETE | UPDATE SET ...")
 
     val target = tableName(m.targetTable)
     val source = tableName(m.sourceTable)
@@ -84,41 +91,49 @@ object GraftSql {
       c.map(e => expr(e.sql)).getOrElse(lit(true))
 
     val survivors =
-      if (m.matchedActions.isEmpty) dest
+      if (m.matchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty) dest
       else {
         val joinCond = keys.map(k => col(s"$tAlias.$k") === col(s"$uAlias.$k"))
           .reduce(_ && _)
         // ONE left-outer join classifies every target ROW (not key):
         // __act = index of the first action (declaration order) whose
-        // condition holds, null for unmatched rows and matched rows no
-        // action claims — both carry through unchanged. Row-level
+        // condition holds — matched rows walk the MATCHED chain,
+        // unmatched rows the NOT MATCHED BY SOURCE chain (indices
+        // offset past the matched ones) — null means no action claims
+        // the row and it carries through unchanged. Row-level
         // classification matters: with duplicate target keys, a
         // key-level anti-join would silently drop a sibling row whose
         // own conditions all failed. The `__m` marker (not the action
         // conditions) decides matched-ness, so a condition like
         // `u.x IS NULL` can't fire on unmatched rows.
-        val actConds = m.matchedActions.map {
-          case DeleteAction(c) => condOf(c)
-          case UpdateAction(c, _, _) => condOf(c)
-          case UpdateStarAction(c) => condOf(c)
-        }
-        val act = actConds.zipWithIndex
-          .foldLeft(lit(null).cast("int")) { case (acc, (c, i)) =>
-            when(acc.isNotNull, acc).otherwise(when(c, lit(i)))
+        def chainOf(actions: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction],
+                    offset: Int): Column =
+          actions.zipWithIndex.foldLeft(lit(null).cast("int")) {
+            case (acc, (a, i)) =>
+              val c = a match {
+                case DeleteAction(cc) => condOf(cc)
+                case UpdateAction(cc, _, _) => condOf(cc)
+                case UpdateStarAction(cc) => condOf(cc)
+              }
+              when(acc.isNotNull, acc).otherwise(when(c, lit(offset + i)))
           }
+        val allActions = m.matchedActions ++ m.notMatchedBySourceActions
         val joined = dest.alias(tAlias)
           .join(updates.withColumn("__m", lit(1)).alias(uAlias),
             joinCond, "left_outer")
-          .withColumn("__act", when(col("__m").isNotNull, act))
+          .withColumn("__act",
+            when(col("__m").isNotNull, chainOf(m.matchedActions, 0))
+              .otherwise(chainOf(m.notMatchedBySourceActions,
+                m.matchedActions.size)))
         // deletes drop; every other row is produced by ONE projection
         // whose columns CASE over the action index (update assignments
         // per leg, else the target value) — single pass, no union of
         // re-executed join legs
-        val deleteIdx = m.matchedActions.zipWithIndex.collect {
+        val deleteIdx = allActions.zipWithIndex.collect {
           case (_: DeleteAction, i) => i
         }
         val assignsByIdx: Map[Int, Map[String, Column]] =
-          m.matchedActions.zipWithIndex.collect {
+          allActions.zipWithIndex.collect {
             case (UpdateAction(_, assigns, _), i) =>
               i -> assigns.map { a =>
                 val k = a.key match {

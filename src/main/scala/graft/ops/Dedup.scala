@@ -127,6 +127,42 @@ object Dedup {
           size(array_union(col("ta"), col("tb"))), 4).as("jaccard"))
   }
 
+  /** Persist a corpus's LSH bands as a lake table — the signature
+    * INDEX that makes near-dedup incremental: computed once per doc
+    * ever (append-only, O(new docs) per call via the store's
+    * carry-by-reference manifests), instead of re-deriving the whole
+    * corpus's signatures on every arrival. */
+  def indexBands(store: graft.lake.TableStore, table: String, docs: DataFrame,
+                 idCol: String, textCol: String, shingleN: Int = 3,
+                 numHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
+    val bands = lshBands(
+      minhashSignatures(docs, idCol, textCol, shingleN, numHashes),
+      idCol, numHashes, rowsPerBand)
+    if (store.exists(table)) store.append(table, bands)
+    else store.create(table, bands)
+  }
+
+  /** Near-dup candidates of a NEW batch against the persisted band
+    * index: only the batch's signatures are computed; the corpus side
+    * is a scan of the index table — the O(batch) arrival path a
+    * 100 TB corpus needs. Returns (a = indexed id, b = batch id)
+    * pairs sharing at least one band; verify with [[jaccard]]. */
+  def batchCandidates(store: graft.lake.TableStore, table: String,
+                      batch: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 8,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val newBands = lshBands(
+      minhashSignatures(batch, idCol, textCol, shingleN, numHashes),
+      idCol, numHashes, rowsPerBand)
+      .select(col(idCol).as("b"), col("band").as("band_r"),
+        col("band_key").as("band_key_r"))
+    store.read(table)
+      .select(col(idCol).as("a"), col("band"), col("band_key"))
+      .join(newBands, col("band") === col("band_r") &&
+        col("band_key") === col("band_key_r") && col("a") =!= col("b"))
+      .select("a", "b").distinct()
+  }
+
   /** Connected components over an undirected edge list — the cluster
     * step that turns near-dup PAIRS into dedup GROUPS (keep one doc
     * per component). Iterated min-label propagation: every round each

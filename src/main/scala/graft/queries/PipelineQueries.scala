@@ -345,6 +345,39 @@ object PipelineQueries {
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM merged ORDER BY c_custkey""".stripMargin))
 
+  /** The canonical replication statement — full table sync in one
+    * MERGE: matched rows overwritten from the source, missing rows
+    * inserted, rows absent from the source deleted. After the
+    * statement the target IS the source, which is exactly what the
+    * oracle states. Target starts as a stale overlapping subset
+    * (every third customer, balances drifted) to make all three legs
+    * fire. */
+  val mergeSqlFullSync: Entry = Entry(
+    "cdc_merge_sql_full_sync",
+    (s, dir) => {
+      val store = new TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-msqlfs").toString)
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      store.create("destfs", cust.where(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 999))
+      cust.where(col("c_custkey") % 2 === 0)
+        .createOrReplaceTempView("updates_sync")
+      GraftSql.execute(s, store,
+        """MERGE INTO destfs t USING updates_sync u
+          |ON t.c_custkey = u.c_custkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |ORDER BY c_custkey""".stripMargin))
+
   /** Exact global percentiles by distributed rank selection: the
     * scalable alternative to a single `percentile` aggregate when the
     * exact order statistic (not an interpolation) is wanted —
@@ -518,7 +551,8 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    mergeSqlConditional, mergeSqlUpdate, exactPercentiles, q7VolumeShipping,
+    mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, exactPercentiles,
+    q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.lake.TableStore
 import graft.ops.{Dedup, TextOps}
 import Queries.{Entry, t}
 
@@ -222,6 +223,47 @@ object TextQueries {
         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a)
         |SELECT id, min(lbl) AS component FROM reach
         |GROUP BY id ORDER BY id""".stripMargin))
+
+  /** Incremental near-dedup arrival path: the corpus's LSH bands are
+    * PERSISTED as a lake table (Dedup.indexBands, computed once); a
+    * new batch computes only its own bands and joins the stored index
+    * (Dedup.batchCandidates) — O(batch), not O(corpus), per arrival.
+    * Oracle: bands over the whole table split by the same id
+    * boundary, since per-doc band computation is independent of the
+    * split. */
+  val incrementalNearDup: Entry = Entry(
+    "incremental_neardup_batch",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val store = new TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-bandidx").toString)
+      Dedup.indexBands(store, "band_index",
+        docs.where(col("doc_id") < 400), "doc_id", "text")
+      val pairs = Dedup.batchCandidates(store, "band_index",
+        docs.where(col("doc_id") >= 400), "doc_id", "text")
+      Dedup.jaccard(docs, "doc_id", "text", pairs)
+        .where(col("jaccard") >= 0.5)
+        .select(col("a").as("corpus_id"), col("b").as("batch_id"),
+          col("jaccard"))
+        .orderBy("corpus_id", "batch_id")
+    },
+    Some(s"""WITH ${minhashBandsSql("documents")},
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS corpus_id, r.doc_id AS batch_id
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < 400 AND r.doc_id >= 400),
+        |toksets AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents)
+        |SELECT corpus_id, batch_id,
+        |  round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) AS jaccard
+        |FROM cands JOIN toksets ta ON corpus_id = ta.doc_id
+        |JOIN toksets tb ON batch_id = tb.doc_id
+        |WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5
+        |ORDER BY corpus_id, batch_id""".stripMargin))
 
   /** Exact-size deterministic stratified sample (Sampling
     * .stratifiedExact): the 20 docs per lang with the smallest salted
@@ -688,5 +730,6 @@ object TextQueries {
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
-    sequencePacking, stratifiedSample, bigramTop, slidingChunksQ)
+    sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
+    incrementalNearDup)
 }

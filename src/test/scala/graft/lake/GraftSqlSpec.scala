@@ -206,14 +206,55 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.read("dtypo").count() == 1) // nothing committed
   }
 
+  test("NOT MATCHED BY SOURCE deletes target rows absent from the source") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dnm", Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("pk", "v"))
+    Seq("k2").toDF("pk").createOrReplaceTempView("updnm")
+    GraftSql.execute(spark, store,
+      "MERGE INTO dnm t USING updnm u ON t.pk = u.pk " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(store.read("dnm").select("pk").as[String].collect().toSeq
+      == Seq("k2"))
+  }
+
+  test("conditional NOT MATCHED BY SOURCE UPDATE flags stale rows in place") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dnmu", Seq(("k1", 1), ("k2", 2), ("k3", 30))
+      .toDF("pk", "v"))
+    Seq("k1").toDF("pk").createOrReplaceTempView("updnmu")
+    // k1 matched -> untouched; k2 unmatched & v<10 -> negated;
+    // k3 unmatched but fails the condition -> untouched
+    GraftSql.execute(spark, store,
+      "MERGE INTO dnmu t USING updnmu u ON t.pk = u.pk " +
+        "WHEN NOT MATCHED BY SOURCE AND t.v < 10 THEN UPDATE SET v = -t.v")
+    assert(store.read("dnmu").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 1), ("k2", -2), ("k3", 30)))
+  }
+
+  test("full sync: UPDATE SET * + INSERT * + NOT MATCHED BY SOURCE DELETE") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dsync", Seq(("k1", 99), ("k9", 9)).toDF("pk", "v"))
+    Seq(("k1", 1), ("k2", 2)).toDF("pk", "v")
+      .createOrReplaceTempView("updsync")
+    GraftSql.execute(spark, store,
+      "MERGE INTO dsync t USING updsync u ON t.pk = u.pk " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    // target is now exactly the source, one commit
+    assert(store.read("dsync").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 1), ("k2", 2)))
+    assert(store.currentVersion("dsync").contains(1L))
+  }
+
   test("unsupported merge forms are rejected with a clear error") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("d3", Seq(("k1", 1)).toDF("pk", "v"))
     Seq(("k1", 9)).toDF("pk", "v").createOrReplaceTempView("upd3")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[java.lang.Exception] {
       GraftSql.execute(spark, store,
         "MERGE INTO d3 t USING upd3 u ON t.pk = u.pk " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+          "WHEN NOT MATCHED THEN INSERT (pk) VALUES (u.pk)")
     }
     assert(e.getMessage.contains("graft MERGE supports"))
   }
