@@ -98,4 +98,42 @@ object StreamingDedup {
     candidatePairs(
       bandedDocs(docs, idCol, textCol, shingleN, numHashes, rowsPerBand),
       maxBucket)
+
+  /** Durable variant: stream documents into the PERSISTED band index
+    * (`Dedup.indexBands` lake table) via foreachBatch — each
+    * micro-batch first reports its candidates against everything
+    * indexed before it (appended to `<table>_pairs`), then appends
+    * its own bands to the index. Unlike [[nearDupCandidates]]'
+    * in-memory operator state, the index survives restarts and is
+    * shared with the batch path (`Dedup.batchCandidates`) — arrival
+    * cost stays O(batch) either way. Intra-batch pairs are the
+    * micro-batch's own minhashCandidates, also appended, so the pair
+    * stream is complete. */
+  def startBandIndexIngest(spark: org.apache.spark.sql.SparkSession,
+                           sourceDir: String,
+                           store: graft.lake.TableStore, table: String,
+                           idCol: String, textCol: String,
+                           checkpointDir: Option[String] = None,
+                           sourceSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema = sourceSchema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val writer = spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val intra = Dedup.minhashCandidates(batch, idCol, textCol)
+          val pairs =
+            if (store.exists(table))
+              Dedup.batchCandidates(store, table, batch, idCol, textCol)
+                .unionByName(intra)
+            else intra
+          if (store.exists(s"${table}_pairs")) store.append(s"${table}_pairs", pairs)
+          else store.create(s"${table}_pairs", pairs)
+          Dedup.indexBands(store, table, batch, idCol, textCol)
+        }
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
 }

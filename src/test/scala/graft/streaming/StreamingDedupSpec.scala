@@ -41,6 +41,31 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("band-index ingest: pairs accumulate durably across micro-batches") {
+    val src = tmpDir("bands-src")
+    val store = new graft.lake.TableStore(spark, tmpDir("bands-store"))
+    // batch 1 lands before the stream starts
+    Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingDedup.startBandIndexIngest(spark, src, store, "bands",
+      "doc_id", "text", checkpointDir = Some(tmpDir("bands-ckpt")))
+    try {
+      q.processAllAvailable()
+      assert(store.exists("bands"))
+      assert(store.read("bands_pairs").count() == 0) // nothing similar yet
+      // a near-copy of doc 1 arrives later; found against the INDEX,
+      // not by recomputing batch-1 signatures
+      Seq((3L, docA)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val pairs = store.read("bands_pairs")
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L)))
+      // the index itself carries all three docs for future batches
+      assert(store.read("bands").select("doc_id").distinct().count() == 3)
+    } finally q.stop()
+  }
+
   test("bucket cap stops admitting members instead of growing state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
