@@ -265,6 +265,87 @@ object TextQueries {
         |    / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5
         |ORDER BY corpus_id, batch_id""".stripMargin))
 
+  /** Round-3 composed flagship — the full training-data EXPORT path
+    * in one plan: quality gate (token count + TTR) → near-dup
+    * clustering (minhash LSH pairs → connected components, keep each
+    * family's representative) → exact-size per-language cap
+    * (stratified hash rank) → sequence packing into 256-token
+    * examples. Every stage is the already-oracle-checked operator;
+    * the oracle composes them verbatim (recursive CTE for the
+    * components). */
+  val trainingExport: Entry = Entry(
+    "training_export_e2e",
+    (s, dir) => {
+      val gated = t(s, dir, "documents")
+        .where(TextOps.tokenCount(col("text")) >= 20 &&
+          TextOps.typeTokenRatio(col("text")) >= 0.45)
+      val pairs = Dedup.jaccard(gated, "doc_id", "text",
+          Dedup.minhashCandidates(gated, "doc_id", "text"))
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      val dupes = Dedup.connectedComponents(pairs)
+        .where(col("id") =!= col("component")).select("id")
+      val unique = gated.join(dupes,
+        gated("doc_id") === dupes("id"), "left_anti")
+      val sampled = graft.ops.Sampling.stratifiedExact(
+        unique, "lang", "doc_id", n = 30, salt = "exp1")
+      TextOps.packSequences(sampled, "doc_id", "text",
+          budget = 256, streamCols = Seq(col("lang")))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("pack_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("lang", "pack_id")
+    },
+    Some(s"""WITH RECURSIVE gated AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |    AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 4) >= 0.45),
+        |${minhashBandsSql("gated")},
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id),
+        |toksets AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM gated),
+        |pairs AS (
+        |  SELECT a, b FROM cands JOIN toksets ta ON a = ta.doc_id
+        |  JOIN toksets tb ON b = tb.doc_id
+        |  WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a),
+        |dupes AS (
+        |  SELECT id FROM reach GROUP BY id HAVING min(lbl) <> id),
+        |uniq AS (
+        |  SELECT * FROM gated
+        |  WHERE doc_id NOT IN (SELECT id FROM dupes)),
+        |sampled AS (
+        |  SELECT lang, doc_id, text FROM (
+        |    SELECT u.*, row_number() OVER (PARTITION BY lang ORDER BY
+        |      ${OracleSql.hex12ToBigint("md5(CAST(doc_id AS VARCHAR) || ':exp1')")},
+        |      doc_id) AS rn
+        |    FROM uniq u) WHERE rn <= 30),
+        |toked AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+        |  FROM sampled),
+        |packed AS (
+        |  SELECT *, CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+        |    AS BIGINT) AS start_off
+        |  FROM toked)
+        |SELECT lang, start_off // 256 AS pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens, min(doc_id) AS first_doc
+        |FROM packed GROUP BY lang, pack_id
+        |ORDER BY lang, pack_id""".stripMargin))
+
   /** Exact-size deterministic stratified sample (Sampling
     * .stratifiedExact): the 20 docs per lang with the smallest salted
     * hashes — same selection on any engine/partitioning/run, asserted
@@ -731,5 +812,5 @@ object TextQueries {
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
-    incrementalNearDup)
+    incrementalNearDup, trainingExport)
 }
