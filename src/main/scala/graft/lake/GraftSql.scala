@@ -90,11 +90,36 @@ object GraftSql {
     def condOf(c: Option[Expression]): Column =
       c.map(e => expr(e.sql)).getOrElse(lit(true))
 
+    // NMBS clauses run on rows with NO source match — every u.* column
+    // is NULL there, so a source reference would silently evaluate to
+    // NULL (a never-firing condition, a NULL-writing assignment).
+    // Reject at compile time, as analysis-time engines do.
+    def refsSource(e: Expression): Boolean = e.collect {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        (a.nameParts.init.last.equalsIgnoreCase(uAlias) ||
+          a.nameParts.init.last.equalsIgnoreCase(source)) => a
+    }.nonEmpty
+    m.notMatchedBySourceActions.foreach { a =>
+      val exprs: Seq[Expression] = a match {
+        case DeleteAction(c) => c.toSeq
+        case UpdateAction(c, assigns, _) => c.toSeq ++ assigns.map(_.value)
+        case other => Seq(other)
+      }
+      require(!exprs.exists(refsSource),
+        "NOT MATCHED BY SOURCE conditions/assignments may reference " +
+          "only the target; the source side is all-NULL there")
+    }
+
     val survivors =
       if (m.matchedActions.isEmpty && m.notMatchedBySourceActions.isEmpty) dest
       else {
         val joinCond = keys.map(k => col(s"$tAlias.$k") === col(s"$uAlias.$k"))
           .reduce(_ && _)
+        // with no matched actions the source is only a match PROBE —
+        // dedup its keys so a raw (duplicate-key) source can't
+        // multiply carried target rows through the outer join
+        val src = if (m.matchedActions.isEmpty)
+          updates.select(keys.map(col): _*).distinct() else updates
         // ONE left-outer join classifies every target ROW (not key):
         // __act = index of the first action (declaration order) whose
         // condition holds — matched rows walk the MATCHED chain,
@@ -119,7 +144,7 @@ object GraftSql {
           }
         val allActions = m.matchedActions ++ m.notMatchedBySourceActions
         val joined = dest.alias(tAlias)
-          .join(updates.withColumn("__m", lit(1)).alias(uAlias),
+          .join(src.withColumn("__m", lit(1)).alias(uAlias),
             joinCond, "left_outer")
           .withColumn("__act",
             when(col("__m").isNotNull, chainOf(m.matchedActions, 0))

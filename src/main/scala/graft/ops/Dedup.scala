@@ -95,14 +95,18 @@ object Dedup {
       .select(col(idCol), col("x.band").as("band"), col("x.band_key").as("band_key"))
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band. The join is
-    * on band_key — only same-bucket docs meet. */
-  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashes: Int = 8,
-                        rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBands(
-      minhashSignatures(df, idCol, textCol, shingleN, numHashes),
+  /** Shingle → signature → band pipeline in one call: the
+    * (idCol, band, band_key) frame every candidate-generation path
+    * joins on. */
+  def bandsOf(df: DataFrame, idCol: String, textCol: String,
+              shingleN: Int = 3, numHashes: Int = 8,
+              rowsPerBand: Int = 2): DataFrame =
+    lshBands(minhashSignatures(df, idCol, textCol, shingleN, numHashes),
       idCol, numHashes, rowsPerBand)
+
+  /** Candidate pairs (a < b) from a prebuilt band frame — self-join on
+    * band_key, so only same-bucket docs meet. */
+  def pairsFromBands(bands: DataFrame, idCol: String): DataFrame = {
     val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
     val r = bands.select(col(idCol).as("b"), col("band").as("band_r"),
       col("band_key").as("band_key_r"))
@@ -110,6 +114,13 @@ object Dedup {
         col("band_key") === col("band_key_r") && col("a") < col("b"))
       .select("a", "b").distinct()
   }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame =
+    pairsFromBands(bandsOf(df, idCol, textCol, shingleN, numHashes,
+      rowsPerBand), idCol)
 
   /** Exact token-set Jaccard for a set of candidate pairs — the verify
     * stage after LSH candidate generation. */
@@ -134,13 +145,16 @@ object Dedup {
     * corpus's signatures on every arrival. */
   def indexBands(store: graft.lake.TableStore, table: String, docs: DataFrame,
                  idCol: String, textCol: String, shingleN: Int = 3,
-                 numHashes: Int = 8, rowsPerBand: Int = 2): Unit = {
-    val bands = lshBands(
-      minhashSignatures(docs, idCol, textCol, shingleN, numHashes),
-      idCol, numHashes, rowsPerBand)
+                 numHashes: Int = 8, rowsPerBand: Int = 2): Unit =
+    appendBands(store, table,
+      bandsOf(docs, idCol, textCol, shingleN, numHashes, rowsPerBand))
+
+  /** Append a prebuilt band frame to the index table (create on first
+    * use) — for callers that already hold the bands. */
+  def appendBands(store: graft.lake.TableStore, table: String,
+                  bands: DataFrame): Unit =
     if (store.exists(table)) store.append(table, bands)
     else store.create(table, bands)
-  }
 
   /** Near-dup candidates of a NEW batch against the persisted band
     * index: only the batch's signatures are computed; the corpus side
@@ -150,18 +164,22 @@ object Dedup {
   def batchCandidates(store: graft.lake.TableStore, table: String,
                       batch: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 8,
-                      rowsPerBand: Int = 2): DataFrame = {
-    val newBands = lshBands(
-      minhashSignatures(batch, idCol, textCol, shingleN, numHashes),
-      idCol, numHashes, rowsPerBand)
-      .select(col(idCol).as("b"), col("band").as("band_r"),
-        col("band_key").as("band_key_r"))
+                      rowsPerBand: Int = 2): DataFrame =
+    indexCandidates(store, table,
+      bandsOf(batch, idCol, textCol, shingleN, numHashes, rowsPerBand), idCol)
+
+  /** [[batchCandidates]] for callers that already hold the batch's
+    * band frame (one signature pass shared across intra pairs, index
+    * pairs, and the index append). */
+  def indexCandidates(store: graft.lake.TableStore, table: String,
+                      newBands: DataFrame, idCol: String): DataFrame =
     store.read(table)
       .select(col(idCol).as("a"), col("band"), col("band_key"))
-      .join(newBands, col("band") === col("band_r") &&
-        col("band_key") === col("band_key_r") && col("a") =!= col("b"))
+      .join(newBands.select(col(idCol).as("b"), col("band").as("band_r"),
+          col("band_key").as("band_key_r")),
+        col("band") === col("band_r") &&
+          col("band_key") === col("band_key_r") && col("a") =!= col("b"))
       .select("a", "b").distinct()
-  }
 
   /** Connected components over an undirected edge list — the cluster
     * step that turns near-dup PAIRS into dedup GROUPS (keep one doc

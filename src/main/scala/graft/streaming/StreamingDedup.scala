@@ -101,14 +101,24 @@ object StreamingDedup {
 
   /** Durable variant: stream documents into the PERSISTED band index
     * (`Dedup.indexBands` lake table) via foreachBatch — each
-    * micro-batch first reports its candidates against everything
-    * indexed before it (appended to `<table>_pairs`), then appends
-    * its own bands to the index. Unlike [[nearDupCandidates]]'
-    * in-memory operator state, the index survives restarts and is
-    * shared with the batch path (`Dedup.batchCandidates`) — arrival
-    * cost stays O(batch) either way. Intra-batch pairs are the
-    * micro-batch's own minhashCandidates, also appended, so the pair
-    * stream is complete. */
+    * micro-batch reports its candidates against everything indexed
+    * before it plus its own intra-batch pairs (appended to
+    * `<table>_pairs`), then appends its own bands to the index.
+    * Unlike [[nearDupCandidates]]' in-memory operator state, the
+    * index survives restarts and is shared with the batch path
+    * (`Dedup.batchCandidates`) — arrival cost stays O(batch).
+    *
+    * The batch's signatures are computed ONCE (localCheckpoint) and
+    * shared by all three consumers. Restart safety: foreachBatch is
+    * at-least-once, so every appended row is tagged `__batch_id` and
+    * each table independently skips a batch it has already committed
+    * (its own high-water mark) — a crash between the pairs append
+    * and the index append resumes exactly where it stopped instead
+    * of double-appending.
+    *
+    * `sourceSchema` is required when the landing dir may still be
+    * empty at start (schema inference on an empty dir throws — same
+    * deploy-order contract as StreamingIngest.start). */
   def startBandIndexIngest(spark: org.apache.spark.sql.SparkSession,
                            sourceDir: String,
                            store: graft.lake.TableStore, table: String,
@@ -120,20 +130,40 @@ object StreamingDedup {
     val writer = spark.readStream.schema(schema).parquet(sourceDir)
       .writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val intra = Dedup.minhashCandidates(batch, idCol, textCol)
+          // one signature pass per batch, shared by intra pairs,
+          // index pairs, and the index append
+          val bands = Dedup.bandsOf(batch, idCol, textCol).localCheckpoint()
+          val intra = Dedup.pairsFromBands(bands, idCol)
           val pairs =
             if (store.exists(table))
-              Dedup.batchCandidates(store, table, batch, idCol, textCol)
+              Dedup.indexCandidates(store, table, bands, idCol)
                 .unionByName(intra)
             else intra
-          if (store.exists(s"${table}_pairs")) store.append(s"${table}_pairs", pairs)
-          else store.create(s"${table}_pairs", pairs)
-          Dedup.indexBands(store, table, batch, idCol, textCol)
+          appendBatchOnce(store, s"${table}_pairs", batchId, pairs)
+          appendBatchOnce(store, table, batchId, bands)
         }
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
       .start()
+  }
+
+  /** Idempotent micro-batch append: rows are tagged `__batch_id` and
+    * a batch the table has already committed is skipped — the
+    * exactly-once guard over foreachBatch's at-least-once replays. */
+  private[streaming] def appendBatchOnce(store: graft.lake.TableStore,
+                                         table: String, batchId: Long,
+                                         df: DataFrame): Unit = {
+    val alreadyCommitted = store.exists(table) && {
+      val t = store.read(table)
+      t.columns.contains("__batch_id") &&
+        !t.where(col("__batch_id") === batchId).isEmpty
+    }
+    if (!alreadyCommitted) {
+      val tagged = df.withColumn("__batch_id", lit(batchId))
+      if (store.exists(table)) store.append(table, tagged)
+      else store.create(table, tagged)
+    }
   }
 }

@@ -251,11 +251,35 @@ class GraftSqlSpec extends SparkSpec {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("d3", Seq(("k1", 1)).toDF("pk", "v"))
     Seq(("k1", 9)).toDF("pk", "v").createOrReplaceTempView("upd3")
-    val e = intercept[java.lang.Exception] {
+    val e = intercept[IllegalArgumentException] {
       GraftSql.execute(spark, store,
         "MERGE INTO d3 t USING upd3 u ON t.pk = u.pk " +
           "WHEN NOT MATCHED THEN INSERT (pk) VALUES (u.pk)")
     }
     assert(e.getMessage.contains("graft MERGE supports"))
+  }
+
+  test("NMBS clauses referencing the source are rejected, not NULL-evaluated") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dnms", Seq(("k1", 1)).toDF("pk", "v"))
+    Seq(("k1", 9)).toDF("pk", "uv").createOrReplaceTempView("updnms")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "MERGE INTO dnms t USING updnms u ON t.pk = u.pk " +
+          "WHEN NOT MATCHED BY SOURCE AND u.uv > 5 THEN DELETE")
+    }
+    assert(e.getMessage.contains("only the target"))
+  }
+
+  test("NMBS-only merge with a duplicate-key source never duplicates target rows") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dnmd", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
+    // a raw, un-deduped CDC feed: k1 appears twice
+    Seq("k1", "k1").toDF("pk").createOrReplaceTempView("updnmd")
+    GraftSql.execute(spark, store,
+      "MERGE INTO dnmd t USING updnmd u ON t.pk = u.pk " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    assert(store.read("dnmd").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 1)))
   }
 }

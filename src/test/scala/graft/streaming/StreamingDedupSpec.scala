@@ -66,6 +66,17 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("appendBatchOnce skips a replayed micro-batch (at-least-once -> exactly-once)") {
+    val store = new graft.lake.TableStore(spark, tmpDir("once-store"))
+    val rows = Seq((1L, "x")).toDF("id", "v")
+    StreamingDedup.appendBatchOnce(store, "t", 0L, rows)
+    StreamingDedup.appendBatchOnce(store, "t", 0L, rows) // crash-replay of batch 0
+    StreamingDedup.appendBatchOnce(store, "t", 1L, rows)
+    val byBatch = store.read("t").groupBy("__batch_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(byBatch == Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("bucket cap stops admitting members instead of growing state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
