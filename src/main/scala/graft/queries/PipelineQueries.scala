@@ -378,6 +378,40 @@ object PipelineQueries {
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin))
 
+  /** Source/sink format breadth: the nation dimension round-trips
+    * through JSON and CSV (write, then schema'd read back), and both
+    * copies aggregate identically to the oracle's parquet-derived
+    * values — proving the non-parquet IO paths are lossless for the
+    * dimension types (long/string). A DynamicFrame-style pipeline
+    * reads landing files in whatever format they arrive; this pins
+    * that surface. */
+  val formatRoundtrip: Entry = Entry(
+    "format_roundtrip_sources",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      nation.coalesce(1).write.mode("overwrite").json(s"$base/j")
+      nation.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$base/c")
+      val j = s.read.schema(nation.schema).json(s"$base/j")
+        .withColumn("fmt", lit("json"))
+      val c = s.read.schema(nation.schema).option("header", "true")
+        .csv(s"$base/c").withColumn("fmt", lit("csv"))
+      j.unionByName(c).groupBy("fmt")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey").cast("long")).as("key_sum"),
+          min("n_name").as("first_name"),
+          countDistinct("n_regionkey").as("n_regions"))
+        .orderBy("fmt")
+    },
+    Some("""SELECT fmt, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  min(n_name) AS first_name,
+        |  CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions
+        |FROM (VALUES ('csv'), ('json')) f(fmt), nation
+        |GROUP BY fmt ORDER BY fmt""".stripMargin))
+
   /** Exact global percentiles by distributed rank selection: the
     * scalable alternative to a single `percentile` aggregate when the
     * exact order statistic (not an interpolation) is wanted —
@@ -551,8 +585,8 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, exactPercentiles,
-    q7VolumeShipping,
+    mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, formatRoundtrip,
+    exactPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)
 }
