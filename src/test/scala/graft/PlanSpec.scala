@@ -110,6 +110,33 @@ class PlanSpec extends SparkSpec {
       s"queries with a global (partition-less) window: $offenders")
   }
 
+  test("runtime bloom filter can prune the fact side of a selective dim join") {
+    // at 100 TB a selective dimension predicate should reach the fact
+    // scan as an injected bloom filter before the shuffle; local
+    // fixtures are below the size thresholds, so lower them to prove
+    // the mechanism fires for our join shape
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = Tables.load(spark, dir, "lineitem")
+      val dim = Tables.load(spark, dir, "part").where(col("p_size") === 1)
+      val joined = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").count()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.toLowerCase.contains("bloomfilter") ||
+        p.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     val df = Queries.q1PricingSummary.fn(spark, dir)
     df.collect() // finalize the adaptive plan
