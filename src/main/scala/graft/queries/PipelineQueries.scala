@@ -12,6 +12,10 @@ import Queries.{Entry, t}
   */
 object PipelineQueries {
 
+  /** Fresh scratch dir for a query's throwaway store. */
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   /** THE engine end-to-end: derive a CDC stream from events, split it
     * into 3 time-ordered batches, run full-load + 2 incremental merges
     * through the versioned-Parquet store, read the final table back.
@@ -30,8 +34,7 @@ object PipelineQueries {
       .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
     val cut1 = timestamp_micros(lit(mnUs + (mxUs - mnUs) / 3))
     val cut2 = timestamp_micros(lit(mnUs + 2 * ((mxUs - mnUs) / 3)))
-    val store = new TableStore(s,
-      java.nio.file.Files.createTempDirectory("graft-e2e").toString)
+    val store = new TableStore(s, tmpDir("graft-e2e"))
     val tbl = "events_upsert"
     CdcIngest.ingest(s, store, tbl,
       cdc.where(col("process_date") <= cut1), cfg)
@@ -89,8 +92,7 @@ object PipelineQueries {
   val timeTravel: Entry = Entry(
     "time_travel_version0",
     (s, dir) => {
-      val store = new TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-tt").toString)
+      val store = new TableStore(s, tmpDir("graft-tt"))
       val cust = t(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
       store.create("cust_tt", cust.where(col("c_custkey") % 3 === 0))
@@ -171,7 +173,7 @@ object PipelineQueries {
   val zorderScan: Entry = Entry(
     "zorder_clustered_scan",
     (s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-z").toString
+      val out = tmpDir("graft-z")
       Layout.cluster(
         t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
         Seq("l_partkey", "l_suppkey"), numFiles = 16)
@@ -255,8 +257,7 @@ object PipelineQueries {
   val mergeSqlDelete: Entry = Entry(
     "cdc_merge_sql_text",
     (s, dir) => {
-      val store = new TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-msql").toString)
+      val store = new TableStore(s, tmpDir("graft-msql"))
       store.create("dest", t(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal"))
       t(s, dir, "customer").where(col("c_acctbal") > 5000)
@@ -284,8 +285,7 @@ object PipelineQueries {
   val mergeSqlConditional: Entry = Entry(
     "cdc_merge_sql_conditional",
     (s, dir) => {
-      val store = new TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-msqlc").toString)
+      val store = new TableStore(s, tmpDir("graft-msqlc"))
       val cust = t(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
       store.create("destc", cust.where(col("c_custkey") % 2 === 0))
@@ -315,8 +315,7 @@ object PipelineQueries {
   val mergeSqlUpdate: Entry = Entry(
     "cdc_merge_sql_update",
     (s, dir) => {
-      val store = new TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-msqlu").toString)
+      val store = new TableStore(s, tmpDir("graft-msqlu"))
       val cust = t(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
       store.create("destu", cust.where(col("c_custkey") % 2 === 0))
@@ -355,8 +354,7 @@ object PipelineQueries {
   val mergeSqlFullSync: Entry = Entry(
     "cdc_merge_sql_full_sync",
     (s, dir) => {
-      val store = new TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-msqlfs").toString)
+      val store = new TableStore(s, tmpDir("graft-msqlfs"))
       val cust = t(s, dir, "customer")
         .select("c_custkey", "c_name", "c_acctbal")
       store.create("destfs", cust.where(col("c_custkey") % 3 === 0)
@@ -390,7 +388,7 @@ object PipelineQueries {
     (s, dir) => {
       val nation = t(s, dir, "nation")
         .select("n_nationkey", "n_name", "n_regionkey")
-      val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      val base = tmpDir("graft-fmt")
       nation.coalesce(1).write.mode("overwrite").json(s"$base/j")
       nation.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$base/c")

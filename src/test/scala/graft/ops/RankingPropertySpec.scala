@@ -15,7 +15,9 @@ class RankingPropertySpec extends SparkSpec {
     val rnd = new scala.util.Random(41L)
     for (_ <- 1 to 10) {
       val rows = 1 + rnd.nextInt(400)
-      val dupMod = Seq(1, 3, 50)(rnd.nextInt(3)) // 1 = distinct, 50 = heavy ties
+      // key cardinality: dupMod=1 → ONE key (all rows tie, the
+      // cross-partition tie-break stress), 50 → lightest ties
+      val dupMod = Seq(1, 3, 50)(rnd.nextInt(3))
       val n = Seq(1, 2, 7, 10, 500)(rnd.nextInt(5))
       val parts = Seq(2, 5, 13)(rnd.nextInt(3))
       val df = spark.range(rows.toLong)
@@ -25,6 +27,10 @@ class RankingPropertySpec extends SparkSpec {
         ntile(n).over(Window.orderBy("k", "id")).cast("long"))
       val got = Ranking.ntileExact(df, Seq(col("k"), col("id")), n, "bin",
         numPartitions = parts)
+      // no rows lost or duplicated — an inner-join diff alone would
+      // pass vacuously on an operator that drops rows
+      assert(got.count() == rows,
+        s"rows=$rows dupMod=$dupMod n=$n parts=$parts: wrong row count")
       val diffs = got.withColumnRenamed("bin", "got")
         .join(expected, Seq("id"))
         .where(col("got") =!= col("bin")).count()
@@ -44,6 +50,7 @@ class RankingPropertySpec extends SparkSpec {
         row_number().over(Window.orderBy("k", "id")).cast("long"))
       val got = Ranking.globalRowNumber(df, Seq(col("k"), col("id")), "r",
         numPartitions = parts)
+      assert(got.count() == rows, s"rows=$rows parts=$parts: wrong row count")
       val diffs = got.withColumnRenamed("r", "got")
         .join(expected, Seq("id"))
         .where(col("got") =!= col("r")).count()
