@@ -545,11 +545,16 @@ object TextQueries {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      // the exact-deduped frame feeds five downstream references (both
+      // candidate legs, both jaccard legs, the survivor anti-join) —
+      // checkpoint it once instead of re-deriving the scan + md5
+      // window per reference
       val kept = docs
         .withColumn("keep_id",
           min("doc_id").over(Window.partitionBy(md5(col("text")))))
         .where(col("doc_id") === col("keep_id"))
         .drop("keep_id")
+        .localCheckpoint()
       val cands = Dedup.minhashCandidates(kept, "doc_id", "text",
         shingleN = 3, numHashes = 8, rowsPerBand = 2)
       val dropIds = Dedup.jaccard(kept, "doc_id", "text", cands)
