@@ -276,9 +276,13 @@ object TextQueries {
   val trainingExport: Entry = Entry(
     "training_export_e2e",
     (s, dir) => {
+      // gated feeds the candidate legs, jaccard legs, the survivor
+      // anti-join, and the sampler — checkpoint once (same move as
+      // the curation flagship)
       val gated = t(s, dir, "documents")
         .where(TextOps.tokenCount(col("text")) >= 20 &&
           TextOps.typeTokenRatio(col("text")) >= 0.45)
+        .localCheckpoint()
       val pairs = Dedup.jaccard(gated, "doc_id", "text",
           Dedup.minhashCandidates(gated, "doc_id", "text"))
         .where(col("jaccard") >= 0.5).select("a", "b")
