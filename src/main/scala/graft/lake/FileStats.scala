@@ -1,0 +1,174 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** Per-file column statistics for manifest-level data skipping — the
+  * half of the clustering story that `Layout.cluster` alone doesn't
+  * buy: z-order gives each file a tight bounding box; these stats let
+  * the reader DROP non-intersecting files from the manifest before
+  * the scan ever starts (Delta's stats-in-log / Iceberg's manifest
+  * min-max, simplified to one sidecar per version).
+  *
+  * Stats are FREE at commit time: the parquet write already stored
+  * row-group min/max/null-count in every footer, so the commit folds
+  * footers driver-side — O(new files) metadata reads, zero extra data
+  * scan — and carries the lines forward by reference with their
+  * files. Pruning is conservative: a file with no recorded entry for
+  * the predicate column (unsupported type, pre-stats commit, or a
+  * column the file's schema predates) is always kept; only a recorded
+  * non-overlapping range — or an all-null column, which no range
+  * predicate can match — drops a file.
+  */
+object FileStats {
+
+  /** Driver-evaluable range predicate. Numeric bounds compare in
+    * BigDecimal space, exact for the full long and double ranges (no
+    * 2^53 truncation on id-like keys). */
+  sealed trait Pred { def col: String }
+  final case class NumRange(col: String, lo: BigDecimal, hi: BigDecimal)
+    extends Pred
+  final case class StrRange(col: String, lo: String, hi: String) extends Pred
+
+  private val NumTag = "num"
+  private val StrTag = "str"
+  private val NullTag = "nul"
+
+  /** Scheme-independent key both manifest URIs and
+    * `input_file_name()` normalize to. */
+  def fileKey(uri: String): String = new Path(uri).toUri.getPath
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  /** Stats tag for a primitive parquet type, or None for types whose
+    * footer order doesn't map cleanly onto a driver-side compare
+    * (timestamps/dates/decimals keep their files unpruned rather than
+    * risk a wrong drop). */
+  private def tagOf(p: PrimitiveType): Option[String] = {
+    val ann = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case INT32 | INT64 =>
+        ann match {
+          case null => Some(NumTag)
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => Some(NumTag)
+          case _ => None // date/timestamp/decimal-encoded ints
+        }
+      case FLOAT | DOUBLE => Some(NumTag)
+      case BINARY if ann.isInstanceOf[
+        LogicalTypeAnnotation.StringLogicalTypeAnnotation] => Some(StrTag)
+      case _ => None
+    }
+  }
+
+  /** Fold one file's footer into sidecar lines. Per supported
+    * top-level column: all-null if every row group reports
+    * nulls == rows; otherwise min-of-mins / max-of-maxes over groups
+    * that have values. Any group with unusable statistics (older
+    * writer, NaN-bearing doubles, unknown null counts) makes the
+    * column unknown for the whole file — conservative keep. */
+  def compute(conf: Configuration, files: Seq[String]): Seq[String] =
+    files.flatMap { uri =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(uri), conf))
+      try {
+        val footer = reader.getFooter
+        val key = fileKey(uri)
+        val blocks = footer.getBlocks.asScala.toSeq
+        footer.getFileMetaData.getSchema.getFields.asScala.toSeq
+          .filter(_.isPrimitive)
+          .flatMap { f =>
+            tagOf(f.asPrimitiveType()).flatMap { tag =>
+              lineOf(key, f.getName, tag, blocks)
+            }
+          }
+      } finally reader.close()
+    }
+
+  private def lineOf(key: String, name: String, tag: String,
+                     blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])
+      : Option[String] = {
+    if (name.contains("\t") || name.contains("\n")) return None
+    val chunks = blocks.map(b =>
+      (b.getRowCount, b.getColumns.asScala.find(_.getPath.toDotString == name)))
+    if (chunks.exists(_._2.isEmpty)) return None
+    val stats = chunks.map { case (rows, c) => (rows, c.get.getStatistics) }
+    if (stats.exists { case (_, s) => s == null || s.isNumNullsSet == false })
+      return None
+    if (stats.forall { case (rows, s) => s.getNumNulls == rows })
+      return Some(s"$key\t$name\t$NullTag\t\t")
+    // groups holding values must all expose min/max; all-null groups
+    // legitimately have none and contribute nothing
+    val valued = stats.filter { case (rows, s) => s.getNumNulls < rows }
+    if (valued.exists { case (_, s) => !s.hasNonNullValue }) return None
+    val bounds = valued.map { case (_, s) =>
+      if (tag == StrTag)
+        (s.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+           .toStringUsingUTF8,
+         s.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+           .toStringUsingUTF8)
+      else (s.genericGetMin.toString, s.genericGetMax.toString)
+    }
+    if (tag == StrTag) {
+      // parquet orders binary stats by unsigned UTF-8 byte; our prune
+      // compares in Java string order. The two agree on ASCII — skip
+      // the entry (keep the file) when a bound leaves that common
+      // ground rather than risk a wrong drop.
+      if (bounds.exists { case (mn, mx) =>
+            (mn + mx).exists(_ >= 0x80.toChar) })
+        return None
+      val mn = bounds.map(_._1).min
+      val mx = bounds.map(_._2).max
+      Some(s"$key\t$name\t$StrTag\t${b64(mn)}\t${b64(mx)}")
+    } else {
+      val nums = bounds.map { case (mn, mx) => (BigDecimal(mn), BigDecimal(mx)) }
+      Some(s"$key\t$name\t$NumTag\t${nums.map(_._1).min}\t${nums.map(_._2).max}")
+    }
+  }
+
+  /** Parsed sidecar: (fileKey, column) -> (tag, min, max). */
+  def parse(content: String): Map[(String, String), (String, String, String)] =
+    content.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(f, c, tag, mn, mx) => Some(((f, c), (tag, mn, mx)))
+        case _ => None
+      }
+    }.toMap
+
+  /** Can rows of a file with these stats satisfy the predicate?
+    * Unknown/mismatched entries answer true (keep the file). */
+  def mayMatch(entry: Option[(String, String, String)], pred: Pred): Boolean =
+    entry match {
+      case Some((NullTag, _, _)) => false
+      case Some((NumTag, mn, mx)) => pred match {
+        case NumRange(_, lo, hi) =>
+          BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+        case _ => true
+      }
+      case Some((StrTag, mn, mx)) => pred match {
+        case StrRange(_, lo, hi) => unb64(mx) >= lo && unb64(mn) <= hi
+        case _ => true
+      }
+      case _ => true
+    }
+
+  /** The residual predicate to apply after pruning (stats are a
+    * superset filter, never the answer). */
+  def residual(df: DataFrame, pred: Pred): DataFrame = pred match {
+    case NumRange(c, lo, hi) =>
+      df.where(col(c) >= lit(lo.underlying) && col(c) <= lit(hi.underlying))
+    case StrRange(c, lo, hi) => df.where(col(c) >= lo && col(c) <= hi)
+  }
+}

@@ -95,8 +95,10 @@ final class TableStore(spark: SparkSession, root: String,
     * can delete-and-reinsert a key atomically. Each affected group
     * anti-joins the union of its later delete sets (small, broadcast);
     * `compact` folds the debt away. */
-  def readVersion(table: String, v: Long): DataFrame = {
-    val lines = manifest(table, v)
+  def readVersion(table: String, v: Long): DataFrame =
+    readLines(table, manifest(table, v))
+
+  private def readLines(table: String, lines: Seq[String]): DataFrame = {
     val prefix = tablePath(table).toString
     def baseOf(f: String): String = {
       val rel = f.stripPrefix(prefix).stripPrefix("/")
@@ -127,6 +129,45 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   private val DelPrefix = "del|"
+
+  /** Stats-pruned read: drop data files whose per-file min/max
+    * ([[FileStats]], `stats-<n>` sidecar) cannot intersect `pred`
+    * BEFORE the scan starts — manifest-level data skipping, the read
+    * side of `Layout.cluster`. Driver-side metadata only: at 100 TB
+    * this removes files from the plan without opening them, where
+    * plain parquet pushdown still opens every footer. Files without a
+    * recorded entry for the column are kept (conservative), equality
+    * deletes still apply, and the residual predicate is re-applied to
+    * the survivors, so the result always equals
+    * `read(table).where(pred)`. */
+  def readPruned(table: String, pred: FileStats.Pred): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist"))
+    FileStats.residual(readLines(table, pruneLines(table, v, pred)), pred)
+  }
+
+  /** Manifest lines of version `v` with stats-excluded data files
+    * removed (delete entries always survive). Exposed within the
+    * package for pruning-ratio assertions. */
+  private[lake] def pruneLines(table: String, v: Long,
+                               pred: FileStats.Pred): Seq[String] = {
+    val stats = statsFor(table, v)
+    manifest(table, v).filter { line =>
+      line.startsWith(DelPrefix) ||
+        FileStats.mayMatch(stats.get((FileStats.fileKey(line), pred.col)), pred)
+    }
+  }
+
+  private def statsPath(table: String, v: Long): Path =
+    new Path(tablePath(table), s"stats-$v")
+
+  /** Parsed stats sidecar of a version (empty for pre-stats tables). */
+  private[lake] def statsFor(table: String, v: Long)
+      : Map[(String, String), (String, String, String)] = {
+    val p = statsPath(table, v)
+    if (!fs(p).exists(p)) Map.empty
+    else FileStats.parse(readSmallFile(p))
+  }
 
   /** S6: CTAS — fails if the table already exists. `partitionBy`
     * selects a hive-style layout; reads then get partition pruning on
@@ -262,6 +303,11 @@ final class TableStore(spark: SparkSession, root: String,
       }
     }
 
+    // folded from the footers the write just produced — O(new files)
+    // driver-side metadata reads, no second pass over the data;
+    // retries reuse it (the files don't change across attempts)
+    val newStats = FileStats.compute(hadoopConf, newFiles)
+
     var committed = false
     var attempts = 0
     while (!committed) {
@@ -277,8 +323,24 @@ final class TableStore(spark: SparkSession, root: String,
         if (mustCreate && createParts.nonEmpty)
           writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
             createParts.mkString(","))
+        val carriedLines = carried(cur)
+        // carried files keep their stats by reference, same as the
+        // data itself: copy the matching lines from cur's sidecar.
+        // Written after the claim (so the version is ours) and before
+        // the manifest (readers only consult stats of published
+        // versions); a crash in between leaves an invisible sidecar
+        // the next claimant of v simply overwrites.
+        val prevStats = cur.map(statsFor(table, _)).getOrElse(Map.empty)
+        val carriedKeys = carriedLines.filterNot(_.startsWith(DelPrefix))
+          .map(FileStats.fileKey).toSet
+        val carriedStats = prevStats.collect {
+          case ((f, c), (tag, mn, mx)) if carriedKeys.contains(f) =>
+            s"$f\t$c\t$tag\t$mn\t$mx"
+        }
+        writeSmallFile(statsPath(table, v),
+          (carriedStats.toSeq ++ newStats).mkString("\n"))
         claims.publish(manifestPath(table, v),
-          (carried(cur) ++ newFiles).mkString("\n"))
+          (carriedLines ++ newFiles).mkString("\n"))
         committed = true
       }
       // lost the race: loop re-reads the new current version
@@ -334,6 +396,7 @@ final class TableStore(spark: SparkSession, root: String,
       manifest(table, v).map(pathOf).filterNot(referenced.contains)
         .foreach(p => f.delete(new Path(p), false))
       f.delete(manifestPath(table, v), false)
+      f.delete(statsPath(table, v), false)
       claims.deleteClaim(tablePath(table), v)
     }
     // drop data/delete dirs emptied of parquet files

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Cdc, Skew, TopK}
-import graft.lake.{Catalog, CdcIngest, GraftSql, Layout, TableStore}
+import graft.lake.{Catalog, CdcIngest, FileStats, GraftSql, Layout, TableStore}
 import Queries.{Entry, t}
 
 /** End-to-end engine queries: the real TableStore + CdcIngest pipeline
@@ -191,6 +191,35 @@ object PipelineQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
         |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin))
+
+  /** Manifest-level data skipping end-to-end: commit a z-ordered
+    * lineitem projection into the store (per-file min/max recorded in
+    * the `stats-<n>` sidecar at write), then answer a range predicate
+    * via `readPruned` — non-intersecting files leave the plan before
+    * the scan starts, the skipping Delta/Iceberg get from log stats.
+    * Content is layout- and pruning-invariant, so the oracle is the
+    * plain filter; the pruning ratio itself is asserted in
+    * StatsPruningSpec. */
+  val statsPrunedScan: Entry = Entry(
+    "stats_pruned_scan",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-stats"))
+      store.create("li", Layout.cluster(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity"),
+        Seq("l_partkey", "l_suppkey"), numFiles = 16))
+      store.readPruned("li",
+          FileStats.NumRange("l_partkey", BigDecimal(100), BigDecimal(300)))
+        .where(col("l_suppkey").between(10, 50))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("sum_qty"))
+        .orderBy("l_suppkey")
+    },
+    Some("""SELECT l_suppkey, count(*) AS n,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
 
   /** TPC-H Q6 shape: tight range filter + arithmetic aggregate —
     * everything pushes to the scan. */
@@ -581,7 +610,7 @@ object PipelineQueries {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
-    timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan,
+    timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, formatRoundtrip,
     exactPercentiles, q7VolumeShipping,

@@ -1,0 +1,106 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.lake.FileStats.{NumRange, StrRange}
+import org.apache.spark.sql.functions._
+
+class StatsPruningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() = new TableStore(spark, tmpDir("stats"))
+
+  private def dataLines(store: TableStore, table: String): Int =
+    store.manifest(table, store.currentVersion(table).get)
+      .count(!_.startsWith("del|"))
+
+  test("range predicate drops non-intersecting files before the scan") {
+    val store = freshStore()
+    val df = spark.range(0, 800)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("id"))
+    store.create("t", df)
+    val total = dataLines(store, "t")
+    assert(total >= 8, s"expected >=8 files, got $total")
+
+    val pred = NumRange("id", BigDecimal(100), BigDecimal(199))
+    val kept = store.pruneLines("t", 0L, pred).size
+    assert(kept < total / 2, s"pruning missing: kept $kept of $total files")
+    // and the answer is exactly the unpruned filter
+    assert(store.readPruned("t", pred).orderBy("id").as[(Long, Long)]
+      .collect().toSeq ==
+      store.read("t").where(col("id").between(100, 199))
+        .orderBy("id").as[(Long, Long)].collect().toSeq)
+  }
+
+  test("appends carry stats by reference; both commits prune") {
+    val store = freshStore()
+    store.create("t",
+      spark.range(0, 100).toDF("id").repartitionByRange(4, col("id")))
+    store.append("t",
+      spark.range(1000, 1100).toDF("id").repartitionByRange(4, col("id")))
+    val total = dataLines(store, "t")
+    // a probe inside the first commit's range drops all second-commit
+    // files AND the first commit's non-intersecting ones
+    val kept = store.pruneLines("t", 1L,
+      NumRange("id", BigDecimal(10), BigDecimal(20))).size
+    assert(kept < total / 2, s"kept $kept of $total")
+    assert(store.readPruned("t",
+        NumRange("id", BigDecimal(10), BigDecimal(20))).count() == 11)
+  }
+
+  test("schema evolution: files predating a column survive pruning on it") {
+    val store = freshStore()
+    store.create("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.append("t", Seq((3L, "c", 50L), (4L, "d", 900L))
+      .toDF("id", "v", "score"))
+    // pruning on `score` must keep the v0 file (no stats entry for the
+    // column it predates) even though its rows null-fill and then fail
+    // the residual predicate
+    val out = store.readPruned("t",
+      NumRange("score", BigDecimal(0), BigDecimal(100)))
+    assert(out.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
+  test("merge-on-read deletes still apply under a pruned read") {
+    val store = freshStore()
+    store.create("t",
+      spark.range(0, 100).toDF("id").repartitionByRange(4, col("id")))
+    store.appendWithDeletes("t", Seq(10L, 200L).toDF("id"),
+      deleteKeys = Seq(11L, 12L).toDF("id"))
+    val got = store.readPruned("t", NumRange("id", BigDecimal(0), BigDecimal(20)))
+      .as[Long].collect().toSeq.sorted
+    // 11,12 deleted from the base commit; the batch re-inserts a
+    // second 10 exempt from its own delete keys
+    assert(got == ((0L to 20L).filterNot(Set(11L, 12L)) :+ 10L).sorted)
+  }
+
+  test("all-null column excludes a file; string ranges prune") {
+    val store = freshStore()
+    store.create("t", Seq((1L, Option.empty[String])).toDF("id", "name"))
+    store.append("t", Seq((2L, Some("alpha")), (3L, Some("beta")))
+      .toDF("id", "name"))
+    store.append("t", Seq((4L, Some("zulu"))).toDF("id", "name"))
+    val total = dataLines(store, "t")
+    val pred = StrRange("name", "aa", "m")
+    val kept = store.pruneLines("t", store.currentVersion("t").get, pred)
+    assert(kept.size < total, s"kept ${kept.size} of $total")
+    assert(store.readPruned("t", pred).select("id").as[Long]
+      .collect().toSeq.sorted == Seq(2L, 3L))
+  }
+
+  test("z-ordered layout prunes on BOTH clustering dimensions") {
+    val store = freshStore()
+    // integer y (col/64 alone would be double division)
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"), floor(col("id") / 64).as("y"))
+    store.create("t", Layout.cluster(grid, Seq("x", "y"), numFiles = 16, bits = 6))
+    val total = dataLines(store, "t")
+    assert(total >= 8)
+    for (pred <- Seq(NumRange("x", BigDecimal(20), BigDecimal(29)),
+                     NumRange("y", BigDecimal(20), BigDecimal(29)))) {
+      val kept = store.pruneLines("t", 0L, pred).size
+      assert(kept <= total / 2, s"${pred.col}: kept $kept of $total")
+      assert(store.readPruned("t", pred).count() == 10 * 64)
+    }
+  }
+}
