@@ -139,6 +139,36 @@ object TextOps {
       s => s =!= ""))
   }
 
+  /** Word n-grams WITH multiplicity, in document order — `shingles`
+    * minus the dedup. Repetition metrics (Gopher-style quality
+    * filters) need how often each n-gram occurs, not just the set. */
+  def ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    filter(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))),
+      s => s =!= "")
+  }
+
+  /** Highest multiplicity of any element of a string array: sort, then
+    * one aggregate pass tracking the longest run of equal neighbours.
+    * Entirely per-row (no explode, no shuffle) — the repetition family
+    * stays embarrassingly parallel over documents at any corpus size.
+    * Empty array → 0. */
+  def maxMultiplicity(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    aggregate(sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
   /** Content-defined chunking (the rsync / storage-dedup family):
     * split each document at token positions whose hash satisfies
     * `h mod divisor == 0` — boundaries move WITH the content, so an

@@ -399,6 +399,66 @@ object TextQueries {
         |SELECT lang, bigram, df, rnk FROM r WHERE rnk <= 10
         |ORDER BY lang, rnk""".stripMargin))
 
+  /** Gopher-style repetition quality filters: per-document fraction of
+    * tokens in the most-repeated token, fraction of bigrams in the
+    * most-repeated bigram, and duplicated-trigram fraction, gated on
+    * fixed thresholds. Every metric is a per-row array expression
+    * ([[graft.ops.TextOps.maxMultiplicity]] — sort + one aggregate
+    * pass), so the whole filter is embarrassingly parallel over
+    * documents: zero shuffles, zero joins, at any corpus size. The
+    * oracle replays the same counts via unnest + group-by. */
+  val repetitionFilters: Entry = Entry(
+    "repetition_gopher_filters",
+    (s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val bis = TextOps.ngrams(col("text"), 2)
+      val tris = TextOps.ngrams(col("text"), 3)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          round(TextOps.maxMultiplicity(toks).cast("double") / size(toks), 4)
+            .as("top_token_frac"),
+          round(TextOps.maxMultiplicity(bis).cast("double") / size(bis), 4)
+            .as("top_bigram_frac"),
+          round(lit(1.0) -
+            size(array_distinct(tris)).cast("double") / size(tris), 4)
+            .as("dup_trigram_frac"))
+        .withColumn("keep",
+          (col("top_token_frac") <= 0.125 && col("top_bigram_frac") <= 0.08 &&
+            col("dup_trigram_frac") <= 0.02).cast("long"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |ng AS (
+        |  SELECT doc_id, toks,
+        |    [array_to_string(toks[i:i+1], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-1, 1) + 1)] AS bis,
+        |    [array_to_string(toks[i:i+2], ' ')
+        |       FOR i IN range(1, greatest(len(toks)-2, 1) + 1)] AS tris
+        |  FROM tk),
+        |tc AS (SELECT doc_id, max(c) AS max_tok FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS w FROM tk)
+        |    GROUP BY doc_id, w) GROUP BY doc_id),
+        |bc AS (SELECT doc_id, max(c) AS max_bi FROM (
+        |    SELECT doc_id, b, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(bis) AS b FROM ng)
+        |    GROUP BY doc_id, b) GROUP BY doc_id),
+        |m AS (
+        |  SELECT ng.doc_id, len(toks) AS n_tokens,
+        |    round(max_tok * 1.0 / len(toks), 4) AS top_token_frac,
+        |    round(max_bi * 1.0 / len(bis), 4) AS top_bigram_frac,
+        |    round(1.0 - len(list_distinct(tris)) * 1.0 / len(tris), 4)
+        |      AS dup_trigram_frac
+        |  FROM ng JOIN tc ON ng.doc_id = tc.doc_id
+        |          JOIN bc ON ng.doc_id = bc.doc_id)
+        |SELECT doc_id, n_tokens, top_token_frac, top_bigram_frac,
+        |  dup_trigram_frac,
+        |  CAST(top_token_frac <= 0.125 AND top_bigram_frac <= 0.08
+        |    AND dup_trigram_frac <= 0.02 AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin))
+
   /** Sliding-window chunking (TextOps.slidingChunks): 8-token windows
     * every 4 tokens — the overlapping-chunk pass for retrieval
     * indexing. Pure per-row array expressions; the oracle replays the
@@ -821,5 +881,5 @@ object TextQueries {
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
-    incrementalNearDup, trainingExport)
+    incrementalNearDup, trainingExport, repetitionFilters)
 }

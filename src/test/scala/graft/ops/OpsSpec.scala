@@ -131,4 +131,25 @@ class OpsSpec extends SparkSpec {
     // symmetric int8: worst-case error is half a code step
     assert(maxErr <= scale / 254 + 1e-12, s"err $maxErr for scale $scale")
   }
+
+  test("ngrams keeps multiplicity; maxMultiplicity counts the top run") {
+    val df = Seq((0L, "a b a b a"), (1L, "x"), (2L, "c c c d"))
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextOps.ngrams(col("text"), 2).as("bis"),
+        TextOps.maxMultiplicity(TextOps.tokens(col("text"))).as("mt"),
+        TextOps.maxMultiplicity(TextOps.ngrams(col("text"), 2)).as("mb"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b", "b a", "a b", "b a"))
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 2L)
+    // single-token doc: the clamped index sequence yields the bare token
+    assert(out(1).getSeq[String](1) == Seq("x"))
+    assert(out(1).getLong(2) == 1L && out(1).getLong(3) == 1L)
+    assert(out(2).getLong(2) == 3L && out(2).getLong(3) == 2L)
+    val empty = spark.range(1)
+      .select(TextOps.maxMultiplicity(
+        array().cast("array<string>")).as("m"))
+      .head.getLong(0)
+    assert(empty == 0L)
+  }
 }
