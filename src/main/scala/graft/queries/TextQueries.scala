@@ -459,6 +459,86 @@ object TextQueries {
         |    AND dup_trigram_frac <= 0.02 AS BIGINT) AS keep
         |FROM m ORDER BY doc_id""".stripMargin))
 
+  /** Per-document TF-IDF top terms: tf from one (doc, term) count,
+    * document length and document frequency derived from that same
+    * frame (no second corpus scan), corpus size as a broadcast 1-row
+    * aggregate. Ranking happens on the 4dp-ROUNDED score with a term
+    * tie-break so a last-ulp `ln` difference between engines can't
+    * reorder; the per-doc window prunes via WindowGroupLimit. */
+  val tfidfTopTerms: Entry = Entry(
+    "tfidf_top_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(dl, "doc_id").join(dfq, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf",
+          round(col("tf") / col("dl") * log(col("n_docs") / col("df")), 4))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf * 1.0 / dl * ln(n_docs * 1.0 / df), 4) AS tfidf
+        |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+        |       JOIN df ON tf.term = df.term, n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rnk FROM scored)
+        |SELECT doc_id, term, tfidf, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin))
+
+  /** Per-document unigram-LM quality score: average log-probability of
+    * the document's tokens under the corpus unigram distribution —
+    * avg_ll = (Σ tf·ln cf − n·ln T) / n, so the only broadcastable
+    * global is the 1-row total. Docs full of rare tokens score low;
+    * boilerplate scores high. One token explode feeds both the corpus
+    * counts and the per-doc aggregate. */
+  val unigramLogprob: Entry = Entry(
+    "unigram_logprob_quality",
+    (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy("term").agg(sum("tf").as("cf"))
+      val tot = cf.agg(sum("cf").as("total"))
+      tf.join(cf, "term").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"),
+          round((sum(col("tf") * log(col("cf"))) -
+            sum(col("tf")) * log(first(col("total")))) / sum(col("tf")), 4)
+            .as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+        |       FROM tf GROUP BY term),
+        |tot AS (SELECT CAST(sum(cf) AS BIGINT) AS total FROM cf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round((sum(tf * ln(cf)) - sum(tf) * ln(first(total))) / sum(tf), 4)
+        |    AS avg_logprob
+        |FROM tf JOIN cf USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   /** Sliding-window chunking (TextOps.slidingChunks): 8-token windows
     * every 4 tokens — the overlapping-chunk pass for retrieval
     * indexing. Pure per-row array expressions; the oracle replays the
@@ -881,5 +961,6 @@ object TextQueries {
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
-    incrementalNearDup, trainingExport, repetitionFilters)
+    incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
+    unigramLogprob)
 }
