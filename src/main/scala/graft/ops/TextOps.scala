@@ -169,6 +169,34 @@ object TextOps {
       acc => acc.getField("best"))
   }
 
+  /** PII patterns (Java regex, codegen'd via regexp_replace — no UDF).
+    * Replacement order matters: emails first (their local part may
+    * contain digits), then SSN-shaped ids and IPv4 (both would
+    * otherwise be eaten by the broader phone pattern), phones last. */
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  private val ipRe = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val phoneRe = "\\+?\\d[\\d\\s().-]{6,}\\d"
+
+  /** Mask emails / SSN-shaped ids / IPv4 / phone numbers with typed
+    * placeholder tokens — the scrub pass a training-data pipeline runs
+    * before export. Pure per-row native expressions: stays inside
+    * whole-stage codegen, zero shuffles. */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, emailRe, "<EMAIL>")
+    val s = regexp_replace(e, ssnRe, "<ID>")
+    val i = regexp_replace(s, ipRe, "<IP>")
+    regexp_replace(i, phoneRe, "<PHONE>")
+  }
+
+  /** Match counts per unambiguous PII category (phones excluded: the
+    * phone pattern intentionally overlaps ids/IPs and only fires after
+    * they are masked). */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailRe)).cast("long").as("emails"),
+    regexp_count(text, lit(ssnRe)).cast("long").as("ids"),
+    regexp_count(text, lit(ipRe)).cast("long").as("ips"))
+
   /** Content-defined chunking (the rsync / storage-dedup family):
     * split each document at token positions whose hash satisfies
     * `h mod divisor == 0` — boundaries move WITH the content, so an

@@ -539,6 +539,29 @@ object TextQueries {
         |FROM tf JOIN cf USING (term), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** PII scrub over the corpus, asserted as a no-op: the fixture text
+    * carries no identifiers, so redacted length must equal raw length
+    * and zero documents may change — pinning the scrubber's
+    * no-false-positive property corpus-wide (the positive-match
+    * behavior is spec-tested on crafted strings, which DuckDB's regex
+    * dialect can't replay 1:1). */
+  val piiRedactionNoop: Entry = Entry(
+    "pii_redaction_noop",
+    (s, dir) => {
+      val red = TextOps.redactPii(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), col("text"), red.as("red"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("red")).cast("long")).as("red_chars"),
+          sum((col("red") =!= col("text")).cast("long")).as("n_changed"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS red_chars,
+        |  CAST(0 AS BIGINT) AS n_changed
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
   /** Sliding-window chunking (TextOps.slidingChunks): 8-token windows
     * every 4 tokens — the overlapping-chunk pass for retrieval
     * indexing. Pure per-row array expressions; the oracle replays the
@@ -962,5 +985,5 @@ object TextQueries {
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
-    unigramLogprob)
+    unigramLogprob, piiRedactionNoop)
 }

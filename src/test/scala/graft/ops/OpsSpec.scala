@@ -152,4 +152,24 @@ class OpsSpec extends SparkSpec {
       .head.getLong(0)
     assert(empty == 0L)
   }
+
+  test("PII redaction masks emails, ids, IPs, phones; clean text is untouched") {
+    val rows = Seq(
+      (0L, "contact john.doe+x@example.co.uk or call +1 (415) 555-0199 now"),
+      (1L, "server 10.0.42.7 ssn 123-45-6789"),
+      (2L, "perfectly clean text with no identifiers at all")
+    ).toDF("id", "text")
+    val out = rows.select(col("id"),
+        TextOps.redactPii(col("text")).as("red"),
+        TextOps.piiCounts(col("text")).as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "contact <EMAIL> or call <PHONE> now")
+    assert(out(1).getString(1) == "server <IP> ssn <ID>")
+    assert(out(2).getString(1) ==
+      "perfectly clean text with no identifiers at all")
+    val c0 = out(0).getStruct(2)
+    assert(c0.getLong(0) == 1L && c0.getLong(1) == 0L && c0.getLong(2) == 0L)
+    val c1 = out(1).getStruct(2)
+    assert(c1.getLong(0) == 0L && c1.getLong(1) == 1L && c1.getLong(2) == 1L)
+  }
 }
