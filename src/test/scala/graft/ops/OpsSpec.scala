@@ -151,6 +151,10 @@ class OpsSpec extends SparkSpec {
         array().cast("array<string>")).as("m"))
       .head.getLong(0)
     assert(empty == 0L)
+    // empty text degrades to no n-grams, not [""]
+    val none = Seq((0L, "")).toDF("doc_id", "text")
+      .select(TextOps.ngrams(col("text"), 2).as("g")).head.getSeq[String](0)
+    assert(none == Seq.empty)
   }
 
   test("PII redaction masks emails, ids, IPs, phones; clean text is untouched") {
