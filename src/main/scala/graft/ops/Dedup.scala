@@ -234,6 +234,75 @@ object Dedup {
         "component diameter exceeds the bound; raise maxIters")
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (the Kiveris et al. "Connected Components in
+    * MapReduce and Beyond" algorithm): converges in O(log n) rounds
+    * regardless of component DIAMETER, where [[connectedComponents]]
+    * needs O(diameter) rounds — use this for deep graphs (revision
+    * chains, link paths); min-label stays cheaper for the shallow
+    * star-shaped clusters near-dup edges produce.
+    *
+    * Each round: large-star hangs every neighbor larger than u onto
+    * the minimum of u's neighborhood; small-star re-points the
+    * smaller neighbors. Both are one groupBy + one equi-join over the
+    * edge list — no single-reducer stage; per-round localCheckpoint
+    * cuts the iterative lineage. Converged when the edge set is a
+    * fixpoint (stars rooted at each component's minimum).
+    *
+    * Returns (id, component) for every node incident to an edge. */
+  def connectedComponentsStar(edges: DataFrame, aCol: String = "a",
+                              bCol: String = "b",
+                              maxIters: Int = 32): DataFrame = {
+    def und(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: for every neighbor v > u, emit (v, min(Γ(u) ∪ {u}))
+    def largeStar(e: DataFrame): DataFrame = {
+      val g = und(e)
+      val mins = g.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      g.where(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: group each edge at its larger endpoint; re-point
+    // that endpoint and its smaller neighbors at their minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val le = und(e).where(col("v") < col("u"))
+      val mins = le.groupBy("u").agg(min("v").as("m"))
+      val repointed = le.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      repointed.union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var cur = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var iter = 0
+    while (iter < maxIters) {
+      iter += 1
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val stable = next.count() == cur.count() &&
+        next.except(cur).isEmpty
+      cur = next
+      if (stable) {
+        val roots = cur.select(col("v")).distinct()
+          .select(col("v").as("id"), col("v").as("component"))
+        return cur.select(col("u").as("id"), col("v").as("component"))
+          .union(roots)
+      }
+    }
+    throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIters rounds")
+  }
+
   /** SimHash (32-bit) from token hashes: per-bit majority vote over a
     * 32-bit token hash. Near-dups = small Hamming distance. The token
     * hash is the first 8 hex chars of md5 parsed as an integer — same

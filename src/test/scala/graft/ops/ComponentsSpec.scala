@@ -37,6 +37,33 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("star contraction matches min-label CC on a branchy graph") {
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),       // path 1-2-3-4
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (21L, 20L),                         // lone pair
+      (30L, 31L), (30L, 32L), (30L, 33L), (33L, 34L)) // star + tail
+      .toDF("a", "b")
+    val minLabel = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val star = Dedup.connectedComponentsStar(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(star == minLabel)
+  }
+
+  test("star contraction converges on a chain deeper than the min-label bound") {
+    // a 120-node path has diameter 119: min-label's default 20-round
+    // bound throws; star contraction needs only O(log n) rounds
+    val chain = (1 until 120).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain)
+    }
+    val labels = Dedup.connectedComponentsStar(chain)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 120 && labels.forall(_._2 == 1L))
+    assert(labels.map(_._1).sorted.toSeq == (1L to 120L))
+  }
+
   test("packSequences assigns packs by concatenated start offset") {
     val docs = Seq(
       (1L, "x", "a b c"),   // start 0  -> pack 0
