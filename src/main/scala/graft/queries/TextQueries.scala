@@ -547,6 +547,53 @@ object TextQueries {
         |FROM tf JOIN cf USING (term), tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** BM25 top-k retrieval for a fixed term query (Okapi, Lucene IDF,
+    * k1=1.2 b=0.75): the ranked-search pass over a curated corpus.
+    * The term filter lands BEFORE any join, so only matching (doc,
+    * term) rows flow; document length and corpus stats come from the
+    * same tf frame (N and avgdl as a broadcast 1-row aggregate). Tie
+    * ordering and the oracle both rank on the 4dp-rounded score. */
+  val bm25TopK: Entry = Entry(
+    "bm25_retrieval_topk",
+    (s, dir) => {
+      val qterms = Seq("spark", "table", "merge")
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum("dl") / count(lit(1))).as("avgdl"))
+      val dfq = tf.where(col("term").isin(qterms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      tf.where(col("term").isin(qterms: _*))
+        .join(dfq, "term").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("s",
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") +
+              (col("dl") / col("avgdl") * 0.75 + 0.25) * 1.2))
+        .groupBy("doc_id").agg(round(sum("s"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs,
+        |            CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |        WHERE term IN ('spark', 'table', 'merge') GROUP BY term),
+        |sc AS (SELECT tf.doc_id,
+        |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS s
+        |  FROM tf JOIN dfq USING (term)
+        |       JOIN dl ON tf.doc_id = dl.doc_id, stats)
+        |SELECT doc_id, round(sum(s), 4) AS score FROM sc
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin))
+
   /** PII scrub over the corpus, asserted as a no-op: the fixture text
     * carries no identifiers, so redacted length must equal raw length
     * and zero documents may change — pinning the scrubber's
@@ -993,5 +1040,5 @@ object TextQueries {
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
-    unigramLogprob, piiRedactionNoop)
+    unigramLogprob, piiRedactionNoop, bm25TopK)
 }
