@@ -176,6 +176,32 @@ object TextOps {
       acc => acc.getField("best"))
   }
 
+  /** Gopher-style per-document repetition metrics: token count, top
+    * token / top bigram fraction, duplicated-trigram fraction. Every
+    * metric is a per-row array expression over staged projections
+    * (each array evaluated once — see `ngramsOfTokens`), so the pass
+    * is stateless and shuffle-free: it runs identically over a batch
+    * frame or a `readStream` micro-batch. */
+  def repetitionMetrics(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val toks = col("__toks")
+    val bis = col("__bis")
+    val tris = col("__tris")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), toks,
+        ngramsOfTokens(toks, 2).as("__bis"),
+        ngramsOfTokens(toks, 3).as("__tris"))
+      .select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        round(maxMultiplicity(toks).cast("double") / size(toks), 4)
+          .as("top_token_frac"),
+        round(maxMultiplicity(bis).cast("double") / size(bis), 4)
+          .as("top_bigram_frac"),
+        round(lit(1.0) -
+          size(array_distinct(tris)).cast("double") / size(tris), 4)
+          .as("dup_trigram_frac"))
+  }
+
   /** PII patterns (Java regex, codegen'd via regexp_replace — no UDF).
     * Replacement order matters: emails first (their local part may
     * contain digits), then SSN-shaped ids and IPv4 (both would

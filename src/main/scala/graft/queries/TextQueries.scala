@@ -414,23 +414,7 @@ object TextQueries {
   val repetitionFilters: Entry = Entry(
     "repetition_gopher_filters",
     (s, dir) => {
-      val toks = col("toks")
-      val bis = col("bis")
-      val tris = col("tris")
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), toks,
-          TextOps.ngramsOfTokens(toks, 2).as("bis"),
-          TextOps.ngramsOfTokens(toks, 3).as("tris"))
-        .select(col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          round(TextOps.maxMultiplicity(toks).cast("double") / size(toks), 4)
-            .as("top_token_frac"),
-          round(TextOps.maxMultiplicity(bis).cast("double") / size(bis), 4)
-            .as("top_bigram_frac"),
-          round(lit(1.0) -
-            size(array_distinct(tris)).cast("double") / size(tris), 4)
-            .as("dup_trigram_frac"))
+      TextOps.repetitionMetrics(t(s, dir, "documents"), "doc_id", "text")
         .withColumn("keep",
           (col("top_token_frac") <= 0.125 && col("top_bigram_frac") <= 0.08 &&
             col("dup_trigram_frac") <= 0.02).cast("long"))

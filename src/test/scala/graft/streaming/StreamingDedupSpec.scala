@@ -19,6 +19,29 @@ class StreamingDedupSpec extends SparkSpec {
     assert(row.toSeq == agg.toSeq)
   }
 
+  test("repetition metrics: stream output equals batch on the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.TextOps
+    implicit val sql = spark.sqlContext
+    val rows = Seq((1L, "a b a b a"), (2L, "x y z x q r s"), (3L, "c c c c"))
+    val in = MemoryStream[(Long, String)]
+    val q = TextOps
+      .repetitionMetrics(in.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("rep_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val stream = spark.table("rep_out").orderBy("doc_id").collect().toSeq
+      val batch = TextOps
+        .repetitionMetrics(rows.toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(stream == batch)
+    } finally q.stop()
+  }
+
   test("streaming candidates: a near-dup arriving later pairs with the original") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
