@@ -110,6 +110,15 @@ class PlanSpec extends SparkSpec {
       s"queries with a global (partition-less) window: $offenders")
   }
 
+  test("repetition gate is shuffle-free: one exchange (output sort), no join/window/agg") {
+    val p = plan(Queries.queries("repetition_gopher_filters")(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, // rangepartitioning sort for ORDER BY only
+      s"per-row gate should not shuffle:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window") &&
+      !p.contains("HashAggregate"), s"per-row gate grew a heavy operator:\n$p")
+  }
+
   test("runtime bloom filter can prune the fact side of a selective dim join") {
     // at 100 TB a selective dimension predicate should reach the fact
     // scan as an injected bloom filter before the shuffle; local
