@@ -280,6 +280,13 @@ object Dedup {
         .distinct()
     }
 
+    // node set from the RAW edges: nodes whose only edges are
+    // self-loops must still be labeled (with themselves), matching
+    // the min-label variant's contract
+    val nodes = edges.select(col(aCol).as("id"))
+      .union(edges.select(col(bCol).as("id")))
+      .distinct()
+      .localCheckpoint()
     var cur = edges
       .select(col(aCol).as("u"), col(bCol).as("v"))
       .where(col("u") =!= col("v"))
@@ -293,10 +300,9 @@ object Dedup {
         next.except(cur).isEmpty
       cur = next
       if (stable) {
-        val roots = cur.select(col("v")).distinct()
-          .select(col("v").as("id"), col("v").as("component"))
-        return cur.select(col("u").as("id"), col("v").as("component"))
-          .union(roots)
+        val stars = cur.select(col("u").as("id"), col("v").as("lbl"))
+        return nodes.join(stars, Seq("id"), "left")
+          .select(col("id"), coalesce(col("lbl"), col("id")).as("component"))
       }
     }
     throw new IllegalStateException(

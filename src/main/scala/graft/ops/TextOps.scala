@@ -152,7 +152,7 @@ object TextOps {
       (acc, k) => zip_with(acc, slice(toks, lit(k), len - (n - 1)),
         (a, b) => concat(a, lit(" "), b))
     }
-    if (n <= 1) joined
+    if (n <= 1) filter(joined, s => s =!= "")
     else when(len >= n, joined)
       .otherwise(filter(array(concat_ws(" ", toks)), s => s =!= ""))
   }
@@ -181,24 +181,28 @@ object TextOps {
     * metric is a per-row array expression over staged projections
     * (each array evaluated once — see `ngramsOfTokens`), so the pass
     * is stateless and shuffle-free: it runs identically over a batch
-    * frame or a `readStream` micro-batch. */
+    * frame or a `readStream` micro-batch. Empty/blank documents have
+    * no n-grams; their fractions are defined as 0.0 (no repetition),
+    * never NaN. */
   def repetitionMetrics(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     val toks = col("__toks")
     val bis = col("__bis")
     val tris = col("__tris")
+    def frac(num: Column, arr: Column): Column =
+      when(size(arr) > 0, round(num.cast("double") / size(arr), 4))
+        .otherwise(lit(0.0))
     df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), toks,
         ngramsOfTokens(toks, 2).as("__bis"),
         ngramsOfTokens(toks, 3).as("__tris"))
       .select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
-        round(maxMultiplicity(toks).cast("double") / size(toks), 4)
-          .as("top_token_frac"),
-        round(maxMultiplicity(bis).cast("double") / size(bis), 4)
-          .as("top_bigram_frac"),
-        round(lit(1.0) -
-          size(array_distinct(tris)).cast("double") / size(tris), 4)
+        frac(maxMultiplicity(toks), toks).as("top_token_frac"),
+        frac(maxMultiplicity(bis), bis).as("top_bigram_frac"),
+        when(size(tris) > 0, round(lit(1.0) -
+          size(array_distinct(tris)).cast("double") / size(tris), 4))
+          .otherwise(lit(0.0))
           .as("dup_trigram_frac"))
   }
 
@@ -222,13 +226,20 @@ object TextOps {
     regexp_replace(i, phoneRe, "<PHONE>")
   }
 
-  /** Match counts per unambiguous PII category (phones excluded: the
-    * phone pattern intentionally overlaps ids/IPs and only fires after
-    * they are masked). */
-  def piiCounts(text: Column): Column = struct(
-    regexp_count(text, lit(emailRe)).cast("long").as("emails"),
-    regexp_count(text, lit(ssnRe)).cast("long").as("ids"),
-    regexp_count(text, lit(ipRe)).cast("long").as("ips"))
+  /** Disjoint match counts per PII category, mirroring `redactPii`'s
+    * replacement order: ids are counted after emails are masked and
+    * IPs after ids, so one identifier is never reported in two
+    * categories (an email with an SSN-shaped local part counts as an
+    * email only). Phones excluded: their pattern intentionally overlaps
+    * everything and only fires after the rest is masked. */
+  def piiCounts(text: Column): Column = {
+    val e = regexp_replace(text, emailRe, "<EMAIL>")
+    val s = regexp_replace(e, ssnRe, "<ID>")
+    struct(
+      regexp_count(text, lit(emailRe)).cast("long").as("emails"),
+      regexp_count(e, lit(ssnRe)).cast("long").as("ids"),
+      regexp_count(s, lit(ipRe)).cast("long").as("ips"))
+  }
 
   /** Content-defined chunking (the rsync / storage-dedup family):
     * split each document at token positions whose hash satisfies

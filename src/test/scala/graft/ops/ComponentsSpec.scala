@@ -42,7 +42,8 @@ class ComponentsSpec extends SparkSpec {
       (2L, 1L), (2L, 3L), (3L, 4L),       // path 1-2-3-4
       (10L, 11L), (11L, 12L), (10L, 12L), // triangle
       (21L, 20L),                         // lone pair
-      (30L, 31L), (30L, 32L), (30L, 33L), (33L, 34L)) // star + tail
+      (30L, 31L), (30L, 32L), (30L, 33L), (33L, 34L), // star + tail
+      (40L, 40L))                         // self-loop-only node
       .toDF("a", "b")
     val minLabel = Dedup.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap

@@ -175,5 +175,16 @@ class OpsSpec extends SparkSpec {
     assert(c0.getLong(0) == 1L && c0.getLong(1) == 0L && c0.getLong(2) == 0L)
     val c1 = out(1).getStruct(2)
     assert(c1.getLong(0) == 0L && c1.getLong(1) == 1L && c1.getLong(2) == 1L)
+    // overlap disjointness: an SSN-shaped email local part counts as
+    // email only (ids are counted after emails are masked)
+    val c2 = Seq((0L, "send to 123-45-6789@mail.com ok")).toDF("id", "text")
+      .select(TextOps.piiCounts(col("text")).as("c")).head.getStruct(0)
+    assert(c2.getLong(0) == 1L && c2.getLong(1) == 0L && c2.getLong(2) == 0L)
+    // empty doc: metrics defined as 0.0, never NaN
+    val m = TextOps.repetitionMetrics(
+        Seq((0L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .head
+    assert(m.getDouble(2) == 1.0 && m.getDouble(3) == 0.0 &&
+      m.getDouble(4) == 0.0)
   }
 }
