@@ -242,6 +242,57 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Nearest-centroid assignment — the shared IVF / SemDeDup building
+    * block: broadcast cross-score + hash-agg argmax (no per-key sort),
+    * cosines rounded to 4 dp with a cent_id tiebreak so an oracle
+    * holding the identical centroid literals reproduces the partition
+    * exactly. Returns (idCol, vecCol, cent_id). */
+  def assignClusters(corpus: DataFrame, cents: DataFrame,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("cent_id"),
+        round(cosine(col(vecCol), col("cvec")), 4).as("ccos"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"),
+        col(vecCol).as("v"))).as("m"))
+      .select(col(idCol), col("m.v").as(vecCol), (-col("m.nc")).as("cent_id"))
+  }
+
+  /** SemDeDup-style semantic near-duplicate pruning (Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the corpus by nearest centroid,
+    * then inside each cluster drop every vector whose rounded cosine
+    * with a LOWER-id cluster member reaches `threshold` — the kept set
+    * retains exactly the minimal-id representative of every duplicate
+    * group. The pairwise work is an equi-join on cent_id (bounded by
+    * cluster size, corpus/nlist), never corpus-wide all-pairs: the
+    * clustering IS the candidate blocking, which is what makes
+    * semantic dedup feasible at 100 TB. The assignment frame is
+    * localCheckpointed — it feeds both pair sides and the final keep
+    * join, and re-deriving the broadcast-argmax three times is the
+    * kind of recompute that hurts when the corpus is large.
+    * Returns (idCol, cent_id, keep 0|1). */
+  def semDedup(corpus: DataFrame, cents: DataFrame, threshold: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val assigned = assignClusters(corpus, cents, idCol, vecCol)
+      .localCheckpoint()
+    val l = assigned.select(col(idCol).as("a"), col(vecCol).as("va"),
+      col("cent_id"))
+    val r = assigned.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      col("cent_id"))
+    val dropped = l.join(r, Seq("cent_id"))
+      .where(col("a") < col("b") &&
+        round(cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("b").as("__dup"))
+      .distinct()
+    assigned.join(dropped, col(idCol) === col("__dup"), "left_outer")
+      .select(col(idCol), col("cent_id"),
+        col("__dup").isNull.cast("long").as("keep"))
+  }
+
   /** Symmetric int8 scalar quantization of an embedding column — the
     * 4x storage-compression path for a 100 TB vector corpus (float32 →
     * int8 codes + one float scale per vector). Pure array HOFs:

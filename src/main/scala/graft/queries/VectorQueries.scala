@@ -196,18 +196,24 @@ object VectorQueries {
     * assignment (rounded cosine, cent_id tiebreak) and the candidate
     * search exactly; recall vs brute force is additionally tested in
     * OpsSpec. */
+  /** (cent_id, i, cx) VALUES rows for a collected (cent_id, cvec)
+    * centroid frame — shared by the ivf and semantic-dedup dynamic
+    * oracles. */
+  private def centValuesSql(cents: org.apache.spark.sql.DataFrame): String =
+    cents.collect().map { r =>
+      val cid = r.get(0)
+      val vec = r.getSeq[Float](1)
+      vec.zipWithIndex
+        .map { case (x, i) => s"($cid, ${i + 1}, ${x.toDouble})" }
+        .mkString(", ")
+    }.mkString(", ")
+
   val ivfTopK: Entry = new Entry(
     "ivf_ann_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(emb, nlist = 16, iterations = 2)
-      val centValues = cents.collect().map { r =>
-        val cid = r.get(0)
-        val vec = r.getSeq[Float](1)
-        vec.zipWithIndex
-          .map { case (x, i) => s"($cid, ${i + 1}, ${x.toDouble})" }
-          .mkString(", ")
-      }.mkString(", ")
+      val centValues = centValuesSql(cents)
       ivfOracle = Some(
         s"""WITH exp AS (
            |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -260,6 +266,67 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     },
     () => ivfOracle)
+
+  /** Oracle for semantic_dedup_prune, derived at run time like
+    * ivf_ann_topk's: the deterministic trained centroids become VALUES
+    * literals, so the oracle replays assignment (rounded cosine,
+    * cent_id tiebreak), the within-cluster pair scores, and the
+    * minimal-id keep policy exactly. */
+  @volatile private var semOracle: Option[String] = None
+  private val sdTau = 0.4
+
+  /** SemDeDup semantic pruning over the embedding corpus: k-means
+    * clusters as the candidate blocks, drop every vector with a
+    * lower-id near-duplicate (cosine ≥ 0.4) in its cluster. Pairwise
+    * work is bounded by cluster size — the scale story for semantic
+    * dedup at 100 TB. One row per vector with its cluster and keep
+    * flag. */
+  val semanticDedup: Entry = new Entry(
+    "semantic_dedup_prune",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nlist = 16, iterations = 2)
+      semOracle = Some(
+        s"""WITH exp AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |cent(cent_id, i, cx) AS (VALUES ${centValuesSql(cents)}),
+           |norms AS (
+           |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+           |cnorms AS (
+           |  SELECT cent_id, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY cent_id),
+           |cdots AS (
+           |  SELECT e.vec_id, c.cent_id, sum(e.x * c.cx) AS dp
+           |  FROM exp e JOIN cent c ON e.i = c.i
+           |  GROUP BY e.vec_id, c.cent_id),
+           |cscore AS (
+           |  SELECT vec_id, cent_id, round(dp / (n.nrm * cn.cnrm), 4) AS ccos
+           |  FROM cdots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cent_id)),
+           |assign AS (
+           |  SELECT vec_id, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY ccos DESC, cent_id) AS r
+           |    FROM cscore) WHERE r = 1),
+           |pdots AS (
+           |  SELECT a.vec_id AS a, b.vec_id AS b, sum(ea.x * eb.x) AS dp
+           |  FROM assign a JOIN assign b
+           |    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+           |  JOIN exp ea ON ea.vec_id = a.vec_id
+           |  JOIN exp eb ON eb.vec_id = b.vec_id AND ea.i = eb.i
+           |  GROUP BY a.vec_id, b.vec_id),
+           |dropped AS (
+           |  SELECT DISTINCT d.b
+           |  FROM pdots d JOIN norms na ON d.a = na.vec_id
+           |  JOIN norms nb ON d.b = nb.vec_id
+           |  WHERE round(d.dp / (na.nrm * nb.nrm), 4) >= $sdTau)
+           |SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cent_id,
+           |  CAST(dr.b IS NULL AS BIGINT) AS keep
+           |FROM assign a LEFT JOIN dropped dr ON a.vec_id = dr.b
+           |ORDER BY vec_id""".stripMargin)
+      Similarity.semDedup(emb, cents, sdTau).orderBy("vec_id")
+    },
+    () => semOracle)
 
   /** Int8 quantization quality report: per label, the worst absolute
     * reconstruction error and the worst original↔reconstructed cosine
@@ -370,5 +437,6 @@ object VectorQueries {
         |ORDER BY qid, rnk""".stripMargin))
 
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
-    labelCentroids, annLsh, ivfTopK, quantizationError, quantizedTopK)
+    labelCentroids, annLsh, ivfTopK, semanticDedup, quantizationError,
+    quantizedTopK)
 }

@@ -74,6 +74,37 @@ class OpsSpec extends SparkSpec {
     assert(approx.forall { case (q, v) => q != v })
   }
 
+  test("semDedup keeps exactly the vectors with no lower-id near-dup in their cluster") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val tau = 0.4
+    val cents = Similarity.kmeansCentroids(emb, nlist = 8, iterations = 2)
+    val kept = Similarity.semDedup(emb, cents, tau)
+      .as[(Long, Long, Long)].collect()
+    assert(kept.length == 500, "one row per corpus vector")
+    // recompute the policy brute-force from the same assignment
+    val assigned = Similarity.assignClusters(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i)
+      }
+      math.rint(d / math.sqrt(nx * ny) * 1e4) / 1e4
+    }
+    val expectDrop = (for {
+      (va, aa, ca) <- assigned
+      (vb, ab, cb) <- assigned
+      if ca == cb && va < vb && cos(aa, ab) >= tau
+    } yield vb).toSet
+    for ((id, _, keep) <- kept)
+      assert((keep == 0L) == expectDrop.contains(id),
+        s"vector $id keep=$keep disagrees with brute-force policy")
+    assert(expectDrop.nonEmpty, "fixture produced no semantic near-dups")
+  }
+
   test("typed top-k aggregator equals the window-rank formulation") {
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val probes = emb.where(col("vec_id") < 5)
