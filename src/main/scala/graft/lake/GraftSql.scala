@@ -3,13 +3,17 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction}
-import org.apache.spark.sql.functions.{col, expr, lit, when}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
-/** SQL-text front door for the one statement Spark can parse but not
+/** SQL-text front door for the statements Spark can parse but not
   * execute without a v2 row-level-operation catalog: MERGE INTO — the
   * reference's merge_sql_stmnt (icberg/iceberg_tables.py:45-50) plus
-  * the natural extensions a user hits first when growing past it.
+  * the natural extensions a user hits first when growing past it —
+  * and the plain DML forms `UPDATE ... SET ... [WHERE]` and
+  * `DELETE FROM ... WHERE` (each one read → one atomic overwrite
+  * commit; INSERT INTO already works through the session catalog for
+  * S9-registered tables, so it stays on `spark.sql`).
   *
   * We reuse Catalyst's parser (no regex dialect): `parsePlan` yields a
   * `MergeIntoTable`, compiled onto the graft engine as joins + ONE
@@ -53,8 +57,57 @@ object GraftSql {
   def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case m: MergeIntoTable => executeMerge(spark, store, m)
+      case u: UpdateTable => executeUpdate(spark, store, u)
+      case d: DeleteFromTable => executeDelete(spark, store, d)
       case _ => spark.sql(sql)
     }
+
+  /** `DELETE FROM t [AS a] WHERE c` — the other statement Spark parses
+    * but cannot run without a v2 row-level catalog. SQL semantics: a
+    * row is removed iff the predicate is TRUE; NULL keeps the row, like
+    * the engines this fronts for. One read → one atomic overwrite. */
+  private def executeDelete(spark: SparkSession, store: TableStore,
+                            d: DeleteFromTable): DataFrame = {
+    val target = tableName(d.table)
+    val alias = aliasOf(d.table).getOrElse(target)
+    val dest = store.read(target).alias(alias)
+    val survivors = dest.where(!coalesce(expr(d.condition.sql), lit(false)))
+    store.overwrite(target, survivors)
+    store.read(target)
+  }
+
+  /** `UPDATE t [AS a] SET c = expr, ... [WHERE cond]` — compiled to one
+    * projection that CASEs each assigned column over the (null-safe)
+    * condition; unassigned columns and non-matching rows carry through
+    * unchanged. Same loud-failure rules as MERGE: unknown assignment
+    * targets reject at compile time. One read → one atomic overwrite. */
+  private def executeUpdate(spark: SparkSession, store: TableStore,
+                            u: UpdateTable): DataFrame = {
+    val target = tableName(u.table)
+    val alias = aliasOf(u.table).getOrElse(target)
+    val dest = store.read(target).alias(alias)
+    val cond = coalesce(
+      u.condition.map(e => expr(e.sql)).getOrElse(lit(true)), lit(false))
+    val assigns = u.assignments.map { case Assignment(k, v) =>
+      val name = k match {
+        case a: UnresolvedAttribute => a.nameParts.last
+        case other => throw new IllegalArgumentException(
+          s"unsupported assignment target ${other.sql}")
+      }
+      name.toLowerCase -> expr(v.sql)
+    }.toMap
+    val destCols = dest.columns.map(_.toLowerCase).toSet
+    val unknown = assigns.keys.filterNot(destCols)
+    require(unknown.isEmpty,
+      s"UPDATE SET targets unknown column(s): ${unknown.mkString(", ")}")
+    val updated = dest.select(dest.columns.toIndexedSeq.map { n =>
+      assigns.get(n.toLowerCase)
+        .map(v => when(cond, v).otherwise(col(s"$alias.$n")))
+        .getOrElse(col(s"$alias.$n")).as(n)
+    }: _*)
+    store.overwrite(target, updated)
+    store.read(target)
+  }
 
   private def executeMerge(spark: SparkSession, store: TableStore,
                            m: MergeIntoTable): DataFrame = {

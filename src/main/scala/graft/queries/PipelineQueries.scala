@@ -405,6 +405,40 @@ object PipelineQueries {
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin))
 
+  /** Plain DML through the SQL front door — the statements Spark
+    * parses but cannot run on parquet tables without a v2 row-level
+    * catalog: a conditional multi-assignment UPDATE (alias-qualified
+    * references), then a DELETE whose predicate sees the updated
+    * values. Each statement is one read → one atomic overwrite
+    * commit; the oracle replays both as CASE projections. */
+  val sqlDml: Entry = Entry(
+    "sql_update_delete_dml",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-dml"))
+      store.create("destd", t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal"))
+      GraftSql.execute(s, store,
+        """UPDATE destd t
+          |SET c_acctbal = t.c_acctbal + 500, c_name = upper(t.c_name)
+          |WHERE t.c_acctbal < 0""".stripMargin)
+      GraftSql.execute(s, store,
+        "DELETE FROM destd WHERE c_acctbal > 8000")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH updated AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0 THEN upper(c_name)
+        |         ELSE c_name END AS c_name,
+        |    CASE WHEN c_acctbal < 0 THEN c_acctbal + 500
+        |         ELSE c_acctbal END AS c_acctbal
+        |  FROM customer)
+        |SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM updated WHERE NOT c_acctbal > 8000
+        |ORDER BY c_custkey""".stripMargin))
+
   /** Source/sink format breadth: the nation dimension round-trips
     * through JSON, CSV and ORC (write, then schema'd read back — ORC
     * carries its own schema), and all
@@ -615,7 +649,8 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, formatRoundtrip,
+    mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
+    formatRoundtrip,
     exactPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)

@@ -282,4 +282,38 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.read("dnmd").orderBy("pk").as[(String, Int)].collect()
       .toSeq == Seq(("k1", 1)))
   }
+
+  test("UPDATE SET rewrites qualifying rows and commits atomically") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("du", Seq(("k1", 1, "a"), ("k2", 8, "b"), ("k3", 3, "c"))
+      .toDF("pk", "v", "s"))
+    val out = GraftSql.execute(spark, store,
+      "UPDATE du t SET v = t.v * 10, s = upper(t.s) WHERE t.v < 5")
+    assert(out.orderBy("pk").as[(String, Int, String)].collect().toSeq ==
+      Seq(("k1", 10, "A"), ("k2", 8, "b"), ("k3", 30, "C")))
+    assert(store.currentVersion("du").contains(1L))
+  }
+
+  test("UPDATE without WHERE rewrites every row; unknown targets fail loudly") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dua", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
+    GraftSql.execute(spark, store, "UPDATE dua SET v = v + 100")
+    assert(store.read("dua").orderBy("pk").as[(String, Int)].collect()
+      .toSeq == Seq(("k1", 101), ("k2", 102)))
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "UPDATE dua SET nope = 1")
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("DELETE FROM removes rows where the predicate is TRUE; NULL keeps") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("dd", Seq(("k1", Some(1)), ("k2", Some(9)), ("k3", None))
+      .toDF("pk", "v"))
+    // v > 5 is NULL for k3 — SQL DELETE keeps it
+    GraftSql.execute(spark, store, "DELETE FROM dd WHERE v > 5")
+    assert(store.read("dd").select("pk").as[String].collect().sorted
+      .toSeq == Seq("k1", "k3"))
+    assert(store.currentVersion("dd").contains(1L))
+  }
 }
