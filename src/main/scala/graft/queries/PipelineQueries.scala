@@ -405,6 +405,49 @@ object PipelineQueries {
         |FROM customer WHERE c_custkey % 2 = 0
         |ORDER BY c_custkey""".stripMargin))
 
+  /** Incremental materialized-view maintenance: a per-(day, type)
+    * rollup table is built from events before a MID-DAY cutoff, then
+    * refreshed with the post-cutoff delta through one MERGE whose
+    * UPDATE leg ADDS the delta aggregates onto the stored ones (count
+    * and an exact DECIMAL sum — order-free, so the refresh is
+    * oracle-exact) and whose INSERT leg admits brand-new groups. This
+    * is the standard "don't rescan the base table" refresh: the merge
+    * touches O(delta groups) rows, not O(history), which is the whole
+    * point at 100 TB. Oracle: one GROUP BY over ALL events — after the
+    * refresh the rollup must equal the from-scratch aggregate. */
+  val rollupRefresh: Entry = Entry(
+    "rollup_incremental_refresh",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-ivm"))
+      // 2024-01-16T12:00:00Z in epoch-nanos: splits Jan 16 in half so
+      // the delta both UPDATES existing groups and INSERTS new days
+      val cutoffNs = 1705406400L * 1000000000L
+      def rollup(pred: org.apache.spark.sql.Column) =
+        t(s, dir, "events").where(pred)
+          .select(to_date(Tables.nsToTimestamp("ts")).as("day"),
+            col("event_type"), col("value"))
+          .groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,4)")).as("total"))
+      store.create("evroll", rollup(col("ts") < cutoffNs))
+      rollup(col("ts") >= cutoffNs).createOrReplaceTempView("ev_delta")
+      GraftSql.execute(s, store,
+        """MERGE INTO evroll t USING ev_delta u
+          |ON t.day = u.day AND t.event_type = u.event_type
+          |WHEN MATCHED THEN UPDATE SET n = t.n + u.n,
+          |  total = t.total + u.total
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .select(col("day").cast("string").as("day"), col("event_type"),
+          col("n"), col("total").cast("double").as("total"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS VARCHAR) AS day,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin))
+
   /** Plain DML through the SQL front door — the statements Spark
     * parses but cannot run on parquet tables without a v2 row-level
     * catalog: a conditional multi-assignment UPDATE (alias-qualified
@@ -650,7 +693,7 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    formatRoundtrip,
+    rollupRefresh, formatRoundtrip,
     exactPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)

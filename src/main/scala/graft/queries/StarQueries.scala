@@ -145,6 +145,31 @@ object StarQueries {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin))
 
+  /** Explicit GROUPING SETS — two DISJOINT single-column sets, which no
+    * rollup/cube can express — with grouping_id() disambiguating which
+    * set produced each row (a NULL key vs an aggregated-away key look
+    * identical otherwise). Same one-shuffle Expand+Aggregate plan shape
+    * as cube/rollup. */
+  val aggGroupingSets: Entry = Entry(
+    "agg_grouping_sets_disjoint",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"), col("gid"))
+      .orderBy("gid", "rf", "ls"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, rf, ls""".stripMargin))
+
   /** Analytic window functions: lag + rank + running frame sum. */
   val windowAnalytics: Entry = Entry(
     "window_customer_order_history",
@@ -376,7 +401,8 @@ object StarQueries {
 
   val entries: Seq[Entry] = Seq(
     q5RegionalRevenue, joinLeftOuter, joinSemi, joinFullOuter, aggDistinct,
-    aggRollup, aggCube, windowAnalytics, windowDistribution, topkOrders,
+    aggRollup, aggCube, aggGroupingSets, windowAnalytics,
+    windowDistribution, topkOrders,
     setOps, havingFilter, scalarFuncs, dateFuncs, subqueryAboveAvg,
     q2MinCost, nullHandling, q13OrderDistribution, q11ImportantStock)
 }

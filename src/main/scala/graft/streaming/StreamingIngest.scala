@@ -117,6 +117,19 @@ object StreamingIngest {
         col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
 
+  /** Stream-static enrichment: join each micro-batch against a STATIC
+    * dimension, broadcast so the stream side never shuffles — the
+    * standard streaming lookup join, and the only join shape that
+    * holds when the stream is 100 TB/day and the dimension is a few
+    * MB. Left outer: events with no dimension row carry NULL
+    * enrichment instead of being dropped (a missing dim row must not
+    * silently drop stream data). Works identically on bounded input,
+    * which is how the spec pins stream == batch. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim),
+      keys, "left_outer")
+
   /** Gap-based session windows per key — the streaming form of the
     * batch lag+running-sum sessionization (EventQueries.sessionize):
     * `session_window` merges events closer than `gap` into one

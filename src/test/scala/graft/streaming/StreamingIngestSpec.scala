@@ -160,6 +160,35 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the broadcast dim") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val rows = Seq((1L, "click"), (2L, "view"), (9L, "click")) // 9 has no dim row
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_type"), col("tier"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSeq
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingIngest.enrichWithDim(
+        in.toDF().toDF("user_id", "event_type"), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enrich_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = shape(spark.table("enrich_stream"))
+      val batch = shape(StreamingIngest.enrichWithDim(
+        rows.toDF("user_id", "event_type"), dim, Seq("user_id")))
+      assert(streamed == batch)
+      // the unmatched stream row survives with NULL enrichment
+      assert(streamed.contains((9L, "click", None)))
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over bounded events input") {
     val events = Seq(
       (1L, "2024-01-01 10:01:00", "click", 1.0),
