@@ -17,5 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductF].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProductF(exprs(0), exprs(1))))
+    // hand-written HOF dot products silently become the native
+    // codegen'd expression (see RewriteHofDotProduct)
+    ext.injectOptimizerRule(_ => RewriteHofDotProduct)
   }
 }

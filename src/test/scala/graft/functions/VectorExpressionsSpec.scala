@@ -73,6 +73,42 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule rewrites the HOF dot idiom to the native expression") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ RewriteHofDotProduct
+    try {
+      val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+        .limit(100)
+      val hof = emb.select(col("vec_id"),
+        Similarity.dotHof(col("embedding"), col("embedding")).as("d"))
+      assert(hof.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        "HOF dot idiom not rewritten:\n" +
+          hof.queryExecution.optimizedPlan.toString)
+      // results unchanged vs the unrewritten native form
+      val native = emb.select(col("vec_id"),
+        Similarity.dot(col("embedding"), col("embedding")).as("d"))
+      assert(hof.exceptAll(native).isEmpty && native.exceptAll(hof).isEmpty)
+      // a superficially similar aggregate (sum of pairwise MAX) is NOT a
+      // dot product and must stay untouched
+      val notDot = emb.select(aggregate(
+        zip_with(col("embedding"), col("embedding"),
+          (x, y) => greatest(x.cast("double"), y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v).as("m"))
+      assert(!notDot.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      // null semantics survive the rewrite: mismatched lengths -> NULL
+      val mism = spark.sql(
+        "SELECT aggregate(zip_with(array(CAST(1.0 AS FLOAT)), " +
+          "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), (x, y) -> " +
+          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
+          "(acc, v) -> acc + v) AS d")
+      assert(mism.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+      assert(mism.collect().head.isNullAt(0))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == RewriteHofDotProduct)
+    }
+  }
+
   test("dot product participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
