@@ -91,8 +91,13 @@ object CdcIngest {
     val newRows = source.where(col(cfg.dateCol) > lit(maxDate))
     if (newRows.isEmpty) NoNewData // C3 (:152-153), A3 via Dataset.isEmpty
     else {
+      // localCheckpoint: the deduped batch feeds the row-count report
+      // AND 2-3 consumers per merge path (survivors + delete keys on
+      // MoR; touched-bucket probe + anti-join + union when bucketed) —
+      // one window computation, cheap re-reads, instead of re-running
+      // the dedup shuffle per consumer
       val deduped = Cdc.dedupLatest(newRows, Seq(cfg.primaryKey),
-        (cfg.dateCol +: cfg.tiebreak).map(col(_).desc))
+        (cfg.dateCol +: cfg.tiebreak).map(col(_).desc)).localCheckpoint()
       val n = deduped.count()
       if (cfg.mergeOnRead) {
         val survivors0 = Cdc.dropTombstones(deduped).drop("row_num", "Op")
