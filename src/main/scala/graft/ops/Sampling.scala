@@ -56,6 +56,19 @@ object Sampling {
       .drop("__sh", "__sr")
   }
 
+  /** Deterministic shuffle-and-shard assignment: every row lands in
+    * one of `numShards` export shards by salted hash — the layout
+    * step of a training-data export. The hash IS the global shuffle
+    * (readers consuming shards in hash order see a reproducible
+    * pseudo-random document order), and the assignment is a pure
+    * expression: identical on any engine, any partitioning, any run,
+    * so a resumed or re-run export writes the same shards. */
+  def shardAssign(id: Column, numShards: Int, salt: String): Column = {
+    require(numShards > 0, "numShards must be positive")
+    pmod(Sketches.hash48(concat(id.cast("string"), lit(":" + salt))),
+      lit(numShards.toLong))
+  }
+
   /** Mix sources at per-source rates in ONE pass over a combined
     * frame: `rates` maps values of `sourceCol` to keep-fractions
     * (missing sources use `defaultRate`). The gate composes as a

@@ -399,10 +399,42 @@ object StarQueries {
         |HAVING sum(l_quantity) > (SELECT sum(l_quantity) FROM lineitem) / 1000
         |ORDER BY part_qty DESC, l_partkey""".stripMargin))
 
+  /** SQL NOT IN three-valued logic — the classic silent-wrong-answer
+    * trap: against a null-free subquery NOT IN is a plain anti join;
+    * one NULL in the subquery makes every comparison UNKNOWN and the
+    * result empty. Both counts in one row pins the semantics (Spark
+    * plans the poisoned form as a null-aware anti join — the engines
+    * must agree the answer is 0, not "nulls skipped"). */
+  val notInNulls: Entry = Entry(
+    "anti_join_not_in_nulls",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("nin_cust")
+      t(s, dir, "orders").createOrReplaceTempView("nin_ord")
+      s.sql("""
+        |SELECT
+        |  (SELECT count(*) FROM nin_cust WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM nin_ord
+        |      WHERE o_totalprice > 100000)) AS n_plain,
+        |  (SELECT count(*) FROM nin_cust WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |             ELSE o_custkey END
+        |      FROM nin_ord WHERE o_totalprice > 100000)) AS n_null_poisoned
+        |""".stripMargin)
+    },
+    Some("""SELECT
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT o_custkey FROM orders
+        |      WHERE o_totalprice > 100000)) AS n_plain,
+        |  (SELECT count(*) FROM customer WHERE c_custkey NOT IN
+        |     (SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |             ELSE o_custkey END
+        |      FROM orders WHERE o_totalprice > 100000)) AS n_null_poisoned""".stripMargin))
+
   val entries: Seq[Entry] = Seq(
     q5RegionalRevenue, joinLeftOuter, joinSemi, joinFullOuter, aggDistinct,
     aggRollup, aggCube, aggGroupingSets, windowAnalytics,
     windowDistribution, topkOrders,
     setOps, havingFilter, scalarFuncs, dateFuncs, subqueryAboveAvg,
-    q2MinCost, nullHandling, q13OrderDistribution, q11ImportantStock)
+    q2MinCost, nullHandling, q13OrderDistribution, q11ImportantStock,
+    notInNulls)
 }

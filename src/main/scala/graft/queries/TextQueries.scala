@@ -884,6 +884,29 @@ object TextQueries {
         |SELECT source, count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM sel GROUP BY source ORDER BY source""".stripMargin))
 
+  /** Deterministic shuffle-and-shard export layout: every document
+    * lands in one of 8 shards by salted hash (Sampling.shardAssign) —
+    * reproducible on any engine/partitioning/run, which is what makes
+    * a resumed 100 TB export write the same shards. Per-shard
+    * counts/ranges/volume report. */
+  val exportShards: Entry = Entry(
+    "export_shards_hashed",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("shard",
+        graft.ops.Sampling.shardAssign(col("doc_id"), 8, "exp1"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"), sum("n_chars").as("chars"))
+      .orderBy("shard"),
+    Some(s"""WITH h AS (
+        |  SELECT doc_id, n_chars, ${OracleSql.hex12ToBigint("hx")} % 8 AS shard
+        |  FROM (SELECT doc_id, n_chars,
+        |          md5(CAST(doc_id AS VARCHAR) || ':exp1') AS hx
+        |        FROM documents))
+        |SELECT shard, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin))
+
   /** Curriculum-style quality binning: decile assignment over the
     * (rounded, hence engine-identical) type-token ratio with an id
     * tiebreak, then per-bin corpus stats — the pass that orders
@@ -1024,5 +1047,5 @@ object TextQueries {
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
-    unigramLogprob, piiRedactionNoop, bm25TopK)
+    unigramLogprob, piiRedactionNoop, bm25TopK, exportShards)
 }
