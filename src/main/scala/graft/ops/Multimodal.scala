@@ -56,6 +56,28 @@ object Multimodal {
     }
   }
 
+  /** The same features as pure builtin EXPRESSIONS — no typed
+    * row-by-row hop: length on binary, byte values decoded from hex
+    * pairs inside array HOFs. This is the hot-path form (the typed
+    * `extractFeatures` stays as the codec-call shape a real decoder
+    * needs); `MultimodalSpec` pins the two outputs equal. */
+  def extractFeaturesExpr(media: DataFrame): DataFrame = {
+    val n = length(col("bytes")).cast("long")
+    // hex() yields 2 chars per byte; sum the first 8 byte values.
+    // Guard the empty payload: sequence(1, 0) would DESCEND, not be
+    // empty — the when keeps the lambda off zero-length hex strings.
+    val headHex = hex(substring(col("bytes"), 1, 8))
+    val headSum = when(length(headHex) > 0, aggregate(
+      transform(sequence(lit(1), (length(headHex) / 2).cast("int")),
+        i => conv(substring(headHex, i * 2 - 1, lit(2)), 16, 10).cast("long")),
+      lit(0L), (a, b) => a + b)).otherwise(lit(0L))
+    val tailByte = when(n > 0,
+      conv(hex(substring(col("bytes"), -1, 1)), 16, 10).cast("long"))
+      .otherwise(lit(0L))
+    media.select(col("media_id"), col("format"),
+      n.as("n_bytes"), headSum.as("head_sum"), tailByte.as("tail_byte"))
+  }
+
   /** Frame sampling: cut `frameCount` fixed-width windows at an even
     * stride out of each payload — the video-frame / audio-clip
     * extraction shape. A real pipeline would seek to container

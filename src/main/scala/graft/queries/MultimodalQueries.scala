@@ -10,12 +10,13 @@ import Queries.{Entry, t}
   * the same features from the string side (docs are ASCII). */
 object MultimodalQueries {
 
-  /** Per-document features through the binary path, checked exactly. */
+  /** Per-document features through the binary path, checked exactly —
+    * the expression form (codegen-level, no typed row hop; the typed
+    * codec-shape path is spec-pinned equal in MultimodalSpec). */
   val mediaFeatures: Entry = Entry(
     "multimodal_media_features",
-    (s, dir) => Multimodal.extractFeatures(s,
+    (s, dir) => Multimodal.extractFeaturesExpr(
         Multimodal.deriveMediaTable(t(s, dir, "documents")))
-      .toDF()
       .orderBy("media_id"),
     Some("""SELECT doc_id AS media_id,
         |  'fmt' || CAST(doc_id % 3 AS VARCHAR) AS format,
@@ -28,9 +29,8 @@ object MultimodalQueries {
   /** Per-format aggregate over extracted features. */
   val mediaFormatStats: Entry = Entry(
     "multimodal_format_stats",
-    (s, dir) => Multimodal.extractFeatures(s,
+    (s, dir) => Multimodal.extractFeaturesExpr(
         Multimodal.deriveMediaTable(t(s, dir, "documents")))
-      .toDF()
       .groupBy("format")
       .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
         round(avg("head_sum"), 4).as("avg_head_sum"))

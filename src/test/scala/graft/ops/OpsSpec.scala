@@ -147,6 +147,17 @@ class OpsSpec extends SparkSpec {
     assert(f.n_bytes == 3L && f.head_sum == 97 + 98 + 99 && f.tail_byte == 99L)
   }
 
+  test("expression feature path equals the typed codec-shape path") {
+    val media = Multimodal.deriveMediaTable(
+      Seq((0L, "abcdefghijXYZ"), (1L, "abc"), (2L, ""), (3L, "1234567890"))
+        .toDF("doc_id", "text"))
+    val typed = Multimodal.extractFeatures(spark, media).toDF()
+      .orderBy("media_id").collect().toSeq
+    val exprd = Multimodal.extractFeaturesExpr(media)
+      .orderBy("media_id").collect().toSeq
+    assert(typed == exprd)
+  }
+
   test("int8 quantization reconstructs within scale/254 per component") {
     val df = Seq((1L, Array(0.5f, -0.25f, 0.127f, 0.0f)))
       .toDF("vec_id", "embedding")
