@@ -342,8 +342,16 @@ final class TableStore(spark: SparkSession, root: String,
         claims.publish(manifestPath(table, v),
           (carriedLines ++ newFiles).mkString("\n"))
         committed = true
+      } else {
+        // Lost the race. The winner holds the claim for v but its
+        // manifest may not be visible yet, so currentVersion still
+        // reads v-1 and an immediate retry would re-contend the SAME
+        // v — spinning through the attempt budget in milliseconds
+        // while the winner is mid-publish. Back off (linear, capped)
+        // so the budget spans ~10 s of real contention; the loop then
+        // re-reads the advanced version.
+        Thread.sleep(math.min(250L, 2L * attempts))
       }
-      // lost the race: loop re-reads the new current version
     }
   }
 
