@@ -67,19 +67,25 @@ case class DotProductF(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh locals: two graft_dot calls can land in one codegen
+      // scope (e.g. dot + norm in a cosine projection); fixed names
+      // would redefine and kick the projection to interpreted mode
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       def get(arr: String, e: Expression) =
-        if (isDoubleArr(e)) s"$arr.getDouble(i)" else s"(double) $arr.getFloat(i)"
+        if (isDoubleArr(e)) s"$arr.getDouble($i)" else s"(double) $arr.getFloat($i)"
       s"""
-         |int n = $a.numElements();
-         |if (n != $b.numElements()) {
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
-         |  for (int i = 0; i < n; i++) {
-         |    if ($a.isNullAt(i) || $b.isNullAt(i)) { ${ev.isNull} = true; break; }
-         |    acc += ${get(a, left)} * ${get(b, right)};
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(a, left)} * ${get(b, right)};
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = acc;
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}
        """.stripMargin
     })

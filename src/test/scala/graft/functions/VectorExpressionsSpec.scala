@@ -109,6 +109,30 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("two dot products in one projection codegen together") {
+    // regression: fixed local names (n/acc/i) redefined when two
+    // graft_dot calls landed in the same codegen scope — the generated
+    // class failed to compile and the WHOLE projection silently fell
+    // back to interpreted mode. GenerateUnsafeProjection has no
+    // fallback path, so a redefinition fails this test loudly.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arr = ArrayType(FloatType)
+    val a = BoundReference(0, arr, nullable = true)
+    val b = BoundReference(1, arr, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(DotProductF(a, a), DotProductF(a, b), DotProductF(b, b)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1.0f, 2.0f)),
+      ArrayData.toArrayData(Array(3.0f, 4.0f)))
+    val out = proj(row)
+    assert(out.getDouble(0) == 5.0 && out.getDouble(1) == 11.0 &&
+      out.getDouble(2) == 25.0)
+  }
+
   test("dot product participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
