@@ -3,17 +3,19 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
 /** SQL-text front door for the statements Spark can parse but not
   * execute without a v2 row-level-operation catalog: MERGE INTO — the
   * reference's merge_sql_stmnt (icberg/iceberg_tables.py:45-50) plus
   * the natural extensions a user hits first when growing past it —
-  * and the plain DML forms `UPDATE ... SET ... [WHERE]` and
+  * and the plain DML forms `UPDATE ... SET ... [WHERE]`,
   * `DELETE FROM ... WHERE` (each one read → one atomic overwrite
-  * commit; INSERT INTO already works through the session catalog for
-  * S9-registered tables, so it stays on `spark.sql`).
+  * commit) and `INSERT INTO | OVERWRITE` (compiled onto the store's
+  * append / overwrite / partition-scoped overwrite commits when the
+  * target is a graft table; otherwise it delegates to `spark.sql`,
+  * the S9 session-catalog path).
   *
   * We reuse Catalyst's parser (no regex dialect): `parsePlan` yields a
   * `MergeIntoTable`, compiled onto the graft engine as joins + ONE
@@ -59,8 +61,101 @@ object GraftSql {
       case m: MergeIntoTable => executeMerge(spark, store, m)
       case u: UpdateTable => executeUpdate(spark, store, u)
       case d: DeleteFromTable => executeDelete(spark, store, d)
+      case i: InsertIntoStatement => executeInsert(spark, store, i, sql)
       case _ => spark.sql(sql)
     }
+
+  /** `INSERT INTO | OVERWRITE [TABLE] t [(cols) | BY NAME]
+    * [PARTITION (p = v, ...)] <query>` against a graft-store table —
+    * the last DML form, so MERGE / UPDATE / DELETE / INSERT all land
+    * on the same atomic commit protocol. A target the store doesn't
+    * know delegates untouched to `spark.sql`. The source re-executes
+    * from its own source span (the parser records every subtree's
+    * text offsets), so any SELECT or VALUES Spark can run is a valid
+    * source. Alignment follows SQL rules: positional by default
+    * (arity must match), `(cols)` assigns the query's output to the
+    * named columns and null-fills the rest, `BY NAME` matches
+    * case-insensitively and null-fills absent target columns; every
+    * inserted column is cast to the target's type. A PARTITION spec
+    * must be static (literal values) and re-enters as literal
+    * columns; with OVERWRITE it scopes the commit to the touched
+    * partitions — O(touched partitions), not O(table), the shape
+    * that lets a daily re-load coexist with a 100 TB table. */
+  private def executeInsert(spark: SparkSession, store: TableStore,
+                            i: InsertIntoStatement, sqlText: String): DataFrame = {
+    val target = tableName(i.table)
+    if (!store.exists(target)) return spark.sql(sqlText)
+    require(!i.ifPartitionNotExists,
+      "INSERT ... IF NOT EXISTS is not supported on graft tables")
+    val queryText = (for {
+      st <- i.query.origin.startIndex
+      sp <- i.query.origin.stopIndex
+      txt <- i.query.origin.sqlText
+    } yield txt.substring(st, sp + 1)).getOrElse(
+      throw new IllegalArgumentException(
+        "cannot recover the INSERT source query text from the parse"))
+    val src = spark.sql(queryText)
+
+    require(i.partitionSpec.values.forall(_.isDefined),
+      "PARTITION values must be literal; a dynamic spec is implicit " +
+        "in the row data — omit the clause")
+    val partVals = i.partitionSpec.map { case (k, v) => k.toLowerCase -> v.get }
+    val destFields = store.read(target).schema.fields.toIndexedSeq
+    val insertable = destFields.filterNot(f => partVals.contains(f.name.toLowerCase))
+
+    val aligned: DataFrame =
+      if (i.userSpecifiedCols.nonEmpty) {
+        val names = i.userSpecifiedCols.map(_.toLowerCase)
+        val known = insertable.map(_.name.toLowerCase).toSet
+        val unknown = names.filterNot(known)
+        require(unknown.isEmpty,
+          s"INSERT column(s) not insertable on $target: ${unknown.mkString(", ")}")
+        require(names.size == src.columns.length,
+          s"INSERT names ${names.size} columns but the query produces " +
+            s"${src.columns.length}")
+        val posOf = names.zipWithIndex.toMap
+        src.select(insertable.map { f =>
+          posOf.get(f.name.toLowerCase)
+            .map(ix => col(src.columns(ix)).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+      } else if (i.byName) {
+        val srcByLower = src.columns.map(c => c.toLowerCase -> c).toMap
+        val known = insertable.map(_.name.toLowerCase).toSet
+        val extra = src.columns.filterNot(c => known.contains(c.toLowerCase))
+        require(extra.isEmpty,
+          s"BY NAME source column(s) not in $target: ${extra.mkString(", ")}")
+        src.select(insertable.map { f =>
+          srcByLower.get(f.name.toLowerCase)
+            .map(c => col(c).cast(f.dataType))
+            .getOrElse(lit(null).cast(f.dataType)).as(f.name)
+        }: _*)
+      } else {
+        require(src.columns.length == insertable.length,
+          s"INSERT query produces ${src.columns.length} columns; $target " +
+            s"expects ${insertable.length}")
+        src.select(src.columns.toIndexedSeq.zip(insertable).map {
+          case (c, f) => col(c).cast(f.dataType).as(f.name)
+        }: _*)
+      }
+
+    val withParts = destFields.foldLeft(aligned) { (df, f) =>
+      partVals.get(f.name.toLowerCase)
+        .map(v => df.withColumn(f.name, lit(v).cast(f.dataType)))
+        .getOrElse(df)
+    }.select(destFields.map(f => col(f.name)): _*)
+
+    if (!i.overwrite) store.append(target, withParts)
+    else if (partVals.nonEmpty) {
+      val parts = store.partitioning(target)
+      require(parts.nonEmpty && parts.forall(p => partVals.contains(p.toLowerCase)),
+        s"partition-scoped OVERWRITE on $target needs the full partition " +
+          s"spec (${parts.mkString(", ")})")
+      val touched = parts.map(p => s"$p=${partVals(p.toLowerCase)}").mkString("/")
+      store.overwritePartitions(target, withParts, Seq(touched))
+    } else store.overwrite(target, withParts)
+    store.read(target)
+  }
 
   /** `DELETE FROM t [AS a] WHERE c` — the other statement Spark parses
     * but cannot run without a v2 row-level catalog. SQL semantics: a

@@ -482,6 +482,54 @@ object PipelineQueries {
         |FROM updated WHERE NOT c_acctbal > 8000
         |ORDER BY c_custkey""".stripMargin))
 
+  /** The INSERT front door (GraftSql): positional INSERT INTO append,
+    * then a partition-scoped INSERT OVERWRITE that replaces ONE hive
+    * partition while every other partition's files are carried by
+    * reference — the O(touched) commit a daily re-load needs at
+    * 100 TB. Oracle = the same set algebra in plain SQL: the final
+    * table is (base minus the overwritten partition) ∪ the appended
+    * rows ∪ the partition's replacement rows. */
+  val sqlInsert: Entry = Entry(
+    "sql_insert_dml",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-ins"))
+      val nation = t(s, dir, "nation")
+      nation.createOrReplaceTempView("nation_src")
+      store.create("nat_ins",
+        nation.where(col("n_regionkey") =!= 1)
+          .select("n_nationkey", "n_name", "n_regionkey"),
+        partitionBy = Seq("n_regionkey"))
+      GraftSql.execute(s, store,
+        """INSERT INTO nat_ins
+          |SELECT n_nationkey + 100, upper(n_name), n_regionkey
+          |FROM nation_src WHERE n_regionkey = 2""".stripMargin)
+      GraftSql.execute(s, store,
+        """INSERT OVERWRITE nat_ins PARTITION (n_regionkey = 3)
+          |SELECT n_nationkey + 1000, lower(n_name)
+          |FROM nation_src WHERE n_regionkey = 3""".stripMargin)
+        .select(col("n_nationkey").cast("int").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+        .orderBy("n_nationkey")
+    },
+    Some("""WITH base AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_regionkey <> 1),
+        |added AS (
+        |  SELECT n_nationkey + 100 AS n_nationkey, upper(n_name) AS n_name,
+        |         n_regionkey
+        |  FROM nation WHERE n_regionkey = 2),
+        |over3 AS (
+        |  SELECT n_nationkey + 1000 AS n_nationkey, lower(n_name) AS n_name,
+        |         3 AS n_regionkey
+        |  FROM nation WHERE n_regionkey = 3)
+        |SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS INTEGER) AS n_regionkey
+        |FROM (
+        |  SELECT * FROM base WHERE n_regionkey <> 3
+        |  UNION ALL SELECT * FROM added
+        |  UNION ALL SELECT * FROM over3)
+        |ORDER BY n_nationkey""".stripMargin))
+
   /** Source/sink format breadth: the nation dimension round-trips
     * through JSON, CSV and ORC (write, then schema'd read back — ORC
     * carries its own schema), and all
@@ -693,7 +741,7 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    rollupRefresh, formatRoundtrip,
+    sqlInsert, rollupRefresh, formatRoundtrip,
     exactPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)

@@ -316,4 +316,78 @@ class GraftSqlSpec extends SparkSpec {
       .toSeq == Seq("k1", "k3"))
     assert(store.currentVersion("dd").contains(1L))
   }
+
+  test("INSERT INTO appends positionally with casts; one commit") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("ti", Seq(("k1", 1L)).toDF("pk", "v"))
+    Seq(("k2", 2), ("k3", 3)).toDF("a", "b").createOrReplaceTempView("ins_src")
+    // source columns align by POSITION (names differ) and int casts to long
+    val out = GraftSql.execute(spark, store,
+      "INSERT INTO ti SELECT a, b FROM ins_src WHERE b < 3")
+    assert(out.orderBy("pk").as[(String, Long)].collect().toSeq ==
+      Seq(("k1", 1L), ("k2", 2L)))
+    assert(store.currentVersion("ti").contains(1L))
+    // VALUES is a valid source too
+    GraftSql.execute(spark, store, "INSERT INTO ti VALUES ('k9', 9)")
+    assert(store.read("ti").count() == 3)
+  }
+
+  test("INSERT INTO (cols) null-fills unnamed columns; BY NAME matches names") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tc", Seq(("k1", 1L, "x")).toDF("pk", "v", "s"))
+    GraftSql.execute(spark, store,
+      "INSERT INTO tc (s, pk) SELECT 'y', 'k2'")
+    val r = store.read("tc").orderBy("pk").collect()
+    assert(r(1).getString(0) == "k2" && r(1).isNullAt(1) &&
+      r(1).getString(2) == "y")
+    // BY NAME: source order irrelevant, absent columns null-fill
+    GraftSql.execute(spark, store,
+      "INSERT INTO tc BY NAME SELECT 7 AS v, 'k3' AS pk")
+    val r3 = store.read("tc").where($"pk" === "k3").collect().head
+    assert(r3.getLong(1) == 7L && r3.isNullAt(2))
+    // a source column the table lacks fails loudly instead of dropping
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "INSERT INTO tc BY NAME SELECT 'k4' AS pk, 1 AS nope")
+    }
+    assert(e.getMessage.contains("nope"))
+    // positional arity mismatch fails loudly
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "INSERT INTO tc SELECT 'k5'")
+    }
+    assert(e2.getMessage.contains("expects"))
+  }
+
+  test("INSERT OVERWRITE replaces the table; PARTITION scope replaces one partition") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tp", Seq(("k1", 1L, "a"), ("k2", 2L, "b"))
+      .toDF("pk", "v", "p"), partitionBy = Seq("p"))
+    // static partition spec: p comes from the clause, not the query
+    GraftSql.execute(spark, store,
+      "INSERT OVERWRITE tp PARTITION (p = 'a') SELECT 'k9', 99")
+    assert(store.read("tp").orderBy("pk").as[(String, Long, String)]
+      .collect().toSeq == Seq(("k2", 2L, "b"), ("k9", 99L, "a")))
+    // partition b's files were carried by reference, not rewritten
+    assert(store.manifest("tp", 1L).exists(store.manifest("tp", 0L).contains))
+    // whole-table overwrite
+    GraftSql.execute(spark, store,
+      "INSERT OVERWRITE TABLE tp SELECT 'k0', 0, 'c'")
+    assert(store.read("tp").as[(String, Long, String)].collect().toSeq ==
+      Seq(("k0", 0L, "c")))
+    // appending INTO a partition clause works too
+    GraftSql.execute(spark, store,
+      "INSERT INTO tp PARTITION (p = 'd') SELECT 'k5', 5")
+    assert(store.read("tp").where($"p" === "d").count() == 1)
+  }
+
+  test("INSERT against a non-store table delegates to spark.sql") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    // no store table named session_t: falls through to the session
+    // catalog, which errors on an unknown table — proving delegation
+    val e = intercept[Exception] {
+      GraftSql.execute(spark, store, "INSERT INTO session_t VALUES (1)")
+    }
+    assert(e.getMessage.toLowerCase.contains("table") ||
+      e.getMessage.contains("session_t"))
+  }
 }
