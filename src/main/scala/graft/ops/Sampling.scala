@@ -69,6 +69,70 @@ object Sampling {
       lit(numShards.toLong))
   }
 
+  /** DSIR importance log-weights (Data Selection via Importance
+    * Resampling, Xie et al., NeurIPS 2023): score every raw document
+    * by how much its hashed-bigram profile resembles a TARGET corpus
+    * rather than the raw corpus — the standard way to select
+    * pretraining data that "looks like" a curated set without a
+    * trained classifier.
+    *
+    * Features are hashed bigram buckets (`hash48(gram) % buckets`,
+    * counted WITH multiplicity). Per-bucket log-ratios
+    * `λ_b = ln((t_b+1)/(T+B)) − ln((r_b+1)/(R+B))` (add-one smoothing)
+    * derive from two bucket-count aggregates of ≤ `buckets` rows each,
+    * so the λ table broadcasts; a document's log-weight is
+    * `Σ λ_bucket(gram)` over its gram occurrences — one explode +
+    * broadcast join + per-doc sum whose map-side partial collapses a
+    * document's grams before the exchange, so the one shuffle carries
+    * O(documents) rows at any corpus size. Documents with no bigrams
+    * (empty text) have no profile and are absent from the result.
+    *
+    * Returns (idCol, dsir_logw). Deterministic given the inputs — no
+    * RNG, no engine-specific hashing (md5-derived buckets). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(TextOps.ngrams(col(textCol), 2)).as("__g"))
+      .select(col(idCol),
+        pmod(Sketches.hash48(col("__g")), lit(buckets.toLong)).as("__b"))
+    val rawB = grams(raw)
+    val tgtB = grams(target)
+    // two corpus-total scalars (A2-style driver literals) + two
+    // ≤ buckets-row aggregates; smoothing keeps never-seen buckets finite
+    val rTot = rawB.count().toDouble
+    val tTot = tgtB.count().toDouble
+    val lam = rawB.groupBy("__b").agg(count(lit(1)).as("rc"))
+      .join(tgtB.groupBy("__b").agg(count(lit(1)).as("tc")),
+        Seq("__b"), "full_outer")
+      .na.fill(0L, Seq("rc", "tc"))
+      .select(col("__b"),
+        (log((col("tc") + 1) / (tTot + buckets)) -
+          log((col("rc") + 1) / (rTot + buckets))).as("__lam"))
+    rawB.join(broadcast(lam), Seq("__b"))
+      .groupBy(idCol)
+      .agg(sum("__lam").as("dsir_logw"))
+  }
+
+  /** DSIR selection: keep the `k` raw documents with the highest
+    * Gumbel-perturbed log-weight. The Gumbel noise
+    * `g = −ln(−ln(u))` uses the salted document hash as `u` — the
+    * paper's Gumbel-top-k importance resampling, but reproducible:
+    * the same documents are selected on any engine, partitioning, or
+    * run. Top-k is a TakeOrdered (per-partition heads + driver merge),
+    * never a global sort. */
+  def dsirResample(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, buckets: Int, k: Int,
+                   salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (Sketches.hash48(concat(col(idCol).cast("string"),
+      lit(":" + salt))) + 1).cast("double") / (Sketches.Space + 1)
+    dsirLogWeights(raw, target, idCol, textCol, buckets)
+      .withColumn("dsir_score", col("dsir_logw") - log(-log(u)))
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Mix sources at per-source rates in ONE pass over a combined
     * frame: `rates` maps values of `sourceCol` to keep-fractions
     * (missing sources use `defaultRate`). The gate composes as a

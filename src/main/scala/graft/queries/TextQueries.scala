@@ -1041,11 +1041,65 @@ object TextQueries {
         |HAVING count(*) >= 5
         |ORDER BY train_id, eval_id""".stripMargin))
 
+  /** DSIR data selection (Sampling.dsirResample): hashed-bigram
+    * importance weights of every document against an "en, substantial"
+    * target slice, Gumbel-top-k selection. The oracle recomputes the
+    * identical pipeline — md5-bucketed bigrams, add-one-smoothed
+    * bucket log-ratios, hash-derived Gumbel noise — so the SELECTION
+    * itself (not just the scores) is checked. */
+  val dsirSelection: Entry = Entry(
+    "dsir_selection",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val target = docs.where(col("lang") === "en" && col("n_chars") > 200)
+      graft.ops.Sampling.dsirResample(docs, target, "doc_id", "text",
+          buckets = 256, k = 50, salt = "dsir")
+        .select(col("doc_id"), round(col("dsir_logw"), 4).as("logw"),
+          round(col("dsir_score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    },
+    Some(s"""WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest([array_to_string(tk[i:i+1], ' ')
+        |           FOR i IN range(1, greatest(len(tk), 2))]) AS g
+        |  FROM toks),
+        |rawg AS (
+        |  SELECT doc_id, ${OracleSql.hex12ToBigint("hx")} % 256 AS b
+        |  FROM (SELECT doc_id, md5(g) AS hx FROM grams)),
+        |tgt AS (SELECT doc_id FROM documents
+        |        WHERE lang = 'en' AND n_chars > 200),
+        |tgtg AS (SELECT b FROM rawg JOIN tgt USING (doc_id)),
+        |tot AS (SELECT (SELECT count(*) FROM rawg) AS r_tot,
+        |               (SELECT count(*) FROM tgtg) AS t_tot),
+        |rc AS (SELECT b, count(*) AS rc FROM rawg GROUP BY b),
+        |tc AS (SELECT b, count(*) AS tc FROM tgtg GROUP BY b),
+        |lam AS (
+        |  SELECT coalesce(rc.b, tc.b) AS b,
+        |    ln((coalesce(tc, 0) + 1) / (t_tot + 256.0)) -
+        |    ln((coalesce(rc, 0) + 1) / (r_tot + 256.0)) AS lam
+        |  FROM rc FULL OUTER JOIN tc ON rc.b = tc.b, tot),
+        |w AS (
+        |  SELECT doc_id, sum(lam) AS logw
+        |  FROM rawg JOIN lam USING (b) GROUP BY doc_id),
+        |gu AS (
+        |  SELECT doc_id,
+        |    (${OracleSql.hex12ToBigint("hx")} + 1) / 281474976710657.0 AS u
+        |  FROM (SELECT doc_id,
+        |          md5(CAST(doc_id AS VARCHAR) || ':dsir') AS hx
+        |        FROM documents)),
+        |sel AS (
+        |  SELECT doc_id, logw, logw - ln(-ln(u)) AS score
+        |  FROM w JOIN gu USING (doc_id))
+        |SELECT doc_id, round(logw, 4) AS logw, round(score, 4) AS score
+        |FROM sel ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
-    unigramLogprob, piiRedactionNoop, bm25TopK, exportShards)
+    unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
+    dsirSelection)
 }

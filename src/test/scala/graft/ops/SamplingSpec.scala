@@ -64,4 +64,30 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(out("a") - 2700) < 300, s"a=${out("a")}")
     assert(math.abs(out("b") - 300) < 150, s"b=${out("b")}")
   }
+
+  test("DSIR weights rank target-like documents above dissimilar ones") {
+    // raw corpus: half "science" phrasing, half "spam" phrasing; the
+    // target is pure science — science docs must out-weigh spam docs
+    val sci = (0 until 20).map(i =>
+      (i.toLong, s"the quantum theory of fields lecture $i notes"))
+    val spam = (20 until 40).map(i =>
+      (i.toLong, s"buy cheap pills now offer $i click here"))
+    val raw = (sci ++ spam).toDF("doc_id", "text")
+    val target = (100 until 110).map(i =>
+      (i.toLong, s"the quantum theory of gravity lecture $i notes"))
+      .toDF("doc_id", "text")
+    val w = Sampling.dsirLogWeights(raw, target, "doc_id", "text", 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val worstSci = sci.map(d => w(d._1)).min
+    val bestSpam = spam.map(d => w(d._1)).max
+    assert(worstSci > bestSpam,
+      s"science floor $worstSci should beat spam ceiling $bestSpam")
+    // resample selects exactly k, deterministically, science-first
+    val sel = Sampling.dsirResample(raw, target, "doc_id", "text", 64,
+      k = 15, salt = "t").select("doc_id").as[Long].collect()
+    val sel2 = Sampling.dsirResample(raw, target, "doc_id", "text", 64,
+      k = 15, salt = "t").select("doc_id").as[Long].collect()
+    assert(sel.toSeq == sel2.toSeq)
+    assert(sel.count(_ < 20) >= 12, s"selection not target-shaped: ${sel.toSeq}")
+  }
 }
