@@ -388,6 +388,92 @@ final class TableStore(spark: SparkSession, root: String,
       .sorted
   }
 
+  /** Change data feed between two committed versions (Delta CDF /
+    * Iceberg incremental-read equivalent): every row added or removed
+    * in `(fromV, toV]`, tagged `_change_type` ∈ {insert, delete} and
+    * `_commit_version`. The downstream-consumption primitive — an
+    * incremental materialized view reads the feed, not the table.
+    *
+    * Append-only history (appends and merge-on-read commits — the CDC
+    * steady state) is read MANIFEST-AWARE: inserts come only from the
+    * range's new data files with the range's own equality deletes
+    * applied in manifest order (a batch that delete-and-reinserts a
+    * key emits both its delete and its insert), and each commit's
+    * deletes are the previous version's rows matching its delete keys
+    * (one broadcast semi join) — O(changed data) on the insert side,
+    * the property that makes a daily feed off a 100 TB table cheap. A
+    * version range containing a rewrite (overwrite / compact /
+    * partition overwrite) falls back to a full bag diff
+    * (`exceptAll` both ways — null-safe, multiplicity-exact) with
+    * attribution collapsed to `toV`, as rewrites don't preserve
+    * row-level lineage. */
+  def changes(table: String, fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc, col, lit}
+    require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    val from = manifest(table, fromV)
+    val fromSet = from.toSet
+    val perVersion = ((fromV + 1) to toV).map { v =>
+      val prev = manifest(table, v - 1).toSet
+      (v, manifest(table, v).filterNot(prev))
+    }
+    val appendOnly = from.forall(manifest(table, toV).contains)
+    if (appendOnly) {
+      val feeds = perVersion.flatMap { case (v, newLines) =>
+        // inserts: this commit's own data files, as committed (its del
+        // lines precede them in the manifest, so they exempt these
+        // rows by construction). Emitted UN-netted: a row inserted at
+        // v1 and deleted at v2 appears as insert(v1) + delete(v2) —
+        // with deletes diffed against the v-1 view below, the feed
+        // telescopes exactly from the fromV state to the toV state
+        // under plain bag algebra, per version or all at once.
+        val ins =
+          if (newLines.exists(!_.startsWith(DelPrefix)))
+            Some(readLines(table, newLines)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v)))
+          else None
+        // deletes: the PREVIOUS version's rows matching this commit's
+        // del keys — exactly the rows this commit removed. Diffing
+        // against v-1 (not fromV) keeps multiplicities exact when a
+        // later commit re-deletes a key it already removed: the row is
+        // gone from the v-1 view, so no phantom second delete.
+        val delFiles = newLines.filter(_.startsWith(DelPrefix))
+          .map(_.stripPrefix(DelPrefix))
+        val del =
+          if (delFiles.nonEmpty) {
+            val keys = spark.read.option("mergeSchema", "true")
+              .parquet(delFiles: _*)
+            Some(readVersion(table, v - 1)
+              .join(bc(keys), keys.columns.toSeq, "left_semi")
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v)))
+          } else None
+        ins.toSeq ++ del.toSeq
+      }
+      if (feeds.isEmpty) {
+        readVersion(table, toV).limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(0L))
+      } else feeds.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else {
+      val a = readVersion(table, fromV)
+      val b = readVersion(table, toV)
+      // align schemas (evolution adds columns): null-fill each side
+      val allCols = a.columns ++ b.columns.filterNot(a.columns.contains)
+      def aligned(df: DataFrame) = df.select(allCols.toIndexedSeq.map { c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast(b.schema(c).dataType).as(c)
+      }: _*)
+      aligned(b).exceptAll(aligned(a))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toV))
+        .unionByName(
+          aligned(a).exceptAll(aligned(b))
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(toV)))
+    }
+  }
+
   /** Drop data files not referenced by any of the `keep` most recent
     * versions (never the current one), plus the dropped versions'
     * manifests. Carried files referenced by retained manifests always
