@@ -482,6 +482,45 @@ object PipelineQueries {
         |FROM updated WHERE NOT c_acctbal > 8000
         |ORDER BY c_custkey""".stripMargin))
 
+  /** Change data feed (TableStore.changes): a three-commit history —
+    * create, append, then a merge-on-read CDC batch that inserts new
+    * rows and equality-deletes the F-status rows — read back as
+    * per-version insert/delete rows. The oracle rebuilds the feed with
+    * set algebra over `orders`: the appended slice at v1, the deleted
+    * slice and the new slice at v2. Append-only history reads ONLY the
+    * range's new files (plus one broadcast semi join per del commit);
+    * nothing rescans the base table. */
+  val tableChanges: Entry = Entry(
+    "table_changes_feed",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-cdf"))
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      store.create("ofeed", ord.where(col("o_orderkey") % 4 === 0))
+      store.append("ofeed", ord.where(col("o_orderkey") % 4 === 1))
+      store.appendWithDeletes("ofeed",
+        ord.where(col("o_orderkey") % 4 === 2),
+        ord.where(col("o_orderkey") % 4 === 0 &&
+          col("o_orderstatus") === "F").select("o_orderkey"))
+      store.changes("ofeed", 0L, 2L)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").cast("long").as("commit_version"))
+        .orderBy("o_orderkey", "change_type", "commit_version")
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, change_type, commit_version
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus, 'insert' AS change_type,
+        |         CAST(1 AS BIGINT) AS commit_version
+        |  FROM orders WHERE o_orderkey % 4 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'delete', 2
+        |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'insert', 2
+        |  FROM orders WHERE o_orderkey % 4 = 2)
+        |ORDER BY o_orderkey, change_type, commit_version""".stripMargin))
+
   /** The INSERT front door (GraftSql): positional INSERT INTO append,
     * then a partition-scoped INSERT OVERWRITE that replaces ONE hive
     * partition while every other partition's files are carried by
@@ -741,7 +780,7 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    sqlInsert, rollupRefresh, formatRoundtrip,
+    sqlInsert, tableChanges, rollupRefresh, formatRoundtrip,
     exactPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)
