@@ -106,4 +106,57 @@ object Multimodal {
         expr(s"substring(bytes, start, $frameLen)").as("frame"))
       .where(length(col("frame")) > 0)
   }
+
+  /** Per-payload block hashes: the payload cut into fixed `block`-byte
+    * windows, each hashed (md5 over the lowercased hex of the slice —
+    * engine-portable bytes-to-string, so an oracle reproduces it).
+    * The binary arm of the dedup family: re-encoded or
+    * metadata-appended copies of a payload keep most blocks
+    * bit-identical even when the whole-payload hash differs. */
+  def blockHashes(media: DataFrame, block: Int): DataFrame = {
+    require(block > 0, "block size must be positive")
+    media
+      .withColumn("__nb",
+        ceil(length(col("bytes")).cast("long") / lit(block.toDouble))
+          .cast("int"))
+      .where(col("__nb") > 0)
+      .select(col("media_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, __nb - 1),
+             |  i -> md5(lower(hex(substring(bytes, i * $block + 1, $block)))))
+             |""".stripMargin)).as(Seq("block_idx", "block_hash")))
+  }
+
+  /** Binary near-duplicate pairs by shared-block fraction: candidate
+    * pairs come from a block-hash EQUI-join (never an all-pairs scan),
+    * scored by |shared blocks| / |blocks of the smaller payload|.
+    * Blocks occurring in more than `maxBlockDf` payloads (zero
+    * padding, shared headers) are dropped before the join — the same
+    * fanout guard the text decontamination join uses, a no-op on
+    * distinctive content and the load-bearing bound at 100 TB.
+    * Shuffles: one explode+join on block_hash, one pair groupBy. */
+  def blockNearDup(media: DataFrame, block: Int, minShared: Double,
+                   maxBlockDf: Int = 100): DataFrame = {
+    require(minShared > 0 && minShared <= 1, "minShared in (0,1]")
+    val hashes = blockHashes(media, block)
+    val common = hashes.groupBy("block_hash")
+      .agg(countDistinct("media_id").as("__df"))
+      .where(col("__df") <= maxBlockDf).select("block_hash")
+    val h = hashes.join(common, Seq("block_hash"), "left_semi")
+      // count distinct blocks per payload once; pairs compare sets
+      .select(col("media_id"), col("block_hash")).distinct()
+    val sizes = h.groupBy("media_id").agg(count(lit(1)).as("n_blocks"))
+    val a = h.select(col("media_id").as("a_id"), col("block_hash"))
+    val b = h.select(col("media_id").as("b_id"), col("block_hash"))
+    a.join(b, Seq("block_hash")).where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("media_id").as("a_id"),
+        col("n_blocks").as("a_blocks")), Seq("a_id"))
+      .join(sizes.select(col("media_id").as("b_id"),
+        col("n_blocks").as("b_blocks")), Seq("b_id"))
+      .withColumn("share_frac",
+        col("shared") / least(col("a_blocks"), col("b_blocks")))
+      .where(col("share_frac") >= minShared)
+      .select("a_id", "b_id", "shared", "share_frac")
+  }
 }

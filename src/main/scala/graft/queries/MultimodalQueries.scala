@@ -70,5 +70,45 @@ object MultimodalQueries {
         |FROM f WHERE length(frame) > 0
         |ORDER BY media_id, frame_idx""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(mediaFeatures, mediaFormatStats, frameSample)
+  /** Binary near-dup by shared 32-byte block hashes — the multimodal
+    * arm of the dedup family (re-encoded / metadata-appended payload
+    * copies keep most blocks bit-identical). Candidates from a block
+    * equi-join with the common-block fanout guard; exact-duplicate
+    * payloads guarantee pairs exist in the fixture. The oracle
+    * recomputes the identical block hashing from the (ASCII) text. */
+  val blockNearDup: Entry = Entry(
+    "multimodal_block_neardup",
+    (s, dir) => Multimodal.blockNearDup(
+        Multimodal.deriveMediaTable(t(s, dir, "documents")),
+        block = 32, minShared = 0.5)
+      .select(col("a_id"), col("b_id"), col("shared"),
+        round(col("share_frac"), 4).as("share_frac"))
+      .orderBy("a_id", "b_id"),
+    Some("""WITH blocks AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest([md5(lower(hex(encode(substring(text, i * 32 + 1, 32)))))
+        |      FOR i IN range(0, CAST(ceil(length(text) / 32.0) AS INT))])
+        |      AS block_hash
+        |  FROM documents WHERE length(text) > 0),
+        |common AS (
+        |  SELECT block_hash FROM blocks GROUP BY block_hash
+        |  HAVING count(DISTINCT media_id) <= 100),
+        |h AS (SELECT DISTINCT media_id, block_hash
+        |      FROM blocks JOIN common USING (block_hash)),
+        |sizes AS (SELECT media_id, count(*) AS n_blocks FROM h GROUP BY media_id),
+        |pairs AS (
+        |  SELECT a.media_id AS a_id, b.media_id AS b_id, count(*) AS shared
+        |  FROM h a JOIN h b USING (block_hash)
+        |  WHERE a.media_id < b.media_id
+        |  GROUP BY a.media_id, b.media_id)
+        |SELECT a_id, b_id, shared,
+        |  round(shared * 1.0 / least(sa.n_blocks, sb.n_blocks), 4) AS share_frac
+        |FROM pairs
+        |JOIN sizes sa ON a_id = sa.media_id
+        |JOIN sizes sb ON b_id = sb.media_id
+        |WHERE shared * 1.0 / least(sa.n_blocks, sb.n_blocks) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(mediaFeatures, mediaFormatStats, frameSample,
+    blockNearDup)
 }

@@ -33,4 +33,26 @@ class MultimodalSpec extends SparkSpec {
     // a duplicate-emitting regression fails)
     assert(out == Seq((0, 1L, "abc"), (1, 2L, "bc"), (2, 3L, "c")))
   }
+
+  test("blockNearDup pairs payloads by shared-block fraction, equi-join only") {
+    import org.apache.spark.sql.functions._
+    // 4-byte blocks; A and B share their first 8 bytes (2 blocks of 4),
+    // C is disjoint. A has 3 blocks, B has 3: shared 2 / min 3 = 0.667
+    val media = Seq(
+      (1L, "AAAABBBBCCCC"), (2L, "AAAABBBBDDDD"), (3L, "EEEEFFFFGGGG"))
+      .toDF("media_id", "txt")
+      .select(col("media_id"), lit("fmt0").as("format"),
+        encode(col("txt"), "UTF-8").as("bytes"))
+    val pairs = Multimodal.blockNearDup(media, block = 4, minShared = 0.5)
+      .select("a_id", "b_id", "shared").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 2L)))
+    // below the threshold: nothing
+    assert(Multimodal.blockNearDup(media, block = 4, minShared = 0.7).isEmpty)
+    // no cartesian/BNL join in the plan — candidates come from the
+    // block-hash equi-join
+    val plan = Multimodal.blockNearDup(media, 4, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs shape leaked into the plan:\n$plan")
+  }
 }
