@@ -56,6 +56,24 @@ object Sampling {
       .drop("__sh", "__sr")
   }
 
+  /** Per-stratum cap by an explicit preference order — domain caps, the
+    * web-curation staple (keep at most `n` documents per source/domain,
+    * best-first, so one mirror-heavy domain can't dominate the mix).
+    * `order` ranks within the stratum (e.g. quality desc); callers must
+    * end it with a unique tiebreak for determinism. Same
+    * WindowGroupLimit shape as `stratifiedExact`: rank pruning ships
+    * ≤ n rows per (stratum, map partition), so a 100 TB stratum
+    * contributes n rows to the shuffle, not its population. */
+  def capPerStratum(df: DataFrame, strataCol: String, n: Int,
+                    order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "cap must be positive")
+    val w = Window.partitionBy(strataCol).orderBy(order: _*)
+    df.withColumn("__cr", row_number().over(w))
+      .where(col("__cr") <= n)
+      .drop("__cr")
+  }
+
   /** Deterministic shuffle-and-shard assignment: every row lands in
     * one of `numShards` export shards by salted hash — the layout
     * step of a training-data export. The hash IS the global shuffle

@@ -1041,6 +1041,23 @@ object TextQueries {
         |HAVING count(*) >= 5
         |ORDER BY train_id, eval_id""".stripMargin))
 
+  /** Domain caps (Sampling.capPerStratum): at most 20 documents per
+    * source, longest-first — one mirror-heavy domain can't dominate a
+    * training mix. WindowGroupLimit prunes to ≤ cap rows per (source,
+    * map partition) before the shuffle. */
+  val sourceCaps: Entry = Entry(
+    "source_quality_caps",
+    (s, dir) => graft.ops.Sampling.capPerStratum(
+        t(s, dir, "documents"), "source", 20,
+        Seq(col("n_chars").desc, col("doc_id")))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("source", "doc_id"),
+    Some("""SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20
+        |ORDER BY source, doc_id""".stripMargin))
+
   /** DSIR data selection (Sampling.dsirResample): hashed-bigram
     * importance weights of every document against an "en, substantial"
     * target slice, Gumbel-top-k selection. The oracle recomputes the
@@ -1101,5 +1118,5 @@ object TextQueries {
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
     unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
-    dsirSelection)
+    dsirSelection, sourceCaps)
 }
