@@ -18,26 +18,30 @@ object MaintenanceJob {
 
   final case class Args(storeRoot: String, table: String,
                         claimTtlMs: Long = 60 * 60 * 1000L,
-                        compactDebt: Int = 8, vacuumKeep: Int = 3)
+                        compactDebt: Int = 8, vacuumKeep: Int = 3,
+                        compactSmallBytes: Long = 0L)
 
   final case class Summary(recoveredClaims: Seq[Long],
                            sweptOrphanDirs: Seq[String],
                            compacted: Boolean,
+                           smallFilesFolded: Int,
                            retainedVersions: Seq[Long])
 
   /** Defaults live ONLY on the Args case class; CLI flags override via
     * copy, so programmatic and CLI construction can't disagree. */
   def parseArgs(argv: Array[String]): Args = {
     val m = CliArgs.parse(argv, allowed = Set("store_root", "table",
-      "claim_ttl_ms", "compact_debt", "vacuum_keep"))
+      "claim_ttl_ms", "compact_debt", "vacuum_keep", "compact_small_bytes"))
     val base = Args(CliArgs.required(m, "store_root"),
       CliArgs.required(m, "table"))
     val withTtl = m.get("claim_ttl_ms").map(_.toLong)
       .fold(base)(v => base.copy(claimTtlMs = v))
     val withDebt = m.get("compact_debt").map(_.toInt)
       .fold(withTtl)(v => withTtl.copy(compactDebt = v))
-    m.get("vacuum_keep").map(_.toInt)
+    val withKeep = m.get("vacuum_keep").map(_.toInt)
       .fold(withDebt)(v => withDebt.copy(vacuumKeep = v))
+    m.get("compact_small_bytes").map(_.toLong)
+      .fold(withKeep)(v => withKeep.copy(compactSmallBytes = v))
   }
 
   /** One maintenance pass. Order matters: claims first (unblocks
@@ -50,8 +54,15 @@ object MaintenanceJob {
     val orphans = store.vacuumOrphans(args.table, args.claimTtlMs)
     val compacted = store.deleteDebt(args.table) >= args.compactDebt
     if (compacted) store.compact(args.table)
+    // small-file fold after debt compaction (it requires zero debt)
+    // and before vacuum (the superseded tiny files age out with their
+    // versions)
+    val folded =
+      if (args.compactSmallBytes > 0 && store.deleteDebt(args.table) == 0)
+        store.compactSmall(args.table, args.compactSmallBytes)
+      else 0
     store.vacuum(args.table, keep = args.vacuumKeep)
-    Summary(claims, orphans, compacted, store.versions(args.table))
+    Summary(claims, orphans, compacted, folded, store.versions(args.table))
   }
 
   def main(argv: Array[String]): Unit = {

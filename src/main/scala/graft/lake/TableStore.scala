@@ -218,6 +218,41 @@ final class TableStore(spark: SparkSession, root: String,
     * entries). Old versions stay time-travelable until vacuumed. */
   def compact(table: String): Unit = overwrite(table, read(table))
 
+  /** Size-aware compaction: fold only the data files smaller than
+    * `minBytes` into fresh right-sized files, carrying every large
+    * file by reference — O(small data), where `compact` is O(table).
+    * The steady-state answer to append-driven file explosion: a CDC
+    * table taking many small batches re-reads thousands of tiny files
+    * per scan until they're folded, but rewriting the well-sized bulk
+    * to fix that would be a 100 TB tax. File sizes are driver-side
+    * metadata (no data scan decides anything). Requires zero
+    * merge-on-read debt (`compact` folds that). The folded rows
+    * coalesce to ~`targetBytes` output files (floor 1), so the commit
+    * actually shrinks the file count instead of re-sharding the rows
+    * across the default parallelism. Returns the number of files
+    * folded (0 or 1 small file = nothing to gain, no commit). */
+  def compactSmall(table: String, minBytes: Long,
+                   targetBytes: Long = 128L << 20): Int = {
+    require(deleteDebt(table) == 0,
+      s"table $table has pending merge-on-read deletes; compact first")
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist"))
+    val lines = manifest(table, cur)
+    def len(f: String): Long = { val p = new Path(f); fs(p).getFileStatus(p).getLen }
+    val sizes = lines.map(f => f -> len(f)).toMap
+    val small = lines.filter(sizes(_) < minBytes).toSet
+    if (small.size <= 1) return 0
+    val outFiles = math.max(1,
+      math.ceil(small.toSeq.map(sizes).sum.toDouble / targetBytes).toInt)
+    val df = readLines(table, small.toSeq).coalesce(outFiles)
+    // carried re-evaluates against the WINNING claim's version, so a
+    // racing append's files survive the fold
+    commit(table, df,
+      carried = c => c.map(manifest(table, _).filterNot(small)).getOrElse(Nil),
+      mustCreate = false)
+    small.size
+  }
+
   /** Number of equality-delete entries pending in the current version
     * — the read-side debt gauge for scheduling `compact`. */
   def deleteDebt(table: String): Int = {

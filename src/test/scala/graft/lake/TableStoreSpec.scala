@@ -85,6 +85,30 @@ class TableStoreSpec extends SparkSpec {
     assert(store.currentVersion("t").contains(2L))
   }
 
+  test("compactSmall folds tiny files, carries well-sized ones by reference") {
+    val store = freshStore()
+    // one "big" commit (10k rows -> tens of KB) + several 1-row appends
+    store.create("t", spark.range(10000).toDF("id")
+      .withColumn("v", lit("x")).repartition(1))
+    (1 to 4).foreach(i => store.append("t", Seq((100000 + i).toLong)
+      .toDF("id").withColumn("v", lit("y"))))
+    val before = store.manifest("t", store.currentVersion("t").get)
+    val bigFiles = store.manifest("t", 0L)
+    val folded = store.compactSmall("t", minBytes = 10000)
+    assert(folded == 4, s"expected the 4 tiny appends folded, got $folded")
+    val after = store.manifest("t", store.currentVersion("t").get)
+    // big file carried byte-identically; tiny files replaced by fewer
+    assert(bigFiles.forall(after.contains))
+    assert(after.size < before.size)
+    // content unchanged
+    assert(store.read("t").count() == 10004)
+    assert(store.read("t").where($"v" === "y").count() == 4)
+    // one small file left at most: second pass is a no-op, no commit
+    val v = store.currentVersion("t").get
+    assert(store.compactSmall("t", minBytes = 10000) == 0)
+    assert(store.currentVersion("t").contains(v))
+  }
+
   test("vacuum after append keeps carried files alive") {
     val store = freshStore()
     store.create("t", Seq((1, "a")).toDF("id", "v"))
