@@ -521,6 +521,58 @@ object PipelineQueries {
         |  FROM orders WHERE o_orderkey % 4 = 2)
         |ORDER BY o_orderkey, change_type, commit_version""".stripMargin))
 
+  /** Downstream consumption of the change feed: a per-status aggregate
+    * table is refreshed purely from `changes()` — inserts add,
+    * deletes subtract (count + order-free DECIMAL sum), one full-outer
+    * join over O(delta groups). The base table is NEVER rescanned
+    * after the initial build; that is the 100 TB contract a CDF
+    * exists for. Oracle: the from-scratch aggregate over the final
+    * row set — the incrementally-maintained table must equal it. */
+  val cdfAggregate: Entry = Entry(
+    "cdf_incremental_aggregate",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-cdfagg"))
+      val ord = t(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      store.create("ocdf", ord.where(col("o_orderkey") % 3 === 0))
+      store.create("oagg", store.read("ocdf").groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total")))
+      // one CDC batch: insert the %3==1 slice, delete the %5 keys
+      store.appendWithDeletes("ocdf",
+        ord.where(col("o_orderkey") % 3 === 1),
+        ord.where(col("o_orderkey") % 3 === 0 &&
+          col("o_orderkey") % 5 === 0).select("o_orderkey"))
+      val sign = when(col("_change_type") === "insert", 1).otherwise(-1)
+      val delta = store.changes("ocdf", 0L, 1L)
+        .groupBy("o_orderstatus")
+        .agg(sum(sign.cast("long")).as("dn"),
+          sum((sign * col("o_totalprice")).cast("decimal(18,2)")).as("dtotal"))
+      val zero = lit(0).cast("decimal(18,2)")
+      val refreshed = store.read("oagg")
+        .join(delta, Seq("o_orderstatus"), "full_outer")
+        .select(col("o_orderstatus"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("total"), zero) + coalesce(col("dtotal"), zero))
+            .as("total"))
+        .where(col("n") > 0)
+      store.overwrite("oagg", refreshed)
+      store.read("oagg")
+        .select(col("o_orderstatus"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""WITH final AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 1)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM final GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin))
+
   /** The INSERT front door (GraftSql): positional INSERT INTO append,
     * then a partition-scoped INSERT OVERWRITE that replaces ONE hive
     * partition while every other partition's files are carried by
@@ -780,7 +832,7 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    sqlInsert, tableChanges, rollupRefresh, formatRoundtrip,
+    sqlInsert, tableChanges, cdfAggregate, rollupRefresh, formatRoundtrip,
     exactPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)
