@@ -3,7 +3,8 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
 /** SQL-text front door for the statements Spark can parse but not
@@ -62,8 +63,57 @@ object GraftSql {
       case u: UpdateTable => executeUpdate(spark, store, u)
       case d: DeleteFromTable => executeDelete(spark, store, d)
       case i: InsertIntoStatement => executeInsert(spark, store, i, sql)
+      case c: CreateTableAsSelect => executeCtas(spark, store, c)
+      case d: DropTable => executeDrop(spark, store, d, sql)
       case _ => spark.sql(sql)
     }
+
+  /** `CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (cols)] AS
+    * <query>` — S6 through the SQL front door; with INSERT / UPDATE /
+    * DELETE / MERGE this makes the whole DDL+DML lifecycle of a store
+    * table SQL-drivable. Only identity partition transforms are
+    * supported (hive-style layout, what the store writes). */
+  private def executeCtas(spark: SparkSession, store: TableStore,
+                          c: CreateTableAsSelect): DataFrame = {
+    val target = c.name match {
+      case UnresolvedIdentifier(parts, _) => parts.last
+      case other => throw new IllegalArgumentException(
+        s"unsupported CTAS target ${other.getClass.getSimpleName}")
+    }
+    if (store.exists(target)) {
+      require(c.ignoreIfExists, s"table $target already exists")
+      return store.read(target)
+    }
+    val parts = c.partitioning.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        s"only identity PARTITIONED BY columns are supported, got $other")
+    }
+    val queryText = (for {
+      st <- c.query.origin.startIndex
+      sp <- c.query.origin.stopIndex
+      txt <- c.query.origin.sqlText
+    } yield txt.substring(st, sp + 1)).getOrElse(
+      throw new IllegalArgumentException(
+        "cannot recover the CTAS source query text from the parse"))
+    store.create(target, spark.sql(queryText), partitionBy = parts)
+    store.read(target)
+  }
+
+  /** `DROP TABLE [IF EXISTS] t` — store tables drop their whole
+    * version history; unknown tables delegate to the session catalog
+    * (temp views, S9 externals). */
+  private def executeDrop(spark: SparkSession, store: TableStore,
+                          d: DropTable, sqlText: String): DataFrame = {
+    val target = d.child match {
+      case UnresolvedIdentifier(parts, _) => parts.last
+      case other => throw new IllegalArgumentException(
+        s"unsupported DROP target ${other.getClass.getSimpleName}")
+    }
+    if (store.exists(target)) { store.drop(target); spark.emptyDataFrame }
+    else spark.sql(sqlText)
+  }
 
   /** `INSERT INTO | OVERWRITE [TABLE] t [(cols) | BY NAME]
     * [PARTITION (p = v, ...)] <query>` against a graft-store table —

@@ -177,6 +177,14 @@ final class TableStore(spark: SparkSession, root: String,
     commit(table, df, carried = _ => Nil, mustCreate = true, createParts = partitionBy)
   }
 
+  /** Drop the table: every version, manifest, claim and commit dir.
+    * Irreversible (no trash); false if the table never existed. */
+  def drop(table: String): Boolean = {
+    val dir = tablePath(table)
+    val f = fs(dir)
+    f.exists(dir) && f.delete(dir, true)
+  }
+
   /** S7: atomic overwrite (vs. non-atomic raw `mode("overwrite")`). */
   def overwrite(table: String, df: DataFrame): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false)

@@ -521,6 +521,57 @@ object PipelineQueries {
         |  FROM orders WHERE o_orderkey % 4 = 2)
         |ORDER BY o_orderkey, change_type, commit_version""".stripMargin))
 
+  /** The whole SQL lifecycle of a store table through the GraftSql
+    * front door — CTAS, INSERT, UPDATE, DELETE, then a MERGE upsert —
+    * five statements, five atomic commits, no DataFrame API in sight.
+    * The oracle replays the same algebra over `nation`. */
+  val sqlLifecycle: Entry = Entry(
+    "sql_lifecycle_e2e",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-lc"))
+      t(s, dir, "nation").createOrReplaceTempView("nation_lc")
+      def g(q: String) = GraftSql.execute(s, store, q)
+      g("""CREATE TABLE lc AS
+          |SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+          |FROM nation_lc""".stripMargin)
+      g("""INSERT INTO lc
+          |SELECT n_nationkey + 100, upper(n_name), n_regionkey
+          |FROM nation_lc WHERE n_regionkey = 0""".stripMargin)
+      g("UPDATE lc SET name = lower(name) WHERE r = 2")
+      g("DELETE FROM lc WHERE k % 7 = 3")
+      s.sql("""SELECT n_nationkey AS k, concat(n_name, '!') AS name,
+              |       n_regionkey AS r
+              |FROM nation_lc WHERE n_regionkey IN (1, 4)""".stripMargin)
+        .createOrReplaceTempView("lc_updates")
+      g("""MERGE INTO lc t USING lc_updates u ON t.k = u.k
+          |WHEN MATCHED THEN UPDATE SET name = u.name
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      store.read("lc").orderBy("k")
+    },
+    Some("""WITH base AS (
+        |  SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+        |  FROM nation),
+        |added AS (
+        |  SELECT n_nationkey + 100 AS k, upper(n_name) AS name,
+        |         n_regionkey AS r
+        |  FROM nation WHERE n_regionkey = 0),
+        |t0 AS (SELECT * FROM base UNION ALL SELECT * FROM added),
+        |t1 AS (SELECT k, CASE WHEN r = 2 THEN lower(name) ELSE name END
+        |         AS name, r FROM t0),
+        |t2 AS (SELECT * FROM t1 WHERE NOT (k % 7 = 3)),
+        |upd AS (
+        |  SELECT n_nationkey AS k, n_name || '!' AS name, n_regionkey AS r
+        |  FROM nation WHERE n_regionkey IN (1, 4)),
+        |merged AS (
+        |  SELECT t2.k,
+        |    CASE WHEN upd.k IS NOT NULL THEN upd.name ELSE t2.name END AS name,
+        |    t2.r
+        |  FROM t2 LEFT JOIN upd ON t2.k = upd.k
+        |  UNION ALL
+        |  SELECT k, name, r FROM upd
+        |  WHERE k NOT IN (SELECT k FROM t2))
+        |SELECT k, name, r FROM merged ORDER BY k""".stripMargin))
+
   /** Downstream consumption of the change feed: a per-status aggregate
     * table is refreshed purely from `changes()` — inserts add,
     * deletes subtract (count + order-free DECIMAL sum), one full-outer
@@ -832,7 +883,8 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    sqlInsert, tableChanges, cdfAggregate, rollupRefresh, formatRoundtrip,
+    sqlInsert, sqlLifecycle, tableChanges, cdfAggregate, rollupRefresh,
+    formatRoundtrip,
     exactPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)

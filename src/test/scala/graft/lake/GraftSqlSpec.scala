@@ -380,6 +380,41 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.read("tp").where($"p" === "d").count() == 1)
   }
 
+  test("CTAS creates a store table; partitioned and IF NOT EXISTS forms work") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p1"))
+      .toDF("id", "v", "p").createOrReplaceTempView("ctas_src")
+    val out = GraftSql.execute(spark, store,
+      "CREATE TABLE tct PARTITIONED BY (p) AS SELECT * FROM ctas_src WHERE id < 3")
+    assert(out.count() == 2)
+    assert(store.exists("tct") && store.partitioning("tct") == Seq("p"))
+    // partition pruning layout actually written hive-style
+    GraftSql.execute(spark, store,
+      "INSERT OVERWRITE tct PARTITION (p = 'p1') SELECT 9, 'z'")
+    assert(store.read("tct").orderBy("id").as[(Int, String, String)]
+      .collect().toSeq == Seq((2, "b", "p2"), (9, "z", "p1")))
+    // IF NOT EXISTS: no-op on an existing table; bare CREATE rejects
+    GraftSql.execute(spark, store,
+      "CREATE TABLE IF NOT EXISTS tct AS SELECT * FROM ctas_src")
+    assert(store.read("tct").count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "CREATE TABLE tct AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("DROP TABLE removes the store table and its history") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tdrop", Seq((1, "a")).toDF("id", "v"))
+    store.append("tdrop", Seq((2, "b")).toDF("id", "v"))
+    GraftSql.execute(spark, store, "DROP TABLE tdrop")
+    assert(!store.exists("tdrop"))
+    assert(store.versions("tdrop").isEmpty)
+    // recreate after drop starts a fresh history at v0
+    GraftSql.execute(spark, store, "CREATE TABLE tdrop AS SELECT 5 AS id")
+    assert(store.currentVersion("tdrop").contains(0L))
+  }
+
   test("INSERT against a non-store table delegates to spark.sql") {
     val store = new TableStore(spark, tmpDir("gsql"))
     // no store table named session_t: falls through to the session
