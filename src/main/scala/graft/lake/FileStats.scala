@@ -43,6 +43,8 @@ object FileStats {
   private val NumTag = "num"
   private val StrTag = "str"
   private val NullTag = "nul"
+  private[lake] val CntTag = "cnt"
+  private[lake] val RowsCol = "__rows"
 
   /** Scheme-independent key both manifest URIs and
     * `input_file_name()` normalize to. */
@@ -87,13 +89,24 @@ object FileStats {
         val footer = reader.getFooter
         val key = fileKey(uri)
         val blocks = footer.getBlocks.asScala.toSeq
-        footer.getFileMetaData.getSchema.getFields.asScala.toSeq
-          .filter(_.isPrimitive)
-          .flatMap { f =>
-            tagOf(f.asPrimitiveType()).flatMap { tag =>
-              lineOf(key, f.getName, tag, blocks)
-            }
+        // per-file row count under the reserved __rows key — the
+        // metadata-only COUNT(*) source (skipped in the pathological
+        // case of a real column named __rows)
+        val rowLine =
+          if (footer.getFileMetaData.getSchema.getFields.asScala
+                .exists(_.getName == RowsCol)) None
+          else {
+            val total = blocks.map(_.getRowCount).sum
+            Some(s"$key\t$RowsCol\t$CntTag\t$total\t$total")
           }
+        rowLine.toSeq ++
+          footer.getFileMetaData.getSchema.getFields.asScala.toSeq
+            .filter(_.isPrimitive)
+            .flatMap { f =>
+              tagOf(f.asPrimitiveType()).flatMap { tag =>
+                lineOf(key, f.getName, tag, blocks)
+              }
+            }
       } finally reader.close()
     }
 

@@ -517,6 +517,55 @@ final class TableStore(spark: SparkSession, root: String,
     }
   }
 
+  /** Metadata-only COUNT(*): the sum of per-file row counts the commit
+    * recorded from parquet footers — answers without a scan or a job,
+    * the way Iceberg serves `count(*)` from manifests. None when
+    * metadata can't be exact: pending equality deletes (rows need the
+    * anti join) or any data file lacking a recorded count (pre-stats
+    * commits). */
+  def fastRowCount(table: String): Option[Long] = {
+    if (deleteDebt(table) != 0) return None
+    val cur = currentVersion(table).getOrElse(return None)
+    val stats = statsFor(table, cur)
+    val counts = manifest(table, cur).filterNot(_.startsWith(DelPrefix))
+      .map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
+    if (counts.isEmpty || counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.map(_._2.toLong).sum)
+  }
+
+  /** DESCRIBE HISTORY equivalent: one row per retained version —
+    * data-file / delete-entry counts, referenced bytes, recorded rows
+    * (null where metadata can't know) and the commit publish time.
+    * Driver-side metadata only; no scan. */
+  def history(table: String): DataFrame = {
+    import spark.implicits._
+    versions(table).map { v =>
+      val lines = manifest(table, v)
+      val (dels, data) = lines.partition(_.startsWith(DelPrefix))
+      val bytes = data.map { f =>
+        val p = new Path(f); fs(p).getFileStatus(p).getLen }.sum
+      val stats = statsFor(table, v)
+      val counts = data.map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
+      val rows = if (dels.nonEmpty || counts.isEmpty || counts.exists(_.isEmpty))
+        None else Some(counts.flatten.map(_._2.toLong).sum)
+      val mp = manifestPath(table, v)
+      (v, data.size, dels.size, bytes, rows,
+        new java.sql.Timestamp(fs(mp).getFileStatus(mp).getModificationTime))
+    }.toDF("version", "n_files", "n_delete_entries", "total_bytes",
+      "n_rows", "committed_at")
+  }
+
+  /** Cursor-based incremental consumption: the feed from `cursor` to
+    * the current version plus the new cursor, or None when nothing
+    * committed since. A downstream sync loop is just
+    * `changesSince(t, saved).foreach { case (feed, c) => apply(feed);
+    * save(c) }` — Iceberg's incremental read shape, with the cursor
+    * as the only state the consumer keeps. */
+  def changesSince(table: String, cursor: Long): Option[(DataFrame, Long)] = {
+    val cur = currentVersion(table).getOrElse(return None)
+    if (cur <= cursor) None else Some((changes(table, cursor, cur), cur))
+  }
+
   /** Drop data files not referenced by any of the `keep` most recent
     * versions (never the current one), plus the dropped versions'
     * manifests. Carried files referenced by retained manifests always
@@ -524,7 +573,26 @@ final class TableStore(spark: SparkSession, root: String,
   def vacuum(table: String, keep: Int = 1): Unit = {
     val cur = currentVersion(table).getOrElse(return)
     val all = versions(table)
-    val kept = (all.filter(_ < cur).takeRight(math.max(keep - 1, 0)) :+ cur)
+    vacuumRetain(table,
+      all.filter(_ < cur).takeRight(math.max(keep - 1, 0)) :+ cur)
+  }
+
+  /** Time-based retention: vacuum versions whose manifest was
+    * published before `now − ttlMs` (never the current one) — the
+    * "retain 7 days of time travel" policy expressed directly. */
+  def vacuumOlderThan(table: String, ttlMs: Long): Unit = {
+    val cur = currentVersion(table).getOrElse(return)
+    val cutoff = System.currentTimeMillis() - ttlMs
+    vacuumRetain(table, versions(table).filter { v =>
+      v == cur || {
+        val mp = manifestPath(table, v)
+        fs(mp).getFileStatus(mp).getModificationTime >= cutoff
+      }
+    })
+  }
+
+  private def vacuumRetain(table: String, kept: Seq[Long]): Unit = {
+    val all = versions(table)
     // manifest lines may carry the del| marker — compare raw paths
     def pathOf(line: String): String = line.stripPrefix(DelPrefix)
     val referenced = kept.flatMap(manifest(table, _)).map(pathOf).toSet

@@ -87,6 +87,33 @@ class ChangesSpec extends SparkSpec {
     telescopes(store, "t", 0L, 1L)
   }
 
+  test("changesSince drives a cursor-based sync loop") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    var cursor = 0L
+    var seen = Vector.empty[(Int, String)]
+    def pull(): Unit = store.changesSince("t", cursor).foreach {
+      case (feed, c) =>
+        seen ++= feed.select($"id", $"_change_type").as[(Int, String)]
+          .collect().sortBy(_._1)
+        cursor = c
+    }
+    pull() // nothing new
+    assert(cursor == 0L && seen.isEmpty)
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    pull()
+    assert(cursor == 1L && seen == Vector((2, "insert")))
+    store.append("t", Seq((3, "c")).toDF("id", "v"))
+    store.appendWithDeletes("t", Seq((4, "d")).toDF("id", "v"),
+      Seq(1).toDF("id"))
+    pull() // catches up over BOTH missed versions at once
+    assert(cursor == 3L)
+    assert(seen == Vector((2, "insert"), (1, "delete"), (3, "insert"),
+      (4, "insert")))
+    pull() // idempotent at head
+    assert(cursor == 3L && seen.size == 4)
+  }
+
   test("mixed history telescopes end-to-end and per step") {
     val store = freshStore()
     store.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))

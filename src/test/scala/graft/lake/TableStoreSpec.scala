@@ -109,6 +109,43 @@ class TableStoreSpec extends SparkSpec {
     assert(store.currentVersion("t").contains(v))
   }
 
+  test("fastRowCount answers from metadata; history reports per version") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    store.append("t", Seq((3, "c")).toDF("id", "v"))
+    // no scan: counts come from the commit-time footer fold
+    assert(store.fastRowCount("t").contains(3L))
+    // pending equality deletes -> metadata can't be exact
+    store.appendWithDeletes("t", Seq((4, "d")).toDF("id", "v"),
+      Seq(1).toDF("id"))
+    assert(store.fastRowCount("t").isEmpty)
+    // compaction folds the debt; metadata is exact again
+    store.compact("t")
+    assert(store.fastRowCount("t").contains(3L))
+    val h = store.history("t").orderBy("version")
+      .select("version", "n_files", "n_delete_entries", "n_rows")
+      .as[(Long, Int, Int, Option[Long])].collect()
+    assert(h.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(h(0)._3 == 0 && h(0)._4.contains(2L))
+    assert(h(1)._4.contains(3L))
+    assert(h(2)._3 == 1 && h(2)._4.isEmpty) // the MoR version
+    assert(h(3)._3 == 0 && h(3)._4.contains(3L))
+  }
+
+  test("vacuumOlderThan retains by time, never the current version") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+    store.overwrite("t", Seq((3, "c")).toDF("id", "v"))
+    // everything is younger than an hour: nothing vacuumed
+    store.vacuumOlderThan("t", ttlMs = 3600 * 1000L)
+    assert(store.versions("t") == Seq(0L, 1L, 2L))
+    // ttl 0: every non-current version expires
+    store.vacuumOlderThan("t", ttlMs = 0L)
+    assert(store.versions("t") == Seq(2L))
+    assert(store.read("t").select("id").as[Int].collect().toSeq == Seq(3))
+  }
+
   test("vacuum after append keeps carried files alive") {
     val store = freshStore()
     store.create("t", Seq((1, "a")).toDF("id", "v"))
