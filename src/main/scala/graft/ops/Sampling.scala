@@ -116,18 +116,25 @@ object Sampling {
         pmod(Sketches.hash48(col("__g")), lit(buckets.toLong)).as("__b"))
     val rawB = grams(raw)
     val tgtB = grams(target)
-    // two corpus-total scalars (A2-style driver literals) + two
-    // ≤ buckets-row aggregates; smoothing keeps never-seen buckets finite
-    val rTot = rawB.count().toDouble
-    val tTot = tgtB.count().toDouble
-    val lam = rawB.groupBy("__b").agg(count(lit(1)).as("rc"))
-      .join(tgtB.groupBy("__b").agg(count(lit(1)).as("tc")),
-        Seq("__b"), "full_outer")
-      .na.fill(0L, Seq("rc", "tc"))
-      .select(col("__b"),
-        (log((col("tc") + 1) / (tTot + buckets)) -
-          log((col("rc") + 1) / (rTot + buckets))).as("__lam"))
-    rawB.join(broadcast(lam), Seq("__b"))
+    // the bucket profiles are <= `buckets` rows: land them on the
+    // driver once and build the λ table there — corpus totals fall out
+    // of the same aggregates (no separate count() jobs) and the
+    // full-outer bucket join disappears. One pass over each corpus for
+    // the profiles, one over raw for the weights; nothing else.
+    def profile(b: DataFrame): Map[Long, Long] =
+      b.groupBy("__b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rc = profile(rawB)
+    val tc = profile(tgtB)
+    val rTot = rc.values.sum.toDouble
+    val tTot = tc.values.sum.toDouble
+    val lam = (0L until buckets).map { b =>
+      (b, math.log((tc.getOrElse(b, 0L) + 1) / (tTot + buckets)) -
+        math.log((rc.getOrElse(b, 0L) + 1) / (rTot + buckets)))
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    rawB.join(broadcast(lam.toDF("__b", "__lam")), Seq("__b"))
       .groupBy(idCol)
       .agg(sum("__lam").as("dsir_logw"))
   }

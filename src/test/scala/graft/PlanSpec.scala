@@ -82,6 +82,25 @@ class PlanSpec extends SparkSpec {
       s"no top-n pruning — a 100 TB stratum would ship whole:\n$p")
   }
 
+  test("domain caps prune with WindowGroupLimit; DSIR joins broadcast the lambda table") {
+    val p = plan(graft.ops.Sampling.capPerStratum(
+      Tables.load(spark, dir, "documents"), "source", 20,
+      Seq(org.apache.spark.sql.functions.col("n_chars").desc,
+        org.apache.spark.sql.functions.col("doc_id"))))
+    assert(p.contains("WindowGroupLimit"),
+      s"no per-stratum pruning — a 100 TB domain would ship whole:\n$p")
+    val docs = Tables.load(spark, dir, "documents")
+    val w = graft.ops.Sampling.dsirLogWeights(docs,
+      docs.where(org.apache.spark.sql.functions.col("lang") === "en"),
+      "doc_id", "text", 64)
+    val pw = plan(w)
+    assert(pw.contains("BroadcastHashJoin"),
+      s"lambda join should broadcast (<= buckets rows):\n$pw")
+    // per-doc weight sum must partial-aggregate before the exchange
+    assert(pw.contains("partial_sum") || pw.contains("Partial"),
+      s"no map-side combine on the weight sum:\n$pw")
+  }
+
   test("minhash band self-join reuses the signature exchange, not recomputes it") {
     // the candidate join's two sides are the same explode→groupBy
     // signature pipeline under different aliases; exchange reuse must
