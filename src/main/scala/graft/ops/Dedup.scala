@@ -105,14 +105,44 @@ object Dedup {
       idCol, numHashes, rowsPerBand)
 
   /** Candidate pairs (a < b) from a prebuilt band frame — self-join on
-    * band_key, so only same-bucket docs meet. */
-  def pairsFromBands(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
-    val r = bands.select(col(idCol).as("b"), col("band").as("band_r"),
-      col("band_key").as("band_key_r"))
-    l.join(r, col("band") === col("band_r") &&
-        col("band_key") === col("band_key_r") && col("a") < col("b"))
-      .select("a", "b").distinct()
+    * band_key, so only same-bucket docs meet.
+    *
+    * `starAbove` is the hot-bucket guard for duplicate-heavy corpora:
+    * a band bucket of m members emits m(m−1)/2 pairs — one bucket of
+    * 1M boilerplate near-copies is 5·10^11 rows, the quadratic that
+    * kills LSH at 100 TB. Buckets larger than the cap instead emit a
+    * STAR (bucket-min paired with every other member, m−1 pairs):
+    * connectivity — what grouping/dedup consumes — is preserved
+    * exactly (every member still reaches the same component), only
+    * the exhaustive pair list inside oversized buckets is thinned.
+    * The default (MaxValue) keeps the exact all-pairs plan with no
+    * extra aggregate. */
+  def pairsFromBands(bands: DataFrame, idCol: String,
+                     starAbove: Int = Int.MaxValue): DataFrame = {
+    if (starAbove == Int.MaxValue) {
+      val l = bands.select(col(idCol).as("a"), col("band"), col("band_key"))
+      val r = bands.select(col(idCol).as("b"), col("band").as("band_r"),
+        col("band_key").as("band_key_r"))
+      l.join(r, col("band") === col("band_r") &&
+          col("band_key") === col("band_key_r") && col("a") < col("b"))
+        .select("a", "b").distinct()
+    } else {
+      require(starAbove >= 2, "starAbove must be >= 2")
+      val sized = bands.groupBy("band", "band_key")
+        .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__min_id"))
+      val tagged = bands.join(sized, Seq("band", "band_key"))
+      val small = tagged.where(col("__bn") <= starAbove)
+      val l = small.select(col(idCol).as("a"), col("band"), col("band_key"))
+      val r = small.select(col(idCol).as("b"), col("band").as("band_r"),
+        col("band_key").as("band_key_r"))
+      val allPairs = l.join(r, col("band") === col("band_r") &&
+          col("band_key") === col("band_key_r") && col("a") < col("b"))
+        .select("a", "b")
+      val star = tagged.where(col("__bn") > starAbove &&
+          col(idCol) =!= col("__min_id"))
+        .select(col("__min_id").as("a"), col(idCol).as("b"))
+      allPairs.unionByName(star).distinct()
+    }
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band. */

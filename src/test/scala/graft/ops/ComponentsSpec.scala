@@ -80,4 +80,23 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Seq((1L, 0L, 0L), (2L, 3L, 0L), (3L, 6L, 1L),
       (4L, 0L, 0L), (5L, 6L, 1L)))
   }
+
+  test("hot-bucket star emission thins pairs but preserves components") {
+    // one hot bucket (5 members) + one small bucket (2 members)
+    val bands = (Seq.tabulate(5)(i => (i.toLong, 0, "hot")) ++
+      Seq((10L, 0, "cold"), (11L, 0, "cold")))
+      .toDF("doc_id", "band", "band_key")
+    val exact = Dedup.pairsFromBands(bands, "doc_id")
+    assert(exact.count() == 10 + 1) // C(5,2) + 1
+    val starred = Dedup.pairsFromBands(bands, "doc_id", starAbove = 3)
+    val got = starred.as[(Long, Long)].collect().sortBy(identity).toSeq
+    // hot bucket: 4 star pairs around min id 0; cold bucket unchanged
+    assert(got == Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (10L, 11L)))
+    // connectivity identical: same components from either pair set
+    val cExact = Dedup.connectedComponents(exact.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    val cStar = Dedup.connectedComponents(starred.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(cExact == cStar)
+  }
 }
