@@ -1,7 +1,8 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -333,9 +334,32 @@ final class TableStore(spark: SparkSession, root: String,
                      requireWithin: Option[Set[String]] = None): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
-    val writer = df.write.mode(SaveMode.Overwrite)
+    // CHECK constraints ride the write job itself (observe = metrics
+    // collected during the action, zero extra passes); a violation
+    // deletes the orphan data dir and aborts before any claim
+    val checks = constraints(table).toSeq
+    val obs = if (checks.isEmpty) None
+      else Some(new Observation(s"ck-${UUID.randomUUID()}"))
+    val toWrite = obs.map { o =>
+      val aggs = checks.map { case (n, s) =>
+        count(when(!coalesce(expr(s), lit(true)), 1)).as(n) }
+      df.observe(o, aggs.head, aggs.tail: _*)
+    }.getOrElse(df)
+    val writer = toWrite.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dataDir.toString)
+    obs.foreach { o =>
+      val metrics = o.get
+      val bad = checks.collect {
+        case (n, s) if metrics(n).asInstanceOf[Long] > 0 =>
+          s"$n ($s): ${metrics(n)} row(s)"
+      }
+      if (bad.nonEmpty) {
+        fs(dataDir).delete(dataDir, true)
+        throw new IllegalArgumentException(
+          s"constraint violation writing to $table: ${bad.mkString("; ")}")
+      }
+    }
     val newFiles = listDataFiles(dataDir)
     requireWithin.foreach { allowed =>
       val outside = newFiles.map(partitionDirOf(table, _)).toSet -- allowed
@@ -516,6 +540,48 @@ final class TableStore(spark: SparkSession, root: String,
             .withColumn("_commit_version", lit(toV)))
     }
   }
+
+  /** Declarative write-time CHECK constraints (Delta parity). One
+    * `name\tsql` line per constraint in `_CONSTRAINTS`; every
+    * create / overwrite / append / MoR commit validates the incoming
+    * batch and aborts BEFORE claiming a version when any row fails.
+    * Validation rides the commit's own write job via
+    * `Dataset.observe` — zero extra passes over the batch — and is
+    * O(batch), never O(table): existing data was validated by its own
+    * commits. SQL CHECK semantics: a NULL predicate passes. */
+  def addConstraint(table: String, name: String, sql: String): Unit = {
+    require(!name.contains("\t") && !name.contains("\n"), "bad constraint name")
+    require(!constraints(table).contains(name),
+      s"constraint $name already exists on $table")
+    // existing rows must satisfy the new constraint (one read job)
+    val bad = read(table).where(!coalesce(expr(sql), lit(true))).count()
+    require(bad == 0,
+      s"constraint $name rejected: $bad existing row(s) of $table violate ($sql)")
+    val p = constraintsPath(table)
+    val prior = if (fs(p).exists(p)) readSmallFile(p) + "\n" else ""
+    writeSmallFile(p, prior + s"$name\t$sql")
+  }
+
+  def dropConstraint(table: String, name: String): Unit = {
+    val left = constraints(table) - name
+    val p = constraintsPath(table)
+    if (left.isEmpty) fs(p).delete(p, false)
+    else writeSmallFile(p,
+      left.map { case (n, s) => s"$n\t$s" }.mkString("\n"))
+  }
+
+  def constraints(table: String): Map[String, String] = {
+    val p = constraintsPath(table)
+    if (!fs(p).exists(p)) Map.empty
+    else readSmallFile(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.split("\t", 2) match {
+        case Array(n, s) => Some(n -> s)
+        case _ => None
+      }).toMap
+  }
+
+  private def constraintsPath(table: String): Path =
+    new Path(tablePath(table), "_CONSTRAINTS")
 
   /** Metadata-only COUNT(*): the sum of per-file row counts the commit
     * recorded from parquet footers — answers without a scan or a job,

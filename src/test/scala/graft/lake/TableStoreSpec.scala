@@ -132,6 +132,32 @@ class TableStoreSpec extends SparkSpec {
     assert(h(3)._3 == 0 && h(3)._4.contains(3L))
   }
 
+  test("CHECK constraints gate writes; NULL passes; violations abort atomically") {
+    val store = freshStore()
+    store.create("t", Seq((1, Some(10)), (2, None)).toDF("id", "v"))
+    // NULL v passes SQL CHECK semantics, so this applies cleanly
+    store.addConstraint("t", "v_pos", "v > 0")
+    assert(store.constraints("t") == Map("v_pos" -> "v > 0"))
+    // valid batch commits; violating batch aborts with no version bump
+    store.append("t", Seq((3, Some(5))).toDF("id", "v"))
+    val v = store.currentVersion("t").get
+    val e = intercept[IllegalArgumentException] {
+      store.append("t", Seq((4, Some(-1)), (5, Some(2))).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(store.currentVersion("t").contains(v))
+    assert(store.read("t").count() == 3)
+    // a constraint existing data violates is rejected at ADD time
+    val e2 = intercept[IllegalArgumentException] {
+      store.addConstraint("t", "id_big", "id > 100")
+    }
+    assert(e2.getMessage.contains("existing row"))
+    // dropped constraint stops gating
+    store.dropConstraint("t", "v_pos")
+    store.append("t", Seq((6, Some(-7))).toDF("id", "v"))
+    assert(store.read("t").count() == 4)
+  }
+
   test("vacuumOlderThan retains by time, never the current version") {
     val store = freshStore()
     store.create("t", Seq((1, "a")).toDF("id", "v"))
