@@ -346,4 +346,98 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou et al., PAMI 2011): the 100 TB vector
+  // compression path. dim-D vectors split into m contiguous subspaces,
+  // each quantized against its own ksub-centroid codebook; a vector
+  // becomes m small codes (64 float dims → 8 bytes at m=8, ksub=16 —
+  // 32x smaller than float32, 4x smaller than int8). Search is ADC
+  // (asymmetric distance): the float probe builds one m×ksub
+  // dot-product lookup table, and a corpus vector's approximate score
+  // is the sum of its codes' table entries — the corpus is never
+  // decoded. Training reuses the deterministic k-means (lowest-id
+  // seeds, fixed iterations), so codebooks are embeddable as oracle
+  // literals, same trick as IVF.
+  // -------------------------------------------------------------------
+
+  /** Explode a vector frame into (asId, sub, svec) subvector rows. */
+  private def subVectors(df: DataFrame, m: Int, sd: Int, idCol: String,
+                         vecCol: String, asId: String): DataFrame =
+    df.select(col(idCol).as(asId),
+      posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice($vecCol, s * $sd + 1, $sd))"))
+        .as(Seq("sub", "svec")))
+
+  /** Train per-subspace codebooks: (sub, cent_id, cvec) with dim/m-wide
+    * centroids. At 100 TB the training corpus is a hash-gated sample;
+    * encoding (pqEncode) is the corpus-wide pass. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iterations: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    (0 until m).map { s =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), s * sd + 1, sd).as(vecCol))
+      kmeansCentroids(sub, ksub, iterations, idCol, vecCol)
+        .withColumn("sub", lit(s))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Encode the corpus against trained codebooks: (idCol, sub, code) —
+    * nearest centroid per subspace by rounded cosine with the cent_id
+    * tiebreak (the assignClusters discipline, so an oracle holding the
+    * codebook literals reproduces every code). One explode + broadcast
+    * join + hash-agg argmax; the corpus never shuffles whole. */
+  def pqEncode(corpus: DataFrame, books: DataFrame, m: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sd = books.select(size(col("cvec"))).first().getInt(0)
+    subVectors(corpus, m, sd, idCol, vecCol, idCol)
+      .join(broadcast(books), Seq("sub"))
+      .select(col(idCol), col("sub"), col("cent_id"),
+        round(cosine(col("svec"), col("cvec")), 4).as("ccos"))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col(idCol), col("sub"), (-col("m.nc")).as("code"))
+  }
+
+  /** ADC top-k: probes stay float, the corpus is only its PQ codes.
+    * Each probe's m×ksub dot-product LUT broadcasts into the code
+    * join; a candidate's approximate cosine is Σ LUT[sub][code]
+    * normalized by the probe norm and the RECONSTRUCTION norm
+    * (√Σ‖codeword‖²), both exact from codes + codebooks. Scores are
+    * rounded (4 dp, vid tiebreak) — the oracle reproduces ranking
+    * bit-for-bit from the same codebook literals. */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, books: DataFrame,
+             m: Int, k: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sd = books.select(size(col("cvec"))).first().getInt(0)
+    val codes = pqEncode(corpus, books, m, idCol, vecCol)
+      .select(col(idCol).as("vid"), col("sub"), col("code"))
+    val bookNorms = books.select(col("sub"), col("cent_id").as("code"),
+      dot(col("cvec"), col("cvec")).as("css"))
+    val reconNorm = codes.join(broadcast(bookNorms), Seq("sub", "code"))
+      .groupBy("vid").agg(sqrt(sum("css")).as("rn"))
+    val lut = subVectors(probes, m, sd, idCol, vecCol, "qid")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cent_id").as("code"),
+        dot(col("svec"), col("cvec")).as("pd"))
+    val qNorm = probes.select(col(idCol).as("qid"),
+      norm(col(vecCol)).as("qn"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid").agg(sum("pd").as("adp"))
+      .join(reconNorm, Seq("vid"))
+      .join(broadcast(qNorm), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        round(col("adp") / (col("qn") * col("rn")), 4).as("cos_pq"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_pq").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
 }

@@ -436,7 +436,92 @@ object VectorQueries {
         |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
         |ORDER BY qid, rnk""".stripMargin))
 
+  @volatile private var pqOracle: Option[String] = None
+
+  /** Product-quantization ADC search (Similarity.pqTrain/pqEncode/
+    * pqTopK): 64-dim floats become 8 four-bit codes (32x compression);
+    * probes score candidates through a per-probe dot-product LUT
+    * without ever decoding the corpus. The deterministic per-subspace
+    * codebooks embed as VALUES literals (the IVF dynamic-oracle
+    * trick), so encoding, reconstruction norms, ADC sums and ranking
+    * are all reproduced exactly; recall vs brute force is additionally
+    * tested in OpsSpec. */
+  val pqTopK: Entry = new Entry(
+    "pq_ann_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16)
+      val bookValues = books.collect().map { r =>
+        val cid = r.get(r.fieldIndex("cent_id"))
+        val sub = r.getInt(r.fieldIndex("sub"))
+        val vec = r.getSeq[Float](r.fieldIndex("cvec"))
+        vec.zipWithIndex
+          .map { case (x, i) => s"($sub, $cid, ${i + 1}, ${x.toDouble})" }
+          .mkString(", ")
+      }.mkString(", ")
+      pqOracle = Some(
+        s"""WITH exp AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |sub AS (
+           |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub,
+           |         ((i - 1) % 8) + 1 AS si, x
+           |  FROM exp),
+           |book(sub, cent_id, si, cx) AS (VALUES $bookValues),
+           |bss AS (SELECT sub, cent_id, sum(cx * cx) AS ss
+           |        FROM book GROUP BY sub, cent_id),
+           |snorm AS (SELECT vec_id, sub, sqrt(sum(x * x)) AS sn
+           |          FROM sub GROUP BY vec_id, sub),
+           |sdot AS (
+           |  SELECT s.vec_id, s.sub, b.cent_id, sum(s.x * b.cx) AS dp
+           |  FROM sub s JOIN book b ON s.sub = b.sub AND s.si = b.si
+           |  GROUP BY s.vec_id, s.sub, b.cent_id),
+           |enc AS (
+           |  SELECT vec_id AS vid, sub, cent_id AS code FROM (
+           |    SELECT d.vec_id, d.sub, d.cent_id, row_number() OVER (
+           |        PARTITION BY d.vec_id, d.sub
+           |        ORDER BY round(dp / (sn.sn * sqrt(bs.ss)), 4) DESC,
+           |                 d.cent_id) AS r
+           |    FROM sdot d
+           |    JOIN snorm sn ON d.vec_id = sn.vec_id AND d.sub = sn.sub
+           |    JOIN bss bs ON d.sub = bs.sub AND d.cent_id = bs.cent_id)
+           |  WHERE r = 1),
+           |rnorm AS (
+           |  SELECT enc.vid AS rvid, sqrt(sum(ss)) AS rn
+           |  FROM enc JOIN bss ON enc.sub = bss.sub AND enc.code = bss.cent_id
+           |  GROUP BY enc.vid),
+           |lut AS (
+           |  SELECT s.vec_id AS qid, s.sub, b.cent_id AS code,
+           |         sum(s.x * b.cx) AS pd
+           |  FROM sub s JOIN book b ON s.sub = b.sub AND s.si = b.si
+           |  WHERE s.vec_id < 5
+           |  GROUP BY s.vec_id, s.sub, b.cent_id),
+           |adc AS (
+           |  SELECT l.qid, e.vid, sum(l.pd) AS adp
+           |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+           |  WHERE l.qid <> e.vid
+           |  GROUP BY l.qid, e.vid),
+           |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm
+           |          FROM exp GROUP BY vec_id),
+           |scored AS (
+           |  SELECT qid, vid, round(adp / (nq.nrm * r.rn), 4) AS cos_pq
+           |  FROM adc JOIN norms nq ON qid = nq.vec_id
+           |  JOIN rnorm r ON vid = r.rvid),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos_pq DESC, vid) AS rnk
+           |  FROM scored)
+           |SELECT qid, rnk, vid, cos_pq FROM ranked WHERE rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin)
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 5), books,
+          m = 8, k = 5)
+        .select("qid", "rnk", "vid", "cos_pq")
+        .orderBy("qid", "rnk")
+    },
+    () => pqOracle)
+
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, semanticDedup, quantizationError,
-    quantizedTopK)
+    quantizedTopK, pqTopK)
 }

@@ -132,6 +132,34 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.4, s"ivf recall $recall suspiciously low")
   }
 
+  test("PQ codes compress to m entries per vector; ADC recall is sane") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val books = Similarity.pqTrain(emb, m = 8, ksub = 16)
+    assert(books.count() == 8 * 16)
+    val codes = Similarity.pqEncode(emb, books, m = 8)
+    // exactly m codes per vector, all in [0, ksub)
+    val perVec = codes.groupBy("vec_id").count()
+      .select("count").as[Long].collect()
+    assert(perVec.forall(_ == 8))
+    val rng = codes.agg(min("code"), max("code")).as[(Long, Long)].head()
+    assert(rng._1 >= 0 && rng._2 < 16)
+    // encoding is deterministic
+    val c1 = codes.orderBy("vec_id", "sub").collect().toSeq
+    val c2 = Similarity.pqEncode(emb, books, m = 8)
+      .orderBy("vec_id", "sub").collect().toSeq
+    assert(c1 == c2)
+    // ADC search against 32x-compressed codes still finds most of the
+    // true top-k (quantization bound, not a tight guarantee)
+    val probes = emb.where(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val adc = Similarity.pqTopK(emb, probes, books, m = 8, k = 10)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    assert(recall > 0.3, s"pq recall $recall suspiciously low")
+    assert(adc.forall { case (q, v) => q != v })
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = Seq((1L, Array(0.5f, 0.5f, 0.1f))).toDF("vec_id", "embedding")
     val c = one.select(round(Similarity.cosine(col("embedding"), col("embedding")), 6))
