@@ -307,7 +307,8 @@ object Queries {
     q1PricingSummary, q3TopOrders, joinAnti, approxSketches) ++
     StarQueries.entries ++ StarQueries2.entries ++ EventQueries.entries ++
     TextQueries.entries ++ VectorQueries.entries ++
-    MultimodalQueries.entries ++ PipelineQueries.entries
+    MultimodalQueries.entries ++ PipelineQueries.entries ++
+    RetrievalQueries.entries
 
   def queries: Map[String, QFn] =
     entries.map(e => e.name -> e.fn).toMap
