@@ -17,6 +17,15 @@ object Bench {
     // — without paying for an actual file write.
     def run(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // Optional comma-separated name filter for iterating on one query
+    // without paying for the whole suite (dev tool; the driver leaves
+    // it unset and benches everything).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val benched = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     // Warm up JIT + Janino codegen: run every query once at the tiny SF
     // so the timed runs measure execution, not whole-stage-codegen
     // class compilation (which dominates complex plans run cold).
@@ -25,7 +34,7 @@ object Bench {
       spark.range(1000000).select(sum("id")).collect()
       val warmDir = "/root/testdata/sf0.001"
       if (new java.io.File(warmDir).isDirectory)
-        SparkEntry.queries.foreach { case (_, fn) =>
+        benched.foreach { case (_, fn) =>
           try run(fn(spark, warmDir)) catch { case _: Throwable => () }
         }
     }
@@ -34,7 +43,7 @@ object Bench {
     // true cost and fake a regression. The max is kept as a noise gauge
     // (queries_max) so a run can be judged trustworthy at a glance.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }

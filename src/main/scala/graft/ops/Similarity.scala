@@ -371,19 +371,62 @@ object Similarity {
 
   /** Train per-subspace codebooks: (sub, cent_id, cvec) with dim/m-wide
     * centroids. At 100 TB the training corpus is a hash-gated sample;
-    * encoding (pqEncode) is the corpus-wide pass. */
+    * encoding (pqEncode) is the corpus-wide pass.
+    *
+    * All m subspaces train in ONE grouped Lloyd loop over the exploded
+    * (id, sub, svec) frame — per-(sub) arithmetic is identical to m
+    * independent k-means runs (same lowest-id seeds, same raw-cosine
+    * argmax with cent_id tiebreak, same per-(cluster, dim) averages),
+    * but each iteration is one corpus pass + one tiny (m × ksub)
+    * driver materialization instead of m of each. */
   def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iterations: Int = 2,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sd = dim / m
-    (0 until m).map { s =>
-      val sub = corpus.select(col(idCol),
-        slice(col(vecCol), s * sd + 1, sd).as(vecCol))
-      kmeansCentroids(sub, ksub, iterations, idCol, vecCol)
-        .withColumn("sub", lit(s))
-    }.reduce(_.unionByName(_))
+    val subs = subVectors(corpus, m, sd, idCol, vecCol, "id")
+    // seeds: the lowest ksub ids — the same seed set every per-subspace
+    // run would pick, one small job instead of m
+    val seedIds = corpus.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
+      .collect().map(_.get(0))
+    var cents = materialize(spark,
+      subs.where(col("id").isin(seedIds: _*))
+        .select(col("sub"), col("id").as("cent_id"),
+          col("svec").cast("array<double>").as("cvec")))
+    for (_ <- 0 until iterations) {
+      val scored = subs.join(broadcast(cents), Seq("sub"))
+        .select(col("id"), col("sub"), col("svec"), col("cent_id"),
+          cosine(col("svec"), col("cvec").cast("array<float>")).as("ccos"))
+      // hash-agg argmax per (vector, subspace) — see kmeansCentroids
+      val assigned = scored.groupBy("id", "sub")
+        .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"),
+          col("svec").as("v"))).as("m"))
+        .select(col("sub"), (-col("m.nc")).as("cent_id"), col("m.v").as("svec"))
+      val updated = assigned
+        .select(col("sub"), col("cent_id"), posexplode(col("svec")).as(Seq("i", "x")))
+        .groupBy("sub", "cent_id", "i")
+        .agg(avg(col("x").cast("double")).as("cx"))
+        .groupBy("sub", "cent_id")
+        .agg(map_from_arrays(collect_list("i"), collect_list("cx")).as("mm"))
+        .select(col("sub"), col("cent_id"),
+          transform(sequence(lit(0), size(col("mm")) - 1),
+            i => element_at(col("mm"), i)).as("cvec"))
+      // empty clusters keep the previous centroid (kmeansCentroids rule)
+      val next = cents.join(updated
+          .withColumnRenamed("cvec", "newvec")
+          .withColumnRenamed("cent_id", "uid")
+          .withColumnRenamed("sub", "usub"),
+          col("cent_id") === col("uid") && col("sub") === col("usub"),
+          "left_outer")
+        .select(col("sub"), col("cent_id"),
+          coalesce(col("newvec"), col("cvec")).as("cvec"))
+      cents = materialize(spark, next)
+    }
+    cents.select(col("sub"), col("cent_id"),
+      col("cvec").cast("array<float>").as("cvec"))
   }
 
   /** Encode the corpus against trained codebooks: (idCol, sub, code) —
@@ -418,8 +461,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val sd = books.select(size(col("cvec"))).first().getInt(0)
+    // codes feed BOTH the reconstruction-norm aggregate and the ADC
+    // join; localCheckpoint the (id, sub, code) frame — m small ints
+    // per vector — so the encode pipeline (explode + broadcast-score +
+    // argmax over the corpus) runs once, not once per consumer
     val codes = pqEncode(corpus, books, m, idCol, vecCol)
       .select(col(idCol).as("vid"), col("sub"), col("code"))
+      .localCheckpoint()
     val bookNorms = books.select(col("sub"), col("cent_id").as("code"),
       dot(col("cvec"), col("cvec")).as("css"))
     val reconNorm = codes.join(broadcast(bookNorms), Seq("sub", "code"))
