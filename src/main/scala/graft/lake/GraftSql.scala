@@ -54,19 +54,83 @@ import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
   */
 object GraftSql {
 
+  // Maintenance statements (OPTIMIZE / VACUUM) sit OUTSIDE Catalyst's
+  // grammar — parsePlan throws on them — so they get a two-pattern
+  // pre-parse before the parser, the same carve-out the lakehouse
+  // engines make. Strictly bounded: a statement that starts with
+  // neither keyword never touches these patterns.
+  private val OptimizeStmt =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
+  private val VacuumStmt =
+    """(?is)^\s*VACUUM\s+([A-Za-z_]\w*)\s*(?:RETAIN\s+(\d+)\s+(HOURS?|VERSIONS?))?\s*;?\s*$""".r
+
   /** Execute SQL against graft tables: MERGE runs on the store;
     * everything else is plain `spark.sql`. Returns the affected table
     * contents for MERGE, the query result otherwise. */
   def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
-      case m: MergeIntoTable => executeMerge(spark, store, m)
-      case u: UpdateTable => executeUpdate(spark, store, u)
-      case d: DeleteFromTable => executeDelete(spark, store, d)
-      case i: InsertIntoStatement => executeInsert(spark, store, i, sql)
-      case c: CreateTableAsSelect => executeCtas(spark, store, c)
-      case d: DropTable => executeDrop(spark, store, d, sql)
-      case _ => spark.sql(sql)
+    sql match {
+      case OptimizeStmt(table, zcols) =>
+        executeOptimize(spark, store, table,
+          Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim))
+      case VacuumStmt(table, n, unit) =>
+        executeVacuum(spark, store, table, Option(n).map(_.toLong),
+          Option(unit).map(_.toUpperCase))
+      case _ => spark.sessionState.sqlParser.parsePlan(sql) match {
+        case m: MergeIntoTable => executeMerge(spark, store, m)
+        case u: UpdateTable => executeUpdate(spark, store, u)
+        case d: DeleteFromTable => executeDelete(spark, store, d)
+        case i: InsertIntoStatement => executeInsert(spark, store, i, sql)
+        case c: CreateTableAsSelect => executeCtas(spark, store, c)
+        case d: DropTable => executeDrop(spark, store, d, sql)
+        case _ => spark.sql(sql)
+      }
     }
+
+  /** `OPTIMIZE t [ZORDER BY (c1, c2, ...)]` — compaction through the
+    * SQL front door. Plain OPTIMIZE folds merge-on-read delete debt if
+    * any is pending (full fold — reads must stop paying the anti-join)
+    * and then bin-packs small files (`compactSmall`: O(small data),
+    * large files carry by reference). With ZORDER BY the table rewrites
+    * into z-ordered ranges over the named dimensions ([[Layout]]),
+    * keeping the current file count — one atomic overwrite commit.
+    * Returns a one-row metrics frame. */
+  private def executeOptimize(spark: SparkSession, store: TableStore,
+                              table: String, zorderBy: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(store.exists(table), s"unknown graft table $table")
+    val debtFolded = store.deleteDebt(table) > 0
+    if (debtFolded) store.compact(table)
+    val folded =
+      if (zorderBy.nonEmpty) {
+        val files = store.manifest(table, store.currentVersion(table).get).size
+        store.overwrite(table,
+          Layout.cluster(store.read(table), zorderBy, math.max(1, files)))
+        files
+      } else if (debtFolded) 0 // full fold already rewrote everything
+      else store.compactSmall(table, minBytes = 128L << 20)
+    Seq((table, if (zorderBy.nonEmpty) "zorder" else "compact",
+      zorderBy.mkString(","), folded, debtFolded))
+      .toDF("table", "operation", "zorder_by", "files_folded", "debt_folded")
+  }
+
+  /** `VACUUM t [RETAIN n HOURS | RETAIN n VERSIONS]` — snapshot
+    * retention through the SQL front door: HOURS keeps every version
+    * younger than the horizon (time travel inside it stays valid),
+    * VERSIONS keeps the newest n, bare VACUUM keeps only the current
+    * version. Returns the surviving version ids. */
+  private def executeVacuum(spark: SparkSession, store: TableStore,
+                            table: String, n: Option[Long],
+                            unit: Option[String]): DataFrame = {
+    import spark.implicits._
+    require(store.exists(table), s"unknown graft table $table")
+    unit match {
+      case Some(u) if u.startsWith("HOUR") =>
+        store.vacuumOlderThan(table, n.get * 3600L * 1000L)
+      case Some(_) => store.vacuum(table, keep = n.get.toInt)
+      case None => store.vacuum(table, keep = 1)
+    }
+    store.versions(table).map(v => (table, v)).toDF("table", "version")
+  }
 
   /** `CREATE TABLE [IF NOT EXISTS] t [PARTITIONED BY (cols)] AS
     * <query>` — S6 through the SQL front door; with INSERT / UPDATE /

@@ -522,9 +522,10 @@ object PipelineQueries {
         |ORDER BY o_orderkey, change_type, commit_version""".stripMargin))
 
   /** The whole SQL lifecycle of a store table through the GraftSql
-    * front door — CTAS, INSERT, UPDATE, DELETE, then a MERGE upsert —
-    * five statements, five atomic commits, no DataFrame API in sight.
-    * The oracle replays the same algebra over `nation`. */
+    * front door — CTAS, INSERT, UPDATE, DELETE, a MERGE upsert, then
+    * OPTIMIZE + VACUUM maintenance — seven statements, no DataFrame
+    * API in sight. The oracle replays the same algebra over `nation`
+    * (maintenance is content-neutral, so it shares the MERGE oracle). */
   val sqlLifecycle: Entry = Entry(
     "sql_lifecycle_e2e",
     (s, dir) => {
@@ -546,6 +547,11 @@ object PipelineQueries {
       g("""MERGE INTO lc t USING lc_updates u ON t.k = u.k
           |WHEN MATCHED THEN UPDATE SET name = u.name
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // maintenance must be content-neutral: OPTIMIZE folds the five
+      // commits' small files, VACUUM drops the superseded snapshots —
+      // the oracle proving both statements preserve every row
+      g("OPTIMIZE lc")
+      g("VACUUM lc RETAIN 1 VERSIONS")
       store.read("lc").orderBy("k")
     },
     Some("""WITH base AS (

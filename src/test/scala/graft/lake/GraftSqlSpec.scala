@@ -425,4 +425,71 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("table") ||
       e.getMessage.contains("session_t"))
   }
+
+  test("OPTIMIZE folds small files into one commit; rows unchanged") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("topt", Seq((1, "a")).toDF("id", "v"))
+    (2 to 5).foreach(i => store.append("topt", Seq((i, "x")).toDF("id", "v")))
+    val before = store.read("topt").collect().toSet
+    val m = GraftSql.execute(spark, store, "OPTIMIZE topt").collect().head
+    assert(m.getAs[String]("operation") == "compact")
+    assert(m.getAs[Int]("files_folded") >= 2)
+    assert(store.read("topt").collect().toSet == before)
+    val cur = store.currentVersion("topt").get
+    assert(store.manifest("topt", cur).size <
+      m.getAs[Int]("files_folded") + 3)
+  }
+
+  test("OPTIMIZE ZORDER BY rewrites the layout, preserving rows") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tzo", (0 until 100).map(i => (i % 10, i / 10, i))
+      .toDF("x", "y", "id"))
+    val before = store.read("tzo").collect().toSet
+    val m = GraftSql.execute(spark, store,
+      "OPTIMIZE tzo ZORDER BY (x, y)").collect().head
+    assert(m.getAs[String]("operation") == "zorder")
+    assert(m.getAs[String]("zorder_by") == "x,y")
+    assert(store.read("tzo").collect().toSet == before)
+  }
+
+  test("OPTIMIZE with pending merge-on-read debt folds it first") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tod", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    store.appendWithDeletes("tod", Seq((3, "c")).toDF("id", "v"),
+      Seq(Tuple1(1)).toDF("id"))
+    assert(store.deleteDebt("tod") > 0)
+    val m = GraftSql.execute(spark, store, "OPTIMIZE tod").collect().head
+    assert(m.getAs[Boolean]("debt_folded"))
+    assert(store.deleteDebt("tod") == 0)
+    assert(store.read("tod").select("id").as[Int].collect().sorted
+      .toSeq == Seq(2, 3))
+  }
+
+  test("VACUUM retains by count or keeps only the current version") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tvac", Seq((1, "a")).toDF("id", "v"))
+    (2 to 4).foreach(i => store.append("tvac", Seq((i, "x")).toDF("id", "v")))
+    assert(store.versions("tvac").size == 4)
+    val kept2 = GraftSql.execute(spark, store,
+      "VACUUM tvac RETAIN 2 VERSIONS")
+      .select("version").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(2L, 3L) && store.versions("tvac") == Seq(2L, 3L))
+    val kept1 = GraftSql.execute(spark, store, "VACUUM tvac")
+      .select("version").as[Long].collect().toSeq
+    assert(kept1 == Seq(3L))
+    // the current version still reads fine after both vacuums
+    assert(store.read("tvac").count() == 4)
+  }
+
+  test("maintenance statements reject unknown tables loudly") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "OPTIMIZE nosuch")
+    }
+    assert(e.getMessage.contains("nosuch"))
+    // ...and a statement that merely STARTS like one still parses as SQL
+    val r = GraftSql.execute(spark, store,
+      "SELECT 'OPTIMIZE tbl' AS s").as[String].head()
+    assert(r == "OPTIMIZE tbl")
+  }
 }
