@@ -210,6 +210,42 @@ object EventQueries {
         |FROM iv JOIN p ON p_us >= s_us AND p_us < e_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin))
 
+  /** Keyed interval-overlap join (ops/IntervalJoin): per-order ship
+    * spans derived from lineitem, self-joined per customer on span
+    * intersection — "which of a customer's orders were in flight at
+    * the same time". The join is an equi-join on the customer key
+    * with the overlap predicate as a residual (no theta join; the
+    * per-key fan-in bounds the pair count). Output aggregates to one
+    * row per customer with overlapping orders. */
+  val intervalJoinKeyed: Entry = Entry(
+    "interval_join_keyed",
+    (s, dir) => {
+      val spans = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("ck"), col("l_orderkey").as("ok"))
+        .agg(min("l_shipdate").as("sd"), max("l_shipdate").as("ed"))
+      graft.ops.IntervalJoin
+        .selfOverlapPairs(spans, Seq("ck"), "ok", "sd", "ed")
+        .groupBy(col("ck").as("c_custkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          max(datediff(col("overlap_end"), col("overlap_start")))
+            .as("max_olap_days"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH spans AS (
+        |  SELECT o_custkey AS ck, l_orderkey AS ok,
+        |         min(l_shipdate) AS sd, max(l_shipdate) AS ed
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY o_custkey, l_orderkey)
+        |SELECT a.ck AS c_custkey, count(*) AS n_pairs,
+        |  max(date_diff('day', CAST(greatest(a.sd, b.sd) AS DATE),
+        |                 CAST(least(a.ed, b.ed) AS DATE))) AS max_olap_days
+        |FROM spans a JOIN spans b
+        |  ON a.ck = b.ck AND a.ok < b.ok AND a.sd <= b.ed AND b.sd <= a.ed
+        |GROUP BY a.ck ORDER BY a.ck""".stripMargin))
+
   val entries: Seq[Entry] = Seq(jsonExtract, hourlyAgg, sessionize,
-    pivotCounts, asofLastView, rangeJoinWindows, windowedCountsBatch)
+    pivotCounts, asofLastView, rangeJoinWindows, windowedCountsBatch,
+    intervalJoinKeyed)
 }

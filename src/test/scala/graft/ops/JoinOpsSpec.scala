@@ -65,4 +65,31 @@ class JoinOpsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"theta join in range-join plan:\n$p")
   }
+
+  test("keyed interval overlap join matches brute-force overlap semantics") {
+    val spans = Seq(
+      // key 1: [0,10] overlaps [5,20] and touches [10,30] at the bound;
+      // [40,50] is disjoint
+      ("k1", 1L, 0L, 10L), ("k1", 2L, 5L, 20L), ("k1", 3L, 10L, 30L),
+      ("k1", 4L, 40L, 50L),
+      // key 2: same ids as key 1 must NOT pair across keys
+      ("k2", 1L, 0L, 100L), ("k2", 2L, 60L, 70L)
+    ).toDF("k", "id", "s", "e")
+    val got = IntervalJoin.selfOverlapPairs(spans, Seq("k"), "id", "s", "e")
+      .select("k", "a_id", "b_id", "overlap_start", "overlap_end")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("k1", 1L, 2L, 5L, 10L), ("k1", 1L, 3L, 10L, 10L),
+      ("k1", 2L, 3L, 10L, 20L),
+      ("k2", 1L, 2L, 60L, 70L)))
+  }
+
+  test("keyed interval overlap join is an equi-join on keys, not a theta join") {
+    val spans = Seq(("k", 1L, 0L, 10L), ("k", 2L, 5L, 20L))
+      .toDF("k", "id", "s", "e")
+    val p = IntervalJoin.selfOverlapPairs(spans, Seq("k"), "id", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"theta join in interval-join plan:\n$p")
+  }
 }
