@@ -63,6 +63,8 @@ object GraftSql {
     """(?is)^\s*OPTIMIZE\s+([A-Za-z_]\w*)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
   private val VacuumStmt =
     """(?is)^\s*VACUUM\s+([A-Za-z_]\w*)\s*(?:RETAIN\s+(\d+)\s+(HOURS?|VERSIONS?))?\s*;?\s*$""".r
+  private val HistoryStmt =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Execute SQL against graft tables: MERGE runs on the store;
     * everything else is plain `spark.sql`. Returns the affected table
@@ -75,6 +77,11 @@ object GraftSql {
       case VacuumStmt(table, n, unit) =>
         executeVacuum(spark, store, table, Option(n).map(_.toLong),
           Option(unit).map(_.toUpperCase))
+      case HistoryStmt(table) =>
+        // per-version files / delete-entries / bytes / rows / commit
+        // time — metadata-only (manifests + stats sidecars, no scan)
+        require(store.exists(table), s"unknown graft table $table")
+        store.history(table)
       case _ => spark.sessionState.sqlParser.parsePlan(sql) match {
         case m: MergeIntoTable => executeMerge(spark, store, m)
         case u: UpdateTable => executeUpdate(spark, store, u)

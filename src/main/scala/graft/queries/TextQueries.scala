@@ -1111,6 +1111,62 @@ object TextQueries {
         |SELECT doc_id, round(logw, 4) AS logw, round(score, 4) AS score
         |FROM sel ORDER BY score DESC, doc_id LIMIT 50""".stripMargin))
 
+  /** C4/RefinedWeb-style SPAN-level corpus dedup: globally repeated
+    * token spans are dropped from every document except their first
+    * occurrence (lowest (doc_id, position)), and the surviving spans
+    * reassemble in order — documents are REWRITTEN, not merely kept or
+    * dropped (the whole-doc policies above). Spans are fixed 16-token
+    * windows built inside the row by slice/transform (order-preserving
+    * array ops — no explode+re-sort); the only shuffles are the
+    * span-content groupBy for first-occurrence election and the
+    * per-doc reassembly, both key-partitioned. Docs whose every span
+    * is a repeat vanish from the output (full-duplicate collapse). */
+  val spanDedup: Entry = Entry(
+    "span_dedup_c4",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val spans = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(ceil(size(split(text, ' ')) / 16.0)
+            |  as int) - 1),
+            |  i -> array_join(slice(split(text, ' '), i * 16 + 1, 16), ' '))"""
+            .stripMargin)).as(Seq("idx", "chunk")))
+      val w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+      val kept = spans.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+      val out = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("""array_join(transform(
+            |  array_sort(collect_list(struct(idx, chunk))), x -> x.chunk), ' ')"""
+            .stripMargin).as("new_text"))
+      spans.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(out, "doc_id")
+        .select("doc_id", "n_chunks", "n_kept", "new_text")
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, CAST((i - 1) // 16 AS INT) AS idx,
+        |         string_agg(term, ' ' ORDER BY i) AS chunk
+        |  FROM tok GROUP BY doc_id, (i - 1) // 16),
+        |kept AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, idx, chunk, row_number() OVER (
+        |      PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+        |    FROM chunks) WHERE rn = 1),
+        |outp AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(chunk, ' ' ORDER BY idx) AS new_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_chunks
+        |        FROM chunks GROUP BY doc_id)
+        |SELECT tot.doc_id, n_chunks, n_kept, new_text
+        |FROM tot JOIN outp ON tot.doc_id = outp.doc_id
+        |ORDER BY tot.doc_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
@@ -1118,5 +1174,5 @@ object TextQueries {
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
     unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
-    dsirSelection, sourceCaps)
+    dsirSelection, sourceCaps, spanDedup)
 }

@@ -481,6 +481,15 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.read("tvac").count() == 4)
   }
 
+  test("DESCRIBE HISTORY returns one metadata row per live version") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("thist", Seq((1, "a")).toDF("id", "v"))
+    store.append("thist", Seq((2, "b")).toDF("id", "v"))
+    val h = GraftSql.execute(spark, store, "DESCRIBE HISTORY thist")
+    assert(h.select("version").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    assert(h.columns.contains("n_files") && h.columns.contains("committed_at"))
+  }
+
   test("maintenance statements reject unknown tables loudly") {
     val store = new TableStore(spark, tmpDir("gsql"))
     val e = intercept[IllegalArgumentException] {
