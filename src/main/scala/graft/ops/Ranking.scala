@@ -70,6 +70,50 @@ object Ranking {
       .drop("__gr_pid")
   }
 
+  /** Exact per-group 1-based row_number for FEW heavy groups — the
+    * skew case where `Window.partitionBy(group)` would put each
+    * group's whole frame on one reducer. Range-partitions on
+    * (group ++ order) keys so a group spans many partitions while
+    * staying contiguous, ranks within (partition, group), and adds
+    * per-(group, partition) offsets — collected driver-side
+    * (numPartitions × numGroups longs) and re-entered through a
+    * broadcast join, so no stage sees more than one partition's rows.
+    * For high-cardinality groups use the plain window: parallelism
+    * already equals the group count there. */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[Column], outCol: String,
+                       numPartitions: Int = 32): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val spark = df.sparkSession
+    val parted = df
+      .repartitionByRange(numPartitions, (groupCols.map(col) ++ orderCols): _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint() // boundary stability — see rangeParted
+    val cnt = parted.groupBy((col("__gr_pid") +: groupCols.map(col)): _*)
+      .count().collect()
+    if (cnt.isEmpty) // empty frame: rank column only, no offsets to join
+      return parted.withColumn(outCol, lit(1L)).drop("__gr_pid")
+    val offRows = cnt.groupBy(r => groupCols.map(r.getAs[Any]))
+      .values.flatMap { rows =>
+        val sorted = rows.sortBy(_.getAs[Int]("__gr_pid"))
+        sorted.zip(sorted.scanLeft(0L)(_ + _.getAs[Long]("count")).init)
+          .map { case (r, off) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.dropRight(1) :+ off) // (pid, group..., offset)
+          }
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(
+      cnt.headOption.map(_.schema.fields.dropRight(1)).getOrElse(Array.empty)
+        :+ org.apache.spark.sql.types.StructField(
+          "__gr_off", org.apache.spark.sql.types.LongType))
+    val offsets = spark.createDataFrame(offRows.asJava, offSchema)
+    val w = Window.partitionBy(("__gr_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols: _*)
+    parted.join(broadcast(offsets), "__gr_pid" +: groupCols)
+      .withColumn(outCol, row_number().over(w).cast("long") + col("__gr_off"))
+      .drop("__gr_pid", "__gr_off")
+  }
+
   /** Exact `ntile(n)` over the total order given by `orderCols` —
     * bit-identical to the global-window form (first `total % n` bins
     * get the extra row), but built on [[globalRowNumber]] so the sort

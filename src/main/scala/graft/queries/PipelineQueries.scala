@@ -752,6 +752,52 @@ object PipelineQueries {
         |FROM t JOIN n ON TRUE JOIN rk ON rk.r = (n.n * t.p + 99) // 100
         |ORDER BY t.pctl""".stripMargin))
 
+  /** Exact PER-GROUP percentiles by grouped rank selection
+    * ([[graft.ops.Ranking.groupedRowNumber]]): the few-heavy-groups
+    * case (3 return flags × a third of the fact table each) where
+    * `Window.partitionBy(group)` would put each group's whole frame on
+    * ONE reducer. The grouped rank range-partitions on (group, value)
+    * so a group spans many partitions; target ranks ceil(p·N_g) come
+    * from a per-group count joined against three percentile labels. */
+  val groupedPercentiles: Entry = Entry(
+    "grouped_percentiles_exact",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.ops.Ranking.groupedRowNumber(li,
+        Seq("l_returnflag"),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")), "r")
+      val targets = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .select(col("l_returnflag"), explode(array(
+          Seq(("p50", 50), ("p90", 90), ("p99", 99)).map { case (lbl, p) =>
+            struct(lit(lbl).as("pctl"),
+              expr(s"(n * $p + 99) div 100").as("r"))
+          }: _*)).as("t"))
+        .select(col("l_returnflag"), col("t.pctl"), col("t.r"))
+      ranked.join(broadcast(targets), Seq("l_returnflag", "r"))
+        .select("l_returnflag", "pctl", "r", "price")
+        .orderBy("l_returnflag", "pctl")
+    },
+    Some("""WITH li AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |rk AS (
+        |  SELECT l_returnflag, price, row_number() OVER (
+        |    PARTITION BY l_returnflag
+        |    ORDER BY price, l_orderkey, l_linenumber) AS r
+        |  FROM li),
+        |n AS (SELECT l_returnflag, count(*) AS n FROM li
+        |      GROUP BY l_returnflag),
+        |t(pctl, p) AS (VALUES ('p50', 50), ('p90', 90), ('p99', 99))
+        |SELECT rk.l_returnflag, t.pctl, rk.r, rk.price
+        |FROM n JOIN t ON TRUE
+        |JOIN rk ON rk.l_returnflag = n.l_returnflag
+        |       AND rk.r = (n.n * t.p + 99) // 100
+        |ORDER BY rk.l_returnflag, t.pctl""".stripMargin))
+
   /** TPC-H Q7 shape: two-nation volume shipping — multiway join with a
     * disjunctive cross-nation predicate + year bucketing. */
   val q7VolumeShipping: Entry = Entry(
@@ -891,7 +937,7 @@ object PipelineQueries {
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
     sqlInsert, sqlLifecycle, tableChanges, cdfAggregate, rollupRefresh,
     formatRoundtrip,
-    exactPercentiles, q7VolumeShipping,
+    exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
     q10ReturnedItems)
 }

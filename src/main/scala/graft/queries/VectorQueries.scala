@@ -521,7 +521,66 @@ object VectorQueries {
     },
     () => pqOracle)
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * nearest candidates by cosine whose LABEL differs (and that are
+    * not near-duplicates, cos < 0.95) — the pairs that teach an
+    * embedding model the most. Composes the broadcast-probe top-k
+    * pool (k=50 per anchor, corpus never shuffles) with a label
+    * anti-predicate and a per-anchor re-rank; both rank windows
+    * partition by the anchor id. */
+  val hardNegatives: Entry = Entry(
+    "hard_negative_mining",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val pool = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 50)
+      pool
+        .join(lbl.select(col("vec_id").as("qid"), col("label").as("q_label")),
+          "qid")
+        .join(lbl.select(col("vec_id").as("vid"), col("label").as("v_label")),
+          "vid")
+        .where(col("q_label") =!= col("v_label") && col("cos") < 0.95)
+        .withColumn("neg_rnk", row_number().over(
+          Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))))
+        .where(col("neg_rnk") <= 10)
+        .select("qid", "neg_rnk", "vid", "cos", "v_label")
+        .orderBy("qid", "neg_rnk")
+    },
+    Some("""WITH exp AS (
+        |  SELECT vec_id, unnest(embedding) AS x,
+        |         generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (
+        |  SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * x)) AS nrm
+        |  FROM exp GROUP BY vec_id),
+        |dots AS (
+        |  SELECT p.vec_id AS qid, c.vec_id AS vid,
+        |         sum(CAST(p.x AS DOUBLE) * c.x) AS dp
+        |  FROM exp p JOIN exp c ON p.i = c.i
+        |  WHERE p.vec_id < 5 AND p.vec_id <> c.vec_id
+        |  GROUP BY p.vec_id, c.vec_id),
+        |scored AS (
+        |  SELECT qid, vid, round(dp / (nq.nrm * nc.nrm), 4) AS cos
+        |  FROM dots JOIN norms nq ON qid = nq.vec_id
+        |  JOIN norms nc ON vid = nc.vec_id),
+        |pool AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos DESC, vid) AS rnk
+        |  FROM scored),
+        |neg AS (
+        |  SELECT p.qid, p.vid, p.cos, el.label AS v_label,
+        |    row_number() OVER (PARTITION BY p.qid
+        |      ORDER BY p.cos DESC, p.vid) AS neg_rnk
+        |  FROM pool p
+        |  JOIN embeddings eq ON p.qid = eq.vec_id
+        |  JOIN embeddings el ON p.vid = el.vec_id
+        |  WHERE p.rnk <= 50 AND eq.label <> el.label AND p.cos < 0.95)
+        |SELECT qid, neg_rnk, vid, cos, v_label FROM neg
+        |WHERE neg_rnk <= 10 ORDER BY qid, neg_rnk""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, semanticDedup, quantizationError,
-    quantizedTopK, pqTopK)
+    quantizedTopK, pqTopK, hardNegatives)
 }

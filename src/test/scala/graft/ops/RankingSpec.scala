@@ -47,4 +47,30 @@ class RankingSpec extends SparkSpec {
     val global = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
     assert(global.isEmpty, "found a partition-less window")
   }
+
+  test("groupedRowNumber equals per-group row_number, groups span partitions") {
+    // 3 heavy groups over 7 range partitions: each group MUST cross
+    // partition boundaries for the offset arithmetic to be exercised
+    val g = df.withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
+    val expected = g.withColumn("r2", row_number()
+      .over(Window.partitionBy("grp").orderBy("score", "id")).cast("long"))
+    val got = Ranking.groupedRowNumber(g, Seq("grp"),
+      Seq(col("score"), col("id")), "r", numPartitions = 7)
+    assert(got.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+    assert(got.count() == 1037)
+    // ...and the frame really is spread: more distinct (pid) than groups
+    val parts = g.repartitionByRange(7, col("grp"), col("score"), col("id"))
+      .select(org.apache.spark.sql.functions.spark_partition_id())
+      .distinct().count()
+    assert(parts > 3)
+  }
+
+  test("groupedRowNumber on an empty frame returns empty with the rank column") {
+    val g = df.where(lit(false))
+      .withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
+    val got = Ranking.groupedRowNumber(g, Seq("grp"),
+      Seq(col("score"), col("id")), "r")
+    assert(got.columns.contains("r") && got.count() == 0)
+  }
 }
