@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
 /** SQL-text front door for the statements Spark can parse but not
@@ -89,9 +89,45 @@ object GraftSql {
         case i: InsertIntoStatement => executeInsert(spark, store, i, sql)
         case c: CreateTableAsSelect => executeCtas(spark, store, c)
         case d: DropTable => executeDrop(spark, store, d, sql)
+        case a: AddColumns => executeAddColumns(spark, store, a, sql)
         case _ => spark.sql(sql)
       }
     }
+
+  /** `ALTER TABLE t ADD COLUMNS (c TYPE, ...)` — schema evolution as
+    * an O(1) commit: one empty, schema-bearing file appends (Spark
+    * preserves the schema of an empty write), and the read path's
+    * union-by-name fills the new columns with NULL for every earlier
+    * file — no data rewrite, the same evolution contract as `append`
+    * with a wider batch. Top-level columns only; the store's layout
+    * has no column ordering, so positions are rejected. */
+  private def executeAddColumns(spark: SparkSession, store: TableStore,
+                                a: AddColumns, sqlText: String): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val target = a.table match {
+      case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        ut.multipartIdentifier.last
+      case other => throw new IllegalArgumentException(
+        s"unsupported ALTER target ${other.getClass.getSimpleName}")
+    }
+    if (!store.exists(target)) return spark.sql(sqlText)
+    val fields = a.columnsToAdd.map { q =>
+      require(q.path.isEmpty,
+        s"nested column add ${q.colName} is not supported on graft tables")
+      require(q.position.isEmpty,
+        "FIRST/AFTER positions are not supported on graft tables")
+      StructField(q.colName, q.dataType, nullable = true)
+    }
+    val existing = store.read(target).schema.fieldNames
+      .map(_.toLowerCase).toSet
+    fields.foreach(f => require(!existing(f.name.toLowerCase),
+      s"column ${f.name} already exists in $target"))
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(fields.toArray)).repartition(1)
+    store.append(target, empty)
+    store.read(target)
+  }
 
   /** `OPTIMIZE t [ZORDER BY (c1, c2, ...)]` — compaction through the
     * SQL front door. Plain OPTIMIZE folds merge-on-read delete debt if

@@ -490,6 +490,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(h.columns.contains("n_files") && h.columns.contains("committed_at"))
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema without rewriting data") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("talter", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    val filesBefore = store.manifest("talter",
+      store.currentVersion("talter").get).size
+    val out = GraftSql.execute(spark, store,
+      "ALTER TABLE talter ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(out.columns.toSeq == Seq("id", "v", "score", "tag"))
+    // earlier rows read back with NULL in the new columns
+    assert(out.where(col("score").isNull && col("tag").isNull).count() == 2)
+    // new columns are writable: an insert carrying them round-trips
+    GraftSql.execute(spark, store,
+      "INSERT INTO talter VALUES (3, 'c', 1.5, 'x')")
+    assert(store.read("talter").where(col("tag") === "x").count() == 1)
+    // the evolution commit carried the old files by reference
+    val lines = store.manifest("talter", store.currentVersion("talter").get)
+    assert(lines.size >= filesBefore + 1)
+    // duplicate column add fails loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "ALTER TABLE talter ADD COLUMNS (v INT)")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("maintenance statements reject unknown tables loudly") {
     val store = new TableStore(spark, tmpDir("gsql"))
     val e = intercept[IllegalArgumentException] {
