@@ -116,15 +116,22 @@ object GraftSql {
         s"nested column add ${q.colName} is not supported on graft tables")
       require(q.position.isEmpty,
         "FIRST/AFTER positions are not supported on graft tables")
+      require(q.nullable,
+        s"column ${q.colName}: NOT NULL is unsatisfiable on ADD COLUMNS " +
+          "(existing rows backfill with NULL)")
       StructField(q.colName, q.dataType, nullable = true)
     }
-    val existing = store.read(target).schema.fieldNames
-      .map(_.toLowerCase).toSet
+    val current = store.read(target).schema
+    val existing = current.fieldNames.map(_.toLowerCase).toSet
     fields.foreach(f => require(!existing(f.name.toLowerCase),
       s"column ${f.name} already exists in $target"))
+    // the empty frame carries the FULL evolved schema: the commit path
+    // partitions by the table's partition columns and evaluates CHECK
+    // constraints against the batch, both of which reference existing
+    // columns — a new-columns-only frame would fail analysis there
     val empty = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      StructType(fields.toArray)).repartition(1)
+      StructType(current.fields ++ fields)).repartition(1)
     store.append(target, empty)
     store.read(target)
   }
@@ -141,15 +148,20 @@ object GraftSql {
                               table: String, zorderBy: Seq[String]): DataFrame = {
     import spark.implicits._
     require(store.exists(table), s"unknown graft table $table")
+    // data-file count BEFORE any rewrite: the honest "inputs folded"
+    // figure, and the z-order range count (a post-debt-fold manifest
+    // would collapse it to ~1, losing the multi-range skipping layout)
+    val filesBefore = store
+      .manifest(table, store.currentVersion(table).get)
+      .count(!_.startsWith("del|"))
     val debtFolded = store.deleteDebt(table) > 0
     if (debtFolded) store.compact(table)
     val folded =
       if (zorderBy.nonEmpty) {
-        val files = store.manifest(table, store.currentVersion(table).get).size
-        store.overwrite(table,
-          Layout.cluster(store.read(table), zorderBy, math.max(1, files)))
-        files
-      } else if (debtFolded) 0 // full fold already rewrote everything
+        store.overwrite(table, Layout.cluster(store.read(table), zorderBy,
+          math.max(1, filesBefore)))
+        filesBefore
+      } else if (debtFolded) filesBefore // full fold rewrote everything
       else store.compactSmall(table, minBytes = 128L << 20)
     Seq((table, if (zorderBy.nonEmpty) "zorder" else "compact",
       zorderBy.mkString(","), folded, debtFolded))
@@ -169,7 +181,11 @@ object GraftSql {
     unit match {
       case Some(u) if u.startsWith("HOUR") =>
         store.vacuumOlderThan(table, n.get * 3600L * 1000L)
-      case Some(_) => store.vacuum(table, keep = n.get.toInt)
+      case Some(_) =>
+        // toInt would wrap a huge n negative and delete ALL history —
+        // the opposite of "retain everything"
+        require(n.get <= Int.MaxValue, s"RETAIN ${n.get} VERSIONS overflows")
+        store.vacuum(table, keep = n.get.toInt)
       case None => store.vacuum(table, keep = 1)
     }
     store.versions(table).map(v => (table, v)).toDF("table", "version")

@@ -106,12 +106,22 @@ object Ranking {
       cnt.headOption.map(_.schema.fields.dropRight(1)).getOrElse(Array.empty)
         :+ org.apache.spark.sql.types.StructField(
           "__gr_off", org.apache.spark.sql.types.LongType))
+    // null-safe (<=>) equi-join: a NULL group key is a regular group
+    // under window semantics, and a plain inner join would silently
+    // drop its rows (NULL = NULL is false)
     val offsets = spark.createDataFrame(offRows.asJava, offSchema)
+      .withColumnRenamed("__gr_pid", "__off_pid")
+      .select(col("__off_pid") +: col("__gr_off") +:
+        groupCols.map(c => col(c).as(s"__off_$c")): _*)
+    val joinCond = groupCols
+      .map(c => col(c) <=> col(s"__off_$c"))
+      .foldLeft(col("__gr_pid") === col("__off_pid"))(_ && _)
     val w = Window.partitionBy(("__gr_pid" +: groupCols).map(col): _*)
       .orderBy(orderCols: _*)
-    parted.join(broadcast(offsets), "__gr_pid" +: groupCols)
+    parted.join(broadcast(offsets), joinCond)
       .withColumn(outCol, row_number().over(w).cast("long") + col("__gr_off"))
-      .drop("__gr_pid", "__gr_off")
+      .drop(("__gr_pid" +: "__gr_off" +: "__off_pid" +:
+        groupCols.map(c => s"__off_$c")): _*)
   }
 
   /** Exact `ntile(n)` over the total order given by `orderCols` —

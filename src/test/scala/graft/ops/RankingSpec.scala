@@ -66,6 +66,19 @@ class RankingSpec extends SparkSpec {
     assert(parts > 3)
   }
 
+  test("groupedRowNumber keeps NULL group keys as a regular group") {
+    val g = df.withColumn("grp",
+      when(pmod(col("id"), lit(4)) === 0, lit(null).cast("int"))
+        .otherwise(pmod(col("id"), lit(4)).cast("int")))
+    val expected = g.withColumn("r2", row_number()
+      .over(Window.partitionBy("grp").orderBy("score", "id")).cast("long"))
+    val got = Ranking.groupedRowNumber(g, Seq("grp"),
+      Seq(col("score"), col("id")), "r", numPartitions = 7)
+    assert(got.count() == 1037, "NULL-group rows were dropped")
+    assert(got.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+  }
+
   test("groupedRowNumber on an empty frame returns empty with the rank column") {
     val g = df.where(lit(false))
       .withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
