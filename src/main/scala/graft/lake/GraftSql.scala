@@ -65,6 +65,10 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([A-Za-z_]\w*)\s*(?:RETAIN\s+(\d+)\s+(HOURS?|VERSIONS?))?\s*;?\s*$""".r
   private val HistoryStmt =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val RestoreStmt =
+    """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val CloneStmt =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Execute SQL against graft tables: MERGE runs on the store;
     * everything else is plain `spark.sql`. Returns the affected table
@@ -82,6 +86,16 @@ object GraftSql {
         // time — metadata-only (manifests + stats sidecars, no scan)
         require(store.exists(table), s"unknown graft table $table")
         store.history(table)
+      case RestoreStmt(table, v) =>
+        // O(1) rollback: a NEW commit whose manifest copies version v's
+        require(store.exists(table), s"unknown graft table $table")
+        store.restore(table, v.toLong)
+        store.read(table)
+      case CloneStmt(dst, src) =>
+        // zero-copy: dst's v0 references src's current files
+        require(store.exists(src), s"unknown graft table $src")
+        store.cloneTable(src, dst)
+        store.read(dst)
       case _ => spark.sessionState.sqlParser.parsePlan(sql) match {
         case m: MergeIntoTable => executeMerge(spark, store, m)
         case u: UpdateTable => executeUpdate(spark, store, u)

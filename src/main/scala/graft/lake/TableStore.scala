@@ -101,9 +101,19 @@ final class TableStore(spark: SparkSession, root: String,
 
   private def readLines(table: String, lines: Seq[String]): DataFrame = {
     val prefix = tablePath(table).toString
+    // Commit group = the d-<uuid> dir the file was written into. Find
+    // it by the path component, NOT by stripping this table's prefix:
+    // a shallow clone's manifest references files under the SOURCE
+    // table's root, and those must group (and resolve hive partition
+    // columns via basePath) exactly as they do there.
     def baseOf(f: String): String = {
-      val rel = f.stripPrefix(prefix).stripPrefix("/")
-      s"$prefix/${rel.takeWhile(_ != '/')}"
+      val segs = f.split('/')
+      val i = segs.indexWhere(s => CommitDirPattern.matches(s))
+      if (i >= 0) segs.take(i + 1).mkString("/")
+      else {
+        val rel = f.stripPrefix(prefix).stripPrefix("/")
+        s"$prefix/${rel.takeWhile(_ != '/')}"
+      }
     }
     val dels = lines.zipWithIndex.collect {
       case (l, i) if l.startsWith(DelPrefix) => (l.stripPrefix(DelPrefix), i)
@@ -130,6 +140,12 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   private val DelPrefix = "del|"
+
+  /** Exact shape of a commit dir name (`d-<uuid>`), so group detection
+    * can't be fooled by a partition value or table name that merely
+    * starts with `d-`. */
+  private val CommitDirPattern =
+    "^d-[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$".r
 
   /** Stats-pruned read: drop data files whose per-file min/max
     * ([[FileStats]], `stats-<n>` sidecar) cannot intersect `pred`
@@ -226,6 +242,67 @@ final class TableStore(spark: SparkSession, root: String,
     * view as one plain data commit (the new manifest carries no del
     * entries). Old versions stay time-travelable until vacuumed. */
   def compact(table: String): Unit = overwrite(table, read(table))
+
+  /** Roll the table back to retained version `v` as a NEW commit whose
+    * manifest (and stats sidecar) is a byte copy of `v`'s — O(1)
+    * metadata, no data moves, and the rolled-past versions stay
+    * readable until vacuumed (Delta RESTORE semantics). */
+  def restore(table: String, v: Long): Unit = {
+    require(versions(table).contains(v),
+      s"version $v of $table is not retained (have ${versions(table).mkString(",")})")
+    val lines = manifest(table, v)
+    val stats = { val p = statsPath(table, v)
+      if (fs(p).exists(p)) readSmallFile(p) else "" }
+    commitMeta(table, lines, stats, mustCreate = false)
+  }
+
+  /** Zero-copy shallow clone: `dst` is a new table whose v0 manifest
+    * references `src`'s current files BY REFERENCE — O(1) regardless
+    * of table size. The clone owns its manifest history but not the
+    * data files: vacuuming either table never deletes files outside
+    * its own root (see vacuumRetain), so reaping shared files remains
+    * the source's prerogative — drop or vacuum the SOURCE and the
+    * clone dangles, the same caveat Delta's shallow clones carry. */
+  def cloneTable(src: String, dst: String): Unit = {
+    val cur = currentVersion(src).getOrElse(
+      throw new IllegalStateException(s"table $src does not exist"))
+    require(!exists(dst), s"table $dst already exists")
+    val stats = { val p = statsPath(src, cur)
+      if (fs(p).exists(p)) readSmallFile(p) else "" }
+    val srcParts = partitioning(src)
+    commitMeta(dst, manifest(src, cur), stats, mustCreate = true,
+      createParts = srcParts)
+  }
+
+  /** Metadata-only commit under the standard claim/publish protocol:
+    * the new version's manifest is exactly `lines` and its stats
+    * sidecar exactly `statsContent` — no data write at all. */
+  private def commitMeta(table: String, lines: Seq[String],
+                         statsContent: String, mustCreate: Boolean,
+                         createParts: Seq[String] = Nil): Unit = {
+    // the data write creates the table dir in the normal commit path;
+    // a metadata-only commit must do it itself or the claim fails
+    val dir = tablePath(table)
+    if (!fs(dir).exists(dir)) fs(dir).mkdirs(dir)
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      attempts += 1
+      require(attempts <= 100, s"gave up claiming a version for $table")
+      val cur = currentVersion(table)
+      if (mustCreate && cur.isDefined)
+        throw new IllegalArgumentException(s"table $table already exists")
+      val v = cur.map(_ + 1).getOrElse(0L)
+      if (claims.tryClaim(tablePath(table), v)) {
+        if (mustCreate && createParts.nonEmpty)
+          writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
+            createParts.mkString(","))
+        writeSmallFile(statsPath(table, v), statsContent)
+        claims.publish(manifestPath(table, v), lines.mkString("\n"))
+        committed = true
+      } else Thread.sleep(math.min(250L, 2L * attempts))
+    }
+  }
 
   /** Size-aware compaction: fold only the data files smaller than
     * `minBytes` into fresh right-sized files, carrying every large
@@ -663,8 +740,13 @@ final class TableStore(spark: SparkSession, root: String,
     def pathOf(line: String): String = line.stripPrefix(DelPrefix)
     val referenced = kept.flatMap(manifest(table, _)).map(pathOf).toSet
     val f = fs(tablePath(table))
+    // never delete a file outside this table's own root: a shallow
+    // clone's manifest references the SOURCE table's files, which are
+    // that table's to reap, not ours
+    val own = tablePath(table).toString + "/"
     all.filterNot(kept.contains).foreach { v =>
       manifest(table, v).map(pathOf).filterNot(referenced.contains)
+        .filter(_.startsWith(own))
         .foreach(p => f.delete(new Path(p), false))
       f.delete(manifestPath(table, v), false)
       f.delete(statsPath(table, v), false)

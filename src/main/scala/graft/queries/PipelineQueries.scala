@@ -578,6 +578,34 @@ object PipelineQueries {
         |  WHERE k NOT IN (SELECT k FROM t2))
         |SELECT k, name, r FROM merged ORDER BY k""".stripMargin))
 
+  /** Time-travel WRITE surfaces through the SQL front door: RESTORE
+    * rolls a mutated table back to version 0 as an O(1) metadata
+    * commit (undoing a DELETE), and SHALLOW CLONE forks a zero-copy
+    * table that then diverges independently with an INSERT. The final
+    * clone content is pure relational algebra over `nation`, so the
+    * oracle needs no notion of versions at all. */
+  val sqlRestoreClone: Entry = Entry(
+    "sql_restore_clone",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-rc"))
+      t(s, dir, "nation").createOrReplaceTempView("nation_rc")
+      def g(q: String) = GraftSql.execute(s, store, q)
+      g("""CREATE TABLE rc AS
+          |SELECT n_nationkey AS k, n_name AS name FROM nation_rc""".stripMargin)
+      g("DELETE FROM rc WHERE k % 2 = 0")
+      g("RESTORE TABLE rc TO VERSION AS OF 0") // the DELETE is undone
+      g("CREATE TABLE rc2 SHALLOW CLONE rc")
+      g("""INSERT INTO rc2
+          |SELECT n_nationkey + 100, upper(n_name)
+          |FROM nation_rc WHERE n_regionkey = 1""".stripMargin)
+      store.read("rc2").orderBy("k")
+    },
+    Some("""SELECT n_nationkey AS k, n_name AS name FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100 AS k, upper(n_name) AS name
+        |FROM nation WHERE n_regionkey = 1
+        |ORDER BY k""".stripMargin))
+
   /** Downstream consumption of the change feed: a per-status aggregate
     * table is refreshed purely from `changes()` — inserts add,
     * deletes subtract (count + order-free DECIMAL sum), one full-outer
@@ -935,7 +963,8 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    sqlInsert, sqlLifecycle, tableChanges, cdfAggregate, rollupRefresh,
+    sqlInsert, sqlLifecycle, sqlRestoreClone, tableChanges, cdfAggregate,
+    rollupRefresh,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

@@ -514,6 +514,46 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("already exists"))
   }
 
+  test("RESTORE TABLE rolls back as a new commit; history moves forward") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tres", Seq((1, "a")).toDF("id", "v"))
+    store.append("tres", Seq((2, "b")).toDF("id", "v"))
+    store.overwrite("tres", Seq((9, "z")).toDF("id", "v"))
+    assert(store.read("tres").count() == 1)
+    val out = GraftSql.execute(spark, store,
+      "RESTORE TABLE tres TO VERSION AS OF 1")
+    assert(out.select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // a NEW version (3) was committed; v2 (the overwrite) is intact
+    assert(store.currentVersion("tres").contains(3L))
+    assert(store.readVersion("tres", 2).count() == 1)
+    // restoring an unretained version fails loudly
+    store.vacuum("tres", keep = 1)
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "RESTORE TABLE tres VERSION AS OF 0")
+    }
+    assert(e.getMessage.contains("not retained"))
+  }
+
+  test("SHALLOW CLONE is zero-copy; vacuum/drop of the clone spares source data") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("csrc", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    store.append("csrc", Seq((3, "c")).toDF("id", "v"))
+    val out = GraftSql.execute(spark, store,
+      "CREATE TABLE cdst SHALLOW CLONE csrc")
+    assert(out.count() == 3)
+    // clone diverges independently: writes to dst don't touch src
+    store.append("cdst", Seq((4, "d")).toDF("id", "v"))
+    assert(store.read("cdst").count() == 4 && store.read("csrc").count() == 3)
+    // vacuuming the clone must NOT delete the source's (shared) files
+    store.overwrite("cdst", Seq((5, "e")).toDF("id", "v"))
+    store.vacuum("cdst", keep = 1)
+    assert(store.read("csrc").count() == 3)
+    // dropping the clone likewise leaves the source intact
+    store.drop("cdst")
+    assert(store.read("csrc").select("id").as[Int].collect().sorted
+      .toSeq == Seq(1, 2, 3))
+  }
+
   test("maintenance statements reject unknown tables loudly") {
     val store = new TableStore(spark, tmpDir("gsql"))
     val e = intercept[IllegalArgumentException] {
