@@ -245,7 +245,40 @@ object EventQueries {
         |  ON a.ck = b.ck AND a.ok < b.ok AND a.sd <= b.ed AND b.sd <= a.ed
         |GROUP BY a.ck ORDER BY a.ck""".stripMargin))
 
+  /** Batch pin for the watermarked stream-stream join
+    * ([[graft.streaming.StreamingIngest.streamStreamJoin]]): views ⋈
+    * clicks per user with clicks in [view, view + 2h] — the SAME
+    * operator the StreamingIngestSpec drives with two live
+    * MemoryStreams, run on bounded input so DuckDB can oracle the
+    * time-band join algebra. */
+  val streamJoinBatch: Entry = Entry(
+    "streaming_stream_join_batch",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      def side(tpe: String, tsName: String) = ev
+        .where(col("event_type") === tpe)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as(tsName))
+      graft.streaming.StreamingIngest.streamStreamJoin(
+          side("view", "view_ts"), side("click", "click_ts"),
+          "user_id", "view_ts", "click_ts", "2 hours", "1 hour")
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_us"),
+          unix_micros(col("click_ts")).as("click_us"))
+        .orderBy("user_id", "view_us", "click_us")
+    },
+    Some("""WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS vt FROM events
+        |  WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS ct FROM events
+        |  WHERE event_type = 'click')
+        |SELECT v.user_id AS user_id, vt AS view_us, ct AS click_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND ct >= vt AND ct <= vt + 7200000000
+        |ORDER BY user_id, view_us, click_us""".stripMargin))
+
   val entries: Seq[Entry] = Seq(jsonExtract, hourlyAgg, sessionize,
     pivotCounts, asofLastView, rangeJoinWindows, windowedCountsBatch,
-    intervalJoinKeyed)
+    intervalJoinKeyed, streamJoinBatch)
 }

@@ -130,6 +130,29 @@ object StreamingIngest {
     stream.join(org.apache.spark.sql.functions.broadcast(dim),
       keys, "left_outer")
 
+  /** Watermarked stream-stream inner join — the two-live-streams shape
+    * (impressions ⋈ clicks): equality on `key` plus an event-time
+    * band `[0, within]` (right no earlier than left, at most `within`
+    * after). BOTH sides carry watermarks and the time-band condition
+    * bounds the join state Spark must buffer — without the band the
+    * state grows without limit on unmatched keys. State is dropped as
+    * the watermark passes; parallelism follows the key shuffle, the
+    * standard streaming join contract. Works identically on bounded
+    * input (modulo late data the watermark would drop), which is how
+    * the spec pins stream == batch. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"),
+      "inner")
+      .drop(r(key))
+  }
+
   /** Gap-based session windows per key — the streaming form of the
     * batch lag+running-sum sessionization (EventQueries.sessionize):
     * `session_window` merges events closer than `gap` into one

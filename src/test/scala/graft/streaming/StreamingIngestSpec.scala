@@ -189,6 +189,48 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream time-band join matches the batch join; out-of-band pairs drop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    // impressions ⋈ clicks on ad_id, click within 10 minutes after
+    val imps = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:02:00"),
+      (3L, "2024-01-01 10:30:00"))
+    val clicks = Seq((1L, "2024-01-01 10:05:00"), // in band
+      (2L, "2024-01-01 10:20:00"),                // 18 min after: out of band
+      (3L, "2024-01-01 10:29:00"),                // before the impression
+      (1L, "2024-01-01 10:09:00"))                // second in-band click
+    def impShape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("s").cast("timestamp").as("imp_ts"), col("ad_id"))
+    def clkShape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("s").cast("timestamp").as("clk_ts"), col("ad_id"))
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("ad_id"), col("imp_ts").cast("string"),
+        col("clk_ts").cast("string"))
+      .orderBy("ad_id", "clk_ts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val inI = MemoryStream[(Long, String)]
+    val inC = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamStreamJoin(
+        impShape(inI.toDF().toDF("ad_id", "s")),
+        clkShape(inC.toDF().toDF("ad_id", "s")),
+        "ad_id", "imp_ts", "clk_ts", "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("ssj_stream")
+      .outputMode("append").start()
+    try {
+      inI.addData(imps.take(2): _*); inC.addData(clicks.take(2): _*)
+      q.processAllAvailable()
+      inI.addData(imps.drop(2): _*); inC.addData(clicks.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = shape(spark.table("ssj_stream"))
+      val batch = shape(StreamingIngest.streamStreamJoin(
+        impShape(imps.toDF("ad_id", "s")), clkShape(clicks.toDF("ad_id", "s")),
+        "ad_id", "imp_ts", "clk_ts", "10 minutes", "30 minutes"))
+      assert(streamed == batch && streamed.nonEmpty)
+      // only ad 1's two in-band clicks match; 2's late and 3's early drop
+      assert(streamed.map(_._1).toSet == Set(1L) && streamed.size == 2)
+    } finally q.stop()
+  }
+
   test("windowed counts with watermark over bounded events input") {
     val events = Seq(
       (1L, "2024-01-01 10:01:00", "click", 1.0),
