@@ -67,6 +67,10 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val RestoreStmt =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTsStmt =
+    """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val ShowTablesStmt =
+    """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
   private val CloneStmt =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
@@ -91,6 +95,17 @@ object GraftSql {
         require(store.exists(table), s"unknown graft table $table")
         store.restore(table, v.toLong)
         store.read(table)
+      case RestoreTsStmt(table, ts) =>
+        require(store.exists(table), s"unknown graft table $table")
+        val tsMs = java.sql.Timestamp.valueOf(ts).getTime
+        val v = store.versionAsOf(table, tsMs).getOrElse(
+          throw new IllegalArgumentException(
+            s"no retained version of $table committed at or before $ts"))
+        store.restore(table, v)
+        store.read(table)
+      case ShowTablesStmt() =>
+        import spark.implicits._
+        store.tables().toDF("table")
       case CloneStmt(dst, src) =>
         // zero-copy: dst's v0 references src's current files
         require(store.exists(src), s"unknown graft table $src")

@@ -532,6 +532,26 @@ final class TableStore(spark: SparkSession, root: String,
       .sorted
   }
 
+  /** Store tables (dirs under the root with at least one published
+    * manifest) — driver-side metadata listing, no data touched. */
+  def tables(): Seq[String] = {
+    val r = new Path(root)
+    val f = fs(r)
+    if (!f.exists(r)) Seq.empty
+    else f.listStatus(r).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => currentVersion(t).isDefined)
+      .sorted
+  }
+
+  /** Latest version committed at or before `tsMs` (manifest mtime) —
+    * the resolution rule behind TIMESTAMP AS OF. */
+  def versionAsOf(table: String, tsMs: Long): Option[Long] =
+    versions(table).filter { v =>
+      val mp = manifestPath(table, v)
+      fs(mp).getFileStatus(mp).getModificationTime <= tsMs
+    }.lastOption
+
   /** Change data feed between two committed versions (Delta CDF /
     * Iceberg incremental-read equivalent): every row added or removed
     * in `(fromV, toV]`, tagged `_change_type` ∈ {insert, delete} and

@@ -554,6 +554,29 @@ class GraftSqlSpec extends SparkSpec {
       .toSeq == Seq(1, 2, 3))
   }
 
+  test("SHOW GRAFT TABLES lists store tables; TIMESTAMP AS OF resolves by commit time") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("ts_a", Seq((1, "a")).toDF("id", "v"))
+    store.create("ts_b", Seq((2, "b")).toDF("id", "v"))
+    val listed = GraftSql.execute(spark, store, "SHOW GRAFT TABLES")
+      .as[String].collect().toSeq
+    assert(listed == Seq("ts_a", "ts_b"))
+    // mutate, then restore to a wall-clock instant after v0's commit
+    Thread.sleep(5)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    Thread.sleep(5)
+    store.overwrite("ts_a", Seq((9, "z")).toDF("id", "v"))
+    GraftSql.execute(spark, store,
+      s"RESTORE TABLE ts_a TO TIMESTAMP AS OF '$mid'")
+    assert(store.read("ts_a").select("id").as[Int].head() == 1)
+    // an instant before any commit fails loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "RESTORE TABLE ts_a TO TIMESTAMP AS OF '1999-01-01 00:00:00'")
+    }
+    assert(e.getMessage.contains("no retained version"))
+  }
+
   test("maintenance statements reject unknown tables loudly") {
     val store = new TableStore(spark, tmpDir("gsql"))
     val e = intercept[IllegalArgumentException] {
