@@ -33,6 +33,35 @@ object EventQueries {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** The same semi-structured extraction through Spark 4's VARIANT
+    * type: `parse_json` once into the binary variant encoding, then
+    * typed `variant_get` paths — the scale path for JSON-heavy
+    * columns (parse once, no per-access string re-parse, and shredded
+    * storage pushdown when written). `try_variant_get` on a missing
+    * path must yield NULL for every row, pinning the null-safety
+    * contract; the oracle replays the algebra over DuckDB's JSON
+    * functions — same answers, different encoding. */
+  val variantExtract: Entry = Entry(
+    "variant_props_extract",
+    (s, dir) => t(s, dir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'long')").as("m"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        countDistinct("k").as("distinct_k"),
+        round(avg("k"), 4).as("avg_k"),
+        count("m").as("n_missing_hits"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  count(CAST(json_extract_string(props, '$.missing') AS BIGINT)) AS n_missing_hits
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** Tumbling-window aggregation (hourly) — the batch form of a
     * streaming `groupBy(window($"ts", "1 hour"))`. */
   val hourlyAgg: Entry = Entry(
@@ -278,7 +307,7 @@ object EventQueries {
         |  AND ct >= vt AND ct <= vt + 7200000000
         |ORDER BY user_id, view_us, click_us""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(jsonExtract, hourlyAgg, sessionize,
-    pivotCounts, asofLastView, rangeJoinWindows, windowedCountsBatch,
-    intervalJoinKeyed, streamJoinBatch)
+  val entries: Seq[Entry] = Seq(jsonExtract, variantExtract, hourlyAgg,
+    sessionize, pivotCounts, asofLastView, rangeJoinWindows,
+    windowedCountsBatch, intervalJoinKeyed, streamJoinBatch)
 }
