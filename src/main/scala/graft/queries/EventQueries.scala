@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -307,7 +308,97 @@ object EventQueries {
         |  AND ct >= vt AND ct <= vt + 7200000000
         |ORDER BY user_id, view_us, click_us""".stripMargin))
 
+  /** Ordered funnel (view → click → purchase): per user, the earliest
+    * view, the earliest click AFTER that view, the earliest purchase
+    * AFTER that click — strict event-order semantics, not mere
+    * presence. Three staged per-user aggregates, each a keyed shuffle
+    * joined BACK on the user key (broadcast-sized after stage 1 in
+    * practice); no window ever spans more than one user. Output is the
+    * per-stage user counts — the conversion report. */
+  val funnelConversion: Entry = Entry(
+    "funnel_conversion",
+    (s, dir) => {
+      // microsecond precision on BOTH sides: DuckDB reads the ns
+      // timestamps at us precision, and a strict > on raw nanos could
+      // order two same-microsecond events differently
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts"))
+      def firstAfter(tpe: String, prev: DataFrame, prevTs: String,
+                     outTs: String): DataFrame =
+        ev.where(col("event_type") === tpe)
+          .join(prev, "user_id")
+          .where(col("ts") > col(prevTs))
+          .groupBy("user_id", prevTs)
+          .agg(min("ts").as(outTs))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("tv"))
+      val c = firstAfter("click", v, "tv", "tc")
+      val p = firstAfter("purchase", c.select("user_id", "tc"), "tc", "tp")
+      v.select(lit(1).as("stage"), lit("view").as("step"), col("user_id"))
+        .unionByName(c.select(lit(2).as("stage"), lit("click").as("step"),
+          col("user_id")))
+        .unionByName(p.select(lit(3).as("stage"), lit("purchase").as("step"),
+          col("user_id")))
+        .groupBy("stage", "step")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("stage")
+    },
+    Some("""WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, v.tv, min(epoch_us(e.ts)) AS tc
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+        |  GROUP BY e.user_id, v.tv),
+        |p AS (
+        |  SELECT e.user_id, c.tc, min(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+        |  GROUP BY e.user_id, c.tc)
+        |SELECT stage, step, n_users FROM (
+        |  SELECT 1 AS stage, 'view' AS step,
+        |         count(DISTINCT user_id) AS n_users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'click', count(DISTINCT user_id) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(DISTINCT user_id) FROM p)
+        |ORDER BY stage""".stripMargin))
+
+  /** Weekly cohort retention: users cohorted by first-seen week, then
+    * distinct active users per (cohort, week offset) — the standard
+    * retention triangle. Two keyed shuffles (first-seen per user,
+    * distinct per cohort cell); offsets derive from integral epoch
+    * arithmetic so both engines bucket weeks identically. */
+  val cohortRetention: Entry = Entry(
+    "cohort_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        // integral div — a double division of ~1e15 epoch micros can
+        // truncate to the wrong week at bucket boundaries
+        .withColumn("wk", expr("ts_us div 604800000000"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.join(first, "user_id")
+        .where(col("wk") - col("cohort_wk") <= 3)
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_wk", "offset")
+    },
+    Some("""WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |first AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT cohort_wk, ev.wk - cohort_wk AS "offset",
+        |       count(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN first ON ev.user_id = first.user_id
+        |WHERE ev.wk - cohort_wk <= 3
+        |GROUP BY cohort_wk, ev.wk - cohort_wk
+        |ORDER BY cohort_wk, "offset"""".stripMargin))
+
   val entries: Seq[Entry] = Seq(jsonExtract, variantExtract, hourlyAgg,
     sessionize, pivotCounts, asofLastView, rangeJoinWindows,
-    windowedCountsBatch, intervalJoinKeyed, streamJoinBatch)
+    windowedCountsBatch, intervalJoinKeyed, streamJoinBatch,
+    funnelConversion, cohortRetention)
 }
