@@ -578,6 +578,72 @@ object PipelineQueries {
         |  WHERE k NOT IN (SELECT k FROM t2))
         |SELECT k, name, r FROM merged ORDER BY k""".stripMargin))
 
+  /** Read-time data-quality audit — the deequ/dbt-tests shape that
+    * complements the store's write-time CHECK constraints: each rule
+    * is one conditional aggregate (null fraction, range violation,
+    * set membership) or one broadcast anti-join (referential
+    * orphans), all fused into single passes per table — auditing
+    * 100 TB costs the scans, never a shuffle per rule. */
+  val dqAudit: Entry = Entry(
+    "dq_audit_report",
+    (s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val liAgg = li.agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+        sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long"))
+          .as("bad_discount"),
+        sum((!col("l_returnflag").isin("A", "N", "R")).cast("long"))
+          .as("bad_flag")).first()
+      val orphans = li.join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+      val oAgg = t(s, dir, "orders").agg(
+        count(lit(1)).as("n"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("bad_price")).first()
+      Seq(
+        ("lineitem", "null_quantity", liAgg.getAs[Long]("null_qty"),
+          liAgg.getAs[Long]("n")),
+        ("lineitem", "discount_in_[0,1]", liAgg.getAs[Long]("bad_discount"),
+          liAgg.getAs[Long]("n")),
+        ("lineitem", "returnflag_in_set", liAgg.getAs[Long]("bad_flag"),
+          liAgg.getAs[Long]("n")),
+        ("lineitem", "orderkey_fk_orders", orphans, liAgg.getAs[Long]("n")),
+        ("orders", "positive_totalprice", oAgg.getAs[Long]("bad_price"),
+          oAgg.getAs[Long]("n")))
+        .toDF("table_name", "rule", "violations", "n_rows")
+        .orderBy("table_name", "rule")
+    },
+    Some("""WITH li AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_qty,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS bad_flag
+        |  FROM lineitem),
+        |orph AS (
+        |  SELECT count(*) AS c FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |o AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS bad_price
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'lineitem' AS table_name, 'null_quantity' AS rule,
+        |         null_qty AS violations, n AS n_rows FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem', 'discount_in_[0,1]', bad_discount, n FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem', 'returnflag_in_set', bad_flag, n FROM li
+        |  UNION ALL
+        |  SELECT 'lineitem', 'orderkey_fk_orders', orph.c, li.n FROM orph, li
+        |  UNION ALL
+        |  SELECT 'orders', 'positive_totalprice', bad_price, n FROM o)
+        |ORDER BY table_name, rule""".stripMargin))
+
   /** Time-travel WRITE surfaces through the SQL front door: RESTORE
     * rolls a mutated table back to version 0 as an O(1) metadata
     * commit (undoing a DELETE), and SHALLOW CLONE forks a zero-copy
@@ -963,8 +1029,8 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    sqlInsert, sqlLifecycle, sqlRestoreClone, tableChanges, cdfAggregate,
-    rollupRefresh,
+    sqlInsert, sqlLifecycle, sqlRestoreClone, dqAudit, tableChanges,
+    cdfAggregate, rollupRefresh,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,
