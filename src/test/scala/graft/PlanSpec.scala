@@ -129,6 +129,31 @@ class PlanSpec extends SparkSpec {
       s"queries with a global (partition-less) window: $offenders")
   }
 
+  test("no registered query plans an unbounded join (cartesian / unlisted BNLJ)") {
+    // A CartesianProduct is never acceptable; a BroadcastNestedLoopJoin
+    // is acceptable ONLY as a deliberate broadcast-small-side shape
+    // (1-row stats cross joins, broadcast-probe ANN scans) — listed
+    // here so a future query can't introduce one unnoticed.
+    val bnljOk = Set(
+      "cosine_topk_bruteforce",   // broadcast probes x corpus scan
+      "hard_negative_mining",     // same broadcast-probe pool
+      "bm25_retrieval_topk",      // 1-row corpus-stats cross join
+      "hybrid_retrieval_rrf",     // both of the above
+      "tfidf_top_terms",          // 1-row corpus-stats cross join
+      "unigram_logprob_quality",  // 1-row token-total cross join
+      "ivf_ann_topk",             // nlist-centroid broadcast cross-score
+      "quantized_ann_topk")       // broadcast probes x int8 corpus scan
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        val cart = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljOk(name)
+        if (cart) Some(s"$name(cartesian)")
+        else if (bnlj) Some(s"$name(bnlj)") else None
+    }
+    assert(offenders.isEmpty, s"unbounded joins: $offenders")
+  }
+
   test("repetition gate is shuffle-free: one exchange (output sort), no join/window/agg") {
     val p = plan(Queries.queries("repetition_gopher_filters")(spark, dir))
     val exchanges = "Exchange".r.findAllIn(p).length
