@@ -148,20 +148,22 @@ object GraftSql {
       require(q.nullable,
         s"column ${q.colName}: NOT NULL is unsatisfiable on ADD COLUMNS " +
           "(existing rows backfill with NULL)")
+      require(q.default.isEmpty,
+        s"column ${q.colName}: DEFAULT is not supported on graft tables " +
+          "(existing rows would silently read NULL, not the default)")
       StructField(q.colName, q.dataType, nullable = true)
     }
+    val dupes = fields.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
+    require(dupes.isEmpty,
+      s"duplicate column(s) in ADD COLUMNS: ${dupes.mkString(", ")}")
     val current = store.read(target).schema
     val existing = current.fieldNames.map(_.toLowerCase).toSet
     fields.foreach(f => require(!existing(f.name.toLowerCase),
       s"column ${f.name} already exists in $target"))
-    // the empty frame carries the FULL evolved schema: the commit path
-    // partitions by the table's partition columns and evaluates CHECK
-    // constraints against the batch, both of which reference existing
-    // columns — a new-columns-only frame would fail analysis there
-    val empty = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      StructType(current.fields ++ fields)).repartition(1)
-    store.append(target, empty)
+    // the evolved schema commits through the dedicated metadata path:
+    // a 0-row write routed through the partitioned writer would emit
+    // no files at all and silently no-op the evolution
+    store.evolveSchema(target, StructType(current.fields ++ fields))
     store.read(target)
   }
 
@@ -209,6 +211,10 @@ object GraftSql {
     require(store.exists(table), s"unknown graft table $table")
     unit match {
       case Some(u) if u.startsWith("HOUR") =>
+        // same overflow hazard as the VERSIONS branch: a wrapped ttl
+        // goes negative and vacuums ALL history
+        require(n.get <= Long.MaxValue / 3600000L,
+          s"RETAIN ${n.get} HOURS overflows")
         store.vacuumOlderThan(table, n.get * 3600L * 1000L)
       case Some(_) =>
         // toInt would wrap a huge n negative and delete ALL history —

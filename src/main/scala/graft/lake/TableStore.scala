@@ -108,7 +108,11 @@ final class TableStore(spark: SparkSession, root: String,
     // columns via basePath) exactly as they do there.
     def baseOf(f: String): String = {
       val segs = f.split('/')
-      val i = segs.indexWhere(s => CommitDirPattern.matches(s))
+      // LAST match: the commit dir sits directly above the file (or
+      // its hive partition dirs, which always carry '='); a first
+      // match could hit a uuid-shaped segment in the store root path
+      // and collapse every commit into one group
+      val i = segs.lastIndexWhere(s => CommitDirPattern.matches(s))
       if (i >= 0) segs.take(i + 1).mkString("/")
       else {
         val rel = f.stripPrefix(prefix).stripPrefix("/")
@@ -253,7 +257,7 @@ final class TableStore(spark: SparkSession, root: String,
     val lines = manifest(table, v)
     val stats = { val p = statsPath(table, v)
       if (fs(p).exists(p)) readSmallFile(p) else "" }
-    commitMeta(table, lines, stats, mustCreate = false)
+    commitMeta(table, _ => (lines, stats), mustCreate = false)
   }
 
   /** Zero-copy shallow clone: `dst` is a new table whose v0 manifest
@@ -270,15 +274,23 @@ final class TableStore(spark: SparkSession, root: String,
     val stats = { val p = statsPath(src, cur)
       if (fs(p).exists(p)) readSmallFile(p) else "" }
     val srcParts = partitioning(src)
-    commitMeta(dst, manifest(src, cur), stats, mustCreate = true,
+    commitMeta(dst, _ => (manifest(src, cur), stats), mustCreate = true,
       createParts = srcParts)
+    // a clone is a full table-metadata fork: CHECK constraints carry
+    // too, or writes to the clone would accept rows the source rejects
+    constraints(src).foreach { case (n, sql) => addConstraint(dst, n, sql) }
   }
 
-  /** Metadata-only commit under the standard claim/publish protocol:
-    * the new version's manifest is exactly `lines` and its stats
-    * sidecar exactly `statsContent` — no data write at all. */
-  private def commitMeta(table: String, lines: Seq[String],
-                         statsContent: String, mustCreate: Boolean,
+  /** Metadata-only commit under the standard claim/publish protocol —
+    * no data write at all. `mkContent` maps the version being
+    * superseded to (manifest lines, stats sidecar content) and is
+    * re-evaluated on every claim attempt, so content derived from the
+    * current manifest (schema evolution's carried lines) can't lose a
+    * racing commit; RESTORE-style fixed content simply ignores the
+    * argument. */
+  private def commitMeta(table: String,
+                         mkContent: Option[Long] => (Seq[String], String),
+                         mustCreate: Boolean,
                          createParts: Seq[String] = Nil): Unit = {
     // the data write creates the table dir in the normal commit path;
     // a metadata-only commit must do it itself or the claim fails
@@ -297,11 +309,41 @@ final class TableStore(spark: SparkSession, root: String,
         if (mustCreate && createParts.nonEmpty)
           writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
             createParts.mkString(","))
+        val (lines, statsContent) = mkContent(cur)
         writeSmallFile(statsPath(table, v), statsContent)
         claims.publish(manifestPath(table, v), lines.mkString("\n"))
         committed = true
       } else Thread.sleep(math.min(250L, 2L * attempts))
     }
+  }
+
+  /** Schema evolution as one commit: write ONE empty file carrying the
+    * full `widened` schema (unpartitioned even on a partitioned table
+    * — a 0-row dynamic-partition write emits no files at all, which
+    * would silently no-op the evolution) and publish it alongside the
+    * current manifest, re-read per claim attempt so a racing append is
+    * never dropped. The read path's union-by-name backfills NULL for
+    * earlier files; the empty group carries partition columns as plain
+    * (absent) data columns, which union-by-name handles the same way. */
+  def evolveSchema(table: String,
+                   widened: org.apache.spark.sql.types.StructType): Unit = {
+    import scala.jdk.CollectionConverters._
+    val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), widened)
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
+    val newFiles = listDataFiles(dataDir)
+    require(newFiles.nonEmpty,
+      s"schema-evolution write for $table produced no schema-bearing file")
+    commitMeta(table, cur => {
+      val carriedLines = cur.map(manifest(table, _)).getOrElse(Nil)
+      val prevStats = cur.map { v =>
+        val p = statsPath(table, v)
+        if (fs(p).exists(p)) readSmallFile(p) else ""
+      }.getOrElse("")
+      (carriedLines ++ newFiles, prevStats)
+    }, mustCreate = false)
   }
 
   /** Size-aware compaction: fold only the data files smaller than

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.{Cdc, Skew, TopK}
@@ -587,31 +588,36 @@ object PipelineQueries {
   val dqAudit: Entry = Entry(
     "dq_audit_report",
     (s, dir) => {
-      import s.implicits._
+      // fully LAZY: three 1-row aggregates cross-joined, exploded to
+      // the report rows — no driver-side action at plan-construction
+      // time, so plan sweeps and dumps see (and don't execute) it
       val li = t(s, dir, "lineitem")
       val liAgg = li.agg(
-        count(lit(1)).as("n"),
+        count(lit(1)).as("li_n"),
         sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
         sum((col("l_discount") < 0 || col("l_discount") > 1).cast("long"))
           .as("bad_discount"),
         sum((!col("l_returnflag").isin("A", "N", "R")).cast("long"))
-          .as("bad_flag")).first()
-      val orphans = li.join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+          .as("bad_flag"))
+      val orph = li.join(t(s, dir, "orders").select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
       val oAgg = t(s, dir, "orders").agg(
-        count(lit(1)).as("n"),
-        sum((col("o_totalprice") <= 0).cast("long")).as("bad_price")).first()
-      Seq(
-        ("lineitem", "null_quantity", liAgg.getAs[Long]("null_qty"),
-          liAgg.getAs[Long]("n")),
-        ("lineitem", "discount_in_[0,1]", liAgg.getAs[Long]("bad_discount"),
-          liAgg.getAs[Long]("n")),
-        ("lineitem", "returnflag_in_set", liAgg.getAs[Long]("bad_flag"),
-          liAgg.getAs[Long]("n")),
-        ("lineitem", "orderkey_fk_orders", orphans, liAgg.getAs[Long]("n")),
-        ("orders", "positive_totalprice", oAgg.getAs[Long]("bad_price"),
-          oAgg.getAs[Long]("n")))
-        .toDF("table_name", "rule", "violations", "n_rows")
+        count(lit(1)).as("o_n"),
+        sum((col("o_totalprice") <= 0).cast("long")).as("bad_price"))
+      def rule(tbl: String, name: String, viol: Column, n: Column) =
+        struct(lit(tbl).as("table_name"), lit(name).as("rule"),
+          viol.as("violations"), n.as("n_rows"))
+      liAgg.crossJoin(orph).crossJoin(oAgg)
+        .select(explode(array(
+          rule("lineitem", "null_quantity", col("null_qty"), col("li_n")),
+          rule("lineitem", "discount_in_[0,1]", col("bad_discount"),
+            col("li_n")),
+          rule("lineitem", "returnflag_in_set", col("bad_flag"), col("li_n")),
+          rule("lineitem", "orderkey_fk_orders", col("orphans"), col("li_n")),
+          rule("orders", "positive_totalprice", col("bad_price"),
+            col("o_n")))).as("r"))
+        .select("r.*")
         .orderBy("table_name", "rule")
     },
     Some("""WITH li AS (

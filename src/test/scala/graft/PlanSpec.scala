@@ -142,7 +142,8 @@ class PlanSpec extends SparkSpec {
       "tfidf_top_terms",          // 1-row corpus-stats cross join
       "unigram_logprob_quality",  // 1-row token-total cross join
       "ivf_ann_topk",             // nlist-centroid broadcast cross-score
-      "quantized_ann_topk")       // broadcast probes x int8 corpus scan
+      "quantized_ann_topk",       // broadcast probes x int8 corpus scan
+      "dq_audit_report")          // 1-row rule-aggregate cross joins
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, dir).queryExecution.executedPlan.toString

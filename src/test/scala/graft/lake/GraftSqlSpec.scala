@@ -507,11 +507,40 @@ class GraftSqlSpec extends SparkSpec {
     // the evolution commit carried the old files by reference
     val lines = store.manifest("talter", store.currentVersion("talter").get)
     assert(lines.size >= filesBefore + 1)
-    // duplicate column add fails loudly
+    // duplicate column add fails loudly — against the table AND
+    // within one statement
     val e = intercept[IllegalArgumentException] {
       GraftSql.execute(spark, store, "ALTER TABLE talter ADD COLUMNS (v INT)")
     }
     assert(e.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "ALTER TABLE talter ADD COLUMNS (y INT, y STRING)")
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS works on partitioned, CHECK-constrained tables") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("talterp",
+      Seq((1, "x", "p1"), (2, "y", "p2")).toDF("id", "v", "part"),
+      partitionBy = Seq("part"))
+    store.addConstraint("talterp", "pos_id", "id > 0")
+    val out = GraftSql.execute(spark, store,
+      "ALTER TABLE talterp ADD COLUMNS (score DOUBLE)")
+    // the evolution actually took (a 0-row partitioned write would
+    // have silently produced no schema-bearing file)
+    assert(out.columns.contains("score"))
+    assert(out.where(col("score").isNull).count() == 2)
+    // partition pruning and the constraint still work after evolution
+    GraftSql.execute(spark, store,
+      "INSERT INTO talterp VALUES (3, 'z', 'p1', 2.5)")
+    assert(store.read("talterp").where(col("part") === "p1").count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      store.append("talterp",
+        Seq((-1, "bad", "p1", 0.0)).toDF("id", "v", "part", "score"))
+    }
+    assert(e.getMessage.contains("pos_id"))
   }
 
   test("RESTORE TABLE rolls back as a new commit; history moves forward") {
@@ -552,6 +581,17 @@ class GraftSqlSpec extends SparkSpec {
     store.drop("cdst")
     assert(store.read("csrc").select("id").as[Int].collect().sorted
       .toSeq == Seq(1, 2, 3))
+  }
+
+  test("SHALLOW CLONE carries the source's CHECK constraints") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("ccs", Seq((1, "a")).toDF("id", "v"))
+    store.addConstraint("ccs", "pos_id", "id > 0")
+    GraftSql.execute(spark, store, "CREATE TABLE ccd SHALLOW CLONE ccs")
+    val e = intercept[IllegalArgumentException] {
+      store.append("ccd", Seq((-5, "bad")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("pos_id"))
   }
 
   test("SHOW GRAFT TABLES lists store tables; TIMESTAMP AS OF resolves by commit time") {
