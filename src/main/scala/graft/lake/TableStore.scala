@@ -296,24 +296,13 @@ final class TableStore(spark: SparkSession, root: String,
     // a metadata-only commit must do it itself or the claim fails
     val dir = tablePath(table)
     if (!fs(dir).exists(dir)) fs(dir).mkdirs(dir)
-    var committed = false
-    var attempts = 0
-    while (!committed) {
-      attempts += 1
-      require(attempts <= 100, s"gave up claiming a version for $table")
-      val cur = currentVersion(table)
-      if (mustCreate && cur.isDefined)
-        throw new IllegalArgumentException(s"table $table already exists")
-      val v = cur.map(_ + 1).getOrElse(0L)
-      if (claims.tryClaim(tablePath(table), v)) {
-        if (mustCreate && createParts.nonEmpty)
-          writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
-            createParts.mkString(","))
-        val (lines, statsContent) = mkContent(cur)
-        writeSmallFile(statsPath(table, v), statsContent)
-        claims.publish(manifestPath(table, v), lines.mkString("\n"))
-        committed = true
-      } else Thread.sleep(math.min(250L, 2L * attempts))
+    claimLoop(table, mustCreate) { (cur, v) =>
+      if (mustCreate && createParts.nonEmpty)
+        writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
+          createParts.mkString(","))
+      val (lines, statsContent) = mkContent(cur)
+      writeSmallFile(statsPath(table, v), statsContent)
+      claims.publish(manifestPath(table, v), lines.mkString("\n"))
     }
   }
 
@@ -494,6 +483,45 @@ final class TableStore(spark: SparkSession, root: String,
     // retries reuse it (the files don't change across attempts)
     val newStats = FileStats.compute(hadoopConf, newFiles)
 
+    claimLoop(table, mustCreate,
+        onExists = () => fs(dataDir).delete(dataDir, true)) { (cur, v) =>
+      if (mustCreate && createParts.nonEmpty)
+        writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
+          createParts.mkString(","))
+      val carriedLines = carried(cur)
+      // carried files keep their stats by reference, same as the
+      // data itself: copy the matching lines from cur's sidecar.
+      // Written after the claim (so the version is ours) and before
+      // the manifest (readers only consult stats of published
+      // versions); a crash in between leaves an invisible sidecar
+      // the next claimant of v simply overwrites.
+      val prevStats = cur.map(statsFor(table, _)).getOrElse(Map.empty)
+      val carriedKeys = carriedLines.filterNot(_.startsWith(DelPrefix))
+        .map(FileStats.fileKey).toSet
+      val carriedStats = prevStats.collect {
+        case ((f, c), (tag, mn, mx)) if carriedKeys.contains(f) =>
+          s"$f\t$c\t$tag\t$mn\t$mx"
+      }
+      writeSmallFile(statsPath(table, v),
+        (carriedStats.toSeq ++ newStats).mkString("\n"))
+      claims.publish(manifestPath(table, v),
+        (carriedLines ++ newFiles).mkString("\n"))
+    }
+  }
+
+  /** THE optimistic-concurrency loop — every commit path (data or
+    * metadata-only) serializes through this one helper so protocol
+    * fixes can't drift between copies. Claims version cur+1; on a
+    * lost race, backs off (linear, capped) and re-reads: the winner
+    * holds the claim for v but its manifest may not be visible yet,
+    * so currentVersion still reads v-1 and an immediate retry would
+    * re-contend the SAME v — spinning through the attempt budget in
+    * milliseconds while the winner is mid-publish. `publish(cur, v)`
+    * must write sidecars first and the manifest last (the manifest IS
+    * the publication point). */
+  private def claimLoop(table: String, mustCreate: Boolean,
+                        onExists: () => Unit = () => ())(
+                        publish: (Option[Long], Long) => Unit): Unit = {
     var committed = false
     var attempts = 0
     while (!committed) {
@@ -501,43 +529,14 @@ final class TableStore(spark: SparkSession, root: String,
       require(attempts <= 100, s"gave up claiming a version for $table")
       val cur = currentVersion(table)
       if (mustCreate && cur.isDefined) {
-        fs(dataDir).delete(dataDir, true) // don't leave an orphan commit dir
+        onExists()
         throw new IllegalArgumentException(s"table $table already exists")
       }
       val v = cur.map(_ + 1).getOrElse(0L)
       if (claims.tryClaim(tablePath(table), v)) {
-        if (mustCreate && createParts.nonEmpty)
-          writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
-            createParts.mkString(","))
-        val carriedLines = carried(cur)
-        // carried files keep their stats by reference, same as the
-        // data itself: copy the matching lines from cur's sidecar.
-        // Written after the claim (so the version is ours) and before
-        // the manifest (readers only consult stats of published
-        // versions); a crash in between leaves an invisible sidecar
-        // the next claimant of v simply overwrites.
-        val prevStats = cur.map(statsFor(table, _)).getOrElse(Map.empty)
-        val carriedKeys = carriedLines.filterNot(_.startsWith(DelPrefix))
-          .map(FileStats.fileKey).toSet
-        val carriedStats = prevStats.collect {
-          case ((f, c), (tag, mn, mx)) if carriedKeys.contains(f) =>
-            s"$f\t$c\t$tag\t$mn\t$mx"
-        }
-        writeSmallFile(statsPath(table, v),
-          (carriedStats.toSeq ++ newStats).mkString("\n"))
-        claims.publish(manifestPath(table, v),
-          (carriedLines ++ newFiles).mkString("\n"))
+        publish(cur, v)
         committed = true
-      } else {
-        // Lost the race. The winner holds the claim for v but its
-        // manifest may not be visible yet, so currentVersion still
-        // reads v-1 and an immediate retry would re-contend the SAME
-        // v — spinning through the attempt budget in milliseconds
-        // while the winner is mid-publish. Back off (linear, capped)
-        // so the budget spans ~10 s of real contention; the loop then
-        // re-reads the advanced version.
-        Thread.sleep(math.min(250L, 2L * attempts))
-      }
+      } else Thread.sleep(math.min(250L, 2L * attempts))
     }
   }
 
