@@ -1167,6 +1167,61 @@ object TextQueries {
         |FROM tot JOIN outp ON tot.doc_id = outp.doc_id
         |ORDER BY tot.doc_id""".stripMargin))
 
+  /** Bigram-LM perplexity scoring (the CCNet-style LM quality gate, a
+    * step past [[unigramLogprob]]): train add-k-smoothed bigram
+    * probabilities on the corpus itself, score every document's
+    * perplexity exp(-mean ln P(w2|w1)). Bigrams build inside the row
+    * (slice-zip over the token array — no window, no per-doc sort);
+    * model counts are two groupBys over the bigram frame; scoring is
+    * two equi-joins against them plus a broadcast 1-row vocab size.
+    * All-integer counts + one ln per distinct bigram make the 4-dp
+    * rounded perplexity engine-exact. */
+  val bigramPerplexity: Entry = Entry(
+    "bigram_lm_perplexity",
+    (s, dir) => {
+      val big = t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """explode(transform(sequence(1, size(split(text, ' ')) - 1),
+            |  i -> struct(element_at(split(text, ' '), i) AS w1,
+            |              element_at(split(text, ' '), i + 1) AS w2)))"""
+            .stripMargin).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1n"))
+      val v = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .agg(countDistinct("term").as("v"))
+      big.join(cb, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("lp",
+          log((col("c12") + 0.5) / (col("c1n") + col("v") * 0.5)))
+        .groupBy("doc_id")
+        .agg(round(exp(-avg("lp")), 4).as("ppl"),
+          count(lit(1)).as("n_bigrams"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+        |         generate_subscripts(string_split(text, ' '), 1) AS i
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, term AS w1, lead(term) OVER (
+        |      PARTITION BY doc_id ORDER BY i) AS w2
+        |    FROM tok) WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1n FROM big GROUP BY w1),
+        |v AS (SELECT count(DISTINCT term) AS v FROM tok),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    ln((cb.c12 + 0.5) / (c1.c1n + 0.5 * v.v)) AS lp
+        |  FROM big b
+        |  JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        |  JOIN c1 ON b.w1 = c1.w1, v)
+        |SELECT doc_id, round(exp(-avg(lp)), 4) AS ppl,
+        |       count(*) AS n_bigrams
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
@@ -1174,5 +1229,5 @@ object TextQueries {
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
     unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
-    dsirSelection, sourceCaps, spanDedup)
+    dsirSelection, sourceCaps, spanDedup, bigramPerplexity)
 }

@@ -143,7 +143,8 @@ class PlanSpec extends SparkSpec {
       "unigram_logprob_quality",  // 1-row token-total cross join
       "ivf_ann_topk",             // nlist-centroid broadcast cross-score
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
-      "dq_audit_report")          // 1-row rule-aggregate cross joins
+      "dq_audit_report",          // 1-row rule-aggregate cross joins
+      "bigram_lm_perplexity")     // 1-row vocab-size cross join
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val p = fn(spark, dir).queryExecution.executedPlan.toString
