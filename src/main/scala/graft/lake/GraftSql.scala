@@ -71,6 +71,8 @@ object GraftSql {
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
   private val ShowTablesStmt =
     """(?is)^\s*SHOW\s+GRAFT\s+TABLES\s*;?\s*$""".r
+  private val ConvertStmt =
+    """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val CloneStmt =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
@@ -106,6 +108,11 @@ object GraftSql {
       case ShowTablesStmt() =>
         import spark.implicits._
         store.tables().toDF("table")
+      case ConvertStmt(table) =>
+        // in-place adoption of a pre-existing parquet dir: metadata
+        // only, no rewrite
+        store.convert(table)
+        store.read(table)
       case CloneStmt(dst, src) =>
         // zero-copy: dst's v0 references src's current files
         require(store.exists(src), s"unknown graft table $src")

@@ -115,8 +115,13 @@ final class TableStore(spark: SparkSession, root: String,
       val i = segs.lastIndexWhere(s => CommitDirPattern.matches(s))
       if (i >= 0) segs.take(i + 1).mkString("/")
       else {
-        val rel = f.stripPrefix(prefix).stripPrefix("/")
-        s"$prefix/${rel.takeWhile(_ != '/')}"
+        // foreign file (CONVERTed in place): the dataset root is the
+        // path minus the file name and any trailing hive k=v dirs —
+        // prefix-independent, so clones of converted tables group and
+        // resolve partition columns identically
+        val dirSegs = segs.dropRight(1).reverse
+          .dropWhile(_.contains("=")).reverse
+        dirSegs.mkString("/")
       }
     }
     val dels = lines.zipWithIndex.collect {
@@ -279,6 +284,25 @@ final class TableStore(spark: SparkSession, root: String,
     // a clone is a full table-metadata fork: CHECK constraints carry
     // too, or writes to the clone would accept rows the source rejects
     constraints(src).foreach { case (n, sql) => addConstraint(dst, n, sql) }
+  }
+
+  /** Adopt a pre-existing parquet directory at this table's path
+    * (optionally hive-partitioned) as version 0 — no rewrite, the
+    * manifest references the files in place (Delta's CONVERT TO DELTA
+    * shape: at 100 TB, conversion must be a metadata operation).
+    * Partition columns derive from the k=v path segments; subsequent
+    * commits write normal d-<uuid> groups alongside. */
+  def convert(table: String): Unit = {
+    require(!exists(table), s"table $table already exists")
+    val dir = tablePath(table)
+    require(fs(dir).exists(dir), s"nothing to convert at $dir")
+    val files = listDataFiles(dir)
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val parts = files.head.stripPrefix(dir.toString).stripPrefix("/")
+      .split('/').dropRight(1).filter(_.contains("="))
+      .map(_.takeWhile(_ != '=')).toSeq
+    commitMeta(table, _ => (files, ""), mustCreate = true,
+      createParts = parts)
   }
 
   /** Metadata-only commit under the standard claim/publish protocol —

@@ -650,6 +650,36 @@ object PipelineQueries {
         |  SELECT 'orders', 'positive_totalprice', bad_price, n FROM o)
         |ORDER BY table_name, rule""".stripMargin))
 
+  /** In-place table adoption (CONVERT TO GRAFT): a foreign
+    * hive-partitioned parquet dataset becomes a store table as PURE
+    * METADATA — the manifest references the existing files, nothing
+    * rewrites — and the full lifecycle (append, read with partition
+    * pruning) runs on top. The oracle is plain algebra over nation. */
+  val convertInPlace: Entry = Entry(
+    "convert_in_place",
+    (s, dir) => {
+      val root = tmpDir("graft-cv")
+      val store = new TableStore(s, root)
+      t(s, dir, "nation").createOrReplaceTempView("nation_cv")
+      t(s, dir, "nation")
+        .select(col("n_nationkey").as("k"), col("n_name").as("name"),
+          col("n_regionkey").as("r"))
+        .write.partitionBy("r").parquet(s"$root/cv")
+      GraftSql.execute(s, store, "CONVERT TO GRAFT cv")
+      GraftSql.execute(s, store,
+        """INSERT INTO cv
+          |SELECT n_nationkey + 100, lower(n_name), n_regionkey
+          |FROM nation_cv WHERE n_regionkey = 2""".stripMargin)
+      store.read("cv").select(col("k"), col("name"), col("r").cast("int").as("r"))
+        .orderBy("k")
+    },
+    Some("""SELECT n_nationkey AS k, n_name AS name,
+        |       CAST(n_regionkey AS INT) AS r FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, lower(n_name), CAST(n_regionkey AS INT)
+        |FROM nation WHERE n_regionkey = 2
+        |ORDER BY k""".stripMargin))
+
   /** Time-travel WRITE surfaces through the SQL front door: RESTORE
     * rolls a mutated table back to version 0 as an O(1) metadata
     * commit (undoing a DELETE), and SHALLOW CLONE forks a zero-copy
@@ -1035,8 +1065,8 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    sqlInsert, sqlLifecycle, sqlRestoreClone, dqAudit, tableChanges,
-    cdfAggregate, rollupRefresh,
+    sqlInsert, sqlLifecycle, sqlRestoreClone, convertInPlace, dqAudit,
+    tableChanges, cdfAggregate, rollupRefresh,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

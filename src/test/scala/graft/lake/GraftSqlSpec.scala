@@ -617,6 +617,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("no retained version"))
   }
 
+  test("CONVERT TO GRAFT adopts a hive-partitioned parquet dir in place") {
+    val root = tmpDir("gsql")
+    val store = new TableStore(spark, root)
+    // a foreign, hive-partitioned dataset written straight to the path
+    Seq((1, "a", "p1"), (2, "b", "p2"), (3, "c", "p1"))
+      .toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(s"$root/tconv")
+    val out = GraftSql.execute(spark, store, "CONVERT TO GRAFT tconv")
+    assert(out.count() == 3)
+    assert(store.partitioning("tconv") == Seq("part"))
+    assert(out.where(col("part") === "p1").count() == 2)
+    // the store's whole lifecycle works on the adopted files:
+    // append, MoR delete, time travel
+    store.append("tconv", Seq((4, "d", "p2")).toDF("id", "v", "part"))
+    store.appendWithDeletes("tconv",
+      Seq((5, "e", "p1")).toDF("id", "v", "part"), Seq(Tuple1(1)).toDF("id"))
+    assert(store.read("tconv").select("id").as[Int].collect().sorted
+      .toSeq == Seq(2, 3, 4, 5))
+    assert(store.readVersion("tconv", 0).count() == 3)
+    // converting twice fails loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "CONVERT TO GRAFT tconv")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
   test("maintenance statements reject unknown tables loudly") {
     val store = new TableStore(spark, tmpDir("gsql"))
     val e = intercept[IllegalArgumentException] {
