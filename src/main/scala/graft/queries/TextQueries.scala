@@ -1179,13 +1179,18 @@ object TextQueries {
   val bigramPerplexity: Entry = Entry(
     "bigram_lm_perplexity",
     (s, dir) => {
+      // token array staged into its own projection (one split per
+      // row), and the bigram frame localCheckpointed: it feeds THREE
+      // consumers (both model groupBys and the scoring join) — narrow
+      // string rows, one explode pass instead of three
       val big = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .select(col("doc_id"), expr(
-          """explode(transform(sequence(1, size(split(text, ' ')) - 1),
-            |  i -> struct(element_at(split(text, ' '), i) AS w1,
-            |              element_at(split(text, ' '), i + 1) AS w2)))"""
-            .stripMargin).as("b"))
+          """explode(transform(sequence(1, size(tk) - 1),
+            |  i -> struct(element_at(tk, i) AS w1,
+            |              element_at(tk, i + 1) AS w2)))""".stripMargin).as("b"))
         .select(col("doc_id"), col("b.w1"), col("b.w2"))
+        .localCheckpoint()
       val cb = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1n"))
       val v = t(s, dir, "documents")
