@@ -99,7 +99,7 @@ object GraftSql {
         store.read(table)
       case RestoreTsStmt(table, ts) =>
         require(store.exists(table), s"unknown graft table $table")
-        val tsMs = java.sql.Timestamp.valueOf(ts).getTime
+        val tsMs = sessionTimestampMs(spark, ts)
         val v = store.versionAsOf(table, tsMs).getOrElse(
           throw new IllegalArgumentException(
             s"no retained version of $table committed at or before $ts"))
@@ -193,13 +193,17 @@ object GraftSql {
       .manifest(table, store.currentVersion(table).get)
       .count(!_.startsWith("del|"))
     val debtFolded = store.deleteDebt(table) > 0
-    if (debtFolded) store.compact(table)
     val folded =
       if (zorderBy.nonEmpty) {
+        // read() applies pending merge-on-read deletes, so the delete
+        // debt folds INSIDE the clustering rewrite itself: one read,
+        // one atomic overwrite commit — not a compact commit followed
+        // by a cluster commit (two full rewrites, and an intermediate
+        // un-clustered layout visible to concurrent readers)
         store.overwrite(table, Layout.cluster(store.read(table), zorderBy,
           math.max(1, filesBefore)))
         filesBefore
-      } else if (debtFolded) filesBefore // full fold rewrote everything
+      } else if (debtFolded) { store.compact(table); filesBefore }
       else store.compactSmall(table, minBytes = 128L << 20)
     Seq((table, if (zorderBy.nonEmpty) "zorder" else "compact",
       zorderBy.mkString(","), folded, debtFolded))
@@ -568,6 +572,20 @@ object GraftSql {
 
     store.overwrite(target, result)
     store.read(target)
+  }
+
+  /** Parse a timestamp literal the way the SQL session would —
+    * `to_timestamp` under `spark.sql.session.timeZone` — NOT
+    * `java.sql.Timestamp.valueOf`, which silently reads the string in
+    * the JVM default zone and resolves TIMESTAMP AS OF to the wrong
+    * version whenever the two differ. Driver-only (a 1-row local
+    * relation, no job). */
+  private def sessionTimestampMs(spark: SparkSession, ts: String): Long = {
+    import org.apache.spark.sql.functions.{lit, to_timestamp, unix_millis}
+    val row = spark.range(1).select(unix_millis(to_timestamp(lit(ts)))).head
+    require(!row.isNullAt(0), s"cannot parse timestamp '$ts' " +
+      s"(session zone ${spark.conf.get("spark.sql.session.timeZone")})")
+    row.getLong(0)
   }
 
   /** The merge compiles `spark.table(name)` / `store.read(name)` from

@@ -298,9 +298,23 @@ final class TableStore(spark: SparkSession, root: String,
     require(fs(dir).exists(dir), s"nothing to convert at $dir")
     val files = listDataFiles(dir)
     require(files.nonEmpty, s"no parquet files under $dir")
-    val parts = files.head.stripPrefix(dir.toString).stripPrefix("/")
-      .split('/').dropRight(1).filter(_.contains("="))
-      .map(_.takeWhile(_ != '=')).toSeq
+    // partition keys must agree across EVERY file: a mixed-depth
+    // layout (or a stray unpartitioned file first in listing order)
+    // silently adopted from files.head would mis-resolve partition
+    // columns for the rest of the table's life — fail loudly instead
+    val partsByFile = files.map { f =>
+      f -> f.stripPrefix(dir.toString).stripPrefix("/")
+        .split('/').dropRight(1).filter(_.contains("="))
+        .map(_.takeWhile(_ != '=')).toSeq
+    }
+    val parts = partsByFile.head._2
+    val offenders = partsByFile.collect {
+      case (f, p) if p != parts => s"$f -> [${p.mkString(",")}]"
+    }
+    require(offenders.isEmpty,
+      s"non-uniform partition layout under $dir: expected " +
+        s"[${parts.mkString(",")}] from every file, got " +
+        offenders.take(3).mkString("; "))
     commitMeta(table, _ => (files, ""), mustCreate = true,
       createParts = parts)
   }
@@ -326,7 +340,7 @@ final class TableStore(spark: SparkSession, root: String,
           createParts.mkString(","))
       val (lines, statsContent) = mkContent(cur)
       writeSmallFile(statsPath(table, v), statsContent)
-      claims.publish(manifestPath(table, v), lines.mkString("\n"))
+      publishManifest(table, v, lines)
     }
   }
 
@@ -440,14 +454,40 @@ final class TableStore(spark: SparkSession, root: String,
     else readSmallFile(meta).trim.split(",").toSeq.filter(_.nonEmpty)
   }
 
-  /** File list composing a retained version. */
+  /** File list composing a retained version (`#`-prefixed header lines
+    * — the commit timestamp — are metadata, not files). */
   def manifest(table: String, v: Long): Seq[String] = {
     val m = manifestPath(table, v)
     if (!fs(m).exists(m))
       throw new IllegalStateException(
         s"version $v of $table is not retained (vacuumed or never committed)")
-    readSmallFile(m).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    readSmallFile(m).split("\n").toSeq.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
   }
+
+  /** When version `v` was committed. The commit writes an explicit
+    * `#ts=<epochMillis>` header into the manifest itself — filesystem
+    * mtime is coarse (1 s on many filesystems) and unstable on
+    * object stores (a copied/restored object gets a NEW mtime), so
+    * TIMESTAMP AS OF must not depend on it. Pre-header manifests fall
+    * back to mtime. */
+  def commitTimeMs(table: String, v: Long): Long = {
+    val m = manifestPath(table, v)
+    if (!fs(m).exists(m))
+      throw new IllegalStateException(
+        s"version $v of $table is not retained (vacuumed or never committed)")
+    readSmallFile(m).split("\n").collectFirst {
+      case l if l.startsWith(TsHeader) => l.stripPrefix(TsHeader).trim.toLong
+    }.getOrElse(fs(m).getFileStatus(m).getModificationTime)
+  }
+
+  private val TsHeader = "#ts="
+
+  /** Single publication point for manifests: stamps the commit time
+    * header, then makes the version visible all-or-nothing. */
+  private def publishManifest(table: String, v: Long, lines: Seq[String]): Unit =
+    claims.publish(manifestPath(table, v),
+      (s"$TsHeader${System.currentTimeMillis()}" +: lines).mkString("\n"))
 
   /** Write data + claim the next version exclusively; retry on claim
     * conflict (optimistic concurrency). `carried` maps the current
@@ -528,8 +568,7 @@ final class TableStore(spark: SparkSession, root: String,
       }
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
-      claims.publish(manifestPath(table, v),
-        (carriedLines ++ newFiles).mkString("\n"))
+      publishManifest(table, v, carriedLines ++ newFiles)
     }
   }
 
@@ -609,13 +648,11 @@ final class TableStore(spark: SparkSession, root: String,
       .sorted
   }
 
-  /** Latest version committed at or before `tsMs` (manifest mtime) —
-    * the resolution rule behind TIMESTAMP AS OF. */
+  /** Latest version committed at or before `tsMs` (the manifest's own
+    * `#ts=` commit-time header, millisecond precision) — the
+    * resolution rule behind TIMESTAMP AS OF. */
   def versionAsOf(table: String, tsMs: Long): Option[Long] =
-    versions(table).filter { v =>
-      val mp = manifestPath(table, v)
-      fs(mp).getFileStatus(mp).getModificationTime <= tsMs
-    }.lastOption
+    versions(table).filter(v => commitTimeMs(table, v) <= tsMs).lastOption
 
   /** Change data feed between two committed versions (Delta CDF /
     * Iceberg incremental-read equivalent): every row added or removed
@@ -776,9 +813,8 @@ final class TableStore(spark: SparkSession, root: String,
       val counts = data.map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
       val rows = if (dels.nonEmpty || counts.isEmpty || counts.exists(_.isEmpty))
         None else Some(counts.flatten.map(_._2.toLong).sum)
-      val mp = manifestPath(table, v)
       (v, data.size, dels.size, bytes, rows,
-        new java.sql.Timestamp(fs(mp).getFileStatus(mp).getModificationTime))
+        new java.sql.Timestamp(commitTimeMs(table, v)))
     }.toDF("version", "n_files", "n_delete_entries", "total_bytes",
       "n_rows", "committed_at")
   }
@@ -812,10 +848,7 @@ final class TableStore(spark: SparkSession, root: String,
     val cur = currentVersion(table).getOrElse(return)
     val cutoff = System.currentTimeMillis() - ttlMs
     vacuumRetain(table, versions(table).filter { v =>
-      v == cur || {
-        val mp = manifestPath(table, v)
-        fs(mp).getFileStatus(mp).getModificationTime >= cutoff
-      }
+      v == cur || commitTimeMs(table, v) >= cutoff
     })
   }
 

@@ -465,6 +465,24 @@ class GraftSqlSpec extends SparkSpec {
       .toSeq == Seq(2, 3))
   }
 
+  test("OPTIMIZE ZORDER folds merge-on-read debt in ONE atomic commit") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tzd", (0 until 40).map(i => (i % 5, i)).toDF("x", "id"))
+    store.appendWithDeletes("tzd", Seq((9, 100)).toDF("x", "id"),
+      Seq(Tuple1(0)).toDF("id"))
+    assert(store.deleteDebt("tzd") > 0)
+    val vBefore = store.currentVersion("tzd").get
+    val m = GraftSql.execute(spark, store,
+      "OPTIMIZE tzd ZORDER BY (x)").collect().head
+    assert(m.getAs[Boolean]("debt_folded"))
+    // debt folded INSIDE the clustering rewrite: exactly one new
+    // version, not a compact commit followed by a cluster commit
+    assert(store.currentVersion("tzd").get == vBefore + 1)
+    assert(store.deleteDebt("tzd") == 0)
+    assert(store.read("tzd").select("id").as[Int].collect().sorted.toSeq ==
+      ((1 until 40) :+ 100))
+  }
+
   test("VACUUM retains by count or keeps only the current version") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("tvac", Seq((1, "a")).toDF("id", "v"))
@@ -601,9 +619,14 @@ class GraftSqlSpec extends SparkSpec {
     val listed = GraftSql.execute(spark, store, "SHOW GRAFT TABLES")
       .as[String].collect().toSeq
     assert(listed == Seq("ts_a", "ts_b"))
-    // mutate, then restore to a wall-clock instant after v0's commit
+    // mutate, then restore to a wall-clock instant after v0's commit.
+    // Commit times are explicit ms-precision manifest headers (not
+    // 1s-granular fs mtime), so a short sleep suffices; the literal is
+    // rendered by Spark under the SESSION zone, exactly how the
+    // statement will parse it back.
     Thread.sleep(5)
-    val mid = new java.sql.Timestamp(System.currentTimeMillis()).toString
+    val mid = spark.range(1).select(date_format(current_timestamp(),
+      "yyyy-MM-dd HH:mm:ss.SSS")).as[String].head()
     Thread.sleep(5)
     store.overwrite("ts_a", Seq((9, "z")).toDF("id", "v"))
     GraftSql.execute(spark, store,

@@ -259,4 +259,37 @@ class TableStoreSpec extends SparkSpec {
     assert(rows(0).getAs[String]("v") == "a" && rows(0).isNullAt(2))
     assert(rows(1).isNullAt(1) && rows(1).getAs[Double]("extra") == 3.5)
   }
+
+  test("commit time is an explicit manifest header, independent of fs mtime") {
+    val store = freshStore()
+    val t0 = System.currentTimeMillis()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    Thread.sleep(3)
+    store.append("t", Seq((2, "b")).toDF("id", "v"))
+    val t1 = System.currentTimeMillis()
+    val c0 = store.commitTimeMs("t", 0)
+    val c1 = store.commitTimeMs("t", 1)
+    // monotone, ms precision, bracketed by the wall clock — and NOT
+    // quantized to a 1s mtime grid (the two commits are <1s apart yet
+    // must resolve distinctly for TIMESTAMP AS OF)
+    assert(t0 <= c0 && c0 < c1 && c1 <= t1)
+    assert(store.versionAsOf("t", c0).contains(0L))
+    assert(store.versionAsOf("t", c1 - 1).contains(0L))
+    assert(store.versionAsOf("t", c1).contains(1L))
+    assert(store.versionAsOf("t", t0 - 1).isEmpty)
+  }
+
+  test("convert rejects a non-uniform partition layout loudly") {
+    val root = tmpDir("store")
+    val store = new TableStore(spark, root)
+    Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "v", "part")
+      .write.partitionBy("part").parquet(s"$root/tmix")
+    // a stray UNPARTITIONED file in the same dir: adopting partition
+    // keys from whichever file lists first would be silently wrong
+    Seq((3, "c")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(s"$root/tmix")
+    val e = intercept[IllegalArgumentException] { store.convert("tmix") }
+    assert(e.getMessage.contains("non-uniform partition layout"))
+    assert(!store.exists("tmix"))
+  }
 }
