@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedIdentifier}
 import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
@@ -126,6 +126,8 @@ object GraftSql {
         case c: CreateTableAsSelect => executeCtas(spark, store, c)
         case d: DropTable => executeDrop(spark, store, d, sql)
         case a: AddColumns => executeAddColumns(spark, store, a, sql)
+        case p if p.collectFirst { case tt: RelationTimeTravel => tt }.isDefined =>
+          executeTimeTravelSelect(spark, store, p, sql)
         case _ => spark.sql(sql)
       }
     }
@@ -574,19 +576,87 @@ object GraftSql {
     store.read(target)
   }
 
+  /** Read-side time travel: `SELECT ... FROM t VERSION AS OF n` /
+    * `TIMESTAMP AS OF <expr>` anywhere a relation can appear —
+    * including the same table at TWO versions in one statement (the
+    * version-over-version diff that makes time travel useful). Spark
+    * parses the clause into [[RelationTimeTravel]] but no session-
+    * catalog source can execute it, so each node compiles onto the
+    * store: resolve the version (explicit, or `versionAsOf` on the
+    * manifest's commit-time header), register the pinned snapshot as
+    * a temp view, and splice the view name over the statement's own
+    * source span (the parser records every subtree's text offsets —
+    * no regex dialect). The spliced span runs from the relation
+    * child's start through the temporal clause's end, covering
+    * exactly `t VERSION AS OF n`; a trailing alias sits outside it
+    * and survives verbatim.
+    * Reading a vacuumed / never-committed version fails loudly in
+    * `readVersion`; an unparsable timestamp fails in the cast.
+    * Metadata-only until the final `spark.sql` runs: pinning a
+    * snapshot is O(manifest), never a data copy. */
+  private def executeTimeTravelSelect(spark: SparkSession, store: TableStore,
+                                      plan: LogicalPlan, sqlText: String): DataFrame = {
+    val tts = plan.collect { case tt: RelationTimeTravel => tt }
+    val splices = tts.map { tt =>
+      val table = tableName(tt.relation)
+      require(store.exists(table),
+        s"time travel requires a graft table; $table is not one")
+      val v = tt.version match {
+        case Some(vs) =>
+          require(vs.forall(_.isDigit), s"VERSION AS OF must be a " +
+            s"non-negative integer on graft tables, got '$vs'")
+          vs.toLong
+        case None =>
+          val tsMs = evalTimestampMs(spark, tt.timestamp.get.sql)
+          store.versionAsOf(table, tsMs).getOrElse(
+            throw new IllegalArgumentException(
+              s"no retained version of $table committed at or before " +
+                tt.timestamp.get.sql))
+      }
+      val view = s"${table}__asof_v$v"
+      store.readVersion(table, v).createOrReplaceTempView(view)
+      // the node's own origin is the temporal CLAUSE; the relation
+      // child's is the table name — the union is `t VERSION AS OF n`
+      val spans = Seq(tt.origin, tt.relation.origin).map { o =>
+        (o.startIndex.getOrElse(throw new IllegalStateException(
+          "parse origin lost for time travel")), o.stopIndex.get)
+      }
+      val (st, sp) = (spans.map(_._1).min, spans.map(_._2).max)
+      val span = sqlText.substring(st, sp + 1)
+      require(!span.toUpperCase.contains("TABLESAMPLE"),
+        "TABLESAMPLE combined with time travel is not supported")
+      (st, sp, view)
+    }
+    // splice back-to-front so earlier offsets stay valid
+    val rewritten = splices.sortBy(-_._1).foldLeft(sqlText) {
+      case (txt, (st, sp, repl)) =>
+        txt.substring(0, st) + repl + txt.substring(sp + 1)
+    }
+    spark.sql(rewritten)
+  }
+
+  /** Evaluate a TIMESTAMP AS OF operand — any expression Spark can
+    * cast to a timestamp — under the SESSION timezone, to epoch ms.
+    * `try_cast` keeps the failure OURS: under ANSI a plain cast would
+    * throw Spark's datetime error without naming the statement. */
+  private def evalTimestampMs(spark: SparkSession, sqlExprText: String): Long = {
+    import org.apache.spark.sql.functions.{expr, unix_millis}
+    val row = spark.range(1)
+      .select(unix_millis(expr(s"try_cast(($sqlExprText) AS TIMESTAMP)"))).head
+    require(!row.isNullAt(0), s"cannot interpret $sqlExprText as a " +
+      s"timestamp (session zone ${spark.conf.get("spark.sql.session.timeZone")})")
+    row.getLong(0)
+  }
+
   /** Parse a timestamp literal the way the SQL session would —
     * `to_timestamp` under `spark.sql.session.timeZone` — NOT
     * `java.sql.Timestamp.valueOf`, which silently reads the string in
     * the JVM default zone and resolves TIMESTAMP AS OF to the wrong
     * version whenever the two differ. Driver-only (a 1-row local
-    * relation, no job). */
-  private def sessionTimestampMs(spark: SparkSession, ts: String): Long = {
-    import org.apache.spark.sql.functions.{lit, to_timestamp, unix_millis}
-    val row = spark.range(1).select(unix_millis(to_timestamp(lit(ts)))).head
-    require(!row.isNullAt(0), s"cannot parse timestamp '$ts' " +
-      s"(session zone ${spark.conf.get("spark.sql.session.timeZone")})")
-    row.getLong(0)
-  }
+    * relation, no job). The RESTORE regex admits no quote characters
+    * in the literal, so re-quoting is safe. */
+  private def sessionTimestampMs(spark: SparkSession, ts: String): Long =
+    evalTimestampMs(spark, s"'$ts'")
 
   /** The merge compiles `spark.table(name)` / `store.read(name)` from
     * the NAME alone, so anything beyond a bare (optionally aliased)

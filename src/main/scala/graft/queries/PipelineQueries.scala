@@ -708,6 +708,50 @@ object PipelineQueries {
         |FROM nation WHERE n_regionkey = 1
         |ORDER BY k""".stripMargin))
 
+  /** Time-travel READ through the SQL front door: the same table at
+    * TWO pinned versions in ONE statement — the version-over-version
+    * diff auditors actually run ("what changed since the snapshot?").
+    * v0 = even customers, v1 = an UPDATE bumps every %10 balance,
+    * v2 = an INSERT adds odd %7 customers; the SELECT left-joins
+    * `VERSION AS OF 2` against `VERSION AS OF 0` and keeps new or
+    * changed rows. Pinning a snapshot is O(manifest) metadata — the
+    * oracle replays the same algebra over `customer` with no notion
+    * of versions. */
+  val sqlTimeTravelDiff: Entry = Entry(
+    "sql_time_travel_diff",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-ttd"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").cast("decimal(18,2)").as("bal"))
+      store.create("cust_ttd", cust.where(col("c_custkey") % 2 === 0))
+      def g(q: String) = GraftSql.execute(s, store, q)
+      g("UPDATE cust_ttd SET bal = bal + 100 WHERE c_custkey % 10 = 0")
+      cust.where(col("c_custkey") % 2 === 1 && col("c_custkey") % 7 === 0)
+        .createOrReplaceTempView("cust_ttd_newrows")
+      g("INSERT INTO cust_ttd SELECT c_custkey, bal FROM cust_ttd_newrows")
+      g("""SELECT b.c_custkey, CAST(a.bal AS DOUBLE) AS bal_old,
+          |       CAST(b.bal AS DOUBLE) AS bal_new
+          |FROM cust_ttd VERSION AS OF 2 AS b
+          |LEFT JOIN cust_ttd VERSION AS OF 0 AS a ON a.c_custkey = b.c_custkey
+          |WHERE a.c_custkey IS NULL OR a.bal <> b.bal
+          |ORDER BY b.c_custkey""".stripMargin)
+    },
+    Some("""WITH v0 AS (
+        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_custkey % 2 = 0),
+        |v2 AS (
+        |  SELECT c_custkey,
+        |         bal + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END AS bal
+        |  FROM v0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_custkey % 2 = 1 AND c_custkey % 7 = 0)
+        |SELECT v2.c_custkey, CAST(v0.bal AS DOUBLE) AS bal_old,
+        |       CAST(v2.bal AS DOUBLE) AS bal_new
+        |FROM v2 LEFT JOIN v0 ON v0.c_custkey = v2.c_custkey
+        |WHERE v0.c_custkey IS NULL OR v0.bal <> v2.bal
+        |ORDER BY v2.c_custkey""".stripMargin))
+
   /** Downstream consumption of the change feed: a per-status aggregate
     * table is refreshed purely from `changes()` — inserts add,
     * deletes subtract (count + order-free DECIMAL sum), one full-outer
@@ -1065,7 +1109,8 @@ object PipelineQueries {
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
-    sqlInsert, sqlLifecycle, sqlRestoreClone, convertInPlace, dqAudit,
+    sqlInsert, sqlLifecycle, sqlRestoreClone, sqlTimeTravelDiff,
+    convertInPlace, dqAudit,
     tableChanges, cdfAggregate, rollupRefresh,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,

@@ -640,6 +640,65 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("no retained version"))
   }
 
+  test("SELECT VERSION AS OF pins snapshots — two versions in one statement") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tt", Seq((1, 10), (2, 20)).toDF("id", "x"))
+    store.append("tt", Seq((3, 30)).toDF("id", "x"))
+    store.overwrite("tt", Seq((1, 11), (3, 30)).toDF("id", "x"))
+    // single pinned read
+    assert(GraftSql.execute(spark, store,
+      "SELECT id FROM tt VERSION AS OF 0 ORDER BY id")
+      .as[Int].collect().toSeq == Seq(1, 2))
+    // version-over-version diff: the SAME table at two versions,
+    // aliased, joined — rows whose x changed between v1 and v2
+    val diff = GraftSql.execute(spark, store,
+      """SELECT a.id, a.x AS x_old, b.x AS x_new
+        |FROM tt VERSION AS OF 1 AS a
+        |JOIN tt VERSION AS OF 2 AS b ON a.id = b.id
+        |WHERE a.x <> b.x ORDER BY a.id""".stripMargin)
+    assert(diff.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+      .toSeq == Seq((1, 10, 11)))
+    // TIMESTAMP AS OF through the same SELECT path, session-zone parse
+    val asOfV0 = new java.sql.Timestamp(store.commitTimeMs("tt", 0))
+    val mid = spark.range(1).select(date_format(
+      lit(asOfV0).cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSS")).as[String].head()
+    assert(GraftSql.execute(spark, store,
+      s"SELECT count(*) AS n FROM tt TIMESTAMP AS OF '$mid'")
+      .as[Long].head() == 2L)
+  }
+
+  test("SELECT time travel fails loudly on bad version / timestamp / table") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("ttb", Seq((1, "a")).toDF("id", "v"))
+    // never-committed version
+    intercept[IllegalStateException] {
+      GraftSql.execute(spark, store, "SELECT * FROM ttb VERSION AS OF 7")
+    }
+    // vacuumed version
+    store.overwrite("ttb", Seq((2, "b")).toDF("id", "v"))
+    store.vacuum("ttb", keep = 1)
+    intercept[IllegalStateException] {
+      GraftSql.execute(spark, store, "SELECT * FROM ttb VERSION AS OF 0")
+    }
+    // timestamp before any commit
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "SELECT * FROM ttb TIMESTAMP AS OF '1999-01-01 00:00:00'")
+    }
+    assert(e.getMessage.contains("no retained version"))
+    // unparsable timestamp operand
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "SELECT * FROM ttb TIMESTAMP AS OF 'not a time'")
+    }
+    // time travel over a non-graft relation
+    Seq((1, "a")).toDF("id", "v").createOrReplaceTempView("plain_view")
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "SELECT * FROM plain_view VERSION AS OF 0")
+    }
+    assert(e2.getMessage.contains("not one"))
+  }
+
   test("CONVERT TO GRAFT adopts a hive-partitioned parquet dir in place") {
     val root = tmpDir("gsql")
     val store = new TableStore(spark, root)
