@@ -19,9 +19,40 @@ import org.apache.spark.sql.functions._
   *
   * Requires `orderCols` to be a total order (include a unique
   * tiebreak column); ties across partition boundaries would otherwise
-  * make the split nondeterministic.
+  * make the split nondeterministic — and the key-uniqueness doubles as
+  * the join-back identity for wide frames (below).
+  *
+  * Wide frames never checkpoint: the boundary-stability checkpoint
+  * (see [[rangeParted]]) covers ONLY the sort-key projection. When the
+  * input is wider than its keys, the keys are ranked narrow and the
+  * rank joins back on the (unique, null-safe) key values — one extra
+  * keyed shuffle of the input, instead of materializing a 100 TB
+  * corpus into the block manager. When the keys already cover every
+  * column, the frame IS the projection and ranks in place.
   */
 object Ranking {
+
+  /** The plain attribute name under a Column, if it is a bare column
+    * reference (what every registered consumer passes). The node types
+    * are private[sql], so this goes by the printed form: a bare
+    * reference prints as exactly its (identifier) name, while any
+    * computed column prints as an expression. Misclassification is
+    * safe — a false negative just takes the narrow+join-back path. */
+  private val Ident = """[A-Za-z_][A-Za-z0-9_]*""".r
+  private def attrName(c: Column): Option[String] = c.toString match {
+    case s @ Ident() => Some(s)
+    case _ => None
+  }
+
+  /** True iff `keyCols` are all bare column references that cover
+    * `df`'s columns exactly — ranking in place checkpoints nothing
+    * beyond the keys then, so no narrowing is needed. */
+  private def coversFrame(df: DataFrame, keyCols: Seq[Column]): Boolean = {
+    val names = keyCols.map(attrName)
+    names.forall(_.isDefined) &&
+      names.flatten.map(_.toLowerCase).toSet ==
+        df.columns.map(_.toLowerCase).toSet
+  }
 
   /** Frame range-partitioned on the keys plus a pinned partition id,
     * its per-partition row counts, and the grand total.
@@ -32,11 +63,9 @@ object Ranking {
     * the downstream rank job can disagree on which partition a row
     * lands in — shifting every offset (observed at sf0.01: ~97% of
     * ranks off). One materialization, both jobs read it. This is the
-    * TeraSort discipline: compute boundaries once, reuse. The WHOLE
-    * input frame is checkpointed (the ranked rows must come back
-    * out), so callers ranking a wide corpus should project the
-    * columns they need BEFORE calling — both registered consumers
-    * rank 3-column projections.
+    * TeraSort discipline: compute boundaries once, reuse. Callers
+    * guarantee `df` is at most keys-wide (the public entry points
+    * narrow wide frames first and join the rank back).
     */
   private def rangeParted(df: DataFrame, orderCols: Seq[Column],
                           numPartitions: Int): (DataFrame, Array[Long], Long) = {
@@ -58,17 +87,40 @@ object Ranking {
     element_at(map(pairs.toIndexedSeq: _*), col("__gr_pid"))
   }
 
+  /** Exact global rank into `rankCol`, checkpointing only the key
+    * projection; returns the ranked frame (original columns + rank)
+    * and the grand total. */
+  private def withExactRank(df: DataFrame, orderCols: Seq[Column],
+                            rankCol: String,
+                            numPartitions: Int): (DataFrame, Long) =
+    if (coversFrame(df, orderCols)) {
+      val (parted, counts, total) = rangeParted(df, orderCols, numPartitions)
+      val w = Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
+      (parted.withColumn(rankCol,
+        row_number().over(w).cast("long") + offsetExpr(counts))
+        .drop("__gr_pid"), total)
+    } else {
+      val keyNames = orderCols.indices.map(i => s"__gr_k$i")
+      val narrow = df.select(
+        orderCols.zip(keyNames).map { case (c, n) => c.as(n) }: _*)
+      val keys = keyNames.map(col)
+      val (parted, counts, total) = rangeParted(narrow, keys, numPartitions)
+      val w = Window.partitionBy("__gr_pid").orderBy(keys: _*)
+      val ranked = parted.withColumn(rankCol,
+        row_number().over(w).cast("long") + offsetExpr(counts))
+        .drop("__gr_pid")
+      // total order ⇒ the key VALUES are a unique identity; null-safe
+      // so a NULL key component still finds its row
+      val cond = orderCols.zip(keys).map { case (o, k) => o <=> k }
+        .reduce(_ && _)
+      (df.join(ranked, cond).drop(keyNames: _*), total)
+    }
+
   /** Exact global 1-based row_number over the total order given by
     * `orderCols`, with no single-partition stage. */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column], outCol: String,
-                      numPartitions: Int = 32): DataFrame = {
-    val (parted, counts, _) = rangeParted(df, orderCols, numPartitions)
-    val w = Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
-    parted
-      .withColumn(outCol,
-        row_number().over(w).cast("long") + offsetExpr(counts))
-      .drop("__gr_pid")
-  }
+                      numPartitions: Int = 32): DataFrame =
+    withExactRank(df, orderCols, outCol, numPartitions)._1
 
   /** Exact per-group 1-based row_number for FEW heavy groups — the
     * skew case where `Window.partitionBy(group)` would put each
@@ -79,10 +131,31 @@ object Ranking {
     * (numPartitions × numGroups longs) and re-entered through a
     * broadcast join, so no stage sees more than one partition's rows.
     * For high-cardinality groups use the plain window: parallelism
-    * already equals the group count there. */
+    * already equals the group count there. Wide frames rank on the
+    * (group, key) projection and join back, as [[globalRowNumber]]. */
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
                        orderCols: Seq[Column], outCol: String,
-                       numPartitions: Int = 32): DataFrame = {
+                       numPartitions: Int = 32): DataFrame =
+    if (coversFrame(df, groupCols.map(col) ++ orderCols))
+      groupedCore(df, groupCols, orderCols, outCol, numPartitions)
+    else {
+      val gNames = groupCols.indices.map(i => s"__gr_g$i")
+      val kNames = orderCols.indices.map(i => s"__gr_k$i")
+      val narrow = df.select(
+        (groupCols.zip(gNames).map { case (g, n) => col(g).as(n) } ++
+          orderCols.zip(kNames).map { case (c, n) => c.as(n) }): _*)
+      val ranked = groupedCore(narrow, gNames, kNames.map(col), outCol,
+        numPartitions)
+      val cond = (groupCols.zip(gNames).map { case (g, n) =>
+        col(g) <=> col(n)
+      } ++ orderCols.zip(kNames).map { case (c, n) => c <=> col(n) })
+        .reduce(_ && _)
+      df.join(ranked, cond).drop((gNames ++ kNames): _*)
+    }
+
+  private def groupedCore(df: DataFrame, groupCols: Seq[String],
+                          orderCols: Seq[Column], outCol: String,
+                          numPartitions: Int): DataFrame = {
     import scala.jdk.CollectionConverters._
     val spark = df.sparkSession
     val parted = df
@@ -132,11 +205,7 @@ object Ranking {
                  numPartitions: Int = 32): DataFrame = {
     require(n >= 1, "ntile needs n >= 1")
     val rankCol = "__gr_rank"
-    val (parted, counts, total) = rangeParted(df, orderCols, numPartitions)
-    val w = Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
-    val ranked = parted
-      .withColumn(rankCol,
-        row_number().over(w).cast("long") + offsetExpr(counts))
+    val (ranked, total) = withExactRank(df, orderCols, rankCol, numPartitions)
     val q = total / n
     val rem = total % n
     val head = rem * (q + 1)
@@ -149,6 +218,6 @@ object Ranking {
       .otherwise(lit(rem) + ((r0 - lit(head)) / lit(math.max(q, 1L))).cast("long"))
     ranked
       .withColumn(outCol, bin + lit(1L))
-      .drop(rankCol, "__gr_pid")
+      .drop(rankCol)
   }
 }

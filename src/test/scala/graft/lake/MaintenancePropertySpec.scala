@@ -57,8 +57,11 @@ class MaintenancePropertySpec extends SparkSpec {
           case 4 => // VACUUM RETAIN k VERSIONS: neutral for current
             val k = 1 + rnd.nextInt(3)
             GraftSql.execute(spark, store, s"VACUUM $t RETAIN $k VERSIONS")
-          case 5 => // RESTORE to a random retained version
-            val vs = store.versions(t)
+          case 5 => // RESTORE to a random retained version — one the
+            // model RECORDED: an op that commits >1 version per step
+            // leaves retained versions with no snapshot entry, and the
+            // lookup below would throw instead of failing the property
+            val vs = store.versions(t).filter(snapshots.contains)
             val v = vs(rnd.nextInt(vs.size))
             GraftSql.execute(spark, store, s"RESTORE TABLE $t VERSION AS OF $v")
             content = snapshots(v)

@@ -79,6 +79,64 @@ class RankingSpec extends SparkSpec {
       .where(col("r") =!= col("r2")).count() == 0)
   }
 
+  // a WIDE frame: the rank must come from a narrow key projection
+  // joined back, never a checkpoint of the payload columns
+  private lazy val wide = df
+    .withColumn("payload_a", concat(lit("x"), col("id")))
+    .withColumn("payload_b", array(col("id"), col("id") * 2))
+    .withColumn("payload_c", col("score") * 1.5)
+
+  /** Every localCheckpoint scan (LogicalRDD) in the plan must be at
+    * most `maxWidth` attributes wide — the payload never checkpoints. */
+  private def assertNarrowCheckpoints(df2: org.apache.spark.sql.DataFrame,
+                                      maxWidth: Int): Unit = {
+    val rdds = df2.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.output
+    }
+    assert(rdds.nonEmpty, "expected a checkpointed key projection")
+    rdds.foreach { out =>
+      assert(out.size <= maxWidth,
+        s"checkpointed ${out.size} columns (${out.map(_.name).mkString(",")}), " +
+          s"expected <= $maxWidth")
+    }
+  }
+
+  test("globalRowNumber on a wide frame checkpoints only the keys") {
+    val expected = wide.withColumn("r2",
+      row_number().over(Window.orderBy("score", "id")).cast("long"))
+    val got = Ranking.globalRowNumber(wide, Seq(col("score"), col("id")), "r",
+      numPartitions = 7)
+    assert(got.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+    assert(got.count() == 1037 &&
+      got.columns.toSet == (wide.columns :+ "r").toSet)
+    // 2 keys + __gr_pid
+    assertNarrowCheckpoints(got, 3)
+  }
+
+  test("ntileExact on a wide frame matches global ntile and stays narrow") {
+    val expected = wide.withColumn("bin2",
+      ntile(10).over(Window.orderBy("score", "id")).cast("long"))
+    val got = Ranking.ntileExact(wide, Seq(col("score"), col("id")), 10, "bin",
+      numPartitions = 7)
+    assert(got.join(expected, Seq("id"))
+      .where(col("bin") =!= col("bin2")).count() == 0)
+    assertNarrowCheckpoints(got, 3)
+  }
+
+  test("groupedRowNumber on a wide frame checkpoints only group + keys") {
+    val g = wide.withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
+    val expected = g.withColumn("r2", row_number()
+      .over(Window.partitionBy("grp").orderBy("score", "id")).cast("long"))
+    val got = Ranking.groupedRowNumber(g, Seq("grp"),
+      Seq(col("score"), col("id")), "r", numPartitions = 7)
+    assert(got.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+    assert(got.count() == 1037)
+    // grp + 2 keys + __gr_pid
+    assertNarrowCheckpoints(got, 4)
+  }
+
   test("groupedRowNumber on an empty frame returns empty with the rank column") {
     val g = df.where(lit(false))
       .withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
