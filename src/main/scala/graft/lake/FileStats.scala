@@ -32,13 +32,21 @@ import scala.jdk.CollectionConverters._
   */
 object FileStats {
 
-  /** Driver-evaluable range predicate. Numeric bounds compare in
+  /** Driver-evaluable predicate. Numeric bounds compare in
     * BigDecimal space, exact for the full long and double ranges (no
-    * 2^53 truncation on id-like keys). */
+    * 2^53 truncation on id-like keys). [[IsNull]]/[[IsNotNull]] prune
+    * on the per-file null COUNT folded from the same footers. */
   sealed trait Pred { def col: String }
   final case class NumRange(col: String, lo: BigDecimal, hi: BigDecimal)
     extends Pred
   final case class StrRange(col: String, lo: String, hi: String) extends Pred
+  final case class IsNull(col: String) extends Pred
+  final case class IsNotNull(col: String) extends Pred
+
+  /** One parsed sidecar entry: range bounds plus the column's null
+    * count (None on pre-null-count sidecar lines — conservative). */
+  final case class Stat(tag: String, min: String, max: String,
+                        nulls: Option[Long])
 
   private val NumTag = "num"
   private val StrTag = "str"
@@ -120,8 +128,9 @@ object FileStats {
     val stats = chunks.map { case (rows, c) => (rows, c.get.getStatistics) }
     if (stats.exists { case (_, s) => s == null || s.isNumNullsSet == false })
       return None
+    val nulls = stats.map(_._2.getNumNulls).sum
     if (stats.forall { case (rows, s) => s.getNumNulls == rows })
-      return Some(s"$key\t$name\t$NullTag\t\t")
+      return Some(s"$key\t$name\t$NullTag\t\t\t$nulls")
     // groups holding values must all expose min/max; all-null groups
     // legitimately have none and contribute nothing
     val valued = stats.filter { case (rows, s) => s.getNumNulls < rows }
@@ -144,38 +153,53 @@ object FileStats {
         return None
       val mn = bounds.map(_._1).min
       val mx = bounds.map(_._2).max
-      Some(s"$key\t$name\t$StrTag\t${b64(mn)}\t${b64(mx)}")
+      Some(s"$key\t$name\t$StrTag\t${b64(mn)}\t${b64(mx)}\t$nulls")
     } else {
       val nums = bounds.map { case (mn, mx) => (BigDecimal(mn), BigDecimal(mx)) }
-      Some(s"$key\t$name\t$NumTag\t${nums.map(_._1).min}\t${nums.map(_._2).max}")
+      Some(s"$key\t$name\t$NumTag\t${nums.map(_._1).min}\t" +
+        s"${nums.map(_._2).max}\t$nulls")
     }
   }
 
-  /** Parsed sidecar: (fileKey, column) -> (tag, min, max). */
-  def parse(content: String): Map[(String, String), (String, String, String)] =
+  /** Parsed sidecar: (fileKey, column) -> [[Stat]]. 5-field lines from
+    * pre-null-count sidecars parse with an unknown null count. */
+  def parse(content: String): Map[(String, String), Stat] =
     content.split("\n").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { line =>
       line.split("\t", -1) match {
-        case Array(f, c, tag, mn, mx) => Some(((f, c), (tag, mn, mx)))
+        case Array(f, c, tag, mn, mx) => Some(((f, c), Stat(tag, mn, mx, None)))
+        case Array(f, c, tag, mn, mx, nulls) =>
+          Some(((f, c), Stat(tag, mn, mx, nulls.toLongOption)))
         case _ => None
       }
     }.toMap
 
   /** Can rows of a file with these stats satisfy the predicate?
     * Unknown/mismatched entries answer true (keep the file). */
-  def mayMatch(entry: Option[(String, String, String)], pred: Pred): Boolean =
-    entry match {
-      case Some((NullTag, _, _)) => false
-      case Some((NumTag, mn, mx)) => pred match {
+  def mayMatch(entry: Option[Stat], pred: Pred): Boolean = pred match {
+    case IsNull(_) => entry match {
+      // a file with a RECORDED zero null count cannot produce a NULL;
+      // anything else (all-null, positive count, unknown) is kept
+      case Some(s) if s.tag != CntTag => !s.nulls.contains(0L)
+      case _ => true
+    }
+    case IsNotNull(_) => entry match {
+      case Some(s) => s.tag != NullTag // only an all-NULL column skips
+      case _ => true
+    }
+    case _ => entry match {
+      case Some(Stat(NullTag, _, _, _)) => false
+      case Some(Stat(NumTag, mn, mx, _)) => pred match {
         case NumRange(_, lo, hi) =>
           BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
         case _ => true
       }
-      case Some((StrTag, mn, mx)) => pred match {
+      case Some(Stat(StrTag, mn, mx, _)) => pred match {
         case StrRange(_, lo, hi) => unb64(mx) >= lo && unb64(mn) <= hi
         case _ => true
       }
       case _ => true
     }
+  }
 
   /** The residual predicate to apply after pruning (stats are a
     * superset filter, never the answer). */
@@ -183,5 +207,7 @@ object FileStats {
     case NumRange(c, lo, hi) =>
       df.where(col(c) >= lit(lo.underlying) && col(c) <= lit(hi.underlying))
     case StrRange(c, lo, hi) => df.where(col(c) >= lo && col(c) <= hi)
+    case IsNull(c) => df.where(col(c).isNull)
+    case IsNotNull(c) => df.where(col(c).isNotNull)
   }
 }

@@ -189,7 +189,7 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** Parsed stats sidecar of a version (empty for pre-stats tables). */
   private[lake] def statsFor(table: String, v: Long)
-      : Map[(String, String), (String, String, String)] = {
+      : Map[(String, String), FileStats.Stat] = {
     val p = statsPath(table, v)
     if (!fs(p).exists(p)) Map.empty
     else FileStats.parse(readSmallFile(p))
@@ -563,8 +563,9 @@ final class TableStore(spark: SparkSession, root: String,
       val carriedKeys = carriedLines.filterNot(_.startsWith(DelPrefix))
         .map(FileStats.fileKey).toSet
       val carriedStats = prevStats.collect {
-        case ((f, c), (tag, mn, mx)) if carriedKeys.contains(f) =>
-          s"$f\t$c\t$tag\t$mn\t$mx"
+        case ((f, c), FileStats.Stat(tag, mn, mx, nulls))
+            if carriedKeys.contains(f) =>
+          s"$f\t$c\t$tag\t$mn\t$mx" + nulls.fold("")(n => s"\t$n")
       }
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
@@ -795,7 +796,7 @@ final class TableStore(spark: SparkSession, root: String,
     val counts = manifest(table, cur).filterNot(_.startsWith(DelPrefix))
       .map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
     if (counts.isEmpty || counts.exists(_.isEmpty)) None
-    else Some(counts.flatten.map(_._2.toLong).sum)
+    else Some(counts.flatten.map(_.min.toLong).sum)
   }
 
   /** DESCRIBE HISTORY equivalent: one row per retained version —
@@ -812,7 +813,7 @@ final class TableStore(spark: SparkSession, root: String,
       val stats = statsFor(table, v)
       val counts = data.map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
       val rows = if (dels.nonEmpty || counts.isEmpty || counts.exists(_.isEmpty))
-        None else Some(counts.flatten.map(_._2.toLong).sum)
+        None else Some(counts.flatten.map(_.min.toLong).sum)
       (v, data.size, dels.size, bytes, rows,
         new java.sql.Timestamp(commitTimeMs(table, v)))
     }.toDF("version", "n_files", "n_delete_entries", "total_bytes",

@@ -222,6 +222,40 @@ object PipelineQueries {
         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
 
+  /** Null-count data skipping end-to-end: the stats sidecar records
+    * per-file null counts (folded from the same parquet footers as
+    * min/max), so `IS NULL` drops every file with a recorded zero
+    * null count and `IS NOT NULL` drops all-null files — the pruning
+    * dimension Delta gets from `nullCount` in its log. Nulls cluster
+    * because the layout range-partitions on the nullable column
+    * (NULLS FIRST), which is what a real pipeline's clustering does
+    * to its quality columns. Content is pruning-invariant, so the
+    * oracle is the plain CASE algebra; the skipping ratio itself is
+    * asserted in StatsPruningSpec. */
+  val nullPrunedScan: Entry = Entry(
+    "null_pruned_scan",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-nstats"))
+      store.create("onull", t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("v"))
+        .repartitionByRange(8, col("v")))
+      val nulls = store.readPruned("onull", FileStats.IsNull("v"))
+        .agg(count(lit(1)).as("n_null"),
+          sum("o_orderkey").cast("long").as("key_sum"))
+      val valued = store.readPruned("onull", FileStats.IsNotNull("v"))
+        .agg(count(lit(1)).as("n_valued"), round(sum("v"), 2).as("total"))
+      nulls.crossJoin(broadcast(valued)) // 1-row x 1-row stats join
+    },
+    Some("""SELECT
+        | (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_null,
+        | CAST((SELECT sum(o_orderkey) FROM orders
+        |       WHERE o_orderkey % 3 = 0) AS BIGINT) AS key_sum,
+        | (SELECT count(*) FROM orders WHERE o_orderkey % 3 <> 0) AS n_valued,
+        | round((SELECT sum(o_totalprice) FROM orders
+        |        WHERE o_orderkey % 3 <> 0), 2) AS total""".stripMargin))
+
   /** TPC-H Q6 shape: tight range filter + arithmetic aggregate —
     * everything pushes to the scan. */
   val q6Forecast: Entry = Entry(
@@ -1107,6 +1141,7 @@ object PipelineQueries {
 
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
+    nullPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
     sqlInsert, sqlLifecycle, sqlRestoreClone, sqlTimeTravelDiff,

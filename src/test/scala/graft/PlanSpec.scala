@@ -144,6 +144,7 @@ class PlanSpec extends SparkSpec {
       "ivf_ann_topk",             // nlist-centroid broadcast cross-score
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
       "dq_audit_report",          // 1-row rule-aggregate cross joins
+      "null_pruned_scan",         // 1-row x 1-row stats cross join
       "bigram_lm_perplexity")     // 1-row vocab-size cross join
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

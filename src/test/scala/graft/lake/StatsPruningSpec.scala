@@ -1,7 +1,7 @@
 package graft.lake
 
 import graft.SparkSpec
-import graft.lake.FileStats.{NumRange, StrRange}
+import graft.lake.FileStats.{IsNotNull, IsNull, NumRange, StrRange}
 import org.apache.spark.sql.functions._
 
 class StatsPruningSpec extends SparkSpec {
@@ -86,6 +86,44 @@ class StatsPruningSpec extends SparkSpec {
     assert(kept.size < total, s"kept ${kept.size} of $total")
     assert(store.readPruned("t", pred).select("id").as[Long]
       .collect().toSeq.sorted == Seq(2L, 3L))
+  }
+
+  test("IS NULL skips files with a recorded zero null count") {
+    val store = freshStore()
+    // range-partition on the nullable column: NULLs sort together, so
+    // most files record nulls=0 and an IS NULL probe can drop them
+    val df = spark.range(0, 400).select(col("id"),
+      when(col("id") < 50, lit(null).cast("long")).otherwise(col("id")).as("v"))
+      .repartitionByRange(8, col("v"))
+    store.create("t", df)
+    val total = dataLines(store, "t")
+    assert(total >= 6, s"expected a multi-file layout, got $total")
+    val kept = store.pruneLines("t", 0L, IsNull("v")).size
+    assert(kept < total / 2, s"IS NULL kept $kept of $total files")
+    assert(store.readPruned("t", IsNull("v")).count() == 50)
+    // IS NOT NULL keeps mixed files (the residual does the row work)
+    assert(store.readPruned("t", IsNotNull("v")).count() == 350)
+  }
+
+  test("IS NOT NULL skips an all-null file; legacy stats lines stay conservative") {
+    val store = freshStore()
+    store.create("t", Seq((1L, Option.empty[Long])).toDF("id", "v"))
+    store.append("t", Seq((2L, Some(5L)), (3L, Some(6L))).toDF("id", "v"))
+    val total = dataLines(store, "t")
+    val kept = store.pruneLines("t", store.currentVersion("t").get,
+      IsNotNull("v")).size
+    assert(kept < total, s"all-null file survived: kept $kept of $total")
+    assert(store.readPruned("t", IsNotNull("v")).select("id").as[Long]
+      .collect().toSeq.sorted == Seq(2L, 3L))
+    // the all-null file is definitely-null: IS NULL keeps exactly it
+    assert(store.readPruned("t", IsNull("v")).select("id").as[Long]
+      .collect().toSeq == Seq(1L))
+    // a 5-field line from a pre-null-count sidecar parses with an
+    // unknown count and never lets IS NULL drop the file
+    val legacy = FileStats.parse("f\tc\tnum\t1\t2")
+    assert(legacy(("f", "c")).nulls.isEmpty)
+    assert(FileStats.mayMatch(legacy.get(("f", "c")), IsNull("c")))
+    assert(FileStats.mayMatch(legacy.get(("f", "c")), IsNotNull("c")))
   }
 
   test("z-ordered layout prunes on BOTH clustering dimensions") {
