@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedIdentifier}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
 /** SQL-text front door for the statements Spark can parse but not
@@ -126,6 +126,8 @@ object GraftSql {
         case c: CreateTableAsSelect => executeCtas(spark, store, c)
         case d: DropTable => executeDrop(spark, store, d, sql)
         case a: AddColumns => executeAddColumns(spark, store, a, sql)
+        case r: RenameColumn => executeRenameColumn(spark, store, r, sql)
+        case d: DropColumns => executeDropColumns(spark, store, d, sql)
         case p if p.collectFirst { case tt: RelationTimeTravel => tt }.isDefined =>
           executeTimeTravelSelect(spark, store, p, sql)
         case _ => spark.sql(sql)
@@ -174,6 +176,45 @@ object GraftSql {
     // no files at all and silently no-op the evolution
     store.evolveSchema(target, StructType(current.fields ++ fields))
     store.read(target)
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` — a pure metadata commit on
+    * graft tables ([[TableStore.renameColumn]], Delta name-mapping):
+    * old files keep their physical name; the manifest maps the new
+    * logical name onto it. Top-level columns only. */
+  private def executeRenameColumn(spark: SparkSession, store: TableStore,
+                                  r: RenameColumn, sqlText: String): DataFrame = {
+    val target = alterTarget(r.table).getOrElse(return spark.sql(sqlText))
+    if (!store.exists(target)) return spark.sql(sqlText)
+    require(r.column.name.length == 1,
+      s"nested column rename ${r.column.name.mkString(".")} is not " +
+        "supported on graft tables")
+    store.renameColumn(target, r.column.name.head, r.newName)
+    store.read(target)
+  }
+
+  /** `ALTER TABLE t DROP COLUMN [IF EXISTS] c, ...` — metadata-only
+    * ([[TableStore.dropColumn]]): the physical column stays in old
+    * files, hidden from every read. Top-level columns only. */
+  private def executeDropColumns(spark: SparkSession, store: TableStore,
+                                 d: DropColumns, sqlText: String): DataFrame = {
+    val target = alterTarget(d.table).getOrElse(return spark.sql(sqlText))
+    if (!store.exists(target)) return spark.sql(sqlText)
+    d.columnsToDrop.foreach { c =>
+      require(c.name.length == 1,
+        s"nested column drop ${c.name.mkString(".")} is not supported " +
+          "on graft tables")
+      val present = store.read(target).columns
+        .exists(_.equalsIgnoreCase(c.name.head))
+      if (present || !d.ifExists) store.dropColumn(target, c.name.head)
+    }
+    store.read(target)
+  }
+
+  private def alterTarget(plan: LogicalPlan): Option[String] = plan match {
+    case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(ut.multipartIdentifier.last)
+    case _ => None
   }
 
   /** `OPTIMIZE t [ZORDER BY (c1, c2, ...)]` — compaction through the

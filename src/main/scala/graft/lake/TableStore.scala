@@ -97,7 +97,7 @@ final class TableStore(spark: SparkSession, root: String,
     * anti-joins the union of its later delete sets (small, broadcast);
     * `compact` folds the debt away. */
   def readVersion(table: String, v: Long): DataFrame =
-    readLines(table, manifest(table, v))
+    columnMapping(table, v).applyRead(readLines(table, manifest(table, v)))
 
   private def readLines(table: String, lines: Seq[String]): DataFrame = {
     val prefix = tablePath(table).toString
@@ -169,18 +169,22 @@ final class TableStore(spark: SparkSession, root: String,
   def readPruned(table: String, pred: FileStats.Pred): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist"))
-    FileStats.residual(readLines(table, pruneLines(table, v, pred)), pred)
+    FileStats.residual(columnMapping(table, v)
+      .applyRead(readLines(table, pruneLines(table, v, pred))), pred)
   }
 
   /** Manifest lines of version `v` with stats-excluded data files
     * removed (delete entries always survive). Exposed within the
-    * package for pruning-ratio assertions. */
+    * package for pruning-ratio assertions. Stats sidecars record
+    * PHYSICAL column names (footers don't know about renames), so the
+    * predicate's logical column resolves through the mapping first. */
   private[lake] def pruneLines(table: String, v: Long,
                                pred: FileStats.Pred): Seq[String] = {
     val stats = statsFor(table, v)
+    val physCol = columnMapping(table, v).physicalOf(pred.col)
     manifest(table, v).filter { line =>
       line.startsWith(DelPrefix) ||
-        FileStats.mayMatch(stats.get((FileStats.fileKey(line), pred.col)), pred)
+        FileStats.mayMatch(stats.get((FileStats.fileKey(line), physCol)), pred)
     }
   }
 
@@ -241,7 +245,10 @@ final class TableStore(spark: SparkSession, root: String,
   def appendWithDeletes(table: String, df: DataFrame, deleteKeys: DataFrame): Unit = {
     require(exists(table), s"table $table does not exist")
     val delDir = new Path(tablePath(table), s"x-${UUID.randomUUID()}")
-    deleteKeys.coalesce(1).write.mode(SaveMode.Overwrite).parquet(delDir.toString)
+    // delete keys anti-join raw (physical) data groups at read time,
+    // so a key on a renamed column must be stored physically too
+    currentMapping(table).applyWrite(deleteKeys, table)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(delDir.toString)
     val delLines = listDataFiles(delDir).map(DelPrefix + _)
     commit(table, df,
       carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false)
@@ -262,7 +269,10 @@ final class TableStore(spark: SparkSession, root: String,
     val lines = manifest(table, v)
     val stats = { val p = statsPath(table, v)
       if (fs(p).exists(p)) readSmallFile(p) else "" }
-    commitMeta(table, _ => (lines, stats), mustCreate = false)
+    // the column mapping is part of the restored state: rolling back
+    // past a RENAME/DROP rolls the schema back with the data
+    commitMeta(table, _ => (lines, stats, rawColmap(table, v)),
+      mustCreate = false)
   }
 
   /** Zero-copy shallow clone: `dst` is a new table whose v0 manifest
@@ -279,8 +289,10 @@ final class TableStore(spark: SparkSession, root: String,
     val stats = { val p = statsPath(src, cur)
       if (fs(p).exists(p)) readSmallFile(p) else "" }
     val srcParts = partitioning(src)
-    commitMeta(dst, _ => (manifest(src, cur), stats), mustCreate = true,
-      createParts = srcParts)
+    // shared files carry the source's PHYSICAL names; the clone must
+    // inherit the mapping or renamed columns would read physically
+    commitMeta(dst, _ => (manifest(src, cur), stats, rawColmap(src, cur)),
+      mustCreate = true, createParts = srcParts)
     // a clone is a full table-metadata fork: CHECK constraints carry
     // too, or writes to the clone would accept rows the source rejects
     constraints(src).foreach { case (n, sql) => addConstraint(dst, n, sql) }
@@ -315,19 +327,20 @@ final class TableStore(spark: SparkSession, root: String,
       s"non-uniform partition layout under $dir: expected " +
         s"[${parts.mkString(",")}] from every file, got " +
         offenders.take(3).mkString("; "))
-    commitMeta(table, _ => (files, ""), mustCreate = true,
+    commitMeta(table, _ => (files, "", None), mustCreate = true,
       createParts = parts)
   }
 
   /** Metadata-only commit under the standard claim/publish protocol —
     * no data write at all. `mkContent` maps the version being
-    * superseded to (manifest lines, stats sidecar content) and is
-    * re-evaluated on every claim attempt, so content derived from the
-    * current manifest (schema evolution's carried lines) can't lose a
-    * racing commit; RESTORE-style fixed content simply ignores the
-    * argument. */
+    * superseded to (manifest lines, stats sidecar content, column
+    * mapping header) and is re-evaluated on every claim attempt, so
+    * content derived from the current manifest (schema evolution's
+    * carried lines) can't lose a racing commit; RESTORE-style fixed
+    * content simply ignores the argument. */
   private def commitMeta(table: String,
-                         mkContent: Option[Long] => (Seq[String], String),
+                         mkContent: Option[Long] =>
+                           (Seq[String], String, Option[String]),
                          mustCreate: Boolean,
                          createParts: Seq[String] = Nil): Unit = {
     // the data write creates the table dir in the normal commit path;
@@ -338,9 +351,9 @@ final class TableStore(spark: SparkSession, root: String,
       if (mustCreate && createParts.nonEmpty)
         writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
           createParts.mkString(","))
-      val (lines, statsContent) = mkContent(cur)
+      val (lines, statsContent, colmap) = mkContent(cur)
       writeSmallFile(statsPath(table, v), statsContent)
-      publishManifest(table, v, lines)
+      publishManifest(table, v, lines, colmap)
     }
   }
 
@@ -354,10 +367,23 @@ final class TableStore(spark: SparkSession, root: String,
     * (absent) data columns, which union-by-name handles the same way. */
   def evolveSchema(table: String,
                    widened: org.apache.spark.sql.types.StructType): Unit = {
-    import scala.jdk.CollectionConverters._
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
+    // the schema-bearing file stores PHYSICAL names: renamed columns
+    // resolve through the mapping, and a new name colliding with a
+    // dropped or claimed physical name would corrupt old files' data
+    val m = currentMapping(table)
+    val physFields = widened.fields.map(f => f.copy(name = m.physicalOf(f.name)))
+    physFields.foreach { f =>
+      require(!m.isDropped(f.name),
+        s"column ${f.name} was dropped from $table; re-adding it would " +
+          "resurrect old files' hidden data — use a new name")
+    }
+    val clash = physFields.groupBy(_.name.toLowerCase).filter(_._2.length > 1)
+    require(clash.isEmpty,
+      s"evolved schema collides on physical name(s) ${clash.keys.mkString(", ")}")
+    val physSchema = org.apache.spark.sql.types.StructType(physFields)
     spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), widened)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), physSchema)
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(dataDir.toString)
     val newFiles = listDataFiles(dataDir)
@@ -369,7 +395,7 @@ final class TableStore(spark: SparkSession, root: String,
         val p = statsPath(table, v)
         if (fs(p).exists(p)) readSmallFile(p) else ""
       }.getOrElse("")
-      (carriedLines ++ newFiles, prevStats)
+      (carriedLines ++ newFiles, prevStats, cur.flatMap(rawColmap(table, _)))
     }, mustCreate = false)
   }
 
@@ -404,7 +430,8 @@ final class TableStore(spark: SparkSession, root: String,
     // racing append's files survive the fold
     commit(table, df,
       carried = c => c.map(manifest(table, _).filterNot(small)).getOrElse(Nil),
-      mustCreate = false)
+      mustCreate = false,
+      physicalFrame = true) // raw readLines bytes: already physical
     small.size
   }
 
@@ -482,12 +509,113 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   private val TsHeader = "#ts="
+  private val ColmapHeader = "#colmap="
 
   /** Single publication point for manifests: stamps the commit time
-    * header, then makes the version visible all-or-nothing. */
-  private def publishManifest(table: String, v: Long, lines: Seq[String]): Unit =
-    claims.publish(manifestPath(table, v),
-      (s"$TsHeader${System.currentTimeMillis()}" +: lines).mkString("\n"))
+    * and column-mapping headers, then makes the version visible
+    * all-or-nothing. */
+  private def publishManifest(table: String, v: Long, lines: Seq[String],
+                              colmap: Option[String]): Unit = {
+    val headers = s"$TsHeader${System.currentTimeMillis()}" +:
+      colmap.map(ColmapHeader + _).toSeq
+    claims.publish(manifestPath(table, v), (headers ++ lines).mkString("\n"))
+  }
+
+  /** Raw `#colmap=` header of version `v`, if any. */
+  private def rawColmap(table: String, v: Long): Option[String] = {
+    val m = manifestPath(table, v)
+    if (!fs(m).exists(m)) None
+    else readSmallFile(m).split("\n").collectFirst {
+      case l if l.startsWith(ColmapHeader) =>
+        l.stripPrefix(ColmapHeader).trim
+    }.filter(_.nonEmpty)
+  }
+
+  /** Column mapping in force at version `v` (identity when absent). */
+  def columnMapping(table: String, v: Long): ColumnMapping =
+    rawColmap(table, v).map(ColumnMapping.parse).getOrElse(ColumnMapping.empty)
+
+  private def currentMapping(table: String): ColumnMapping =
+    currentVersion(table).map(columnMapping(table, _))
+      .getOrElse(ColumnMapping.empty)
+
+  /** RENAME COLUMN as a pure metadata commit (Delta name-mapping):
+    * files keep the old PHYSICAL name; the new manifest maps
+    * logical `to` onto it. O(manifest), never a rewrite. Partition
+    * columns are physical layout (hive dirs) and cannot rename;
+    * names referenced by CHECK constraints must drop the constraint
+    * first (its SQL would silently stop matching rows). */
+  def renameColumn(table: String, from: String, to: String): Unit = {
+    ColumnMapping.requireMappable(to); ColumnMapping.requireMappable(from)
+    val logical = read(table).columns
+    require(logical.exists(_.equalsIgnoreCase(from)),
+      s"no column $from in $table (have ${logical.mkString(", ")})")
+    require(!logical.exists(_.equalsIgnoreCase(to)),
+      s"column $to already exists in $table")
+    require(!partitioning(table).exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column $from: the hive layout is physical")
+    requireNoConstraintRef(table, from)
+    commitMeta(table, cur => {
+      val v = cur.getOrElse(
+        throw new IllegalStateException(s"table $table does not exist"))
+      val m = columnMapping(table, v)
+      val phys = m.physicalOf(from)
+      // OTHER columns' physical names are off-limits; renaming BACK to
+      // this column's own physical name is the legal collapse case
+      val otherPhys = m.renames.filterNot(_._1.equalsIgnoreCase(from)).values
+      require(!m.isDropped(to) && !otherPhys.exists(_.equalsIgnoreCase(to)),
+        s"name $to is claimed as a physical/dropped storage name in $table")
+      // chain-collapse (a→b→c keeps c→physical(a)); renaming BACK to
+      // the physical name removes the entry entirely
+      val renames = m.renames.filterNot(_._1.equalsIgnoreCase(from)) ++
+        (if (to.equalsIgnoreCase(phys)) Map.empty[String, String]
+         else Map(to -> phys))
+      val stats = { val p = statsPath(table, v)
+        if (fs(p).exists(p)) readSmallFile(p) else "" }
+      (manifest(table, v), stats,
+        ColumnMapping(renames, m.dropped).serialize)
+    }, mustCreate = false)
+  }
+
+  /** DROP COLUMN as a pure metadata commit: the PHYSICAL column stays
+    * in old files but is hidden from every read; re-adding the same
+    * name is rejected (it would resurrect the hidden bytes — rewrite
+    * via OPTIMIZE first if the name must return). O(manifest). */
+  def dropColumn(table: String, name: String): Unit = {
+    ColumnMapping.requireMappable(name)
+    val logical = read(table).columns
+    require(logical.exists(_.equalsIgnoreCase(name)),
+      s"no column $name in $table (have ${logical.mkString(", ")})")
+    require(logical.length > 1, s"cannot drop the only column of $table")
+    require(!partitioning(table).exists(_.equalsIgnoreCase(name)),
+      s"cannot drop partition column $name: the hive layout is physical")
+    requireNoConstraintRef(table, name)
+    commitMeta(table, cur => {
+      val v = cur.getOrElse(
+        throw new IllegalStateException(s"table $table does not exist"))
+      val m = columnMapping(table, v)
+      val phys = m.physicalOf(name)
+      val stats = { val p = statsPath(table, v)
+        if (fs(p).exists(p)) readSmallFile(p) else "" }
+      (manifest(table, v), stats,
+        ColumnMapping(m.renames.filterNot(_._1.equalsIgnoreCase(name)),
+          m.dropped + phys).serialize)
+    }, mustCreate = false)
+  }
+
+  /** A CHECK constraint's SQL references logical names as free text;
+    * renaming/dropping one out from under it would make the predicate
+    * resolve differently (or fail) on the next commit. */
+  private def requireNoConstraintRef(table: String, name: String): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\b")
+    val hits = constraints(table).collect {
+      case (n, sql) if pat.matcher(sql).find() => n
+    }
+    require(hits.isEmpty,
+      s"column $name is referenced by CHECK constraint(s) " +
+        s"${hits.mkString(", ")} on $table; drop them first")
+  }
 
   /** Write data + claim the next version exclusively; retry on claim
     * conflict (optimistic concurrency). `carried` maps the current
@@ -503,20 +631,29 @@ final class TableStore(spark: SparkSession, root: String,
                      carried: Option[Long] => Seq[String],
                      mustCreate: Boolean,
                      createParts: Seq[String] = Nil,
-                     requireWithin: Option[Set[String]] = None): Unit = {
+                     requireWithin: Option[Set[String]] = None,
+                     physicalFrame: Boolean = false): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
     // CHECK constraints ride the write job itself (observe = metrics
     // collected during the action, zero extra passes); a violation
-    // deletes the orphan data dir and aborts before any claim
+    // deletes the orphan data dir and aborts before any claim.
+    // Constraints see LOGICAL names — the physical rename happens
+    // after, on top of the observed plan.
     val checks = constraints(table).toSeq
     val obs = if (checks.isEmpty) None
       else Some(new Observation(s"ck-${UUID.randomUUID()}"))
-    val toWrite = obs.map { o =>
+    val observed = obs.map { o =>
       val aggs = checks.map { case (n, s) =>
         count(when(!coalesce(expr(s), lit(true)), 1)).as(n) }
       df.observe(o, aggs.head, aggs.tail: _*)
     }.getOrElse(df)
+    // files store PHYSICAL column names so every commit's files agree
+    // with every other's; `physicalFrame` marks internal rewrites
+    // (compactSmall) whose frame is already raw file bytes
+    val toWrite =
+      if (mustCreate || physicalFrame) observed
+      else currentMapping(table).applyWrite(observed, table)
     val writer = toWrite.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dataDir.toString)
@@ -569,7 +706,8 @@ final class TableStore(spark: SparkSession, root: String,
       }
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
-      publishManifest(table, v, carriedLines ++ newFiles)
+      publishManifest(table, v, carriedLines ++ newFiles,
+        cur.flatMap(rawColmap(table, _)))
     }
   }
 
@@ -686,6 +824,9 @@ final class TableStore(spark: SparkSession, root: String,
     val appendOnly = from.forall(manifest(table, toV).contains)
     if (appendOnly) {
       val feeds = perVersion.flatMap { case (v, newLines) =>
+        // each commit's rows surface under ITS version's LOGICAL names
+        // (files and delete keys store physical names)
+        val mv = columnMapping(table, v)
         // inserts: this commit's own data files, as committed (its del
         // lines precede them in the manifest, so they exempt these
         // rows by construction). Emitted UN-netted: a row inserted at
@@ -695,7 +836,7 @@ final class TableStore(spark: SparkSession, root: String,
         // under plain bag algebra, per version or all at once.
         val ins =
           if (newLines.exists(!_.startsWith(DelPrefix)))
-            Some(readLines(table, newLines)
+            Some(mv.applyRead(readLines(table, newLines))
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v)))
           else None
@@ -703,15 +844,16 @@ final class TableStore(spark: SparkSession, root: String,
         // del keys — exactly the rows this commit removed. Diffing
         // against v-1 (not fromV) keeps multiplicities exact when a
         // later commit re-deletes a key it already removed: the row is
-        // gone from the v-1 view, so no phantom second delete.
+        // gone from the v-1 view, so no phantom second delete. The
+        // join runs RAW (physical names on both sides), then maps.
         val delFiles = newLines.filter(_.startsWith(DelPrefix))
           .map(_.stripPrefix(DelPrefix))
         val del =
           if (delFiles.nonEmpty) {
             val keys = spark.read.option("mergeSchema", "true")
               .parquet(delFiles: _*)
-            Some(readVersion(table, v - 1)
-              .join(bc(keys), keys.columns.toSeq, "left_semi")
+            Some(mv.applyRead(readLines(table, manifest(table, v - 1))
+                .join(bc(keys), keys.columns.toSeq, "left_semi"))
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
           } else None

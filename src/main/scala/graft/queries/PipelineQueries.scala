@@ -786,6 +786,39 @@ object PipelineQueries {
         |WHERE v0.c_custkey IS NULL OR v0.bal <> v2.bal
         |ORDER BY v2.c_custkey""".stripMargin))
 
+  /** Schema evolution past ADD COLUMNS: RENAME and DROP COLUMN as
+    * pure metadata commits (Delta-style name mapping in the manifest
+    * header — files never rewrite; readers map physical→logical,
+    * writers logical→physical). The query renames + drops via SQL,
+    * then APPENDS in the new logical schema — so the final read mixes
+    * pre-rename files (physical names) with post-rename files, the
+    * case that breaks naive union-by-name. Oracle: the same algebra
+    * over `nation` under the final names. */
+  val sqlColumnMapping: Entry = Entry(
+    "sql_column_mapping",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-cm"))
+      t(s, dir, "nation").createOrReplaceTempView("nation_cm")
+      def g(q: String) = GraftSql.execute(s, store, q)
+      g("""CREATE TABLE ncm AS
+          |SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r,
+          |       upper(n_name) AS note FROM nation_cm""".stripMargin)
+      g("ALTER TABLE ncm RENAME COLUMN name TO nation_name")
+      g("ALTER TABLE ncm DROP COLUMN note")
+      g("""INSERT INTO ncm
+          |SELECT n_nationkey + 100, lower(n_name), n_regionkey
+          |FROM nation_cm WHERE n_regionkey = 0""".stripMargin)
+      store.read("ncm")
+        .select(col("k"), col("nation_name"), col("r").cast("int").as("r"))
+        .orderBy("k")
+    },
+    Some("""SELECT n_nationkey AS k, n_name AS nation_name,
+        |       CAST(n_regionkey AS INT) AS r FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, lower(n_name), CAST(n_regionkey AS INT)
+        |FROM nation WHERE n_regionkey = 0
+        |ORDER BY k""".stripMargin))
+
   /** Downstream consumption of the change feed: a per-status aggregate
     * table is refreshed purely from `changes()` — inserts add,
     * deletes subtract (count + order-free DECIMAL sum), one full-outer
@@ -1145,7 +1178,7 @@ object PipelineQueries {
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
     sqlInsert, sqlLifecycle, sqlRestoreClone, sqlTimeTravelDiff,
-    convertInPlace, dqAudit,
+    sqlColumnMapping, convertInPlace, dqAudit,
     tableChanges, cdfAggregate, rollupRefresh,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
