@@ -219,6 +219,40 @@ final class TableStore(spark: SparkSession, root: String,
   def overwrite(table: String, df: DataFrame): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false)
 
+  /** Overwrite that records an application transaction watermark in
+    * the SAME atomic commit (Delta's SetTransaction / `txn` action):
+    * `lastTxn(table, app)` later recovers `version`, so an
+    * incremental maintainer advances its cursor and its output
+    * together — a crash can never leave the data applied but the
+    * cursor behind (double-apply) or vice versa. */
+  def overwriteTxn(table: String, df: DataFrame,
+                   app: String, version: Long): Unit =
+    commit(table, df, carried = _ => Nil, mustCreate = false,
+      txn = Some((app, version)))
+
+  /** Create recording an initial transaction watermark atomically —
+    * the bootstrap half of [[overwriteTxn]]. */
+  def createTxn(table: String, df: DataFrame,
+                app: String, version: Long,
+                partitionBy: Seq[String] = Nil): Unit = {
+    require(!exists(table), s"table $table already exists")
+    commit(table, df, carried = _ => Nil, mustCreate = true,
+      createParts = partitionBy, txn = Some((app, version)))
+  }
+
+  /** Latest watermark `app` recorded on any RETAINED version, newest
+    * first (an app that commits every tick finds it in the current
+    * manifest — O(1) in steady state). None if the app never
+    * committed or its last txn commit was vacuumed. */
+  def lastTxn(table: String, app: String): Option[Long] = {
+    val prefix = s"$TxnHeader$app:"
+    versions(table).reverse.iterator.flatMap { v =>
+      readSmallFile(manifestPath(table, v)).split("\n").collectFirst {
+        case l if l.startsWith(prefix) => l.stripPrefix(prefix).trim.toLong
+      }
+    }.nextOption()
+  }
+
   /** S8: append — O(batch): writes only the new files; the manifest
     * carries the previous version's files forward by reference.
     * Schema evolution is union-by-name at read time (mergeSchema).
@@ -510,14 +544,21 @@ final class TableStore(spark: SparkSession, root: String,
 
   private val TsHeader = "#ts="
   private val ColmapHeader = "#colmap="
+  private val TxnHeader = "#txn="
 
-  /** Single publication point for manifests: stamps the commit time
-    * and column-mapping headers, then makes the version visible
-    * all-or-nothing. */
+  /** Single publication point for manifests: stamps the commit time,
+    * column-mapping, and transaction headers, then makes the version
+    * visible all-or-nothing. */
   private def publishManifest(table: String, v: Long, lines: Seq[String],
-                              colmap: Option[String]): Unit = {
+                              colmap: Option[String],
+                              txn: Option[(String, Long)] = None): Unit = {
+    txn.foreach { case (app, _) =>
+      require(!app.contains(":") && !app.contains("\n"),
+        s"bad txn app id '$app'")
+    }
     val headers = s"$TsHeader${System.currentTimeMillis()}" +:
-      colmap.map(ColmapHeader + _).toSeq
+      (colmap.map(ColmapHeader + _).toSeq ++
+        txn.map { case (app, ver) => s"$TxnHeader$app:$ver" }.toSeq)
     claims.publish(manifestPath(table, v), (headers ++ lines).mkString("\n"))
   }
 
@@ -632,7 +673,8 @@ final class TableStore(spark: SparkSession, root: String,
                      mustCreate: Boolean,
                      createParts: Seq[String] = Nil,
                      requireWithin: Option[Set[String]] = None,
-                     physicalFrame: Boolean = false): Unit = {
+                     physicalFrame: Boolean = false,
+                     txn: Option[(String, Long)] = None): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
     // CHECK constraints ride the write job itself (observe = metrics
@@ -707,7 +749,7 @@ final class TableStore(spark: SparkSession, root: String,
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
       publishManifest(table, v, carriedLines ++ newFiles,
-        cur.flatMap(rawColmap(table, _)))
+        cur.flatMap(rawColmap(table, _)), txn)
     }
   }
 
