@@ -8,13 +8,17 @@ import org.apache.spark.sql.functions._
   * extraction as batched per-partition functions — the Scala analogue
   * of `mapInPandas` (iterator-of-batches, no per-row JVM crossing).
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked DETERMINISTIC FAKE standing in for a real decoder
-  * (libjpeg/ffmpeg behind a vectorized native call). Everything else —
-  * the binary column, metadata schema, partition-batched extraction
-  * shape, and the feature aggregation — is the real plumbing a 100 TB
-  * multimodal pipeline needs (binary payloads stay distributed; only
-  * fixed-width features come back to columnar land).
+  * The container has no image/audio codec LIBRARIES, so `decodeStub`
+  * is a clearly-marked DETERMINISTIC FAKE standing in for a native
+  * decoder (libjpeg/ffmpeg behind a vectorized call) — but the batch
+  * interface is exercised by a REAL codec too: [[decodePpm]] decodes
+  * binary PPM (P6) images in pure JVM (header parse + every pixel),
+  * through the identical `mapPartitions` shape
+  * ([[extractImageFeatures]]). Everything else — the binary column,
+  * metadata schema, partition-batched extraction shape, and the
+  * feature aggregation — is the real plumbing a 100 TB multimodal
+  * pipeline needs (binary payloads stay distributed; only fixed-width
+  * features come back to columnar land).
   */
 object Multimodal {
 
@@ -54,6 +58,85 @@ object Multimodal {
         MediaFeatures(row.media_id, row.format, n, headSum, tail)
       }
     }
+  }
+
+  /** Per-image decoded features (REAL decode — see [[decodePpm]]). */
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL pure-JVM image decoder: binary PPM (P6) — magic, optional
+    * `#` comments, width/height/maxval header, one whitespace, then
+    * raw 8-bit RGB triplets. PPM needs no codec library, so unlike
+    * [[decodeStub]] this is an honest decode path: it validates the
+    * container and reads every pixel. Returns None on anything
+    * malformed (wrong magic, 2-byte maxval, truncated pixel data) —
+    * the real-pipeline behavior of dropping undecodable payloads
+    * instead of failing the job. */
+  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    var i = 0
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val c = bytes(i).toChar
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c.isWhitespace) i += 1
+        else in = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < bytes.length && (bytes(i) >= '0' && bytes(i) <= '9')) i += 1
+      if (i == start || i - start > 9) None
+      else Some(new String(bytes, start, i - start).toInt)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    i = 2
+    for {
+      w <- int(); h <- int(); maxval <- int()
+      if w > 0 && h > 0 && maxval > 0 && maxval < 256
+      // exactly ONE whitespace byte separates header from pixel data
+      if i < bytes.length && bytes(i).toChar.isWhitespace
+      n = w.toLong * h * 3
+      if n <= Int.MaxValue && bytes.length - (i + 1) >= n
+    } yield {
+      val base = i + 1
+      val sums = new Array[Double](3)
+      var p = 0
+      while (p < n) {
+        sums(p % 3) += (bytes(base + p) & 0xff)
+        p += 1
+      }
+      val px = w.toDouble * h
+      (w, h, sums.map(_ / px))
+    }
+  }
+
+  /** Decoded-image features through the SAME batched per-partition
+    * interface as [[extractFeatures]] — the codec call lives inside
+    * `mapPartitions`, payloads never leave their partition, and only
+    * fixed-width features return to columnar land. Undecodable
+    * payloads drop (flatMap over the decoder's Option). */
+  def extractImageFeatures(spark: SparkSession,
+                           media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.flatMap { row =>
+        decodePpm(row.bytes).map { case (w, h, means) =>
+          ImageFeatures(row.media_id, w, h, means(0), means(1), means(2))
+        }
+      }
+    }
+  }
+
+  /** Binary PPM (P6) encoder — the test/fixture half of
+    * [[decodePpm]]: `pixels` are row-major RGB triplets, one byte per
+    * channel. */
+  def encodePpm(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height * 3,
+      s"need ${width * height * 3} bytes, got ${pixels.length}")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    header ++ pixels
   }
 
   /** The same features as pure builtin EXPRESSIONS — no typed

@@ -55,4 +55,43 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
       s"all-pairs shape leaked into the plan:\n$plan")
   }
+
+  test("decodePpm decodes real P6 bytes: dimensions, pixel means, comments") {
+    // 2x2 image with known channel values
+    val px = Array[Int](
+      255, 0, 0,   0, 255, 0,
+      0, 0, 255,   255, 255, 255).map(_.toByte)
+    val img = Multimodal.encodePpm(2, 2, px)
+    val Some((w, h, means)) = Multimodal.decodePpm(img)
+    assert(w == 2 && h == 2)
+    // r: (255+0+0+255)/4, g: (0+255+0+255)/4, b: (0+0+255+255)/4
+    assert(means.toSeq == Seq(127.5, 127.5, 127.5))
+    // comments and flexible whitespace in the header parse per spec
+    val commented = ("P6\n# a comment\n2 2\n# another\n255\n"
+      .getBytes("US-ASCII")) ++ px
+    val Some((cw, ch, cMeans)) = Multimodal.decodePpm(commented)
+    assert(cw == 2 && ch == 2 && cMeans.toSeq == means.toSeq)
+    // malformed payloads drop, never throw
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes ++ px).isEmpty)
+    assert(Multimodal.decodePpm(img.dropRight(3)).isEmpty) // truncated pixels
+    assert(Multimodal.decodePpm("P6\n2 2\n65535\n".getBytes ++ px).isEmpty)
+    assert(Multimodal.decodePpm(Array.empty[Byte]).isEmpty)
+  }
+
+  test("extractImageFeatures runs the REAL codec through the batch interface") {
+    def gray(v: Int) = Array.fill(2 * 3 * 3)(v.toByte) // 2x3, all channels v
+    val media = Seq(
+      (1L, "ppm", Multimodal.encodePpm(2, 3, gray(10))),
+      (2L, "ppm", Multimodal.encodePpm(2, 3, gray(200))),
+      (3L, "bad", "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "format", "bytes")
+      .repartition(3) // batches span partitions; payloads never collect
+    val got = Multimodal.extractImageFeatures(spark, media)
+      .collect().sortBy(_.media_id)
+    assert(got.map(_.media_id).toSeq == Seq(1L, 2L)) // undecodable drops
+    assert(got.forall(f => f.width == 2 && f.height == 3))
+    assert(got.map(_.mean_r).toSeq == Seq(10.0, 200.0))
+    assert(got.map(_.mean_g).toSeq == Seq(10.0, 200.0))
+    assert(got.map(_.mean_b).toSeq == Seq(10.0, 200.0))
+  }
 }
