@@ -3,8 +3,8 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedIdentifier}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedIdentifier, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AddConstraint, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropConstraint, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
 /** SQL-text front door for the statements Spark can parse but not
@@ -128,6 +128,12 @@ object GraftSql {
         case a: AddColumns => executeAddColumns(spark, store, a, sql)
         case r: RenameColumn => executeRenameColumn(spark, store, r, sql)
         case d: DropColumns => executeDropColumns(spark, store, d, sql)
+        case a: AddCheckConstraint => executeAddCheck(spark, store, a, sql)
+        case a: AddConstraint => executeAddConstraint(spark, store, a, sql)
+        case d: DropConstraint => executeDropConstraint(spark, store, d, sql)
+        case p if p.collectFirst {
+          case tvf: UnresolvedTableValuedFunction if isTableChanges(tvf) => tvf
+        }.isDefined => executeTableChanges(spark, store, p, sql)
         case p if p.collectFirst { case tt: RelationTimeTravel => tt }.isDefined =>
           executeTimeTravelSelect(spark, store, p, sql)
         case _ => spark.sql(sql)
@@ -215,6 +221,97 @@ object GraftSql {
     case ut: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
       Some(ut.multipartIdentifier.last)
     case _ => None
+  }
+
+  /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` — compiled onto
+    * the store's write-time CHECK machinery ([[TableStore.addConstraint]]:
+    * existing rows validated by one read job, every later commit
+    * validates its batch via `observe`, zero extra passes). Spark
+    * parses the CHECK form into its own node whose child wraps the
+    * target relation. */
+  private def executeAddCheck(spark: SparkSession, store: TableStore,
+                              a: AddCheckConstraint, sqlText: String): DataFrame = {
+    val target = a.child.collectFirst {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last
+    }.getOrElse(return spark.sql(sqlText))
+    if (!store.exists(target)) return spark.sql(sqlText)
+    val c = a.checkConstraint
+    // an unnamed CHECK gets a deterministic content-derived name
+    val name = Option(c.userProvidedName).getOrElse(
+      s"chk_${Integer.toHexString(c.condition.hashCode & 0x7fffffff)}")
+    store.addConstraint(target, name, c.condition)
+    store.read(target)
+  }
+
+  /** Non-CHECK constraint forms (PRIMARY KEY / FOREIGN KEY / UNIQUE)
+    * would need global state a file store can't validate batch-locally
+    * — rejected loudly on graft tables, delegated otherwise. */
+  private def executeAddConstraint(spark: SparkSession, store: TableStore,
+                                   a: AddConstraint, sqlText: String): DataFrame = {
+    val target = alterTarget(a.table).getOrElse(return spark.sql(sqlText))
+    if (!store.exists(target)) return spark.sql(sqlText)
+    throw new IllegalArgumentException(
+      s"graft tables support only CHECK constraints, got " +
+        a.tableConstraint.getClass.getSimpleName)
+  }
+
+  /** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name`. */
+  private def executeDropConstraint(spark: SparkSession, store: TableStore,
+                                    d: DropConstraint, sqlText: String): DataFrame = {
+    val target = alterTarget(d.table).getOrElse(return spark.sql(sqlText))
+    if (!store.exists(target)) return spark.sql(sqlText)
+    val present = store.constraints(target).contains(d.name)
+    require(present || d.ifExists,
+      s"no constraint ${d.name} on $target " +
+        s"(have ${store.constraints(target).keys.mkString(", ")})")
+    if (present) store.dropConstraint(target, d.name)
+    store.read(target)
+  }
+
+  private def isTableChanges(tvf: UnresolvedTableValuedFunction): Boolean =
+    tvf.name.last.equalsIgnoreCase("table_changes")
+
+  /** `table_changes('t', fromV [, toV])` anywhere a relation can
+    * appear (Delta's CDF TVF): compiles onto [[TableStore.changes]] —
+    * O(changed data) over append-only ranges — via the same
+    * origin-span splice as time travel, so the feed composes with
+    * joins/aggregates, and the rewritten statement re-enters
+    * [[execute]] (a query mixing `table_changes` with `VERSION AS OF`
+    * resolves both). `toV` defaults to the current version. */
+  private def executeTableChanges(spark: SparkSession, store: TableStore,
+                                  plan: LogicalPlan, sqlText: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val tvfs = plan.collect {
+      case tvf: UnresolvedTableValuedFunction if isTableChanges(tvf) => tvf
+    }
+    val splices = tvfs.map { tvf =>
+      def lit(e: org.apache.spark.sql.catalyst.expressions.Expression): String =
+        e match {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes arguments must be literals, got ${other.sql}")
+        }
+      val args = tvf.functionArgs.map(lit)
+      require(args.size == 2 || args.size == 3,
+        "table_changes takes (table, fromVersion [, toVersion])")
+      val table = args.head
+      require(store.exists(table),
+        s"table_changes requires a graft table; $table is not one")
+      val fromV = args(1).toLong
+      val toV = args.lift(2).map(_.toLong)
+        .getOrElse(store.currentVersion(table).get)
+      val view = s"${table}__changes_${fromV}_$toV"
+      store.changes(table, fromV, toV).createOrReplaceTempView(view)
+      val st = tvf.origin.startIndex.getOrElse(
+        throw new IllegalStateException("parse origin lost for table_changes"))
+      (st, tvf.origin.stopIndex.get, view)
+    }
+    val rewritten = splices.sortBy(-_._1).foldLeft(sqlText) {
+      case (txt, (st, sp, repl)) =>
+        txt.substring(0, st) + repl + txt.substring(sp + 1)
+    }
+    execute(spark, store, rewritten)
   }
 
   /** `OPTIMIZE t [ZORDER BY (c1, c2, ...)]` — compaction through the

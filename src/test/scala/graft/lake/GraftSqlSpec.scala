@@ -699,6 +699,65 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("not one"))
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT through the SQL front door") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tcons", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    GraftSql.execute(spark, store,
+      "ALTER TABLE tcons ADD CONSTRAINT pos_id CHECK (id > 0)")
+    val e = intercept[IllegalArgumentException] {
+      store.append("tcons", Seq((-1, "bad")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("pos_id"))
+    // a constraint the EXISTING rows violate is rejected up front
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "ALTER TABLE tcons ADD CONSTRAINT big_id CHECK (id > 1)")
+    }
+    assert(e2.getMessage.contains("big_id"))
+    // non-CHECK constraint forms have no batch-local semantics here
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "ALTER TABLE tcons ADD CONSTRAINT pk PRIMARY KEY (id)")
+    }
+    GraftSql.execute(spark, store, "ALTER TABLE tcons DROP CONSTRAINT pos_id")
+    store.append("tcons", Seq((-1, "ok-now")).toDF("id", "v"))
+    assert(store.read("tcons").count() == 3)
+    GraftSql.execute(spark, store,
+      "ALTER TABLE tcons DROP CONSTRAINT IF EXISTS nope")
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "ALTER TABLE tcons DROP CONSTRAINT nope")
+    }
+  }
+
+  test("table_changes TVF composes with plain SQL over the feed") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tch", Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"))
+    store.append("tch", Seq((4, "d")).toDF("id", "v"))
+    store.appendWithDeletes("tch", Seq((5, "e")).toDF("id", "v"),
+      Seq(Tuple1(2)).toDF("id"))
+    // aggregate over the full feed (toV defaults to current)
+    val counts = GraftSql.execute(spark, store,
+      """SELECT _change_type, count(*) AS n
+        |FROM table_changes('tch', 0)
+        |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("insert" -> 2L, "delete" -> 1L))
+    // bounded range + projection + filter compose
+    assert(GraftSql.execute(spark, store,
+      """SELECT id FROM table_changes('tch', 0, 1)
+        |WHERE _change_type = 'insert' ORDER BY id""".stripMargin)
+      .as[Int].collect().toSeq == Seq(4))
+    // non-literal / unknown-table arguments fail loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "SELECT * FROM table_changes('tch', 1 + 1)")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "SELECT * FROM table_changes('absent', 0)")
+    }
+  }
+
   test("CONVERT TO GRAFT adopts a hive-partitioned parquet dir in place") {
     val root = tmpDir("gsql")
     val store = new TableStore(spark, root)
