@@ -32,26 +32,73 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
-  /** The plain attribute name under a Column, if it is a bare column
-    * reference (what every registered consumer passes). The node types
-    * are private[sql], so this goes by the printed form: a bare
-    * reference prints as exactly its (identifier) name, while any
-    * computed column prints as an expression. Misclassification is
-    * safe — a false negative just takes the narrow+join-back path. */
-  private val Ident = """[A-Za-z_][A-Za-z0-9_]*""".r
-  private def attrName(c: Column): Option[String] = c.toString match {
-    case s @ Ident() => Some(s)
-    case _ => None
+  /** The plain attribute name and sort direction under a Column, if it
+    * is a bare column reference, optionally wrapped in asc/desc (what
+    * every registered consumer passes). The node types are
+    * private[sql], so this goes by the printed form: a bare reference
+    * prints as exactly its (identifier) name, a directed one as
+    * `name ASC|DESC NULLS FIRST|LAST`, while any computed column
+    * prints as an expression. Misclassification is safe — a false
+    * negative just takes the narrow+join-back path (and a computed
+    * sort-order there fails fast, see [[narrowKeys]]). */
+  private val SortIdent =
+    """([A-Za-z_][A-Za-z0-9_]*)(?: (ASC|DESC) NULLS (FIRST|LAST))?""".r
+  private def parseOrder(c: Column): Option[(String, String)] =
+    c.toString match {
+      case SortIdent(n, null, null) => Some((n, ""))
+      case SortIdent(n, d, nf) => Some((n, s"$d:$nf"))
+      case _ => None
+    }
+  private def isSortWrapped(c: Column): Boolean =
+    c.toString.matches("(?s).* (ASC|DESC) NULLS (FIRST|LAST)")
+  private def applyDir(c: Column, dir: String): Column = dir match {
+    case "" => c
+    case "ASC:FIRST" => c.asc_nulls_first
+    case "ASC:LAST" => c.asc_nulls_last
+    case "DESC:FIRST" => c.desc_nulls_first
+    case "DESC:LAST" => c.desc_nulls_last
   }
 
-  /** True iff `keyCols` are all bare column references that cover
-    * `df`'s columns exactly — ranking in place checkpoints nothing
-    * beyond the keys then, so no narrowing is needed. */
+  /** True iff `keyCols` are all bare column references (any sort
+    * direction) that cover `df`'s columns exactly — ranking in place
+    * checkpoints nothing beyond the keys then, so no narrowing is
+    * needed. */
   private def coversFrame(df: DataFrame, keyCols: Seq[Column]): Boolean = {
-    val names = keyCols.map(attrName)
+    val names = keyCols.map(parseOrder)
     names.forall(_.isDefined) &&
-      names.flatten.map(_.toLowerCase).toSet ==
+      names.flatten.map(_._1.toLowerCase).toSet ==
         df.columns.map(_.toLowerCase).toSet
+  }
+
+  /** The narrow projection of `orderCols` under alias `prefix$i`, with
+    * sort directions lifted OUT of the projection (a SortOrder cannot
+    * be selected) and re-applied to the aliased keys, plus the
+    * null-safe join-back condition. A computed expression carrying a
+    * direction cannot be decomposed from outside catalyst, so it fails
+    * fast with a usable message instead of a downstream
+    * AnalysisException — alias it to a column first. */
+  private case class NarrowKeys(projection: Seq[Column], sortKeys: Seq[Column],
+                                joinConds: Seq[Column], keyNames: Seq[String])
+  private def narrowKeys(orderCols: Seq[Column], prefix: String): NarrowKeys = {
+    val keyNames = orderCols.indices.map(i => s"__gr_$prefix$i")
+    val parsed = orderCols.map(c => (c, parseOrder(c)))
+    val projection = parsed.zip(keyNames).map {
+      case ((_, Some((n, _))), kN) => col(n).as(kN)
+      case ((c, None), kN) =>
+        require(!isSortWrapped(c),
+          s"Ranking: cannot narrow a computed sort-order expression ($c) " +
+            "for a wide frame; alias the expression to a column first")
+        c.as(kN)
+    }
+    val sortKeys = parsed.zip(keyNames).map {
+      case ((_, Some((_, dir))), kN) => applyDir(col(kN), dir)
+      case ((_, None), kN) => col(kN)
+    }
+    val joinConds = parsed.zip(keyNames).map {
+      case ((_, Some((n, _))), kN) => col(n) <=> col(kN)
+      case ((c, None), kN) => c <=> col(kN)
+    }
+    NarrowKeys(projection, sortKeys, joinConds, keyNames)
   }
 
   /** Frame range-partitioned on the keys plus a pinned partition id,
@@ -100,20 +147,23 @@ object Ranking {
         row_number().over(w).cast("long") + offsetExpr(counts))
         .drop("__gr_pid"), total)
     } else {
-      val keyNames = orderCols.indices.map(i => s"__gr_k$i")
-      val narrow = df.select(
-        orderCols.zip(keyNames).map { case (c, n) => c.as(n) }: _*)
-      val keys = keyNames.map(col)
-      val (parted, counts, total) = rangeParted(narrow, keys, numPartitions)
-      val w = Window.partitionBy("__gr_pid").orderBy(keys: _*)
+      val nk = narrowKeys(orderCols, "k")
+      val narrow = df.select(nk.projection: _*)
+      val (parted, counts, total) = rangeParted(narrow, nk.sortKeys,
+        numPartitions)
+      val w = Window.partitionBy("__gr_pid").orderBy(nk.sortKeys: _*)
       val ranked = parted.withColumn(rankCol,
         row_number().over(w).cast("long") + offsetExpr(counts))
         .drop("__gr_pid")
       // total order ⇒ the key VALUES are a unique identity; null-safe
-      // so a NULL key component still finds its row
-      val cond = orderCols.zip(keys).map { case (o, k) => o <=> k }
-        .reduce(_ && _)
-      (df.join(ranked, cond).drop(keyNames: _*), total)
+      // so a NULL key component still finds its row. Collapsing to
+      // min(rank) per key tuple makes a VIOLATED total-order
+      // precondition degrade to shared ranks (the window's own tie
+      // behavior), never to join-back row multiplication.
+      val uniq = ranked.groupBy(nk.keyNames.map(col): _*)
+        .agg(min(rankCol).as(rankCol))
+      (df.join(uniq, nk.joinConds.reduce(_ && _)).drop(nk.keyNames: _*),
+        total)
     }
 
   /** Exact global 1-based row_number over the total order given by
@@ -140,17 +190,20 @@ object Ranking {
       groupedCore(df, groupCols, orderCols, outCol, numPartitions)
     else {
       val gNames = groupCols.indices.map(i => s"__gr_g$i")
-      val kNames = orderCols.indices.map(i => s"__gr_k$i")
+      val nk = narrowKeys(orderCols, "k")
       val narrow = df.select(
         (groupCols.zip(gNames).map { case (g, n) => col(g).as(n) } ++
-          orderCols.zip(kNames).map { case (c, n) => c.as(n) }): _*)
-      val ranked = groupedCore(narrow, gNames, kNames.map(col), outCol,
+          nk.projection): _*)
+      val ranked = groupedCore(narrow, gNames, nk.sortKeys, outCol,
         numPartitions)
+      // min-rank collapse: see withExactRank — a duplicate
+      // (group, key) tuple shares a rank instead of multiplying rows
+      val uniq = ranked.groupBy((gNames ++ nk.keyNames).map(col): _*)
+        .agg(min(outCol).as(outCol))
       val cond = (groupCols.zip(gNames).map { case (g, n) =>
         col(g) <=> col(n)
-      } ++ orderCols.zip(kNames).map { case (c, n) => c <=> col(n) })
-        .reduce(_ && _)
-      df.join(ranked, cond).drop((gNames ++ kNames): _*)
+      } ++ nk.joinConds).reduce(_ && _)
+      df.join(uniq, cond).drop((gNames ++ nk.keyNames): _*)
     }
 
   private def groupedCore(df: DataFrame, groupCols: Seq[String],

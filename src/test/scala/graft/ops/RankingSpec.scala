@@ -137,6 +137,61 @@ class RankingSpec extends SparkSpec {
     assertNarrowCheckpoints(got, 4)
   }
 
+  test("descending sort keys rank correctly on wide AND covering frames") {
+    val expected = wide.withColumn("r2", row_number()
+      .over(Window.orderBy(col("score").desc, col("id"))).cast("long"))
+    val got = Ranking.globalRowNumber(wide,
+      Seq(col("score").desc, col("id")), "r", numPartitions = 7)
+    assert(got.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+    assertNarrowCheckpoints(got, 3)
+    // covering frame: desc key ranks in place, same answer
+    val gotCover = Ranking.globalRowNumber(df,
+      Seq(col("score").desc, col("id")), "r", numPartitions = 7)
+    assert(gotCover.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+    // nulls-first variant must not silently invert
+    val gotNf = Ranking.globalRowNumber(wide,
+      Seq(col("score").desc_nulls_first, col("id")), "r", numPartitions = 7)
+    assert(gotNf.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+  }
+
+  test("groupedRowNumber honors descending keys on a wide frame") {
+    val g = wide.withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
+    val expected = g.withColumn("r2", row_number()
+      .over(Window.partitionBy("grp").orderBy(col("score").desc, col("id")))
+      .cast("long"))
+    val got = Ranking.groupedRowNumber(g, Seq("grp"),
+      Seq(col("score").desc, col("id")), "r", numPartitions = 7)
+    assert(got.join(expected, Seq("id"))
+      .where(col("r") =!= col("r2")).count() == 0)
+  }
+
+  test("a computed sort-order on a wide frame fails fast, not downstream") {
+    val e = intercept[IllegalArgumentException] {
+      Ranking.globalRowNumber(wide,
+        Seq((col("score") * 2).desc, col("id")), "r")
+    }
+    assert(e.getMessage.contains("alias the expression"))
+  }
+
+  test("duplicate key tuples degrade to shared ranks, never extra rows") {
+    // score alone is NOT a total order: ~97 distinct values over 1037
+    // rows. The join-back must keep exactly one output row per input
+    // row (shared ranks), not multiply matches.
+    val got = Ranking.globalRowNumber(wide, Seq(col("score")), "r",
+      numPartitions = 7)
+    assert(got.count() === 1037)
+    // ranks are still plausible positions: min 1, all within 1..1037
+    val mm = got.agg(min("r"), max("r")).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) <= 1037L)
+    val g = wide.withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
+    val gotG = Ranking.groupedRowNumber(g, Seq("grp"), Seq(col("score")), "r",
+      numPartitions = 7)
+    assert(gotG.count() === 1037)
+  }
+
   test("groupedRowNumber on an empty frame returns empty with the rank column") {
     val g = df.where(lit(false))
       .withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
