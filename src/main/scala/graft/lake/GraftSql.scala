@@ -406,7 +406,7 @@ object GraftSql {
     } yield txt.substring(st, sp + 1)).getOrElse(
       throw new IllegalArgumentException(
         "cannot recover the CTAS source query text from the parse"))
-    store.create(target, spark.sql(queryText), partitionBy = parts)
+    store.create(target, runQuery(spark, store, queryText), partitionBy = parts)
     store.read(target)
   }
 
@@ -453,7 +453,7 @@ object GraftSql {
     } yield txt.substring(st, sp + 1)).getOrElse(
       throw new IllegalArgumentException(
         "cannot recover the INSERT source query text from the parse"))
-    val src = spark.sql(queryText)
+    val src = runQuery(spark, store, queryText)
 
     require(i.partitionSpec.values.forall(_.isDefined),
       "PARTITION values must be literal; a dynamic spec is implicit " +
@@ -733,7 +733,25 @@ object GraftSql {
     * Metadata-only until the final `spark.sql` runs: pinning a
     * snapshot is O(manifest), never a data copy. */
   private def executeTimeTravelSelect(spark: SparkSession, store: TableStore,
-                                      plan: LogicalPlan, sqlText: String): DataFrame = {
+                                      plan: LogicalPlan, sqlText: String): DataFrame =
+    spark.sql(rewriteTimeTravel(spark, store, plan, sqlText))
+
+  /** Run a source query (INSERT / CTAS body) that may itself use
+    * `VERSION AS OF` / `TIMESTAMP AS OF` — plain `spark.sql` would
+    * reject time travel on a temp view, making snapshots unreadable
+    * exactly where they matter most (re-loading a target from a pinned
+    * source version). Text offsets from this fresh parse are relative
+    * to `queryText` itself, so the splice stays aligned. */
+  private def runQuery(spark: SparkSession, store: TableStore,
+                       queryText: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(queryText)
+    if (plan.collectFirst { case tt: RelationTimeTravel => tt }.isDefined)
+      spark.sql(rewriteTimeTravel(spark, store, plan, queryText))
+    else spark.sql(queryText)
+  }
+
+  private def rewriteTimeTravel(spark: SparkSession, store: TableStore,
+                                plan: LogicalPlan, sqlText: String): String = {
     val tts = plan.collect { case tt: RelationTimeTravel => tt }
     val splices = tts.map { tt =>
       val table = tableName(tt.relation)
@@ -766,11 +784,10 @@ object GraftSql {
       (st, sp, view)
     }
     // splice back-to-front so earlier offsets stay valid
-    val rewritten = splices.sortBy(-_._1).foldLeft(sqlText) {
+    splices.sortBy(-_._1).foldLeft(sqlText) {
       case (txt, (st, sp, repl)) =>
         txt.substring(0, st) + repl + txt.substring(sp + 1)
     }
-    spark.sql(rewritten)
   }
 
   /** Evaluate a TIMESTAMP AS OF operand — any expression Spark can

@@ -99,6 +99,13 @@ final class TableStore(spark: SparkSession, root: String,
   def readVersion(table: String, v: Long): DataFrame =
     columnMapping(table, v).applyRead(readLines(table, manifest(table, v)))
 
+  /** Version `v`'s rows viewed under version `schemaV`'s column
+    * mapping — how `changes(_, fromV, toV)` sees its fromV endpoint.
+    * Exposed within the package for feed-telescoping assertions. */
+  private[lake] def readVersionAs(table: String, v: Long,
+                                  schemaV: Long): DataFrame =
+    columnMapping(table, schemaV).applyRead(readLines(table, manifest(table, v)))
+
   private def readLines(table: String, lines: Seq[String]): DataFrame = {
     val prefix = tablePath(table).toString
     // Commit group = the d-<uuid> dir the file was written into. Find
@@ -588,17 +595,20 @@ final class TableStore(spark: SparkSession, root: String,
     * first (its SQL would silently stop matching rows). */
   def renameColumn(table: String, from: String, to: String): Unit = {
     ColumnMapping.requireMappable(to); ColumnMapping.requireMappable(from)
-    val logical = read(table).columns
-    require(logical.exists(_.equalsIgnoreCase(from)),
-      s"no column $from in $table (have ${logical.mkString(", ")})")
-    require(!logical.exists(_.equalsIgnoreCase(to)),
-      s"column $to already exists in $table")
-    require(!partitioning(table).exists(_.equalsIgnoreCase(from)),
-      s"cannot rename partition column $from: the hive layout is physical")
-    requireNoConstraintRef(table, from)
     commitMeta(table, cur => {
       val v = cur.getOrElse(
         throw new IllegalStateException(s"table $table does not exist"))
+      // validated INSIDE the claim loop, against the winning claim's
+      // version — a racing ADD COLUMNS / rename must re-fail the
+      // checks, not slip between a stale validation and the commit
+      val logical = readVersion(table, v).columns
+      require(logical.exists(_.equalsIgnoreCase(from)),
+        s"no column $from in $table (have ${logical.mkString(", ")})")
+      require(!logical.exists(_.equalsIgnoreCase(to)),
+        s"column $to already exists in $table")
+      require(!partitioning(table).exists(_.equalsIgnoreCase(from)),
+        s"cannot rename partition column $from: the hive layout is physical")
+      requireNoConstraintRef(table, from)
       val m = columnMapping(table, v)
       val phys = m.physicalOf(from)
       // OTHER columns' physical names are off-limits; renaming BACK to
@@ -624,16 +634,17 @@ final class TableStore(spark: SparkSession, root: String,
     * via OPTIMIZE first if the name must return). O(manifest). */
   def dropColumn(table: String, name: String): Unit = {
     ColumnMapping.requireMappable(name)
-    val logical = read(table).columns
-    require(logical.exists(_.equalsIgnoreCase(name)),
-      s"no column $name in $table (have ${logical.mkString(", ")})")
-    require(logical.length > 1, s"cannot drop the only column of $table")
-    require(!partitioning(table).exists(_.equalsIgnoreCase(name)),
-      s"cannot drop partition column $name: the hive layout is physical")
-    requireNoConstraintRef(table, name)
     commitMeta(table, cur => {
       val v = cur.getOrElse(
         throw new IllegalStateException(s"table $table does not exist"))
+      // inside the claim loop for the same reason as renameColumn
+      val logical = readVersion(table, v).columns
+      require(logical.exists(_.equalsIgnoreCase(name)),
+        s"no column $name in $table (have ${logical.mkString(", ")})")
+      require(logical.length > 1, s"cannot drop the only column of $table")
+      require(!partitioning(table).exists(_.equalsIgnoreCase(name)),
+        s"cannot drop partition column $name: the hive layout is physical")
+      requireNoConstraintRef(table, name)
       val m = columnMapping(table, v)
       val phys = m.physicalOf(name)
       val stats = { val p = statsPath(table, v)
@@ -778,7 +789,14 @@ final class TableStore(spark: SparkSession, root: String,
       }
       val v = cur.map(_ + 1).getOrElse(0L)
       if (claims.tryClaim(tablePath(table), v)) {
-        publish(cur, v)
+        // a failed publish (validation inside the claim, a write error)
+        // must release the claim — leaking it wedges EVERY later commit
+        // to this table until recoverStaleClaims' TTL expires. NonFatal
+        // only: a dying JVM can't guarantee cleanup, which is exactly
+        // the crash window TTL recovery exists for
+        try publish(cur, v)
+        catch { case scala.util.control.NonFatal(t) =>
+          claims.deleteClaim(tablePath(table), v); throw t }
         committed = true
       } else Thread.sleep(math.min(250L, 2L * attempts))
     }
@@ -857,18 +875,25 @@ final class TableStore(spark: SparkSession, root: String,
   def changes(table: String, fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bc, col, lit}
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
-    val from = manifest(table, fromV)
-    val fromSet = from.toSet
+    // every version in the range is consulted both as "current" and
+    // "previous" — read each manifest file once
+    val man = scala.collection.mutable.LongMap.empty[Seq[String]]
+    def mf(v: Long): Seq[String] = man.getOrElseUpdate(v, manifest(table, v))
+    val from = mf(fromV)
+    // the whole feed surfaces under the LATEST (toV) schema,
+    // Delta-CDF-style: files and delete keys store PHYSICAL names, so
+    // mapping every version through toV's colmap makes a range that
+    // spans a RENAME emit one column under its current name (not an
+    // old-name/new-name pair, each half-null), and a column dropped
+    // by toV is absent from the whole feed
+    val mvTo = columnMapping(table, toV)
     val perVersion = ((fromV + 1) to toV).map { v =>
-      val prev = manifest(table, v - 1).toSet
-      (v, manifest(table, v).filterNot(prev))
+      val prev = mf(v - 1).toSet
+      (v, mf(v).filterNot(prev))
     }
-    val appendOnly = from.forall(manifest(table, toV).contains)
+    val appendOnly = from.forall(mf(toV).contains)
     if (appendOnly) {
       val feeds = perVersion.flatMap { case (v, newLines) =>
-        // each commit's rows surface under ITS version's LOGICAL names
-        // (files and delete keys store physical names)
-        val mv = columnMapping(table, v)
         // inserts: this commit's own data files, as committed (its del
         // lines precede them in the manifest, so they exempt these
         // rows by construction). Emitted UN-netted: a row inserted at
@@ -878,7 +903,7 @@ final class TableStore(spark: SparkSession, root: String,
         // under plain bag algebra, per version or all at once.
         val ins =
           if (newLines.exists(!_.startsWith(DelPrefix)))
-            Some(mv.applyRead(readLines(table, newLines))
+            Some(mvTo.applyRead(readLines(table, newLines))
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v)))
           else None
@@ -894,7 +919,7 @@ final class TableStore(spark: SparkSession, root: String,
           if (delFiles.nonEmpty) {
             val keys = spark.read.option("mergeSchema", "true")
               .parquet(delFiles: _*)
-            Some(mv.applyRead(readLines(table, manifest(table, v - 1))
+            Some(mvTo.applyRead(readLines(table, mf(v - 1))
                 .join(bc(keys), keys.columns.toSeq, "left_semi"))
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v)))
@@ -907,11 +932,17 @@ final class TableStore(spark: SparkSession, root: String,
           .withColumn("_commit_version", lit(0L))
       } else feeds.reduce(_.unionByName(_, allowMissingColumns = true))
     } else {
-      val a = readVersion(table, fromV)
-      val b = readVersion(table, toV)
-      // align schemas (evolution adds columns): null-fill each side
-      val allCols = a.columns ++ b.columns.filterNot(a.columns.contains)
-      def aligned(df: DataFrame) = df.select(allCols.toIndexedSeq.map { c =>
+      // both endpoints read RAW and map through toV's colmap (see
+      // above) so a rename inside the range still diffs one column
+      val a = mvTo.applyRead(readLines(table, from))
+      val b = mvTo.applyRead(readLines(table, mf(toV)))
+      // the diff runs under toV's schema exactly: a column added since
+      // fromV null-fills the old side (typed from toV), and a column
+      // present only at fromV (its files all rewritten away by a
+      // narrowing overwrite) is absent from the feed — same
+      // latest-schema rule the rename story above applies
+      val allCols = b.columns.toIndexedSeq
+      def aligned(df: DataFrame) = df.select(allCols.map { c =>
         if (df.columns.contains(c)) col(c)
         else lit(null).cast(b.schema(c).dataType).as(c)
       }: _*)

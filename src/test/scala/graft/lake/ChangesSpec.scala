@@ -17,12 +17,21 @@ class ChangesSpec extends SparkSpec {
   private def telescopes(store: TableStore, table: String,
                          fromV: Long, toV: Long): Unit = {
     val feed = store.changes(table, fromV, toV)
-    val cols = store.read(table).columns.toSeq
+    // the feed surfaces under toV's schema — view both snapshots the
+    // same way (a rename mid-range makes fromV's own names differ),
+    // null-filling columns the snapshot genuinely predates
+    val cols = feed.columns.toSeq
+      .filterNot(Set("_change_type", "_commit_version"))
+    def aligned(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else org.apache.spark.sql.functions.lit(null)
+          .cast(feed.schema(c).dataType).as(c)): _*)
     val ins = feed.where($"_change_type" === "insert").select(cols.map(col): _*)
     val del = feed.where($"_change_type" === "delete").select(cols.map(col): _*)
-    val applied = store.readVersion(table, fromV).select(cols.map(col): _*)
+    val applied = aligned(store.readVersionAs(table, fromV, toV))
       .unionByName(ins).exceptAll(del)
-    val want = store.readVersion(table, toV).select(cols.map(col): _*)
+    val want = aligned(store.readVersionAs(table, toV, toV))
     assert(applied.exceptAll(want).isEmpty && want.exceptAll(applied).isEmpty,
       s"feed does not telescope $fromV -> $toV")
   }
@@ -112,6 +121,46 @@ class ChangesSpec extends SparkSpec {
       (4, "insert")))
     pull() // idempotent at head
     assert(cursor == 3L && seen.size == 4)
+  }
+
+  test("a feed spanning a RENAME surfaces one column, under the latest name") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a")).toDF("id", "v"))
+    store.append("t", Seq((2, "b")).toDF("id", "v"))   // pre-rename commit
+    store.renameColumn("t", "v", "val")                // metadata-only
+    store.append("t", Seq((3, "c")).toDF("id", "val")) // post-rename commit
+    val feed = store.changes("t", 0L, 3L)
+    // latest-schema semantics (Delta CDF): ONE value column named per
+    // the toV mapping — not an old-name/new-name pair, each half-null
+    assert(feed.columns.toSet ==
+      Set("id", "val", "_change_type", "_commit_version"))
+    val rows = feed.select($"id", $"val", $"_commit_version")
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((2, "b", 1L), (3, "c", 3L)))
+    assert(feed.where($"val".isNull).isEmpty)
+    telescopes(store, "t", 0L, 3L)
+    // and across a rename + rewrite (fallback diff path) too
+    store.compact("t")
+    telescopes(store, "t", 0L, 4L)
+  }
+
+  test("a rewrite that narrows the schema diffs under the toV schema") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "v", "w"))
+    // overwrite drops column w entirely: latest-schema semantics mean
+    // the feed carries only toV's columns — w is gone, and the diff
+    // runs on (id, v) so the row unchanged there does not churn
+    store.overwrite("t", Seq((1, "a"), (3, "c")).toDF("id", "v"))
+    val feed = store.changes("t", 0L, 1L)
+    assert(feed.columns.toSet ==
+      Set("id", "v", "_change_type", "_commit_version"))
+    val dels = feed.where($"_change_type" === "delete")
+      .select($"id", $"v").as[(Int, String)].collect().sortBy(_._1)
+    assert(dels.toSeq == Seq((2, "b")))
+    val ins = feed.where($"_change_type" === "insert")
+      .select($"id", $"v").as[(Int, String)].collect().sortBy(_._1)
+    assert(ins.toSeq == Seq((3, "c")))
+    telescopes(store, "t", 0L, 1L)
   }
 
   test("mixed history telescopes end-to-end and per step") {

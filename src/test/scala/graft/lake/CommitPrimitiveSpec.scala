@@ -40,21 +40,34 @@ final class FakeS3Primitive extends CommitPrimitive {
     bucket.remove(key(tableDir, v))
 }
 
-/** One-shot fault injector: a writer that dies between winning the
+/** One-shot fault injector: a writer that DIES between winning the
   * claim and publishing the manifest — the crash window TTL recovery
-  * exists for. Wraps either real primitive. */
+  * exists for. A dead process can't run its own exception cleanup, so
+  * the crash also swallows the claim release the in-process failure
+  * path would perform; an ordinary publish exception (validation,
+  * write error) releases the claim and is tested elsewhere. */
 final class Crashable(inner: CommitPrimitive) extends CommitPrimitive {
   @volatile var crashNextPublish = false
+  @volatile var failNextPublish = false // survivable error, writer lives on
+  @volatile private var dead = false
   override def tryClaim(d: Path, v: Long): Boolean = inner.tryClaim(d, v)
   override def publish(m: Path, c: String): Unit = {
     if (crashNextPublish) {
       crashNextPublish = false
+      dead = true
       throw new RuntimeException("simulated writer crash before publish")
+    }
+    if (failNextPublish) {
+      failNextPublish = false
+      throw new RuntimeException("simulated transient publish failure")
     }
     inner.publish(m, c)
   }
   override def listClaims(d: Path): Seq[(Long, Long)] = inner.listClaims(d)
-  override def deleteClaim(d: Path, v: Long): Unit = inner.deleteClaim(d, v)
+  override def deleteClaim(d: Path, v: Long): Unit = {
+    if (dead) { dead = false; return } // the crashed writer's release never ran
+    inner.deleteClaim(d, v)
+  }
 }
 
 /** The commit protocol's concurrency guarantees, proven against BOTH
@@ -124,6 +137,23 @@ class CommitPrimitiveSpec extends SparkSpec {
       assert(store.currentVersion("t").contains(1L))
       assert(store.read("t").select("id").as[Int].collect().sorted
         .toSeq == Seq(1, 2))
+    }
+
+    test(s"[$name] a SURVIVING publish failure releases its claim at once") {
+      val crashable = new Crashable(mk())
+      val store = new TableStore(spark, tmpDir("cp"), Some(crashable))
+      store.create("t", Seq((1, "a")).toDF("id", "v"))
+      crashable.failNextPublish = true
+      intercept[RuntimeException] {
+        store.append("t", Seq((2, "b")).toDF("id", "v"))
+      }
+      // the live writer released v1 on its way out: the next commit
+      // claims it immediately — no TTL takeover, no 100-attempt stall
+      assert(store.currentVersion("t").contains(0L))
+      store.append("t", Seq((3, "c")).toDF("id", "v"))
+      assert(store.currentVersion("t").contains(1L))
+      assert(store.read("t").select("id").as[Int].collect().sorted
+        .toSeq == Seq(1, 3))
     }
   }
 }
