@@ -65,6 +65,8 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([A-Za-z_]\w*)\s*(?:RETAIN\s+(\d+)\s+(HOURS?|VERSIONS?))?\s*;?\s*$""".r
   private val HistoryStmt =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val DetailStmt =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val RestoreStmt =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTsStmt =
@@ -92,6 +94,10 @@ object GraftSql {
         // time — metadata-only (manifests + stats sidecars, no scan)
         require(store.exists(table), s"unknown graft table $table")
         store.history(table)
+      case DetailStmt(table) =>
+        // one row of current-state metadata, no scan
+        require(store.exists(table), s"unknown graft table $table")
+        store.detail(table)
       case RestoreStmt(table, v) =>
         // O(1) rollback: a NEW commit whose manifest copies version v's
         require(store.exists(table), s"unknown graft table $table")

@@ -1035,6 +1035,37 @@ final class TableStore(spark: SparkSession, root: String,
       "n_rows", "committed_at")
   }
 
+  /** DESCRIBE DETAIL equivalent: ONE row of current-state table
+    * metadata — location, version, commit times, file/byte/row
+    * tallies, partitioning, constraints, and the column-mapping
+    * exceptions (renames as `logical<-physical`, drops by physical
+    * name). Driver-side metadata only (manifests, sidecars, footer
+    * stats); `n_rows` is null exactly when `fastRowCount` can't be
+    * exact (pending MoR deletes or a pre-stats commit). */
+  def detail(table: String): DataFrame = {
+    import spark.implicits._
+    val cur = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist"))
+    val retained = versions(table)
+    val lines = manifest(table, cur)
+    val (dels, data) = lines.partition(_.startsWith(DelPrefix))
+    val bytes = data.map { f =>
+      val p = new Path(f); fs(p).getFileStatus(p).getLen }.sum
+    val m = columnMapping(table, cur)
+    Seq((table, tablePath(table).toString, cur, retained.size,
+      new java.sql.Timestamp(commitTimeMs(table, retained.head)),
+      new java.sql.Timestamp(commitTimeMs(table, cur)),
+      data.size, dels.size, bytes, fastRowCount(table),
+      partitioning(table), constraints(table).keys.toSeq.sorted,
+      m.renames.toSeq.sorted.map { case (l, p) => s"$l<-$p" },
+      m.dropped.toSeq.sorted))
+      .toDF("table", "location", "version", "n_retained_versions",
+        "oldest_retained_at", "last_committed_at", "n_files",
+        "n_delete_entries", "total_bytes", "n_rows",
+        "partition_columns", "constraints", "renamed_columns",
+        "dropped_columns")
+  }
+
   /** Cursor-based incremental consumption: the feed from `cursor` to
     * the current version plus the new cursor, or None when nothing
     * committed since. A downstream sync loop is just

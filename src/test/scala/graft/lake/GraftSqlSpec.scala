@@ -508,6 +508,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(h.columns.contains("n_files") && h.columns.contains("committed_at"))
   }
 
+  test("DESCRIBE DETAIL returns one current-state metadata row, no scan") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tdet", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    store.append("tdet", Seq((3, "c")).toDF("id", "v"))
+    store.renameColumn("tdet", "v", "val")
+    val d = GraftSql.execute(spark, store, "DESCRIBE DETAIL tdet")
+    assert(d.count() == 1)
+    val row = d.head()
+    assert(row.getAs[Long]("version") == 2L)
+    assert(row.getAs[Int]("n_retained_versions") == 3)
+    assert(row.getAs[Int]("n_files") >= 2)
+    assert(row.getAs[Int]("n_delete_entries") == 0)
+    assert(row.getAs[Long]("total_bytes") > 0L)
+    assert(row.getAs[Long]("n_rows") == 3L) // exact from footer stats
+    assert(row.getAs[scala.collection.Seq[String]]("renamed_columns")
+      .toSeq == Seq("val<-v"))
+    // a MoR delete makes the metadata row count honest (null), and
+    // delete entries visible
+    store.appendWithDeletes("tdet", spark.emptyDataset[(Int, String)]
+      .toDF("id", "val"), Seq(1).toDF("id"))
+    val d2 = store.detail("tdet").head()
+    assert(d2.getAs[Int]("n_delete_entries") == 1)
+    assert(d2.isNullAt(d2.fieldIndex("n_rows")))
+    intercept[Exception] {
+      GraftSql.execute(spark, store, "DESCRIBE DETAIL missing_table")
+    }
+  }
+
   test("ALTER TABLE ADD COLUMNS evolves the schema without rewriting data") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("talter", Seq((1, "a"), (2, "b")).toDF("id", "v"))
