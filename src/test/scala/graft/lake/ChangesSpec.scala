@@ -16,24 +16,7 @@ class ChangesSpec extends SparkSpec {
   /** bag-apply the feed to `from` and check it equals `to`. */
   private def telescopes(store: TableStore, table: String,
                          fromV: Long, toV: Long): Unit = {
-    val feed = store.changes(table, fromV, toV)
-    // the feed surfaces under toV's schema — view both snapshots the
-    // same way (a rename mid-range makes fromV's own names differ),
-    // null-filling columns the snapshot genuinely predates
-    val cols = feed.columns.toSeq
-      .filterNot(Set("_change_type", "_commit_version"))
-    def aligned(df: org.apache.spark.sql.DataFrame) =
-      df.select(cols.map(c =>
-        if (df.columns.contains(c)) col(c)
-        else org.apache.spark.sql.functions.lit(null)
-          .cast(feed.schema(c).dataType).as(c)): _*)
-    val ins = feed.where($"_change_type" === "insert").select(cols.map(col): _*)
-    val del = feed.where($"_change_type" === "delete").select(cols.map(col): _*)
-    val applied = aligned(store.readVersionAs(table, fromV, toV))
-      .unionByName(ins).exceptAll(del)
-    val want = aligned(store.readVersionAs(table, toV, toV))
-    assert(applied.exceptAll(want).isEmpty && want.exceptAll(applied).isEmpty,
-      s"feed does not telescope $fromV -> $toV")
+    FeedLaws.telescopes(store, table, fromV, toV)
   }
 
   test("append-only feed reads only the new files, attributed per version") {
