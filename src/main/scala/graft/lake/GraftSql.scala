@@ -67,6 +67,8 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val DetailStmt =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val SetPartitionedStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+PARTITIONED\s+BY\s*\(\s*([^)]*?)\s*\)\s*;?\s*$""".r
   private val RestoreStmt =
     """(?is)^\s*RESTORE\s+TABLE\s+([A-Za-z_]\w*)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val RestoreTsStmt =
@@ -97,6 +99,13 @@ object GraftSql {
       case DetailStmt(table) =>
         // one row of current-state metadata, no scan
         require(store.exists(table), s"unknown graft table $table")
+        store.detail(table)
+      case SetPartitionedStmt(table, cols) =>
+        // partition evolution: future writes only, no rewrite;
+        // `SET PARTITIONED BY ()` makes new commits unpartitioned
+        require(store.exists(table), s"unknown graft table $table")
+        store.setPartitioning(table,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         store.detail(table)
       case RestoreStmt(table, v) =>
         // O(1) rollback: a NEW commit whose manifest copies version v's

@@ -499,6 +499,7 @@ final class TableStore(spark: SparkSession, root: String,
       s"table $table is not partitioned; use overwrite")
     require(deleteDebt(table) == 0,
       s"table $table has pending merge-on-read deletes; compact first")
+    requireCurrentLayout(table)
     val touchedSet = touched.toSet
     commit(table, df,
       carried = cur => cur.map(manifest(table, _)
@@ -515,11 +516,73 @@ final class TableStore(spark: SparkSession, root: String,
     rel.split("/").drop(1).dropRight(1).mkString("/")
   }
 
-  /** Partition columns recorded at create time (empty = unpartitioned). */
+  /** Partition-column NAMES a data file's hive path encodes, in dir
+    * order — the layout the file was actually written under. */
+  private def partitionKeysOf(fileUri: String): Seq[String] =
+    fileUri.split('/').dropRight(1).filter(_.contains("="))
+      .map(_.takeWhile(_ != '=').toLowerCase).toSeq
+
+  /** CURRENT partition layout — the one new commits write under
+    * (empty = unpartitioned). Iceberg-style default spec: evolution
+    * updates it for FUTURE writes only; already-written files keep
+    * their own hive dirs, and the per-commit-group `basePath` read
+    * resolves each era's dirs into columns, union-by-name aligning
+    * the eras (a column that is a dir in one era is plain file data
+    * in the other). */
   def partitioning(table: String): Seq[String] = {
     val meta = new Path(tablePath(table), "_PARTITIONING")
     if (!fs(meta).exists(meta)) Seq.empty
     else readSmallFile(meta).trim.split(",").toSeq.filter(_.nonEmpty)
+  }
+
+  /** Partition evolution: change the layout NEW commits write under —
+    * a metadata commit, never a rewrite (at 100 TB, re-laying a table
+    * out must be a choice, not a prerequisite). Old files stay under
+    * their old dirs and keep reading correctly (see [[partitioning]]);
+    * a later `compact`/OPTIMIZE folds everything into the new layout.
+    * Publishes a content-identical manifest version so the evolution
+    * shows in DESCRIBE HISTORY and serializes against racing commits;
+    * the `_PARTITIONING` update itself is the authoritative switch.
+    * Partition dirs store values by NAME, so renamed columns (whose
+    * files store the physical name) are rejected. */
+  def setPartitioning(table: String, newParts: Seq[String]): Unit = {
+    newParts.foreach(ColumnMapping.requireMappable)
+    require(newParts.map(_.toLowerCase).distinct.size == newParts.size,
+      s"duplicate partition columns in ${newParts.mkString(",")}")
+    claimLoop(table, mustCreate = false) { (cur, v) =>
+      val c = cur.getOrElse(
+        throw new IllegalStateException(s"table $table does not exist"))
+      val logical = readVersion(table, c).columns
+      val m = columnMapping(table, c)
+      newParts.foreach { p =>
+        require(logical.exists(_.equalsIgnoreCase(p)),
+          s"no column $p in $table (have ${logical.mkString(", ")})")
+        require(m.physicalOf(p).equalsIgnoreCase(p),
+          s"cannot partition on renamed column $p: hive dirs store the " +
+            "current name, files the physical one — OPTIMIZE first")
+      }
+      val stats = { val p = statsPath(table, c)
+        if (fs(p).exists(p)) readSmallFile(p) else "" }
+      writeSmallFile(statsPath(table, v), stats)
+      writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
+        newParts.mkString(","))
+      publishManifest(table, v, manifest(table, c), rawColmap(table, c))
+    }
+  }
+
+  /** Loud guard for operations whose partition arithmetic assumes
+    * every live data file sits under the CURRENT layout (partition-
+    * scoped overwrite): after an evolution, pre-evolution files would
+    * silently escape the touched-dir filter. */
+  private def requireCurrentLayout(table: String): Unit = {
+    val parts = partitioning(table).map(_.toLowerCase)
+    val v = currentVersion(table).getOrElse(return)
+    val bad = manifest(table, v).filterNot(_.startsWith(DelPrefix))
+      .filterNot(f => partitionKeysOf(f) == parts)
+    require(bad.isEmpty,
+      s"table $table carries files from an earlier partition layout " +
+        s"(e.g. ${bad.take(2).mkString(", ")}); OPTIMIZE or compact " +
+        "into the current layout first")
   }
 
   /** File list composing a retained version (`#`-prefixed header lines
