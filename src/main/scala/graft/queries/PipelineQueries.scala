@@ -871,6 +871,43 @@ object PipelineQueries {
         |FROM final GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin))
 
+  /** Partition evolution end-to-end: a customer slice created
+    * hive-partitioned on c_mktsegment, evolved (metadata-only, no
+    * rewrite) to partition NEW writes on c_nationkey, a second-era
+    * append through the SQL front door, then a compact folding both
+    * eras into the current layout. Content is layout-invariant — the
+    * oracle is plain set algebra over `customer` — while what the
+    * query actually proves is the mixed-era read (one era's dir
+    * column is the other's file data, aligned by the per-group
+    * basePath read) and the fold. At 100 TB the evolution itself
+    * costs one metadata commit; the rewrite happens only when
+    * maintenance chooses to. */
+  val partitionEvolution: Entry = Entry(
+    "partition_evolution_e2e",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-pevo"))
+      val c = t(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      store.create("cust", c.where(col("c_custkey") % 3 === 0),
+        partitionBy = Seq("c_mktsegment"))
+      GraftSql.execute(s, store,
+        "ALTER TABLE cust SET PARTITIONED BY (c_nationkey)")
+      store.append("cust", c.where(col("c_custkey") % 3 === 1))
+      store.compact("cust")
+      store.read("cust")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+        .select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("c_nationkey"),
+          col("n"), col("bal"))
+        .orderBy("c_mktsegment", "c_nationkey")
+    },
+    Some("""SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer WHERE c_custkey % 3 IN (0, 1)
+        |GROUP BY c_mktsegment, c_nationkey
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin))
+
   /** The INSERT front door (GraftSql): positional INSERT INTO append,
     * then a partition-scoped INSERT OVERWRITE that replaces ONE hive
     * partition while every other partition's files are carried by
@@ -1178,7 +1215,7 @@ object PipelineQueries {
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
     sqlInsert, sqlLifecycle, sqlRestoreClone, sqlTimeTravelDiff,
-    sqlColumnMapping, convertInPlace, dqAudit,
+    sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     tableChanges, cdfAggregate, rollupRefresh,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
