@@ -38,7 +38,7 @@ class MaintenancePropertySpec extends SparkSpec {
         snapshots = snapshots.filter { case (v, _) => live(v) }
       }
       for (step <- 1 to 14) {
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // append
             val rows = freshRows(1 + rnd.nextInt(3))
             store.append(t, df(rows)); content ++= rows
@@ -65,6 +65,11 @@ class MaintenancePropertySpec extends SparkSpec {
             val v = vs(rnd.nextInt(vs.size))
             GraftSql.execute(spark, store, s"RESTORE TABLE $t VERSION AS OF $v")
             content = snapshots(v)
+          case 6 => // partition evolution: content-neutral by design —
+            // future writes land under the new layout, old files stay
+            val layout = Seq(Seq("v"), Seq("id"), Nil)(rnd.nextInt(3))
+            GraftSql.execute(spark, store,
+              s"ALTER TABLE $t SET PARTITIONED BY (${layout.mkString(", ")})")
         }
         record()
         val got = store.read(t).select("id", "v")
