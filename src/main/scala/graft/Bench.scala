@@ -43,7 +43,7 @@ object Bench {
     // true cost and fake a regression. The max is kept as a noise gauge
     // (queries_max) so a run can be judged trustworthy at a glance.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val raw = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true }
@@ -54,15 +54,22 @@ object Bench {
       // instantly and would otherwise win the min, reporting a fake
       // speedup that hides both the failure and any real regression
       val good = samples.collect { case (t, true) => t }
-      val pool = if (good.nonEmpty) good else samples.map(_._1)
-      (name, pool.min, pool.max)
+      (name, good)
     }
+    // A query with zero successful reps is a FAILURE, not a data point:
+    // folding its fail-fast wall time into the pool let round 5 report a
+    // fake "speedup" from 18 crashing queries. Report failures by name
+    // and keep them out of every timing aggregate.
+    val failed = raw.collect { case (name, good) if good.isEmpty => name }
+    val results = raw.collect { case (name, good) if good.nonEmpty =>
+      (name, good.min, good.max) }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}""")
     // Second, COMPACT record: the driver's capture keeps only the tail of
     // stdout, and the full line above ends in the queries_max noise gauge —
     // round 3's official bench record preserved only worst-rep contention
@@ -72,7 +79,10 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"failed":${failed.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] ${failed.size} queries FAILED all reps: " +
+        failed.mkString(", "))
     spark.stop()
   }
 }

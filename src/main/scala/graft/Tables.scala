@@ -15,14 +15,37 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** S1: catalog scan with schema-merge semantics. `events.ts` is parquet
-    * TIMESTAMP(NANOS) which Spark has no native type for — read it as
-    * epoch-nanos LongType (legacy flag) and convert in queries that need a
-    * timestamp. DuckDB parity: `epoch_ns(ts)` yields the identical long.
+  /** S1: catalog scan with schema-merge semantics. The engine-internal
+    * contract is `events.ts` = epoch-nanos LongType; fixtures have shipped
+    * it as parquet TIMESTAMP(NANOS) (no native Spark type — read as long
+    * via the legacy flag) and as TIMESTAMP(MICROS) LTZ/NTZ. Normalize all
+    * encodings at this scan boundary (see [[normalizeEventTime]]) so every
+    * downstream `ts div 1000` works unmodified — schema-on-read tolerance,
+    * the same coercion posture as the reference's dynamic frames
+    * (icberg/iceberg_tables.py:103 string→timestamp).
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.option("mergeSchema", "true").parquet(s"$sfDir/$name.parquet")
+    normalizeEventTime(
+      spark.read.option("mergeSchema", "true").parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Rewrite a Timestamp/TimestampNTZ `ts` column to epoch-nanos LongType
+    * in place (column order preserved); pass through long-typed `ts`
+    * (TIMESTAMP(NANOS) fixtures under the legacy flag) and frames without
+    * `ts`. NTZ wall-clock is interpreted as UTC via `timestampdiff`
+    * against the NTZ epoch — session-timezone independent, matching
+    * DuckDB's `epoch_us` on naive timestamps. */
+  def normalizeEventTime(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case _ => df
+    }
   }
 
   /** S10: temp-view registration (icberg/iceberg_tables.py:69-70). */

@@ -21,7 +21,10 @@ object Cdc {
     *   op           = error->D, signup->I, else->U
     *   partition_0..2 = year/month/day strings (crawler partitions)
     */
-  def derive(events: DataFrame, k: Int = 100, withOp: Boolean = true): DataFrame = {
+  def derive(events0: DataFrame, k: Int = 100, withOp: Boolean = true): DataFrame = {
+    // schema-on-read guard: accept timestamp-typed ts too, not just the
+    // epoch-nanos long that Tables.load already produces
+    val events = graft.Tables.normalizeEventTime(events0)
     val ts = graft.Tables.nsToTimestamp("ts")
     val base = events
       .withColumn("key", col("event_id") % k)

@@ -118,12 +118,18 @@ class PlanSpec extends SparkSpec {
     // A Window with an empty partitionSpec moves the whole frame to one
     // reducer — the shape that dies at 100x. Sweep EVERY registered
     // query so a future query can't reintroduce one unnoticed.
+    // catch per-query analysis failures so a fixture/type break reads as
+    // "query X unanalyzable", not an opaque mid-sweep exception (r5 lesson)
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
-          case w: LWindow if w.partitionSpec.isEmpty => w
+        try {
+          val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+            case w: LWindow if w.partitionSpec.isEmpty => w
+          }
+          if (bad.nonEmpty) Some(name) else None
+        } catch { case e: Throwable =>
+          Some(s"$name(UNANALYZABLE: ${String.valueOf(e.getMessage).take(120)})")
         }
-        if (bad.nonEmpty) Some(name) else None
     }
     assert(offenders.isEmpty,
       s"queries with a global (partition-less) window: $offenders")
@@ -148,11 +154,15 @@ class PlanSpec extends SparkSpec {
       "bigram_lm_perplexity")     // 1-row vocab-size cross join
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val p = fn(spark, dir).queryExecution.executedPlan.toString
-        val cart = p.contains("CartesianProduct")
-        val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljOk(name)
-        if (cart) Some(s"$name(cartesian)")
-        else if (bnlj) Some(s"$name(bnlj)") else None
+        try {
+          val p = fn(spark, dir).queryExecution.executedPlan.toString
+          val cart = p.contains("CartesianProduct")
+          val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljOk(name)
+          if (cart) Some(s"$name(cartesian)")
+          else if (bnlj) Some(s"$name(bnlj)") else None
+        } catch { case e: Throwable =>
+          Some(s"$name(UNANALYZABLE: ${String.valueOf(e.getMessage).take(120)})")
+        }
     }
     assert(offenders.isEmpty, s"unbounded joins: $offenders")
   }
