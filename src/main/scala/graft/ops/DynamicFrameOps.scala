@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+
+/** Glue-DynamicFrame-style schema-on-read operators.
+  *
+  * The reference reads every source through dynamic frames
+  * (`create_dynamic_frame.from_catalog`, icberg/iceberg_tables.py:23,
+  * delta/delta_tables.py:17), whose value at 100 TB is tolerance of
+  * physical-schema drift across landing batches: renamed/retyped
+  * columns (ApplyMapping), per-file type conflicts (ResolveChoice),
+  * nested JSON (Unbox/Relationalize). Spark-first re-expression: each
+  * op is a single narrow projection (codegen'd, zero shuffles) —
+  * schema work happens at plan time on the driver, so these compose
+  * freely with pushdown and pruning on any input size.
+  */
+object DynamicFrameOps {
+
+  /** ApplyMapping: `(source, target, targetType)` triples — rename +
+    * cast + project in ONE projection (columns not listed are dropped,
+    * like Glue's ApplyMapping). */
+  def applyMapping(df: DataFrame,
+                   mappings: Seq[(String, String, DataType)]): DataFrame =
+    df.select(mappings.map { case (src, tgt, dt) =>
+      col(src).cast(dt).as(tgt)
+    }: _*)
+
+  /** ResolveChoice with `cast:<type>` semantics: coerce the listed
+    * columns in place; columns absent from the frame are ignored (a
+    * batch that never saw the drift needs no resolution). */
+  def resolveChoiceCast(df: DataFrame,
+                        specs: Map[String, DataType]): DataFrame =
+    specs.foldLeft(df) { case (d, (c, dt)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(dt)) else d
+    }
+
+  /** Union landing batches whose shared columns may disagree on
+    * physical type (a shape parquet `mergeSchema` refuses): conform
+    * every frame to the declared target schema — cast where present,
+    * typed null where missing — then union by name. The per-frame
+    * conform is a projection, so each batch still scans with its own
+    * pushdown/pruning. */
+  def unionResolved(target: StructType, frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "unionResolved needs at least one frame")
+    frames.map { f =>
+      val have = f.columns.toSet
+      f.select(target.fields.toIndexedSeq.map { fd =>
+        if (have.contains(fd.name)) col(fd.name).cast(fd.dataType).as(fd.name)
+        else lit(null).cast(fd.dataType).as(fd.name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Unbox: parse a JSON-string column into a typed struct in place
+    * (Glue's Unbox with format=json). */
+  def unbox(df: DataFrame, column: String, schema: DataType): DataFrame =
+    df.withColumn(column, from_json(col(column), schema))
+
+  /** Relationalize: flatten nested structs into dotted top-level
+    * columns and split every (top-level, post-flatten) array column
+    * into a child frame keyed by `idCols` with `(index, val)` — Glue's
+    * relationalize, which turns one nested frame into a set of flat
+    * relational tables. Returns `prefix -> root` plus
+    * `prefix.<arrayCol> -> child` per array.
+    *
+    * Scale: flattening is a projection; each child is one
+    * `posexplode` (narrow, no shuffle) — row count multiplies by
+    * array cardinality exactly like the downstream join it replaces.
+    */
+  def relationalize(df: DataFrame, idCols: Seq[String],
+                    prefix: String = "root"): Map[String, DataFrame] = {
+    @annotation.tailrec
+    def flatten(d: DataFrame): DataFrame = {
+      if (!d.schema.fields.exists(_.dataType.isInstanceOf[StructType])) d
+      else flatten(d.select(d.schema.fields.toIndexedSeq.flatMap { f =>
+        f.dataType match {
+          case st: StructType => st.fields.toIndexedSeq.map(sf =>
+            col(s"`${f.name}`.`${sf.name}`").as(s"${f.name}.${sf.name}"))
+          case _ => Seq(col(s"`${f.name}`"))
+        }
+      }: _*))
+    }
+    val flat = flatten(df)
+    val arrayCols = flat.schema.fields
+      .filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
+    val root = flat.drop(arrayCols.toIndexedSeq: _*)
+    val children = arrayCols.map { name =>
+      val child = flat
+        .select(idCols.map(c => col(s"`$c`")) :+
+          posexplode(col(s"`$name`")): _*)
+        .withColumnRenamed("pos", "index")
+        .withColumnRenamed("col", "val")
+      s"$prefix.$name" -> child
+    }.toMap
+    Map(prefix -> root) ++ children
+  }
+}

@@ -308,7 +308,7 @@ object Queries {
     StarQueries.entries ++ StarQueries2.entries ++ EventQueries.entries ++
     TextQueries.entries ++ VectorQueries.entries ++
     MultimodalQueries.entries ++ PipelineQueries.entries ++
-    RetrievalQueries.entries
+    RetrievalQueries.entries ++ DynamicFrameQueries.entries
 
   def queries: Map[String, QFn] =
     entries.map(e => e.name -> e.fn).toMap

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class DynamicFrameOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("applyMapping renames, casts and projects in one pass") {
+    val df = Seq((1L, "7", 2.5), (2L, "8", 3.5)).toDF("a", "b", "c")
+    val out = DynamicFrameOps.applyMapping(df, Seq(
+      ("a", "id", IntegerType), ("b", "num", LongType)))
+    assert(out.columns.toSeq == Seq("id", "num"))
+    assert(out.schema("id").dataType == IntegerType)
+    assert(out.schema("num").dataType == LongType)
+    assert(out.orderBy("id").collect().map(r => (r.getInt(0), r.getLong(1)))
+      .toSeq == Seq((1, 7L), (2, 8L)))
+  }
+
+  test("resolveChoiceCast coerces listed columns, ignores absent ones") {
+    val df = Seq(("1", 2.0)).toDF("x", "y")
+    val out = DynamicFrameOps.resolveChoiceCast(df,
+      Map("x" -> LongType, "nope" -> StringType))
+    assert(out.schema("x").dataType == LongType)
+    assert(out.schema("y").dataType == DoubleType)
+  }
+
+  test("unionResolved conforms type-drifted batches and null-fills missing columns") {
+    val a = Seq((1L, "1.5")).toDF("id", "v") // v drifted to string
+    val b = Seq((2L, 2.5, "x")).toDF("id", "v", "extra")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("tag", StringType)))
+    val out = DynamicFrameOps.unionResolved(target, Seq(a, b))
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Seq(("id", LongType), ("v", DoubleType), ("tag", StringType)))
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    assert(rows.forall(_.isNullAt(2)))
+  }
+
+  test("unbox parses JSON strings into a typed struct (bad rows -> null)") {
+    val df = Seq((1L, """{"k": 5}"""), (2L, "not json")).toDF("id", "props")
+    val out = DynamicFrameOps.unbox(df, "props",
+      StructType(Seq(StructField("k", LongType))))
+    val rows = out.orderBy("id").select(col("props.k")).collect()
+    assert(rows(0).getLong(0) == 5L && rows(1).isNullAt(0))
+  }
+
+  test("relationalize flattens nested structs and splits arrays into child frames") {
+    val df = Seq((1L, (10L, "a"), Seq(1.0f, 2.0f)),
+                 (2L, (20L, "b"), Seq(3.0f)))
+      .toDF("id", "meta", "vec")
+    val rel = DynamicFrameOps.relationalize(df, Seq("id"))
+    assert(rel.keySet == Set("root", "root.vec"))
+    val root = rel("root")
+    assert(root.columns.toSeq == Seq("id", "meta._1", "meta._2"))
+    val child = rel("root.vec").orderBy("id", "index").collect()
+    assert(child.map(r => (r.getLong(0), r.getInt(1), r.getFloat(2))).toSeq ==
+      Seq((1L, 0, 1.0f), (1L, 1, 2.0f), (2L, 0, 3.0f)))
+  }
+
+  test("relationalize flattens multi-level structs to dotted names") {
+    val df = spark.sql(
+      "SELECT 1L AS id, named_struct('inner', named_struct('x', 42L)) AS s")
+    val root = DynamicFrameOps.relationalize(df, Seq("id"))("root")
+    assert(root.columns.toSeq == Seq("id", "s.inner.x"))
+    assert(root.select(col("`s.inner.x`")).head.getLong(0) == 42L)
+  }
+}
