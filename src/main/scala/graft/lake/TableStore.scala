@@ -770,7 +770,18 @@ final class TableStore(spark: SparkSession, root: String,
     val toWrite =
       if (mustCreate || physicalFrame) observed
       else currentMapping(table).applyWrite(observed, table)
-    val writer = toWrite.write.mode(SaveMode.Overwrite)
+    // Partitioned writes: AQE-rebalance on the partition columns first,
+    // or every upstream task emits a file per partition value it holds
+    // (tasks x values small files per commit — footer-read debt on every
+    // later read, and the classic small-file pathology at scale). The
+    // rebalance coalesces each value into few right-sized files AND
+    // splits a skewed value across tasks (it does NOT force
+    // one-task-per-value like a plain repartition would). Unpartitioned
+    // writes keep the caller's layout — Layout.cluster arrives
+    // range-partitioned and must not be reshuffled.
+    val shaped =
+      if (parts.nonEmpty) toWrite.hint("rebalance", parts: _*) else toWrite
+    val writer = shaped.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dataDir.toString)
     obs.foreach { o =>
