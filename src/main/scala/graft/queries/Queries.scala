@@ -93,6 +93,41 @@ object Queries {
         |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
         |ORDER BY key""".stripMargin))
 
+  /** Trap §7.7.1 replicated LITERALLY: a crawler-typed STRING
+    * `process_date` compared against a TIMESTAMP floor — Spark
+    * implicitly coerces the string column to timestamp
+    * (icberg/iceberg_tables.py:34,:103), and the dedup window orders on
+    * the string itself (lexicographic == chronological for the
+    * zero-padded format, exactly the property the reference relies
+    * on). */
+  val cdcFullLoadStringDate: Entry = Entry(
+    "cdc_full_load_string_date",
+    (s, dir) => {
+      val cdc = cdcFrame(s, dir).withColumn("process_date",
+        date_format(expr("timestamp_micros(ts_us)"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      val floor = java.sql.Timestamp.valueOf("1900-01-01 00:00:00")
+      val filtered = cdc.where(col("process_date") > lit(floor))
+      Cdc.dropTombstones(Cdc.dedupLatest(filtered, Seq("key"),
+          Seq(col("process_date").desc, col("event_id").desc)))
+        .select("key", "event_id", "process_date")
+        .orderBy("key")
+    },
+    Some("""WITH cdc AS (
+        |  SELECT event_id % 100 AS key, event_id,
+        |         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS process_date,
+        |         CASE WHEN event_type = 'error' THEN 'D'
+        |              WHEN event_type = 'signup' THEN 'I'
+        |              ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT key, event_id, process_date FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY process_date DESC, event_id DESC) AS row_num
+        |  FROM cdc
+        |  WHERE CAST(process_date AS TIMESTAMP) > TIMESTAMP '1900-01-01 00:00:00') a
+        |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
+        |ORDER BY key""".stripMargin))
+
   /** Incremental path (icberg/iceberg_tables.py:115-153) simulated in one
     * plan: destination = full load of the first half (by time midpoint),
     * updates = strictly-newer rows, dedup-keep-latest, MERGE-delete
@@ -302,7 +337,8 @@ object Queries {
     None)
 
   val entries: Seq[Entry] = Seq(
-    cdcDedupLatest, cdcFullLoad, cdcIncrementalMerge, cdcWatermark,
+    cdcDedupLatest, cdcFullLoad, cdcFullLoadStringDate,
+    cdcIncrementalMerge, cdcWatermark,
     cdcStripPartitions, cdcDedupSqlPath, cdcDedupNoOpCol, scanFilterProject,
     q1PricingSummary, q3TopOrders, joinAnti, approxSketches) ++
     StarQueries.entries ++ StarQueries2.entries ++ EventQueries.entries ++
