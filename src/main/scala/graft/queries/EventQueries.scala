@@ -240,6 +240,49 @@ object EventQueries {
         |FROM iv JOIN p ON p_us >= s_us AND p_us < e_us
         |GROUP BY interval_id ORDER BY interval_id""".stripMargin))
 
+  /** Time-series resample: per-user hourly grid over the stream's
+    * span, value forward-filled from the most recent event at or
+    * before each bucket ([[graft.ops.Resample.ffillGrid]] — grid
+    * explode + union-window as-of, one key shuffle, no join
+    * operator). Output profiles the grid per bucket: how many
+    * user-slots are filled and the filled total — deterministic at
+    * any partitioning (ties per (user, ts) resolve to max(value)). */
+  val resampleFfill: Entry = Entry(
+    "events_resample_hourly_ffill",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      val Array(mn, mx) = ev.agg(min("ts_us"), max("ts_us"))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      val hourUs = 3600000000L
+      val filled = graft.ops.Resample.ffillGrid(ev, Seq("user_id"),
+        "ts_us", "value", hourUs, mn - mn % hourUs, mx - mx % hourUs)
+      filled.groupBy("bucket_us")
+        .agg(count(col("value")).as("n_filled"),
+          round(sum("value"), 2).as("sum_value"))
+        .orderBy("bucket_us")
+    },
+    Some("""WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |ded AS (
+        |  SELECT user_id, ts_us, max(value) AS value
+        |  FROM ev GROUP BY user_id, ts_us),
+        |b AS (
+        |  SELECT min(ts_us) - min(ts_us) % 3600000000 AS t0,
+        |         max(ts_us) - max(ts_us) % 3600000000 AS t1 FROM ev),
+        |grid AS (
+        |  SELECT u.user_id, g.bucket_us
+        |  FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN
+        |       (SELECT unnest(range(t0, t1 + 1, 3600000000)) AS bucket_us
+        |        FROM b) g),
+        |j AS (
+        |  SELECT g.user_id, g.bucket_us, d.value
+        |  FROM grid g ASOF LEFT JOIN ded d
+        |    ON g.user_id = d.user_id AND g.bucket_us >= d.ts_us)
+        |SELECT bucket_us, count(value) AS n_filled,
+        |       round(sum(value), 2) AS sum_value
+        |FROM j GROUP BY bucket_us ORDER BY bucket_us""".stripMargin))
+
   /** Keyed interval-overlap join (ops/IntervalJoin): per-order ship
     * spans derived from lineitem, self-joined per customer on span
     * intersection — "which of a customer's orders were in flight at
@@ -399,6 +442,6 @@ object EventQueries {
 
   val entries: Seq[Entry] = Seq(jsonExtract, variantExtract, hourlyAgg,
     sessionize, pivotCounts, asofLastView, rangeJoinWindows,
-    windowedCountsBatch, intervalJoinKeyed, streamJoinBatch,
+    resampleFfill, windowedCountsBatch, intervalJoinKeyed, streamJoinBatch,
     funnelConversion, cohortRetention)
 }
