@@ -1209,7 +1209,36 @@ object PipelineQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
+  /** UNPIVOT/melt (§2.6 reshape breadth, inverse of the pivot in
+    * events_pivot_type_counts): lineitem's four measure columns melt
+    * into (metric, v) rows via Spark's native unpivot — a narrow
+    * per-row expansion (no shuffle until the 4-group aggregate), so it
+    * scales as a pure map stage. Oracle replays as UNION ALL. */
+  val unpivotMeasures: Entry = Entry(
+    "unpivot_lineitem_measures",
+    (s, dir) => t(s, dir, "lineitem")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric", valueColumnName = "v")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"),
+        round(avg("v"), 4).as("avg_v"))
+      .orderBy("metric"),
+    Some("""SELECT metric, count(*) AS n, round(sum(v), 2) AS sum_v,
+        |  round(avg(v), 4) AS avg_v
+        |FROM (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY metric ORDER BY metric""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor, unpivotMeasures,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
     nullPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
