@@ -264,6 +264,30 @@ object StarQueries {
         |       ELSE 'large' END AS size_class
         |FROM part ORDER BY p_partkey""".stripMargin))
 
+  /** Higher-order array functions (§2.6 scalar breadth): transform /
+    * filter / aggregate over the embedding arrays — all codegen-
+    * friendly per-row lambdas, zero shuffles before the output sort.
+    * Both engines fold the sum left-to-right over double-cast floats,
+    * so the accumulation is bit-identical. */
+  val arrayHof: Entry = Entry(
+    "scalar_array_hof",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("vec_id"),
+        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_v"),
+        expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
+        round(sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+          " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
+          .as("norm"))
+      .orderBy("vec_id"),
+    Some("""SELECT vec_id,
+        |  round(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE))), 4) AS sum_v,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin))
+
   /** Date/time extraction + truncation functions. */
   val dateFuncs: Entry = Entry(
     "date_extract_monthly_orders",
@@ -434,7 +458,7 @@ object StarQueries {
     q5RegionalRevenue, joinLeftOuter, joinSemi, joinFullOuter, aggDistinct,
     aggRollup, aggCube, aggGroupingSets, windowAnalytics,
     windowDistribution, topkOrders,
-    setOps, havingFilter, scalarFuncs, dateFuncs, subqueryAboveAvg,
+    setOps, havingFilter, scalarFuncs, arrayHof, dateFuncs, subqueryAboveAvg,
     q2MinCost, nullHandling, q13OrderDistribution, q11ImportantStock,
     notInNulls)
 }
