@@ -89,8 +89,13 @@ object FileStats {
     * that have values. Any group with unusable statistics (older
     * writer, NaN-bearing doubles, unknown null counts) makes the
     * column unknown for the whole file — conservative keep. */
-  def compute(conf: Configuration, files: Seq[String]): Seq[String] =
-    files.flatMap { uri =>
+  def compute(conf: Configuration, files: Seq[String]): Seq[String] = {
+    // footer reads are independent metadata round-trips: run them on a
+    // bounded pool instead of serially on the driver thread — against
+    // an object store each open is a network RTT, so a many-file commit
+    // would otherwise serialize N latencies. Encounter order is
+    // preserved (per-file line groups come back in input order).
+    def one(uri: String): Seq[String] = {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(uri), conf))
       try {
@@ -117,6 +122,19 @@ object FileStats {
             }
       } finally reader.close()
     }
+    if (files.size <= 1) files.flatMap(one)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, files.size))
+      try {
+        val futures = files.map(uri => pool.submit(
+          new java.util.concurrent.Callable[Seq[String]] {
+            def call(): Seq[String] = one(uri)
+          }))
+        futures.flatMap(_.get())
+      } finally pool.shutdown()
+    }
+  }
 
   private def lineOf(key: String, name: String, tag: String,
                      blocks: Seq[org.apache.parquet.hadoop.metadata.BlockMetaData])

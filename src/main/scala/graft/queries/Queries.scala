@@ -349,5 +349,15 @@ object Queries {
   def queries: Map[String, QFn] =
     entries.map(e => e.name -> e.fn).toMap
   def oracleSql: Map[String, String] =
-    entries.flatMap(e => e.oracleFn().map(e.name -> _)).toMap
+    entries.flatMap { e =>
+      // a dynamic oracleFn (embedded runtime literals) that throws must
+      // cost ONE query its oracle (driver falls back to rows-only), not
+      // crash the whole dump and zero the round's correctness
+      try e.oracleFn().map(e.name -> _)
+      catch { case ex: Throwable =>
+        System.err.println(
+          s"[queries] oracle for ${e.name} failed: ${ex.getMessage}")
+        None
+      }
+    }.toMap
 }
