@@ -224,6 +224,68 @@ object TextQueries {
         |SELECT id, min(lbl) AS component FROM reach
         |GROUP BY id ORDER BY id""".stripMargin))
 
+  /** The dedup ACTION step: components → elect ONE canonical doc per
+    * duplicate family (best quality = max n_chars, doc_id tiebreak;
+    * singletons are their own family) and report per-lang survivor
+    * counts — the "which rows does near-dedup actually keep" answer a
+    * curation pipeline ships. The election is a per-component
+    * row_number (WindowGroupLimit-pruned), so no family ever ships
+    * whole to one reducer beyond its own rows. */
+  val nearDupCanonical: Entry = Entry(
+    "neardup_canonical_keep",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+      val pairs = Dedup.jaccard(docs, "doc_id", "text", cands)
+        .where(col("jaccard") >= 0.5).select("a", "b")
+      val comp = Dedup.connectedComponents(pairs)
+      val withFamily = docs.join(comp, docs("doc_id") === comp("id"),
+          "left_outer")
+        .withColumn("family", coalesce(col("component"), col("doc_id")))
+      val w = Window.partitionBy("family")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      withFamily.withColumn("rk", row_number().over(w))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_survivors"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH RECURSIVE ${minhashBandsSql("documents")},
+        |cands AS (
+        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id),
+        |toksets AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a, b FROM cands JOIN toksets ta ON a = ta.doc_id
+        |  JOIN toksets tb ON b = tb.doc_id
+        |  WHERE round(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(ta.toks, tb.toks))), 4) >= 0.5),
+        |edges AS (
+        |  SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(id, lbl) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON r.id = e.a),
+        |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+        |fam AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |         coalesce(c.component, d.doc_id) AS family
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY family
+        |      ORDER BY n_chars DESC, doc_id) AS rk FROM fam)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_survivors
+        |FROM rk GROUP BY lang ORDER BY lang""".stripMargin))
+
   /** Incremental near-dedup arrival path: the corpus's LSH bands are
     * PERSISTED as a lake table (Dedup.indexBands, computed once); a
     * new batch computes only its own bands and joins the stored index
@@ -1229,7 +1291,8 @@ object TextQueries {
 
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
-    nearDupComponents, ngramJaccard, simhashSig, curationE2e, winnowPairs,
+    nearDupComponents, nearDupCanonical, ngramJaccard, simhashSig,
+    curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
     sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
