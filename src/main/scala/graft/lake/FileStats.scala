@@ -131,7 +131,15 @@ object FileStats {
           new java.util.concurrent.Callable[Seq[String]] {
             def call(): Seq[String] = one(uri)
           }))
-        futures.flatMap(_.get())
+        futures.flatMap { f =>
+          try f.get()
+          catch {
+            // surface the reader's own exception, not the pool wrapper
+            // — same error contract as the single-file path
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
       } finally pool.shutdown()
     }
   }

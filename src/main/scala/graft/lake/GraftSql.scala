@@ -356,7 +356,7 @@ object GraftSql {
         // by a cluster commit (two full rewrites, and an intermediate
         // un-clustered layout visible to concurrent readers)
         store.overwrite(table, Layout.cluster(store.read(table), zorderBy,
-          math.max(1, filesBefore)))
+          math.max(1, filesBefore)), preserveLayout = true)
         filesBefore
       } else if (debtFolded) { store.compact(table); filesBefore }
       else store.compactSmall(table, minBytes = 128L << 20)

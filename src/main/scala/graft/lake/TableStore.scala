@@ -222,9 +222,16 @@ final class TableStore(spark: SparkSession, root: String,
     f.exists(dir) && f.delete(dir, true)
   }
 
-  /** S7: atomic overwrite (vs. non-atomic raw `mode("overwrite")`). */
-  def overwrite(table: String, df: DataFrame): Unit =
-    commit(table, df, carried = _ => Nil, mustCreate = false)
+  /** S7: atomic overwrite (vs. non-atomic raw `mode("overwrite")`).
+    * `preserveLayout = true` skips the partitioned-write rebalance for
+    * frames the caller already shaped (a z-ordered `Layout.cluster`
+    * rewrite must keep its range partitioning — a rebalance would
+    * scramble each output file across the full clustering range and
+    * silently defeat min/max file skipping). */
+  def overwrite(table: String, df: DataFrame,
+                preserveLayout: Boolean = false): Unit =
+    commit(table, df, carried = _ => Nil, mustCreate = false,
+      preserveLayout = preserveLayout)
 
   /** Overwrite that records an application transaction watermark in
     * the SAME atomic commit (Delta's SetTransaction / `txn` action):
@@ -748,7 +755,8 @@ final class TableStore(spark: SparkSession, root: String,
                      createParts: Seq[String] = Nil,
                      requireWithin: Option[Set[String]] = None,
                      physicalFrame: Boolean = false,
-                     txn: Option[(String, Long)] = None): Unit = {
+                     txn: Option[(String, Long)] = None,
+                     preserveLayout: Boolean = false): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
     // CHECK constraints ride the write job itself (observe = metrics
@@ -776,11 +784,13 @@ final class TableStore(spark: SparkSession, root: String,
     // later read, and the classic small-file pathology at scale). The
     // rebalance coalesces each value into few right-sized files AND
     // splits a skewed value across tasks (it does NOT force
-    // one-task-per-value like a plain repartition would). Unpartitioned
-    // writes keep the caller's layout — Layout.cluster arrives
-    // range-partitioned and must not be reshuffled.
+    // one-task-per-value like a plain repartition would). Skipped when
+    // the caller pre-shaped the frame (preserveLayout — a z-ordered
+    // rewrite must keep its range partitioning) and for unpartitioned
+    // writes, which keep the caller's layout as-is.
     val shaped =
-      if (parts.nonEmpty) toWrite.hint("rebalance", parts: _*) else toWrite
+      if (parts.nonEmpty && !preserveLayout) toWrite.hint("rebalance", parts: _*)
+      else toWrite
     val writer = shaped.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(dataDir.toString)

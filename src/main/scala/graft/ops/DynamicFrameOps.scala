@@ -18,36 +18,49 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   */
 object DynamicFrameOps {
 
+  /** Glue-semantics cast: `try_cast`, so an uncastable drifted value
+    * (a stray "n/a" in a numeric column) yields NULL for that cell —
+    * Spark 4's default ANSI cast would kill the whole job, the
+    * opposite of schema-on-read tolerance. */
+  private def glueCast(c: org.apache.spark.sql.Column,
+                       dt: DataType): org.apache.spark.sql.Column =
+    c.try_cast(dt)
+
   /** ApplyMapping: `(source, target, targetType)` triples — rename +
     * cast + project in ONE projection (columns not listed are dropped,
     * like Glue's ApplyMapping). */
   def applyMapping(df: DataFrame,
                    mappings: Seq[(String, String, DataType)]): DataFrame =
     df.select(mappings.map { case (src, tgt, dt) =>
-      col(src).cast(dt).as(tgt)
+      glueCast(col(src), dt).as(tgt)
     }: _*)
 
   /** ResolveChoice with `cast:<type>` semantics: coerce the listed
     * columns in place; columns absent from the frame are ignored (a
-    * batch that never saw the drift needs no resolution). */
+    * batch that never saw the drift needs no resolution). Name match
+    * is case-insensitive, like Spark's own resolution. */
   def resolveChoiceCast(df: DataFrame,
                         specs: Map[String, DataType]): DataFrame =
     specs.foldLeft(df) { case (d, (c, dt)) =>
-      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(dt)) else d
+      if (d.columns.exists(_.equalsIgnoreCase(c)))
+        d.withColumn(c, glueCast(col(c), dt))
+      else d
     }
 
   /** Union landing batches whose shared columns may disagree on
     * physical type (a shape parquet `mergeSchema` refuses): conform
-    * every frame to the declared target schema — cast where present,
-    * typed null where missing — then union by name. The per-frame
-    * conform is a projection, so each batch still scans with its own
+    * every frame to the declared target schema — cast where present
+    * (case-insensitive, matching Spark resolution), typed null where
+    * missing — then union by name. The per-frame conform is a
+    * projection, so each batch still scans with its own
     * pushdown/pruning. */
   def unionResolved(target: StructType, frames: Seq[DataFrame]): DataFrame = {
     require(frames.nonEmpty, "unionResolved needs at least one frame")
     frames.map { f =>
-      val have = f.columns.toSet
+      val have = f.columns.map(_.toLowerCase).toSet
       f.select(target.fields.toIndexedSeq.map { fd =>
-        if (have.contains(fd.name)) col(fd.name).cast(fd.dataType).as(fd.name)
+        if (have.contains(fd.name.toLowerCase))
+          glueCast(col(fd.name), fd.dataType).as(fd.name)
         else lit(null).cast(fd.dataType).as(fd.name)
       }: _*)
     }.reduce(_.unionByName(_))

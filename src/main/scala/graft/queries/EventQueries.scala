@@ -252,8 +252,12 @@ object EventQueries {
     (s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
-      val Array(mn, mx) = ev.agg(min("ts_us"), max("ts_us"))
-        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      // empty input => null aggregates; a degenerate one-bucket grid
+      // over zero keys yields the correct empty result
+      val bounds = ev.agg(min("ts_us"), max("ts_us")).collect()(0)
+      val (mn, mx) =
+        if (bounds.isNullAt(0)) (0L, 0L)
+        else (bounds.getLong(0), bounds.getLong(1))
       val hourUs = 3600000000L
       val filled = graft.ops.Resample.ffillGrid(ev, Seq("user_id"),
         "ts_us", "value", hourUs, mn - mn % hourUs, mx - mx % hourUs)

@@ -272,11 +272,16 @@ object StarQueries {
   val arrayHof: Entry = Entry(
     "scalar_array_hof",
     (s, dir) => t(s, dir, "embeddings")
+      // fold over the null-filtered array: DuckDB's list_sum SKIPS null
+      // elements while a raw Spark fold would null the whole sum — the
+      // filter keeps both engines identical if a null ever appears
       .select(col("vec_id"),
-        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE)," +
-          " (acc, x) -> acc + CAST(x AS DOUBLE))"), 4).as("sum_v"),
+        round(expr("aggregate(filter(embedding, x -> x IS NOT NULL)," +
+          " CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE))"), 4)
+          .as("sum_v"),
         expr("size(filter(embedding, x -> x > 0))").cast("long").as("n_pos"),
-        round(sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE)," +
+        round(sqrt(expr("aggregate(filter(embedding, x -> x IS NOT NULL)," +
+          " CAST(0.0 AS DOUBLE)," +
           " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")), 4)
           .as("norm"))
       .orderBy("vec_id"),

@@ -228,9 +228,10 @@ object TextQueries {
     * duplicate family (best quality = max n_chars, doc_id tiebreak;
     * singletons are their own family) and report per-lang survivor
     * counts — the "which rows does near-dedup actually keep" answer a
-    * curation pipeline ships. The election is a per-component
-    * row_number (WindowGroupLimit-pruned), so no family ever ships
-    * whole to one reducer beyond its own rows. */
+    * curation pipeline ships. The election is a per-family row_number:
+    * the shuffle is keyed by family, so each reducer sorts only its
+    * own families' rows (near-dup families are small by construction —
+    * the hot-bucket cap bounds them upstream). */
   val nearDupCanonical: Entry = Entry(
     "neardup_canonical_keep",
     (s, dir) => {

@@ -40,6 +40,27 @@ class DynamicFrameOpsSpec extends SparkSpec {
     assert(rows.forall(_.isNullAt(2)))
   }
 
+  test("casts are Glue-tolerant: an uncastable drifted value nulls the cell, not the job") {
+    val df = Seq(("1.5"), ("n/a")).toDF("v")
+    val out = DynamicFrameOps.resolveChoiceCast(df, Map("v" -> DoubleType))
+      .orderBy(desc("v")).collect()
+    assert(out(0).getDouble(0) == 1.5 && out(1).isNullAt(0))
+    val mapped = DynamicFrameOps.applyMapping(df, Seq(("v", "d", DoubleType)))
+      .orderBy(desc("d")).collect()
+    assert(mapped(0).getDouble(0) == 1.5 && mapped(1).isNullAt(0))
+  }
+
+  test("unionResolved and resolveChoiceCast match columns case-insensitively") {
+    val drifted = Seq((1L, "2.5")).toDF("id", "VALUE")
+    val target = StructType(Seq(
+      StructField("id", LongType), StructField("value", DoubleType)))
+    val u = DynamicFrameOps.unionResolved(target, Seq(drifted)).collect()
+    assert(u(0).getDouble(1) == 2.5, "case-drifted column was null-filled")
+    val r = DynamicFrameOps.resolveChoiceCast(drifted, Map("value" -> DoubleType))
+    assert(r.schema.fields.exists(f =>
+      f.name.equalsIgnoreCase("value") && f.dataType == DoubleType))
+  }
+
   test("unbox parses JSON strings into a typed struct (bad rows -> null)") {
     val df = Seq((1L, """{"k": 5}"""), (2L, "not json")).toDF("id", "props")
     val out = DynamicFrameOps.unbox(df, "props",
