@@ -40,4 +40,30 @@ class LayoutSpec extends SparkSpec {
       .agg(avg("area")).first().getDouble(0)
     assert(avgArea < 64 * 64 / 4.0, s"avg file bounding area $avgArea")
   }
+
+  test("preserveLayout keeps z-order clustering on a PARTITIONED table (no rebalance scramble)") {
+    // regression: the partitioned-commit rebalance must not reshuffle a
+    // pre-shaped z-ordered rewrite (the OPTIMIZE ZORDER path passes
+    // preserveLayout = true) — each file must still cover a compact z
+    // tile, or min/max skipping silently dies. A scrambled layout
+    // would put every file's bounding box at the full 64x64 grid.
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"),
+        (col("id") % 2).cast("int").as("p"))
+    val store = new TableStore(spark, tmpDir("zpart"))
+    store.create("zp", grid, partitionBy = Seq("p"))
+    store.overwrite("zp",
+      Layout.cluster(store.read("zp"), Seq("x", "y"), numFiles = 16, bits = 6),
+      preserveLayout = true)
+    val files = store.read("zp")
+      .select(input_file_name().as("f"), col("x"), col("y"))
+    val total = files.select("f").distinct().count()
+    assert(total >= 8, s"expected >=8 files after clustering, got $total")
+    val avgArea = files.groupBy("f")
+      .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+        .as("area"))
+      .agg(avg("area")).first().getDouble(0)
+    assert(avgArea < 64 * 64 / 4.0,
+      s"z-order clustering lost on partitioned rewrite: avg area $avgArea")
+  }
 }
