@@ -957,8 +957,8 @@ object PipelineQueries {
         |ORDER BY n_nationkey""".stripMargin))
 
   /** Source/sink format breadth: the nation dimension round-trips
-    * through JSON, CSV and ORC (write, then schema'd read back — ORC
-    * carries its own schema), and all
+    * through JSON, CSV, ORC and XML (Spark 4 native; write, then
+    * schema'd read back — ORC carries its own schema), and all
     * copies aggregate identically to the oracle's parquet-derived
     * values — proving the non-parquet IO paths are lossless for the
     * dimension types (long/string). A DynamicFrame-style pipeline
@@ -974,12 +974,16 @@ object PipelineQueries {
       nation.coalesce(1).write.mode("overwrite")
         .option("header", "true").csv(s"$base/c")
       nation.coalesce(1).write.mode("overwrite").orc(s"$base/o")
+      nation.coalesce(1).write.mode("overwrite")
+        .option("rowTag", "nation").xml(s"$base/x")
       val j = s.read.schema(nation.schema).json(s"$base/j")
         .withColumn("fmt", lit("json"))
       val c = s.read.schema(nation.schema).option("header", "true")
         .csv(s"$base/c").withColumn("fmt", lit("csv"))
       val o = s.read.orc(s"$base/o").withColumn("fmt", lit("orc"))
-      j.unionByName(c).unionByName(o).groupBy("fmt")
+      val x = s.read.schema(nation.schema).option("rowTag", "nation")
+        .xml(s"$base/x").withColumn("fmt", lit("xml"))
+      j.unionByName(c).unionByName(o).unionByName(x).groupBy("fmt")
         .agg(count(lit(1)).as("n"),
           sum(col("n_nationkey").cast("long")).as("key_sum"),
           min("n_name").as("first_name"),
@@ -990,7 +994,7 @@ object PipelineQueries {
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
         |  min(n_name) AS first_name,
         |  CAST(count(DISTINCT n_regionkey) AS BIGINT) AS n_regions
-        |FROM (VALUES ('csv'), ('json'), ('orc')) f(fmt), nation
+        |FROM (VALUES ('csv'), ('json'), ('orc'), ('xml')) f(fmt), nation
         |GROUP BY fmt ORDER BY fmt""".stripMargin))
 
   /** Exact global percentiles by distributed rank selection: the
