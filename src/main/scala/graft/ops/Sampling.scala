@@ -56,6 +56,29 @@ object Sampling {
       .drop("__sh", "__sr")
   }
 
+  /** Deterministic weighted sampling without replacement per stratum
+    * (Efraimidis-Spirakis A-ES): each row draws the reproducible
+    * uniform u = (hash48(id:salt)+1)/2^48 ∈ (0,1] and competes on the
+    * exponential key -ln(u)/w — the n smallest keys per stratum win,
+    * giving inclusion probability proportional to `weight` (which must
+    * be > 0). Quality-weighted corpus selection with the same
+    * engine/partitioning/run-independence as [[hashGate]], and the
+    * same WindowGroupLimit rank-pruned shuffle shape as
+    * [[stratifiedExact]] — a 100 TB stratum ships n rows, not its
+    * population. */
+  def weightedSample(df: DataFrame, strataCol: String, idCol: String,
+                     weight: Column, n: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "sample size must be positive")
+    val u = (Sketches.hash48(concat(col(idCol).cast("string"),
+      lit(":" + salt))).cast("double") + lit(1.0)) / lit(Sketches.Space)
+    val w = Window.partitionBy(strataCol).orderBy(col("__wk"), col(idCol))
+    df.withColumn("__wk", -log(u) / weight)
+      .withColumn("__wr", row_number().over(w))
+      .where(col("__wr") <= n)
+      .drop("__wk", "__wr")
+  }
+
   /** Per-stratum cap by an explicit preference order — domain caps, the
     * web-curation staple (keep at most `n` documents per source/domain,
     * best-first, so one mirror-heavy domain can't dominate the mix).

@@ -433,6 +433,31 @@ object TextQueries {
         |SELECT lang, doc_id FROM r WHERE rn <= 20
         |ORDER BY lang, doc_id""".stripMargin))
 
+  /** Quality-weighted deterministic sampling
+    * ([[graft.ops.Sampling.weightedSample]], Efraimidis-Spirakis
+    * A-ES): 30 docs per language with inclusion odds ∝ n_chars —
+    * the reproducible "prefer longer/better documents" corpus draw.
+    * The oracle replays the exponential-key competition exactly
+    * (same md5-derived uniform, same -ln(u)/w key). */
+  val weightedSampleQ: Entry = Entry(
+    "quality_weighted_sample",
+    (s, dir) => graft.ops.Sampling.weightedSample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        col("n_chars").cast("double"), n = 30, salt = "wq1")
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id"),
+    Some(s"""WITH h AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (${OracleSql.hex12ToBigint("md5(CAST(doc_id AS VARCHAR) || ':wq1')")} + 1)
+        |      / 281474976710656.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |      ORDER BY -ln(u) / n_chars, doc_id) AS rn
+        |  FROM h)
+        |SELECT lang, doc_id FROM r WHERE rn <= 30
+        |ORDER BY lang, doc_id""".stripMargin))
+
   /** Per-language heavy hitters: top-10 bigrams by document frequency
     * — the vocabulary/boilerplate scan over a corpus. One shuffle on
     * (lang, bigram) with map-side partial counts, then a per-lang
@@ -1295,7 +1320,8 @@ object TextQueries {
     nearDupComponents, nearDupCanonical, ngramJaccard, simhashSig,
     curationE2e, winnowPairs,
     corpusMix, curriculumBins, cdcChunkShared, decontamination,
-    sequencePacking, stratifiedSample, bigramTop, slidingChunksQ,
+    sequencePacking, stratifiedSample, weightedSampleQ, bigramTop,
+    slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
     unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
     dsirSelection, sourceCaps, spanDedup, bigramPerplexity)
