@@ -26,8 +26,12 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventTime(
-      spark.read.option("mergeSchema", "true").parquet(s"$sfDir/$name.parquet"))
+    val raw =
+      spark.read.option("mergeSchema", "true").parquet(s"$sfDir/$name.parquet")
+    // epoch-nanos normalization is the EVENTS contract only: a future
+    // table with a timestamp `ts` meant to stay a timestamp must not
+    // be silently rewritten to long
+    if (name == "events") normalizeEventTime(raw) else raw
   }
 
   /** Rewrite a Timestamp/TimestampNTZ `ts` column to epoch-nanos LongType

@@ -131,7 +131,7 @@ object FileStats {
           new java.util.concurrent.Callable[Seq[String]] {
             def call(): Seq[String] = one(uri)
           }))
-        futures.flatMap { f =>
+        val out = futures.flatMap { f =>
           try f.get()
           catch {
             // surface the reader's own exception, not the pool wrapper
@@ -140,7 +140,13 @@ object FileStats {
               throw e.getCause
           }
         }
-      } finally pool.shutdown()
+        pool.shutdown()
+        out
+      } catch {
+        // on failure cancel queued/in-flight footer reads instead of
+        // letting them run to completion in background threads
+        case e: Throwable => pool.shutdownNow(); throw e
+      }
     }
   }
 

@@ -87,25 +87,59 @@ object DynamicFrameOps {
     @annotation.tailrec
     def flatten(d: DataFrame): DataFrame = {
       if (!d.schema.fields.exists(_.dataType.isInstanceOf[StructType])) d
-      else flatten(d.select(d.schema.fields.toIndexedSeq.flatMap { f =>
-        f.dataType match {
-          case st: StructType => st.fields.toIndexedSeq.map(sf =>
-            col(s"`${f.name}`.`${sf.name}`").as(s"${f.name}.${sf.name}"))
-          case _ => Seq(col(s"`${f.name}`"))
+      else {
+        // dotted names can collide with pre-existing top-level columns
+        // (struct a{b} vs literal column "a.b"); uniquify with a
+        // numeric suffix, case-insensitively (caseSensitive=false)
+        val taken = scala.collection.mutable.Set[String]()
+        d.schema.fields.foreach { f =>
+          if (!f.dataType.isInstanceOf[StructType])
+            taken += f.name.toLowerCase
         }
-      }: _*))
+        def fresh(base: String): String = {
+          var (nm, i) = (base, 1)
+          while (taken.contains(nm.toLowerCase)) { nm = s"$base#$i"; i += 1 }
+          taken += nm.toLowerCase
+          nm
+        }
+        flatten(d.select(d.schema.fields.toIndexedSeq.flatMap { f =>
+          f.dataType match {
+            case st: StructType => st.fields.toIndexedSeq.map(sf =>
+              col(s"`${f.name}`.`${sf.name}`")
+                .as(fresh(s"${f.name}.${sf.name}")))
+            case _ => Seq(col(s"`${f.name}`"))
+          }
+        }: _*))
+      }
     }
     val flat = flatten(df)
     val arrayCols = flat.schema.fields
       .filter(_.dataType.isInstanceOf[ArrayType]).map(_.name)
     val root = flat.drop(arrayCols.toIndexedSeq: _*)
-    val children = arrayCols.map { name =>
+    val children = arrayCols.flatMap { name =>
+      // in a recursive call idCols already carries the parent "index";
+      // uniquify so nesting depth k yields index, index#1, ... index#k-1
+      def avail(base: String): String = {
+        val low = idCols.map(_.toLowerCase).toSet
+        var (nm, i) = (base, 1)
+        while (low.contains(nm.toLowerCase)) { nm = s"$base#$i"; i += 1 }
+        nm
+      }
+      val (idxName, valName) = (avail("index"), avail("val"))
       val child = flat
         .select(idCols.map(c => col(s"`$c`")) :+
           posexplode(col(s"`$name`")): _*)
-        .withColumnRenamed("pos", "index")
-        .withColumnRenamed("col", "val")
-      s"$prefix.$name" -> child
+        .withColumnRenamed("pos", idxName)
+        .withColumnRenamed("col", valName)
+      // Glue recurses: a struct-typed or array-typed `val` is itself
+      // relationalized (keyed by idCols + index), so arbitrarily
+      // nested arrays-of-structs bottom out in flat tables
+      val needsRecurse = child.schema.fields.exists(f =>
+        f.dataType.isInstanceOf[StructType] ||
+          (f.name == valName && f.dataType.isInstanceOf[ArrayType]))
+      if (needsRecurse)
+        relationalize(child, idCols :+ idxName, s"$prefix.$name")
+      else Map(s"$prefix.$name" -> child)
     }.toMap
     Map(prefix -> root) ++ children
   }

@@ -65,7 +65,10 @@ object Sampling {
     * engine/partitioning/run-independence as [[hashGate]], and the
     * same WindowGroupLimit rank-pruned shuffle shape as
     * [[stratifiedExact]] — a 100 TB stratum ships n rows, not its
-    * population. */
+    * population. Rows with a NULL id or a NULL/non-positive weight are
+    * dropped up front (same null-drop contract as [[hashGate]]):
+    * without the guard their sort key would be NULL and Spark's
+    * NULLS-FIRST ascending order would hand them every sample slot. */
   def weightedSample(df: DataFrame, strataCol: String, idCol: String,
                      weight: Column, n: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -73,7 +76,8 @@ object Sampling {
     val u = (Sketches.hash48(concat(col(idCol).cast("string"),
       lit(":" + salt))).cast("double") + lit(1.0)) / lit(Sketches.Space)
     val w = Window.partitionBy(strataCol).orderBy(col("__wk"), col(idCol))
-    df.withColumn("__wk", -log(u) / weight)
+    df.where(col(idCol).isNotNull && weight > lit(0))
+      .withColumn("__wk", -log(u) / weight)
       .withColumn("__wr", row_number().over(w))
       .where(col("__wr") <= n)
       .drop("__wk", "__wr")

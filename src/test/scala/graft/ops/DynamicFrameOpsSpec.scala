@@ -89,4 +89,31 @@ class DynamicFrameOpsSpec extends SparkSpec {
     assert(root.columns.toSeq == Seq("id", "s.inner.x"))
     assert(root.select(col("`s.inner.x`")).head.getLong(0) == 42L)
   }
+
+  test("relationalize uniquifies a dotted name colliding with a literal column") {
+    // literal column "a.b" pre-exists; struct a{b} must not shadow it
+    val df = spark.sql(
+      "SELECT 1L AS id, 7L AS `a.b`, named_struct('b', 42L) AS a")
+    val root = DynamicFrameOps.relationalize(df, Seq("id"))("root")
+    assert(root.columns.length == root.columns.map(_.toLowerCase).distinct.length,
+      s"duplicate columns: ${root.columns.toSeq}")
+    val r = root.select(col("`a.b`"), col("`a.b#1`")).head
+    assert(r.getLong(0) == 7L && r.getLong(1) == 42L)
+  }
+
+  test("relationalize recurses into arrays of structs (Glue fidelity)") {
+    val df = spark.sql(
+      """SELECT 1L AS id,
+           array(named_struct('k', 'x', 'vs', array(10L, 11L)),
+                 named_struct('k', 'y', 'vs', array(20L))) AS items""")
+    val rel = DynamicFrameOps.relationalize(df, Seq("id"))
+    assert(rel.keySet == Set("root", "root.items", "root.items.val.vs"))
+    val items = rel("root.items").orderBy("index")
+    assert(items.columns.toSeq == Seq("id", "index", "val.k"))
+    assert(items.select(col("`val.k`")).collect().map(_.getString(0)).toSeq
+      == Seq("x", "y"))
+    val leaf = rel("root.items.val.vs").orderBy(col("index"), col("index#1"))
+    val vs = leaf.select("val").collect().map(_.getLong(0)).toSeq
+    assert(vs == Seq(10L, 11L, 20L))
+  }
 }

@@ -45,4 +45,21 @@ class WeightedSampleSpec extends SparkSpec {
       .groupBy("g").count().collect().map(_.getLong(1)).toSeq
     assert(counts == Seq(10L, 10L, 10L, 10L))
   }
+
+  test("null/non-positive weights and null ids are dropped, never sampled") {
+    // a NULL weight makes the sort key NULL; ascending NULLS-FIRST
+    // would hand such rows every slot — the guard must drop them
+    val df = corpus(50)
+      .union(Seq((8001L, "s", Double.NaN)).toDF("id", "g", "w")
+        .withColumn("w", lit(null).cast("double")))
+      .union(Seq((8002L, "s", 0.0), (8003L, "s", -3.0)).toDF("id", "g", "w"))
+      .union(Seq((0L, "s", 5.0)).toDF("id", "g", "w")
+        .withColumn("id", lit(null).cast("long")))
+    val picked = Sampling.weightedSample(df, "g", "id", col("w"),
+        n = 10, salt = "t5")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.size == 10)
+    assert(!picked.exists(Set(8001L, 8002L, 8003L)),
+      s"null/zero/negative-weight rows must not win slots: $picked")
+  }
 }
