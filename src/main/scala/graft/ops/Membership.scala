@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sketch-accelerated membership operators whose RESULTS are exact.
+  *
+  * Both operators here follow the same two-phase shape: a broadcast
+  * one-sided-error sketch (Bloom filter / count-min sketch) prunes the
+  * corpus WITHOUT a shuffle, then an exact pass verifies only the
+  * survivors. Because the sketches err strictly toward keeping rows
+  * (no false negatives for membership, no underestimates for counts),
+  * the two-phase result is bit-identical to the exact single-phase
+  * plan — so every query built on them stays DuckDB-oracle-checkable
+  * while the heavy lifting scales like the sketch, not the data.
+  *
+  * Scale rationale (the decontamination case, Lee et al. "Deduplicating
+  * Training Data Makes Language Models Better", arXiv:2107.06499):
+  * benchmark n-grams number ~10^7-10^9 — too big to broadcast as a
+  * join hash relation (strings, GBs) but small as Bloom BITS (~1.2 GB
+  * at 10^9 keys / 1% fpp, ~120 MB at 10^8). The bloom pass answers
+  * "definitely clean" for ~99% of a 100 TB corpus map-side; only the
+  * fpp-sized suspect sliver pays the exact-join shuffle.
+  *
+  * The membership probe is a Scala UDF over a broadcast sketch rather
+  * than a Catalyst expression: Spark's own `BloomFilterMightContain` /
+  * `CountMinSketchAgg` are non-public plumbing of the runtime-filter
+  * rewrite, and a literal-embedded sketch would ship the bits with
+  * every task instead of once per executor. The UDF costs one boxing
+  * per row on the probe side only — the verified exact join dominates.
+  */
+object Membership {
+
+  private def bloomOf(small: DataFrame, smallKey: Column,
+                      expectedItems: Long, fpp: Double) = {
+    val bf = small.select(smallKey.cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .stat.bloomFilter("k", expectedItems, fpp)
+    small.sparkSession.sparkContext.broadcast(bf)
+  }
+
+  /** `big LEFT ANTI JOIN small` accelerated by a broadcast Bloom
+    * filter on `small`'s keys: rows failing the bloom probe are
+    * definitely-clean and short-circuit past the join (no shuffle);
+    * only bloom survivors (true matches + fpp false positives) are
+    * verified by the exact anti join. NULL big-side keys never match
+    * (SQL join semantics) and are kept. Result == the plain anti
+    * join, independent of fpp. */
+  def bloomAntiJoin(big: DataFrame, bigKey: Column,
+                    small: DataFrame, smallKey: Column,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val b = bloomOf(small, smallKey, expectedItems, fpp)
+    val mc = udf((s: String) => s != null && b.value.mightContainString(s))
+    val probe = mc(bigKey.cast("string"))
+    val clean = big.where(!probe)
+    // alias the small side's key so `sh === sh`-style self-ambiguity
+    // can't arise when both frames name the key identically
+    val suspects = big.where(probe)
+      .join(small.select(smallKey.as("__mb_k")),
+        bigKey === col("__mb_k"), "left_anti")
+    clean.unionByName(suspects)
+  }
+
+  /** `big LEFT SEMI JOIN small` with the same broadcast-bloom
+    * prefilter: bloom rejects are definitely-absent and leave the
+    * plan before any shuffle; survivors are confirmed by the exact
+    * semi join. Result == the plain semi join. */
+  def bloomSemiJoin(big: DataFrame, bigKey: Column,
+                    small: DataFrame, smallKey: Column,
+                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val b = bloomOf(small, smallKey, expectedItems, fpp)
+    val mc = udf((s: String) => s != null && b.value.mightContainString(s))
+    big.where(mc(bigKey.cast("string")))
+      .join(small.select(smallKey.as("__mb_k")),
+        bigKey === col("__mb_k"), "left_semi")
+  }
+
+  /** Exact heavy hitters — every key with frequency >= `minCount`,
+    * with its exact count — at sketch cost: a count-min sketch
+    * (treeAggregate: each partition ships an eps-width counter array,
+    * never its rows) prunes the corpus to candidate keys, then the
+    * exact groupBy counts only candidates. CMS never underestimates,
+    * so the candidates are a guaranteed superset and the final
+    * HAVING filter makes the result exactly the true heavy hitters.
+    * The shuffle carries candidate rows only — for a Zipf-ish token
+    * stream that is the head, not the 100 TB tail. NULL keys are not
+    * counted (SQL aggregate semantics). Returns (key, cnt). */
+  def heavyHitters(df: DataFrame, keyCol: Column, minCount: Long,
+                   eps: Double = 1e-4, confidence: Double = 0.99,
+                   seed: Int = 42): DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val keyed = df.select(keyCol.cast("string").as("key"))
+      .where(col("key").isNotNull)
+    val cms = keyed.stat.countMinSketch("key", eps, confidence, seed)
+    val b = keyed.sparkSession.sparkContext.broadcast(cms)
+    val atLeast = udf((s: String) => b.value.estimateCount(s) >= minCount)
+    keyed.where(atLeast(col("key")))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+}

@@ -172,6 +172,15 @@ object Ranking {
                       numPartitions: Int = 32): DataFrame =
     withExactRank(df, orderCols, outCol, numPartitions)._1
 
+  /** [[globalRowNumber]] plus the grand total row count — the total
+    * falls out of the per-partition offset counts the rank needs
+    * anyway, so callers that also want N (rank-selection percentiles:
+    * target rank = ceil(p·N)) avoid a separate full-scan count job. */
+  def globalRowNumberWithTotal(df: DataFrame, orderCols: Seq[Column],
+                               outCol: String,
+                               numPartitions: Int = 32): (DataFrame, Long) =
+    withExactRank(df, orderCols, outCol, numPartitions)
+
   /** Exact per-group 1-based row_number for FEW heavy groups — the
     * skew case where `Window.partitionBy(group)` would put each
     * group's whole frame on one reducer. Range-partitions on

@@ -165,6 +165,36 @@ object PipelineQueries {
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Salted replicate join on the same hot key ([[Skew.saltedJoin]]):
+    * the fact side salts into 16 buckets per key, the 3-row dimension
+    * replicates once per salt, and the join shuffles on (key, salt) —
+    * no reducer ever owns a hot key whole, the layout AQE's skew split
+    * can't produce when the exchange is pinned (bucketed/pre-shuffled
+    * inputs). Every fact row still meets exactly its dimension row,
+    * so the aggregate equals the oracle's plain join. */
+  val skewSaltedJoin: Entry = Entry(
+    "skew_salted_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_discount")
+      val dim = li.groupBy("l_returnflag")
+        .agg(avg("l_discount").as("flag_avg_disc"))
+      Skew.saltedJoin(li, dim, "l_returnflag", salts = 16)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("flag_avg_disc"))), 2)
+            .as("adj_revenue"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH d AS (
+        |  SELECT l_returnflag, avg(l_discount) AS flag_avg_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  round(sum(l.l_extendedprice * (1 - d.flag_avg_disc)), 2)
+        |    AS adj_revenue
+        |FROM lineitem l JOIN d USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin))
+
   /** Z-order clustering end-to-end: rewrite a lineitem projection into
     * z-ordered files over (l_partkey, l_suppkey), then answer a
     * two-dimensional range predicate from the clustered copy. Content
@@ -1010,13 +1040,15 @@ object PipelineQueries {
       val li = t(s, dir, "lineitem")
         .select(col("l_extendedprice").as("price"),
           col("l_orderkey"), col("l_linenumber"))
-      val n = li.count()
+      // the ranked frame's offset counts already know N — no separate
+      // count job over the fact table
+      val (ranked, n) = graft.ops.Ranking
+        .globalRowNumberWithTotal(li,
+          Seq(col("price"), col("l_orderkey"), col("l_linenumber")), "r")
       val targets = Seq("p50" -> 50L, "p90" -> 90L, "p99" -> 99L)
         .map { case (lbl, p) => (lbl, (n * p + 99) / 100) }
         .toDF("pctl", "r")
-      graft.ops.Ranking
-        .globalRowNumber(li,
-          Seq(col("price"), col("l_orderkey"), col("l_linenumber")), "r")
+      ranked
         .join(broadcast(targets), "r")
         .select("pctl", "r", "price")
         .orderBy("pctl")
@@ -1243,7 +1275,8 @@ object PipelineQueries {
         |GROUP BY metric ORDER BY metric""".stripMargin))
 
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor, unpivotMeasures,
-    timeTravel, externalDdl, topkTyped, skewSaltedAgg, zorderScan, statsPrunedScan,
+    timeTravel, externalDdl, topkTyped, skewSaltedAgg, skewSaltedJoin,
+    zorderScan, statsPrunedScan,
     nullPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,

@@ -1133,6 +1133,75 @@ object TextQueries {
     * source, longest-first — one mirror-heavy domain can't dominate a
     * training mix. WindowGroupLimit prunes to ≤ cap rows per (source,
     * map partition) before the shuffle. */
+  /** Benchmark decontamination at Bloom-filter scale
+    * ([[graft.ops.Membership.bloomSemiJoin]]): the eval split's
+    * 3-shingles become a broadcast Bloom filter; train shingles that
+    * fail the probe leave the plan map-side (no shuffle), survivors
+    * are verified by the exact semi join, and any train doc sharing
+    * >= 1 shingle with the eval set is dropped. The sketch errs only
+    * toward keeping suspects, so the output is bit-identical to the
+    * plain overlap query the oracle runs — what the bloom buys at
+    * 100 TB is that the definitely-clean ~99% never shuffles. */
+  val bloomDecontaminate: Entry = Entry(
+    "decontaminate_bloom_exact",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gate = graft.ops.Sampling.hashGate(col("doc_id"), 0.1, "eval")
+      val evalSh = docs.where(gate)
+        .select(explode(TextOps.shingles(col("text"), 3)).as("sh"))
+        .distinct()
+      val trainDocs = docs.where(!gate)
+      val trainSh = trainDocs.select(col("doc_id"),
+        explode(TextOps.shingles(col("text"), 3)).as("sh"))
+      val contaminated = graft.ops.Membership
+        .bloomSemiJoin(trainSh, col("sh"), evalSh, col("sh"),
+          expectedItems = 1000000L, fpp = 0.01)
+        .select("doc_id").distinct()
+      trainDocs.join(contaminated, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH g AS (
+        |  SELECT doc_id, ${OracleSql.hex12ToBigint("hx")} AS h
+        |  FROM (SELECT doc_id,
+        |          md5(CAST(doc_id AS VARCHAR) || ':eval') AS hx
+        |        FROM documents)),
+        |ev AS (SELECT doc_id FROM g
+        |       WHERE CAST(h AS DOUBLE) < 0.1 * 281474976710656.0),
+        |tr AS (SELECT doc_id FROM g
+        |       WHERE CAST(h AS DOUBLE) >= 0.1 * 281474976710656.0),
+        |allsh AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+2], ' ')
+        |           FOR i IN range(1, greatest(len(toks) - 1, 2))])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+        |es AS (SELECT DISTINCT sh FROM allsh JOIN ev USING (doc_id)),
+        |dirty AS (
+        |  SELECT DISTINCT a.doc_id FROM allsh a
+        |  JOIN tr USING (doc_id) JOIN es USING (sh))
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN tr USING (doc_id)
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY d.doc_id""".stripMargin))
+
+  /** Exact heavy hitters at count-min-sketch cost
+    * ([[graft.ops.Membership.heavyHitters]]): every token occurring
+    * >= 100 times, with its exact count. The CMS pass ships one
+    * eps-width counter array per partition (treeAggregate, no row
+    * shuffle); only the candidate head pays the exact groupBy. CMS
+    * never undercounts, so candidates are a guaranteed superset and
+    * the result equals the oracle's plain GROUP BY ... HAVING. */
+  val heavyHittersQ: Entry = Entry(
+    "heavy_hitters_exact",
+    (s, dir) => graft.ops.Membership.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(TextOps.tokens(col("text"))).as("token")),
+        col("token"), minCount = 100L)
+      .select(col("key").as("token"), col("cnt").as("freq"))
+      .orderBy("token"),
+    Some("""SELECT token, count(*) AS freq
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token HAVING count(*) >= 100 ORDER BY token""".stripMargin))
+
   val sourceCaps: Entry = Entry(
     "source_quality_caps",
     (s, dir) => graft.ops.Sampling.capPerStratum(
@@ -1324,5 +1393,6 @@ object TextQueries {
     slidingChunksQ,
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
     unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
-    dsirSelection, sourceCaps, spanDedup, bigramPerplexity)
+    dsirSelection, sourceCaps, spanDedup, bigramPerplexity,
+    bloomDecontaminate, heavyHittersQ)
 }
