@@ -181,6 +181,46 @@ object Ranking {
                                numPartitions: Int = 32): (DataFrame, Long) =
     withExactRank(df, orderCols, outCol, numPartitions)
 
+  /** Exact global rank AND running total of `valueName` over the
+    * total order given by `orderCols` — the distributed prefix sum.
+    * A cumulative `sum().over(orderBy(...))` with no partition spec
+    * is the same single-reducer trap as global row_number, and the
+    * fix is the same TeraSort discipline: range-partition on the sort
+    * keys, accumulate WITHIN each partition, and add per-partition
+    * offsets (here: both the row-count offsets for the rank and the
+    * value-sum offsets for the running total — one driver-side
+    * collect of 2×numPartitions longs covers both). Requires a frame
+    * already projected to its sort keys + the value (the coverage
+    * checkpoint ships only those columns); `valueName` must be
+    * integral (offsets are exact longs). Returns
+    * (frame + rankCol + cumCol, total rows, total value). */
+  def rankedPrefixSum(df: DataFrame, orderCols: Seq[Column],
+                      valueName: String, rankCol: String, cumCol: String,
+                      numPartitions: Int = 32): (DataFrame, Long, Long) = {
+    require(coversFrame(df, orderCols),
+      "rankedPrefixSum: project the frame to exactly its sort keys first " +
+        "(the range checkpoint must stay narrow)")
+    val parted = df.repartitionByRange(numPartitions, orderCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint() // boundary stability — see rangeParted
+    val counts = Array.fill[Long](numPartitions)(0L)
+    val sums = Array.fill[Long](numPartitions)(0L)
+    parted.groupBy("__gr_pid")
+      .agg(count(lit(1)).as("__gr_c"),
+        sum(col(valueName).cast("long")).as("__gr_s"))
+      .collect().foreach { r =>
+        counts(r.getInt(0)) = r.getLong(1)
+        sums(r.getInt(0)) = r.getLong(2)
+      }
+    val w = Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
+    val cumLocal = sum(col(valueName).cast("long"))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    (parted
+      .withColumn(rankCol, row_number().over(w).cast("long") + offsetExpr(counts))
+      .withColumn(cumCol, cumLocal + offsetExpr(sums))
+      .drop("__gr_pid"), counts.sum, sums.sum)
+  }
+
   /** Exact per-group 1-based row_number for FEW heavy groups — the
     * skew case where `Window.partitionBy(group)` would put each
     * group's whole frame on one reducer. Range-partitions on

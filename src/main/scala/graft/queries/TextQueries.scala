@@ -1202,6 +1202,44 @@ object TextQueries {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING count(*) >= 100 ORDER BY token""".stripMargin))
 
+  /** Vocabulary coverage curve — tokens by descending frequency with
+    * each prefix's cumulative share of the corpus, the
+    * tokenizer-training planning query ("how big must the vocab be to
+    * cover 95% of tokens?"). The cumulative sum is the classic
+    * single-reducer trap (`sum().over(orderBy(freq))` with no
+    * partition) — [[graft.ops.Ranking.rankedPrefixSum]] range-
+    * partitions the (token, freq) domain instead, accumulating within
+    * partitions and re-basing with driver-collected offsets; the
+    * grand total falls out of the same offsets, so no extra pass. */
+  val vocabCoverage: Entry = Entry(
+    "vocab_coverage_curve",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val (ranked, _, totTokens) = graft.ops.Ranking.rankedPrefixSum(
+        counts, Seq(col("freq").desc, col("token")),
+        "freq", "vocab_size", "cum_tokens")
+      ranked.where(col("vocab_size") <= 200)
+        .select(col("vocab_size"), col("token"), col("freq"),
+          round(col("cum_tokens").cast("double") / lit(totTokens.toDouble), 6)
+            .as("cum_frac"))
+        .orderBy("vocab_size")
+    },
+    Some("""WITH c AS (
+        |  SELECT token, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token),
+        |tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS t FROM c),
+        |r AS (
+        |  SELECT token, CAST(freq AS BIGINT) AS freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS vocab_size,
+        |    CAST(sum(freq) OVER (ORDER BY freq DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum
+        |  FROM c)
+        |SELECT vocab_size, token, freq, round(cum / tot.t, 6) AS cum_frac
+        |FROM r, tot WHERE vocab_size <= 200 ORDER BY vocab_size""".stripMargin))
+
   val sourceCaps: Entry = Entry(
     "source_quality_caps",
     (s, dir) => graft.ops.Sampling.capPerStratum(
@@ -1394,5 +1432,5 @@ object TextQueries {
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
     unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
     dsirSelection, sourceCaps, spanDedup, bigramPerplexity,
-    bloomDecontaminate, heavyHittersQ)
+    bloomDecontaminate, heavyHittersQ, vocabCoverage)
 }

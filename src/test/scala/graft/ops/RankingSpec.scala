@@ -192,6 +192,39 @@ class RankingSpec extends SparkSpec {
     assert(gotG.count() === 1037)
   }
 
+  test("rankedPrefixSum equals the global-window rank + running total") {
+    val expected = df.withColumn("r",
+        row_number().over(Window.orderBy(col("score").desc, col("id")))
+          .cast("long"))
+      .withColumn("c", sum("score").over(
+        Window.orderBy(col("score").desc, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val (got, n, tot) = Ranking.rankedPrefixSum(df,
+      Seq(col("score").desc, col("id")), "score", "r", "c",
+      numPartitions = 7)
+    assert(n == 1037L)
+    assert(tot == df.agg(sum("score")).head.getLong(0))
+    val joined = got.join(
+      expected.select(col("id"), col("r").as("r2"), col("c").as("c2")),
+      Seq("id"))
+    assert(joined.where(col("r") =!= col("r2") || col("c") =!= col("c2"))
+      .count() == 0)
+    // partition-count independence
+    val (got3, _, _) = Ranking.rankedPrefixSum(df.repartition(13),
+      Seq(col("score").desc, col("id")), "score", "r", "c",
+      numPartitions = 3)
+    assert(got3.join(joined.select(col("id"), col("c2")), Seq("id"))
+      .where(col("c") =!= col("c2")).count() == 0)
+  }
+
+  test("rankedPrefixSum rejects a frame wider than its sort keys") {
+    val wide = df.withColumn("extra", lit("x"))
+    intercept[IllegalArgumentException] {
+      Ranking.rankedPrefixSum(wide, Seq(col("score"), col("id")),
+        "score", "r", "c")
+    }
+  }
+
   test("groupedRowNumber on an empty frame returns empty with the rank column") {
     val g = df.where(lit(false))
       .withColumn("grp", pmod(col("id"), lit(3)).cast("int"))
