@@ -106,10 +106,22 @@ object GraftFunctions {
     if (!registered.contains(key)) synchronized {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_dot", exprs => DotProductF(exprs(0), exprs(1)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_max_mult", exprs => MaxMultiplicityF(exprs(0)), "scala_udf")
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_ndistinct", exprs => ArrayNDistinctF(exprs(0)), "scala_udf")
       registered += key
     }
   }
 
   /** Codegen'd float-array dot product (requires `register`). */
   def dotF(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Codegen'd max element multiplicity of array<string> (requires
+    * `register`). */
+  def maxMultF(arr: Column): Column = call_function("graft_max_mult", arr)
+
+  /** Codegen'd distinct-element count of array<string> (requires
+    * `register`). */
+  def nDistinctF(arr: Column): Column = call_function("graft_ndistinct", arr)
 }

@@ -186,6 +186,12 @@ object TextOps {
     * never NaN. */
   def repetitionMetrics(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
+    // multiplicity/cardinality run per document over token, bigram
+    // and trigram arrays — the native codegen'd expressions replace
+    // the interpreted sort+fold (identical results, see
+    // MaxMultiplicityF) on this hot path
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    import graft.functions.GraftFunctions.{maxMultF, nDistinctF}
     val toks = col("__toks")
     val bis = col("__bis")
     val tris = col("__tris")
@@ -198,10 +204,10 @@ object TextOps {
         ngramsOfTokens(toks, 3).as("__tris"))
       .select(col(idCol),
         size(toks).cast("long").as("n_tokens"),
-        frac(maxMultiplicity(toks), toks).as("top_token_frac"),
-        frac(maxMultiplicity(bis), bis).as("top_bigram_frac"),
+        frac(maxMultF(toks), toks).as("top_token_frac"),
+        frac(maxMultF(bis), bis).as("top_bigram_frac"),
         when(size(tris) > 0, round(lit(1.0) -
-          size(array_distinct(tris)).cast("double") / size(tris), 4))
+          nDistinctF(tris).cast("double") / size(tris), 4))
           .otherwise(lit(0.0))
           .as("dup_trigram_frac"))
   }
