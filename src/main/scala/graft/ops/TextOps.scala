@@ -139,14 +139,24 @@ object TextOps {
     * filters) need how often each n-gram occurs, not just the set. */
   def ngrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
 
-  /** n-gram construction over an already-split token array, built by
-    * zip_with-folding n shifted slices — one O(len) pass per zip, ~6x
-    * faster than a transform over an index sequence with per-position
-    * slice+concat_ws (HOFs don't codegen; per-element interpreter
-    * overhead dominates, so fewer/flatter expressions win). Fewer than
-    * n tokens degrade to one whole-text entry (empty text to none),
-    * matching the index-sequence clamp this replaced. */
+  /** n-gram construction over an already-split token array — the
+    * native [[graft.functions.NgramsF]] expression: one codegen-fused
+    * loop emitting each gram as a single concat, replacing the
+    * zip_with fold of n shifted slices this started as (HOFs don't
+    * codegen; the fold paid n-1 interpreted array passes). Identical
+    * results incl. edges: fewer than n tokens degrade to one
+    * whole-text entry (empty text to none). The fold formulation
+    * survives as [[ngramsOfTokensHof]], spec-pinned equivalent. */
   def ngramsOfTokens(toks: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.NgramsF(ColumnBridge.expression(toks), n))
+  }
+
+  /** The higher-order-function formulation `ngramsOfTokens` replaced —
+    * kept as the executable spec of the native expression's semantics
+    * (NgramEquivalenceSpec sweeps them against each other). */
+  private[graft] def ngramsOfTokensHof(toks: Column, n: Int): Column = {
     val len = size(toks)
     val joined = (2 to n).foldLeft(slice(toks, lit(1), len - (n - 1))) {
       (acc, k) => zip_with(acc, slice(toks, lit(k), len - (n - 1)),
