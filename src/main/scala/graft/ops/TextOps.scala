@@ -303,6 +303,19 @@ object TextOps {
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          w: Int = 4, k: Int = 4): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val fps = ColumnBridge.column(graft.functions.WinnowF(
+      ColumnBridge.expression(tokens(col(textCol))), w, k))
+    df.select(col(idCol), explode(fps).as("fp"))
+  }
+
+  /** The exploded-window formulation [[winnowFingerprints]] replaced —
+    * kept as the executable spec of [[graft.functions.WinnowF]]'s
+    * semantics (WinnowEquivalenceSpec sweeps them against each
+    * other). Two doc-keyed shuffles vs. the expression's zero. */
+  private[graft] def winnowFingerprintsWindowed(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 4, k: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val P = Dedup.MinhashP
     val B = 1000003L
