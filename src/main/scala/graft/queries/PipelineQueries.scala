@@ -117,7 +117,10 @@ object PipelineQueries {
     (s, dir) => {
       s.sql("DROP TABLE IF EXISTS ext_customer")
       new Catalog(s).registerExternal("ext_customer", s"$dir/customer.parquet")
-      s.table("ext_customer")
+      // Athena DDL declares column types and casts files to them on read;
+      // the equivalent here is conforming to the table's schema contract
+      // at this scan boundary (drift tolerance, FixtureDriftSpec)
+      graft.Tables.conform(s.table("ext_customer"), "customer")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"),
           min("c_custkey").as("min_key"),
