@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types._
 
 /** Glue-DynamicFrame-style schema-on-read operators.
   *
@@ -62,6 +62,99 @@ object DynamicFrameOps {
         if (have.contains(fd.name.toLowerCase))
           glueCast(col(fd.name), fd.dataType).as(fd.name)
         else lit(null).cast(fd.dataType).as(fd.name)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Auto resolveChoice policy — what to do with a column whose
+    * observed type differs across landing batches, with NO declared
+    * target schema (Glue resolveChoice's inferred mode,
+    * icberg/iceberg_tables.py:55-58 reads through exactly this
+    * surface). */
+  sealed trait ChoicePolicy
+  /** `cast`: coerce every conflicted column to the widest common type
+    * observed (int widths widen, int+fractional → double, decimal
+    * widens, any-vs-string → string, NTZ/date/ltz → timestamp). */
+  case object CastWidest extends ChoicePolicy
+  /** `make_cols`: split a conflicted column `c` observed as {bigint,
+    * string} into sibling columns `c_bigint` / `c_string`; each batch
+    * populates the one matching its physical type. */
+  case object MakeCols extends ChoicePolicy
+  /** `project:<type>`: keep only the values readable as `dt` (others
+    * null), like Glue's project resolution. */
+  final case class ProjectType(dt: DataType) extends ChoicePolicy
+
+  /** Widest common type of two observed physical types — the `cast`
+    * auto-resolution lattice. Mirrors Spark's own coercion direction
+    * but never picks a lossy target (long+float → double, not float). */
+  private[ops] def widest(a: DataType, b: DataType): DataType = {
+    val intOrder = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    def isInt(t: DataType) = intOrder.contains(t)
+    (a, b) match {
+      case _ if a == b => a
+      case (x: DecimalType, y: DecimalType) =>
+        // union of integer-digit and fraction-digit budgets
+        val scale = x.scale max y.scale
+        val intDigits = (x.precision - x.scale) max (y.precision - y.scale)
+        DecimalType((intDigits + scale) min DecimalType.MAX_PRECISION, scale)
+      case (x, y) if isInt(x) && isInt(y) =>
+        intOrder(intOrder.indexOf(x) max intOrder.indexOf(y))
+      case (x, y) if (isInt(x) || x == FloatType || x == DoubleType ||
+          x.isInstanceOf[DecimalType]) && (isInt(y) || y == FloatType ||
+          y == DoubleType || y.isInstanceOf[DecimalType]) =>
+        DoubleType // any int/float/decimal mix that isn't same-family
+      case (x, y) if Seq(x, y).forall(t => t == TimestampType ||
+          t == TimestampNTZType || t == DateType) => TimestampType
+      case (ArrayType(ae, an), ArrayType(be, bn)) =>
+        ArrayType(widest(ae, be), an || bn)
+      case _ => StringType // string-vs-anything, or no common shape
+    }
+  }
+
+  private def typeSuffix(dt: DataType): String =
+    dt.simpleString.replaceAll("[^A-Za-z0-9]+", "_").stripSuffix("_")
+
+  /** Union landing batches whose schemas drifted, resolving every
+    * type conflict by `policy` with NO declared target — Glue's
+    * inferred resolveChoice. Column identity is case-insensitive
+    * (first-seen spelling wins, matching Spark resolution); a column
+    * absent from a batch is null there. Each per-batch conform is one
+    * projection, so every batch keeps its own pushdown/pruning and
+    * the union is shuffle-free. */
+  def resolveChoiceAuto(frames: Seq[DataFrame],
+                        policy: ChoicePolicy = CastWidest): DataFrame = {
+    require(frames.nonEmpty, "resolveChoiceAuto needs at least one frame")
+    // observed column order = first appearance across batches
+    val names = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (f <- frames; c <- f.schema.fieldNames)
+      names.getOrElseUpdate(c.toLowerCase, c)
+    // observed types per column, insertion-ordered for determinism
+    val observed: Seq[(String, Seq[DataType])] = names.values.toSeq.map { n =>
+      n -> frames.flatMap(_.schema.fields
+            .find(_.name.equalsIgnoreCase(n)).map(_.dataType)).distinct
+    }
+    // output schema: (outputName, sourceName, targetType, onlyFromType)
+    val outCols: Seq[(String, String, DataType, Option[DataType])] =
+      observed.flatMap { case (n, types) =>
+        if (types.size <= 1)
+          Seq((n, n, types.headOption.getOrElse(StringType), None))
+        else policy match {
+          case CastWidest =>
+            Seq((n, n, types.reduce(widest), None))
+          case ProjectType(dt) =>
+            Seq((n, n, dt, None))
+          case MakeCols =>
+            types.map(t => (s"${n}_${typeSuffix(t)}", n, t, Some(t)))
+        }
+      }
+    frames.map { f =>
+      val byLower = f.schema.fields.map(fd => fd.name.toLowerCase -> fd).toMap
+      f.select(outCols.map { case (out, src, dt, onlyFrom) =>
+        byLower.get(src.toLowerCase) match {
+          case Some(fd) if onlyFrom.forall(_ == fd.dataType) =>
+            glueCast(col(fd.name), dt).as(out)
+          case _ => lit(null).cast(dt).as(out)
+        }
       }: _*)
     }.reduce(_.unionByName(_))
   }

@@ -65,6 +65,47 @@ object DynamicFrameQueries {
         |  round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Auto resolveChoice — NO declared target (Glue's inferred mode,
+    * icberg/iceberg_tables.py:55-58): three kinds of drift across two
+    * landing batches of lineitem — int↔long width (l_linenumber),
+    * int↔double (l_quantity), string↔double (l_discount) — plus a
+    * column present in only one batch (l_tax). CastWidest infers
+    * long / double / string / double-with-nulls respectively; the
+    * aggregate matching a straight replay off `lineitem` proves every
+    * inferred resolution round-tripped losslessly. */
+  val resolveChoiceAuto: Entry = Entry(
+    "dynamic_resolve_choice_auto",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag", "l_tax")
+      val base = tmpDir("graft-choice-auto")
+      li.where(col("l_orderkey") % 2 === 0)
+        .withColumn("l_quantity", col("l_quantity").cast(IntegerType))
+        .withColumn("l_discount", col("l_discount").cast(StringType))
+        .drop("l_tax")
+        .write.mode("overwrite").parquet(s"$base/a")
+      li.where(col("l_orderkey") % 2 === 1)
+        .withColumn("l_linenumber", col("l_linenumber").cast(LongType))
+        .write.mode("overwrite").parquet(s"$base/b")
+      val resolved = DynamicFrameOps.resolveChoiceAuto(
+        Seq(s.read.parquet(s"$base/a"), s.read.parquet(s"$base/b")))
+      resolved
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("l_linenumber").as("sum_ln"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_discount").cast(DoubleType)), 2).as("sum_disc"),
+          round(sum("l_tax"), 2).as("sum_tax_odd"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_discount), 2) AS sum_disc,
+        |  round(sum(CASE WHEN l_orderkey % 2 = 1 THEN l_tax END), 2) AS sum_tax_odd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
   /** Unbox the JSON `props` string into a typed struct, relationalize,
     * and aggregate the flattened field — parse-once semantics (the
     * per-access `get_json_object` variant is json_props_extract). */
@@ -109,5 +150,6 @@ object DynamicFrameQueries {
         |WHERE i - 1 < 8 GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val entries: Seq[Entry] =
-    Seq(applyMapping, resolveChoice, unboxFlatten, relationalizeArrays)
+    Seq(applyMapping, resolveChoice, resolveChoiceAuto, unboxFlatten,
+      relationalizeArrays)
 }

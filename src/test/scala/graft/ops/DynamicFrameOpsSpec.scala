@@ -61,6 +61,63 @@ class DynamicFrameOpsSpec extends SparkSpec {
       f.name.equalsIgnoreCase("value") && f.dataType == DoubleType))
   }
 
+  test("widest common type lattice: widths widen, mixes go double, string absorbs") {
+    import DynamicFrameOps.widest
+    assert(widest(IntegerType, LongType) == LongType)
+    assert(widest(IntegerType, DoubleType) == DoubleType)
+    assert(widest(LongType, FloatType) == DoubleType) // never lossy float
+    assert(widest(DecimalType(10, 2), DecimalType(8, 4)) == DecimalType(12, 4))
+    assert(widest(DecimalType(10, 2), LongType) == DoubleType)
+    assert(widest(StringType, DoubleType) == StringType)
+    assert(widest(TimestampNTZType, TimestampType) == TimestampType)
+    assert(widest(DateType, TimestampType) == TimestampType)
+    assert(widest(ArrayType(FloatType), ArrayType(DoubleType)) ==
+      ArrayType(DoubleType))
+    assert(widest(BooleanType, LongType) == StringType) // no common shape
+  }
+
+  test("resolveChoiceAuto cast policy infers the widest type per conflicted column") {
+    val a = Seq((1, "x", 10)).toDF("id", "tag", "q")   // id int, q int
+    val b = Seq((2L, "y", 2.5)).toDF("id", "tag", "q") // id long, q double
+    val out = DynamicFrameOps.resolveChoiceAuto(Seq(a, b))
+    assert(out.schema.fields.map(f => f.name -> f.dataType).toSeq ==
+      Seq("id" -> LongType, "tag" -> StringType, "q" -> DoubleType))
+    assert(out.orderBy("id").collect().map(_.getDouble(2)).toSeq ==
+      Seq(10.0, 2.5))
+  }
+
+  test("resolveChoiceAuto make_cols splits a conflicted column into typed siblings") {
+    val a = Seq((1L, "7")).toDF("id", "v")
+    val b = Seq((2L, 8L)).toDF("id", "v")
+    val out = DynamicFrameOps.resolveChoiceAuto(Seq(a, b),
+      DynamicFrameOps.MakeCols)
+    assert(out.columns.toSeq == Seq("id", "v_string", "v_bigint"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getString(1) == "7" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getLong(2) == 8L)
+  }
+
+  test("resolveChoiceAuto project policy keeps one type, nulls the rest") {
+    val a = Seq((1L, "1.5"), (2L, "n/a")).toDF("id", "v")
+    val b = Seq((3L, 2.5)).toDF("id", "v")
+    val out = DynamicFrameOps.resolveChoiceAuto(Seq(a, b),
+      DynamicFrameOps.ProjectType(DoubleType))
+    assert(out.schema("v").dataType == DoubleType)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byId == Map(1L -> Some(1.5), 2L -> None, 3L -> Some(2.5)))
+  }
+
+  test("resolveChoiceAuto null-fills a column absent from one batch, case-insensitively") {
+    val a = Seq((1L, 0.1)).toDF("id", "TAX")
+    val b = Seq((2L, "z")).toDF("id", "name")
+    val out = DynamicFrameOps.resolveChoiceAuto(Seq(a, b))
+    assert(out.columns.toSeq == Seq("id", "TAX", "name"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 0.1 && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getString(2) == "z")
+  }
+
   test("unbox parses JSON strings into a typed struct (bad rows -> null)") {
     val df = Seq((1L, """{"k": 5}"""), (2L, "not json")).toDF("id", "props")
     val out = DynamicFrameOps.unbox(df, "props",
