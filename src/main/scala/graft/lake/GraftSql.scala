@@ -603,8 +603,37 @@ object GraftSql {
         s"merge condition must be AND-ed same-column equi-joins, " +
           s"got ${m.mergeCondition.sql}"))
 
-    val dest = store.read(target)
+    val destRaw = store.read(target)
     val updates = spark.table(source)
+
+    // MERGE schema evolution (Delta autoMerge semantics, matching the
+    // reference's evolved-source reality — mergeSchema'd dynamic frames
+    // feeding merge_sql_stmnt, icberg/iceberg_tables.py:23,45-50): when
+    // a star action (INSERT * / UPDATE SET *) pulls the source schema
+    // in and the source carries columns the target lacks, widen the
+    // target with typed NULLs up front so BOTH legs see the evolved
+    // schema — updated rows take the source value, carried rows NULL —
+    // and the widened schema lands in the SAME atomic commit. Explicit
+    // assignments to unknown columns stay hard errors. Disable with
+    // spark.graft.merge.schemaEvolution=false (then an evolved source
+    // is a loud error, never a silent half-evolution). Dropped-name
+    // resurrection and physical-name collisions under column mapping
+    // are rejected by the commit's own applyWrite validation.
+    val starPulls = m.matchedActions.exists(_.isInstanceOf[UpdateStarAction]) ||
+      m.notMatchedActions.nonEmpty
+    val destLower = destRaw.columns.map(_.toLowerCase).toSet
+    val srcExtra =
+      if (starPulls)
+        updates.schema.fields.toIndexedSeq
+          .filterNot(f => destLower.contains(f.name.toLowerCase))
+      else Nil
+    val evolveOn = spark.conf
+      .get("spark.graft.merge.schemaEvolution", "true").toBoolean
+    require(srcExtra.isEmpty || evolveOn,
+      s"MERGE source carries column(s) ${srcExtra.map(_.name).mkString(", ")} " +
+        s"absent from $target and spark.graft.merge.schemaEvolution is false")
+    val dest = srcExtra.foldLeft(destRaw)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
 
     // Action conditions and assignment values re-enter as Columns via
     // their generated SQL and resolve against the statement's own

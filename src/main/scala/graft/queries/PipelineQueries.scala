@@ -441,6 +441,44 @@ object PipelineQueries {
         |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM merged ORDER BY c_custkey""".stripMargin))
 
+  /** MERGE schema evolution (Delta autoMerge semantics): the source
+    * carries a column the target lacks (c_mktsegment) — star actions
+    * evolve the target in the SAME atomic commit: updated and inserted
+    * rows take the source value, carried rows NULL-backfill. Source
+    * balances are shifted +1000 so every leg is visibly distinct. */
+  val mergeSqlEvolving: Entry = Entry(
+    "cdc_merge_sql_evolving",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-msqle"))
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      store.create("deste", cust.where(col("c_custkey") % 2 === 0))
+      t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") + 1000).as("c_acctbal"), col("c_mktsegment"))
+        .createOrReplaceTempView("updates_evolve")
+      GraftSql.execute(s, store,
+        """MERGE INTO deste t USING updates_evolve u
+          |ON t.c_custkey = u.c_custkey
+          |WHEN MATCHED AND u.c_acctbal > 6000 THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"),
+          col("c_mktsegment").as("segment"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+        |  CAST(CAST(bal AS DECIMAL(18,2)) AS DOUBLE) AS bal, segment
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal AS bal, NULL AS segment
+        |  FROM customer WHERE c_custkey % 2 = 0 AND c_acctbal + 1000 <= 6000
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 1000, c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0 AND c_acctbal + 1000 > 6000
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal + 1000, c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |ORDER BY c_custkey""".stripMargin))
+
   /** The canonical replication statement — full table sync in one
     * MERGE: matched rows overwritten from the source, missing rows
     * inserted, rows absent from the source deleted. After the
@@ -1282,7 +1320,8 @@ object PipelineQueries {
     zorderScan, statsPrunedScan,
     nullPrunedScan,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
-    mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, sqlDml,
+    mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
+    sqlDml,
     sqlInsert, sqlLifecycle, sqlRestoreClone, sqlTimeTravelDiff,
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     tableChanges, cdfAggregate, rollupRefresh,

@@ -163,6 +163,74 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.currentVersion("dstar").contains(1L))
   }
 
+  test("MERGE schema evolution: INSERT * with a new source column widens the target") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("devo1", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
+    Seq(("k3", 3, "new")).toDF("pk", "v", "tag")
+      .createOrReplaceTempView("updevo1")
+    GraftSql.execute(spark, store,
+      "MERGE INTO devo1 t USING updevo1 u ON t.pk = u.pk " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val out = store.read("devo1").orderBy("pk")
+      .select("pk", "v", "tag").collect()
+    assert(out.map(r => (r.getString(0), r.getInt(1),
+      Option(r.getString(2)))).toSeq ==
+      Seq(("k1", 1, None), ("k2", 2, None), ("k3", 3, Some("new"))))
+    assert(store.currentVersion("devo1").contains(1L)) // one atomic commit
+  }
+
+  test("MERGE schema evolution: UPDATE SET * writes the new column on updated rows only") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("devo2", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
+    Seq(("k1", 99, 0.5)).toDF("pk", "v", "score")
+      .createOrReplaceTempView("updevo2")
+    GraftSql.execute(spark, store,
+      "MERGE INTO devo2 t USING updevo2 u ON t.pk = u.pk " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    val byPk = store.read("devo2").collect().map(r =>
+      r.getString(0) -> ((r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(byPk == Map("k1" -> ((99, Some(0.5))), "k2" -> ((2, None))))
+  }
+
+  test("MERGE schema evolution off: an evolved source is a loud error, not a half-merge") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("devo3", Seq(("k1", 1)).toDF("pk", "v"))
+    Seq(("k2", 2, "x")).toDF("pk", "v", "tag")
+      .createOrReplaceTempView("updevo3")
+    spark.conf.set("spark.graft.merge.schemaEvolution", "false")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, store,
+          "MERGE INTO devo3 t USING updevo3 u ON t.pk = u.pk " +
+            "WHEN NOT MATCHED THEN INSERT *")
+      }
+      assert(e.getMessage.contains("tag") &&
+        e.getMessage.contains("schemaEvolution"))
+      // explicit assignments never pull new columns in — still fine
+      GraftSql.execute(spark, store,
+        "MERGE INTO devo3 t USING updevo3 u ON t.pk = u.pk " +
+          "WHEN MATCHED THEN UPDATE SET v = u.v")
+      assert(store.read("devo3").columns.toSeq == Seq("pk", "v"))
+    } finally spark.conf.set("spark.graft.merge.schemaEvolution", "true")
+  }
+
+  test("MERGE schema evolution cannot resurrect a dropped column") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("devo4", Seq(("k1", 1, "old")).toDF("pk", "v", "tag"))
+    store.dropColumn("devo4", "tag")
+    Seq(("k2", 2, "zombie")).toDF("pk", "v", "tag")
+      .createOrReplaceTempView("updevo4")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "MERGE INTO devo4 t USING updevo4 u ON t.pk = u.pk " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("dropped"))
+    // and the failed merge committed nothing
+    assert(store.read("devo4").count() == 1)
+  }
+
   test("a duplicate-key sibling row whose conditions all fail carries through") {
     val store = new TableStore(spark, tmpDir("gsql"))
     // two target rows share pk k1; only the v=10 row satisfies the
