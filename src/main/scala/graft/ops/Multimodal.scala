@@ -72,7 +72,23 @@ object Multimodal {
     * malformed (wrong magic, 2-byte maxval, truncated pixel data) —
     * the real-pipeline behavior of dropping undecodable payloads
     * instead of failing the job. */
-  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+  def decodePpm(bytes: Array[Byte]): Option[(Int, Int, Array[Double])] =
+    parsePpmHeader(bytes).map { case (w, h, base) =>
+      val n = w.toLong * h * 3
+      val sums = new Array[Double](3)
+      var p = 0
+      while (p < n) {
+        sums((p % 3).toInt) += (bytes(base + p.toInt) & 0xff)
+        p += 1
+      }
+      val px = w.toDouble * h
+      (w, h, sums.map(_ / px))
+    }
+
+  /** Validated P6 header: (width, height, pixel-data offset), or None
+    * on anything malformed (wrong magic, 2-byte maxval, truncated
+    * pixel data). Shared by every decode path. */
+  private def parsePpmHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     var i = 0
     def skipWs(): Unit = {
       var in = true
@@ -99,17 +115,7 @@ object Multimodal {
       if i < bytes.length && bytes(i).toChar.isWhitespace
       n = w.toLong * h * 3
       if n <= Int.MaxValue && bytes.length - (i + 1) >= n
-    } yield {
-      val base = i + 1
-      val sums = new Array[Double](3)
-      var p = 0
-      while (p < n) {
-        sums(p % 3) += (bytes(base + p) & 0xff)
-        p += 1
-      }
-      val px = w.toDouble * h
-      (w, h, sums.map(_ / px))
-    }
+    } yield (w, h, i + 1)
   }
 
   /** Decoded-image features through the SAME batched per-partition
@@ -127,6 +133,119 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** Average-pooled grayscale grid from a P6 payload: `gw`×`gh` cells,
+    * cell (r,c) averaging the box of source pixels mapping onto it
+    * (x→c = x*gw/W, y→r = y*gh/H — exact for integer downscales, box
+    * pooling otherwise). Gray = (R+G+B)/3. None on malformed payloads
+    * or images smaller than the grid. Row-major: index r*gw + c. */
+  def decodePpmGray(bytes: Array[Byte], gw: Int, gh: Int): Option[Array[Double]] = {
+    parsePpmHeader(bytes).collect { case (w, h, base) if w >= gw && h >= gh =>
+      val sums = new Array[Double](gw * gh)
+      val counts = new Array[Int](gw * gh)
+      var y = 0
+      while (y < h) {
+        val r = y * gh / h
+        var x = 0
+        while (x < w) {
+          val c = x * gw / w
+          val p = base + (y * w + x) * 3
+          val gray = ((bytes(p) & 0xff) + (bytes(p + 1) & 0xff) +
+            (bytes(p + 2) & 0xff)) / 3.0
+          sums(r * gw + c) += gray
+          counts(r * gw + c) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(gw * gh)(i => sums(i) / counts(i))
+    }
+  }
+
+  /** Difference hash (dHash) of a 9×8 pooled grayscale grid: bit
+    * (r,c) = 1 iff cell (r,c+1) > cell (r,c) — the horizontal
+    * gradient sign, invariant under any brightness shift that
+    * preserves pixel ordering. Packed as TWO 32-bit halves (rows 0–3
+    * and 4–7, bit index r*8+c within each) so downstream arithmetic —
+    * banding, xor, bit_count — stays in non-negative BIGINT range in
+    * any engine (a single 64-bit word would need bit 63). */
+  final case class PerceptualHash(media_id: Long, hash_hi: Long, hash_lo: Long)
+
+  def dHashOf(gray9x8: Array[Double]): (Long, Long) = {
+    require(gray9x8.length == 72, "dHash expects a 9x8 grid")
+    var hi = 0L; var lo = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (gray9x8(r * 9 + c + 1) > gray9x8(r * 9 + c)) {
+          if (r < 4) hi |= 1L << (r * 8 + c)
+          else lo |= 1L << ((r - 4) * 8 + c)
+        }
+        c += 1
+      }
+      r += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-payload perceptual hash through the batched codec interface:
+    * decode (REAL P6 parse), pool to 9×8, dHash. Undecodable or
+    * sub-grid payloads drop. */
+  def perceptualHashes(spark: SparkSession, media: DataFrame): Dataset[PerceptualHash] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.flatMap { row =>
+        decodePpmGray(row.bytes, 9, 8).map { g =>
+          val (hi, lo) = dHashOf(g)
+          PerceptualHash(row.media_id, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate pairs by banded Hamming join — the
+    * image arm of the near-dedup family, banded exactly like MinHash
+    * LSH: the 64 dHash bits split into four 16-bit bands; candidate
+    * pairs come from a band EQUI-join (never an all-pairs scan), and
+    * by pigeonhole any pair within Hamming distance ≤ 3 shares at
+    * least one untouched band, so recall at the default `maxDist = 3`
+    * is exact. Bands whose bucket exceeds `maxBucketDf` distinct
+    * payloads (flat/black images all hash alike) are dropped before
+    * the join — the same fanout guard every candidate join in the
+    * engine uses, the load-bearing bound at 100 TB. Candidates are
+    * verified by true Hamming distance (xor + bit_count, codegen'd).
+    * Shuffles: one band groupBy, one band join, one pair distinct. */
+  def perceptualNearDup(hashes: DataFrame, maxDist: Int = 3,
+                        maxBucketDf: Int = 200): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6,
+      "maxDist beyond 6 breaks the 4-band pigeonhole recall guarantee at 3; " +
+        "recall above 3 is best-effort, above 6 unsupported")
+    val banded = hashes.select(col("media_id"), col("hash_hi"), col("hash_lo"),
+      posexplode(array(
+        expr("hash_hi div 65536"), expr("hash_hi % 65536"),
+        expr("hash_lo div 65536"), expr("hash_lo % 65536")))
+        .as(Seq("band_idx", "band_val")))
+    val hot = banded.groupBy("band_idx", "band_val")
+      .agg(countDistinct("media_id").as("__df"))
+      .where(col("__df") > maxBucketDf)
+      .select("band_idx", "band_val")
+    val b = banded.join(hot, Seq("band_idx", "band_val"), "left_anti")
+    val a2 = b.select(col("band_idx"), col("band_val"),
+      col("media_id").as("a_id"), col("hash_hi").as("a_hi"),
+      col("hash_lo").as("a_lo"))
+    val b2 = b.select(col("band_idx"), col("band_val"),
+      col("media_id").as("b_id"), col("hash_hi").as("b_hi"),
+      col("hash_lo").as("b_lo"))
+    a2.join(b2, Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_hi", "a_lo", "b_hi", "b_lo").distinct()
+      .withColumn("dist",
+        bit_count(col("a_hi").bitwiseXOR(col("b_hi"))) +
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))))
+      .where(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 
   /** Binary PPM (P6) encoder — the test/fixture half of

@@ -109,6 +109,99 @@ object MultimodalQueries {
         |WHERE shared * 1.0 / least(sa.n_blocks, sb.n_blocks) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin))
 
+  /** Perceptual image near-dup (dHash, banded like MinHash): the
+    * engine side renders deterministic 18×16 P6 images (gray(x,y) =
+    * (seed*31 + x*7 + y*13) % 200, +20 brightness on the copy set),
+    * runs the REAL codec round trip — encodePpm → decodePpmGray 9×8
+    * pool → dHash → 4×16-bit band join → Hamming verify — while the
+    * oracle recomputes the identical hash arithmetic from the closed
+    * form, never touching bytes. Matching output proves the whole
+    * decode/pool/hash/band pipeline, and brightness-shifted copies
+    * land at distance 0 by construction (gradient signs are
+    * shift-invariant). */
+  val phashNearDup: Entry = Entry(
+    "multimodal_phash_neardup",
+    (s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val base = docs.where(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("media_id"), col("doc_id").as("seed"),
+          lit(0).as("shift"))
+      val copies = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000000L).as("media_id"),
+          col("doc_id").as("seed"), lit(20).as("shift"))
+      val media = base.unionByName(copies)
+        .as[(Long, Long, Int)].mapPartitions { it =>
+          it.map { case (id, seed, shift) =>
+            val px = new Array[Byte](18 * 16 * 3)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 18) {
+                val g = ((seed * 31 + x * 7 + y * 13) % 200 + shift).toInt
+                val o = (y * 18 + x) * 3
+                px(o) = g.toByte; px(o + 1) = g.toByte; px(o + 2) = g.toByte
+                x += 1
+              }
+              y += 1
+            }
+            (id, "ppm", Multimodal.encodePpm(18, 16, px))
+          }
+        }.toDF("media_id", "format", "bytes")
+      val hashes = Multimodal.perceptualHashes(s, media).toDF()
+      Multimodal.perceptualNearDup(hashes, maxDist = 3)
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH media AS (
+        |  SELECT doc_id AS media_id, doc_id AS seed, 0 AS shift
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, doc_id, 20
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cells AS (
+        |  SELECT media_id, r, c,
+        |    ((seed*31 + (2*c)*7   + (2*r)*13) % 200
+        |   + (seed*31 + (2*c+1)*7 + (2*r)*13) % 200
+        |   + (seed*31 + (2*c)*7   + (2*r+1)*13) % 200
+        |   + (seed*31 + (2*c+1)*7 + (2*r+1)*13) % 200) / 4.0 + shift AS v
+        |  FROM media,
+        |    (SELECT unnest(range(8)) AS r), (SELECT unnest(range(9)) AS c)),
+        |bits AS (
+        |  SELECT a.media_id, a.r, a.c,
+        |    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.media_id = b.media_id AND a.r = b.r AND b.c = a.c + 1
+        |  WHERE a.c < 8),
+        |hashes AS (
+        |  SELECT media_id,
+        |    CAST(sum(CASE WHEN r < 4
+        |      THEN bit * (1::BIGINT << (r*8 + c)) ELSE 0 END) AS BIGINT) AS hash_hi,
+        |    CAST(sum(CASE WHEN r >= 4
+        |      THEN bit * (1::BIGINT << ((r-4)*8 + c)) ELSE 0 END) AS BIGINT) AS hash_lo
+        |  FROM bits GROUP BY media_id),
+        |bands AS (
+        |  SELECT media_id, hash_hi, hash_lo, band_idx,
+        |    CASE band_idx WHEN 0 THEN hash_hi // 65536 WHEN 1 THEN hash_hi % 65536
+        |                  WHEN 2 THEN hash_lo // 65536 ELSE hash_lo % 65536
+        |    END AS band_val
+        |  FROM hashes, (SELECT unnest(range(4)) AS band_idx)),
+        |ok AS (
+        |  SELECT band_idx, band_val FROM bands GROUP BY 1, 2
+        |  HAVING count(DISTINCT media_id) <= 200),
+        |bb AS (SELECT b.* FROM bands b JOIN ok USING (band_idx, band_val)),
+        |pairs AS (
+        |  SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+        |    a.hash_hi AS a_hi, a.hash_lo AS a_lo,
+        |    b.hash_hi AS b_hi, b.hash_lo AS b_lo
+        |  FROM bb a JOIN bb b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |  WHERE a.media_id < b.media_id)
+        |SELECT a_id, b_id,
+        |  CAST(bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) AS BIGINT) AS dist
+        |FROM pairs
+        |WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin))
+
   val entries: Seq[Entry] = Seq(mediaFeatures, mediaFormatStats, frameSample,
-    blockNearDup)
+    blockNearDup, phashNearDup)
 }

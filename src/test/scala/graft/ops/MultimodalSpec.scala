@@ -94,4 +94,70 @@ class MultimodalSpec extends SparkSpec {
     assert(got.map(_.mean_g).toSeq == Seq(10.0, 200.0))
     assert(got.map(_.mean_b).toSeq == Seq(10.0, 200.0))
   }
+
+  /** Deterministic 18×16 test image: gray(x,y) = f(seed,x,y), all
+    * channels equal, values kept ≤ 219 so a +brightness shift never
+    * clips. */
+  private def img(seed: Long, shift: Int): Array[Byte] = {
+    val px = new Array[Byte](18 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 18) {
+      val g = ((seed * 31 + x * 7 + y * 13) % 200 + shift).toInt
+      val o = (y * 18 + x) * 3
+      px(o) = g.toByte; px(o + 1) = g.toByte; px(o + 2) = g.toByte
+    }
+    Multimodal.encodePpm(18, 16, px)
+  }
+
+  test("decodePpmGray pools exactly on an integer downscale") {
+    val g = Multimodal.decodePpmGray(img(7L, 0), 9, 8).get
+    assert(g.length == 72)
+    def f(x: Int, y: Int) = (7L * 31 + x * 7 + y * 13) % 200
+    for (r <- 0 until 8; c <- 0 until 9) {
+      val want = (f(2 * c, 2 * r) + f(2 * c + 1, 2 * r) +
+        f(2 * c, 2 * r + 1) + f(2 * c + 1, 2 * r + 1)) / 4.0
+      assert(g(r * 9 + c) == want, s"cell ($r,$c)")
+    }
+    // sub-grid images refuse rather than divide by zero
+    assert(Multimodal.decodePpmGray(
+      Multimodal.encodePpm(4, 4, Array.fill(48)(1.toByte)), 9, 8).isEmpty)
+  }
+
+  test("perceptual near-dup: a brightness-shifted copy is caught, an unrelated image is not") {
+    val media = Seq(
+      (1L, "ppm", img(42L, 0)),
+      (2L, "ppm", img(42L, 20)),  // same image, +20 brightness
+      (3L, "ppm", img(999L, 0)))  // unrelated content
+      .toDF("media_id", "format", "bytes")
+    val hashes = Multimodal.perceptualHashes(spark, media).toDF()
+    val pairs = Multimodal.perceptualNearDup(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0L)),
+      s"want exactly the shifted copy at distance 0, got ${pairs.toSeq}")
+  }
+
+  test("banding recall: a pair at Hamming distance 3 still meets in a band") {
+    val (hi, lo) = Multimodal.dHashOf(
+      Multimodal.decodePpmGray(img(5L, 0), 9, 8).get)
+    // flip 3 bits spread across three different bands — pigeonhole
+    // leaves the fourth band identical, so the equi-join must find it
+    val hi2 = hi ^ (1L << 3) ^ (1L << 19)
+    val lo2 = lo ^ (1L << 5)
+    val hashes = Seq((1L, hi, lo), (2L, hi2, lo2))
+      .toDF("media_id", "hash_hi", "hash_lo")
+    val pairs = Multimodal.perceptualNearDup(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 3L)))
+  }
+
+  test("hot perceptual-hash buckets are dropped, never joined all-pairs") {
+    // 30 flat images hash identically (all-zero gradient): with the
+    // bucket cap below that count, no candidate pair survives
+    val flat = (1L to 30L).map(i => (i, "ppm",
+      Multimodal.encodePpm(18, 16, Array.fill(18 * 16 * 3)(100.toByte))))
+      .toDF("media_id", "format", "bytes")
+    val hashes = Multimodal.perceptualHashes(spark, flat).toDF()
+    val pairs = Multimodal.perceptualNearDup(hashes, maxDist = 3,
+      maxBucketDf = 10)
+    assert(pairs.count() == 0)
+  }
 }
