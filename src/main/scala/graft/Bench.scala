@@ -75,9 +75,11 @@ object Bench {
     // round 3's official bench record preserved only worst-rep contention
     // samples and lost both the total and the min-of-N values. This short
     // line is what a tail capture retains: the headline total, rep count,
-    // query count, and the 5 slowest queries by their MIN (true cost).
+    // query count, and the 5 slowest queries as [min, max] — min is the
+    // true cost, and a max far above it makes host contention self-evident
+    // from the tail alone (round 6's 5 s "regression" was exactly that).
     val slowest = results.sortBy(-_._2).take(5)
-      .map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .map { case (k, mn, mx) => s"\"" + k + s"\":[$mn,$mx]" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"failed":${failed.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
