@@ -3,10 +3,14 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import Queries.{Entry, t}
 
-/** Second tranche of TPC-H shapes (Q14–Q19, Q22) adapted to the fixture
-  * schema (no partsupp / shipmode / commitdate columns, so Q12/Q20/Q21
-  * have no faithful equivalent; Q22's phone country code becomes a
-  * key-modulo class). PURE money sums (q18's o_totalprice, q22's
+/** Second tranche of TPC-H shapes (Q12, Q14–Q22) adapted to the
+  * fixture schema. No partsupp / shipmode / commitdate columns exist,
+  * so Q12 buckets by ship delay instead of ship mode, Q20's excess
+  * inventory becomes excess ship share, Q21's lateness is
+  * ship-vs-order delay — each keeps the ORIGINAL query's relational
+  * signature (conditional aggregation over a join; correlated
+  * threshold; EXISTS + NOT EXISTS) — and Q22's phone country code
+  * becomes a key-modulo class. PURE money sums (q18's o_totalprice, q22's
   * balance total) go through DECIMAL before the double cast so
   * summation order can't move a rounding boundary; revenue PRODUCT
   * sums (q14/q15/q17/q19) follow the established round(sum(double))
@@ -245,7 +249,133 @@ object StarQueries2 {
         |FROM s JOIN x ON s.l_returnflag = x.l_returnflag
         |ORDER BY s.l_returnflag""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(q14PromoShare, q15TopSupplier,
-    q16PartsSuppliers, q17SmallQuantity, q18LargeVolume,
-    q19DiscountedRevenue, q22GlobalSales, kmvDistinct)
+  /** Q12 adapted (no shipmode / commit/receipt dates in the fixture):
+    * shipping-delay buckets instead of ship modes — lines shipped ≤90
+    * vs >90 days after the order date, counting high- vs low-priority
+    * orders per bucket. Same shape as TPC-H Q12: one fact-dim join,
+    * conditional aggregation on the dimension attribute. */
+  val q12ShippingDelay: Entry = Entry(
+    "q12_shipping_delay",
+    (s, dir) => t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) > 90, "late")
+          .otherwise("ontime"))
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("bucket"),
+    Some("""SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+        |    THEN 'late' ELSE 'ontime' END AS bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Q20 adapted (no partsupp): suppliers holding an EXCESS SHARE of a
+    * part's shipped volume — per (supplier, part) quantity vs a fifth of
+    * the part's total, the correlated-threshold shape of Q20's scalar
+    * subquery. Both aggregates key on l_partkey, so the share join is
+    * co-partitioned; supplier names arrive by broadcast. */
+  val q20ExcessShare: Entry = Entry(
+    "q20_excess_share",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+      val perSupp = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum("l_quantity").as("supp_qty"))
+      val perPart = li.groupBy("l_partkey")
+        .agg(sum("l_quantity").as("part_qty"))
+      val excess = perSupp.join(perPart, "l_partkey")
+        .where(col("supp_qty") > col("part_qty") * 0.2)
+      excess.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_dominated_parts"),
+          round(sum(col("supp_qty") - col("part_qty") * 0.2), 2).as("excess_qty"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("n_dominated_parts"), col("excess_qty"))
+        .orderBy(col("n_dominated_parts").desc, col("s_suppkey"))
+        .limit(50)
+    },
+    Some("""WITH per_supp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |per_part AS (
+        |  SELECT l_partkey, sum(l_quantity) AS part_qty
+        |  FROM lineitem GROUP BY 1),
+        |excess AS (
+        |  SELECT l_suppkey, supp_qty, part_qty
+        |  FROM per_supp JOIN per_part USING (l_partkey)
+        |  WHERE supp_qty > part_qty * 0.2)
+        |SELECT s_suppkey, s_name,
+        |  count(*) AS n_dominated_parts,
+        |  round(sum(supp_qty - part_qty * 0.2), 2) AS excess_qty
+        |FROM excess JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY n_dominated_parts DESC, s_suppkey LIMIT 50""".stripMargin))
+
+  /** Q21 adapted (lateness = shipped >180 days after the order date):
+    * suppliers late on a multi-supplier order where NO other supplier
+    * was late — Q21's EXISTS + NOT EXISTS signature, compiled to one
+    * left-semi (another supplier exists) and one left-anti (no other
+    * late supplier) on (order, supplier)-distinct frames. All joins
+    * key on l_orderkey, so the three frames share one partitioning. */
+  val q21ExclusiveLate: Entry = Entry(
+    "q21_exclusive_late",
+    (s, dir) => {
+      val lo = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(col("l_shipdate"), col("o_orderdate")) > 180).as("late"))
+      val dist = lo.select("l_orderkey", "l_suppkey").distinct()
+      val lateDist = lo.where(col("late"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      // fully renamed probe sides: self-joins over shared lineage are
+      // ambiguous if any attribute name survives on both sides
+      val others = dist.select(col("l_orderkey").as("x_okey"),
+        col("l_suppkey").as("x_skey"))
+      val lateOthers = lateDist.select(col("l_orderkey").as("x_okey"),
+        col("l_suppkey").as("x_skey"))
+      val exclusive = lateDist
+        .join(others, col("x_okey") === col("l_orderkey") &&
+          col("x_skey") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("x_okey") === col("l_orderkey") &&
+          col("x_skey") =!= col("l_suppkey"), "left_anti")
+      exclusive.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(100)
+    },
+    Some("""WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    datediff('day', o_orderdate, l_shipdate) > 180 AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |dist AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo),
+        |late_dist AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM late_dist l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM dist l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late_dist l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey LIMIT 100""".stripMargin))
+
+  val entries: Seq[Entry] = Seq(q12ShippingDelay, q14PromoShare,
+    q15TopSupplier, q16PartsSuppliers, q17SmallQuantity, q18LargeVolume,
+    q19DiscountedRevenue, q20ExcessShare, q21ExclusiveLate, q22GlobalSales,
+    kmvDistinct)
 }
