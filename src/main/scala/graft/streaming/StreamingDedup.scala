@@ -99,6 +99,31 @@ object StreamingDedup {
       bandedDocs(docs, idCol, textCol, shingleN, numHashes, rowsPerBand),
       maxBucket)
 
+  /** Streaming perceptual near-dup: images stream in, candidate pairs
+    * stream out — the IMAGE arm of dedup-at-ingest, sharing the text
+    * path's stateful bucket-membership operator. The stateless stage
+    * decodes + pools + dHashes per row (mapPartitions, no shuffle —
+    * [[graft.ops.Multimodal.perceptualHashes]]) and bands the 64 bits
+    * as four 16-bit buckets, exactly like the batch
+    * `perceptualNearDup`; candidates are verified downstream by
+    * Hamming distance (idempotent), so multi-band duplicates cost
+    * work, not correctness. The bucket cap plays the batch path's
+    * hot-bucket guard (flat images all hash alike). */
+  def perceptualCandidates(media: DataFrame,
+                           maxBucket: Int = 64): Dataset[CandPair] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bands = graft.ops.Multimodal.perceptualHashes(spark, media)
+      .flatMap { h =>
+        Seq(
+          BandedDoc(s"ph0#${h.hash_hi >>> 16}", h.media_id),
+          BandedDoc(s"ph1#${h.hash_hi & 0xFFFF}", h.media_id),
+          BandedDoc(s"ph2#${h.hash_lo >>> 16}", h.media_id),
+          BandedDoc(s"ph3#${h.hash_lo & 0xFFFF}", h.media_id))
+      }
+    candidatePairs(bands, maxBucket)
+  }
+
   /** Durable variant: stream documents into the PERSISTED band index
     * (`Dedup.indexBands` lake table) via foreachBatch — each
     * micro-batch reports its candidates against everything indexed

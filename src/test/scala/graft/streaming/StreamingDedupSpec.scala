@@ -64,6 +64,38 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming perceptual candidates: a brightness-shifted copy arriving later pairs up") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.Multimodal
+    implicit val sql = spark.sqlContext
+    def img(seed: Long, shift: Int): Array[Byte] = {
+      val px = new Array[Byte](18 * 16 * 3)
+      for (y <- 0 until 16; x <- 0 until 18) {
+        val g = ((seed * 31 + x * 7 + y * 13) % 200 + shift).toInt
+        val o = (y * 18 + x) * 3
+        px(o) = g.toByte; px(o + 1) = g.toByte; px(o + 2) = g.toByte
+      }
+      Multimodal.encodePpm(18, 16, px)
+    }
+    val in = MemoryStream[(Long, String, Array[Byte])]
+    val media = in.toDF().toDF("media_id", "format", "bytes")
+    val q = StreamingDedup.perceptualCandidates(media)
+      .writeStream.format("memory").queryName("ph_cand_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "ppm", img(42L, 0)), (2L, "ppm", img(999L, 0)))
+      q.processAllAvailable()
+      assert(spark.table("ph_cand_out").count() == 0) // nothing alike yet
+      // a +20-brightness copy of image 1 arrives in a later batch
+      in.addData((3L, "ppm", img(42L, 20)))
+      q.processAllAvailable()
+      val pairs = spark.table("ph_cand_out")
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 3L)),
+        s"want exactly the shifted copy as a candidate, got $pairs")
+    } finally q.stop()
+  }
+
   test("band-index ingest: pairs accumulate durably across micro-batches") {
     val src = tmpDir("bands-src")
     val store = new graft.lake.TableStore(spark, tmpDir("bands-store"))
