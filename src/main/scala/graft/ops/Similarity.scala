@@ -488,4 +488,79 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos_pq").desc, col("vid"))
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
+
+  /** One MMR selection: (query, rank, picked doc, objective value at
+    * selection time). */
+  final case class MmrPick(qid: Long, rnk: Int, vid: Long, mmr: Double)
+
+  /** Maximal-marginal-relevance diversified top-k: greedily pick, per
+    * query, the candidate maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈picked} sim(d, s)` (sim = dot product of
+    * the candidate vectors; the max over an empty picked set is 0, so
+    * the first pick is the relevance argmax scaled by λ). Ties break
+    * by vid ascending.
+    *
+    * Scale design: MMR is inherently sequential IN k, so it runs AFTER
+    * a retrieval stage has already cut each query to a bounded
+    * candidate set (top-N from brute force / IVF / PQ — the standard
+    * two-stage shape). The greedy loop is `flatMapGroups` per query:
+    * queries parallelize freely, per-group state is O(N·dim), and
+    * nothing ever shuffles but the (qid, N-candidate) rows themselves.
+    * Candidates per query are capped (`maxCandidates`) so a caller
+    * wiring an uncut frame in degrades to the N best by relevance
+    * instead of materializing an unbounded group. */
+  def mmrSelect(candidates: DataFrame, k: Int, lambda: Double,
+                qidCol: String = "qid", vidCol: String = "vid",
+                relCol: String = "rel", vecCol: String = "vec",
+                maxCandidates: Int = 256): org.apache.spark.sql.Dataset[MmrPick] = {
+    require(k >= 1 && lambda >= 0 && lambda <= 1, "need k >= 1, lambda in [0,1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    candidates
+      .select(col(qidCol).cast("long"), col(vidCol).cast("long"),
+        col(relCol).cast("double"), col(vecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cand = it.map { case (_, vid, rel, vec) => (vid, rel, vec) }
+          .toArray.sortBy { case (vid, rel, _) => (-rel, vid) }
+          .take(maxCandidates)
+        val picked = new Array[Boolean](cand.length)
+        val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+        var step = 0
+        while (step < k && out.size < cand.length) {
+          var bestIdx = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cand.length) {
+            if (!picked(i)) {
+              val (vid, rel, vec) = cand(i)
+              var maxSim = 0.0 // empty picked set => no diversity term
+              var j = 0
+              while (j < pickedVecs.length) {
+                val p = pickedVecs(j)
+                var d = 0.0
+                var x = 0
+                while (x < vec.length) { d += p(x) * vec(x); x += 1 }
+                if (j == 0 || d > maxSim) maxSim = d
+                j += 1
+              }
+              val score = lambda * rel - (1 - lambda) * maxSim
+              if (score > bestScore ||
+                  (score == bestScore && bestIdx >= 0 && vid < cand(bestIdx)._1)) {
+                bestIdx = i
+                bestScore = score
+              }
+            }
+            i += 1
+          }
+          picked(bestIdx) = true
+          pickedVecs += cand(bestIdx)._3
+          step += 1
+          out += MmrPick(qid, step, cand(bestIdx)._1, bestScore)
+        }
+        out.iterator
+      }
+  }
 }

@@ -580,7 +580,73 @@ object VectorQueries {
         |SELECT qid, neg_rnk, vid, cos, v_label FROM neg
         |WHERE neg_rnk <= 10 ORDER BY qid, neg_rnk""".stripMargin))
 
+  /** MMR-diversified top-k (Carbonell & Goldstein '98): a second-stage
+    * re-ranker over each query's top-20 relevance candidates, greedily
+    * maximizing λ·rel − (1−λ)·max-sim-to-picked
+    * ([[Similarity.mmrSelect]] — per-query groups, bounded state).
+    * Everything runs in the int8-quantized integer domain (int dots,
+    * λ=0.5 halves) so scores are EXACT doubles in any engine and the
+    * oracle — a recursive CTE replaying the same greedy selection with
+    * list lambdas — matches bit-for-bit, argmax ties included. */
+  val mmrTopK: Entry = Entry(
+    "mmr_diversified_topk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          transform(col("q_codes"), c => c.cast("double")).as("codes"))
+      val probes = q.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("codes").as("pcodes"))
+      val rel = q.join(broadcast(probes), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("vid"),
+          Similarity.dot(col("pcodes"), col("codes")).as("rel"), col("codes"))
+      val cand = rel.withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("rel").desc, col("vid"))))
+        .where(col("rn") <= 20)
+        .select("qid", "vid", "rel", "codes")
+      Similarity.mmrSelect(cand, k = 8, lambda = 0.5, vecCol = "codes")
+        .toDF()
+        .select(col("qid"), col("rnk").cast("long").as("rnk"), col("vid"),
+          round(col("mmr"), 4).as("mmr"))
+        .orderBy("qid", "rnk")
+    },
+    Some("""WITH RECURSIVE
+        |q AS (
+        |  SELECT vec_id,
+        |    [round(CAST(x AS DOUBLE) /
+        |       greatest(list_max([abs(CAST(y AS DOUBLE)) FOR y IN embedding]),
+        |                1e-12) * 127, 0) FOR x IN embedding] AS codes
+        |  FROM embeddings),
+        |cand AS (
+        |  SELECT p.vec_id AS qid, c.vec_id AS vid,
+        |         list_dot_product(p.codes, c.codes) AS rel, c.codes AS codes
+        |  FROM q p JOIN q c ON p.vec_id < 3 AND c.vec_id <> p.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY rel DESC, c.vec_id) <= 20),
+        |sel AS (
+        |  (SELECT qid, 1 AS rnk, vid, 0.5 * rel AS mmr,
+        |          [vid] AS vids, [codes] AS picked
+        |   FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |             ORDER BY rel DESC, vid) AS rn FROM cand)
+        |   WHERE rn = 1)
+        |  UNION ALL
+        |  (SELECT qid, rnk + 1, vid, mmr,
+        |          list_append(vids, vid), list_append(picked, codes)
+        |   FROM (
+        |     SELECT s.qid, s.rnk, c.vid, c.codes, s.vids, s.picked,
+        |       0.5 * c.rel - 0.5 * list_max(list_transform(s.picked,
+        |         p -> list_dot_product(p, c.codes))) AS mmr,
+        |       row_number() OVER (PARTITION BY s.qid ORDER BY
+        |         0.5 * c.rel - 0.5 * list_max(list_transform(s.picked,
+        |           p -> list_dot_product(p, c.codes))) DESC, c.vid) AS rn
+        |     FROM sel s JOIN cand c
+        |       ON c.qid = s.qid AND NOT list_contains(s.vids, c.vid)
+        |     WHERE s.rnk < 8)
+        |   WHERE rn = 1))
+        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vid, round(mmr, 4) AS mmr
+        |FROM sel ORDER BY qid, rnk""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, semanticDedup, quantizationError,
-    quantizedTopK, pqTopK, hardNegatives)
+    quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

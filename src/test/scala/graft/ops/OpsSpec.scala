@@ -257,4 +257,40 @@ class OpsSpec extends SparkSpec {
     assert(m.getDouble(2) == 1.0 && m.getDouble(3) == 0.0 &&
       m.getDouble(4) == 0.0)
   }
+
+  test("mmrSelect: diversity demotes the near-duplicate of the first pick") {
+    // doc 1: most relevant; doc 2: slightly less relevant but nearly
+    // identical to doc 1; doc 3: less relevant, orthogonal. Pure
+    // relevance ranks (1, 2, 3); MMR at λ=0.5 must rank (1, 3, 2).
+    val cand = Seq(
+      (7L, 1L, 100.0, Array(10.0, 0.0)),
+      (7L, 2L, 99.0, Array(10.0, 0.1)),
+      (7L, 3L, 80.0, Array(0.0, 10.0)))
+      .toDF("qid", "vid", "rel", "vec")
+    val out = Similarity.mmrSelect(cand, k = 3, lambda = 0.5)
+      .collect().sortBy(_.rnk)
+    assert(out.map(_.vid).toSeq == Seq(1L, 3L, 2L))
+    assert(out.head.mmr == 50.0) // λ·rel, empty picked set
+  }
+
+  test("mmrSelect: λ=1 reduces to pure relevance; ties break by vid; k caps at candidates") {
+    val cand = Seq(
+      (1L, 5L, 10.0, Array(1.0, 0.0)),
+      (1L, 4L, 10.0, Array(0.0, 1.0)), // tied rel -> vid 4 first
+      (2L, 9L, 3.0, Array(1.0, 1.0)))
+      .toDF("qid", "vid", "rel", "vec")
+    val out = Similarity.mmrSelect(cand, k = 5, lambda = 1.0)
+      .collect().groupBy(_.qid)
+    assert(out(1L).sortBy(_.rnk).map(_.vid).toSeq == Seq(4L, 5L))
+    assert(out(2L).map(_.vid).toSeq == Seq(9L)) // k > candidates: stops
+  }
+
+  test("mmrSelect caps unbounded candidate groups at the N most relevant") {
+    val cand = (1 to 500).map(i => (1L, i.toLong, i.toDouble, Array(i.toDouble)))
+      .toDF("qid", "vid", "rel", "vec")
+    val out = Similarity.mmrSelect(cand, k = 2, lambda = 1.0,
+      maxCandidates = 10).collect()
+    // the cap keeps the 10 best by rel (491..500); picks are from those
+    assert(out.map(_.vid).forall(_ > 490L))
+  }
 }
