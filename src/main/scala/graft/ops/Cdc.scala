@@ -70,6 +70,42 @@ object Cdc {
 
   /** P6: CDC tombstone predicate — keep op IS NULL OR op IN (I, U)
     * (icberg/iceberg_tables.py:35,:51). */
+  /** Slowly-changing-dimension Type 2 build: turn a change log
+    * (key, attributes, change time) into versioned dimension rows with
+    * `valid_from` / `valid_to` / `is_current` — the standard lakehouse
+    * dimension shape downstream of CDC.
+    *
+    * Consecutive no-op changes (same attribute values as the previous
+    * version of the key) are dropped FIRST — a CDC feed that re-emits
+    * unchanged rows must not mint phantom versions — then each
+    * surviving change closes at the NEXT survivor's change time
+    * (`lead`), open-ended (`valid_to` NULL, `is_current` true) on the
+    * latest. Ties on `tsCol` within a key break by the full attribute
+    * tuple (deterministic versioning under a violated unique-ts
+    * precondition, never nondeterministic output).
+    *
+    * Scale: both windows partition by the key — ONE shuffle; the
+    * exchange is reused across the lag (no-op drop) and lead (close)
+    * passes. High-cardinality keys parallelize by key count; this is
+    * the opposite of a global-window trap. */
+  def scd2Build(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+                attrCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && attrCols.nonEmpty, "need key and attr columns")
+    val attrs = struct(attrCols.map(col): _*)
+    val order = col(tsCol) +: attrCols.map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    val deduped = changes
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      // null-safe: the first version (no prev) keeps, and NULL attr
+      // fields compare as values (IS DISTINCT FROM), never as unknowns
+      .where(!(col("__prev") <=> attrs))
+      .drop("__prev")
+    deduped
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   def dropTombstones(df: DataFrame): DataFrame =
     if (hasOpCol(df))
       df.where(col("op").isNull || col("op").isin("I", "U"))

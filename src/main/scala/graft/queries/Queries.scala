@@ -325,6 +325,37 @@ object Queries {
         |  FROM events) a
         |WHERE row_num = 1 ORDER BY key""".stripMargin))
 
+  /** SCD Type-2 dimension build ([[Cdc.scd2Build]]): the event stream
+    * as a change log (key = user bucket, attribute = event type) turned
+    * into versioned dimension rows — no-op changes dropped, each
+    * version closed by the next one's change time, open-ended current
+    * rows. Both windows share one key-partitioned exchange. */
+  val scd2Dimension: Entry = Entry(
+    "scd2_dimension_build",
+    (s, dir) => {
+      val ch = t(s, dir, "events")
+        .select((col("user_id") % 50).as("key"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      Cdc.scd2Build(ch, Seq("key"), "ts_us", Seq("event_type"))
+        .select("key", "event_type", "valid_from", "valid_to", "is_current")
+        .orderBy("key", "valid_from", "event_type")
+    },
+    Some("""WITH ch AS (
+        |  SELECT user_id % 50 AS key, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |d AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY key ORDER BY ts_us, event_type) AS prev
+        |  FROM ch),
+        |vers AS (
+        |  SELECT key, event_type, ts_us AS valid_from,
+        |    lead(ts_us) OVER (PARTITION BY key
+        |      ORDER BY ts_us, event_type) AS valid_to
+        |  FROM d WHERE prev IS DISTINCT FROM event_type)
+        |SELECT key, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM vers ORDER BY key, valid_from, event_type""".stripMargin))
+
   /** Approximate sketches (HLL distinct, approximate percentile) —
     * engine-specific sketch internals, so rows-only check (no oracle). */
   val approxSketches: Entry = Entry(
@@ -339,7 +370,8 @@ object Queries {
   val entries: Seq[Entry] = Seq(
     cdcDedupLatest, cdcFullLoad, cdcFullLoadStringDate,
     cdcIncrementalMerge, cdcWatermark,
-    cdcStripPartitions, cdcDedupSqlPath, cdcDedupNoOpCol, scanFilterProject,
+    cdcStripPartitions, cdcDedupSqlPath, cdcDedupNoOpCol, scd2Dimension,
+    scanFilterProject,
     q1PricingSummary, q3TopOrders, joinAnti, approxSketches) ++
     StarQueries.entries ++ StarQueries2.entries ++ EventQueries.entries ++
     TextQueries.entries ++ VectorQueries.entries ++

@@ -258,6 +258,37 @@ class OpsSpec extends SparkSpec {
       m.getDouble(4) == 0.0)
   }
 
+  test("scd2Build versions a change log: no-op drops, close times, current flags") {
+    val changes = Seq(
+      (1L, 10L, "bronze"),
+      (1L, 20L, "bronze"), // no-op re-emit: must NOT mint a version
+      (1L, 30L, "silver"),
+      (1L, 40L, "gold"),
+      (2L, 15L, "bronze"))
+      .toDF("key", "ts", "tier")
+    val out = Cdc.scd2Build(changes, Seq("key"), "ts", Seq("tier"))
+      .select("key", "tier", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3))
+    assert(out.toSeq == Seq(
+      (1L, "bronze", 10L, Some(30L), false), // closed by silver, not the no-op
+      (1L, "silver", 30L, Some(40L), false),
+      (1L, "gold", 40L, None, true),
+      (2L, "bronze", 15L, None, true)))
+  }
+
+  test("scd2Build treats NULL attribute values null-safely") {
+    val changes = Seq(
+      (1L, 10L, Option.empty[String]),
+      (1L, 20L, Option.empty[String]), // null == null: still a no-op
+      (1L, 30L, Some("x")))
+      .toDF("key", "ts", "tier")
+    val out = Cdc.scd2Build(changes, Seq("key"), "ts", Seq("tier"))
+      .select("valid_from").as[Long].collect().sorted
+    assert(out.toSeq == Seq(10L, 30L))
+  }
+
   test("mmrSelect: diversity demotes the near-duplicate of the first pick") {
     // doc 1: most relevant; doc 2: slightly less relevant but nearly
     // identical to doc 1; doc 3: less relevant, orthogonal. Pure
