@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, count, expr, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, sum, when}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -197,6 +197,93 @@ final class TableStore(spark: SparkSession, root: String,
 
   private def statsPath(table: String, v: Long): Path =
     new Path(tablePath(table), s"stats-$v")
+
+  private def bloomPath(table: String, physCol: String): Path =
+    new Path(tablePath(table), s"bloom-$physCol")
+
+  /** Build (or rebuild) a per-file Bloom index over `column` for the
+    * current version — Delta-style bloom file skipping for
+    * point-lookup keys whose values min/max ranges can't separate
+    * (uuid-like ids, hashes; range stats prune nothing there). ONE
+    * distributed pass groups rows by physical file and folds each
+    * file's values into a bloom sized from the file's footer row count
+    * (driver-side metadata, no extra counting pass); executors write
+    * the bits straight to a parquet sidecar — the driver never holds
+    * the index during the build. Entries are per IMMUTABLE file, so
+    * the index stays correct across later commits by construction:
+    * carried files keep their entry, new files have none (conservative
+    * keep) until the next build, and rewritten files' stale entries
+    * are never looked up (their paths left the manifest). Values probe
+    * as strings (the Membership convention); NULLs never enter the
+    * bits. Partition columns don't need this — hive pruning already
+    * skips them. */
+  def buildBloomIndex(table: String, column: String, fpp: Double = 0.01): Unit = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist"))
+    val phys = columnMapping(table, v).physicalOf(column)
+    val lines = manifest(table, v).filterNot(_.startsWith(DelPrefix))
+    if (lines.isEmpty) return
+    val rowsByFile = statsFor(table, v).collect {
+      case ((f, c), st) if c == FileStats.RowsCol => f -> st.max.toLong
+    }
+    val rowsB = spark.sparkContext.broadcast(rowsByFile)
+    import spark.implicits._
+    spark.read.parquet(lines: _*)
+      .select(input_file_name().as("__f"), col(phys).cast("string").as("__k"))
+      .where(col("__k").isNotNull)
+      .as[(String, String)]
+      .groupByKey { case (f, _) => FileStats.fileKey(f) }
+      .mapGroups { (file, it) =>
+        val expected = math.max(rowsB.value.getOrElse(file, 1000000L), 64L)
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+        it.foreach { case (_, k) => bf.putString(k) }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (file, bos.toByteArray)
+      }
+      .toDF("file", "bits")
+      .write.mode(SaveMode.Overwrite).parquet(bloomPath(table, phys).toString)
+  }
+
+  /** Point-lookup read `column = value` with Bloom file skipping:
+    * files whose bloom definitely lacks the value leave the plan
+    * before the scan starts (driver-side, no footer opened). Files
+    * without an entry are kept, equality deletes still apply, and the
+    * equality predicate re-applies to the survivors — so the result
+    * always equals `read(table).where(col(column) === value)`,
+    * independent of fpp or index staleness. */
+  def readPointLookup(table: String, column: String, value: Any): DataFrame = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist"))
+    val keep = bloomPrunedLines(table, v, column, value)
+    // every data file bloom-rejected: the key is definitely absent —
+    // an empty frame with the table's schema, no scan at all
+    if (keep.forall(_.startsWith(DelPrefix)))
+      read(table).where(lit(false))
+    else
+      columnMapping(table, v).applyRead(readLines(table, keep))
+        .where(col(column) === lit(value))
+  }
+
+  /** Manifest lines with bloom-excluded data files removed (delete
+    * entries and entry-less files always survive). Package-private for
+    * pruning-ratio assertions. */
+  private[lake] def bloomPrunedLines(table: String, v: Long, column: String,
+                                     value: Any): Seq[String] = {
+    val phys = columnMapping(table, v).physicalOf(column)
+    val p = bloomPath(table, phys)
+    val blooms: Map[String, org.apache.spark.util.sketch.BloomFilter] =
+      if (!fs(p).exists(p)) Map.empty
+      else spark.read.parquet(p.toString).collect().map { r =>
+        r.getString(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      }.toMap
+    val key = String.valueOf(value)
+    manifest(table, v).filter { line =>
+      line.startsWith(DelPrefix) ||
+        blooms.get(FileStats.fileKey(line)).forall(_.mightContainString(key))
+    }
+  }
 
   /** Parsed stats sidecar of a version (empty for pre-stats tables). */
   private[lake] def statsFor(table: String, v: Long)

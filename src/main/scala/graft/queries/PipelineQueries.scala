@@ -255,6 +255,34 @@ object PipelineQueries {
         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
 
+  /** Per-file Bloom-index point lookups end-to-end: keys land in
+    * range-partitioned files, the bloom index is built in one
+    * distributed pass, and each lookup plans only the file(s) whose
+    * bloom might hold the key — the skipping dimension min/max stats
+    * can't provide on hash/uuid-like keys. Content is
+    * pruning-invariant (readPointLookup == filter by contract), so
+    * the oracle is the plain equality filter; the skipping ratio
+    * itself is asserted in BloomIndexSpec. */
+  val bloomPointLookup: Entry = Entry(
+    "bloom_point_lookup",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-bloomq"))
+      store.create("cust_bl", t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .repartitionByRange(8, col("c_custkey")))
+      store.buildBloomIndex("cust_bl", "c_custkey")
+      Seq(42L, 77L, 120L)
+        .map(k => store.readPointLookup("cust_bl", "c_custkey", k))
+        .reduce(_.unionByName(_))
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("decimal(18,2)").cast("double").as("bal"))
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey IN (42, 77, 120)
+        |ORDER BY c_custkey""".stripMargin))
+
   /** Null-count data skipping end-to-end: the stats sidecar records
     * per-file null counts (folded from the same parquet footers as
     * min/max), so `IS NULL` drops every file with a recorded zero
@@ -1318,7 +1346,7 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor, unpivotMeasures,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, skewSaltedJoin,
     zorderScan, statsPrunedScan,
-    nullPrunedScan,
+    nullPrunedScan, bloomPointLookup,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
     sqlDml,

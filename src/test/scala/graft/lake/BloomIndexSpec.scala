@@ -1,0 +1,76 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Per-file Bloom index: point-lookup file skipping for keys whose
+  * value ranges can't separate files (the case min/max stats prune
+  * nothing on). Correctness contract: readPointLookup always equals
+  * read().where(col === value) regardless of fpp or index staleness.
+  */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkStore() = new TableStore(spark, tmpDir("bloomidx"))
+
+  /** 4 range-partitioned files of 1000 keys each, so a point key lives
+    * in exactly one file. */
+  private def createKeyed(store: TableStore, table: String): Unit = {
+    val df = (0L until 4000L).map(i => (i, s"name-$i")).toDF("id", "name")
+      .repartitionByRange(4, col("id"))
+    store.create(table, df)
+  }
+
+  test("point lookup prunes to the one file holding the key, result exact") {
+    val store = mkStore()
+    createKeyed(store, "t1")
+    store.buildBloomIndex("t1", "id")
+    val v = store.currentVersion("t1").get
+    val all = store.manifest("t1", v).size
+    val kept = store.bloomPrunedLines("t1", v, "id", 2500L).size
+    assert(all == 4, s"expected 4 data files, got $all")
+    assert(kept < all, s"bloom pruned nothing ($kept of $all files kept)")
+    val got = store.readPointLookup("t1", "id", 2500L)
+      .select("id", "name").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2500L, "name-2500")))
+    // an absent key returns empty, never an error
+    assert(store.readPointLookup("t1", "id", 99999L).count() == 0)
+  }
+
+  test("files appended after the build have no entry and are kept (stale index stays correct)") {
+    val store = mkStore()
+    createKeyed(store, "t2")
+    store.buildBloomIndex("t2", "id")
+    store.append("t2", Seq((90001L, "late")).toDF("id", "name"))
+    val got = store.readPointLookup("t2", "id", 90001L).collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("late"))
+    // and a rebuilt index prunes the appended file too
+    store.buildBloomIndex("t2", "id")
+    val v = store.currentVersion("t2").get
+    val kept = store.bloomPrunedLines("t2", v, "id", 90001L).size
+    assert(kept < store.manifest("t2", v).size)
+    assert(store.readPointLookup("t2", "id", 90001L).count() == 1)
+  }
+
+  test("without an index every file is kept and lookups still work") {
+    val store = mkStore()
+    createKeyed(store, "t3")
+    val v = store.currentVersion("t3").get
+    assert(store.bloomPrunedLines("t3", v, "id", 7L).size ==
+      store.manifest("t3", v).size)
+    assert(store.readPointLookup("t3", "id", 7L).count() == 1)
+  }
+
+  test("index follows column mapping: lookup by the RENAMED logical name") {
+    val store = mkStore()
+    createKeyed(store, "t4")
+    store.renameColumn("t4", "id", "cust_id")
+    store.buildBloomIndex("t4", "cust_id")
+    val got = store.readPointLookup("t4", "cust_id", 123L).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(123L))
+    val v = store.currentVersion("t4").get
+    assert(store.bloomPrunedLines("t4", v, "cust_id", 123L).size <
+      store.manifest("t4", v).size)
+  }
+}
