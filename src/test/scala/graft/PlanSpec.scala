@@ -149,6 +149,7 @@ class PlanSpec extends SparkSpec {
       "unigram_logprob_quality",  // 1-row token-total cross join
       "ivf_ann_topk",             // nlist-centroid broadcast cross-score
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
+      "mmr_diversified_topk",     // broadcast probes x int8 corpus scan
       "dq_audit_report",          // 1-row rule-aggregate cross joins
       "null_pruned_scan",         // 1-row x 1-row stats cross join
       "bigram_lm_perplexity")     // 1-row vocab-size cross join
