@@ -255,6 +255,47 @@ object PipelineQueries {
         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
 
+  /** Incremental SCD2 maintenance end-to-end ([[graft.lake.Scd2]]):
+    * build the dimension from the first half of the change log, apply
+    * the second half as a separate atomic commit, and read back. The
+    * oracle is the SINGLE-SHOT build over the whole log — matching it
+    * proves apply() ≡ rebuild: open versions close at the right
+    * boundary change, cross-batch no-op re-emits mint no versions,
+    * untouched keys carry verbatim. */
+  val scd2Incremental: Entry = Entry(
+    "scd2_incremental_apply",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-scd2"))
+      val ch = t(s, dir, "events")
+        .select((col("user_id") % 50).as("key"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val split = 1705363200000000L // 2024-01-16 UTC, mid-fixture
+      graft.lake.Scd2.apply(store, "dim_user",
+        ch.where(col("ts_us") <= split), Seq("key"), "ts_us",
+        Seq("event_type"))
+      graft.lake.Scd2.apply(store, "dim_user",
+        ch.where(col("ts_us") > split), Seq("key"), "ts_us",
+        Seq("event_type"))
+      store.read("dim_user")
+        .select("key", "event_type", "valid_from", "valid_to", "is_current")
+        .orderBy("key", "valid_from", "event_type")
+    },
+    Some("""WITH ch AS (
+        |  SELECT user_id % 50 AS key, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |d AS (
+        |  SELECT *, lag(event_type) OVER (
+        |    PARTITION BY key ORDER BY ts_us, event_type) AS prev
+        |  FROM ch),
+        |vers AS (
+        |  SELECT key, event_type, ts_us AS valid_from,
+        |    lead(ts_us) OVER (PARTITION BY key
+        |      ORDER BY ts_us, event_type) AS valid_to
+        |  FROM d WHERE prev IS DISTINCT FROM event_type)
+        |SELECT key, event_type, valid_from, valid_to,
+        |  valid_to IS NULL AS is_current
+        |FROM vers ORDER BY key, valid_from, event_type""".stripMargin))
+
   /** Per-file Bloom-index point lookups end-to-end: keys land in
     * range-partitioned files, the bloom index is built in one
     * distributed pass, and each lookup plans only the file(s) whose
@@ -1346,7 +1387,7 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor, unpivotMeasures,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, skewSaltedJoin,
     zorderScan, statsPrunedScan,
-    nullPrunedScan, bloomPointLookup,
+    nullPrunedScan, bloomPointLookup, scd2Incremental,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
     sqlDml,
