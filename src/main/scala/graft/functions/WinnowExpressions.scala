@@ -73,7 +73,7 @@ object WinnowF {
 
   def compute(arr: ArrayData, w: Int, k: Int): ArrayData = {
     val len = arr.numElements()
-    if (len < w) return new GenericArrayData(Array.empty[Any])
+    if (len < w || k <= 0) return new GenericArrayData(Array.empty[Any])
     val hs = new Array[Long](len)
     val nulls = new Array[Boolean](len)
     var i = 0
@@ -88,6 +88,10 @@ object WinnowF {
     coefs(w - 1) = 1L
     var j = w - 2
     while (j >= 0) { coefs(j) = (coefs(j + 1) * B) % P; j -= 1 }
+    // bounded selection: only the k smallest distinct hashes are ever
+    // returned, so the set is capped at k entries (evict the largest
+    // once full) — O(L log k) time, O(k) state per row, instead of
+    // accumulating every distinct window hash of the document
     val seen = new java.util.TreeSet[java.lang.Long]()
     i = 0
     while (i <= len - w) {
@@ -99,10 +103,15 @@ object WinnowF {
         else sum += (hs(i + t) * coefs(t)) % P
         t += 1
       }
-      if (ok) seen.add(java.lang.Long.valueOf(sum % P))
+      if (ok) {
+        val h = java.lang.Long.valueOf(sum % P)
+        if (seen.size() < k) seen.add(h)
+        else if (h.longValue() < seen.last().longValue() && seen.add(h))
+          seen.remove(seen.last())
+      }
       i += 1
     }
-    val out = new Array[Any](Math.min(k, seen.size()))
+    val out = new Array[Any](seen.size())
     val it = seen.iterator()
     i = 0
     while (i < out.length) { out(i) = it.next().longValue(); i += 1 }

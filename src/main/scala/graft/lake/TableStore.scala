@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, sum, udf, when}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -267,21 +267,32 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** Manifest lines with bloom-excluded data files removed (delete
     * entries and entry-less files always survive). Package-private for
-    * pruning-ratio assertions. */
+    * pruning-ratio assertions.
+    *
+    * The probe key renders through SPARK's string cast (a
+    * LocalTableScan — no job), the same cast the build side applied:
+    * a JVM `toString` would disagree on decimals/timestamps/doubles
+    * ("42.5" vs "42.50") and silently prune files that hold the value.
+    * Probing runs WHERE THE BITS ARE: executors filter the sidecar and
+    * return only the keys of definitely-rejecting files (small
+    * strings), so the driver never deserializes the index — at 1B rows
+    * the bits are GBs, the rejected-file list is KBs. */
   private[lake] def bloomPrunedLines(table: String, v: Long, column: String,
                                      value: Any): Seq[String] = {
     val phys = columnMapping(table, v).physicalOf(column)
     val p = bloomPath(table, phys)
-    val blooms: Map[String, org.apache.spark.util.sketch.BloomFilter] =
-      if (!fs(p).exists(p)) Map.empty
-      else spark.read.parquet(p.toString).collect().map { r =>
-        r.getString(0) -> org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-      }.toMap
-    val key = String.valueOf(value)
+    if (!fs(p).exists(p)) return manifest(table, v)
+    import spark.implicits._
+    val key = Seq(0).toDF("__x").select(lit(value).cast("string").as("k"))
+      .first().getString(0)
+    val rejects = udf((bits: Array[Byte]) =>
+      !org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bits)).mightContainString(key))
+    val rejected = spark.read.parquet(p.toString)
+      .where(rejects(col("bits")))
+      .select("file").as[String].collect().toSet
     manifest(table, v).filter { line =>
-      line.startsWith(DelPrefix) ||
-        blooms.get(FileStats.fileKey(line)).forall(_.mightContainString(key))
+      line.startsWith(DelPrefix) || !rejected(FileStats.fileKey(line))
     }
   }
 

@@ -107,6 +107,20 @@ object DynamicFrameOps {
           t == TimestampNTZType || t == DateType) => TimestampType
       case (ArrayType(ae, an), ArrayType(be, bn)) =>
         ArrayType(widest(ae, be), an || bn)
+      case (x: StructType, y: StructType)
+          if x.fields.map(_.name.toLowerCase).sorted.sameElements(
+            y.fields.map(_.name.toLowerCase).sorted) =>
+        // field-wise recursion (the canonical Glue landing drift: a
+        // nested int widened to long must not stringify the struct).
+        // Restricted to equal field-name sets: Spark's cast cannot add
+        // or drop struct fields, so mismatched shapes fall through to
+        // the string fallback rather than null out under try_cast.
+        val yByName = y.fields.map(f => f.name.toLowerCase -> f).toMap
+        StructType(x.fields.map { f =>
+          val g = yByName(f.name.toLowerCase)
+          f.copy(dataType = widest(f.dataType, g.dataType),
+            nullable = f.nullable || g.nullable)
+        })
       case _ => StringType // string-vs-anything, or no common shape
     }
   }

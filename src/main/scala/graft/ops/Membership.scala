@@ -45,7 +45,16 @@ object Membership {
     * only bloom survivors (true matches + fpp false positives) are
     * verified by the exact anti join. NULL big-side keys never match
     * (SQL join semantics) and are kept. Result == the plain anti
-    * join, independent of fpp. */
+    * join, independent of fpp.
+    *
+    * Stated trade-off: the clean/suspect union re-executes the
+    * big-side SCAN (both branches are map-side only — no shuffle, no
+    * cache). Two scans are the deliberate price for never shuffling
+    * the corpus: the alternative exact anti join shuffles all of
+    * `big` when `small` exceeds broadcast size — the exact regime
+    * this operator exists for. If the input is an expensive derived
+    * frame (not a bare scan), checkpoint it first or pay its pipeline
+    * twice. */
   def bloomAntiJoin(big: DataFrame, bigKey: Column,
                     small: DataFrame, smallKey: Column,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {

@@ -205,16 +205,22 @@ object Ranking {
       .localCheckpoint() // boundary stability — see rangeParted
     val counts = Array.fill[Long](numPartitions)(0L)
     val sums = Array.fill[Long](numPartitions)(0L)
+    // coalesce: an all-NULL partition sums to NULL (SQL), which must
+    // read as a zero offset contribution, not a driver NPE
     parted.groupBy("__gr_pid")
       .agg(count(lit(1)).as("__gr_c"),
-        sum(col(valueName).cast("long")).as("__gr_s"))
+        coalesce(sum(col(valueName).cast("long")), lit(0L)).as("__gr_s"))
       .collect().foreach { r =>
         counts(r.getInt(0)) = r.getLong(1)
         sums(r.getInt(0)) = r.getLong(2)
       }
     val w = Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
-    val cumLocal = sum(col(valueName).cast("long"))
-      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // same NULL convention as the offsets: a NULL value contributes 0
+    // to the running total instead of nulling the whole prefix
+    val cumLocal = coalesce(
+      sum(col(valueName).cast("long"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      lit(0L))
     (parted
       .withColumn(rankCol, row_number().over(w).cast("long") + offsetExpr(counts))
       .withColumn(cumCol, cumLocal + offsetExpr(sums))

@@ -522,9 +522,21 @@ object Similarity {
       .as[(Long, Long, Double, Array[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (qid, it) =>
-        val cand = it.map { case (_, vid, rel, vec) => (vid, rel, vec) }
-          .toArray.sortBy { case (vid, rel, _) => (-rel, vid) }
-          .take(maxCandidates)
+        // bounded selection over the ITERATOR: a size-capped heap keeps
+        // the maxCandidates best by (rel desc, vid asc) while streaming
+        // the group, so an uncut candidate frame costs O(N·dim) state,
+        // never O(group·dim) — the contract the doc promises
+        // dequeue() removes the max = lowest rel (largest vid on ties)
+        val evictWorst = Ordering.by[(Long, Double, Array[Double]), (Double, Long)] {
+          case (vid, rel, _) => (-rel, vid)
+        }
+        val heap = scala.collection.mutable.PriorityQueue.empty(evictWorst)
+        it.foreach { case (_, vid, rel, vec) =>
+          heap.enqueue((vid, rel, vec))
+          if (heap.size > maxCandidates) heap.dequeue()
+        }
+        val cand = heap.dequeueAll.toArray
+          .sortBy { case (vid, rel, _) => (-rel, vid) }
         val picked = new Array[Boolean](cand.length)
         val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
         val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]

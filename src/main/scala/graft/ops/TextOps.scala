@@ -149,8 +149,13 @@ object TextOps {
     * survives as [[ngramsOfTokensHof]], spec-pinned equivalent. */
   def ngramsOfTokens(toks: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(
-      graft.functions.NgramsF(ColumnBridge.expression(toks), n))
+    // coalesce restores the HOF formulation's null edge: a NULL token
+    // array yields an EMPTY gram array (the when/otherwise fold never
+    // produced null), where the native expression propagates null
+    coalesce(
+      ColumnBridge.column(
+        graft.functions.NgramsF(ColumnBridge.expression(toks), n)),
+      typedLit(Array.empty[String]))
   }
 
   /** The higher-order-function formulation `ngramsOfTokens` replaced —

@@ -56,11 +56,15 @@ class NgramEquivalenceSpec extends SparkSpec {
     assert(r3.getSeq[String](0) == Seq("q") && r3.getSeq[String](1) == Seq("q"))
   }
 
-  test("null array in, null out; empty array degrades to no grams") {
+  test("null array in, EMPTY out (matching the HOF fold); empty array degrades to no grams") {
     val nullArr = lit(null).cast("array<string>")
     val r = spark.range(1).select(
       TextOps.ngramsOfTokens(nullArr, 2).as("f0"),
-      TextOps.ngramsOfTokens(array().cast("array<string>"), 2).as("f1")).head
-    assert(r.isNullAt(0) && r.getSeq[String](1).isEmpty)
+      TextOps.ngramsOfTokens(array().cast("array<string>"), 2).as("f1"),
+      TextOps.ngramsOfTokensHof(nullArr, 2).as("slow")).head
+    // the fold never produced null (its when/otherwise falls through
+    // to an empty filtered array) — the native wrapper must agree
+    assert(r.getSeq[String](0).isEmpty && r.getSeq[String](1).isEmpty)
+    assert(r.getSeq[String](2).isEmpty, "HOF reference changed shape")
   }
 }

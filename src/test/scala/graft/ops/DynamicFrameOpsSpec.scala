@@ -74,6 +74,23 @@ class DynamicFrameOpsSpec extends SparkSpec {
     assert(widest(ArrayType(FloatType), ArrayType(DoubleType)) ==
       ArrayType(DoubleType))
     assert(widest(BooleanType, LongType) == StringType) // no common shape
+    // struct recursion: same field names widen field-wise (nested int
+    // drift must not stringify the struct); shape mismatch falls back
+    val sa = StructType(Seq(StructField("a", IntegerType)))
+    val sb = StructType(Seq(StructField("A", LongType)))
+    assert(widest(sa, sb) == StructType(Seq(StructField("a", LongType))))
+    val sc = StructType(Seq(StructField("b", LongType)))
+    assert(widest(sa, sc) == StringType)
+  }
+
+  test("resolveChoiceAuto widens nested struct fields instead of stringifying") {
+    val a = Seq((1L, (7, "x"))).toDF("id", "s")
+    val b = Seq((2L, (9L, "y"))).toDF("id", "s")
+    val out = DynamicFrameOps.resolveChoiceAuto(Seq(a, b))
+    assert(out.schema("s").dataType.isInstanceOf[StructType])
+    val rows = out.orderBy("id").select("s._1", "s._2").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "x"), (9L, "y")))
   }
 
   test("resolveChoiceAuto cast policy infers the widest type per conflicted column") {
