@@ -190,6 +190,28 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** One resized-grid cell: media, cell coordinates, pooled gray. */
+  final case class GridCell(media_id: Long, r: Int, c: Int, v: Double)
+
+  /** Image RESIZE through the batched codec interface: decode (real
+    * P6 parse) and box-average to a `gw`×`gh` grayscale grid, one row
+    * per (media, cell) — the downsample/thumbnail shape of a
+    * multimodal pipeline, kept distributed (payloads never leave
+    * their partition; only fixed-width cells return to columnar
+    * land). Undecodable or sub-grid payloads drop. */
+  def resizeGrid(spark: SparkSession, media: DataFrame,
+                 gw: Int, gh: Int): Dataset[GridCell] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { batch =>
+      batch.flatMap { row =>
+        decodePpmGray(row.bytes, gw, gh).iterator.flatMap { g =>
+          for (r <- 0 until gh; c <- 0 until gw)
+            yield GridCell(row.media_id, r, c, g(r * gw + c))
+        }
+      }
+    }
+  }
+
   /** Per-payload perceptual hash through the batched codec interface:
     * decode (REAL P6 parse), pool to 9×8, dHash. Undecodable or
     * sub-grid payloads drop. */

@@ -202,6 +202,48 @@ object MultimodalQueries {
         |WHERE bit_count(xor(a_hi, b_hi)) + bit_count(xor(a_lo, b_lo)) <= 3
         |ORDER BY a_id, b_id""".stripMargin))
 
+  /** Image resize through the real codec: deterministic 18×16 P6
+    * payloads box-averaged to a 6×4 grid (exact 3×4-pixel boxes), one
+    * row per cell. The oracle recomputes each cell's mean from the
+    * closed-form pixel function — matching values prove the decode +
+    * box-pooling arithmetic end to end. */
+  val resizeGrid: Entry = Entry(
+    "multimodal_resize_grid",
+    (s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .where(col("doc_id") % 7 === 0)
+        .as[Long].mapPartitions { it =>
+          it.map { seed =>
+            val px = new Array[Byte](18 * 16 * 3)
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 18) {
+                val g = ((seed * 31 + x * 7 + y * 13) % 200).toInt
+                val o = (y * 18 + x) * 3
+                px(o) = g.toByte; px(o + 1) = g.toByte; px(o + 2) = g.toByte
+                x += 1
+              }
+              y += 1
+            }
+            (seed, "ppm", Multimodal.encodePpm(18, 16, px))
+          }
+        }.toDF("media_id", "format", "bytes")
+      Multimodal.resizeGrid(s, media, gw = 6, gh = 4).toDF()
+        .select(col("media_id"), col("r").cast("long").as("r"),
+          col("c").cast("long").as("c"), round(col("v"), 4).as("v"))
+        .orderBy("media_id", "r", "c")
+    },
+    Some("""SELECT doc_id AS media_id, r, c,
+        |  round(avg((doc_id*31 + (c*3 + dx)*7 + (r*4 + dy)*13) % 200), 4) AS v
+        |FROM documents,
+        |  (SELECT unnest(range(4)) AS r), (SELECT unnest(range(6)) AS c),
+        |  (SELECT unnest(range(3)) AS dx), (SELECT unnest(range(4)) AS dy)
+        |WHERE doc_id % 7 = 0
+        |GROUP BY media_id, r, c
+        |ORDER BY media_id, r, c""".stripMargin))
+
   val entries: Seq[Entry] = Seq(mediaFeatures, mediaFormatStats, frameSample,
-    blockNearDup, phashNearDup)
+    blockNearDup, phashNearDup, resizeGrid)
 }
