@@ -123,22 +123,26 @@ object Tables {
     * through non-contract columns. No-op (same DataFrame, no projection
     * node) when nothing drifted — the common case costs nothing. */
   def conform(df: DataFrame, table: String): DataFrame =
-    contract.get(table) match {
-      case None => df
-      case Some(canon) =>
-        // sameType ignores nullability (array<float> vs array<float> NOT
-        // NULL is not drift) so the common case stays projection-free
-        val drifted = df.schema.fields.exists(f =>
-          canon.get(f.name).exists(t => !sameType(t, f.dataType)))
-        if (!drifted) df
-        else df.select(df.schema.fields.map { f =>
-          canon.get(f.name) match {
-            case Some(t) if !sameType(t, f.dataType) =>
-              conformColumn(f.name, f.dataType, t).as(f.name)
-            case _ => col(f.name)
-          }
-        }.toIndexedSeq: _*)
-    }
+    contract.get(table).map(conformTo(df, _)).getOrElse(df)
+
+  /** [[conform]] against an arbitrary declared contract — the reusable
+    * form for non-fixture scan boundaries (streaming landing dirs,
+    * external DDL): any drifted-but-convertible encoding of a contract
+    * column casts back to canonical; other columns pass through. */
+  def conformTo(df: DataFrame, canon: Map[String, org.apache.spark.sql.types.DataType]): DataFrame = {
+    // sameType ignores nullability (array<float> vs array<float> NOT
+    // NULL is not drift) so the common case stays projection-free
+    val drifted = df.schema.fields.exists(f =>
+      canon.get(f.name).exists(t => !sameType(t, f.dataType)))
+    if (!drifted) df
+    else df.select(df.schema.fields.map { f =>
+      canon.get(f.name) match {
+        case Some(t) if !sameType(t, f.dataType) =>
+          conformColumn(f.name, f.dataType, t).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
 
   /** Rewrite a Timestamp/TimestampNTZ `ts` column to epoch-nanos LongType
     * in place (column order preserved); pass through long-typed `ts`

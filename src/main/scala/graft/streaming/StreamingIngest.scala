@@ -28,7 +28,8 @@ object StreamingIngest {
             cfg: CdcIngest.Config = CdcIngest.Config(),
             checkpointDir: Option[String] = None,
             maxFilesPerTrigger: Int = 16,
-            sourceSchema: Option[org.apache.spark.sql.types.StructType] = None): StreamingQuery = {
+            sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
+            contract: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): StreamingQuery = {
     // file streams need a schema up front; pass `sourceSchema` when the
     // landing dir may still be empty at start (the normal deploy order)
     val schema = sourceSchema.getOrElse(spark.read.parquet(sourceDir).schema)
@@ -40,7 +41,12 @@ object StreamingIngest {
       .trigger(Trigger.ProcessingTime(0))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          CdcIngest.ingest(spark, store, table, batch, cfg): Unit
+          // the same scan-boundary drift tolerance the batch path has
+          // (Tables.contract): a landing generation that re-encodes a
+          // column (string dates, NTZ timestamps, int widths) conforms
+          // here instead of breaking every downstream micro-batch
+          val conformed = graft.Tables.conformTo(batch, contract)
+          CdcIngest.ingest(spark, store, table, conformed, cfg): Unit
         }
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))

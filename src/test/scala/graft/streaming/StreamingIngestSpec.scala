@@ -41,6 +41,38 @@ class StreamingIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest conforms a drifted landing batch through the contract") {
+    import org.apache.spark.sql.types._
+    val src = tmpDir("stream-drift-src")
+    val store = new TableStore(spark, tmpDir("stream-drift-store"))
+    // the landing generation drifted: process_date ships as a STRING
+    // wall clock (the §7.7.1 trap) and key as an int
+    Seq((1, "2024-01-01 10:00:00", "I"), (2, "2024-01-01 11:00:00", "I"))
+      .toDF("key", "process_date", "op")
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingIngest.start(spark, src, store, "td",
+      checkpointDir = Some(tmpDir("stream-drift-ckpt")),
+      contract = Map("key" -> LongType, "process_date" -> TimestampType))
+    try {
+      q.processAllAvailable()
+      val t = store.read("td")
+      assert(t.schema("key").dataType == LongType)
+      assert(t.schema("process_date").dataType == TimestampType)
+      assert(t.select("key").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      // a second drifted batch still flows, and the watermark filter
+      // (which needs a real timestamp) admits only the newer row
+      Seq((1, "2024-01-02 10:00:00", "U"), (2, "2023-12-01 10:00:00", "U"))
+        .toDF("key", "process_date", "op")
+        .coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val rows = store.read("td")
+        .select(col("key"), col("process_date").cast("string"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows(1L).startsWith("2024-01-02"), s"update lost: $rows")
+      assert(rows(2L).startsWith("2024-01-01"), s"stale row won: $rows")
+    } finally q.stop()
+  }
+
   test("stateful dedup keeps latest per key across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingIngest.KeyedRec
