@@ -753,6 +753,52 @@ object PipelineQueries {
         |  WHERE k NOT IN (SELECT k FROM t2))
         |SELECT k, name, r FROM merged ORDER BY k""".stripMargin))
 
+  /** Write-side expectations with QUARANTINE routing
+    * ([[graft.lake.Expectations]], the DLT shape): rows failing any
+    * rule land in `<table>_quarantine` tagged with the failed rule
+    * names, clean rows commit — no abort, no silent drop. The report
+    * reads BOTH tables back: accepted aggregate + per-rule quarantine
+    * counts (a row failing two rules counts under each). Both rules
+    * are violated at every fixture SF, so the per-rule rows exist on
+    * both sides of the compare. */
+  val dqQuarantine: Entry = Entry(
+    "dq_quarantine_ingest",
+    (s, dir) => {
+      import graft.lake.Expectations
+      val store = new TableStore(s, tmpDir("graft-dqq"))
+      val cust = t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+      Expectations.ingest(store, "cust_dq", cust, Seq(
+        Expectations.Rule("acctbal_nonneg", col("c_acctbal") >= 0),
+        Expectations.Rule("custkey_not_mod97", col("c_custkey") % 97 =!= 0)))
+      val acc = store.read("cust_dq")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("val"))
+        .select(lit("accepted").as("bucket"), lit("all").as("rule"),
+          col("n"), col("val"))
+      val quar = store.read("cust_dq_quarantine")
+        .select(explode(col("failed_rules")).as("rule"))
+        .groupBy("rule").agg(count(lit(1)).as("n"))
+        .select(lit("quarantine").as("bucket"), col("rule"), col("n"),
+          lit(null).cast("double").as("val"))
+      acc.unionByName(quar).orderBy("bucket", "rule")
+    },
+    Some("""WITH tagged AS (
+        |  SELECT c_custkey, c_acctbal,
+        |    (c_acctbal >= 0) AS r1, (c_custkey % 97 <> 0) AS r2
+        |  FROM customer)
+        |SELECT 'accepted' AS bucket, 'all' AS rule, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS val
+        |FROM tagged WHERE r1 AND r2
+        |UNION ALL
+        |SELECT 'quarantine', 'acctbal_nonneg', count(*), NULL
+        |FROM tagged WHERE NOT r1
+        |UNION ALL
+        |SELECT 'quarantine', 'custkey_not_mod97', count(*), NULL
+        |FROM tagged WHERE NOT r2
+        |ORDER BY bucket, rule""".stripMargin))
+
   /** Read-time data-quality audit — the deequ/dbt-tests shape that
     * complements the store's write-time CHECK constraints: each rule
     * is one conditional aggregate (null fraction, range violation,
@@ -1393,6 +1439,7 @@ object PipelineQueries {
     sqlDml,
     sqlInsert, sqlLifecycle, sqlRestoreClone, sqlTimeTravelDiff,
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
+    dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
