@@ -79,6 +79,8 @@ object GraftSql {
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val CloneStmt =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val BloomIndexStmt =
+    """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+OPTIONS\s*\(\s*fpp\s*=\s*([0-9.]+)\s*\))?\s*;?\s*$""".r
 
   /** Execute SQL against graft tables: MERGE runs on the store;
     * everything else is plain `spark.sql`. Returns the affected table
@@ -91,6 +93,15 @@ object GraftSql {
       case VacuumStmt(table, n, unit) =>
         executeVacuum(spark, store, table, Option(n).map(_.toLong),
           Option(unit).map(_.toUpperCase))
+      case BloomIndexStmt(table, column, fpp) =>
+        // Databricks' CREATE BLOOMFILTER INDEX surface over the
+        // per-file bloom sidecar (TableStore.buildBloomIndex); one
+        // distributed pass, returns a 1-row summary
+        require(store.exists(table), s"unknown graft table $table")
+        store.buildBloomIndex(table, column,
+          Option(fpp).map(_.toDouble).getOrElse(0.01))
+        import spark.implicits._
+        Seq((table, column)).toDF("table_name", "indexed_column")
       case HistoryStmt(table) =>
         // per-version files / delete-entries / bytes / rows / commit
         // time — metadata-only (manifests + stats sidecars, no scan)

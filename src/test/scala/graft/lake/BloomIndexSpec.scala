@@ -62,6 +62,18 @@ class BloomIndexSpec extends SparkSpec {
     assert(store.readPointLookup("t3", "id", 7L).count() == 1)
   }
 
+  test("CREATE BLOOMFILTER INDEX SQL builds the index through the front door") {
+    val store = mkStore()
+    createKeyed(store, "t5")
+    val r = GraftSql.execute(spark, store,
+      "CREATE BLOOMFILTER INDEX ON TABLE t5 FOR COLUMNS(id) OPTIONS(fpp = 0.01)")
+    assert(r.collect().map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("t5", "id")))
+    val v = store.currentVersion("t5").get
+    assert(store.bloomPrunedLines("t5", v, "id", 42L).size <
+      store.manifest("t5", v).size)
+  }
+
   test("index follows column mapping: lookup by the RENAMED logical name") {
     val store = mkStore()
     createKeyed(store, "t4")
