@@ -83,6 +83,70 @@ object Sampling {
       .drop("__wk", "__wr")
   }
 
+  /** Temperature-scaled mixture quotas (the multilingual / source-
+    * mixing staple — mT5/CC-style α-smoothing): per-stratum quota ∝
+    * count^α, scaled to `total`, integerized by floor +
+    * largest-remainder (ties: remainder desc, stratum asc) and capped
+    * at the stratum's population. α < 1 upsamples small strata
+    * relative to their raw share; α = 1 is proportional; α = 0 is
+    * uniform-across-strata. Pure driver-side arithmetic on the
+    * (numStrata)-row count vector; deterministic given the counts
+    * (sqrt/pow and IEEE doubles, inputs iterated in stratum order). */
+  def temperatureQuotas(counts: Seq[(String, Long)], alpha: Double,
+                        total: Long): Seq[(String, Long)] = {
+    require(alpha >= 0 && total >= 0, "need alpha >= 0, total >= 0")
+    val sorted = counts.sortBy(_._1)
+    val w = sorted.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
+    val sumW = w.sum
+    if (sumW == 0) return sorted.map { case (s, _) => s -> 0L }
+    val raw = w.map(_ / sumW * total)
+    val floors = raw.map(math.floor(_).toLong)
+    var left = total - floors.sum
+    val order = raw.zip(floors).zipWithIndex
+      .map { case ((r, f), i) => (r - f, i) }
+      .sortBy { case (rem, i) => (-rem, sorted(i)._1) }
+    val bump = Array.fill(sorted.size)(0L)
+    for ((_, i) <- order if left > 0) { bump(i) = 1L; left -= 1 }
+    sorted.zipWithIndex.map { case ((s, n), i) =>
+      s -> math.min(n, floors(i) + bump(i))
+    }
+  }
+
+  /** Temperature-scaled mixture SAMPLE: [[temperatureQuotas]] per
+    * stratum, then a deterministic uniform A-ES draw fills each quota
+    * — rank by the reproducible hash48 uniform within the stratum,
+    * keep rank ≤ quota (broadcast-joined, numStrata rows). Same
+    * WindowGroupLimit rank-pruned shape as [[stratifiedExact]]: a
+    * 100 TB stratum ships its quota, not its population. The counts
+    * collect is one (numStrata)-row aggregate. Null ids drop (their
+    * sort key would be NULL-first), identically on both engines. */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+                        alpha: Double, total: Long, salt: String)
+      : (DataFrame, Seq[(String, Long)]) = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.where(col(idCol).isNotNull)
+    val counts = base.groupBy(strataCol).count().collect()
+      .map(r => r.get(0).toString -> r.getLong(1)).toSeq
+    val quotas = temperatureQuotas(counts, alpha, total)
+    val qDf = df.sparkSession.createDataFrame(quotas)
+      .toDF(strataCol, "__quota")
+    val u = Sketches.hash48(concat(col(idCol).cast("string"),
+      lit(":" + salt)))
+    val w = Window.partitionBy(strataCol).orderBy(col("__u"), col(idCol))
+    // the LITERAL max-quota conjunct is what lets Spark plan a
+    // WindowGroupLimit (rank pruning needs a literal bound); the
+    // per-stratum column conjunct then refines to the exact quota
+    val maxQ = quotas.map(_._2).foldLeft(0L)(math.max)
+    (base
+      .join(broadcast(qDf), strataCol)
+      .withColumn("__u", u)
+      .withColumn("__tr", row_number().over(w))
+      .where(col("__tr") <= lit(maxQ) && col("__tr") <= col("__quota"))
+      .drop("__u", "__tr", "__quota"), quotas)
+  }
+
   /** Per-stratum cap by an explicit preference order — domain caps, the
     * web-curation staple (keep at most `n` documents per source/domain,
     * best-first, so one mirror-heavy domain can't dominate the mix).

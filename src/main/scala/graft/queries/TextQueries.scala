@@ -458,6 +458,44 @@ object TextQueries {
         |SELECT lang, doc_id FROM r WHERE rn <= 30
         |ORDER BY lang, doc_id""".stripMargin))
 
+  @volatile private var tempMixOracle: Option[String] = None
+
+  /** Temperature-scaled mixture sampling
+    * ([[graft.ops.Sampling.temperatureSample]], mT5-style α-smoothing):
+    * per-language quota ∝ count^0.5 rescaled to the total — small
+    * languages upsample relative to their raw share — filled by a
+    * deterministic uniform A-ES draw (hash48 rank within stratum,
+    * WindowGroupLimit-pruned via the literal max-quota bound). Quota
+    * integerization (floor + largest remainder) is driver-side
+    * IEEE-ordering-sensitive arithmetic, so the quotas embed in the
+    * oracle as VALUES literals (the dynamic-oracle pattern) and DuckDB
+    * verifies the DRAW exactly; the quota math itself is spec-pinned
+    * in SamplingSpec. */
+  val temperatureMixture: Entry = new Entry(
+    "temperature_mixture_sample",
+    (s, dir) => {
+      val (sampled, quotas) = graft.ops.Sampling.temperatureSample(
+        t(s, dir, "documents"), "lang", "doc_id",
+        alpha = 0.5, total = 100L, salt = "tm1")
+      tempMixOracle = Some(s"""WITH q(lang, quota) AS (VALUES ${
+          quotas.map { case (l, n) => s"('$l', $n)" }.mkString(", ")}),
+        |h AS (
+        |  SELECT lang, doc_id,
+        |    ${OracleSql.hex12ToBigint("md5(CAST(doc_id AS VARCHAR) || ':tm1')")} AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |      ORDER BY u, doc_id) AS rn
+        |  FROM h)
+        |SELECT r.lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r JOIN q ON r.lang = q.lang AND rn <= quota
+        |GROUP BY r.lang ORDER BY r.lang""".stripMargin)
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("doc_id").cast("long").as("id_sum"))
+        .orderBy("lang")
+    },
+    () => tempMixOracle)
+
   /** Per-language heavy hitters: top-10 bigrams by document frequency
     * — the vocabulary/boilerplate scan over a corpus. One shuffle on
     * (lang, bigram) with map-side partial counts, then a per-lang
@@ -1432,5 +1470,5 @@ object TextQueries {
     incrementalNearDup, trainingExport, repetitionFilters, tfidfTopTerms,
     unigramLogprob, piiRedactionNoop, bm25TopK, exportShards,
     dsirSelection, sourceCaps, spanDedup, bigramPerplexity,
-    bloomDecontaminate, heavyHittersQ, vocabCoverage)
+    bloomDecontaminate, heavyHittersQ, vocabCoverage, temperatureMixture)
 }

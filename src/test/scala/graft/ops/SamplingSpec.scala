@@ -90,4 +90,40 @@ class SamplingSpec extends SparkSpec {
     assert(sel.toSeq == sel2.toSeq)
     assert(sel.count(_ < 20) >= 12, s"selection not target-shaped: ${sel.toSeq}")
   }
+
+  test("temperatureQuotas: sums to total, caps at population, alpha extremes") {
+    val counts = Seq("en" -> 218L, "zh" -> 75L, "es" -> 73L,
+      "de" -> 70L, "fr" -> 64L)
+    val q = Sampling.temperatureQuotas(counts, alpha = 0.5, total = 100L)
+    assert(q.map(_._2).sum == 100L)
+    val m = q.toMap
+    // alpha=0.5 flattens: en's raw share is 43.6%, its sqrt share less
+    assert(m("en") < 44L && m("en") > 20L, s"en quota off: $m")
+    assert(m.values.forall(_ > 0))
+    // alpha = 1 is proportional-ish (floor+LR of raw shares)
+    val q1 = Sampling.temperatureQuotas(counts, alpha = 1.0, total = 100L)
+    assert(q1.toMap.apply("en") == 44L || q1.toMap.apply("en") == 43L)
+    // alpha = 0 is uniform across strata
+    val q0 = Sampling.temperatureQuotas(counts, alpha = 0.0, total = 100L)
+    assert(q0.map(_._2).toSet == Set(20L))
+    // quotas never exceed the population
+    val qc = Sampling.temperatureQuotas(Seq("a" -> 3L, "b" -> 1000L),
+      alpha = 0.5, total = 500L)
+    assert(qc.toMap.apply("a") <= 3L)
+  }
+
+  test("temperatureSample: deterministic, partition-independent, quota-exact") {
+    val docs = (1L to 400L).map(i => (i, s"l${i % 4}")).toDF("doc_id", "lang")
+    def run(parts: Int) = Sampling.temperatureSample(
+      docs.repartition(parts), "lang", "doc_id", 0.5, 60L, "s1")
+    val (a, qa) = run(2)
+    val (b, qb) = run(7)
+    assert(qa == qb)
+    val ra = a.select("doc_id").as[Long].collect().sorted.toSeq
+    val rb = b.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ra == rb, "sample depends on partitioning")
+    val perLang = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang == qa.toMap.filter(_._2 > 0), s"quota mismatch: $perLang vs $qa")
+  }
 }
