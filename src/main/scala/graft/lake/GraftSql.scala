@@ -82,6 +82,46 @@ object GraftSql {
   private val BloomIndexStmt =
     """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+OPTIONS\s*\(\s*fpp\s*=\s*([0-9.]+)\s*\))?\s*;?\s*$""".r
 
+  /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
+    * job text, several `;`-separated statements run in order). The
+    * split respects single-quoted strings (a `';'` literal never
+    * splits) and skips blank statements; each statement runs through
+    * [[execute]] and the LAST statement's result returns, so a script
+    * ending in a SELECT reads back what the script built. */
+  def executeScript(spark: SparkSession, store: TableStore,
+                    script: String): DataFrame = {
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (c == '\'') {
+        // a doubled '' inside a string is an escaped quote, not a close
+        if (inStr && i + 1 < script.length && script.charAt(i + 1) == '\'') {
+          cur.append("''"); i += 1
+        } else { inStr = !inStr; cur.append(c) }
+      } else if (c == ';' && !inStr) {
+        stmts += cur.toString; cur.clear()
+      } else cur.append(c)
+      i += 1
+    }
+    stmts += cur.toString
+    val runnable = stmts.map(_.trim).filter(_.nonEmpty)
+    require(runnable.nonEmpty, "empty SQL script")
+    runnable.map { stmt =>
+      // S10 hand-off before EVERY statement: register each store table
+      // as a temp view of its CURRENT contents, so plain SELECTs (and
+      // subqueries) resolve store tables by name and always see the
+      // preceding statements' commits (a view registered once would
+      // pin the manifest of the version it was created against).
+      // Precedence caveat: a session temp view sharing a store table's
+      // name is replaced — the store is the system of record here.
+      store.tables().foreach(t => store.read(t).createOrReplaceTempView(t))
+      execute(spark, store, stmt)
+    }.last
+  }
+
   /** Execute SQL against graft tables: MERGE runs on the store;
     * everything else is plain `spark.sql`. Returns the affected table
     * contents for MERGE, the query result otherwise. */

@@ -163,6 +163,28 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.currentVersion("dstar").contains(1L))
   }
 
+  test("executeScript runs ;-separated statements in order, returns the last result") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("pk", "v")
+      .createOrReplaceTempView("script_src")
+    val out = GraftSql.executeScript(spark, store,
+      """CREATE TABLE scr AS SELECT pk, v FROM script_src;
+        |DELETE FROM scr WHERE pk = 'k2';
+        |UPDATE scr SET v = v + 10 WHERE pk = 'k3';
+        |SELECT pk, v FROM scr ORDER BY pk;""".stripMargin)
+    assert(out.as[(String, Int)].collect().toSeq ==
+      Seq(("k1", 1), ("k3", 13)))
+    assert(store.currentVersion("scr").contains(2L)) // create + 2 DML commits
+  }
+
+  test("executeScript never splits on a ';' inside a string literal") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    val out = GraftSql.executeScript(spark, store,
+      "SELECT 'a;b' AS s, ';'';' AS t")
+    val r = out.head()
+    assert(r.getString(0) == "a;b" && r.getString(1) == ";';")
+  }
+
   test("MERGE schema evolution: INSERT * with a new source column widens the target") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("devo1", Seq(("k1", 1), ("k2", 2)).toDF("pk", "v"))
