@@ -701,6 +701,30 @@ object PipelineQueries {
     * OPTIMIZE + VACUUM maintenance — seven statements, no DataFrame
     * API in sight. The oracle replays the same algebra over `nation`
     * (maintenance is content-neutral, so it shares the MERGE oracle). */
+  val sqlScript: Entry = Entry(
+    "sql_script_e2e",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-script"))
+      t(s, dir, "nation").createOrReplaceTempView("nation_sc")
+      // ONE script text, Glue-job shape: CTAS, DML, maintenance, and a
+      // final SELECT that resolves the STORE table by name (the
+      // per-statement temp-view hand-off)
+      GraftSql.executeScript(s, store,
+        """CREATE TABLE sc AS
+          |SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r
+          |FROM nation_sc;
+          |UPDATE sc SET name = concat(name, ';x') WHERE r = 2;
+          |DELETE FROM sc WHERE k % 5 = 4;
+          |OPTIMIZE sc;
+          |SELECT k, name, r FROM sc ORDER BY k;""".stripMargin)
+    },
+    Some("""SELECT n_nationkey AS k,
+        |  CASE WHEN n_regionkey = 2 THEN n_name || ';x' ELSE n_name END
+        |    AS name,
+        |  n_regionkey AS r
+        |FROM nation WHERE NOT (n_nationkey % 5 = 4)
+        |ORDER BY k""".stripMargin))
+
   val sqlLifecycle: Entry = Entry(
     "sql_lifecycle_e2e",
     (s, dir) => {
@@ -1437,7 +1461,7 @@ object PipelineQueries {
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
     sqlDml,
-    sqlInsert, sqlLifecycle, sqlRestoreClone, sqlTimeTravelDiff,
+    sqlInsert, sqlLifecycle, sqlScript, sqlRestoreClone, sqlTimeTravelDiff,
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh,
