@@ -228,21 +228,68 @@ final class TableStore(spark: SparkSession, root: String,
     }
     val rowsB = spark.sparkContext.broadcast(rowsByFile)
     import spark.implicits._
-    spark.read.parquet(lines: _*)
-      .select(input_file_name().as("__f"), col(phys).cast("string").as("__k"))
-      .where(col("__k").isNotNull)
-      .as[(String, String)]
+    bloomEntries(lines, phys, fpp, rowsB)
+      .write.mode(SaveMode.Overwrite).parquet(bloomPath(table, phys).toString)
+  }
+
+  /** Incremental bloom-index maintenance: index ONLY the data files
+    * that have no entry yet (appends since the last build) and append
+    * their bits to the sidecar — O(new files) scan, the steady-state
+    * cost of keeping point-lookup skipping effective on an
+    * append-heavy table, where [[buildBloomIndex]] is O(table).
+    * Entries for files that left the manifest are dead weight until
+    * the next full rebuild (compaction is the natural trigger: its
+    * rewrite drops every indexed path anyway). Returns the number of
+    * files newly indexed. */
+  def updateBloomIndex(table: String, column: String,
+                       fpp: Double = 0.01): Int = {
+    val v = currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist"))
+    val phys = columnMapping(table, v).physicalOf(column)
+    val p = bloomPath(table, phys)
+    if (!fs(p).exists(p)) {
+      val n = manifest(table, v).count(!_.startsWith(DelPrefix))
+      buildBloomIndex(table, column, fpp)
+      return n
+    }
+    import spark.implicits._
+    val indexed = spark.read.parquet(p.toString)
+      .select("file").as[String].collect().toSet
+    val missing = manifest(table, v)
+      .filterNot(_.startsWith(DelPrefix))
+      .filterNot(l => indexed(FileStats.fileKey(l)))
+    if (missing.isEmpty) return 0
+    val rowsByFile = statsFor(table, v).collect {
+      case ((f, c), st) if c == FileStats.RowsCol => f -> st.max.toLong
+    }
+    val rowsB = spark.sparkContext.broadcast(rowsByFile)
+    bloomEntries(missing, phys, fpp, rowsB)
+      .write.mode(SaveMode.Append).parquet(p.toString)
+    missing.size
+  }
+
+  /** One (file, bloom bits) row per input file — NULL keys never enter
+    * the bits (an equality lookup can't match NULL), but a file whose
+    * keys are ALL null still gets an (empty, reject-everything) entry,
+    * so incremental updates don't rescan it forever. */
+  private def bloomEntries(files: Seq[String], physCol: String, fpp: Double,
+                           rowsB: org.apache.spark.broadcast.Broadcast[Map[String, Long]])
+      : DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(files: _*)
+      .select(input_file_name().as("__f"),
+        col(physCol).cast("string").as("__k"))
+      .as[(String, Option[String])]
       .groupByKey { case (f, _) => FileStats.fileKey(f) }
       .mapGroups { (file, it) =>
         val expected = math.max(rowsB.value.getOrElse(file, 1000000L), 64L)
         val bf = org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
-        it.foreach { case (_, k) => bf.putString(k) }
+        it.foreach { case (_, k) => k.foreach(bf.putString) }
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         (file, bos.toByteArray)
       }
       .toDF("file", "bits")
-      .write.mode(SaveMode.Overwrite).parquet(bloomPath(table, phys).toString)
   }
 
   /** Point-lookup read `column = value` with Bloom file skipping:

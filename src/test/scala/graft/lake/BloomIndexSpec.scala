@@ -62,6 +62,35 @@ class BloomIndexSpec extends SparkSpec {
     assert(store.readPointLookup("t3", "id", 7L).count() == 1)
   }
 
+  test("updateBloomIndex indexes only the appended files (O(new files))") {
+    val store = mkStore()
+    createKeyed(store, "t6")
+    assert(store.updateBloomIndex("t6", "id") == 4) // first call = full build
+    store.append("t6", Seq((90001L, "late-a")).toDF("id", "name"))
+    store.append("t6", Seq((90002L, "late-b")).toDF("id", "name"))
+    assert(store.updateBloomIndex("t6", "id") == 2) // only the two new files
+    assert(store.updateBloomIndex("t6", "id") == 0) // idempotent
+    val v = store.currentVersion("t6").get
+    // appended keys now prune like the originals
+    assert(store.bloomPrunedLines("t6", v, "id", 90002L).size <
+      store.manifest("t6", v).size)
+    assert(store.readPointLookup("t6", "id", 90002L).count() == 1)
+    assert(store.readPointLookup("t6", "id", 2500L).count() == 1)
+  }
+
+  test("a file whose keys are all NULL gets a reject-all entry, not an eternal rescan") {
+    val store = mkStore()
+    store.create("t7", Seq((Some(1L), "a")).toDF("id", "name"))
+    store.append("t7", Seq((Option.empty[Long], "b")).toDF("id", "name"))
+    assert(store.updateBloomIndex("t7", "id") == 2)
+    assert(store.updateBloomIndex("t7", "id") == 0) // the null file IS indexed
+    val v = store.currentVersion("t7").get
+    // the all-null file rejects every point key; lookups stay correct
+    assert(store.bloomPrunedLines("t7", v, "id", 1L).size ==
+      store.manifest("t7", v).size - 1)
+    assert(store.readPointLookup("t7", "id", 1L).count() == 1)
+  }
+
   test("CREATE BLOOMFILTER INDEX SQL builds the index through the front door") {
     val store = mkStore()
     createKeyed(store, "t5")
