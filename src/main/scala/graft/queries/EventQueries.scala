@@ -163,6 +163,78 @@ object EventQueries {
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
 
+  /** Forward + nearest as-of joins ([[AsofJoin.forward]]/[[AsofJoin.nearest]],
+    * the full pandas/polars `merge_asof` direction surface): each click
+    * carries the user's previous view, next view (forward-INCLUSIVE at
+    * equal ts), and the nearest view within a 1-hour tolerance with
+    * its direction (ties → backward). All three run the union-window
+    * plan — one key shuffle each, no join operator. The oracle
+    * reproduces the same with min/max windows over one tagged union;
+    * forward inclusivity falls out of `prev = ts ⇒ next = ts`. */
+  val asofForwardNearest: Entry = Entry(
+    "asof_join_forward_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("vts")).distinct()
+      val tol = 3600000000L // 1 hour in micros
+      val b = AsofJoin.backward(clicks, views, Seq("user_id"),
+          "ts_us", "vts", Nil)
+        .withColumnRenamed("vts", "prev_view_us")
+      val f = AsofJoin.forward(b, views, Seq("user_id"),
+          "ts_us", "vts", Nil)
+        .withColumnRenamed("vts", "next_view_us")
+      AsofJoin.nearest(f, views, Seq("user_id"),
+          "ts_us", "vts", Nil, toleranceUs = Some(tol))
+        .withColumnRenamed("vts", "near_view_us")
+        .select("user_id", "ts_us", "event_id", "prev_view_us",
+          "next_view_us", "near_view_us", "asof_dir")
+        .orderBy("event_id")
+    },
+    Some("""WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) AS vts
+        |  FROM events WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, ts_us, 1 AS side, NULL AS vts, event_id FROM c
+        |  UNION ALL
+        |  SELECT user_id, vts, 0, vts, NULL FROM v),
+        |w AS (
+        |  SELECT user_id, ts_us, side, event_id,
+        |    max(vts) OVER (PARTITION BY user_id ORDER BY ts_us, side
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS prev_view_us,
+        |    min(vts) OVER (PARTITION BY user_id ORDER BY ts_us, side
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_x
+        |  FROM u),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id, prev_view_us,
+        |    CASE WHEN prev_view_us = ts_us THEN ts_us ELSE next_x END
+        |      AS next_view_us
+        |  FROM w WHERE side = 1),
+        |n AS (
+        |  SELECT *,
+        |    (prev_view_us IS NOT NULL
+        |      AND ts_us - prev_view_us <= 3600000000) AS b_ok,
+        |    (next_view_us IS NOT NULL
+        |      AND next_view_us - ts_us <= 3600000000) AS f_ok
+        |  FROM m)
+        |SELECT user_id, ts_us, event_id, prev_view_us, next_view_us,
+        |  CASE WHEN b_ok AND (NOT f_ok
+        |           OR ts_us - prev_view_us <= next_view_us - ts_us)
+        |         THEN prev_view_us
+        |       WHEN f_ok THEN next_view_us END AS near_view_us,
+        |  CASE WHEN b_ok AND (NOT f_ok
+        |           OR ts_us - prev_view_us <= next_view_us - ts_us)
+        |         THEN 'backward'
+        |       WHEN f_ok THEN 'forward' END AS asof_dir
+        |FROM n ORDER BY event_id""".stripMargin))
+
   /** As-of join: each click event picks up the user's most recent view
     * at-or-before it (the point-in-time feature lookup). Views are
     * pre-aggregated to one row per (user, ts) so the match is
@@ -445,7 +517,8 @@ object EventQueries {
         |ORDER BY cohort_wk, "offset"""".stripMargin))
 
   val entries: Seq[Entry] = Seq(jsonExtract, variantExtract, hourlyAgg,
-    sessionize, pivotCounts, asofLastView, rangeJoinWindows,
+    sessionize, pivotCounts, asofLastView, asofForwardNearest,
+    rangeJoinWindows,
     resampleFfill, windowedCountsBatch, intervalJoinKeyed, streamJoinBatch,
     funnelConversion, cohortRetention)
 }
