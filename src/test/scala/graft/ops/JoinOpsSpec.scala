@@ -34,13 +34,17 @@ class JoinOpsSpec extends SparkSpec {
     assert(far.isNullAt(2) && far.isNullAt(3))
   }
 
-  test("as-of plan contains no join operator (union-window formulation)") {
+  test("as-of plans contain no join operator (union-window formulation), all directions") {
     val left = Seq((1L, 10L)).toDF("k", "ts")
     val right = Seq((1L, 8L, 1.0)).toDF("k", "rts", "rv")
-    val p = AsofJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("rv"))
-      .queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), s"join in the as-of plan:\n$p")
-    assert(p.contains("Window"), s"no window in the as-of plan:\n$p")
+    for ((label, df) <- Seq(
+        "backward" -> AsofJoin.backward(left, right, Seq("k"), "ts", "rts", Seq("rv")),
+        "forward" -> AsofJoin.forward(left, right, Seq("k"), "ts", "rts", Seq("rv")),
+        "nearest" -> AsofJoin.nearest(left, right, Seq("k"), "ts", "rts", Seq("rv")))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"join in the $label as-of plan:\n$p")
+      assert(p.contains("Window"), s"no window in the $label as-of plan:\n$p")
+    }
   }
 
   test("range join matches brute-force BETWEEN semantics on half-open intervals") {
