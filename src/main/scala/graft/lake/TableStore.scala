@@ -223,12 +223,7 @@ final class TableStore(spark: SparkSession, root: String,
     val phys = columnMapping(table, v).physicalOf(column)
     val lines = manifest(table, v).filterNot(_.startsWith(DelPrefix))
     if (lines.isEmpty) return
-    val rowsByFile = statsFor(table, v).collect {
-      case ((f, c), st) if c == FileStats.RowsCol => f -> st.max.toLong
-    }
-    val rowsB = spark.sparkContext.broadcast(rowsByFile)
-    import spark.implicits._
-    bloomEntries(lines, phys, fpp, rowsB)
+    bloomEntries(table, v, lines, phys, fpp)
       .write.mode(SaveMode.Overwrite).parquet(bloomPath(table, phys).toString)
   }
 
@@ -259,11 +254,7 @@ final class TableStore(spark: SparkSession, root: String,
       .filterNot(_.startsWith(DelPrefix))
       .filterNot(l => indexed(FileStats.fileKey(l)))
     if (missing.isEmpty) return 0
-    val rowsByFile = statsFor(table, v).collect {
-      case ((f, c), st) if c == FileStats.RowsCol => f -> st.max.toLong
-    }
-    val rowsB = spark.sparkContext.broadcast(rowsByFile)
-    bloomEntries(missing, phys, fpp, rowsB)
+    bloomEntries(table, v, missing, phys, fpp)
       .write.mode(SaveMode.Append).parquet(p.toString)
     missing.size
   }
@@ -272,10 +263,16 @@ final class TableStore(spark: SparkSession, root: String,
     * the bits (an equality lookup can't match NULL), but a file whose
     * keys are ALL null still gets an (empty, reject-everything) entry,
     * so incremental updates don't rescan it forever. */
-  private def bloomEntries(files: Seq[String], physCol: String, fpp: Double,
-                           rowsB: org.apache.spark.broadcast.Broadcast[Map[String, Long]])
-      : DataFrame = {
+  private def bloomEntries(table: String, v: Long, files: Seq[String],
+                           physCol: String, fpp: Double): DataFrame = {
     import spark.implicits._
+    // sizing comes from the footer row counts the commit already
+    // folded into the stats sidecar — shared by full builds and
+    // incremental updates so the two can never size filters apart
+    val rowsByFile = statsFor(table, v).collect {
+      case ((f, c), st) if c == FileStats.RowsCol => f -> st.max.toLong
+    }
+    val rowsB = spark.sparkContext.broadcast(rowsByFile)
     spark.read.parquet(files: _*)
       .select(input_file_name().as("__f"),
         col(physCol).cast("string").as("__k"))

@@ -116,8 +116,9 @@ object AsofJoin {
               leftTs: String, rightTs: String, rightCols: Seq[String],
               toleranceUs: Option[Long] = None): DataFrame = {
     val rightOut = rightTs +: rightCols
-    require(rightOut.toSet.intersect(left.columns.toSet).isEmpty,
-      s"right output columns ${rightOut.mkString(",")} collide with left")
+    require((rightOut :+ "asof_dir").toSet.intersect(left.columns.toSet).isEmpty,
+      s"right output columns ${rightOut.mkString(",")} (and asof_dir) " +
+        "collide with left — rename the earlier asof_dir before chaining")
     val r2 = right.select(
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
         struct(rightOut.map(col): _*).as("__r")): _*)

@@ -126,7 +126,11 @@ object Sampling {
                         alpha: Double, total: Long, salt: String)
       : (DataFrame, Seq[(String, Long)]) = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.where(col(idCol).isNotNull)
+    // NULL strata drop with the NULL ids: quotas key by stratum VALUE
+    // (a null key would NPE the driver-side quota map), and a mixture
+    // weight for "unknown source" is a modeling decision the caller
+    // should make explicitly by filling the column first
+    val base = df.where(col(idCol).isNotNull && col(strataCol).isNotNull)
     val counts = base.groupBy(strataCol).count().collect()
       .map(r => r.get(0).toString -> r.getLong(1)).toSeq
     val quotas = temperatureQuotas(counts, alpha, total)

@@ -42,9 +42,12 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           // the same scan-boundary drift tolerance the batch path has
-          // (Tables.contract): a landing generation that re-encodes a
-          // column (string dates, NTZ timestamps, int widths) conforms
-          // here instead of breaking every downstream micro-batch
+          // (Tables.contract). Scope: the file SOURCE reads with the
+          // schema pinned at stream start, so this conforms a stream
+          // (RE)STARTED over a drifted landing generation — a
+          // mid-stream re-encode still needs a restart with the new
+          // sourceSchema, after which downstream state/tables keep the
+          // canonical types instead of breaking on the new encoding
           val conformed = graft.Tables.conformTo(batch, contract)
           CdcIngest.ingest(spark, store, table, conformed, cfg): Unit
         }
