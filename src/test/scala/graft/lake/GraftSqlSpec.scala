@@ -177,6 +177,30 @@ class GraftSqlSpec extends SparkSpec {
     assert(store.currentVersion("scr").contains(2L)) // create + 2 DML commits
   }
 
+  test("executeScript never splits on a ';' inside a comment") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    Seq(("k1", 1), ("k2", 2)).toDF("pk", "v")
+      .createOrReplaceTempView("cmt_src")
+    val out = GraftSql.executeScript(spark, store,
+      """CREATE TABLE cmt AS SELECT pk, v FROM cmt_src; -- note; semicolons
+        |UPDATE cmt SET v = v + 1 /* temp; see notes */ WHERE pk = 'k2';
+        |SELECT pk, v FROM cmt ORDER BY pk;""".stripMargin)
+    assert(out.as[(String, Int)].collect().toSeq ==
+      Seq(("k1", 1), ("k2", 3)),
+      "a ';' inside a comment split a statement (WHERE clause lost?)")
+  }
+
+  test("executeScript refreshes only MENTIONED store tables' views") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("men_a", Seq(("x", 1)).toDF("pk", "v"))
+    store.create("men_b", Seq(("y", 2)).toDF("pk", "v"))
+    // a session view shadowing the UNMENTIONED store table survives
+    Seq(("session", 99)).toDF("pk", "v").createOrReplaceTempView("men_b")
+    GraftSql.executeScript(spark, store, "SELECT * FROM men_a")
+    assert(spark.table("men_b").head().getInt(1) == 99,
+      "unmentioned store table clobbered a session view")
+  }
+
   test("executeScript never splits on a ';' inside a string literal") {
     val store = new TableStore(spark, tmpDir("gsql"))
     val out = GraftSql.executeScript(spark, store,
