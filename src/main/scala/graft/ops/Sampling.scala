@@ -130,25 +130,31 @@ object Sampling {
     // (a null key would NPE the driver-side quota map), and a mixture
     // weight for "unknown source" is a modeling decision the caller
     // should make explicitly by filling the column first
+    // one canonical STRING rendering of the stratum on the data side:
+    // counting, quota keys, and the quota join all use the same Spark
+    // `cast(string)` — never the driver-side Java toString, which can
+    // disagree with the cast for timestamp/decimal/boolean strata and
+    // silently leave a stratum quota-less
     val base = df.where(col(idCol).isNotNull && col(strataCol).isNotNull)
-    val counts = base.groupBy(strataCol).count().collect()
-      .map(r => r.get(0).toString -> r.getLong(1)).toSeq
+      .withColumn("__s", col(strataCol).cast("string"))
+    val counts = base.groupBy("__s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
     val quotas = temperatureQuotas(counts, alpha, total)
     val qDf = df.sparkSession.createDataFrame(quotas)
-      .toDF(strataCol, "__quota")
+      .toDF("__s", "__quota")
     val u = Sketches.hash48(concat(col(idCol).cast("string"),
       lit(":" + salt)))
-    val w = Window.partitionBy(strataCol).orderBy(col("__u"), col(idCol))
+    val w = Window.partitionBy("__s").orderBy(col("__u"), col(idCol))
     // the LITERAL max-quota conjunct is what lets Spark plan a
     // WindowGroupLimit (rank pruning needs a literal bound); the
     // per-stratum column conjunct then refines to the exact quota
     val maxQ = quotas.map(_._2).foldLeft(0L)(math.max)
     (base
-      .join(broadcast(qDf), strataCol)
+      .join(broadcast(qDf), "__s")
       .withColumn("__u", u)
       .withColumn("__tr", row_number().over(w))
       .where(col("__tr") <= lit(maxQ) && col("__tr") <= col("__quota"))
-      .drop("__u", "__tr", "__quota"), quotas)
+      .drop("__s", "__u", "__tr", "__quota"), quotas)
   }
 
   /** Per-stratum cap by an explicit preference order — domain caps, the

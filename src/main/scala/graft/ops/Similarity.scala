@@ -567,10 +567,16 @@ object Similarity {
             }
             i += 1
           }
+          // all remaining candidates scored NaN (bad rel or vec entry):
+          // stop selecting rather than index with -1 and kill the task
+          if (bestIdx < 0) {
+            step = k
+          } else {
           picked(bestIdx) = true
           pickedVecs += cand(bestIdx)._3
           step += 1
           out += MmrPick(qid, step, cand(bestIdx)._1, bestScore)
+          }
         }
         out.iterator
       }
