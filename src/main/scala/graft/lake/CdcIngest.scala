@@ -85,7 +85,14 @@ object CdcIngest {
     * atomic commit (stronger than the reference's two commits). */
   def incrementalLoad(spark: SparkSession, store: TableStore, table: String,
                       source: DataFrame, cfg: Config): Outcome = {
-    val dest = store.read(table)
+    // pin the snapshot: the watermark, the anti-join survivors, and
+    // the touched-bucket probe are all computed against THIS version;
+    // a concurrent commit makes the merge abort (SnapshotConflict)
+    // rather than silently replay/undo it. MoR appends keep CDC
+    // blind-append semantics (equality deletes by design apply to a
+    // racer's rows too), so no pin there.
+    val rs = store.currentVersion(table).get
+    val dest = store.readVersion(table, rs)
     // A1/A2: watermark = max(process_date) in the destination (:131)
     val maxDate = dest.agg(max(col(cfg.dateCol))).first().get(0)
     val newRows = source.where(col(cfg.dateCol) > lit(maxDate))
@@ -109,10 +116,10 @@ object CdcIngest {
         store.appendWithDeletes(table, survivors,
           deduped.select(cfg.primaryKey).distinct())
       } else if (store.partitioning(table).contains(BucketCol))
-        mergeTouchedPartitions(store, table, dest, deduped, cfg)
+        mergeTouchedPartitions(store, table, dest, deduped, cfg, rs)
       else {
         val merged = CdcMerge.upsert(dest, deduped, Seq(cfg.primaryKey))
-        store.overwrite(table, merged)
+        store.overwrite(table, merged, readSnapshot = Some(rs))
       }
       IncrementalLoad(n)
     }
@@ -128,7 +135,7 @@ object CdcIngest {
     * materialization (A2-style). */
   private def mergeTouchedPartitions(store: TableStore, table: String,
                                      dest: DataFrame, deduped: DataFrame,
-                                     cfg: Config): Unit = {
+                                     cfg: Config, readSnapshot: Long): Unit = {
     val fmt = cfg.bucketFormat.getOrElse(
       throw new IllegalStateException(
         s"$table is bucket-partitioned but cfg.bucketFormat is unset"))
@@ -151,6 +158,7 @@ object CdcIngest {
     val replacement = dest.where(bucketMatch)
       .join(updKeys, Seq(cfg.primaryKey), "left_anti")
       .unionByName(survivors, allowMissingColumns = true)
-    store.overwritePartitions(table, replacement, touchedSpecs.toSeq)
+    store.overwritePartitions(table, replacement, touchedSpecs.toSeq,
+      readSnapshot = Some(readSnapshot))
   }
 }

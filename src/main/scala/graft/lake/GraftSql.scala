@@ -423,9 +423,24 @@ object GraftSql {
         // debt folds INSIDE the clustering rewrite itself: one read,
         // one atomic overwrite commit — not a compact commit followed
         // by a cluster commit (two full rewrites, and an intermediate
-        // un-clustered layout visible to concurrent readers)
-        store.overwrite(table, Layout.cluster(store.read(table), zorderBy,
-          math.max(1, filesBefore)), preserveLayout = true)
+        // un-clustered layout visible to concurrent readers).
+        // Snapshot-checked like every read-then-rewrite; on a lost
+        // race this idempotent maintenance RECOMPUTES from the new
+        // head instead of surfacing the conflict.
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          val rs = store.currentVersion(table).get
+          try {
+            store.overwrite(table,
+              Layout.cluster(store.readVersion(table, rs), zorderBy,
+                math.max(1, filesBefore)),
+              preserveLayout = true, readSnapshot = Some(rs))
+            done = true
+          } catch { case e: SnapshotConflictException =>
+            if (attempts >= 5) throw e }
+        }
         filesBefore
       } else if (debtFolded) { store.compact(table); filesBefore }
       else store.compactSmall(table, minBytes = 128L << 20)
@@ -604,13 +619,25 @@ object GraftSql {
     * but cannot run without a v2 row-level catalog. SQL semantics: a
     * row is removed iff the predicate is TRUE; NULL keeps the row, like
     * the engines this fronts for. One read → one atomic overwrite. */
+  /** Pin a snapshot for a read-then-rewrite statement: the version AND
+    * the frame of exactly that version, so the rewrite commit can
+    * assert nothing moved in between (overwrite(readSnapshot=...)) —
+    * a concurrent append between the read and the claim aborts with
+    * [[SnapshotConflictException]] instead of being silently dropped. */
+  private def pinnedRead(store: TableStore, table: String): (Long, DataFrame) = {
+    val rs = store.currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist"))
+    (rs, store.readVersion(table, rs))
+  }
+
   private def executeDelete(spark: SparkSession, store: TableStore,
                             d: DeleteFromTable): DataFrame = {
     val target = tableName(d.table)
     val alias = aliasOf(d.table).getOrElse(target)
-    val dest = store.read(target).alias(alias)
+    val (rs, pinned) = pinnedRead(store, target)
+    val dest = pinned.alias(alias)
     val survivors = dest.where(!coalesce(expr(d.condition.sql), lit(false)))
-    store.overwrite(target, survivors)
+    store.overwrite(target, survivors, readSnapshot = Some(rs))
     store.read(target)
   }
 
@@ -623,7 +650,8 @@ object GraftSql {
                             u: UpdateTable): DataFrame = {
     val target = tableName(u.table)
     val alias = aliasOf(u.table).getOrElse(target)
-    val dest = store.read(target).alias(alias)
+    val (rs, pinned) = pinnedRead(store, target)
+    val dest = pinned.alias(alias)
     val cond = coalesce(
       u.condition.map(e => expr(e.sql)).getOrElse(lit(true)), lit(false))
     val assigns = u.assignments.map { case Assignment(k, v) =>
@@ -643,7 +671,7 @@ object GraftSql {
         .map(v => when(cond, v).otherwise(col(s"$alias.$n")))
         .getOrElse(col(s"$alias.$n")).as(n)
     }: _*)
-    store.overwrite(target, updated)
+    store.overwrite(target, updated, readSnapshot = Some(rs))
     store.read(target)
   }
 
@@ -672,7 +700,7 @@ object GraftSql {
         s"merge condition must be AND-ed same-column equi-joins, " +
           s"got ${m.mergeCondition.sql}"))
 
-    val destRaw = store.read(target)
+    val (rs, destRaw) = pinnedRead(store, target)
     val updates = spark.table(source)
 
     // MERGE schema evolution (Delta autoMerge semantics, matching the
@@ -823,7 +851,7 @@ object GraftSql {
         survivors.unionByName(inserts, allowMissingColumns = true)
       }
 
-    store.overwrite(target, result)
+    store.overwrite(target, result, readSnapshot = Some(rs))
     store.read(target)
   }
 

@@ -41,7 +41,11 @@ object Scd2 {
     val rebuiltAll = Cdc.scd2Build(changes, keyCols, tsCol, attrCols)
       .select(outCols: _*)
     if (!store.exists(table)) { store.create(table, rebuiltAll); return }
-    val dim = store.read(table)
+    // pin the snapshot the rewrite is computed from: a concurrent
+    // commit to the dimension aborts this apply (SnapshotConflict)
+    // instead of being silently overwritten
+    val rs = store.currentVersion(table).get
+    val dim = store.readVersion(table, rs)
     val touched = changes.select(keyCols.map(c => col(c)): _*).distinct()
     val open = dim.where(col("is_current"))
     // the open version re-enters as a pseudo-change at its valid_from
@@ -56,6 +60,7 @@ object Scd2 {
     val carried = dim.where(!col("is_current"))
       .unionByName(open.join(touched, keyCols, "left_anti"))
       .select(outCols: _*)
-    store.overwrite(table, carried.unionByName(rebuilt))
+    store.overwrite(table, carried.unionByName(rebuilt),
+      readSnapshot = Some(rs))
   }
 }

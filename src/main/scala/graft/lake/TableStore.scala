@@ -369,11 +369,20 @@ final class TableStore(spark: SparkSession, root: String,
     * frames the caller already shaped (a z-ordered `Layout.cluster`
     * rewrite must keep its range partitioning — a rebalance would
     * scramble each output file across the full clustering range and
-    * silently defeat min/max file skipping). */
+    * silently defeat min/max file skipping).
+    * `readSnapshot` opts into snapshot-isolation: pass the version the
+    * frame was computed from (pin it with [[readVersion]]) and the
+    * commit aborts with [[SnapshotConflictException]] if another
+    * writer changed data or schema since — the contract every
+    * read-then-rewrite path (UPDATE/DELETE/MERGE/OPTIMIZE) uses so a
+    * stale rewrite can never silently swallow a concurrent append.
+    * None = blind overwrite (INSERT OVERWRITE), last-writer-wins by
+    * design. */
   def overwrite(table: String, df: DataFrame,
-                preserveLayout: Boolean = false): Unit =
+                preserveLayout: Boolean = false,
+                readSnapshot: Option[Long] = None): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false,
-      preserveLayout = preserveLayout)
+      preserveLayout = preserveLayout, readSnapshot = readSnapshot)
 
   /** Overwrite that records an application transaction watermark in
     * the SAME atomic commit (Delta's SetTransaction / `txn` action):
@@ -382,9 +391,10 @@ final class TableStore(spark: SparkSession, root: String,
     * together — a crash can never leave the data applied but the
     * cursor behind (double-apply) or vice versa. */
   def overwriteTxn(table: String, df: DataFrame,
-                   app: String, version: Long): Unit =
+                   app: String, version: Long,
+                   readSnapshot: Option[Long] = None): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false,
-      txn = Some((app, version)))
+      txn = Some((app, version)), readSnapshot = readSnapshot)
 
   /** Create recording an initial transaction watermark atomically —
     * the bootstrap half of [[overwriteTxn]]. */
@@ -431,8 +441,15 @@ final class TableStore(spark: SparkSession, root: String,
     * commit's rows; `df`'s own rows are exempt (delete lines precede
     * them in the manifest), so a CDC batch deletes-and-reinserts a key
     * atomically. Each MoR commit adds one broadcast anti-join of
-    * read-side debt — fold it periodically with `compact`. */
-  def appendWithDeletes(table: String, df: DataFrame, deleteKeys: DataFrame): Unit = {
+    * read-side debt — fold it periodically with `compact`.
+    * `readSnapshot` (optional): CDC semantics make equality deletes
+    * apply to ANY prior commit — including one that raced in after
+    * this batch was computed (Iceberg allows the same) — so the
+    * default stays blind-append; pass the pinned read version to get
+    * serializable semantics instead (abort on any concurrent data or
+    * schema change). */
+  def appendWithDeletes(table: String, df: DataFrame, deleteKeys: DataFrame,
+                        readSnapshot: Option[Long] = None): Unit = {
     require(exists(table), s"table $table does not exist")
     val delDir = new Path(tablePath(table), s"x-${UUID.randomUUID()}")
     // delete keys anti-join raw (physical) data groups at read time,
@@ -441,13 +458,29 @@ final class TableStore(spark: SparkSession, root: String,
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(delDir.toString)
     val delLines = listDataFiles(delDir).map(DelPrefix + _)
     commit(table, df,
-      carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false)
+      carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false,
+      readSnapshot = readSnapshot)
   }
 
   /** Fold merge-on-read delete debt: materialize the current merged
     * view as one plain data commit (the new manifest carries no del
-    * entries). Old versions stay time-travelable until vacuumed. */
-  def compact(table: String): Unit = overwrite(table, read(table))
+    * entries). Old versions stay time-travelable until vacuumed.
+    * Snapshot-checked: losing a race to any data commit would
+    * resurrect its deletes or drop its appends, so a conflicted fold
+    * RECOMPUTES from the new head (idempotent maintenance — recompute,
+    * don't surface) up to a bounded number of attempts. */
+  def compact(table: String): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      val rs = currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"table $table does not exist"))
+      try { overwrite(table, readVersion(table, rs), readSnapshot = Some(rs)); done = true }
+      catch { case e: SnapshotConflictException =>
+        if (attempts >= 5) throw e }
+    }
+  }
 
   /** Roll the table back to retained version `v` as a NEW commit whose
     * manifest (and stats sidecar) is a byte copy of `v`'s — O(1)
@@ -604,25 +637,50 @@ final class TableStore(spark: SparkSession, root: String,
     * folded (0 or 1 small file = nothing to gain, no commit). */
   def compactSmall(table: String, minBytes: Long,
                    targetBytes: Long = 128L << 20): Int = {
-    require(deleteDebt(table) == 0,
-      s"table $table has pending merge-on-read deletes; compact first")
-    val cur = currentVersion(table).getOrElse(
-      throw new IllegalStateException(s"table $table does not exist"))
-    val lines = manifest(table, cur)
-    def len(f: String): Long = { val p = new Path(f); fs(p).getFileStatus(p).getLen }
-    val sizes = lines.map(f => f -> len(f)).toMap
-    val small = lines.filter(sizes(_) < minBytes).toSet
-    if (small.size <= 1) return 0
-    val outFiles = math.max(1,
-      math.ceil(small.toSeq.map(sizes).sum.toDouble / targetBytes).toInt)
-    val df = readLines(table, small.toSeq).coalesce(outFiles)
-    // carried re-evaluates against the WINNING claim's version, so a
-    // racing append's files survive the fold
-    commit(table, df,
-      carried = c => c.map(manifest(table, _).filterNot(small)).getOrElse(Nil),
-      mustCreate = false,
-      physicalFrame = true) // raw readLines bytes: already physical
-    small.size
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(deleteDebt(table) == 0,
+        s"table $table has pending merge-on-read deletes; compact first")
+      val cur = currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"table $table does not exist"))
+      val lines = manifest(table, cur)
+      def len(f: String): Long = { val p = new Path(f); fs(p).getFileStatus(p).getLen }
+      val sizes = lines.map(f => f -> len(f)).toMap
+      val small = lines.filter(sizes(_) < minBytes).toSet
+      if (small.size <= 1) return 0
+      val outFiles = math.max(1,
+        math.ceil(small.toSeq.map(sizes).sum.toDouble / targetBytes).toInt)
+      val df = readLines(table, small.toSeq).coalesce(outFiles)
+      try {
+        // carried re-evaluates against the WINNING claim's version, so
+        // a racing append's files survive the fold. Two races are NOT
+        // append-safe and conflict instead (then the fold recomputes):
+        // a concurrent rewrite that removed any of the folding files
+        // (their rows would resurrect through the folded copies), and
+        // concurrent MoR delete markers (the folded copies, being this
+        // commit's own rows, would be exempt from them).
+        commit(table, df,
+          carried = c => c.map { v =>
+            val m = manifest(table, v)
+            val gone = small -- m.toSet
+            if (gone.nonEmpty)
+              throw new SnapshotConflictException(
+                s"$table: file(s) being folded were rewritten concurrently " +
+                  s"(e.g. ${gone.head}); recomputing the fold")
+            if (m.exists(_.startsWith(DelPrefix)))
+              throw new SnapshotConflictException(
+                s"$table: merge-on-read deletes raced in during the fold; " +
+                  "recomputing")
+            m.filterNot(small)
+          }.getOrElse(Nil),
+          mustCreate = false,
+          physicalFrame = true) // raw readLines bytes: already physical
+        return small.size
+      } catch { case e: SnapshotConflictException =>
+        if (attempts >= 5) throw e }
+    }
+    0 // unreachable
   }
 
   /** Number of equality-delete entries pending in the current version
@@ -643,7 +701,8 @@ final class TableStore(spark: SparkSession, root: String,
     * fully-deleted partition empties out. Values must be path-literal
     * (date buckets are); a null bucket maps to Hive's default
     * partition name. */
-  def overwritePartitions(table: String, df: DataFrame, touched: Seq[String]): Unit = {
+  def overwritePartitions(table: String, df: DataFrame, touched: Seq[String],
+                          readSnapshot: Option[Long] = None): Unit = {
     require(partitioning(table).nonEmpty,
       s"table $table is not partitioned; use overwrite")
     require(deleteDebt(table) == 0,
@@ -651,11 +710,17 @@ final class TableStore(spark: SparkSession, root: String,
     requireCurrentLayout(table)
     val touchedSet = touched.toSet
     commit(table, df,
+      // untouched partitions re-carry from the WINNING claim's version
+      // (concurrent appends to them survive with readSnapshot = None);
+      // a pinned readSnapshot instead aborts on ANY concurrent change —
+      // the read-then-rewrite merge paths need that, because their
+      // replacement frame folded the touched partitions' OLD contents
       carried = cur => cur.map(manifest(table, _)
         .filterNot(f => touchedSet.contains(partitionDirOf(table, f))))
         .getOrElse(Nil),
       mustCreate = false,
-      requireWithin = Some(touchedSet))
+      requireWithin = Some(touchedSet),
+      readSnapshot = readSnapshot)
   }
 
   /** Hive partition dir of a data file, relative to its commit dir:
@@ -898,7 +963,8 @@ final class TableStore(spark: SparkSession, root: String,
                      requireWithin: Option[Set[String]] = None,
                      physicalFrame: Boolean = false,
                      txn: Option[(String, Long)] = None,
-                     preserveLayout: Boolean = false): Unit = {
+                     preserveLayout: Boolean = false,
+                     readSnapshot: Option[Long] = None): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
     // CHECK constraints ride the write job itself (observe = metrics
@@ -963,8 +1029,13 @@ final class TableStore(spark: SparkSession, root: String,
     // retries reuse it (the files don't change across attempts)
     val newStats = FileStats.compute(hadoopConf, newFiles)
 
-    claimLoop(table, mustCreate,
+    try claimLoop(table, mustCreate,
         onExists = () => fs(dataDir).delete(dataDir, true)) { (cur, v) =>
+      // snapshot isolation for rewrite commits: abort (inside the
+      // claim, before any sidecar/manifest write) if the table moved
+      // past the version this rewrite's frame was computed from in a
+      // way the rewrite would silently undo
+      readSnapshot.foreach(rs => assertSnapshotCurrent(table, rs, cur))
       if (mustCreate && createParts.nonEmpty)
         writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
           createParts.mkString(","))
@@ -987,6 +1058,55 @@ final class TableStore(spark: SparkSession, root: String,
         (carriedStats.toSeq ++ newStats).mkString("\n"))
       publishManifest(table, v, carriedLines ++ newFiles,
         cur.flatMap(rawColmap(table, _)), txn)
+    } catch { case e: SnapshotConflictException =>
+      // conflicts are an expected, caller-handled outcome (retry or
+      // surface) — don't leave the orphan data dir for vacuumOrphans
+      fs(dataDir).delete(dataDir, true)
+      throw e
+    }
+  }
+
+  /** Delta-ConflictChecker-style validation for rewrite commits: the
+    * frame about to commit was computed from version `readSnapshot`;
+    * `cur` is the version the winning claim builds on. Every version
+    * in between must be provably harmless — a commit is harmless iff
+    * its manifest's file lines AND its column mapping are identical to
+    * its predecessor's (metadata-only commits: partition evolution,
+    * RESTORE to the same state). Anything else — appends, deletes,
+    * MoR delete markers, compactions, renames — would be silently
+    * undone by publishing this rewrite, so it aborts. A vacuumed
+    * in-between manifest is unverifiable and conflicts conservatively. */
+  private def assertSnapshotCurrent(table: String, readSnapshot: Long,
+                                    cur: Option[Long]): Unit = {
+    val c = cur.getOrElse(return)
+    if (c < readSnapshot)
+      throw new SnapshotConflictException(
+        s"$table: read snapshot $readSnapshot is ahead of current $c " +
+          "(RESTOREd or recreated concurrently)")
+    var w = readSnapshot + 1
+    while (w <= c) {
+      val (prevLines, prevMap) =
+        try (manifest(table, w - 1).toSet, rawColmap(table, w - 1))
+        catch { case _: IllegalStateException =>
+          throw new SnapshotConflictException(
+            s"$table: version ${w - 1} was vacuumed while a rewrite of " +
+              s"snapshot $readSnapshot was in flight; cannot prove safety") }
+      val (lines, map) =
+        try (manifest(table, w).toSet, rawColmap(table, w))
+        catch { case _: IllegalStateException =>
+          throw new SnapshotConflictException(
+            s"$table: version $w was vacuumed while a rewrite of " +
+              s"snapshot $readSnapshot was in flight; cannot prove safety") }
+      if (lines != prevLines)
+        throw new SnapshotConflictException(
+          s"$table: concurrent data change at version $w (rewrite read " +
+            s"snapshot $readSnapshot, head is $c); retry against the " +
+            "current version")
+      if (map != prevMap)
+        throw new SnapshotConflictException(
+          s"$table: concurrent schema change (column mapping) at version " +
+            s"$w (rewrite read snapshot $readSnapshot, head is $c)")
+      w += 1
     }
   }
 
@@ -1410,3 +1530,11 @@ final class TableStore(spark: SparkSession, root: String,
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 }
+
+/** A rewrite commit lost a race it cannot safely win: between the
+  * snapshot it read and the version it claimed, another writer
+  * committed a data or schema change (Delta ConflictChecker
+  * semantics). Extends [[java.util.ConcurrentModificationException]]
+  * so generic retry harnesses recognize it. */
+final class SnapshotConflictException(msg: String)
+  extends java.util.ConcurrentModificationException(msg)

@@ -1,7 +1,11 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Sketch-accelerated membership operators whose RESULTS are exact.
   *
@@ -22,22 +26,48 @@ import org.apache.spark.sql.functions._
   * "definitely clean" for ~99% of a 100 TB corpus map-side; only the
   * fpp-sized suspect sliver pays the exact-join shuffle.
   *
-  * The membership probe is a Scala UDF over a broadcast sketch rather
-  * than a Catalyst expression: Spark's own `BloomFilterMightContain` /
-  * `CountMinSketchAgg` are non-public plumbing of the runtime-filter
-  * rewrite, and a literal-embedded sketch would ship the bits with
-  * every task instead of once per executor. The UDF costs one boxing
-  * per row on the probe side only — the verified exact join dominates.
-  */
+  * The probes are NATIVE Catalyst expressions (Spark's own
+  * `BloomFilterMightContain` over an `xxhash64` key — the same pair
+  * its runtime-filter rewrite plants — and the codegen'd
+  * [[graft.functions.CmsAtLeast]]), so the per-row hot path stays
+  * inside WholeStageCodegen: no UDF boxing, no codegen fence. The
+  * sketch bits ride the plan (a binary literal / plan reference)
+  * inside the per-stage broadcast task binary — same wire cost as an
+  * explicit broadcast variable. Set
+  * `spark.graft.membership.nativeExpr=false` to fall back to the
+  * pre-expression Scala-UDF probes (identical results). */
 object Membership {
 
+  private def nativeEnabled(df: DataFrame): Boolean = df.sparkSession.conf
+    .get("spark.graft.membership.nativeExpr", "true").toBoolean
+
+  /** Bloom over the xxhash64 of the key's string form — longs into the
+    * sketch, so the probe side can be the native long-typed
+    * `BloomFilterMightContain` (its contract: values are pre-hashed
+    * 64-bit, exactly how Spark's injected runtime filters work). */
   private def bloomOf(small: DataFrame, smallKey: Column,
-                      expectedItems: Long, fpp: Double) = {
-    val bf = small.select(smallKey.cast("string").as("k"))
+                      expectedItems: Long, fpp: Double): BloomFilter =
+    small.select(smallKey.cast("string").as("k"))
       .where(col("k").isNotNull)
-      .stat.bloomFilter("k", expectedItems, fpp)
-    small.sparkSession.sparkContext.broadcast(bf)
-  }
+      .select(xxhash64(col("k")).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+
+  /** True iff the bloom MIGHT contain the key; null keys probe to
+    * null (native) / false (udf fallback) — both routes keep the
+    * final exact join as the decider, so results are identical. */
+  private def probeOf(big: DataFrame, bigKey: Column, bf: BloomFilter): Column =
+    if (nativeEnabled(big)) {
+      val os = new java.io.ByteArrayOutputStream()
+      bf.writeTo(os)
+      ColumnBridge.column(BloomFilterMightContain(
+        Literal(os.toByteArray, BinaryType),
+        ColumnBridge.expression(xxhash64(bigKey.cast("string")))))
+    } else {
+      val b = big.sparkSession.sparkContext.broadcast(bf)
+      val mc = udf((h: java.lang.Long) =>
+        h != null && b.value.mightContainLong(h))
+      mc(xxhash64(bigKey.cast("string")))
+    }
 
   /** `big LEFT ANTI JOIN small` accelerated by a broadcast Bloom
     * filter on `small`'s keys: rows failing the bloom probe are
@@ -58,13 +88,16 @@ object Membership {
   def bloomAntiJoin(big: DataFrame, bigKey: Column,
                     small: DataFrame, smallKey: Column,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val b = bloomOf(small, smallKey, expectedItems, fpp)
-    val mc = udf((s: String) => s != null && b.value.mightContainString(s))
-    val probe = mc(bigKey.cast("string"))
-    val clean = big.where(!probe)
+    val probe = probeOf(big, bigKey,
+      bloomOf(small, smallKey, expectedItems, fpp))
+    // NULL keys probe to NULL under the native expression (xxhash64 of
+    // a NULL string is non-null, but a cast that fails is) — coalesce
+    // pins them to the clean branch, where they belong (NULL never
+    // matches an anti join's equality)
+    val clean = big.where(!coalesce(probe, lit(false)))
     // alias the small side's key so `sh === sh`-style self-ambiguity
     // can't arise when both frames name the key identically
-    val suspects = big.where(probe)
+    val suspects = big.where(coalesce(probe, lit(false)))
       .join(small.select(smallKey.as("__mb_k")),
         bigKey === col("__mb_k"), "left_anti")
     clean.unionByName(suspects)
@@ -77,9 +110,9 @@ object Membership {
   def bloomSemiJoin(big: DataFrame, bigKey: Column,
                     small: DataFrame, smallKey: Column,
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
-    val b = bloomOf(small, smallKey, expectedItems, fpp)
-    val mc = udf((s: String) => s != null && b.value.mightContainString(s))
-    big.where(mc(bigKey.cast("string")))
+    val probe = probeOf(big, bigKey,
+      bloomOf(small, smallKey, expectedItems, fpp))
+    big.where(coalesce(probe, lit(false)))
       .join(small.select(smallKey.as("__mb_k")),
         bigKey === col("__mb_k"), "left_semi")
   }
@@ -101,9 +134,16 @@ object Membership {
     val keyed = df.select(keyCol.cast("string").as("key"))
       .where(col("key").isNotNull)
     val cms = keyed.stat.countMinSketch("key", eps, confidence, seed)
-    val b = keyed.sparkSession.sparkContext.broadcast(cms)
-    val atLeast = udf((s: String) => b.value.estimateCount(s) >= minCount)
-    keyed.where(atLeast(col("key")))
+    val atLeast: Column =
+      if (nativeEnabled(df))
+        ColumnBridge.column(graft.functions.CmsAtLeast(
+          ColumnBridge.expression(col("key")), cms, minCount))
+      else {
+        val b = keyed.sparkSession.sparkContext.broadcast(cms)
+        udf((s: String) => b.value.estimateCount(s) >= minCount)
+          .apply(col("key"))
+      }
+    keyed.where(atLeast)
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
   }

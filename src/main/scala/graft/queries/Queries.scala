@@ -356,16 +356,68 @@ object Queries {
         |  valid_to IS NULL AS is_current
         |FROM vers ORDER BY key, valid_from, event_type""".stripMargin))
 
-  /** Approximate sketches (HLL distinct, approximate percentile) —
-    * engine-specific sketch internals, so rows-only check (no oracle). */
+  /** Approximate sketches, DETERMINISTIC edition: KMV distinct-count
+    * (k smallest md5-derived hashes — [[graft.ops.Sketches]], engine-
+    * independent unlike HLL's register layout) plus a histogram-bucket
+    * median (unit-width price buckets, first bucket whose cumulative
+    * count crosses half — the classic fixed-histogram percentile
+    * sketch, equally deterministic in any engine). Both are honest
+    * sketches — bounded state per group, mergeable map-side — AND
+    * hash-checkable against the oracle, which HLL/approx_percentile
+    * never were (this was the registry's one rows-only entry).
+    * Scale: the histogram is ≤ price-domain buckets per group after
+    * map-side combine; its window partitions by group over bucket
+    * rows, never data rows. */
   val approxSketches: Entry = Entry(
     "approx_sketches_lineitem",
-    (s, dir) => t(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
-      .orderBy("l_returnflag"),
-    None)
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = graft.ops.Sketches
+        .kmvDistinct(li, Seq("l_returnflag"), "l_orderkey", k = 64)
+        .withColumnRenamed("est_distinct", "approx_orders")
+      val hist = li
+        .groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice")).cast("long").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val cum = Window.partitionBy("l_returnflag").orderBy("b")
+      val tot = Window.partitionBy("l_returnflag")
+      val p50 = hist
+        .withColumn("cumc", sum("c").over(cum))
+        .withColumn("n", sum("c").over(tot))
+        .where(col("cumc") * 2 >= col("n"))
+        .groupBy("l_returnflag")
+        .agg((min("b") + lit(0.5)).cast("double").as("approx_p50"))
+      est.join(p50, Seq("l_returnflag")).orderBy("l_returnflag")
+    },
+    Some(s"""WITH h AS (
+        |  SELECT DISTINCT l_returnflag, ${OracleSql.hex12ToBigint("hx")} AS h
+        |  FROM (SELECT l_returnflag,
+        |          md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem)),
+        |r AS (
+        |  SELECT l_returnflag, h, row_number() OVER (
+        |    PARTITION BY l_returnflag ORDER BY h) AS rn
+        |  FROM h),
+        |est AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE round(63.0 * 281474976710656 / max(h), 4) END
+        |      AS approx_orders
+        |  FROM r WHERE rn <= 64 GROUP BY l_returnflag),
+        |hist AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS b,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, b,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cumc,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM hist),
+        |p AS (
+        |  SELECT l_returnflag, CAST(min(b) + 0.5 AS DOUBLE) AS approx_p50
+        |  FROM cum WHERE cumc * 2 >= n GROUP BY l_returnflag)
+        |SELECT est.l_returnflag, approx_orders, approx_p50
+        |FROM est JOIN p ON est.l_returnflag = p.l_returnflag
+        |ORDER BY est.l_returnflag""".stripMargin))
 
   val entries: Seq[Entry] = Seq(
     cdcDedupLatest, cdcFullLoad, cdcFullLoadStringDate,

@@ -72,4 +72,43 @@ class MembershipSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == (1 to 5).map(i => s"w$i" -> 100L).toMap)
   }
+
+  test("native probes stay codegen'd: no ScalaUDF in either plan") {
+    // a file source, not a LocalRelation — ConvertToLocalRelation
+    // would otherwise evaluate the probe at optimization time and
+    // leave nothing to assert on
+    val dir = tmpDir("mb-plan")
+    big.write.mode("overwrite").parquet(s"$dir/big")
+    val bigF = spark.read.parquet(s"$dir/big")
+    val anti = Membership.bloomAntiJoin(bigF, col("key"), small, col("dkey"),
+      expectedItems = 100).queryExecution.executedPlan.toString
+    assert(anti.contains("might_contain"), anti.take(800))
+    assert(!anti.contains("UDF"), "bloom probe fell back to a UDF")
+    val rows = (1 to 60).flatMap(i => Seq.fill(i)(s"t$i")).toDF("tok")
+    rows.write.mode("overwrite").parquet(s"$dir/toks")
+    val hh = Membership.heavyHitters(spark.read.parquet(s"$dir/toks"),
+        col("tok"), minCount = 40)
+      .queryExecution.executedPlan.toString
+    assert(hh.contains("cmsatleast") || hh.contains("CmsAtLeast"), hh.take(800))
+    assert(!hh.contains("UDF"), "cms probe fell back to a UDF")
+  }
+
+  test("udf fallback (nativeExpr=false) produces identical results") {
+    def all() = {
+      val a = Membership.bloomAntiJoin(big, col("key"), small, col("dkey"),
+          expectedItems = 100, fpp = 0.3)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val s = Membership.bloomSemiJoin(big, col("key"), small, col("dkey"),
+          expectedItems = 100, fpp = 0.3)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val rows = (1 to 60).flatMap(i => Seq.fill(i)(s"t$i")).toDF("tok")
+      val h = Membership.heavyHitters(rows, col("tok"), minCount = 40)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (a, s, h)
+    }
+    val native = all()
+    spark.conf.set("spark.graft.membership.nativeExpr", "false")
+    try assert(all() == native)
+    finally spark.conf.unset("spark.graft.membership.nativeExpr")
+  }
 }
