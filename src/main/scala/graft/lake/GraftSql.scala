@@ -79,6 +79,10 @@ object GraftSql {
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val CloneStmt =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val BeginStmt =
+    """(?is)^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$""".r
+  private val CommitStmt = """(?is)^\s*COMMIT\s*;?\s*$""".r
+  private val RollbackStmt = """(?is)^\s*ROLLBACK\s*;?\s*$""".r
   private val BloomIndexStmt =
     """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+OPTIONS\s*\(\s*fpp\s*=\s*([0-9.]+)\s*\))?\s*;?\s*$""".r
 
@@ -131,13 +135,45 @@ object GraftSql {
     def mentioned(t: String): Boolean =
       ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
         .findFirstIn(script).isDefined
-    runnable.map { stmt =>
+    try runnable.map { stmt =>
       // re-listed per statement: a table the script itself CREATEs
       // must resolve in the statements after its CTAS
       store.tables().filter(mentioned)
         .foreach(t => store.read(t).createOrReplaceTempView(t))
       execute(spark, store, stmt)
     }.last
+    catch { case t: Throwable =>
+      // a failed statement inside an open BEGIN must not leave the
+      // store half-applied AND mid-transaction: roll the staged
+      // commits back, then surface the original failure
+      if (store.inTransaction) store.rollbackTransaction()
+      throw t
+    }
+  }
+
+  /** One-row status frame for transaction-control statements. */
+  private def txnStatus(spark: SparkSession, op: String): DataFrame = {
+    import spark.implicits._
+    Seq(op).toDF("txn")
+  }
+
+  /** Run `script` as ONE cross-table transaction: BEGIN, the
+    * statements, COMMIT — with rollback on any failure. The atomicity
+    * the reference's delete-then-append pair lacks (SURVEY §3.2): a
+    * reader never sees table A updated but table B not, and a failed
+    * statement unwinds every staged commit. Returns the last
+    * statement's result (post-commit). */
+  def executeTransaction(spark: SparkSession, store: TableStore,
+                         script: String): DataFrame = {
+    store.beginTransaction()
+    val result =
+      try executeScript(spark, store, script)
+      catch { case t: Throwable =>
+        if (store.inTransaction) store.rollbackTransaction()
+        throw t
+      }
+    store.commitTransaction()
+    result
   }
 
   /** Execute SQL against graft tables: MERGE runs on the store;
@@ -145,6 +181,15 @@ object GraftSql {
     * contents for MERGE, the query result otherwise. */
   def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame =
     sql match {
+      case BeginStmt() =>
+        store.beginTransaction()
+        txnStatus(spark, "begin")
+      case CommitStmt() =>
+        store.commitTransaction()
+        txnStatus(spark, "commit")
+      case RollbackStmt() =>
+        store.rollbackTransaction()
+        txnStatus(spark, "rollback")
       case OptimizeStmt(table, zcols) =>
         executeOptimize(spark, store, table,
           Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim))

@@ -56,6 +56,10 @@ import java.util.UUID
 final class TableStore(spark: SparkSession, root: String,
                        primitive: Option[CommitPrimitive] = None) {
 
+  /** The store's root directory (for opening a second, independent
+    * reader over the same tables). */
+  def rootPath: String = root
+
   private val hadoopConf = spark.sessionState.newHadoopConf()
   private val claims: CommitPrimitive =
     primitive.getOrElse(new HadoopCommitPrimitive(hadoopConf))
@@ -68,6 +72,83 @@ final class TableStore(spark: SparkSession, root: String,
   }
   private def manifestPath(table: String, v: Long): Path =
     new Path(tablePath(table), s"manifest-$v")
+
+  // ----- cross-table transaction staging -------------------------------
+  // While a transaction is active on THIS store instance, every commit
+  // stages its manifest under `staged-<txn>-manifest-<v>` instead of
+  // publishing it. Claims are taken normally, so concurrent writers
+  // block on the claimed versions (lock semantics) and nothing can
+  // interleave; only this instance resolves staged manifests when
+  // reading, so other readers keep seeing the pre-transaction state.
+  // COMMIT swings each staged manifest to its final name in commit
+  // order — rename per table is the atomic publication; a crash
+  // mid-swing is the residual window (same class as claim-TTL
+  // takeover), after which recoverStaleClaims + vacuumOrphans clean
+  // the stale halves. ROLLBACK deletes the staged manifests and
+  // releases the claims; orphaned data dirs fall to vacuumOrphans.
+  @volatile private var activeTxn: Option[String] = None
+  private val stagedCommits =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+
+  private def stagedManifestPath(txn: String, table: String, v: Long): Path =
+    new Path(tablePath(table), s"staged-$txn-manifest-$v")
+
+  /** Where to READ version `v`'s manifest from: the transaction's
+    * staged copy if this instance staged one, else the published
+    * path. */
+  private def manifestFile(table: String, v: Long): Path =
+    activeTxn match {
+      case Some(txn) if stagedCommits.contains((table, v)) =>
+        stagedManifestPath(txn, table, v)
+      case _ => manifestPath(table, v)
+    }
+
+  /** Begin a cross-table transaction on this store instance: commits
+    * stage invisibly until [[commitTransaction]]; see the staging
+    * notes above. One transaction per instance at a time. */
+  def beginTransaction(): Unit = synchronized {
+    require(activeTxn.isEmpty, "a transaction is already active")
+    activeTxn = Some(UUID.randomUUID().toString.take(8))
+    stagedCommits.clear()
+  }
+
+  /** Publish every staged commit, in commit order, by renaming each
+    * staged manifest to its final name — pointers swing last, so no
+    * reader ever sees a half-applied transaction (modulo a crash
+    * mid-swing, the documented residual window). */
+  def commitTransaction(): Unit = synchronized {
+    val txn = activeTxn.getOrElse(
+      throw new IllegalStateException("no active transaction"))
+    stagedCommits.foreach { case (table, v) =>
+      val src = stagedManifestPath(txn, table, v)
+      val dst = manifestPath(table, v)
+      if (!fs(src).rename(src, dst))
+        throw new IllegalStateException(
+          s"transaction commit failed publishing $dst (staged at $src); " +
+            "already-swung tables remain published — recover manually")
+    }
+    stagedCommits.clear()
+    activeTxn = None
+  }
+
+  /** Abort the active transaction: delete every staged manifest and
+    * release its claim. Staged data dirs become orphans for
+    * [[vacuumOrphans]]. */
+  def rollbackTransaction(): Unit = synchronized {
+    val txn = activeTxn.getOrElse(
+      throw new IllegalStateException("no active transaction"))
+    stagedCommits.reverseIterator.foreach { case (table, v) =>
+      val src = stagedManifestPath(txn, table, v)
+      fs(src).delete(src, false)
+      claims.deleteClaim(tablePath(table), v)
+    }
+    stagedCommits.clear()
+    activeTxn = None
+  }
+
+  /** Whether a transaction is active on this instance. */
+  def inTransaction: Boolean = activeTxn.isDefined
+  // ---------------------------------------------------------------------
 
   /** S5: table-exists probe (icberg/iceberg_tables.py:73-78). */
   def exists(table: String): Boolean = currentVersion(table).isDefined
@@ -413,7 +494,7 @@ final class TableStore(spark: SparkSession, root: String,
   def lastTxn(table: String, app: String): Option[Long] = {
     val prefix = s"$TxnHeader$app:"
     versions(table).reverse.iterator.flatMap { v =>
-      readSmallFile(manifestPath(table, v)).split("\n").collectFirst {
+      readSmallFile(manifestFile(table, v)).split("\n").collectFirst {
         case l if l.startsWith(prefix) => l.stripPrefix(prefix).trim.toLong
       }
     }.nextOption()
@@ -802,7 +883,7 @@ final class TableStore(spark: SparkSession, root: String,
   /** File list composing a retained version (`#`-prefixed header lines
     * — the commit timestamp — are metadata, not files). */
   def manifest(table: String, v: Long): Seq[String] = {
-    val m = manifestPath(table, v)
+    val m = manifestFile(table, v)
     if (!fs(m).exists(m))
       throw new IllegalStateException(
         s"version $v of $table is not retained (vacuumed or never committed)")
@@ -817,7 +898,7 @@ final class TableStore(spark: SparkSession, root: String,
     * TIMESTAMP AS OF must not depend on it. Pre-header manifests fall
     * back to mtime. */
   def commitTimeMs(table: String, v: Long): Long = {
-    val m = manifestPath(table, v)
+    val m = manifestFile(table, v)
     if (!fs(m).exists(m))
       throw new IllegalStateException(
         s"version $v of $table is not retained (vacuumed or never committed)")
@@ -843,12 +924,21 @@ final class TableStore(spark: SparkSession, root: String,
     val headers = s"$TsHeader${System.currentTimeMillis()}" +:
       (colmap.map(ColmapHeader + _).toSeq ++
         txn.map { case (app, ver) => s"$TxnHeader$app:$ver" }.toSeq)
-    claims.publish(manifestPath(table, v), (headers ++ lines).mkString("\n"))
+    val body = (headers ++ lines).mkString("\n")
+    activeTxn match {
+      case Some(t) =>
+        // transaction staging: the claim is held, but publication
+        // waits for commitTransaction's pointer swing
+        claims.publish(stagedManifestPath(t, table, v), body)
+        synchronized { stagedCommits += ((table, v)) }
+      case None =>
+        claims.publish(manifestPath(table, v), body)
+    }
   }
 
   /** Raw `#colmap=` header of version `v`, if any. */
   private def rawColmap(table: String, v: Long): Option[String] = {
-    val m = manifestPath(table, v)
+    val m = manifestFile(table, v)
     if (!fs(m).exists(m)) None
     else readSmallFile(m).split("\n").collectFirst {
       case l if l.startsWith(ColmapHeader) =>
@@ -1175,10 +1265,19 @@ final class TableStore(spark: SparkSession, root: String,
   def versions(table: String): Seq[Long] = {
     val dir = tablePath(table)
     val f = fs(dir)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("manifest-")).map(_.stripPrefix("manifest-").toLong)
-      .sorted
+    val published =
+      if (!f.exists(dir)) Seq.empty[Long]
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("manifest-"))
+        .map(_.stripPrefix("manifest-").toLong)
+    // this instance's own staged commits are visible to itself (a
+    // transaction reads its earlier writes); invisible to every other
+    // reader until the commit swing
+    val staged =
+      if (activeTxn.isEmpty) Seq.empty[Long]
+      else synchronized {
+        stagedCommits.collect { case (t, v) if t == table => v }.toSeq }
+    (published ++ staged).distinct.sorted
   }
 
   /** Store tables (dirs under the root with at least one published

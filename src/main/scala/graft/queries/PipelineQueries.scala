@@ -725,6 +725,45 @@ object PipelineQueries {
         |FROM nation WHERE NOT (n_nationkey % 5 = 4)
         |ORDER BY k""".stripMargin))
 
+  /** Cross-table TRANSACTIONAL script ([[GraftSql.executeTransaction]]
+    * — BEGIN stages every commit, COMMIT swings pointers last): a
+    * "transfer" moves units between two tables derived from `nation`
+    * and both sides land in one atomic publication; a failed statement
+    * would unwind both (TransactionSpec proves the all-or-nothing
+    * half). The oracle replays the same algebra — the final SELECT
+    * unions both tables, so a half-applied state could never hash-
+    * match. */
+  val sqlTransaction: Entry = Entry(
+    "sql_transaction_e2e",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-txn"))
+      t(s, dir, "nation").createOrReplaceTempView("nation_tx")
+      GraftSql.executeScript(s, store,
+        """CREATE TABLE tx_a AS
+          |SELECT n_nationkey AS k, CAST(100 AS BIGINT) AS bal
+          |FROM nation_tx WHERE n_regionkey <= 1;
+          |CREATE TABLE tx_b AS
+          |SELECT n_nationkey AS k, CAST(10 AS BIGINT) AS bal
+          |FROM nation_tx WHERE n_regionkey >= 2;
+          |BEGIN;
+          |UPDATE tx_a SET bal = bal - 25 WHERE k % 2 = 0;
+          |UPDATE tx_b SET bal = bal + 25 WHERE k % 2 = 0;
+          |COMMIT;
+          |SELECT 'a' AS side, k, bal FROM tx_a
+          |UNION ALL SELECT 'b' AS side, k, bal FROM tx_b
+          |ORDER BY side, k;""".stripMargin)
+    },
+    Some("""SELECT 'a' AS side, n_nationkey AS k,
+        |  CAST(CASE WHEN n_nationkey % 2 = 0 THEN 75 ELSE 100 END
+        |    AS BIGINT) AS bal
+        |FROM nation WHERE n_regionkey <= 1
+        |UNION ALL
+        |SELECT 'b' AS side, n_nationkey AS k,
+        |  CAST(CASE WHEN n_nationkey % 2 = 0 THEN 35 ELSE 10 END
+        |    AS BIGINT) AS bal
+        |FROM nation WHERE n_regionkey >= 2
+        |ORDER BY side, k""".stripMargin))
+
   val sqlLifecycle: Entry = Entry(
     "sql_lifecycle_e2e",
     (s, dir) => {
@@ -1461,7 +1500,8 @@ object PipelineQueries {
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
     sqlDml,
-    sqlInsert, sqlLifecycle, sqlScript, sqlRestoreClone, sqlTimeTravelDiff,
+    sqlInsert, sqlLifecycle, sqlScript, sqlTransaction, sqlRestoreClone,
+    sqlTimeTravelDiff,
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh,
