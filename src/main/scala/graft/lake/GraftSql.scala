@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedIdentifier, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.plans.logical.{AddCheckConstraint, AddColumns, AddConstraint, Assignment, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropConstraint, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
-import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, struct, when}
 
 /** SQL-text front door for the statements Spark can parse but not
   * execute without a v2 row-level-operation catalog: MERGE INTO — the
@@ -286,9 +286,7 @@ object GraftSql {
         s"unsupported ALTER target ${other.getClass.getSimpleName}")
     }
     if (!store.exists(target)) return spark.sql(sqlText)
-    val fields = a.columnsToAdd.map { q =>
-      require(q.path.isEmpty,
-        s"nested column add ${q.colName} is not supported on graft tables")
+    a.columnsToAdd.foreach { q =>
       require(q.position.isEmpty,
         "FIRST/AFTER positions are not supported on graft tables")
       require(q.nullable,
@@ -297,8 +295,10 @@ object GraftSql {
       require(q.default.isEmpty,
         s"column ${q.colName}: DEFAULT is not supported on graft tables " +
           "(existing rows would silently read NULL, not the default)")
-      StructField(q.colName, q.dataType, nullable = true)
     }
+    val (nested, top) = a.columnsToAdd.partition(_.path.nonEmpty)
+    val fields = top.map(q => StructField(q.colName, q.dataType,
+      nullable = true))
     val dupes = fields.groupBy(_.name.toLowerCase).filter(_._2.size > 1).keys
     require(dupes.isEmpty,
       s"duplicate column(s) in ADD COLUMNS: ${dupes.mkString(", ")}")
@@ -306,10 +306,37 @@ object GraftSql {
     val existing = current.fieldNames.map(_.toLowerCase).toSet
     fields.foreach(f => require(!existing(f.name.toLowerCase),
       s"column ${f.name} already exists in $target"))
+    // nested adds (`ALTER TABLE t ADD COLUMNS (props.tag STRING)`):
+    // widen the parent STRUCT's type in place — existing rows read the
+    // new field as NULL through the same union-by-name the top-level
+    // evolution rides (Spark fills missing nested struct fields too)
+    def addNested(st: StructType, path: Seq[String],
+                  f: StructField): StructType = {
+      val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(path.head))
+      require(idx >= 0,
+        s"no column ${path.head} in $target to nest ${f.name} under")
+      val parent = st.fields(idx)
+      val widened = parent.dataType match {
+        case ps: StructType =>
+          if (path.size == 1) {
+            require(!ps.fields.exists(_.name.equalsIgnoreCase(f.name)),
+              s"field ${parent.name}.${f.name} already exists in $target")
+            parent.copy(dataType = StructType(ps.fields :+ f))
+          } else parent.copy(dataType = addNested(ps, path.tail, f))
+        case other => throw new IllegalArgumentException(
+          s"column ${path.head} of $target is ${other.catalogString}, " +
+            "not a struct; cannot add a nested field")
+      }
+      StructType(st.fields.updated(idx, widened))
+    }
+    val withNested = nested.foldLeft(StructType(current.fields ++ fields)) {
+      (st, q) => addNested(st, q.path.toSeq.flatMap(_.name),
+        StructField(q.colName, q.dataType, nullable = true))
+    }
     // the evolved schema commits through the dedicated metadata path:
     // a 0-row write routed through the partitioned writer would emit
     // no files at all and silently no-op the evolution
-    store.evolveSchema(target, StructType(current.fields ++ fields))
+    store.evolveSchema(target, withNested)
     store.read(target)
   }
 
@@ -720,6 +747,56 @@ object GraftSql {
     store.read(target)
   }
 
+  import org.apache.spark.sql.types.StructType
+
+  private def fieldNamesOf(st: StructType): Seq[String] = st.fields
+    .toIndexedSeq.map(f => f.name.toLowerCase + ":" + (f.dataType match {
+      case n: StructType => "{" + fieldNamesOf(n).mkString(",") + "}"
+      case other => other.catalogString
+    }))
+
+  /** Merge two struct types field-by-NAME (case-insensitive),
+    * recursing into fields both sides carry as structs; fields unique
+    * to either side append in (target ++ source) declaration order,
+    * nullable (existing rows backfill NULL). Non-struct field types
+    * keep the TARGET's type — widening primitives is not evolution,
+    * it's a conflict the write-side validation surfaces. */
+  private def mergedStruct(t: StructType, s: StructType): StructType = {
+    val sByName = s.fields.map(f => f.name.toLowerCase -> f).toMap
+    val tNames = t.fields.map(_.name.toLowerCase).toSet
+    StructType(t.fields.map { tf =>
+      sByName.get(tf.name.toLowerCase) match {
+        case Some(sf) => (tf.dataType, sf.dataType) match {
+          case (ts: StructType, ss: StructType) =>
+            tf.copy(dataType = mergedStruct(ts, ss))
+          case _ => tf
+        }
+        case None => tf
+      }
+    } ++ s.fields.filterNot(f => tNames.contains(f.name.toLowerCase))
+      .map(_.copy(nullable = true)))
+  }
+
+  /** Rebuild struct column `c` (typed `from`) as the wider struct
+    * `to`: common fields carry by NAME (recursing into nested
+    * structs), missing fields become typed NULLs, and a NULL struct
+    * stays NULL (a positional struct cast would scramble fields). */
+  private def widenStructTo(c: Column, from: StructType,
+                            to: StructType): Column = {
+    val fByName = from.fields.map(f => f.name.toLowerCase -> f).toMap
+    val rebuilt = struct(to.fields.toIndexedSeq.map { f =>
+      (fByName.get(f.name.toLowerCase), f.dataType) match {
+        case (Some(ff), toSt: StructType)
+            if ff.dataType.isInstanceOf[StructType] =>
+          widenStructTo(c.getField(ff.name),
+            ff.dataType.asInstanceOf[StructType], toSt).as(f.name)
+        case (Some(ff), _) => c.getField(ff.name).as(f.name)
+        case (None, dt) => lit(null).cast(dt).as(f.name)
+      }
+    }: _*)
+    when(c.isNull, lit(null).cast(to)).otherwise(rebuilt)
+  }
+
   private def executeMerge(spark: SparkSession, store: TableStore,
                            m: MergeIntoTable): DataFrame = {
     require(m.matchedActions.forall(a => a.isInstanceOf[DeleteAction] ||
@@ -774,8 +851,42 @@ object GraftSql {
     require(srcExtra.isEmpty || evolveOn,
       s"MERGE source carries column(s) ${srcExtra.map(_.name).mkString(", ")} " +
         s"absent from $target and spark.graft.merge.schemaEvolution is false")
-    val dest = srcExtra.foldLeft(destRaw)((d, f) =>
+    val destPre = srcExtra.foldLeft(destRaw)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
+    // NESTED evolution, the same autoMerge contract one level down
+    // (the events.props / semi-structured direction): for columns BOTH
+    // sides carry as structs with differing field sets, widen each leg
+    // to the merged struct — existing fields carry, missing fields are
+    // typed NULLs, recursing through nested structs — so the join, the
+    // SET * assignment, and the final commit all see one evolved
+    // struct type. Struct casts match by POSITION in Spark, so the
+    // rebuild is by NAME ([[widenStructTo]]), never a cast.
+    val structWide: Seq[(String, StructType, StructType, StructType)] =
+      if (!starPulls) Nil
+      else destPre.schema.fields.toIndexedSeq.flatMap { tf =>
+        updates.schema.fields.find(_.name.equalsIgnoreCase(tf.name))
+          .flatMap { sf =>
+            (tf.dataType, sf.dataType) match {
+              case (ts: StructType, ss: StructType) =>
+                val m2 = mergedStruct(ts, ss)
+                if (fieldNamesOf(m2) == fieldNamesOf(ts) &&
+                    fieldNamesOf(m2) == fieldNamesOf(ss)) None
+                else Some((tf.name, ts, ss, m2))
+              case _ => None
+            }
+          }
+      }
+    require(structWide.isEmpty || evolveOn,
+      s"MERGE struct column(s) ${structWide.map(_._1).mkString(", ")} " +
+        s"differ in fields between source and $target and " +
+        "spark.graft.merge.schemaEvolution is false")
+    val dest = structWide.foldLeft(destPre) { case (d, (n, ts, _, m2)) =>
+      d.withColumn(n, widenStructTo(col(n), ts, m2))
+    }
+    val updatesW = structWide.foldLeft(updates) { case (d, (n, _, ss, m2)) =>
+      if (fieldNamesOf(ss) == fieldNamesOf(m2)) d
+      else d.withColumn(n, widenStructTo(col(n), ss, m2))
+    }
 
     // Action conditions and assignment values re-enter as Columns via
     // their generated SQL and resolve against the statement's own
@@ -812,7 +923,7 @@ object GraftSql {
         // dedup its keys so a raw (duplicate-key) source can't
         // multiply carried target rows through the outer join
         val src = if (m.matchedActions.isEmpty)
-          updates.select(keys.map(col): _*).distinct() else updates
+          updatesW.select(keys.map(col): _*).distinct() else updatesW
         // ONE left-outer join classifies every target ROW (not key):
         // __act = index of the first action (declaration order) whose
         // condition holds — matched rows walk the MATCHED chain,
@@ -890,7 +1001,7 @@ object GraftSql {
         }.reduce(_ || _)
         // NOT MATCHED is judged against the pre-merge target, so the
         // anti join runs on `dest`, not `survivors`
-        val inserts = updates.alias(uAlias)
+        val inserts = updatesW.alias(uAlias)
           .join(dest.select(keys.map(col): _*).distinct(), keys, "left_anti")
           .where(insCond)
         survivors.unionByName(inserts, allowMissingColumns = true)

@@ -548,6 +548,47 @@ object PipelineQueries {
         |  FROM customer WHERE c_custkey % 2 = 1)
         |ORDER BY c_custkey""".stripMargin))
 
+  /** NESTED MERGE schema evolution: the source's STRUCT column carries
+    * a field the target's struct lacks (`props.tag`) — star actions
+    * widen the struct field-by-name in the same atomic commit
+    * (GraftSql.mergedStruct/widenStructTo; a positional struct cast
+    * would scramble fields). Carried rows read the new field as NULL;
+    * the oracle replays the algebra flattened, so a mis-mapped struct
+    * field could never hash-match. */
+  val mergeStructEvolving: Entry = Entry(
+    "cdc_merge_struct_evolving",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-msqlnest"))
+      val ev = t(s, dir, "events")
+      store.create("destn", ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id").as("pk"),
+          struct(col("event_type"), col("user_id").as("uid")).as("props")))
+      ev.where(col("event_id") % 3 === 0)
+        .select(col("event_id").as("pk"),
+          struct(concat(col("event_type"), lit("+")).as("event_type"),
+            (col("user_id") + 1).as("uid"),
+            concat(lit("e"), (col("event_id") % 7).cast("string")).as("tag"))
+            .as("props"))
+        .createOrReplaceTempView("updates_nest")
+      GraftSql.execute(s, store,
+        """MERGE INTO destn t USING updates_nest u
+          |ON t.pk = u.pk
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .select(col("pk"), col("props.event_type").as("etype"),
+          col("props.uid").as("uid"), col("props.tag").as("tag"))
+        .orderBy("pk")
+    },
+    Some("""SELECT pk, etype, uid, tag FROM (
+        |  SELECT event_id AS pk, event_type AS etype, user_id AS uid,
+        |    CAST(NULL AS VARCHAR) AS tag
+        |  FROM events WHERE event_id % 2 = 0 AND event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT event_id, event_type || '+', user_id + 1,
+        |    'e' || CAST(event_id % 7 AS VARCHAR)
+        |  FROM events WHERE event_id % 3 = 0)
+        |ORDER BY pk""".stripMargin))
+
   /** The canonical replication statement — full table sync in one
     * MERGE: matched rows overwritten from the source, missing rows
     * inserted, rows absent from the source deleted. After the
@@ -1499,6 +1540,7 @@ object PipelineQueries {
     nullPrunedScan, bloomPointLookup, scd2Incremental,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
+    mergeStructEvolving,
     sqlDml,
     sqlInsert, sqlLifecycle, sqlScript, sqlTransaction, sqlRestoreClone,
     sqlTimeTravelDiff,

@@ -680,6 +680,62 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate"))
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves a NESTED struct field in place") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("tnest", Seq((1, "a", "x1"), (2, "b", "x2"))
+      .toDF("id", "p_a", "p_b")
+      .select(col("id"), struct(col("p_a"), col("p_b")).as("props")))
+    val out = GraftSql.execute(spark, store,
+      "ALTER TABLE tnest ADD COLUMNS (props.tag STRING)")
+    assert(out.select("props.tag").columns.toSeq == Seq("tag"))
+    // earlier rows read the evolved field as NULL
+    assert(out.where(col("props.tag").isNull).count() == 2)
+    assert(out.where(col("props.p_a") === "a").count() == 1)
+    // the field is writable by a wider append
+    store.append("tnest", Seq((3, "c", "x3", "t3")).toDF("id", "p_a", "p_b", "tag")
+      .select(col("id"),
+        struct(col("p_a"), col("p_b"), col("tag")).as("props")))
+    val rd = store.read("tnest")
+    assert(rd.where(col("props.tag") === "t3").count() == 1)
+    assert(rd.where(col("props.tag").isNull).count() == 2)
+    // duplicate nested field / non-struct parent fail loudly
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "ALTER TABLE tnest ADD COLUMNS (props.p_a INT)")
+    }
+    assert(e.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "ALTER TABLE tnest ADD COLUMNS (id.sub INT)")
+    }
+    assert(e2.getMessage.contains("not a struct"))
+  }
+
+  test("MERGE star evolves struct columns field-by-name (nested autoMerge)") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("mnest", Seq((1, "a1", 10), (2, "a2", 20))
+      .toDF("pk", "p_a", "p_n")
+      .select(col("pk"), struct(col("p_a"), col("p_n")).as("props")))
+    // source struct carries an EXTRA field p_tag
+    Seq((2, "a2x", 21, "t2"), (3, "a3", 30, "t3"))
+      .toDF("pk", "p_a", "p_n", "p_tag")
+      .select(col("pk"),
+        struct(col("p_a"), col("p_n"), col("p_tag")).as("props"))
+      .createOrReplaceTempView("mnest_src")
+    GraftSql.execute(spark, store,
+      """MERGE INTO mnest t USING mnest_src u ON t.pk = u.pk
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val rd = store.read("mnest").orderBy("pk")
+    assert(rd.select("props.p_a", "props.p_n", "props.p_tag")
+      .as[(String, Int, String)].collect().toSeq ==
+      Seq(("a1", 10, null), ("a2x", 21, "t2"), ("a3", 30, "t3")))
+    // evolution landed in the committed schema, not just the result
+    assert(rd.schema("props").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq ==
+      Seq("p_a", "p_n", "p_tag"))
+  }
+
   test("ALTER TABLE ADD COLUMNS works on partitioned, CHECK-constrained tables") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("talterp",
