@@ -487,7 +487,7 @@ object GraftSql {
     // would collapse it to ~1, losing the multi-range skipping layout)
     val filesBefore = store
       .manifest(table, store.currentVersion(table).get)
-      .count(!_.startsWith("del|"))
+      .count(l => !l.startsWith("del|") && !l.startsWith("dv|"))
     val debtFolded = store.deleteDebt(table) > 0
     val folded =
       if (zorderBy.nonEmpty) {
@@ -706,6 +706,16 @@ object GraftSql {
                             d: DeleteFromTable): DataFrame = {
     val target = tableName(d.table)
     val alias = aliasOf(d.table).getOrElse(target)
+    // deletion-vector mode: commit row POSITIONS instead of rewriting
+    // survivors — O(deleted rows) written, not O(table); the read pays
+    // one broadcast anti join until OPTIMIZE/compact folds it. SQL
+    // semantics unchanged (TRUE deletes; NULL keeps the row).
+    if (spark.conf.get("spark.graft.delete.deletionVectors", "false")
+        .toBoolean) {
+      store.deleteWhere(target,
+        coalesce(expr(d.condition.sql), lit(false)), Some(alias))
+      return store.read(target)
+    }
     val (rs, pinned) = pinnedRead(store, target)
     val dest = pinned.alias(alias)
     val survivors = dest.where(!coalesce(expr(d.condition.sql), lit(false)))

@@ -1,7 +1,7 @@
 package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, sum, udf, when}
 
 import java.nio.charset.StandardCharsets
@@ -187,7 +187,8 @@ final class TableStore(spark: SparkSession, root: String,
                                   schemaV: Long): DataFrame =
     columnMapping(table, schemaV).applyRead(readLines(table, manifest(table, v)))
 
-  private def readLines(table: String, lines: Seq[String]): DataFrame = {
+  private def readLines(table: String, lines: Seq[String],
+                        withRowId: Boolean = false): DataFrame = {
     val prefix = tablePath(table).toString
     // Commit group = the d-<uuid> dir the file was written into. Find
     // it by the path component, NOT by stripping this table's prefix:
@@ -215,28 +216,68 @@ final class TableStore(spark: SparkSession, root: String,
     val dels = lines.zipWithIndex.collect {
       case (l, i) if l.startsWith(DelPrefix) => (l.stripPrefix(DelPrefix), i)
     }
-    val data = lines.zipWithIndex.filterNot(_._1.startsWith(DelPrefix))
+    val dvs = lines.zipWithIndex.collect {
+      case (l, i) if l.startsWith(DvPrefix) => (l.stripPrefix(DvPrefix), i)
+    }
+    val data = lines.zipWithIndex.filterNot(t => isDeleteLine(t._1))
     val groups = data.groupBy { case (f, _) => baseOf(f) }.toSeq
       .map { case (base, fs) => (base, fs.map(_._1), fs.map(_._2).min) }
       .sortBy(_._3)
     groups.map { case (base, files, minIdx) =>
-      val df = spark.read.option("mergeSchema", "true").option("basePath", base)
+      val raw = spark.read.option("mergeSchema", "true").option("basePath", base)
         .parquet(files: _*)
+      // positional deletion vectors (Iceberg/Delta DV shape): rows are
+      // identified by (file, row position in file) — `_metadata`
+      // columns, zero storage cost on the data. A vector applies to
+      // groups BEFORE it in the manifest, same rule as equality
+      // deletes; the vectors are tiny (positions of deleted rows
+      // only), so the merge is one broadcast anti join per group.
+      val dvApplicable = dvs.collect { case (f, i) if i > minIdx => f }
+      val df0 =
+        if (dvApplicable.isEmpty && !withRowId) raw
+        else {
+          val tagged = raw.select(col("*"),
+            col("_metadata.file_path").as(RowFileCol),
+            col("_metadata.row_index").as(RowPosCol))
+          val merged =
+            if (dvApplicable.isEmpty) tagged
+            else tagged.join(
+              org.apache.spark.sql.functions.broadcast(
+                spark.read.parquet(dvApplicable: _*)),
+              col(RowFileCol) === col(DvFileCol) &&
+                col(RowPosCol) === col(DvPosCol),
+              "left_anti")
+          if (withRowId) merged else merged.drop(RowFileCol, RowPosCol)
+        }
       val applicable = dels.collect { case (f, i) if i > minIdx => f }
-      if (applicable.isEmpty) df
+      if (applicable.isEmpty) df0
       else {
         // mergeSchema: delete files from different commits must agree
         // on the key columns; a missing column would null-fill and a
         // null key never anti-matches, silently resurrecting rows
         val delKeys = spark.read.option("mergeSchema", "true")
           .parquet(applicable: _*)
-        df.join(org.apache.spark.sql.functions.broadcast(delKeys),
+        df0.join(org.apache.spark.sql.functions.broadcast(delKeys),
           delKeys.columns.toSeq, "left_anti")
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   private val DelPrefix = "del|"
+  private val DvPrefix = "dv|"
+  private val RowFileCol = "__row_file"
+  private val RowPosCol = "__row_pos"
+  private val DvFileCol = "__dv_file"
+  private val DvPosCol = "__dv_pos"
+
+  /** True for manifest lines that are delete entries (equality-delete
+    * key files or positional deletion vectors), not data files. */
+  private def isDeleteLine(l: String): Boolean =
+    l.startsWith(DelPrefix) || l.startsWith(DvPrefix)
+
+  /** Raw path of a manifest line, marker or not. */
+  private def lineFile(l: String): String =
+    l.stripPrefix(DelPrefix).stripPrefix(DvPrefix)
 
   /** Exact shape of a commit dir name (`d-<uuid>`), so group detection
     * can't be fooled by a partition value or table name that merely
@@ -271,7 +312,7 @@ final class TableStore(spark: SparkSession, root: String,
     val stats = statsFor(table, v)
     val physCol = columnMapping(table, v).physicalOf(pred.col)
     manifest(table, v).filter { line =>
-      line.startsWith(DelPrefix) ||
+      isDeleteLine(line) ||
         FileStats.mayMatch(stats.get((FileStats.fileKey(line), physCol)), pred)
     }
   }
@@ -302,7 +343,7 @@ final class TableStore(spark: SparkSession, root: String,
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist"))
     val phys = columnMapping(table, v).physicalOf(column)
-    val lines = manifest(table, v).filterNot(_.startsWith(DelPrefix))
+    val lines = manifest(table, v).filterNot(isDeleteLine)
     if (lines.isEmpty) return
     bloomEntries(table, v, lines, phys, fpp)
       .write.mode(SaveMode.Overwrite).parquet(bloomPath(table, phys).toString)
@@ -324,7 +365,7 @@ final class TableStore(spark: SparkSession, root: String,
     val phys = columnMapping(table, v).physicalOf(column)
     val p = bloomPath(table, phys)
     if (!fs(p).exists(p)) {
-      val n = manifest(table, v).count(!_.startsWith(DelPrefix))
+      val n = manifest(table, v).count(l => !isDeleteLine(l))
       buildBloomIndex(table, column, fpp)
       return n
     }
@@ -332,7 +373,7 @@ final class TableStore(spark: SparkSession, root: String,
     val indexed = spark.read.parquet(p.toString)
       .select("file").as[String].collect().toSet
     val missing = manifest(table, v)
-      .filterNot(_.startsWith(DelPrefix))
+      .filterNot(isDeleteLine)
       .filterNot(l => indexed(FileStats.fileKey(l)))
     if (missing.isEmpty) return 0
     bloomEntries(table, v, missing, phys, fpp)
@@ -383,7 +424,7 @@ final class TableStore(spark: SparkSession, root: String,
     val keep = bloomPrunedLines(table, v, column, value)
     // every data file bloom-rejected: the key is definitely absent —
     // an empty frame with the table's schema, no scan at all
-    if (keep.forall(_.startsWith(DelPrefix)))
+    if (keep.forall(isDeleteLine))
       read(table).where(lit(false))
     else
       columnMapping(table, v).applyRead(readLines(table, keep))
@@ -417,7 +458,7 @@ final class TableStore(spark: SparkSession, root: String,
       .where(rejects(col("bits")))
       .select("file").as[String].collect().toSet
     manifest(table, v).filter { line =>
-      line.startsWith(DelPrefix) || !rejected(FileStats.fileKey(line))
+      isDeleteLine(line) || !rejected(FileStats.fileKey(line))
     }
   }
 
@@ -541,6 +582,61 @@ final class TableStore(spark: SparkSession, root: String,
     commit(table, df,
       carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false,
       readSnapshot = readSnapshot)
+  }
+
+  /** Positional (deletion-vector) DELETE — Iceberg v2 position
+    * deletes / Delta DVs: `DELETE WHERE pred` on ANY predicate (no
+    * key needed) without rewriting a single data file. One pruned
+    * scan finds the matching rows' (file, row-position) identities
+    * (`_metadata` columns — free, no storage cost on the data), the
+    * positions commit as a tiny `dv|` sidecar, and reads anti-join it
+    * per commit group — broadcast, the vector holds deleted positions
+    * only. At 100 TB with wide rows this turns "rewrite every touched
+    * file for a 0.1% delete" into "append KBs of positions".
+    * Snapshot-checked like every read-then-write: positions computed
+    * against version `rs` must not publish over a concurrent data
+    * change — on a lost race the delete RECOMPUTES against the new
+    * head (SQL DELETE semantics: remove whatever matches at execution).
+    * `compact` folds dv debt exactly like equality-delete debt.
+    * Returns the number of rows deleted. */
+  def deleteWhere(table: String, pred: Column,
+                  alias: Option[String] = None): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val rs = currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"table $table does not exist"))
+      val mapped = columnMapping(table, rs).applyRead(
+        readLines(table, manifest(table, rs), withRowId = true))
+      // a SQL statement's predicate may qualify columns by the
+      // statement alias (`t.x`) — resolve it here
+      val withId = alias.fold(mapped)(a => mapped.alias(a))
+      val dvDir = new Path(tablePath(table), s"v-${UUID.randomUUID()}")
+      withId.where(pred)
+        .select(col(RowFileCol).as(DvFileCol), col(RowPosCol).as(DvPosCol))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvDir.toString)
+      val dvFiles = listDataFiles(dvDir)
+      val n = spark.read.parquet(dvDir.toString).count()
+      if (n == 0) { fs(dvDir).delete(dvDir, true); return 0L }
+      try {
+        claimLoop(table, mustCreate = false) { (cur, v) =>
+          assertSnapshotCurrent(table, rs, cur)
+          val carriedLines = cur.map(manifest(table, _)).getOrElse(Nil)
+          val prevStats = cur.map { w =>
+            val p = statsPath(table, w)
+            if (fs(p).exists(p)) readSmallFile(p) else ""
+          }.getOrElse("")
+          writeSmallFile(statsPath(table, v), prevStats)
+          publishManifest(table, v, carriedLines ++ dvFiles.map(DvPrefix + _),
+            cur.flatMap(rawColmap(table, _)))
+        }
+        return n
+      } catch { case e: SnapshotConflictException =>
+        fs(dvDir).delete(dvDir, true)
+        if (attempts >= 5) throw e
+      }
+    }
+    0L
   }
 
   /** Fold merge-on-read delete debt: materialize the current merged
@@ -749,7 +845,7 @@ final class TableStore(spark: SparkSession, root: String,
               throw new SnapshotConflictException(
                 s"$table: file(s) being folded were rewritten concurrently " +
                   s"(e.g. ${gone.head}); recomputing the fold")
-            if (m.exists(_.startsWith(DelPrefix)))
+            if (m.exists(isDeleteLine))
               throw new SnapshotConflictException(
                 s"$table: merge-on-read deletes raced in during the fold; " +
                   "recomputing")
@@ -768,7 +864,7 @@ final class TableStore(spark: SparkSession, root: String,
     * — the read-side debt gauge for scheduling `compact`. */
   def deleteDebt(table: String): Int = {
     val cur = currentVersion(table).getOrElse(return 0)
-    manifest(table, cur).count(_.startsWith(DelPrefix))
+    manifest(table, cur).count(isDeleteLine)
   }
 
   /** Dynamic partition overwrite — the O(touched partitions) commit
@@ -872,7 +968,7 @@ final class TableStore(spark: SparkSession, root: String,
   private def requireCurrentLayout(table: String): Unit = {
     val parts = partitioning(table).map(_.toLowerCase)
     val v = currentVersion(table).getOrElse(return)
-    val bad = manifest(table, v).filterNot(_.startsWith(DelPrefix))
+    val bad = manifest(table, v).filterNot(isDeleteLine)
       .filterNot(f => partitionKeysOf(f) == parts)
     require(bad.isEmpty,
       s"table $table carries files from an earlier partition layout " +
@@ -1137,7 +1233,7 @@ final class TableStore(spark: SparkSession, root: String,
       // versions); a crash in between leaves an invisible sidecar
       // the next claimant of v simply overwrites.
       val prevStats = cur.map(statsFor(table, _)).getOrElse(Map.empty)
-      val carriedKeys = carriedLines.filterNot(_.startsWith(DelPrefix))
+      val carriedKeys = carriedLines.filterNot(isDeleteLine)
         .map(FileStats.fileKey).toSet
       val carriedStats = prevStats.collect {
         case ((f, c), FileStats.Stat(tag, mn, mx, nulls))
@@ -1336,7 +1432,11 @@ final class TableStore(spark: SparkSession, root: String,
       val prev = mf(v - 1).toSet
       (v, mf(v).filterNot(prev))
     }
-    val appendOnly = from.forall(mf(toV).contains)
+    // positional deletion vectors change rows without changing data
+    // lines; the per-commit feed below can't express them, so any dv
+    // commit in the range falls back to the exact endpoint diff
+    val appendOnly = from.forall(mf(toV).contains) &&
+      perVersion.forall { case (_, nl) => !nl.exists(_.startsWith(DvPrefix)) }
     if (appendOnly) {
       val feeds = perVersion.flatMap { case (v, newLines) =>
         // inserts: this commit's own data files, as committed (its del
@@ -1453,7 +1553,7 @@ final class TableStore(spark: SparkSession, root: String,
     if (deleteDebt(table) != 0) return None
     val cur = currentVersion(table).getOrElse(return None)
     val stats = statsFor(table, cur)
-    val counts = manifest(table, cur).filterNot(_.startsWith(DelPrefix))
+    val counts = manifest(table, cur).filterNot(isDeleteLine)
       .map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
     if (counts.isEmpty || counts.exists(_.isEmpty)) None
     else Some(counts.flatten.map(_.min.toLong).sum)
@@ -1467,7 +1567,7 @@ final class TableStore(spark: SparkSession, root: String,
     import spark.implicits._
     versions(table).map { v =>
       val lines = manifest(table, v)
-      val (dels, data) = lines.partition(_.startsWith(DelPrefix))
+      val (dels, data) = lines.partition(isDeleteLine)
       val bytes = data.map { f =>
         val p = new Path(f); fs(p).getFileStatus(p).getLen }.sum
       val stats = statsFor(table, v)
@@ -1493,7 +1593,7 @@ final class TableStore(spark: SparkSession, root: String,
       throw new IllegalStateException(s"table $table does not exist"))
     val retained = versions(table)
     val lines = manifest(table, cur)
-    val (dels, data) = lines.partition(_.startsWith(DelPrefix))
+    val (dels, data) = lines.partition(isDeleteLine)
     val bytes = data.map { f =>
       val p = new Path(f); fs(p).getFileStatus(p).getLen }.sum
     val m = columnMapping(table, cur)
@@ -1547,7 +1647,7 @@ final class TableStore(spark: SparkSession, root: String,
   private def vacuumRetain(table: String, kept: Seq[Long]): Unit = {
     val all = versions(table)
     // manifest lines may carry the del| marker — compare raw paths
-    def pathOf(line: String): String = line.stripPrefix(DelPrefix)
+    def pathOf(line: String): String = lineFile(line)
     val referenced = kept.flatMap(manifest(table, _)).map(pathOf).toSet
     val f = fs(tablePath(table))
     // never delete a file outside this table's own root: a shallow
@@ -1565,7 +1665,8 @@ final class TableStore(spark: SparkSession, root: String,
     // drop data/delete dirs emptied of parquet files
     f.listStatus(tablePath(table)).toSeq
       .filter(st => st.isDirectory &&
-        (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-")))
+        (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-") ||
+          st.getPath.getName.startsWith("v-")))
       .filter(st => listDataFiles(st.getPath).isEmpty)
       .foreach(st => f.delete(st.getPath, true))
   }
@@ -1582,7 +1683,7 @@ final class TableStore(spark: SparkSession, root: String,
     if (!f.exists(dir)) return Seq.empty
     val referenced = versions(table)
       .flatMap(manifest(table, _))
-      .map(_.stripPrefix(DelPrefix))
+      .map(lineFile)
       .flatMap { p =>
         val rel = p.stripPrefix(dir.toString).stripPrefix("/")
         rel.split("/").headOption
@@ -1590,7 +1691,8 @@ final class TableStore(spark: SparkSession, root: String,
     val now = System.currentTimeMillis()
     f.listStatus(dir).toSeq
       .filter(st => st.isDirectory &&
-        (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-")))
+        (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-") ||
+          st.getPath.getName.startsWith("v-")))
       .filterNot(st => referenced.contains(st.getPath.getName))
       .filter(st => now - st.getModificationTime >= ttlMs)
       .map { st => f.delete(st.getPath, true); st.getPath.getName }

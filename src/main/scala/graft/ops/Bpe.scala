@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair encoding (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units", arXiv:1508.07909) —
+  * the real token-budget counter, replacing regex-only approximations:
+  * merges TRAIN driver-side on a bounded, deterministically-ordered
+  * corpus sample; application is a distributed pipeline that touches
+  * the VOCABULARY, never the corpus, row-by-row:
+  *
+  *   corpus → pre-tokenize (regex, codegen'd) → explode →
+  *   count per distinct pre-token (shuffle on the token — the only
+  *   corpus-sized shuffle, map-side combined) → segment each DISTINCT
+  *   token once (pure Scala over |V| rows) → broadcast piece counts
+  *   back → aggregate.
+  *
+  * At 100 TB the distinct pre-token vocabulary is millions of rows
+  * where the corpus is trillions — segmentation cost is O(|V| · len²),
+  * independent of corpus size, and the merge table broadcasts as a
+  * few hundred KB. Ties in training break lexicographically, so the
+  * same sample always yields the same merges on any cluster. */
+object Bpe {
+
+  /** End-of-word sentinel appended to every pre-token before char
+    * split (the classic </w>, one char so lengths stay obvious). */
+  private val Eow = "\u0017"
+
+  /** Train `numMerges` BPE merges from (word, frequency) pairs — pure
+    * driver-side function. Deterministic: the best pair each round is
+    * max by (count, then lexicographically smallest pair). */
+  def train(words: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+    var seqs: Map[Vector[String], Long] = words
+      .groupMapReduce(w => w._1.map(_.toString).toVector :+ Eow)(_._2)(_ + _)
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      seqs.foreach { case (syms, n) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + n
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // max by (count, then pair) — count decides, the
+        // lexicographically largest pair breaks ties: any TOTAL order
+        // works, it just has to be the same one everywhere
+        val (pair, cnt) = pairCounts.toSeq
+          .maxBy { case ((a, b), n) => (n, a, b) }
+        if (cnt < 2) done = true // nothing repeats: merging is noise
+        else {
+          merges += pair
+          seqs = seqs.map { case (syms, n) => (mergeOnce(syms, pair), n) }
+        }
+      }
+      i += 1
+    }
+    merges.result()
+  }
+
+  private def mergeOnce(syms: Vector[String],
+                        pair: (String, String)): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == pair._1 && syms(j + 1) == pair._2) {
+        out += syms(j) + syms(j + 1)
+        j += 2
+      } else {
+        out += syms(j)
+        j += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Segment one word under ranked merges (lower rank = applied
+    * first) — pure, the per-vocab-entry worker. */
+  def segment(word: String, ranks: Map[(String, String), Int]): Seq[String] = {
+    var syms = word.map(_.toString).toVector :+ Eow
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestPair = (syms(j), syms(j + 1)) }
+        j += 1
+      }
+      if (bestPair == null) continue = false
+      else syms = mergeOnce(syms, bestPair)
+    }
+    // a sentinel that never merged stays a standalone "piece" — drop
+    // it (it carries no text); a merged sentinel rides inside its
+    // piece and counts with it (standard </w> accounting)
+    syms.filterNot(_ == Eow)
+  }
+
+  /** Deterministic training sample: the `sampleN` lowest-`idCol` rows'
+    * texts, pre-tokenized and frequency-counted. Ordering by the id
+    * (not arbitrary partition order) is what makes retraining
+    * reproducible on any cluster layout. */
+  def trainFromCorpus(df: DataFrame, textCol: String, idCol: String,
+                      sampleN: Int, numMerges: Int): Seq[(String, String)] = {
+    val words = df.orderBy(col(idCol)).limit(sampleN)
+      .select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    train(words, numMerges)
+  }
+
+  /** (distinct pre-token, piece count) under `merges` for every
+    * pre-token in the corpus — the broadcastable segmentation map.
+    * One corpus-sized shuffle (the token groupBy, map-side combined);
+    * segmentation itself runs over |V| rows only. */
+  def vocabPieces(df: DataFrame, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(ranks)
+    val nPieces = udf((tok: String) => segment(tok, bc.value).size)
+    df.select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tok_occurrences"))
+      .withColumn("pieces", nPieces(col("tok")).cast("long"))
+  }
+
+  /** Real-tokenizer budget per group: total BPE pieces, pre-tokens,
+    * and docs. The per-doc piece count joins each doc's exploded
+    * pre-tokens to the broadcast vocabulary map — corpus rows never
+    * carry segmentation work, only a hash join against |V|. */
+  def tokenBudget(df: DataFrame, textCol: String, groupCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val vocab = vocabPieces(df, textCol, merges)
+      .select("tok", "pieces")
+    val toks = df.select(col(groupCol),
+        explode(TextOps.bpeTokens(col(textCol))).as("tok"))
+    toks.join(broadcast(vocab), Seq("tok"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("pre_tokens"),
+        sum("pieces").as("bpe_pieces"))
+  }
+}

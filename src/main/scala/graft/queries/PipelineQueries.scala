@@ -26,7 +26,9 @@ object PipelineQueries {
     */
   private def runCdcPipeline(s: org.apache.spark.sql.SparkSession,
                              dir: String,
-                             cfg: CdcIngest.Config): org.apache.spark.sql.DataFrame = {
+                             cfg: CdcIngest.Config,
+                             postOp: (TableStore, String) => Unit =
+                               (_, _) => ()): org.apache.spark.sql.DataFrame = {
     val events = t(s, dir, "events")
     val cdc = Cdc.derive(events, k = 100)
       .withColumn("process_date", Tables.nsToTimestamp("ts"))
@@ -43,6 +45,7 @@ object PipelineQueries {
       cdc.where(col("process_date") > cut1 && col("process_date") <= cut2), cfg)
     CdcIngest.ingest(s, store, tbl,
       cdc.where(col("process_date") > cut2), cfg)
+    postOp(store, tbl)
     store.read(tbl)
       .select(col("key"), col("event_id"), col("value"),
         expr("ts div 1000").as("ts_us"))
@@ -85,6 +88,31 @@ object PipelineQueries {
     (s, dir) => runCdcPipeline(s, dir,
       CdcIngest.Config(tiebreak = Seq("event_id"), mergeOnRead = true)),
     Some(cdcPipelineOracle))
+
+  /** Same pipeline plus a positional-delete retention purge on top:
+    * after the three merges, `deleteWhere(value < 20)` commits a
+    * DELETION VECTOR — row positions, no file rewritten, a non-key
+    * predicate no equality delete could express — and the final read
+    * pays one broadcast anti join against the vector. Oracle = the
+    * batch-replay invariant with the purge predicate applied last. */
+  val cdcPipelineE2eDv: Entry = Entry(
+    "cdc_pipeline_e2e_dv",
+    (s, dir) => runCdcPipeline(s, dir,
+      CdcIngest.Config(tiebreak = Seq("event_id"), mergeOnRead = true),
+      postOp = (store, tbl) => store.deleteWhere(tbl, col("value") < 20)),
+    Some("""WITH cdc AS (
+        |  SELECT event_id % 100 AS key, event_id, value, epoch_us(ts) AS ts_us,
+        |         CASE WHEN event_type = 'error' THEN 'D'
+        |              WHEN event_type = 'signup' THEN 'I'
+        |              ELSE 'U' END AS op
+        |  FROM events)
+        |SELECT key, event_id, value, ts_us FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY key
+        |            ORDER BY ts_us DESC, event_id DESC) AS row_num
+        |  FROM cdc) a
+        |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
+        |  AND NOT (value < 20)
+        |ORDER BY key""".stripMargin))
 
   /** Iceberg-v2-style time travel through the versioned store: commit
     * two versions, read version 0 back. Oracle = the version-0
@@ -1534,7 +1562,8 @@ object PipelineQueries {
         |  SELECT 'l_tax', l_tax FROM lineitem)
         |GROUP BY metric ORDER BY metric""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor, unpivotMeasures,
+  val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
+    cdcPipelineE2eDv, unpivotMeasures,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, skewSaltedJoin,
     zorderScan, statsPrunedScan,
     nullPrunedScan, bloomPointLookup, scd2Incremental,

@@ -865,6 +865,45 @@ object TextQueries {
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
+  @volatile private var bpeBudgetOracle: Option[String] = None
+
+  /** REAL-tokenizer budget ([[graft.ops.Bpe]]): merges train
+    * driver-side on a deterministic corpus sample (Sennrich BPE,
+    * lexicographic tie-break), then the count runs as the
+    * vocab-bounded pipeline — explode pre-tokens, segment each
+    * DISTINCT token once, broadcast the piece map back — so the
+    * corpus never pays per-row segmentation. Dynamic oracle: the
+    * derived (token, pieces) vocabulary embeds as VALUES (same
+    * pattern as the temperature quotas) and DuckDB re-runs the whole
+    * distributed side — pre-tokenization, the join, the aggregate —
+    * against it; the segmentation algebra itself is spec-pinned in
+    * BpeSpec (reconstruction, monotonicity, stream==batch). */
+  val bpeTokenBudget: Entry = new Entry(
+    "bpe_token_budget_by_source",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.trainFromCorpus(docs, "text", "doc_id",
+        sampleN = 200, numMerges = 64)
+      val vocab = graft.ops.Bpe.vocabPieces(docs, "text", merges)
+        .select("tok", "pieces").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      bpeBudgetOracle = Some(s"""WITH seg(tok, pieces) AS (VALUES ${
+          vocab.map { case (tk, p) =>
+            s"('${tk.replace("'", "''")}', $p)" }.mkString(", ")}),
+        |toks AS (
+        |  SELECT source, unnest(regexp_extract_all(text,
+        |    '${TextOps.bpePattern.replace("'", "''")}')) AS tok
+        |  FROM documents)
+        |SELECT source, count(*) AS pre_tokens,
+        |  CAST(sum(pieces) AS BIGINT) AS bpe_pieces
+        |FROM toks JOIN seg USING (tok)
+        |GROUP BY source ORDER BY source""".stripMargin)
+      graft.ops.Bpe.tokenBudget(docs, "text", "source", merges)
+        .select(col("source"), col("pre_tokens"), col("bpe_pieces"))
+        .orderBy("source")
+    },
+    () => bpeBudgetOracle)
+
   /** The flagship LLM-corpus curation pipeline, composed end to end:
     * exact dedup (canonical = min doc_id per content hash) → MinHash
     * near-dup removal (drop the higher id of every verified pair) →
@@ -1461,6 +1500,7 @@ object TextQueries {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
+    bpeTokenBudget,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     nearDupComponents, nearDupCanonical, ngramJaccard, simhashSig,
     curationE2e, winnowPairs,

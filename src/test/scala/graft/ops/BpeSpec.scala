@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic BPE: training, segmentation, the vocab-bounded
+  * distributed budget, and stream==batch for the streaming count. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("training is deterministic and independent of input order") {
+    val m1 = Bpe.train(corpus, 10)
+    val m2 = Bpe.train(corpus.reverse, 10)
+    val m3 = Bpe.train(scala.util.Random.shuffle(corpus), 10)
+    assert(m1 == m2 && m1 == m3 && m1.nonEmpty)
+  }
+
+  test("segmentation reconstructs the word and shrinks as merges grow") {
+    val merges = Bpe.train(corpus, 12)
+    val ranks = merges.zipWithIndex.toMap
+    for (w <- Seq("low", "newest", "lowest", "wildest")) {
+      val pieces = Bpe.segment(w, ranks)
+      // pieces concatenate back to the word (sentinel stripped)
+      assert(pieces.mkString.replace("\u0017", "") == w, s"$w -> $pieces")
+      assert(pieces.nonEmpty && pieces.size <= w.length + 1)
+    }
+    // more merges never yield more pieces for in-corpus words
+    val few = Bpe.train(corpus, 2).zipWithIndex.toMap
+    for (w <- corpus.map(_._1))
+      assert(Bpe.segment(w, ranks).size <= Bpe.segment(w, few).size)
+    // a frequent corpus word collapses far below its char count
+    assert(Bpe.segment("newest", ranks).size < "newest".length)
+  }
+
+  test("unseen words segment safely; empty word is zero pieces") {
+    val ranks = Bpe.train(corpus, 8).zipWithIndex.toMap
+    assert(Bpe.segment("zzz", ranks).size == 3) // no merge applies
+    assert(Bpe.segment("", ranks).isEmpty)
+  }
+
+  test("tokenBudget equals the brute-force per-doc segmentation sum") {
+    val docs = Seq(
+      (1L, "a", "low lower newest"),
+      (2L, "a", "widest low"),
+      (3L, "b", "newest newest wildest")).toDF("doc_id", "source", "text")
+    val merges = Bpe.trainFromCorpus(docs, "text", "doc_id",
+      sampleN = 10, numMerges = 8)
+    val got = Bpe.tokenBudget(docs, "text", "source", merges)
+      .orderBy("source")
+      .as[(String, Long, Long)].collect().toSeq
+    val ranks = merges.zipWithIndex.toMap
+    def brute(texts: Seq[String]): (Long, Long) = {
+      val toks = texts.flatMap(t =>
+        TextOps.bpePattern.r.findAllIn(t).toSeq)
+      (toks.size.toLong, toks.map(Bpe.segment(_, ranks).size.toLong).sum)
+    }
+    val a = brute(Seq("low lower newest", "widest low"))
+    val b = brute(Seq("newest newest wildest"))
+    assert(got == Seq(("a", a._1, a._2), ("b", b._1, b._2)))
+  }
+
+  test("stream == batch: micro-batched corpus reaches the same budget") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "a", "low lower newest"),
+      (2L, "a", "widest low"),
+      (3L, "b", "newest newest wildest"),
+      (4L, "b", "low wide new"))
+    val batchDf = rows.toDF("doc_id", "source", "text")
+    val merges = Bpe.trainFromCorpus(batchDf, "text", "doc_id", 10, 8)
+    val want = Bpe.tokenBudget(batchDf, "text", "source", merges)
+      .orderBy("source").as[(String, Long, Long)].collect().toSeq
+
+    // the broadcast merge table applies identically per micro-batch;
+    // the running aggregate converges to the batch result
+    val vocabLess = { // per-row pieces via the same segment worker
+      val bc = spark.sparkContext.broadcast(merges.zipWithIndex.toMap)
+      udf((text: String) => {
+        val toks = TextOps.bpePattern.r.findAllIn(text).toSeq
+        (toks.size.toLong, toks.map(Bpe.segment(_, bc.value).size.toLong).sum)
+      })
+    }
+    val in = MemoryStream[(Long, String, String)]
+    val agg = in.toDS().toDF("doc_id", "source", "text")
+      .withColumn("c", vocabLess(col("text")))
+      .groupBy("source")
+      .agg(sum(col("c._1")).as("pre_tokens"), sum(col("c._2")).as("bpe_pieces"))
+    val q = agg.writeStream.format("memory").queryName("bpe_budget")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("bpe_budget").orderBy("source")
+        .as[(String, Long, Long)].collect().toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+}
