@@ -75,10 +75,16 @@ object ScaleStress {
           .withColumn("n_chars", length(col("text")).cast("long")))
       case "embeddings" =>
         val base = shifted(df, c, "vec_id")
+        // rotate modulo the dimension (c can exceed it at K=100) and
+        // nudge one component by a copy-dependent epsilon: a pure
+        // rotation repeats every `dim` copies, which would hand the
+        // ANN family exact-duplicate vectors again at K > dim
+        val r = s"(($c) % size(embedding))"
         if (c == 0) Some(base)
         else Some(base.withColumn("embedding",
-          expr(s"concat(slice(embedding, ${c + 1}, size(embedding) - $c), " +
-            s"slice(embedding, 1, $c))")))
+          expr(s"transform(concat(slice(embedding, $r + 1, size(embedding) - $r), " +
+            s"slice(embedding, 1, $r)), (x, i) -> " +
+            s"CAST(x + IF(i = 0, 1.0e-3 * (($c) % 97), 0.0) AS FLOAT))")))
       case _ => if (c == 0) Some(df) else None
     }
 

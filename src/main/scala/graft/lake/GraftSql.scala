@@ -748,6 +748,14 @@ object GraftSql {
     val unknown = assigns.keys.filterNot(destCols)
     require(unknown.isEmpty,
       s"UPDATE SET targets unknown column(s): ${unknown.mkString(", ")}")
+    // deletion-vector mode: delete the matched rows' positions and
+    // append their updated copies in one commit — O(matched), no
+    // rewrite of untouched rows (the CoW path below is O(table))
+    if (spark.conf.get("spark.graft.delete.deletionVectors", "false")
+        .toBoolean) {
+      store.updateWhere(target, cond, assigns, Some(alias))
+      return store.read(target)
+    }
     val updated = dest.select(dest.columns.toIndexedSeq.map { n =>
       assigns.get(n.toLowerCase)
         .map(v => when(cond, v).otherwise(col(s"$alias.$n")))

@@ -639,6 +639,63 @@ final class TableStore(spark: SparkSession, root: String,
     0L
   }
 
+  /** Positional UPDATE — the deletion-vector companion to
+    * [[deleteWhere]] (Delta's DV-backed UPDATE): matched rows'
+    * positions commit as a `dv|` vector AND their updated copies
+    * append as new data files, in ONE atomic commit — the vector
+    * precedes the new group in the manifest, so the commit
+    * delete-and-reinserts exactly like a MoR CDC batch. Cost is
+    * O(matched rows), never O(table): a 0.1% UPDATE on wide 100 TB
+    * files appends the changed rows plus KBs of positions instead of
+    * rewriting every touched file. The matched frame is checkpointed
+    * once so the positions and the copies are computed from the SAME
+    * materialization (a re-executed nondeterministic scan could
+    * otherwise delete one row set and reinsert another). Conflicts
+    * recompute against the new head, same as [[deleteWhere]].
+    * Returns the number of rows updated. */
+  def updateWhere(table: String, cond: Column, assigns: Map[String, Column],
+                  alias: Option[String] = None): Long = {
+    require(assigns.nonEmpty, "updateWhere needs at least one assignment")
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val rs = currentVersion(table).getOrElse(
+        throw new IllegalStateException(s"table $table does not exist"))
+      val mapped = columnMapping(table, rs).applyRead(
+        readLines(table, manifest(table, rs), withRowId = true))
+      val cols = mapped.columns.filterNot(c =>
+        c == RowFileCol || c == RowPosCol).toIndexedSeq
+      assigns.keys.foreach { k =>
+        require(cols.exists(_.equalsIgnoreCase(k)),
+          s"UPDATE assigns unknown column $k (have ${cols.mkString(", ")})")
+      }
+      val src = alias.fold(mapped)(a => mapped.alias(a))
+      val matched = src.where(cond).localCheckpoint()
+      val n = matched.count()
+      if (n == 0) return 0L
+      val dvDir = new Path(tablePath(table), s"v-${UUID.randomUUID()}")
+      matched
+        .select(col(RowFileCol).as(DvFileCol), col(RowPosCol).as(DvPosCol))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dvDir.toString)
+      val dvFiles = listDataFiles(dvDir)
+      val updated = matched.select(cols.map { c =>
+        assigns.find(_._1.equalsIgnoreCase(c))
+          .map(_._2.as(c)).getOrElse(col(c))
+      }: _*)
+      try {
+        commit(table, updated,
+          carried = cur => carryAll(table)(cur) ++ dvFiles.map(DvPrefix + _),
+          mustCreate = false,
+          readSnapshot = Some(rs))
+        return n
+      } catch { case e: SnapshotConflictException =>
+        fs(dvDir).delete(dvDir, true)
+        if (attempts >= 5) throw e
+      }
+    }
+    0L
+  }
+
   /** Fold merge-on-read delete debt: materialize the current merged
     * view as one plain data commit (the new manifest carries no del
     * entries). Old versions stay time-travelable until vacuumed.
@@ -1347,14 +1404,37 @@ final class TableStore(spark: SparkSession, root: String,
   def recoverStaleClaims(table: String, ttlMs: Long): Seq[Long] = {
     val dir = tablePath(table)
     val now = System.currentTimeMillis()
-    claims.listClaims(dir)
+    val f = fs(dir)
+    val recovered = claims.listClaims(dir)
       .flatMap { case (v, claimedAt) =>
-        val published = fs(manifestPath(table, v)).exists(manifestPath(table, v))
+        val published = f.exists(manifestPath(table, v))
         if (!published && now - claimedAt >= ttlMs) {
           claims.deleteClaim(dir, v)
           Some(v)
         } else None
       }.sorted
+    // a transaction that crashed between staging and the commit swing
+    // leaves staged-<txn>-manifest-<v> files. They are dead weight
+    // once the txn can no longer swing them: the version's claim is
+    // gone (recovered above, or released) or the version republished
+    // by a later writer. A LIVE transaction still holds fresh claims,
+    // so its staged files are skipped — the TTL hazard is the same
+    // one claim takeover documents (pick ttl above your longest txn).
+    if (f.exists(dir)) {
+      val held = claims.listClaims(dir).map(_._1).toSet
+      f.listStatus(dir).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("staged-") &&
+          p.getName.contains("-manifest-"))
+        .filter(p => now - f.getFileStatus(p).getModificationTime >= ttlMs)
+        .filter { p =>
+          val v = p.getName.substring(
+            p.getName.lastIndexOf("-manifest-") + "-manifest-".length).toLong
+          !held.contains(v) || f.exists(manifestPath(table, v))
+        }
+        .foreach(p => f.delete(p, false))
+    }
+    recovered
   }
 
   /** Committed version history (manifest-backed; readable versions). */

@@ -1,10 +1,8 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.BinaryType
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Sketch-accelerated membership operators whose RESULTS are exact.
@@ -26,20 +24,23 @@ import org.apache.spark.util.sketch.BloomFilter
   * "definitely clean" for ~99% of a 100 TB corpus map-side; only the
   * fpp-sized suspect sliver pays the exact-join shuffle.
   *
-  * The probes are NATIVE Catalyst expressions (Spark's own
-  * `BloomFilterMightContain` over an `xxhash64` key — the same pair
-  * its runtime-filter rewrite plants — and the codegen'd
-  * [[graft.functions.CmsAtLeast]]), so the per-row hot path stays
-  * inside WholeStageCodegen: no UDF boxing, no codegen fence. The
-  * sketch bits ride the plan (a binary literal / plan reference)
-  * inside the per-stage broadcast task binary — same wire cost as an
-  * explicit broadcast variable. Set
-  * `spark.graft.membership.nativeExpr=false` to fall back to the
-  * pre-expression Scala-UDF probes (identical results). */
+  * The probes are NATIVE Catalyst expressions
+  * ([[graft.functions.BloomMightContainLong]] over an `xxhash64` key
+  * — the pre-hashed-long contract Spark's own runtime-filter rewrite
+  * uses — and the codegen'd [[graft.functions.CmsAtLeast]]), so the
+  * per-row hot path stays inside WholeStageCodegen: no UDF boxing,
+  * no codegen fence. Either way the sketch bits ride an explicit
+  * BROADCAST; the expressions reference the broadcast HANDLE, never
+  * a plan literal (a 1.2 MB literal bloom measurably taxed every
+  * driver-side tree copy). Set
+  * `spark.graft.membership.nativeExpr=false` (or env
+  * `SPARK_GRAFT_MEMBERSHIP_NATIVE=false`) to fall back to the
+  * Scala-UDF probes (identical results). */
 object Membership {
 
   private def nativeEnabled(df: DataFrame): Boolean = df.sparkSession.conf
-    .get("spark.graft.membership.nativeExpr", "true").toBoolean
+    .get("spark.graft.membership.nativeExpr",
+      sys.env.getOrElse("SPARK_GRAFT_MEMBERSHIP_NATIVE", "true")).toBoolean
 
   /** Bloom over the xxhash64 of the key's string form — longs into the
     * sketch, so the probe side can be the native long-typed
@@ -54,20 +55,22 @@ object Membership {
 
   /** True iff the bloom MIGHT contain the key; null keys probe to
     * null (native) / false (udf fallback) — both routes keep the
-    * final exact join as the decider, so results are identical. */
-  private def probeOf(big: DataFrame, bigKey: Column, bf: BloomFilter): Column =
-    if (nativeEnabled(big)) {
-      val os = new java.io.ByteArrayOutputStream()
-      bf.writeTo(os)
-      ColumnBridge.column(BloomFilterMightContain(
-        Literal(os.toByteArray, BinaryType),
-        ColumnBridge.expression(xxhash64(bigKey.cast("string")))))
-    } else {
-      val b = big.sparkSession.sparkContext.broadcast(bf)
+    * final exact join as the decider, so results are identical. The
+    * sketch rides a BROADCAST either way; the native route merely
+    * swaps the per-row UDF call for generated code referencing the
+    * broadcast handle (a literal-embedded sketch was measured ~0.5 s
+    * slower per query at sf0.1 — tree-copy cost on a MB-sized plan). */
+  private def probeOf(big: DataFrame, bigKey: Column, bf: BloomFilter): Column = {
+    val b = big.sparkSession.sparkContext.broadcast(bf)
+    if (nativeEnabled(big))
+      ColumnBridge.column(graft.functions.BloomMightContainLong(
+        ColumnBridge.expression(xxhash64(bigKey.cast("string"))), b))
+    else {
       val mc = udf((h: java.lang.Long) =>
         h != null && b.value.mightContainLong(h))
       mc(xxhash64(bigKey.cast("string")))
     }
+  }
 
   /** `big LEFT ANTI JOIN small` accelerated by a broadcast Bloom
     * filter on `small`'s keys: rows failing the bloom probe are
@@ -134,15 +137,14 @@ object Membership {
     val keyed = df.select(keyCol.cast("string").as("key"))
       .where(col("key").isNotNull)
     val cms = keyed.stat.countMinSketch("key", eps, confidence, seed)
+    val b = keyed.sparkSession.sparkContext.broadcast(cms)
     val atLeast: Column =
       if (nativeEnabled(df))
         ColumnBridge.column(graft.functions.CmsAtLeast(
-          ColumnBridge.expression(col("key")), cms, minCount))
-      else {
-        val b = keyed.sparkSession.sparkContext.broadcast(cms)
+          ColumnBridge.expression(col("key")), b, minCount))
+      else
         udf((s: String) => b.value.estimateCount(s) >= minCount)
           .apply(col("key"))
-      }
     keyed.where(atLeast)
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)

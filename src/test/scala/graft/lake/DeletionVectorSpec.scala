@@ -97,6 +97,49 @@ class DeletionVectorSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.delete.deletionVectors")
   }
 
+  test("updateWhere rewrites no files: positions + updated copies in one commit") {
+    val store = freshStore()
+    store.create("t", (1 to 50).map(i => (i, i % 5, 0L)).toDF("id", "m", "hits"))
+    val before = store.manifest("t", 0L)
+    val n = store.updateWhere("t", col("m") === 2,
+      Map("hits" -> lit(7L)))
+    assert(n == 10)
+    val after = store.manifest("t", store.currentVersion("t").get)
+    // originals all carried by reference; one dv line; new data files
+    assert(before.forall(after.contains))
+    assert(after.count(_.startsWith("dv|")) == 1)
+    assert(after.size > before.size + 1)
+    val got = store.read("t")
+    assert(got.count() == 50)
+    assert(got.where(col("hits") === 7).select("id").as[Int]
+      .collect().sorted.toSeq == (1 to 50).filter(_ % 5 == 2))
+    // a second update touches the previously-updated copies too
+    assert(store.updateWhere("t", col("hits") === 7,
+      Map("hits" -> lit(8L))) == 10)
+    assert(store.read("t").where(col("hits") === 8).count() == 10)
+    assert(store.read("t").count() == 50)
+  }
+
+  test("SQL UPDATE rides deletion vectors under the conf") {
+    val store = freshStore()
+    store.create("u", (1 to 30).map(i => (i, i % 3, "x")).toDF("id", "m", "v"))
+    val before = store.manifest("u", 0L)
+    spark.conf.set("spark.graft.delete.deletionVectors", "true")
+    try GraftSql.execute(spark, store,
+      "UPDATE u SET v = concat(v, '!') WHERE m = 0")
+    finally spark.conf.unset("spark.graft.delete.deletionVectors")
+    val after = store.manifest("u", store.currentVersion("u").get)
+    assert(before.forall(after.contains) && after.exists(_.startsWith("dv|")))
+    assert(store.read("u").where(col("v") === "x!").count() ==
+      (1 to 30).count(_ % 3 == 0))
+    assert(store.read("u").count() == 30)
+    // unknown assignment target still rejects loudly in dv mode
+    spark.conf.set("spark.graft.delete.deletionVectors", "true")
+    try intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "UPDATE u SET nope = 1")
+    } finally spark.conf.unset("spark.graft.delete.deletionVectors")
+  }
+
   test("vacuum reaps dv sidecars of dropped versions") {
     val store = freshStore()
     store.create("t", (1 to 10).map(i => (i, i % 2)).toDF("id", "m"))
