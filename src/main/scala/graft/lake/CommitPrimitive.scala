@@ -40,6 +40,33 @@ trait CommitPrimitive {
   /** Remove the claim marker for version `v` (TTL takeover / vacuum
     * of dropped versions). */
   def deleteClaim(tableDir: Path, v: Long): Unit
+
+  /** Move a STAGED manifest to its final path, making the final path
+    * visible all-or-nothing — the transaction commit's per-table
+    * pointer swing. Default: read the staged content, `publish` it at
+    * the final path (the backend's own atomic publication), then
+    * discard the staged copy — correct on any backend, including
+    * S3-class stores where no rename exists. Backends with a native
+    * atomic rename override it with one. */
+  def promote(staged: Path, dst: Path): Unit = {
+    val f = staged.getFileSystem(new Configuration())
+    val in = f.open(staged)
+    val content =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    publish(dst, content)
+    discard(staged)
+  }
+
+  /** Delete a staged manifest that will never be promoted (rollback /
+    * stale-transaction recovery). */
+  def discard(staged: Path): Unit =
+    staged.getFileSystem(new Configuration()).delete(staged, false)
 }
 
 object CommitPrimitive {
@@ -93,4 +120,13 @@ final class HadoopCommitPrimitive(hadoopConf: Configuration) extends CommitPrimi
     val claim = claimPath(tableDir, v)
     fs(claim).delete(claim, false)
   }
+
+  /** Native atomic rename-overwrite — one metadata operation instead
+    * of the generic read+publish+discard. */
+  override def promote(staged: Path, dst: Path): Unit =
+    FileContext.getFileContext(dst.toUri, hadoopConf)
+      .rename(staged, dst, Options.Rename.OVERWRITE)
+
+  override def discard(staged: Path): Unit =
+    fs(staged).delete(staged, false)
 }

@@ -135,20 +135,33 @@ object GraftSql {
     def mentioned(t: String): Boolean =
       ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
         .findFirstIn(script).isDefined
-    try runnable.map { stmt =>
-      // re-listed per statement: a table the script itself CREATEs
-      // must resolve in the statements after its CTAS
-      store.tables().filter(mentioned)
-        .foreach(t => store.read(t).createOrReplaceTempView(t))
-      execute(spark, store, stmt)
-    }.last
-    catch { case t: Throwable =>
-      // a failed statement inside an open BEGIN must not leave the
-      // store half-applied AND mid-transaction: roll the staged
-      // commits back, then surface the original failure
-      if (store.inTransaction) store.rollbackTransaction()
-      throw t
+    // a BEGIN opened by an OUTER caller (executeTransaction) is that
+    // caller's to close; one opened by THIS script must be closed by
+    // this script — an unbalanced BEGIN would leave the store
+    // silently staging every later commit on this instance
+    val txnWasOpen = store.inTransaction
+    val result =
+      try runnable.map { stmt =>
+        // re-listed per statement: a table the script itself CREATEs
+        // must resolve in the statements after its CTAS
+        store.tables().filter(mentioned)
+          .foreach(t => store.read(t).createOrReplaceTempView(t))
+        execute(spark, store, stmt)
+      }.last
+      catch { case t: Throwable =>
+        // a failed statement inside an open BEGIN must not leave the
+        // store half-applied AND mid-transaction: roll the staged
+        // commits back, then surface the original failure
+        if (store.inTransaction && !txnWasOpen) store.rollbackTransaction()
+        throw t
+      }
+    if (store.inTransaction && !txnWasOpen) {
+      store.rollbackTransaction()
+      throw new IllegalStateException(
+        "script ended with an open transaction (BEGIN without " +
+          "COMMIT/ROLLBACK); its staged commits were rolled back")
     }
+    result
   }
 
   /** One-row status frame for transaction-control statements. */
@@ -732,8 +745,6 @@ object GraftSql {
                             u: UpdateTable): DataFrame = {
     val target = tableName(u.table)
     val alias = aliasOf(u.table).getOrElse(target)
-    val (rs, pinned) = pinnedRead(store, target)
-    val dest = pinned.alias(alias)
     val cond = coalesce(
       u.condition.map(e => expr(e.sql)).getOrElse(lit(true)), lit(false))
     val assigns = u.assignments.map { case Assignment(k, v) =>
@@ -744,18 +755,23 @@ object GraftSql {
       }
       name.toLowerCase -> expr(v.sql)
     }.toMap
-    val destCols = dest.columns.map(_.toLowerCase).toSet
-    val unknown = assigns.keys.filterNot(destCols)
-    require(unknown.isEmpty,
-      s"UPDATE SET targets unknown column(s): ${unknown.mkString(", ")}")
-    // deletion-vector mode: delete the matched rows' positions and
-    // append their updated copies in one commit — O(matched), no
-    // rewrite of untouched rows (the CoW path below is O(table))
+    // deletion-vector mode first — BEFORE the pinned read, whose
+    // per-group schema resolution updateWhere would only repeat
+    // (unknown assignment targets reject inside updateWhere): delete
+    // the matched rows' positions and append their updated copies in
+    // one commit — O(matched), no rewrite of untouched rows (the CoW
+    // path below is O(table))
     if (spark.conf.get("spark.graft.delete.deletionVectors", "false")
         .toBoolean) {
       store.updateWhere(target, cond, assigns, Some(alias))
       return store.read(target)
     }
+    val (rs, pinned) = pinnedRead(store, target)
+    val dest = pinned.alias(alias)
+    val destCols = dest.columns.map(_.toLowerCase).toSet
+    val unknown = assigns.keys.filterNot(destCols)
+    require(unknown.isEmpty,
+      s"UPDATE SET targets unknown column(s): ${unknown.mkString(", ")}")
     val updated = dest.select(dest.columns.toIndexedSeq.map { n =>
       assigns.get(n.toLowerCase)
         .map(v => when(cond, v).otherwise(col(s"$alias.$n")))

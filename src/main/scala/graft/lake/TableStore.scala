@@ -120,12 +120,10 @@ final class TableStore(spark: SparkSession, root: String,
     val txn = activeTxn.getOrElse(
       throw new IllegalStateException("no active transaction"))
     stagedCommits.foreach { case (table, v) =>
-      val src = stagedManifestPath(txn, table, v)
-      val dst = manifestPath(table, v)
-      if (!fs(src).rename(src, dst))
-        throw new IllegalStateException(
-          s"transaction commit failed publishing $dst (staged at $src); " +
-            "already-swung tables remain published — recover manually")
+      // the primitive owns atomic publication (rename on FS backends,
+      // read+atomic-PUT on S3-class stores) — never raw FileSystem ops
+      claims.promote(stagedManifestPath(txn, table, v),
+        manifestPath(table, v))
     }
     stagedCommits.clear()
     activeTxn = None
@@ -138,8 +136,7 @@ final class TableStore(spark: SparkSession, root: String,
     val txn = activeTxn.getOrElse(
       throw new IllegalStateException("no active transaction"))
     stagedCommits.reverseIterator.foreach { case (table, v) =>
-      val src = stagedManifestPath(txn, table, v)
-      fs(src).delete(src, false)
+      claims.discard(stagedManifestPath(txn, table, v))
       claims.deleteClaim(tablePath(table), v)
     }
     stagedCommits.clear()
@@ -1326,20 +1323,19 @@ final class TableStore(spark: SparkSession, root: String,
       throw new SnapshotConflictException(
         s"$table: read snapshot $readSnapshot is ahead of current $c " +
           "(RESTOREd or recreated concurrently)")
+    def stateOf(v: Long): (Set[String], Option[String]) =
+      try (manifest(table, v).toSet, rawColmap(table, v))
+      catch { case _: IllegalStateException =>
+        throw new SnapshotConflictException(
+          s"$table: version $v was vacuumed while a rewrite of " +
+            s"snapshot $readSnapshot was in flight; cannot prove safety") }
+    // each iteration's state is the next one's predecessor — one
+    // manifest read per in-between version, not two (inside the held
+    // claim every read widens the claim window)
+    var (prevLines, prevMap) = stateOf(readSnapshot)
     var w = readSnapshot + 1
     while (w <= c) {
-      val (prevLines, prevMap) =
-        try (manifest(table, w - 1).toSet, rawColmap(table, w - 1))
-        catch { case _: IllegalStateException =>
-          throw new SnapshotConflictException(
-            s"$table: version ${w - 1} was vacuumed while a rewrite of " +
-              s"snapshot $readSnapshot was in flight; cannot prove safety") }
-      val (lines, map) =
-        try (manifest(table, w).toSet, rawColmap(table, w))
-        catch { case _: IllegalStateException =>
-          throw new SnapshotConflictException(
-            s"$table: version $w was vacuumed while a rewrite of " +
-              s"snapshot $readSnapshot was in flight; cannot prove safety") }
+      val (lines, map) = stateOf(w)
       if (lines != prevLines)
         throw new SnapshotConflictException(
           s"$table: concurrent data change at version $w (rewrite read " +
@@ -1349,6 +1345,8 @@ final class TableStore(spark: SparkSession, root: String,
         throw new SnapshotConflictException(
           s"$table: concurrent schema change (column mapping) at version " +
             s"$w (rewrite read snapshot $readSnapshot, head is $c)")
+      prevLines = lines
+      prevMap = map
       w += 1
     }
   }
@@ -1432,7 +1430,7 @@ final class TableStore(spark: SparkSession, root: String,
             p.getName.lastIndexOf("-manifest-") + "-manifest-".length).toLong
           !held.contains(v) || f.exists(manifestPath(table, v))
         }
-        .foreach(p => f.delete(p, false))
+        .foreach(claims.discard)
     }
     recovered
   }

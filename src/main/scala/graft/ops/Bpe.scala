@@ -29,7 +29,8 @@ object Bpe {
 
   /** Train `numMerges` BPE merges from (word, frequency) pairs — pure
     * driver-side function. Deterministic: the best pair each round is
-    * max by (count, then lexicographically smallest pair). */
+    * max by (count, then the lexicographically LARGEST pair —
+    * any total order works; this one is what the code does). */
   def train(words: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     var seqs: Map[Vector[String], Long] = words
       .groupMapReduce(w => w._1.map(_.toString).toVector :+ Eow)(_._2)(_ + _)
@@ -118,7 +119,7 @@ object Bpe {
 
   /** (distinct pre-token, piece count) under `merges` for every
     * pre-token in the corpus — the broadcastable segmentation map.
-    * One corpus-sized shuffle (the token groupBy, map-side combined);
+    * One corpus-sized shuffle (the token distinct, map-side combined);
     * segmentation itself runs over |V| rows only. */
   def vocabPieces(df: DataFrame, textCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
@@ -127,7 +128,7 @@ object Bpe {
     val bc = spark.sparkContext.broadcast(ranks)
     val nPieces = udf((tok: String) => segment(tok, bc.value).size)
     df.select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("tok_occurrences"))
+      .distinct()
       .withColumn("pieces", nPieces(col("tok")).cast("long"))
   }
 

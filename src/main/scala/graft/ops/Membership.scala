@@ -53,9 +53,10 @@ object Membership {
       .select(xxhash64(col("k")).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
 
-  /** True iff the bloom MIGHT contain the key; null keys probe to
-    * null (native) / false (udf fallback) — both routes keep the
-    * final exact join as the decider, so results are identical. The
+  /** True iff the bloom MIGHT contain the key; NULL keys hash to the
+    * xxhash64 seed (native) / probe false (udf fallback) — both
+    * routes keep the final exact join as the decider, so results are
+    * identical. The
     * sketch rides a BROADCAST either way; the native route merely
     * swaps the per-row UDF call for generated code referencing the
     * broadcast handle (a literal-embedded sketch was measured ~0.5 s
@@ -93,10 +94,12 @@ object Membership {
                     expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val probe = probeOf(big, bigKey,
       bloomOf(small, smallKey, expectedItems, fpp))
-    // NULL keys probe to NULL under the native expression (xxhash64 of
-    // a NULL string is non-null, but a cast that fails is) — coalesce
-    // pins them to the clean branch, where they belong (NULL never
-    // matches an anti join's equality)
+    // NULL-key model: xxhash64 skips NULL inputs and yields its SEED,
+    // so the native probe returns a real boolean for NULL keys — they
+    // may land in either branch, and both are correct (clean keeps
+    // them; the anti join keeps them since NULL never equals). The
+    // coalesce exists for the UDF fallback's explicit null->false and
+    // as belt-and-braces, not because the native probe returns NULL.
     val clean = big.where(!coalesce(probe, lit(false)))
     // alias the small side's key so `sh === sh`-style self-ambiguity
     // can't arise when both frames name the key identically

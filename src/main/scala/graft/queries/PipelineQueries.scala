@@ -111,7 +111,7 @@ object PipelineQueries {
         |            ORDER BY ts_us DESC, event_id DESC) AS row_num
         |  FROM cdc) a
         |WHERE row_num = 1 AND (op IS NULL OR op IN ('I','U'))
-        |  AND NOT (value < 20)
+        |  AND NOT coalesce(value < 20, false)
         |ORDER BY key""".stripMargin))
 
   /** Iceberg-v2-style time travel through the versioned store: commit

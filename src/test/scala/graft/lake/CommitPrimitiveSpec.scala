@@ -68,6 +68,8 @@ final class Crashable(inner: CommitPrimitive) extends CommitPrimitive {
     if (dead) { dead = false; return } // the crashed writer's release never ran
     inner.deleteClaim(d, v)
   }
+  override def promote(s: Path, d: Path): Unit = inner.promote(s, d)
+  override def discard(s: Path): Unit = inner.discard(s)
 }
 
 /** The commit protocol's concurrency guarantees, proven against BOTH

@@ -10,10 +10,41 @@ import org.apache.spark.sql.functions._
   * check existed, every scenario here silently dropped the concurrent
   * writer's commit: the UPDATE rewrote the table from its stale read
   * and published over the append. */
+/** Primitive wrapper that, while ARMED, runs `hook` once immediately
+  * before the next claim attempt — injecting a concurrent writer into
+  * the exact window between a rewrite's pinned read and its winning
+  * claim, the race the snapshot check exists for. */
+final class RaceInjector(inner: CommitPrimitive)
+    extends CommitPrimitive {
+  @volatile var hook: () => Unit = () => ()
+  @volatile var armed = false
+  override def tryClaim(d: org.apache.hadoop.fs.Path, v: Long): Boolean = {
+    if (armed) { armed = false; hook() }
+    inner.tryClaim(d, v)
+  }
+  override def publish(m: org.apache.hadoop.fs.Path, c: String): Unit =
+    inner.publish(m, c)
+  override def listClaims(d: org.apache.hadoop.fs.Path): Seq[(Long, Long)] =
+    inner.listClaims(d)
+  override def deleteClaim(d: org.apache.hadoop.fs.Path, v: Long): Unit =
+    inner.deleteClaim(d, v)
+  override def promote(s: org.apache.hadoop.fs.Path,
+                       d: org.apache.hadoop.fs.Path): Unit = inner.promote(s, d)
+  override def discard(s: org.apache.hadoop.fs.Path): Unit = inner.discard(s)
+}
+
 class ConflictSpec extends SparkSpec {
   import spark.implicits._
 
   private def freshStore() = new TableStore(spark, tmpDir("conflict"))
+
+  /** (injected store, plain store over the same root, the injector). */
+  private def racingStores(): (TableStore, TableStore, RaceInjector) = {
+    val root = tmpDir("conflict-race")
+    val inj = new RaceInjector(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
+    (new TableStore(spark, root, Some(inj)), new TableStore(spark, root), inj)
+  }
 
   test("stale overwrite loses to a concurrent append: conflict, append survives") {
     val store = freshStore()
@@ -98,17 +129,26 @@ class ConflictSpec extends SparkSpec {
       .toSeq == Seq((1, "a"), (2, "B")))
   }
 
-  test("SQL UPDATE aborts when an append races in after its read") {
-    // end-to-end through the DML front door: inject the racer via a
-    // store whose readVersion is the UPDATE's pin point by appending
-    // from a second statement in between — here simulated at the store
-    // layer because GraftSql pins and commits within one call; the
-    // store-level guarantee above is what the statement rides on.
-    val store = freshStore()
-    store.create("t", Seq((1, 10L), (2, 20L)).toDF("id", "amt"))
-    GraftSql.execute(spark, store, "UPDATE t SET amt = amt + 1 WHERE id = 1")
-    assert(store.read("t").orderBy("id").as[(Int, Long)].collect()
-      .toSeq == Seq((1, 11L), (2, 20L)))
+  test("SQL UPDATE aborts when an append REALLY races in after its read") {
+    // end-to-end through the DML front door with an injected racer:
+    // the wrapper primitive appends a row from a second store handle
+    // in the window between the UPDATE's pinned read and its claim
+    val (storeInj, plain, inj) = racingStores()
+    plain.create("t", Seq((1, 10L), (2, 20L)).toDF("id", "amt"))
+    inj.hook = () => plain.append("t", Seq((3, 30L)).toDF("id", "amt"))
+    inj.armed = true
+    intercept[SnapshotConflictException] {
+      GraftSql.execute(spark, storeInj,
+        "UPDATE t SET amt = amt + 1 WHERE id = 1")
+    }
+    // the racer's append survives; the stale UPDATE left no trace
+    assert(plain.read("t").orderBy("id").as[(Int, Long)].collect()
+      .toSeq == Seq((1, 10L), (2, 20L), (3, 30L)))
+    // sanity: without a racer the same statement commits
+    GraftSql.execute(spark, storeInj,
+      "UPDATE t SET amt = amt + 1 WHERE id = 1")
+    assert(plain.read("t").orderBy("id").as[(Int, Long)].collect()
+      .toSeq == Seq((1, 11L), (2, 20L), (3, 30L)))
   }
 
   test("compact recomputes on a lost race instead of dropping the racer") {
@@ -123,22 +163,43 @@ class ConflictSpec extends SparkSpec {
       .toSeq == Seq((1, "a"), (2, "B")))
   }
 
-  test("compactSmall conflicts when a folding file was rewritten away") {
-    // simulate the race deterministically with a CommitPrimitive hook:
-    // not practical here without injection, so assert the guard
-    // directly — after a full rewrite, the old small files are gone
-    // from the head manifest and a stale fold must not resurrect them.
-    // compactSmall re-reads the head per attempt, so from the outside
-    // it is always correct; the unit-level guard is exercised via the
-    // delete-marker path below.
-    val store = freshStore()
-    store.create("t", Seq((1, "a")).toDF("id", "v"))
-    store.append("t", Seq((2, "b")).toDF("id", "v"))
-    store.append("t", Seq((3, "c")).toDF("id", "v"))
-    val folded = store.compactSmall("t", minBytes = 1L << 20)
-    assert(folded >= 2)
-    assert(store.read("t").orderBy("id").as[(Int, String)].collect()
-      .toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+  test("compactSmall recomputes when a folding file is rewritten away mid-fold") {
+    // inject a DELETE-rewrite between compactSmall's manifest read and
+    // its claim: the files it planned to fold leave the manifest, the
+    // carried-callback guard conflicts, and the retry recomputes from
+    // the new head — the deleted row must NOT resurrect through the
+    // folded copies
+    val (storeInj, plain, inj) = racingStores()
+    plain.create("t", Seq((1, "a")).toDF("id", "v"))
+    plain.append("t", Seq((2, "b")).toDF("id", "v"))
+    plain.append("t", Seq((3, "c")).toDF("id", "v"))
+    inj.hook = () =>
+      GraftSql.execute(spark, plain, "DELETE FROM t WHERE id = 2")
+    inj.armed = true
+    storeInj.compactSmall("t", minBytes = 1L << 20)
+    assert(plain.read("t").orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (3, "c")),
+      "row 2 resurrected through a stale fold")
+  }
+
+  test("compactSmall aborts loudly when MoR delete markers race in mid-fold") {
+    // concurrent equality-delete markers would be silently escaped by
+    // the folded copies (a commit's own rows are exempt): the guard
+    // conflicts, and the recompute then refuses on pending delete debt
+    val (storeInj, plain, inj) = racingStores()
+    plain.create("t", Seq((1, "a")).toDF("id", "v"))
+    plain.append("t", Seq((2, "b")).toDF("id", "v"))
+    plain.append("t", Seq((3, "c")).toDF("id", "v"))
+    inj.hook = () => plain.appendWithDeletes("t",
+      Seq((2, "B")).toDF("id", "v"), Seq(Tuple1(2)).toDF("id"))
+    inj.armed = true
+    val e = intercept[IllegalArgumentException] {
+      storeInj.compactSmall("t", minBytes = 1L << 20)
+    }
+    assert(e.getMessage.contains("compact first"))
+    // nothing escaped the markers: the MoR merge result is intact
+    assert(plain.read("t").orderBy("id").as[(Int, String)].collect()
+      .toSeq == Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
   test("vacuumed in-between version conflicts conservatively") {
