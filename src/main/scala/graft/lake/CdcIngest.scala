@@ -119,7 +119,8 @@ object CdcIngest {
         mergeTouchedPartitions(store, table, dest, deduped, cfg, rs)
       else {
         val merged = CdcMerge.upsert(dest, deduped, Seq(cfg.primaryKey))
-        store.overwrite(table, merged, readSnapshot = Some(rs))
+        store.overwrite(table, merged, readSnapshot = Some(rs),
+          op = "MERGE")
       }
       IncrementalLoad(n)
     }

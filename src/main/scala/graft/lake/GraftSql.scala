@@ -521,7 +521,8 @@ object GraftSql {
             store.overwrite(table,
               Layout.cluster(store.readVersion(table, rs), zorderBy,
                 math.max(1, filesBefore)),
-              preserveLayout = true, readSnapshot = Some(rs))
+              preserveLayout = true, readSnapshot = Some(rs),
+              op = "OPTIMIZE (zorder)")
             done = true
           } catch { case e: SnapshotConflictException =>
             if (attempts >= 5) throw e }
@@ -732,7 +733,8 @@ object GraftSql {
     val (rs, pinned) = pinnedRead(store, target)
     val dest = pinned.alias(alias)
     val survivors = dest.where(!coalesce(expr(d.condition.sql), lit(false)))
-    store.overwrite(target, survivors, readSnapshot = Some(rs))
+    store.overwrite(target, survivors, readSnapshot = Some(rs),
+      op = "DELETE")
     store.read(target)
   }
 
@@ -777,7 +779,8 @@ object GraftSql {
         .map(v => when(cond, v).otherwise(col(s"$alias.$n")))
         .getOrElse(col(s"$alias.$n")).as(n)
     }: _*)
-    store.overwrite(target, updated, readSnapshot = Some(rs))
+    store.overwrite(target, updated, readSnapshot = Some(rs),
+      op = "UPDATE")
     store.read(target)
   }
 
@@ -1041,7 +1044,8 @@ object GraftSql {
         survivors.unionByName(inserts, allowMissingColumns = true)
       }
 
-    store.overwrite(target, result, readSnapshot = Some(rs))
+    store.overwrite(target, result, readSnapshot = Some(rs),
+      op = "MERGE")
     store.read(target)
   }
 

@@ -61,6 +61,6 @@ object Scd2 {
       .unionByName(open.join(touched, keyCols, "left_anti"))
       .select(outCols: _*)
     store.overwrite(table, carried.unionByName(rebuilt),
-      readSnapshot = Some(rs))
+      readSnapshot = Some(rs), op = "SCD2 APPLY")
   }
 }

@@ -472,7 +472,8 @@ final class TableStore(spark: SparkSession, root: String,
     * those columns — the scan-avoidance lever at 100 TB. */
   def create(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
-    commit(table, df, carried = _ => Nil, mustCreate = true, createParts = partitionBy)
+    commit(table, df, carried = _ => Nil, mustCreate = true,
+      createParts = partitionBy, op = "CREATE")
   }
 
   /** Drop the table: every version, manifest, claim and commit dir.
@@ -499,9 +500,10 @@ final class TableStore(spark: SparkSession, root: String,
     * design. */
   def overwrite(table: String, df: DataFrame,
                 preserveLayout: Boolean = false,
-                readSnapshot: Option[Long] = None): Unit =
+                readSnapshot: Option[Long] = None,
+                op: String = "OVERWRITE"): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false,
-      preserveLayout = preserveLayout, readSnapshot = readSnapshot)
+      preserveLayout = preserveLayout, readSnapshot = readSnapshot, op = op)
 
   /** Overwrite that records an application transaction watermark in
     * the SAME atomic commit (Delta's SetTransaction / `txn` action):
@@ -513,7 +515,8 @@ final class TableStore(spark: SparkSession, root: String,
                    app: String, version: Long,
                    readSnapshot: Option[Long] = None): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false,
-      txn = Some((app, version)), readSnapshot = readSnapshot)
+      txn = Some((app, version)), readSnapshot = readSnapshot,
+      op = "OVERWRITE")
 
   /** Create recording an initial transaction watermark atomically —
     * the bootstrap half of [[overwriteTxn]]. */
@@ -522,7 +525,7 @@ final class TableStore(spark: SparkSession, root: String,
                 partitionBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
     commit(table, df, carried = _ => Nil, mustCreate = true,
-      createParts = partitionBy, txn = Some((app, version)))
+      createParts = partitionBy, txn = Some((app, version)), op = "CREATE")
   }
 
   /** Latest watermark `app` recorded on any RETAINED version, newest
@@ -544,10 +547,11 @@ final class TableStore(spark: SparkSession, root: String,
     * Two first-appends racing on a fresh table: the create loser
     * retries as a carry append instead of failing. */
   def append(table: String, df: DataFrame): Unit =
-    if (exists(table)) commit(table, df, carryAll(table), mustCreate = false)
+    if (exists(table)) commit(table, df, carryAll(table), mustCreate = false,
+      op = "APPEND")
     else try create(table, df) catch {
       case e: IllegalArgumentException if e.getMessage.contains("already exists") =>
-        commit(table, df, carryAll(table), mustCreate = false)
+        commit(table, df, carryAll(table), mustCreate = false, op = "APPEND")
     }
 
   private def carryAll(table: String): Option[Long] => Seq[String] =
@@ -578,7 +582,7 @@ final class TableStore(spark: SparkSession, root: String,
     val delLines = listDataFiles(delDir).map(DelPrefix + _)
     commit(table, df,
       carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false,
-      readSnapshot = readSnapshot)
+      readSnapshot = readSnapshot, op = "MERGE-ON-READ")
   }
 
   /** Positional (deletion-vector) DELETE — Iceberg v2 position
@@ -625,7 +629,7 @@ final class TableStore(spark: SparkSession, root: String,
           }.getOrElse("")
           writeSmallFile(statsPath(table, v), prevStats)
           publishManifest(table, v, carriedLines ++ dvFiles.map(DvPrefix + _),
-            cur.flatMap(rawColmap(table, _)))
+            cur.flatMap(rawColmap(table, _)), op = "DELETE (dv)")
         }
         return n
       } catch { case e: SnapshotConflictException =>
@@ -683,7 +687,7 @@ final class TableStore(spark: SparkSession, root: String,
         commit(table, updated,
           carried = cur => carryAll(table)(cur) ++ dvFiles.map(DvPrefix + _),
           mustCreate = false,
-          readSnapshot = Some(rs))
+          readSnapshot = Some(rs), op = "UPDATE (dv)")
         return n
       } catch { case e: SnapshotConflictException =>
         fs(dvDir).delete(dvDir, true)
@@ -707,7 +711,8 @@ final class TableStore(spark: SparkSession, root: String,
       attempts += 1
       val rs = currentVersion(table).getOrElse(
         throw new IllegalStateException(s"table $table does not exist"))
-      try { overwrite(table, readVersion(table, rs), readSnapshot = Some(rs)); done = true }
+      try { overwrite(table, readVersion(table, rs), readSnapshot = Some(rs),
+        op = "COMPACT"); done = true }
       catch { case e: SnapshotConflictException =>
         if (attempts >= 5) throw e }
     }
@@ -726,7 +731,7 @@ final class TableStore(spark: SparkSession, root: String,
     // the column mapping is part of the restored state: rolling back
     // past a RENAME/DROP rolls the schema back with the data
     commitMeta(table, _ => (lines, stats, rawColmap(table, v)),
-      mustCreate = false)
+      mustCreate = false, op = s"RESTORE($v)")
   }
 
   /** Zero-copy shallow clone: `dst` is a new table whose v0 manifest
@@ -746,7 +751,7 @@ final class TableStore(spark: SparkSession, root: String,
     // shared files carry the source's PHYSICAL names; the clone must
     // inherit the mapping or renamed columns would read physically
     commitMeta(dst, _ => (manifest(src, cur), stats, rawColmap(src, cur)),
-      mustCreate = true, createParts = srcParts)
+      mustCreate = true, createParts = srcParts, op = s"CLONE($src)")
     // a clone is a full table-metadata fork: CHECK constraints carry
     // too, or writes to the clone would accept rows the source rejects
     constraints(src).foreach { case (n, sql) => addConstraint(dst, n, sql) }
@@ -782,7 +787,7 @@ final class TableStore(spark: SparkSession, root: String,
         s"[${parts.mkString(",")}] from every file, got " +
         offenders.take(3).mkString("; "))
     commitMeta(table, _ => (files, "", None), mustCreate = true,
-      createParts = parts)
+      createParts = parts, op = "CONVERT")
   }
 
   /** Metadata-only commit under the standard claim/publish protocol —
@@ -796,7 +801,8 @@ final class TableStore(spark: SparkSession, root: String,
                          mkContent: Option[Long] =>
                            (Seq[String], String, Option[String]),
                          mustCreate: Boolean,
-                         createParts: Seq[String] = Nil): Unit = {
+                         createParts: Seq[String] = Nil,
+                         op: String = "WRITE"): Unit = {
     // the data write creates the table dir in the normal commit path;
     // a metadata-only commit must do it itself or the claim fails
     val dir = tablePath(table)
@@ -807,7 +813,7 @@ final class TableStore(spark: SparkSession, root: String,
           createParts.mkString(","))
       val (lines, statsContent, colmap) = mkContent(cur)
       writeSmallFile(statsPath(table, v), statsContent)
-      publishManifest(table, v, lines, colmap)
+      publishManifest(table, v, lines, colmap, op = op)
     }
   }
 
@@ -850,7 +856,7 @@ final class TableStore(spark: SparkSession, root: String,
         if (fs(p).exists(p)) readSmallFile(p) else ""
       }.getOrElse("")
       (carriedLines ++ newFiles, prevStats, cur.flatMap(rawColmap(table, _)))
-    }, mustCreate = false)
+    }, mustCreate = false, op = "ADD COLUMNS")
   }
 
   /** Size-aware compaction: fold only the data files smaller than
@@ -906,7 +912,8 @@ final class TableStore(spark: SparkSession, root: String,
             m.filterNot(small)
           }.getOrElse(Nil),
           mustCreate = false,
-          physicalFrame = true) // raw readLines bytes: already physical
+          physicalFrame = true, // raw readLines bytes: already physical
+          op = "OPTIMIZE")
         return small.size
       } catch { case e: SnapshotConflictException =>
         if (attempts >= 5) throw e }
@@ -951,7 +958,8 @@ final class TableStore(spark: SparkSession, root: String,
         .getOrElse(Nil),
       mustCreate = false,
       requireWithin = Some(touchedSet),
-      readSnapshot = readSnapshot)
+      readSnapshot = readSnapshot,
+      op = "OVERWRITE-PARTITIONS")
   }
 
   /** Hive partition dir of a data file, relative to its commit dir:
@@ -1011,7 +1019,8 @@ final class TableStore(spark: SparkSession, root: String,
       writeSmallFile(statsPath(table, v), stats)
       writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
         newParts.mkString(","))
-      publishManifest(table, v, manifest(table, c), rawColmap(table, c))
+      publishManifest(table, v, manifest(table, c), rawColmap(table, c),
+        op = "SET PARTITIONING")
     }
   }
 
@@ -1058,6 +1067,7 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   private val TsHeader = "#ts="
+  private val OpHeader = "#op="
   private val ColmapHeader = "#colmap="
   private val TxnHeader = "#txn="
 
@@ -1066,14 +1076,17 @@ final class TableStore(spark: SparkSession, root: String,
     * visible all-or-nothing. */
   private def publishManifest(table: String, v: Long, lines: Seq[String],
                               colmap: Option[String],
-                              txn: Option[(String, Long)] = None): Unit = {
+                              txn: Option[(String, Long)] = None,
+                              op: String = "WRITE"): Unit = {
     txn.foreach { case (app, _) =>
       require(!app.contains(":") && !app.contains("\n"),
         s"bad txn app id '$app'")
     }
-    val headers = s"$TsHeader${System.currentTimeMillis()}" +:
-      (colmap.map(ColmapHeader + _).toSeq ++
-        txn.map { case (app, ver) => s"$TxnHeader$app:$ver" }.toSeq)
+    require(!op.contains("\n"), s"bad op name '$op'")
+    val headers = Seq(s"$TsHeader${System.currentTimeMillis()}",
+      s"$OpHeader$op") ++
+      colmap.map(ColmapHeader + _).toSeq ++
+      txn.map { case (app, ver) => s"$TxnHeader$app:$ver" }.toSeq
     val body = (headers ++ lines).mkString("\n")
     activeTxn match {
       case Some(t) =>
@@ -1142,7 +1155,7 @@ final class TableStore(spark: SparkSession, root: String,
         if (fs(p).exists(p)) readSmallFile(p) else "" }
       (manifest(table, v), stats,
         ColumnMapping(renames, m.dropped).serialize)
-    }, mustCreate = false)
+    }, mustCreate = false, op = "RENAME COLUMN")
   }
 
   /** DROP COLUMN as a pure metadata commit: the PHYSICAL column stays
@@ -1169,7 +1182,7 @@ final class TableStore(spark: SparkSession, root: String,
       (manifest(table, v), stats,
         ColumnMapping(m.renames.filterNot(_._1.equalsIgnoreCase(name)),
           m.dropped + phys).serialize)
-    }, mustCreate = false)
+    }, mustCreate = false, op = "DROP COLUMN")
   }
 
   /** A CHECK constraint's SQL references logical names as free text;
@@ -1204,7 +1217,8 @@ final class TableStore(spark: SparkSession, root: String,
                      physicalFrame: Boolean = false,
                      txn: Option[(String, Long)] = None,
                      preserveLayout: Boolean = false,
-                     readSnapshot: Option[Long] = None): Unit = {
+                     readSnapshot: Option[Long] = None,
+                     op: String = "WRITE"): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
     // CHECK constraints ride the write job itself (observe = metrics
@@ -1297,7 +1311,7 @@ final class TableStore(spark: SparkSession, root: String,
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
       publishManifest(table, v, carriedLines ++ newFiles,
-        cur.flatMap(rawColmap(table, _)), txn)
+        cur.flatMap(rawColmap(table, _)), txn, op)
     } catch { case e: SnapshotConflictException =>
       // conflicts are an expected, caller-handled outcome (retry or
       // surface) — don't leave the orphan data dir for vacuumOrphans
@@ -1641,6 +1655,14 @@ final class TableStore(spark: SparkSession, root: String,
     * data-file / delete-entry counts, referenced bytes, recorded rows
     * (null where metadata can't know) and the commit publish time.
     * Driver-side metadata only; no scan. */
+  /** The `#op=` provenance header of version `v` — which operation
+    * published the commit (Delta history's operation column).
+    * "WRITE" for pre-provenance manifests. */
+  def operationOf(table: String, v: Long): String =
+    readSmallFile(manifestFile(table, v)).split("\n").collectFirst {
+      case l if l.startsWith(OpHeader) => l.stripPrefix(OpHeader).trim
+    }.getOrElse("WRITE")
+
   def history(table: String): DataFrame = {
     import spark.implicits._
     versions(table).map { v =>
@@ -1652,10 +1674,10 @@ final class TableStore(spark: SparkSession, root: String,
       val counts = data.map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
       val rows = if (dels.nonEmpty || counts.isEmpty || counts.exists(_.isEmpty))
         None else Some(counts.flatten.map(_.min.toLong).sum)
-      (v, data.size, dels.size, bytes, rows,
+      (v, operationOf(table, v), data.size, dels.size, bytes, rows,
         new java.sql.Timestamp(commitTimeMs(table, v)))
-    }.toDF("version", "n_files", "n_delete_entries", "total_bytes",
-      "n_rows", "committed_at")
+    }.toDF("version", "operation", "n_files", "n_delete_entries",
+      "total_bytes", "n_rows", "committed_at")
   }
 
   /** DESCRIBE DETAIL equivalent: ONE row of current-state table

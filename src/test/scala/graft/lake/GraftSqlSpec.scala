@@ -622,6 +622,32 @@ class GraftSqlSpec extends SparkSpec {
     assert(h.columns.contains("n_files") && h.columns.contains("committed_at"))
   }
 
+  test("DESCRIBE HISTORY records each commit's operation (provenance)") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("hop", Seq((1, 10L), (2, 20L), (3, 30L)).toDF("id", "amt"))
+    GraftSql.execute(spark, store, "INSERT INTO hop VALUES (4, 40)")
+    GraftSql.execute(spark, store, "UPDATE hop SET amt = 0 WHERE id = 1")
+    GraftSql.execute(spark, store, "DELETE FROM hop WHERE id = 2")
+    Seq((3, 33L)).toDF("id", "amt").createOrReplaceTempView("hop_src")
+    GraftSql.execute(spark, store,
+      """MERGE INTO hop t USING hop_src u ON t.id = u.id
+        |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    GraftSql.execute(spark, store, "OPTIMIZE hop")
+    GraftSql.execute(spark, store, "RESTORE TABLE hop TO VERSION AS OF 1")
+    val ops = store.history("hop").orderBy("version")
+      .select("operation").as[String].collect().toSeq
+    assert(ops.take(5) ==
+      Seq("CREATE", "APPEND", "UPDATE", "DELETE", "MERGE"), ops)
+    assert(ops(5) == "OPTIMIZE")
+    assert(ops.last == "RESTORE(1)")
+    // dv ops carry their own tags
+    spark.conf.set("spark.graft.delete.deletionVectors", "true")
+    try GraftSql.execute(spark, store, "DELETE FROM hop WHERE id = 4")
+    finally spark.conf.unset("spark.graft.delete.deletionVectors")
+    assert(store.history("hop").orderBy(desc("version"))
+      .select("operation").as[String].head() == "DELETE (dv)")
+  }
+
   test("DESCRIBE DETAIL returns one current-state metadata row, no scan") {
     val store = new TableStore(spark, tmpDir("gsql"))
     store.create("tdet", Seq((1, "a"), (2, "b")).toDF("id", "v"))
