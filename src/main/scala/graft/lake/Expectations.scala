@@ -9,9 +9,9 @@ import org.apache.spark.sql.functions._
   * constraints (`TableStore.addCheckConstraint`, abort on violation),
   * and now per-row routing: rows failing any expectation land in
   * `<table>_quarantine` tagged with the failed rule names, clean rows
-  * commit to the table — the batch never aborts and every row lands
-  * on one side or the other (see [[ingest]] for the two-commit
-  * atomicity caveat).
+  * commit to the table — the batch never aborts, every row lands on
+  * one side or the other, and both sides publish in ONE cross-table
+  * transaction (write-audit-publish made atomic).
   *
   * A NULL predicate result counts as a violation (expectations are
   * strict: "balance between 0 and 100" quarantines a NULL balance —
@@ -45,16 +45,14 @@ object Expectations {
     * `df` should be a scan or a checkpointed frame, not an expensive
     * pipeline (or it re-executes per pass).
     *
-    * NOT atomic across the two tables: the accepted rows and the
-    * quarantine rows are two independent single-table commits (the
-    * store has no cross-table transaction). Accepted rows commit
-    * FIRST, so a failure between the two appends loses only the
-    * quarantine diagnostics, never the data; re-running the batch
-    * then double-appends the accepted side — callers needing
-    * exactly-once should route through an idempotent key (CDC merge)
-    * or wrap both statements in `GraftSql.executeTransaction`.
-    * `df` must also be DETERMINISTIC across the three passes (scan or
-    * checkpointed frame): a nondeterministic source can make the
+    * ATOMIC across the two tables: both appends stage inside one
+    * cross-table transaction ([[TableStore.beginTransaction]]) and
+    * publish together — a failure anywhere unwinds both, so a reader
+    * can never observe the batch accepted but its rejects missing (or
+    * vice versa). If the caller already opened a transaction on this
+    * store, the appends stage inside IT and the caller owns the
+    * commit. `df` must be DETERMINISTIC across the three passes (scan
+    * or checkpointed frame): a nondeterministic source can make the
     * reported Outcome counts disagree with the rows committed. */
   def ingest(store: TableStore, table: String, df: DataFrame,
              rules: Seq[Rule]): Outcome = {
@@ -63,14 +61,22 @@ object Expectations {
       count(lit(1)).as("n"),
       count(when(size(col("__failed_rules")) > 0, 1)).as("bad")).first()
     val (total, nBad) = (r.getLong(0), r.getLong(1))
-    if (total - nBad > 0)
-      store.append(table,
-        tagged.where(size(col("__failed_rules")) === 0)
-          .drop("__failed_rules"))
-    if (nBad > 0)
-      store.append(s"${table}_quarantine",
-        tagged.where(size(col("__failed_rules")) > 0)
-          .withColumnRenamed("__failed_rules", "failed_rules"))
+    val ownTxn = !store.inTransaction
+    if (ownTxn) store.beginTransaction()
+    try {
+      if (total - nBad > 0)
+        store.append(table,
+          tagged.where(size(col("__failed_rules")) === 0)
+            .drop("__failed_rules"))
+      if (nBad > 0)
+        store.append(s"${table}_quarantine",
+          tagged.where(size(col("__failed_rules")) > 0)
+            .withColumnRenamed("__failed_rules", "failed_rules"))
+      if (ownTxn) store.commitTransaction()
+    } catch { case t: Throwable =>
+      if (ownTxn && store.inTransaction) store.rollbackTransaction()
+      throw t
+    }
     Outcome(total - nBad, nBad)
   }
 }

@@ -53,4 +53,33 @@ class ExpectationsSpec extends SparkSpec {
     assert(bad == Expectations.Outcome(0L, 1L))
     assert(!store.exists("tb"))
   }
+
+  test("ingest is atomic across table and quarantine: a failing side unwinds both") {
+    val store = new TableStore(spark, tmpDir("exp"))
+    store.create("ta", Seq((0L, 1.0)).toDF("id", "bal"))
+    // poison the QUARANTINE side: its CHECK constraint rejects exactly
+    // the rows this batch would quarantine, so the second staged
+    // append aborts inside the transaction
+    store.create("ta_quarantine",
+      Seq((-1L, 1.0, Array("seed"))).toDF("id", "bal", "failed_rules"))
+    store.addConstraint("ta_quarantine", "bal_pos", "bal > -900")
+    intercept[IllegalArgumentException] {
+      Expectations.ingest(store, "ta",
+        Seq((1L, 5.0), (2L, -999.0)).toDF("id", "bal"),
+        Seq(Rule("bal_nonneg", col("bal") >= 0)))
+    }
+    assert(!store.inTransaction)
+    // NEITHER side changed: the accepted row did not publish either
+    assert(store.read("ta").count() == 1)
+    assert(store.read("ta_quarantine").count() == 1)
+    assert(store.currentVersion("ta").contains(0L))
+    // with the poison pill removed the same batch lands atomically
+    store.dropConstraint("ta_quarantine", "bal_pos")
+    val out = Expectations.ingest(store, "ta",
+      Seq((1L, 5.0), (2L, -999.0)).toDF("id", "bal"),
+      Seq(Rule("bal_nonneg", col("bal") >= 0)))
+    assert(out == Expectations.Outcome(1L, 1L))
+    assert(store.read("ta").count() == 2)
+    assert(store.read("ta_quarantine").count() == 2)
+  }
 }
