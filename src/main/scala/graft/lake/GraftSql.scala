@@ -83,6 +83,8 @@ object GraftSql {
     """(?is)^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val CommitStmt = """(?is)^\s*COMMIT\s*;?\s*$""".r
   private val RollbackStmt = """(?is)^\s*ROLLBACK\s*;?\s*$""".r
+  private val CopyIntoStmt =
+    """(?is)^\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?\s*;?\s*$""".r
   private val BloomIndexStmt =
     """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+OPTIONS\s*\(\s*fpp\s*=\s*([0-9.]+)\s*\))?\s*;?\s*$""".r
 
@@ -194,6 +196,13 @@ object GraftSql {
     * contents for MERGE, the query result otherwise. */
   def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame =
     sql match {
+      case CopyIntoStmt(table, path, fmt) =>
+        // exactly-once file ingest (ledger + one cross-table txn)
+        val r = FileIngest.copyInto(spark, store, table, path,
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
+        import spark.implicits._
+        Seq((table, path, r.filesLoaded, r.rowsLoaded))
+          .toDF("table", "source", "files_loaded", "rows_loaded")
       case BeginStmt() =>
         store.beginTransaction()
         txnStatus(spark, "begin")

@@ -576,6 +576,26 @@ object PipelineQueries {
         |  FROM customer WHERE c_custkey % 2 = 1)
         |ORDER BY c_custkey""".stripMargin))
 
+  /** COPY INTO — exactly-once file ingest ([[graft.lake.FileIngest]]):
+    * load the documents fixture file into a store table, run the SAME
+    * command again (the ledger makes it a provable no-op), and read
+    * the table back. A double-load would double every row and could
+    * never hash-match the oracle, which reads the source directly. */
+  val copyIntoIdempotent: Entry = Entry(
+    "copy_into_idempotent",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-ci"))
+      graft.lake.FileIngest.copyInto(s, store, "docs_ci", s"$dir/documents.parquet")
+      val again = graft.lake.FileIngest.copyInto(s, store, "docs_ci",
+        s"$dir/documents.parquet")
+      require(again.filesLoaded == 0 && again.rowsLoaded == 0,
+        s"second COPY INTO must be a no-op, loaded $again")
+      store.read("docs_ci").select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin))
+
   /** NESTED MERGE schema evolution: the source's STRUCT column carries
     * a field the target's struct lacks (`props.tag`) — star actions
     * widen the struct field-by-name in the same atomic commit
@@ -1569,7 +1589,7 @@ object PipelineQueries {
     nullPrunedScan, bloomPointLookup, scd2Incremental,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
-    mergeStructEvolving,
+    mergeStructEvolving, copyIntoIdempotent,
     sqlDml,
     sqlInsert, sqlLifecycle, sqlScript, sqlTransaction, sqlRestoreClone,
     sqlTimeTravelDiff,
