@@ -160,6 +160,6 @@ object CdcIngest {
       .join(updKeys, Seq(cfg.primaryKey), "left_anti")
       .unionByName(survivors, allowMissingColumns = true)
     store.overwritePartitions(table, replacement, touchedSpecs.toSeq,
-      readSnapshot = Some(readSnapshot))
+      readSnapshot = Some(readSnapshot), op = "MERGE")
   }
 }

@@ -47,11 +47,14 @@ object Expectations {
     *
     * ATOMIC across the two tables: both appends stage inside one
     * cross-table transaction ([[TableStore.beginTransaction]]) and
-    * publish together — a failure anywhere unwinds both, so a reader
+    * publish together — a FAILURE anywhere unwinds both, so a reader
     * can never observe the batch accepted but its rejects missing (or
-    * vice versa). If the caller already opened a transaction on this
+    * vice versa). The residual window is a CRASH mid-pointer-swing
+    * (accepted published, quarantine not — the same window every
+    * transaction commit documents); failures, the common case, are
+    * fully atomic. If the caller already opened a transaction on this
     * store, the appends stage inside IT and the caller owns the
-    * commit. `df` must be DETERMINISTIC across the three passes (scan
+    * commit (and its visibility). `df` must be DETERMINISTIC across the three passes (scan
     * or checkpointed frame): a nondeterministic source can make the
     * reported Outcome counts disagree with the rows committed. */
   def ingest(store: TableStore, table: String, df: DataFrame,
@@ -61,8 +64,7 @@ object Expectations {
       count(lit(1)).as("n"),
       count(when(size(col("__failed_rules")) > 0, 1)).as("bad")).first()
     val (total, nBad) = (r.getLong(0), r.getLong(1))
-    val ownTxn = !store.inTransaction
-    if (ownTxn) store.beginTransaction()
+    val ownTxn = store.beginTransactionIfNone()
     try {
       if (total - nBad > 0)
         store.append(table,

@@ -7,14 +7,23 @@ import org.apache.spark.sql.functions._
 /** COPY INTO — idempotent, exactly-once FILE ingest (the Databricks
   * COPY INTO / Auto Loader batch shape, Iceberg's add_files cousin):
   * load a directory's files into a table such that re-running the
-  * same command loads each file AT MOST ONCE, across crashes.
+  * same command loads each file AT MOST ONCE, including under
+  * concurrent runs.
   *
   * Mechanism: a per-table ledger table (`<table>_ingest_ledger`)
   * records every ingested file path; a run loads only files absent
   * from the ledger, and the DATA append and the LEDGER append publish
-  * in ONE cross-table transaction — so a crash can never leave a file
-  * loaded but unrecorded (double-load on retry) or recorded but
-  * unloaded (silent loss). Re-running after success is a no-op.
+  * in ONE cross-table transaction. The ledger commit is
+  * SNAPSHOT-CHECKED against the version the run read
+  * ([[TableStore.appendIfUnchanged]]; table CREATE for a first run),
+  * so two overlapping runs cannot both record the same files — the
+  * loser aborts with [[SnapshotConflictException]], its whole
+  * transaction (data included) unwinds, and a retry recomputes
+  * against the new ledger and no-ops. Re-running after success is a
+  * no-op. The residual window is a CRASH between the transaction's
+  * two pointer swings (data published, ledger not — every
+  * transaction commit documents this window): the retry would reload
+  * that batch; failures, the common case, unwind fully.
   *
   * Scale: listing is O(files) driver-side metadata (every COPY INTO
   * implementation pays it); the load itself reads ONLY the fresh
@@ -29,41 +38,41 @@ object FileIngest {
   def ledgerOf(table: String): String = s"${table}_ingest_ledger"
 
   /** Load every not-yet-ingested data file under `srcPath` (a file or
-    * a directory, recursively; `_`/`.`-prefixed entries skipped) into
-    * `table`. Creates the table (and ledger) on first run. Returns
-    * how many files and rows this run actually loaded. */
+    * a directory, recursively; `_`/`.`-prefixed entries skipped — the
+    * same convention as the store's own listing) into `table`.
+    * Creates the table (and ledger) on first run. Returns how many
+    * files and rows this run actually loaded. */
   def copyInto(spark: SparkSession, store: TableStore, table: String,
                srcPath: String, format: String = "parquet"): Result = {
     import spark.implicits._
     val root = new Path(srcPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(root), s"COPY INTO source $srcPath does not exist")
-    val files = {
-      val it = fs.listFiles(root, true)
-      val buf = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-          buf += st.getPath.toString
-      }
-      buf.result().sorted
-    }
+    val conf = spark.sessionState.newHadoopConf()
+    require(root.getFileSystem(conf).exists(root),
+      s"COPY INTO source $srcPath does not exist")
+    val files = FsListing.dataFiles(root, conf)
     val ledger = ledgerOf(table)
-    val seen =
-      if (store.exists(ledger))
-        store.read(ledger).select("file").as[String].collect().toSet
-      else Set.empty[String]
+    // pin the ledger snapshot the decision is made from — the commit
+    // below must abort if another run recorded files in between
+    val ledgerRs = store.currentVersion(ledger)
+    val seen = ledgerRs
+      .map(v => store.readVersion(ledger, v).select("file")
+        .as[String].collect().toSet)
+      .getOrElse(Set.empty[String])
     val fresh = files.filterNot(seen)
     if (fresh.isEmpty) return Result(0, 0L)
     val df = spark.read.format(format).load(fresh: _*)
     val n = df.count() // fresh files only — the price of an exact report
-    val ownTxn = !store.inTransaction
-    if (ownTxn) store.beginTransaction()
+    val ownTxn = store.beginTransactionIfNone()
     try {
       store.append(table, df)
-      store.append(ledger, fresh.toDF("file")
-        .withColumn("ingested_at", current_timestamp()))
+      val entries = fresh.toDF("file")
+        .withColumn("ingested_at", current_timestamp())
+      ledgerRs match {
+        case Some(v) => store.appendIfUnchanged(ledger, entries, v)
+        // first run: CREATE is itself the conflict check — a racing
+        // first run loses the create claim and aborts loudly
+        case None => store.create(ledger, entries)
+      }
       if (ownTxn) store.commitTransaction()
     } catch { case t: Throwable =>
       if (ownTxn && store.inTransaction) store.rollbackTransaction()

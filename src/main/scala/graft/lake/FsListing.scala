@@ -1,0 +1,26 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** One shared definition of "the data files under a directory" —
+  * recursive, `_`/`.`-prefixed entries skipped, sorted. Both the
+  * store's commit listing and COPY INTO's source listing use it, so
+  * the hidden-file convention can never diverge between them. */
+private[lake] object FsListing {
+  def dataFiles(dir: Path, conf: Configuration): Seq[String] = {
+    val f = dir.getFileSystem(conf)
+    if (!f.exists(dir)) Seq.empty
+    else {
+      val it = f.listFiles(dir, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+          buf += st.getPath.toString
+      }
+      buf.result().sorted
+    }
+  }
+}

@@ -143,6 +143,20 @@ final class TableStore(spark: SparkSession, root: String,
     activeTxn = None
   }
 
+  /** Atomically begin a transaction IF none is active; true iff THIS
+    * call opened it (the caller then owns commit/rollback). The
+    * check-and-begin is one synchronized step, so two threads racing
+    * to wrap their own work can never both believe they own the
+    * ambient transaction. */
+  def beginTransactionIfNone(): Boolean = synchronized {
+    if (activeTxn.isDefined) false
+    else {
+      activeTxn = Some(UUID.randomUUID().toString.take(8))
+      stagedCommits.clear()
+      true
+    }
+  }
+
   /** Whether a transaction is active on this instance. */
   def inTransaction: Boolean = activeTxn.isDefined
   // ---------------------------------------------------------------------
@@ -554,6 +568,17 @@ final class TableStore(spark: SparkSession, root: String,
         commit(table, df, carryAll(table), mustCreate = false, op = "APPEND")
     }
 
+  /** Append that ABORTS ([[SnapshotConflictException]]) if the table
+    * changed since `readSnapshot` — for read-check-append protocols
+    * (COPY INTO's ledger) where a concurrent commit invalidates the
+    * decision to write. Plain [[append]] stays blind (append-safe by
+    * construction); this variant is for appends whose CONTENT was
+    * derived from the table's own state. */
+  def appendIfUnchanged(table: String, df: DataFrame,
+                        readSnapshot: Long): Unit =
+    commit(table, df, carryAll(table), mustCreate = false,
+      readSnapshot = Some(readSnapshot), op = "APPEND")
+
   private def carryAll(table: String): Option[Long] => Seq[String] =
     cur => cur.map(manifest(table, _)).getOrElse(Nil)
 
@@ -940,7 +965,8 @@ final class TableStore(spark: SparkSession, root: String,
     * (date buckets are); a null bucket maps to Hive's default
     * partition name. */
   def overwritePartitions(table: String, df: DataFrame, touched: Seq[String],
-                          readSnapshot: Option[Long] = None): Unit = {
+                          readSnapshot: Option[Long] = None,
+                          op: String = "OVERWRITE-PARTITIONS"): Unit = {
     require(partitioning(table).nonEmpty,
       s"table $table is not partitioned; use overwrite")
     require(deleteDebt(table) == 0,
@@ -959,7 +985,7 @@ final class TableStore(spark: SparkSession, root: String,
       mustCreate = false,
       requireWithin = Some(touchedSet),
       readSnapshot = readSnapshot,
-      op = "OVERWRITE-PARTITIONS")
+      op = op)
   }
 
   /** Hive partition dir of a data file, relative to its commit dir:
@@ -1655,18 +1681,22 @@ final class TableStore(spark: SparkSession, root: String,
     * data-file / delete-entry counts, referenced bytes, recorded rows
     * (null where metadata can't know) and the commit publish time.
     * Driver-side metadata only; no scan. */
-  /** The `#op=` provenance header of version `v` — which operation
-    * published the commit (Delta history's operation column).
-    * "WRITE" for pre-provenance manifests. */
-  def operationOf(table: String, v: Long): String =
-    readSmallFile(manifestFile(table, v)).split("\n").collectFirst {
-      case l if l.startsWith(OpHeader) => l.stripPrefix(OpHeader).trim
-    }.getOrElse("WRITE")
-
   def history(table: String): DataFrame = {
     import spark.implicits._
     versions(table).map { v =>
-      val lines = manifest(table, v)
+      // ONE manifest read per version: lines, commit time, and the
+      // op header all parse from the same bytes (3 GETs -> 1 on an
+      // object store with deep histories)
+      val raw = readSmallFile(manifestFile(table, v)).split("\n")
+        .toSeq.map(_.trim).filter(_.nonEmpty)
+      val lines = raw.filterNot(_.startsWith("#"))
+      val ts = raw.collectFirst {
+        case l if l.startsWith(TsHeader) => l.stripPrefix(TsHeader).trim.toLong
+      }.getOrElse(fs(manifestFile(table, v))
+        .getFileStatus(manifestFile(table, v)).getModificationTime)
+      val opName = raw.collectFirst {
+        case l if l.startsWith(OpHeader) => l.stripPrefix(OpHeader).trim
+      }.getOrElse("WRITE")
       val (dels, data) = lines.partition(isDeleteLine)
       val bytes = data.map { f =>
         val p = new Path(f); fs(p).getFileStatus(p).getLen }.sum
@@ -1674,11 +1704,19 @@ final class TableStore(spark: SparkSession, root: String,
       val counts = data.map(f => stats.get((FileStats.fileKey(f), FileStats.RowsCol)))
       val rows = if (dels.nonEmpty || counts.isEmpty || counts.exists(_.isEmpty))
         None else Some(counts.flatten.map(_.min.toLong).sum)
-      (v, operationOf(table, v), data.size, dels.size, bytes, rows,
-        new java.sql.Timestamp(commitTimeMs(table, v)))
+      (v, opName, data.size, dels.size, bytes, rows,
+        new java.sql.Timestamp(ts))
     }.toDF("version", "operation", "n_files", "n_delete_entries",
       "total_bytes", "n_rows", "committed_at")
   }
+
+  /** The `#op=` provenance header of version `v` — which operation
+    * published the commit (Delta history's operation column).
+    * "WRITE" for pre-provenance manifests. */
+  def operationOf(table: String, v: Long): String =
+    readSmallFile(manifestFile(table, v)).split("\n").collectFirst {
+      case l if l.startsWith(OpHeader) => l.stripPrefix(OpHeader).trim
+    }.getOrElse("WRITE")
 
   /** DESCRIBE DETAIL equivalent: ONE row of current-state table
     * metadata — location, version, commit times, file/byte/row
@@ -1799,21 +1837,8 @@ final class TableStore(spark: SparkSession, root: String,
   }
 
   /** Fully-qualified data file URIs under `dir` (recursively). */
-  private def listDataFiles(dir: Path): Seq[String] = {
-    val f = fs(dir)
-    if (!f.exists(dir)) Seq.empty
-    else {
-      val it = f.listFiles(dir, true)
-      val buf = Seq.newBuilder[String]
-      while (it.hasNext) {
-        val st = it.next()
-        val name = st.getPath.getName
-        if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-          buf += st.getPath.toString
-      }
-      buf.result().sorted
-    }
-  }
+  private def listDataFiles(dir: Path): Seq[String] =
+    FsListing.dataFiles(dir, hadoopConf)
 
   private def readSmallFile(p: Path): String = {
     val in = fs(p).open(p)

@@ -54,6 +54,34 @@ class FileIngestSpec extends SparkSpec {
     assert(store.read("t").count() == 3)
   }
 
+  test("overlapping COPY INTO runs never double-load: the loser conflicts and unwinds") {
+    val src = tmpDir("ci-src4")
+    val root = tmpDir("ci-store4")
+    writeSrc(src, "a", Seq((1, "a")))
+    val plain = new TableStore(spark, root)
+    FileIngest.copyInto(spark, plain, "t", src) // seed the ledger
+    writeSrc(src, "b", Seq((2, "b"), (3, "c")))
+    // run A (injected store) reads the ledger, then — in the window
+    // before its first claim — run B loads the same fresh files and
+    // commits; A's snapshot-checked ledger append must conflict and
+    // unwind A's staged data append with it
+    val inj = new RaceInjector(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
+    val storeA = new TableStore(spark, root, Some(inj))
+    inj.hook = () => { FileIngest.copyInto(spark, plain, "t", src); () }
+    inj.armed = true
+    intercept[SnapshotConflictException] {
+      FileIngest.copyInto(spark, storeA, "t", src)
+    }
+    assert(!storeA.inTransaction)
+    // exactly ONE copy of the new rows (B's), never two
+    assert(plain.read("t").select("id").as[Int].collect().sorted
+      .toSeq == Seq(1, 2, 3))
+    // A's retry sees B's ledger and no-ops
+    assert(FileIngest.copyInto(spark, storeA, "t", src) ==
+      FileIngest.Result(0, 0L))
+  }
+
   test("SQL COPY INTO surface returns metrics and stays idempotent") {
     val src = tmpDir("ci-src3")
     val store = new TableStore(spark, tmpDir("ci-store3"))
