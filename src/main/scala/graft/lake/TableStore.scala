@@ -1363,6 +1363,8 @@ final class TableStore(spark: SparkSession, root: String,
       throw new SnapshotConflictException(
         s"$table: read snapshot $readSnapshot is ahead of current $c " +
           "(RESTOREd or recreated concurrently)")
+    // the common, uncontended case: nothing moved — zero extra reads
+    if (c == readSnapshot) return
     def stateOf(v: Long): (Set[String], Option[String]) =
       try (manifest(table, v).toSet, rawColmap(table, v))
       catch { case _: IllegalStateException =>
