@@ -43,13 +43,15 @@ trait CommitPrimitive {
 
   /** Move a STAGED manifest to its final path, making the final path
     * visible all-or-nothing — the transaction commit's per-table
-    * pointer swing. Default: read the staged content, `publish` it at
-    * the final path (the backend's own atomic publication), then
-    * discard the staged copy — correct on any backend, including
-    * S3-class stores where no rename exists. Backends with a native
-    * atomic rename override it with one. */
-  def promote(staged: Path, dst: Path): Unit = {
-    val f = staged.getFileSystem(new Configuration())
+    * pointer swing. Default: read the staged content via the CALLER'S
+    * Hadoop conf (a bare `new Configuration()` would drop the store's
+    * filesystem settings/credentials), `publish` it at the final path
+    * (the backend's own atomic publication), then discard the staged
+    * copy — correct on any backend, including S3-class stores where
+    * no rename exists. Backends with a native atomic rename override
+    * it with one. */
+  def promote(staged: Path, dst: Path, conf: Configuration): Unit = {
+    val f = staged.getFileSystem(conf)
     val in = f.open(staged)
     val content =
       try {
@@ -60,13 +62,13 @@ trait CommitPrimitive {
         new String(out.toByteArray, StandardCharsets.UTF_8)
       } finally in.close()
     publish(dst, content)
-    discard(staged)
+    discard(staged, conf)
   }
 
   /** Delete a staged manifest that will never be promoted (rollback /
     * stale-transaction recovery). */
-  def discard(staged: Path): Unit =
-    staged.getFileSystem(new Configuration()).delete(staged, false)
+  def discard(staged: Path, conf: Configuration): Unit =
+    staged.getFileSystem(conf).delete(staged, false)
 }
 
 object CommitPrimitive {
@@ -123,10 +125,10 @@ final class HadoopCommitPrimitive(hadoopConf: Configuration) extends CommitPrimi
 
   /** Native atomic rename-overwrite — one metadata operation instead
     * of the generic read+publish+discard. */
-  override def promote(staged: Path, dst: Path): Unit =
+  override def promote(staged: Path, dst: Path, conf: Configuration): Unit =
     FileContext.getFileContext(dst.toUri, hadoopConf)
       .rename(staged, dst, Options.Rename.OVERWRITE)
 
-  override def discard(staged: Path): Unit =
+  override def discard(staged: Path, conf: Configuration): Unit =
     fs(staged).delete(staged, false)
 }

@@ -2,82 +2,137 @@ package graft.lake
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** COPY INTO — idempotent, exactly-once FILE ingest (the Databricks
   * COPY INTO / Auto Loader batch shape, Iceberg's add_files cousin):
   * load a directory's files into a table such that re-running the
   * same command loads each file AT MOST ONCE, including under
-  * concurrent runs.
+  * concurrent runs AND under a crash at any point.
   *
-  * Mechanism: a per-table ledger table (`<table>_ingest_ledger`)
-  * records every ingested file path; a run loads only files absent
-  * from the ledger, and the DATA append and the LEDGER append publish
-  * in ONE cross-table transaction. The ledger commit is
-  * SNAPSHOT-CHECKED against the version the run read
-  * ([[TableStore.appendIfUnchanged]]; table CREATE for a first run),
-  * so two overlapping runs cannot both record the same files — the
-  * loser aborts with [[SnapshotConflictException]], its whole
-  * transaction (data included) unwinds, and a retry recomputes
-  * against the new ledger and no-ops. Re-running after success is a
-  * no-op. The residual window is a CRASH between the transaction's
-  * two pointer swings (data published, ledger not — every
-  * transaction commit documents this window): the retry would reload
-  * that batch; failures, the common case, unwind fully.
+  * Mechanism: the ledger of already-ingested file paths lives as
+  * `#ingest=` header lines in the DATA TABLE'S OWN manifest (the
+  * Delta SetTransaction pattern [[TableStore.overwriteTxn]] already
+  * uses for streaming cursors), so the batch's rows and the ledger
+  * entries that mark its files as done publish in ONE atomic pointer
+  * swing ([[TableStore.appendIngest]]). There is no reachable state
+  * in which the data is visible but the ledger is not — a crashed
+  * run either published nothing (retry loads the batch once) or
+  * everything (retry no-ops). The commit is snapshot-checked against
+  * the version the ledger was read from, so two overlapping runs
+  * cannot both load the same files: the loser aborts internally with
+  * [[SnapshotConflictException]] and retries against the new ledger,
+  * where the files are no longer fresh. Every other commit kind
+  * carries the ledger lines forward, so later appends or overwrites
+  * never forget what was ingested.
   *
-  * Scale: listing is O(files) driver-side metadata (every COPY INTO
-  * implementation pays it); the load itself reads ONLY the fresh
-  * files — a daily drop into a 100 TB table costs the day's files,
-  * never a rescan. The ledger is O(total files ingested) — tiny
-  * strings — and reads once per run. */
+  * Scale: the load reads ONLY fresh files — a daily drop into a
+  * 100 TB table costs the day's files, never a rescan. Listing is
+  * O(files under the source) driver-side metadata, but the ledger
+  * consulted per run is bounded, not O(all history): each run
+  * advances a per-source-root mtime WATERMARK (`#ingestwm=` header),
+  * files older than `watermark - slackMs` are assumed ingested
+  * without a ledger lookup, and ledger entries older than that bound
+  * are pruned from the carried header — the manifest carries only
+  * the recent-mtime window. The standard caveat of every
+  * mtime-watermark loader applies: a file PLACED after runs advanced
+  * the watermark but CARRYING an mtime older than the bound (a copy
+  * preserving timestamps) is skipped; `slackMs` (default 1 h) is the
+  * tolerance knob, and `slackMs = Long.MaxValue` disables the
+  * watermark entirely for exact-but-O(history) behavior. */
 object FileIngest {
 
   final case class Result(filesLoaded: Int, rowsLoaded: Long)
 
-  /** Ledger table name for `table`. */
-  def ledgerOf(table: String): String = s"${table}_ingest_ledger"
+  /** Out-of-order-mtime tolerance; see the class note. */
+  val DefaultSlackMs: Long = 60L * 60 * 1000
+
+  private def slackFromEnv: Long =
+    sys.env.get("SPARK_GRAFT_INGEST_SLACK_MS").map(_.toLong)
+      .getOrElse(DefaultSlackMs)
+
+  /** The ledger as a derived view — (file, mtime) per ingested source
+    * file still inside the watermark window. Driver-side tiny (the
+    * pruned header), for observability and specs. */
+  def ledger(spark: SparkSession, store: TableStore,
+             table: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val st = store.currentVersion(table)
+      .map(store.ingestState(table, _)).getOrElse(TableStore.IngestState.empty)
+    st.files.toSeq.sortBy(_._1).map { case (f, t) => (f, t) }
+      .toDF("file", "mtime")
+  }
 
   /** Load every not-yet-ingested data file under `srcPath` (a file or
     * a directory, recursively; `_`/`.`-prefixed entries skipped — the
     * same convention as the store's own listing) into `table`.
-    * Creates the table (and ledger) on first run. Returns how many
-    * files and rows this run actually loaded. */
+    * Creates the table on first run. Schema drift in a batch is
+    * welcomed, not fatal: fresh files load with `mergeSchema` and the
+    * table evolves union-by-name exactly like [[TableStore.append]]
+    * (the reference's `mergeSchema: true` ingestion,
+    * icberg/iceberg_tables.py:23). Returns how many files and rows
+    * this run actually loaded. */
   def copyInto(spark: SparkSession, store: TableStore, table: String,
-               srcPath: String, format: String = "parquet"): Result = {
-    import spark.implicits._
-    val root = new Path(srcPath)
+               srcPath: String, format: String = "parquet",
+               slackMs: Long = slackFromEnv): Result = {
     val conf = spark.sessionState.newHadoopConf()
-    require(root.getFileSystem(conf).exists(root),
-      s"COPY INTO source $srcPath does not exist")
-    val files = FsListing.dataFiles(root, conf)
-    val ledger = ledgerOf(table)
-    // pin the ledger snapshot the decision is made from — the commit
-    // below must abort if another run recorded files in between
-    val ledgerRs = store.currentVersion(ledger)
-    val seen = ledgerRs
-      .map(v => store.readVersion(ledger, v).select("file")
-        .as[String].collect().toSet)
-      .getOrElse(Set.empty[String])
-    val fresh = files.filterNot(seen)
-    if (fresh.isEmpty) return Result(0, 0L)
-    val df = spark.read.format(format).load(fresh: _*)
-    val n = df.count() // fresh files only — the price of an exact report
-    val ownTxn = store.beginTransactionIfNone()
-    try {
-      store.append(table, df)
-      val entries = fresh.toDF("file")
-        .withColumn("ingested_at", current_timestamp())
-      ledgerRs match {
-        case Some(v) => store.appendIfUnchanged(ledger, entries, v)
-        // first run: CREATE is itself the conflict check — a racing
-        // first run loses the create claim and aborts loudly
-        case None => store.create(ledger, entries)
+    val raw = new Path(srcPath)
+    val rootFs = raw.getFileSystem(conf)
+    require(rootFs.exists(raw), s"COPY INTO source $srcPath does not exist")
+    val root = rootFs.makeQualified(raw).toString
+    def bound(wm: Long): Long =
+      if (wm == Long.MinValue || slackMs == Long.MaxValue) Long.MinValue
+      else wm - slackMs
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      // list + read the ledger fresh each attempt: a lost race means
+      // someone else moved the table, and the decision must be remade
+      val listed = FsListing.dataFilesWithTimes(new Path(root), conf)
+      val dataV = store.currentVersion(table)
+      val st = dataV.map(store.ingestState(table, _))
+        .getOrElse(TableStore.IngestState.empty)
+      val wm = st.watermarks.getOrElse(root, Long.MinValue)
+      val b = bound(wm)
+      val fresh = listed.filter { case (p, t) =>
+        t >= b && !st.files.contains(p)
       }
-      if (ownTxn) store.commitTransaction()
-    } catch { case t: Throwable =>
-      if (ownTxn && store.inTransaction) store.rollbackTransaction()
-      throw t
+      if (fresh.isEmpty) return Result(0, 0L)
+      val df = spark.read.option("mergeSchema", "true").format(format)
+        .load(fresh.map(_._1): _*)
+      val n = df.count() // fresh files only — the price of an exact report
+      val newWm = math.max(wm, listed.map(_._2).max)
+      val newWms = st.watermarks + (root -> newWm)
+      // prune entries every later run would skip by the mtime rule
+      // anyway — this is what keeps the header O(window), not O(history)
+      def pruned(path: String, mtime: Long): Boolean =
+        newWms.exists { case (r, w) =>
+          (path == r || path.startsWith(r + "/")) && mtime < bound(w)
+        }
+      val entries = (st.files ++ fresh).filterNot((pruned _).tupled)
+      val lines = entries.toSeq.sortBy(_._1)
+        .map { case (p, t) => TableStore.ingestLine(t, p) } ++
+        newWms.toSeq.sortBy(_._1)
+          .map { case (r, t) => TableStore.ingestWmLine(t, r) }
+      try {
+        dataV match {
+          case Some(v) => store.appendIngest(table, df, lines, v)
+          case None =>
+            try store.createIngest(table, df, lines)
+            catch {
+              // racing first runs: the create loser retries as append
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("already exists") =>
+                throw new SnapshotConflictException(e.getMessage)
+            }
+        }
+        return Result(fresh.size, n)
+      } catch {
+        case e: SnapshotConflictException =>
+          // a concurrent commit (often another COPY INTO) won; the
+          // retry recomputes freshness and usually no-ops
+          if (attempts >= 20) throw e
+      }
     }
-    Result(fresh.size, n)
+    Result(0, 0L) // unreachable
   }
 }

@@ -8,19 +8,24 @@ import org.apache.hadoop.fs.Path
   * store's commit listing and COPY INTO's source listing use it, so
   * the hidden-file convention can never diverge between them. */
 private[lake] object FsListing {
-  def dataFiles(dir: Path, conf: Configuration): Seq[String] = {
+  def dataFiles(dir: Path, conf: Configuration): Seq[String] =
+    dataFilesWithTimes(dir, conf).map(_._1)
+
+  /** (path, modification time ms) — the mtimes drive COPY INTO's
+    * listing watermark. */
+  def dataFilesWithTimes(dir: Path, conf: Configuration): Seq[(String, Long)] = {
     val f = dir.getFileSystem(conf)
     if (!f.exists(dir)) Seq.empty
     else {
       val it = f.listFiles(dir, true)
-      val buf = Seq.newBuilder[String]
+      val buf = Seq.newBuilder[(String, Long)]
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
         if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-          buf += st.getPath.toString
+          buf += ((st.getPath.toString, st.getModificationTime))
       }
-      buf.result().sorted
+      buf.result().sortBy(_._1)
     }
   }
 }

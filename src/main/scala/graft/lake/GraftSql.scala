@@ -197,7 +197,7 @@ object GraftSql {
   def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame =
     sql match {
       case CopyIntoStmt(table, path, fmt) =>
-        // exactly-once file ingest (ledger + one cross-table txn)
+        // exactly-once file ingest (ledger inside the data commit)
         val r = FileIngest.copyInto(spark, store, table, path,
           Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
         import spark.implicits._

@@ -95,13 +95,17 @@ final class TableStore(spark: SparkSession, root: String,
 
   /** Where to READ version `v`'s manifest from: the transaction's
     * staged copy if this instance staged one, else the published
-    * path. */
-  private def manifestFile(table: String, v: Long): Path =
+    * path. Takes the monitor so the (activeTxn, stagedCommits) pair
+    * is read atomically — a reader racing a staging append on the
+    * same instance must see either both or neither, never torn
+    * state. */
+  private def manifestFile(table: String, v: Long): Path = synchronized {
     activeTxn match {
       case Some(txn) if stagedCommits.contains((table, v)) =>
         stagedManifestPath(txn, table, v)
       case _ => manifestPath(table, v)
     }
+  }
 
   /** Begin a cross-table transaction on this store instance: commits
     * stage invisibly until [[commitTransaction]]; see the staging
@@ -112,18 +116,60 @@ final class TableStore(spark: SparkSession, root: String,
     stagedCommits.clear()
   }
 
+  private def txnDir: Path = {
+    val raw = new Path(root, "_txn")
+    fs(raw).makeQualified(raw)
+  }
+  private def intentPath(txn: String): Path = new Path(txnDir, s"commit-$txn")
+
+  /** Commit intents journaled but not yet erased: txn id → the
+    * (table, version) pairs its COMMIT promised to publish. A pending
+    * intent means the decision to commit was DURABLE — recovery rolls
+    * those transactions forward, never back. */
+  private def pendingIntents(): Map[String, Seq[(String, Long)]] = {
+    val d = txnDir
+    val f = fs(d)
+    if (!f.exists(d)) Map.empty
+    else f.listStatus(d).toSeq
+      .filter(_.getPath.getName.startsWith("commit-"))
+      .map { st =>
+        val txn = st.getPath.getName.stripPrefix("commit-")
+        val pairs = readSmallFile(st.getPath).split("\n").toSeq
+          .filter(_.nonEmpty).map { l =>
+            val i = l.lastIndexOf('\t')
+            (l.substring(0, i), l.substring(i + 1).toLong)
+          }
+        txn -> pairs
+      }.toMap
+  }
+
   /** Publish every staged commit, in commit order, by renaming each
-    * staged manifest to its final name — pointers swing last, so no
-    * reader ever sees a half-applied transaction (modulo a crash
-    * mid-swing, the documented residual window). */
+    * staged manifest to its final name. The COMMIT decision is made
+    * durable FIRST — an intent record under `_txn/` listing every
+    * pair to swing — then the pointers swing, then the intent is
+    * erased. A crash anywhere mid-swing therefore leaves a
+    * deterministic recovery: intent present → [[recoverTransactions]]
+    * promotes the remaining staged manifests (roll forward, the
+    * transaction happened); intent absent → it discards them (roll
+    * back, it never happened). No half-applied final state
+    * survives recovery. */
   def commitTransaction(): Unit = synchronized {
     val txn = activeTxn.getOrElse(
       throw new IllegalStateException("no active transaction"))
-    stagedCommits.foreach { case (table, v) =>
-      // the primitive owns atomic publication (rename on FS backends,
-      // read+atomic-PUT on S3-class stores) — never raw FileSystem ops
-      claims.promote(stagedManifestPath(txn, table, v),
-        manifestPath(table, v))
+    if (stagedCommits.nonEmpty) {
+      val d = txnDir
+      if (!fs(d).exists(d)) fs(d).mkdirs(d)
+      // the journal write is the commit point: atomic publish via the
+      // same primitive as manifests
+      claims.publish(intentPath(txn),
+        stagedCommits.map { case (t, v) => s"$t\t$v" }.mkString("\n"))
+      stagedCommits.foreach { case (table, v) =>
+        // the primitive owns atomic publication (rename on FS backends,
+        // read+atomic-PUT on S3-class stores) — never raw FileSystem ops
+        claims.promote(stagedManifestPath(txn, table, v),
+          manifestPath(table, v), hadoopConf)
+      }
+      fs(intentPath(txn)).delete(intentPath(txn), false)
     }
     stagedCommits.clear()
     activeTxn = None
@@ -136,11 +182,87 @@ final class TableStore(spark: SparkSession, root: String,
     val txn = activeTxn.getOrElse(
       throw new IllegalStateException("no active transaction"))
     stagedCommits.reverseIterator.foreach { case (table, v) =>
-      claims.discard(stagedManifestPath(txn, table, v))
+      claims.discard(stagedManifestPath(txn, table, v), hadoopConf)
       claims.deleteClaim(tablePath(table), v)
     }
     stagedCommits.clear()
     activeTxn = None
+  }
+
+  /** Recovery for transactions whose writer died: scan every table
+    * for `staged-<txn>-manifest-<v>` leftovers older than `ttlMs`
+    * (the same takeover-safety margin as [[recoverStaleClaims]] — a
+    * younger one may belong to a live writer) and resolve each dead
+    * transaction DETERMINISTICALLY from its journal: a pending
+    * `_txn/commit-<txn>` intent means COMMIT was decided — promote
+    * every remaining staged manifest (roll forward; already-promoted
+    * pairs are skipped), then erase the intent; no intent means it
+    * never committed — discard the staged manifests and release
+    * their claims (roll back). Either way, afterwards ALL of the
+    * transaction's tables advanced or NONE did. Returns
+    * (rolled-forward txn ids, rolled-back txn ids). */
+  def recoverTransactions(ttlMs: Long): (Seq[String], Seq[String]) = {
+    val now = System.currentTimeMillis()
+    val StagedRe = "staged-([^-]+)-manifest-([0-9]+)".r
+    // (txn, table, v, mtime) of every staged manifest in the store
+    val staged = tablesWithDirs().flatMap { case (table, dir) =>
+      val f = fs(dir)
+      f.listStatus(dir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case StagedRe(txn, v) =>
+            Some((txn, table, v.toLong, st.getModificationTime))
+          case _ => None
+        }
+      }
+    }
+    val intents = pendingIntents()
+    val intentAge: Map[String, Long] = intents.keys.map { txn =>
+      txn -> (now - fs(intentPath(txn)).getFileStatus(intentPath(txn))
+        .getModificationTime)
+    }.toMap
+    val forward = scala.collection.mutable.ListBuffer.empty[String]
+    val back = scala.collection.mutable.ListBuffer.empty[String]
+    // roll FORWARD every dead transaction with a durable intent —
+    // including one whose staged files were all promoted already
+    // (crash between the last swing and the intent erase)
+    intents.foreach { case (txn, pairs) =>
+      val stagedOf = staged.filter(_._1 == txn)
+      val age = (stagedOf.map(s => now - s._4) :+ intentAge(txn)).min
+      if (age >= ttlMs) {
+        pairs.foreach { case (table, v) =>
+          val sp = stagedManifestPath(txn, table, v)
+          if (!fs(manifestPath(table, v)).exists(manifestPath(table, v)) &&
+              fs(sp).exists(sp))
+            claims.promote(sp, manifestPath(table, v), hadoopConf)
+        }
+        fs(intentPath(txn)).delete(intentPath(txn), false)
+        forward += txn
+      }
+    }
+    // roll BACK dead transactions that never journaled a commit
+    staged.groupBy(_._1).foreach { case (txn, ss) =>
+      if (!intents.contains(txn) && ss.forall(s => now - s._4 >= ttlMs)) {
+        ss.foreach { case (_, table, v, _) =>
+          claims.discard(stagedManifestPath(txn, table, v), hadoopConf)
+          if (!fs(manifestPath(table, v)).exists(manifestPath(table, v)))
+            claims.deleteClaim(tablePath(table), v)
+        }
+        back += txn
+      }
+    }
+    (forward.toSeq.sorted, back.toSeq.sorted)
+  }
+
+  /** Directories under the root that are store tables OR contain
+    * staged transaction leftovers — recovery must see a table whose
+    * only content is a staged first commit. */
+  private def tablesWithDirs(): Seq[(String, Path)] = {
+    val r = fs(new Path(root)).makeQualified(new Path(root))
+    val f = fs(r)
+    if (!f.exists(r)) Seq.empty
+    else f.listStatus(r).toSeq.filter(_.isDirectory)
+      .map(st => (st.getPath.getName, st.getPath))
+      .filterNot(_._1 == "_txn")
   }
 
   /** Atomically begin a transaction IF none is active; true iff THIS
@@ -654,7 +776,8 @@ final class TableStore(spark: SparkSession, root: String,
           }.getOrElse("")
           writeSmallFile(statsPath(table, v), prevStats)
           publishManifest(table, v, carriedLines ++ dvFiles.map(DvPrefix + _),
-            cur.flatMap(rawColmap(table, _)), op = "DELETE (dv)")
+            cur.flatMap(rawColmap(table, _)),
+            ingest = carriedIngest(table, cur), op = "DELETE (dv)")
         }
         return n
       } catch { case e: SnapshotConflictException =>
@@ -838,7 +961,8 @@ final class TableStore(spark: SparkSession, root: String,
           createParts.mkString(","))
       val (lines, statsContent, colmap) = mkContent(cur)
       writeSmallFile(statsPath(table, v), statsContent)
-      publishManifest(table, v, lines, colmap, op = op)
+      publishManifest(table, v, lines, colmap,
+        ingest = carriedIngest(table, cur), op = op)
     }
   }
 
@@ -1046,7 +1170,7 @@ final class TableStore(spark: SparkSession, root: String,
       writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
         newParts.mkString(","))
       publishManifest(table, v, manifest(table, c), rawColmap(table, c),
-        op = "SET PARTITIONING")
+        ingest = rawIngest(table, c), op = "SET PARTITIONING")
     }
   }
 
@@ -1096,23 +1220,35 @@ final class TableStore(spark: SparkSession, root: String,
   private val OpHeader = "#op="
   private val ColmapHeader = "#colmap="
   private val TxnHeader = "#txn="
+  private[lake] val IngestHeader = "#ingest="
+  private[lake] val IngestWmHeader = "#ingestwm="
 
   /** Single publication point for manifests: stamps the commit time,
-    * column-mapping, and transaction headers, then makes the version
-    * visible all-or-nothing. */
+    * column-mapping, transaction, and ingest-ledger headers, then
+    * makes the version visible all-or-nothing. `ingest` lines are
+    * COPY INTO's per-source-file ledger (`#ingest=`/`#ingestwm=`,
+    * pre-formatted) — published in the SAME atomic swing as the data
+    * they describe, which is what makes file ingest exactly-once with
+    * no cross-commit crash window. */
   private def publishManifest(table: String, v: Long, lines: Seq[String],
                               colmap: Option[String],
                               txn: Option[(String, Long)] = None,
+                              ingest: Seq[String] = Nil,
                               op: String = "WRITE"): Unit = {
     txn.foreach { case (app, _) =>
       require(!app.contains(":") && !app.contains("\n"),
         s"bad txn app id '$app'")
     }
     require(!op.contains("\n"), s"bad op name '$op'")
+    ingest.foreach { l =>
+      require((l.startsWith(IngestHeader) || l.startsWith(IngestWmHeader)) &&
+        !l.contains("\n"), s"bad ingest ledger line '$l'")
+    }
     val headers = Seq(s"$TsHeader${System.currentTimeMillis()}",
       s"$OpHeader$op") ++
       colmap.map(ColmapHeader + _).toSeq ++
-      txn.map { case (app, ver) => s"$TxnHeader$app:$ver" }.toSeq
+      txn.map { case (app, ver) => s"$TxnHeader$app:$ver" }.toSeq ++
+      ingest
     val body = (headers ++ lines).mkString("\n")
     activeTxn match {
       case Some(t) =>
@@ -1123,6 +1259,63 @@ final class TableStore(spark: SparkSession, root: String,
       case None =>
         claims.publish(manifestPath(table, v), body)
     }
+  }
+
+  /** Raw ingest-ledger header lines (`#ingest=`/`#ingestwm=`) of
+    * version `v` — carried forward by every commit kind (like the
+    * column mapping), so a plain append or overwrite never forgets
+    * which source files COPY INTO already loaded. */
+  private[lake] def rawIngest(table: String, v: Long): Seq[String] = {
+    val m = manifestFile(table, v)
+    if (!fs(m).exists(m)) Nil
+    else readSmallFile(m).split("\n").toSeq.filter(l =>
+      l.startsWith(IngestHeader) || l.startsWith(IngestWmHeader))
+  }
+
+  /** Shorthand: the ingest lines a non-ingest commit carries from the
+    * version it supersedes. */
+  private def carriedIngest(table: String, cur: Option[Long]): Seq[String] =
+    cur.toSeq.flatMap(rawIngest(table, _))
+
+  /** COPY INTO's ledger at version `v`, parsed:
+    * (source file → its listing mtime, source root → listing
+    * watermark). O(manifest header) — one small-file read, no table
+    * scan; the watermark pruning in [[FileIngest]] keeps the header
+    * bounded to the recent-mtime window instead of all history. */
+  def ingestState(table: String, v: Long): TableStore.IngestState = {
+    val (files, wms) = rawIngest(table, v).partition(_.startsWith(IngestHeader))
+    def split(l: String, h: String): (String, Long) = {
+      val body = l.stripPrefix(h)
+      val i = body.indexOf('\t')
+      require(i > 0, s"malformed ingest header '$l'")
+      (body.substring(i + 1), body.substring(0, i).toLong)
+    }
+    TableStore.IngestState(
+      files.map(l => split(l, IngestHeader)).toMap,
+      wms.map(l => split(l, IngestWmHeader)).toMap)
+  }
+
+  /** Append that publishes data AND the updated COPY INTO ledger
+    * (`ingestLines`, pre-formatted via [[TableStore.ingestLine]] /
+    * [[TableStore.ingestWmLine]]) in ONE atomic commit, aborting
+    * ([[SnapshotConflictException]]) if the table moved past
+    * `readSnapshot` — the single-commit exactly-once ingest
+    * primitive: there is no state in which the data is visible but
+    * the ledger is not, so a crashed run's retry can never reload a
+    * published batch. */
+  def appendIngest(table: String, df: DataFrame, ingestLines: Seq[String],
+                   readSnapshot: Long): Unit =
+    commit(table, df, carryAll(table), mustCreate = false,
+      readSnapshot = Some(readSnapshot), ingest = Some(ingestLines),
+      op = "COPY INTO")
+
+  /** First-run half of [[appendIngest]]: CREATE is itself the
+    * conflict check — a racing first run loses the create claim. */
+  def createIngest(table: String, df: DataFrame,
+                   ingestLines: Seq[String]): Unit = {
+    require(!exists(table), s"table $table already exists")
+    commit(table, df, carried = _ => Nil, mustCreate = true,
+      ingest = Some(ingestLines), op = "COPY INTO")
   }
 
   /** Raw `#colmap=` header of version `v`, if any. */
@@ -1244,6 +1437,7 @@ final class TableStore(spark: SparkSession, root: String,
                      txn: Option[(String, Long)] = None,
                      preserveLayout: Boolean = false,
                      readSnapshot: Option[Long] = None,
+                     ingest: Option[Seq[String]] = None,
                      op: String = "WRITE"): Unit = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
@@ -1337,7 +1531,8 @@ final class TableStore(spark: SparkSession, root: String,
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
       publishManifest(table, v, carriedLines ++ newFiles,
-        cur.flatMap(rawColmap(table, _)), txn, op)
+        cur.flatMap(rawColmap(table, _)), txn,
+        ingest = ingest.getOrElse(carriedIngest(table, cur)), op = op)
     } catch { case e: SnapshotConflictException =>
       // conflicts are an expected, caller-handled outcome (retry or
       // surface) — don't leave the orphan data dir for vacuumOrphans
@@ -1410,7 +1605,12 @@ final class TableStore(spark: SparkSession, root: String,
     var attempts = 0
     while (!committed) {
       attempts += 1
-      require(attempts <= 100, s"gave up claiming a version for $table")
+      require(attempts <= 100,
+        s"gave up claiming a version for $table after $attempts attempts " +
+          "— a crashed writer's stale claim (recoverStaleClaims), a dead " +
+          "transaction's staged commit (recoverTransactions), or another " +
+          "instance's OPEN transaction holds the version; cross-instance " +
+          "writes must wait for that transaction to finish")
       val cur = currentVersion(table)
       if (mustCreate && cur.isDefined) {
         onExists()
@@ -1445,10 +1645,16 @@ final class TableStore(spark: SparkSession, root: String,
     val dir = tablePath(table)
     val now = System.currentTimeMillis()
     val f = fs(dir)
+    // versions a journaled-but-unfinished COMMIT still owes this
+    // table: their claims and staged manifests belong to
+    // recoverTransactions' roll-forward, not to takeover
+    val owedByIntent: Set[Long] = pendingIntents().values.flatten
+      .collect { case (t, v) if t == table => v }.toSet
     val recovered = claims.listClaims(dir)
       .flatMap { case (v, claimedAt) =>
         val published = f.exists(manifestPath(table, v))
-        if (!published && now - claimedAt >= ttlMs) {
+        if (!published && now - claimedAt >= ttlMs &&
+            !owedByIntent.contains(v)) {
           claims.deleteClaim(dir, v)
           Some(v)
         } else None
@@ -1470,9 +1676,10 @@ final class TableStore(spark: SparkSession, root: String,
         .filter { p =>
           val v = p.getName.substring(
             p.getName.lastIndexOf("-manifest-") + "-manifest-".length).toLong
-          !held.contains(v) || f.exists(manifestPath(table, v))
+          (!held.contains(v) || f.exists(manifestPath(table, v))) &&
+            !owedByIntent.contains(v)
         }
-        .foreach(claims.discard)
+        .foreach(claims.discard(_, hadoopConf))
     }
     recovered
   }
@@ -1856,6 +2063,32 @@ final class TableStore(spark: SparkSession, root: String,
   private def writeSmallFile(p: Path, content: String): Unit = {
     val out = fs(p).create(p, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}
+
+object TableStore {
+  /** Parsed COPY INTO ledger of one version: every ingested source
+    * file (path → its listing mtime) plus the per-source-root listing
+    * watermark [[FileIngest]] prunes and skips against. */
+  final case class IngestState(files: Map[String, Long],
+                               watermarks: Map[String, Long]) {
+    def isEmpty: Boolean = files.isEmpty && watermarks.isEmpty
+  }
+  object IngestState { val empty: IngestState = IngestState(Map.empty, Map.empty) }
+
+  /** Format one ingested-file ledger line. Tab-separated — paths may
+    * contain anything but tabs/newlines (enforced here, loudly). */
+  def ingestLine(mtime: Long, path: String): String = {
+    require(!path.contains("\t") && !path.contains("\n"),
+      s"unsupported control character in ingest path '$path'")
+    s"#ingest=$mtime\t$path"
+  }
+
+  /** Format one source-root watermark line. */
+  def ingestWmLine(mtime: Long, root: String): String = {
+    require(!root.contains("\t") && !root.contains("\n"),
+      s"unsupported control character in ingest root '$root'")
+    s"#ingestwm=$mtime\t$root"
   }
 }
 

@@ -68,8 +68,12 @@ final class Crashable(inner: CommitPrimitive) extends CommitPrimitive {
     if (dead) { dead = false; return } // the crashed writer's release never ran
     inner.deleteClaim(d, v)
   }
-  override def promote(s: Path, d: Path): Unit = inner.promote(s, d)
-  override def discard(s: Path): Unit = inner.discard(s)
+  override def promote(s: Path, d: Path,
+                       c: org.apache.hadoop.conf.Configuration): Unit =
+    inner.promote(s, d, c)
+  override def discard(s: Path,
+                       c: org.apache.hadoop.conf.Configuration): Unit =
+    inner.discard(s, c)
 }
 
 /** The commit protocol's concurrency guarantees, proven against BOTH

@@ -29,8 +29,12 @@ final class RaceInjector(inner: CommitPrimitive)
   override def deleteClaim(d: org.apache.hadoop.fs.Path, v: Long): Unit =
     inner.deleteClaim(d, v)
   override def promote(s: org.apache.hadoop.fs.Path,
-                       d: org.apache.hadoop.fs.Path): Unit = inner.promote(s, d)
-  override def discard(s: org.apache.hadoop.fs.Path): Unit = inner.discard(s)
+                       d: org.apache.hadoop.fs.Path,
+                       c: org.apache.hadoop.conf.Configuration): Unit =
+    inner.promote(s, d, c)
+  override def discard(s: org.apache.hadoop.fs.Path,
+                       c: org.apache.hadoop.conf.Configuration): Unit =
+    inner.discard(s, c)
 }
 
 class ConflictSpec extends SparkSpec {

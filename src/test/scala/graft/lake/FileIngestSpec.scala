@@ -1,16 +1,39 @@
 package graft.lake
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
 
-/** COPY INTO: exactly-once file ingest through the ledger + one
-  * cross-table transaction. */
+/** COPY INTO: single-commit exactly-once file ingest — the ledger
+  * rides the data table's own manifest (`#ingest=` headers), so no
+  * crash point can separate "data published" from "ledger recorded".
+  */
 class FileIngestSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Wrapper that dies immediately AFTER a successful manifest
+    * publish — the old two-commit design's worst case ("data
+    * published, ledger not"); with the single-commit design the
+    * ledger is inside the published manifest, so the retry must
+    * no-op. */
+  private final class CrashAfterPublish(inner: CommitPrimitive)
+      extends CommitPrimitive {
+    @volatile var armed = false
+    override def tryClaim(d: Path, v: Long): Boolean = inner.tryClaim(d, v)
+    override def publish(m: Path, c: String): Unit = {
+      inner.publish(m, c)
+      if (armed) { armed = false
+        throw new RuntimeException("simulated crash after publish") }
+    }
+    override def listClaims(d: Path): Seq[(Long, Long)] = inner.listClaims(d)
+    override def deleteClaim(d: Path, v: Long): Unit = inner.deleteClaim(d, v)
+  }
 
   private def writeSrc(dir: String, name: String, rows: Seq[(Int, String)]): Unit =
     rows.toDF("id", "v").coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$name")
+
+  private def ids(store: TableStore, t: String = "t"): Seq[Int] =
+    store.read(t).select("id").as[Int].collect().sorted.toSeq
 
   test("loads a directory once; re-run is a no-op; new files load incrementally") {
     val src = tmpDir("ci-src")
@@ -27,14 +50,27 @@ class FileIngestSpec extends SparkSpec {
     writeSrc(src, "b", Seq((3, "c")))
     val r3 = FileIngest.copyInto(spark, store, "t", src)
     assert(r3.rowsLoaded == 1)
-    assert(store.read("t").select("id").as[Int].collect().sorted
-      .toSeq == Seq(1, 2, 3))
-    // the ledger records every ingested file exactly once
-    assert(store.read(FileIngest.ledgerOf("t")).count() ==
+    assert(ids(store) == Seq(1, 2, 3))
+    // the ledger is manifest headers, not a second table
+    assert(store.tables() == Seq("t"))
+    assert(FileIngest.ledger(spark, store, "t").count() ==
       r1.filesLoaded + r3.filesLoaded)
   }
 
-  test("a failing load unwinds BOTH the data and the ledger (exactly-once)") {
+  test("the ledger survives unrelated commits (append/overwrite/delete carry it)") {
+    val src = tmpDir("ci-carry")
+    val store = new TableStore(spark, tmpDir("ci-carry-store"))
+    writeSrc(src, "a", Seq((1, "a")))
+    FileIngest.copyInto(spark, store, "t", src)
+    store.append("t", Seq((100, "x")).toDF("id", "v"))
+    store.deleteWhere("t", org.apache.spark.sql.functions.col("id") === 100)
+    // were the ledger forgotten, this would re-load file a
+    assert(FileIngest.copyInto(spark, store, "t", src) ==
+      FileIngest.Result(0, 0L))
+    assert(ids(store) == Seq(1))
+  }
+
+  test("a failing load publishes NOTHING — neither rows nor ledger entries") {
     val src = tmpDir("ci-src2")
     val store = new TableStore(spark, tmpDir("ci-store2"))
     writeSrc(src, "a", Seq((1, "ok"), (-5, "bad")))
@@ -43,10 +79,9 @@ class FileIngestSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FileIngest.copyInto(spark, store, "t", src)
     }
-    assert(!store.inTransaction)
     assert(store.read("t").count() == 1)
-    assert(!store.exists(FileIngest.ledgerOf("t")),
-      "ledger must not record a file whose load rolled back")
+    assert(FileIngest.ledger(spark, store, "t").count() == 0,
+      "a rolled-back load must not mark its files ingested")
     // the retry after fixing the data loads everything exactly once
     store.dropConstraint("t", "id_nonneg")
     val r = FileIngest.copyInto(spark, store, "t", src)
@@ -54,7 +89,45 @@ class FileIngestSpec extends SparkSpec {
     assert(store.read("t").count() == 3)
   }
 
-  test("overlapping COPY INTO runs never double-load: the loser conflicts and unwinds") {
+  test("crash BEFORE the manifest publish: retry loads the batch exactly once") {
+    val src = tmpDir("ci-crash1")
+    val crashable = new Crashable(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
+    val store = new TableStore(spark, tmpDir("ci-crash1-store"), Some(crashable))
+    writeSrc(src, "a", Seq((1, "a")))
+    FileIngest.copyInto(spark, store, "t", src)
+    writeSrc(src, "b", Seq((2, "b"), (3, "c")))
+    crashable.crashNextPublish = true
+    intercept[RuntimeException] { FileIngest.copyInto(spark, store, "t", src) }
+    // nothing published: the table still reads the seed batch only
+    assert(ids(store) == Seq(1))
+    // the dead writer's claim unblocks via TTL takeover, then the
+    // retry loads b's rows ONCE — never zero, never twice
+    store.recoverStaleClaims("t", ttlMs = 0L)
+    val r = FileIngest.copyInto(spark, store, "t", src)
+    assert(r.rowsLoaded == 2)
+    assert(ids(store) == Seq(1, 2, 3))
+  }
+
+  test("crash AFTER the manifest publish: data AND ledger landed, retry no-ops") {
+    val src = tmpDir("ci-crash2")
+    val prim = new CrashAfterPublish(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
+    val store = new TableStore(spark, tmpDir("ci-crash2-store"), Some(prim))
+    writeSrc(src, "a", Seq((1, "a")))
+    FileIngest.copyInto(spark, store, "t", src)
+    writeSrc(src, "b", Seq((2, "b")))
+    prim.armed = true
+    intercept[RuntimeException] { FileIngest.copyInto(spark, store, "t", src) }
+    // the commit landed atomically WITH its ledger — the state the
+    // old two-commit design could not guarantee
+    assert(ids(store) == Seq(1, 2))
+    assert(FileIngest.copyInto(spark, store, "t", src) ==
+      FileIngest.Result(0, 0L))
+    assert(ids(store) == Seq(1, 2))
+  }
+
+  test("overlapping runs from two stores never double-load: loser retries and no-ops") {
     val src = tmpDir("ci-src4")
     val root = tmpDir("ci-store4")
     writeSrc(src, "a", Seq((1, "a")))
@@ -63,23 +136,83 @@ class FileIngestSpec extends SparkSpec {
     writeSrc(src, "b", Seq((2, "b"), (3, "c")))
     // run A (injected store) reads the ledger, then — in the window
     // before its first claim — run B loads the same fresh files and
-    // commits; A's snapshot-checked ledger append must conflict and
-    // unwind A's staged data append with it
+    // commits; A's snapshot-checked commit conflicts internally,
+    // retries against B's ledger, and must report a no-op
     val inj = new RaceInjector(
       new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
     val storeA = new TableStore(spark, root, Some(inj))
     inj.hook = () => { FileIngest.copyInto(spark, plain, "t", src); () }
     inj.armed = true
-    intercept[SnapshotConflictException] {
-      FileIngest.copyInto(spark, storeA, "t", src)
-    }
-    assert(!storeA.inTransaction)
-    // exactly ONE copy of the new rows (B's), never two
-    assert(plain.read("t").select("id").as[Int].collect().sorted
-      .toSeq == Seq(1, 2, 3))
-    // A's retry sees B's ledger and no-ops
     assert(FileIngest.copyInto(spark, storeA, "t", src) ==
       FileIngest.Result(0, 0L))
+    // exactly ONE copy of the new rows (B's), never two
+    assert(ids(plain) == Seq(1, 2, 3))
+  }
+
+  test("concurrent runs on the SAME store instance load the batch exactly once") {
+    val src = tmpDir("ci-src5")
+    val store = new TableStore(spark, tmpDir("ci-store5"))
+    writeSrc(src, "a", Seq((1, "a"), (2, "b")))
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[FileIngest.Result]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() =>
+        try results.add(FileIngest.copyInto(spark, store, "t", src))
+        catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"copyInto failed: ${errs.peek()}")
+    // one run loaded the batch, the other observed its ledger and
+    // no-oped — in either interleaving the table holds ONE copy
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.map(_.rowsLoaded).sum == 2L)
+    assert(ids(store) == Seq(1, 2))
+  }
+
+  test("a drifted batch evolves the table union-by-name instead of failing") {
+    val src = tmpDir("ci-evolve")
+    val store = new TableStore(spark, tmpDir("ci-evolve-store"))
+    writeSrc(src, "a", Seq((1, "a")))
+    FileIngest.copyInto(spark, store, "t", src)
+    Seq((2, "b", 9.5)).toDF("id", "v", "score").coalesce(1)
+      .write.mode("overwrite").parquet(s"$src/b")
+    val r = FileIngest.copyInto(spark, store, "t", src)
+    assert(r.rowsLoaded == 1)
+    val rows = store.read("t").orderBy("id")
+      .select("id", "v", "score").as[(Int, String, Option[Double])]
+      .collect().toSeq
+    assert(rows == Seq((1, "a", None), (2, "b", Some(9.5))))
+  }
+
+  test("the mtime watermark prunes the ledger and bounds the lookback window") {
+    val src = tmpDir("ci-wm")
+    val store = new TableStore(spark, tmpDir("ci-wm-store"))
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    def setTimes(name: String, t: Long): Unit =
+      FsListing.dataFiles(new Path(s"$src/$name"), spark.sessionState.newHadoopConf())
+        .foreach(f => fs.setTimes(new Path(f), t, t))
+    writeSrc(src, "a", Seq((1, "a"))); setTimes("a", 1000L)
+    FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
+    writeSrc(src, "b", Seq((2, "b"))); setTimes("b", 5000L)
+    FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
+    // a's entry (mtime 1000 < wm 5000) is pruned from the carried
+    // header; b's (at the watermark) is retained
+    val led = FileIngest.ledger(spark, store, "t")
+      .select("mtime").as[Long].collect().toSeq
+    assert(led == Seq(5000L))
+    // re-run: a is excluded by the mtime rule (no ledger entry
+    // needed), b by its entry — a no-op either way
+    assert(FileIngest.copyInto(spark, store, "t", src, slackMs = 0L) ==
+      FileIngest.Result(0, 0L))
+    // the documented caveat, pinned: a file BACKDATED below the
+    // watermark bound is assumed already ingested and skipped...
+    writeSrc(src, "c", Seq((3, "c"))); setTimes("c", 4000L)
+    assert(FileIngest.copyInto(spark, store, "t", src, slackMs = 0L) ==
+      FileIngest.Result(0, 0L))
+    // ...while slack admits it (bound 5000 - 2000 <= 4000)
+    val r = FileIngest.copyInto(spark, store, "t", src, slackMs = 2000L)
+    assert(r.rowsLoaded == 1)
+    assert(ids(store) == Seq(1, 2, 3))
   }
 
   test("SQL COPY INTO surface returns metrics and stays idempotent") {
