@@ -148,7 +148,7 @@ object GraftSql {
         // must resolve in the statements after its CTAS
         store.tables().filter(mentioned)
           .foreach(t => store.read(t).createOrReplaceTempView(t))
-        execute(spark, store, stmt)
+        executeStmt(spark, store, stmt, allowTxnControl = true)
       }.last
       catch { case t: Throwable =>
         // a failed statement inside an open BEGIN must not leave the
@@ -191,10 +191,27 @@ object GraftSql {
     result
   }
 
-  /** Execute SQL against graft tables: MERGE runs on the store;
-    * everything else is plain `spark.sql`. Returns the affected table
-    * contents for MERGE, the query result otherwise. */
+  /** Execute ONE SQL statement against graft tables: MERGE runs on
+    * the store; everything else is plain `spark.sql`. Returns the
+    * affected table contents for MERGE, the query result otherwise.
+    * Transaction control (BEGIN/COMMIT/ROLLBACK) is REJECTED here:
+    * only [[executeScript]] (which enforces BEGIN/COMMIT balance and
+    * rolls back on imbalance) and [[executeTransaction]] may open
+    * one — a bare `execute("BEGIN")` would leave the store silently
+    * staging every later commit with nothing guarding the close. */
   def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame =
+    executeStmt(spark, store, sql, allowTxnControl = false)
+
+  private def executeStmt(spark: SparkSession, store: TableStore,
+                          sql: String, allowTxnControl: Boolean): DataFrame = {
+    if (!allowTxnControl) sql match {
+      case BeginStmt() | CommitStmt() | RollbackStmt() =>
+        throw new IllegalArgumentException(
+          "transaction control is only valid inside a script: use " +
+            "executeScript (BEGIN ... COMMIT with balance enforcement) " +
+            "or executeTransaction, not a single-statement execute")
+      case _ => ()
+    }
     sql match {
       case CopyIntoStmt(table, path, fmt) =>
         // exactly-once file ingest (ledger inside the data commit)
@@ -290,6 +307,7 @@ object GraftSql {
         case _ => spark.sql(sql)
       }
     }
+  }
 
   /** `ALTER TABLE t ADD COLUMNS (c TYPE, ...)` — schema evolution as
     * an O(1) commit: one empty, schema-bearing file appends (Spark

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 /** Deterministic byte-pair encoding (Sennrich et al., "Neural Machine
   * Translation of Rare Words with Subword Units", arXiv:1508.07909) —
   * the real token-budget counter, replacing regex-only approximations:
-  * merges TRAIN driver-side on a bounded, deterministically-ordered
-  * corpus sample; application is a distributed pipeline that touches
-  * the VOCABULARY, never the corpus, row-by-row:
+  * merges TRAIN driver-side from the corpus-wide (pre-token,
+  * frequency) aggregate, capped to the top-|V| entries by frequency;
+  * application is a distributed pipeline that touches the
+  * VOCABULARY, never the corpus, row-by-row:
   *
   *   corpus → pre-tokenize (regex, codegen'd) → explode →
   *   count per distinct pre-token (shuffle on the token — the only
@@ -104,15 +105,22 @@ object Bpe {
     syms.filterNot(_ == Eow)
   }
 
-  /** Deterministic training sample: the `sampleN` lowest-`idCol` rows'
-    * texts, pre-tokenized and frequency-counted. Ordering by the id
-    * (not arbitrary partition order) is what makes retraining
-    * reproducible on any cluster layout. */
-  def trainFromCorpus(df: DataFrame, textCol: String, idCol: String,
-                      sampleN: Int, numMerges: Int): Seq[(String, String)] = {
-    val words = df.orderBy(col(idCol)).limit(sampleN)
+  /** Train from the FULL corpus's (pre-token, frequency) aggregate —
+    * not a document sample, so the merges reflect the real corpus
+    * distribution. One distributed aggregate (shuffle on the token,
+    * map-side combined) and a top-`maxWords` cap by (frequency desc,
+    * token asc) bound the driver's training input to |V| entries —
+    * the dropped low-frequency tail is exactly what BPE training
+    * ignores anyway (its pairs never win a merge against the head).
+    * Deterministic on any cluster layout: the aggregate is
+    * partition-order-free and the cap's ordering is total. */
+  def trainFromCorpus(df: DataFrame, textCol: String,
+                      numMerges: Int, maxWords: Int = 50000): Seq[(String, String)] = {
+    val words = df
       .select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(maxWords)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
     train(words, numMerges)
   }
@@ -132,19 +140,26 @@ object Bpe {
       .withColumn("pieces", nPieces(col("tok")).cast("long"))
   }
 
-  /** Real-tokenizer budget per group: total BPE pieces, pre-tokens,
-    * and docs. The per-doc piece count joins each doc's exploded
-    * pre-tokens to the broadcast vocabulary map — corpus rows never
-    * carry segmentation work, only a hash join against |V|. */
+  /** Real-tokenizer budget per group: docs, total pre-tokens, and
+    * total BPE pieces. The per-doc piece count joins each doc's
+    * exploded pre-tokens to the broadcast vocabulary map — corpus
+    * rows never carry segmentation work, only a hash join against
+    * |V|. The group universe comes from a LEFT join off the doc
+    * count, so a group whose documents yield zero pre-tokens
+    * (empty/whitespace-only text) still reports, at 0 — an inner
+    * join off the explode would silently drop it. */
   def tokenBudget(df: DataFrame, textCol: String, groupCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
     val vocab = vocabPieces(df, textCol, merges)
       .select("tok", "pieces")
     val toks = df.select(col(groupCol),
         explode(TextOps.bpeTokens(col(textCol))).as("tok"))
-    toks.join(broadcast(vocab), Seq("tok"))
+    val agg = toks.join(broadcast(vocab), Seq("tok"))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("pre_tokens"),
         sum("pieces").as("bpe_pieces"))
+    df.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+      .join(agg, Seq(groupCol), "left")
+      .na.fill(0L, Seq("pre_tokens", "bpe_pieces"))
   }
 }

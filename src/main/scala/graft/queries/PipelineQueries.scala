@@ -596,6 +596,39 @@ object PipelineQueries {
     Some("""SELECT doc_id, lang, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin))
 
+  /** COPY INTO schema evolution: a second drop whose files carry an
+    * EXTRA column must load (not fail) and evolve the table
+    * union-by-name — the reference's whole point is `mergeSchema`
+    * ingestion (icberg/iceberg_tables.py:23). Earlier rows read the
+    * new column as NULL; the oracle replays both batches flat, so a
+    * dropped batch, a doubled batch, or a mis-aligned evolved column
+    * could never hash-match. */
+  val copyIntoEvolving: Entry = Entry(
+    "copy_into_evolving",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-cie"))
+      graft.lake.FileIngest.copyInto(s, store, "docs_ev",
+        s"$dir/documents.parquet")
+      // the drifted drop: a deterministic subset re-shaped with a new
+      // `note` column, written as a fresh source directory
+      val drop2 = tmpDir("graft-cie-src")
+      t(s, dir, "documents").where(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(lit("q"), (col("doc_id") % 3).cast("string")).as("note"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$drop2/batch")
+      val r = graft.lake.FileIngest.copyInto(s, store, "docs_ev", drop2)
+      require(r.rowsLoaded > 0, "drifted batch must load")
+      store.read("docs_ev").select("doc_id", "lang", "n_chars", "note")
+        .orderBy(col("doc_id"), col("note").asc_nulls_first)
+    },
+    Some("""SELECT doc_id, lang, n_chars, note FROM (
+        |  SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS note
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, n_chars, 'q' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY doc_id, note NULLS FIRST""".stripMargin))
+
   /** NESTED MERGE schema evolution: the source's STRUCT column carries
     * a field the target's struct lacks (`props.tag`) — star actions
     * widen the struct field-by-name in the same atomic commit
@@ -1589,7 +1622,7 @@ object PipelineQueries {
     nullPrunedScan, bloomPointLookup, scd2Incremental,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
-    mergeStructEvolving, copyIntoIdempotent,
+    mergeStructEvolving, copyIntoIdempotent, copyIntoEvolving,
     sqlDml,
     sqlInsert, sqlLifecycle, sqlScript, sqlTransaction, sqlRestoreClone,
     sqlTimeTravelDiff,

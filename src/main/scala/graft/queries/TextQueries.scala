@@ -868,22 +868,24 @@ object TextQueries {
   @volatile private var bpeBudgetOracle: Option[String] = None
 
   /** REAL-tokenizer budget ([[graft.ops.Bpe]]): merges train
-    * driver-side on a deterministic corpus sample (Sennrich BPE,
-    * lexicographic tie-break), then the count runs as the
-    * vocab-bounded pipeline — explode pre-tokens, segment each
-    * DISTINCT token once, broadcast the piece map back — so the
-    * corpus never pays per-row segmentation. Dynamic oracle: the
-    * derived (token, pieces) vocabulary embeds as VALUES (same
-    * pattern as the temperature quotas) and DuckDB re-runs the whole
-    * distributed side — pre-tokenization, the join, the aggregate —
-    * against it; the segmentation algebra itself is spec-pinned in
-    * BpeSpec (reconstruction, monotonicity, stream==batch). */
+    * driver-side from the CORPUS-WIDE (pre-token, frequency)
+    * aggregate (Sennrich BPE, lexicographic tie-break, top-|V|
+    * frequency cap), then the count runs as the vocab-bounded
+    * pipeline — explode pre-tokens, segment each DISTINCT token
+    * once, broadcast the piece map back — so the corpus never pays
+    * per-row segmentation. Dynamic oracle: the derived
+    * (token, pieces) vocabulary embeds as VALUES (same pattern as
+    * the temperature quotas) and DuckDB re-runs the whole
+    * distributed side — pre-tokenization, the join, the aggregate,
+    * the zero-token group backfill — against it; the segmentation
+    * algebra itself is spec-pinned in BpeSpec (reconstruction,
+    * monotonicity, stream==batch, partition independence). */
   val bpeTokenBudget: Entry = new Entry(
     "bpe_token_budget_by_source",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.ops.Bpe.trainFromCorpus(docs, "text", "doc_id",
-        sampleN = 200, numMerges = 64)
+      val merges = graft.ops.Bpe.trainFromCorpus(docs, "text",
+        numMerges = 64)
       val vocab = graft.ops.Bpe.vocabPieces(docs, "text", merges)
         .select("tok", "pieces").collect()
         .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
@@ -893,13 +895,19 @@ object TextQueries {
         |toks AS (
         |  SELECT source, unnest(regexp_extract_all(text,
         |    '${TextOps.bpePattern.replace("'", "''")}')) AS tok
-        |  FROM documents)
-        |SELECT source, count(*) AS pre_tokens,
-        |  CAST(sum(pieces) AS BIGINT) AS bpe_pieces
-        |FROM toks JOIN seg USING (tok)
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source, count(*) AS pre_tokens,
+        |    CAST(sum(pieces) AS BIGINT) AS bpe_pieces
+        |  FROM toks JOIN seg USING (tok) GROUP BY source),
+        |d AS (SELECT source, count(*) AS docs FROM documents GROUP BY source)
+        |SELECT d.source, d.docs,
+        |  COALESCE(agg.pre_tokens, 0) AS pre_tokens,
+        |  COALESCE(agg.bpe_pieces, 0) AS bpe_pieces
+        |FROM d LEFT JOIN agg USING (source) ORDER BY source""".stripMargin)
       graft.ops.Bpe.tokenBudget(docs, "text", "source", merges)
-        .select(col("source"), col("pre_tokens"), col("bpe_pieces"))
+        .select(col("source"), col("docs"), col("pre_tokens"),
+          col("bpe_pieces"))
         .orderBy("source")
     },
     () => bpeBudgetOracle)

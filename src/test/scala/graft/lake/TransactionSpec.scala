@@ -44,6 +44,20 @@ class TransactionSpec extends SparkSpec {
     assert(store.read("a").count() == 2)
   }
 
+  test("a bare single-statement BEGIN/COMMIT/ROLLBACK is rejected loudly") {
+    val store = freshStore()
+    // only executeScript/executeTransaction may open a transaction —
+    // they enforce BEGIN/COMMIT balance; a dangling single-statement
+    // BEGIN would silently stage every later commit on this instance
+    for (stmt <- Seq("BEGIN", "begin transaction;", "COMMIT", "ROLLBACK")) {
+      val e = intercept[IllegalArgumentException] {
+        GraftSql.execute(spark, store, stmt)
+      }
+      assert(e.getMessage.contains("executeScript"))
+    }
+    assert(!store.inTransaction)
+  }
+
   test("script failure after BEGIN leaves NEITHER table changed") {
     val store = freshStore()
     store.create("acct", Seq((1, 100L), (2, 50L)).toDF("id", "bal"))

@@ -46,11 +46,11 @@ class BpeSpec extends SparkSpec {
       (1L, "a", "low lower newest"),
       (2L, "a", "widest low"),
       (3L, "b", "newest newest wildest")).toDF("doc_id", "source", "text")
-    val merges = Bpe.trainFromCorpus(docs, "text", "doc_id",
-      sampleN = 10, numMerges = 8)
+    val merges = Bpe.trainFromCorpus(docs, "text", numMerges = 8)
     val got = Bpe.tokenBudget(docs, "text", "source", merges)
+      .select("source", "docs", "pre_tokens", "bpe_pieces")
       .orderBy("source")
-      .as[(String, Long, Long)].collect().toSeq
+      .as[(String, Long, Long, Long)].collect().toSeq
     val ranks = merges.zipWithIndex.toMap
     def brute(texts: Seq[String]): (Long, Long) = {
       val toks = texts.flatMap(t =>
@@ -59,7 +59,36 @@ class BpeSpec extends SparkSpec {
     }
     val a = brute(Seq("low lower newest", "widest low"))
     val b = brute(Seq("newest newest wildest"))
-    assert(got == Seq(("a", a._1, a._2), ("b", b._1, b._2)))
+    assert(got == Seq(("a", 2L, a._1, a._2), ("b", 1L, b._1, b._2)))
+  }
+
+  test("corpus-wide training is partition-layout independent; cap is deterministic") {
+    val docs = (1L to 40L).map(i =>
+      (i, "s" + (i % 3), s"low lower newest tok$i low"))
+      .toDF("doc_id", "source", "text")
+    val one = Bpe.trainFromCorpus(docs.coalesce(1), "text", numMerges = 12)
+    val many = Bpe.trainFromCorpus(docs.repartition(7), "text", numMerges = 12)
+    assert(one == many && one.nonEmpty)
+    // the top-|V| cap keeps the FREQUENT head: training under a tight
+    // cap still learns the dominant words' merges
+    val capped = Bpe.trainFromCorpus(docs, "text", numMerges = 12, maxWords = 4)
+    val ranks = capped.zipWithIndex.toMap
+    assert(Bpe.segment("low", ranks).size < "low".length + 1)
+  }
+
+  test("a group of only empty/whitespace docs still reports, at zero") {
+    val docs = Seq(
+      (1L, "a", "low lower"),
+      (2L, "b", "   "),
+      (3L, "b", "")).toDF("doc_id", "source", "text")
+    val merges = Bpe.trainFromCorpus(docs, "text", numMerges = 4)
+    val got = Bpe.tokenBudget(docs, "text", "source", merges)
+      .select("source", "docs", "pre_tokens", "bpe_pieces")
+      .orderBy("source")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq("a", "b"))
+    assert(got(1) == (("b", 2L, 0L, 0L)),
+      "zero-pre-token groups must not vanish from the budget report")
   }
 
   test("stream == batch: micro-batched corpus reaches the same budget") {
@@ -71,8 +100,9 @@ class BpeSpec extends SparkSpec {
       (3L, "b", "newest newest wildest"),
       (4L, "b", "low wide new"))
     val batchDf = rows.toDF("doc_id", "source", "text")
-    val merges = Bpe.trainFromCorpus(batchDf, "text", "doc_id", 10, 8)
+    val merges = Bpe.trainFromCorpus(batchDf, "text", numMerges = 8)
     val want = Bpe.tokenBudget(batchDf, "text", "source", merges)
+      .select("source", "pre_tokens", "bpe_pieces")
       .orderBy("source").as[(String, Long, Long)].collect().toSeq
 
     // the broadcast merge table applies identically per micro-batch;
