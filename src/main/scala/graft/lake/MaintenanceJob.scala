@@ -5,8 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Table-maintenance entry point — the scheduled companion to
   * IngestJob that keeps a 100 TB store healthy: recover claims
   * orphaned by crashed writers, sweep their unreferenced commit dirs,
-  * fold merge-on-read delete debt once it crosses a threshold, and
-  * vacuum old snapshots.
+  * fold merge-on-read delete debt — equality-delete entries AND
+  * positional deletion vectors, which each cost one broadcast
+  * anti-join per read — once the combined count crosses a threshold
+  * (`deleteDebt` gauges both; `DESCRIBE DETAIL` breaks out
+  * `n_dv_entries`/`dv_bytes`), and vacuum old snapshots.
   *
   * {{{
   *   spark-submit --class graft.lake.MaintenanceJob app.jar \

@@ -1941,20 +1941,26 @@ final class TableStore(spark: SparkSession, root: String,
     val retained = versions(table)
     val lines = manifest(table, cur)
     val (dels, data) = lines.partition(isDeleteLine)
+    // deletion-vector debt gets its own gauge: every dv| entry is one
+    // broadcast anti-join on EVERY read until compacted, so count and
+    // bytes are the numbers a maintenance policy thresholds on
+    val dvs = dels.filter(_.startsWith(DvPrefix)).map(_.stripPrefix(DvPrefix))
+    val dvBytes = dvs.map { f =>
+      val p = new Path(f); fs(p).getFileStatus(p).getLen }.sum
     val bytes = data.map { f =>
       val p = new Path(f); fs(p).getFileStatus(p).getLen }.sum
     val m = columnMapping(table, cur)
     Seq((table, tablePath(table).toString, cur, retained.size,
       new java.sql.Timestamp(commitTimeMs(table, retained.head)),
       new java.sql.Timestamp(commitTimeMs(table, cur)),
-      data.size, dels.size, bytes, fastRowCount(table),
+      data.size, dels.size, dvs.size, dvBytes, bytes, fastRowCount(table),
       partitioning(table), constraints(table).keys.toSeq.sorted,
       m.renames.toSeq.sorted.map { case (l, p) => s"$l<-$p" },
       m.dropped.toSeq.sorted))
       .toDF("table", "location", "version", "n_retained_versions",
         "oldest_retained_at", "last_committed_at", "n_files",
-        "n_delete_entries", "total_bytes", "n_rows",
-        "partition_columns", "constraints", "renamed_columns",
+        "n_delete_entries", "n_dv_entries", "dv_bytes", "total_bytes",
+        "n_rows", "partition_columns", "constraints", "renamed_columns",
         "dropped_columns")
   }
 

@@ -145,12 +145,16 @@ object Dedup {
     }
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  /** Candidate pairs (a < b) sharing at least one LSH band.
+    * `starAbove` caps per-bucket pair emission (see
+    * [[pairsFromBands]]) — the knob that keeps duplicate-heavy
+    * corpora subquadratic. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 8,
-                        rowsPerBand: Int = 2): DataFrame =
+                        rowsPerBand: Int = 2,
+                        starAbove: Int = Int.MaxValue): DataFrame =
     pairsFromBands(bandsOf(df, idCol, textCol, shingleN, numHashes,
-      rowsPerBand), idCol)
+      rowsPerBand), idCol, starAbove)
 
   /** Exact token-set Jaccard for a set of candidate pairs — the verify
     * stage after LSH candidate generation. */

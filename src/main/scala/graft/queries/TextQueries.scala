@@ -155,24 +155,51 @@ object TextQueries {
        |  FROM sig GROUP BY doc_id, h // 2)""".stripMargin
   }
 
+  /** Hot-bucket cap shared by the minhash queries (and mirrored in
+    * their oracles): buckets larger than this emit a star around the
+    * bucket-min instead of all pairs — the knob that keeps
+    * duplicate-heavy corpora subquadratic (a 100-copy family is
+    * m−1 star edges, not m(m−1)/2 pairs, and the downstream Jaccard
+    * verify shrinks with it). */
+  private val StarCap = 16
+
+  /** Oracle CTEs mirroring [[Dedup.pairsFromBands]] with the star
+    * cap: `sized` measures each bucket, small buckets emit all pairs,
+    * oversized ones the bucket-min star. Expects the `bands` CTE from
+    * [[minhashBandsSql]] in scope. */
+  private def minhashCandsSql: String =
+    s"""sized AS (
+       |  SELECT band, band_key, count(*) AS bn, min(doc_id) AS min_id
+       |  FROM bands GROUP BY band, band_key),
+       |cands AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT l.doc_id AS a, r.doc_id AS b
+       |    FROM bands l JOIN bands r
+       |      ON l.band = r.band AND l.band_key = r.band_key
+       |      AND l.doc_id < r.doc_id
+       |    JOIN sized s ON s.band = l.band AND s.band_key = l.band_key
+       |    WHERE s.bn <= $StarCap
+       |    UNION ALL
+       |    SELECT s.min_id AS a, x.doc_id AS b
+       |    FROM bands x JOIN sized s
+       |      ON s.band = x.band AND s.band_key = x.band_key
+       |    WHERE s.bn > $StarCap AND x.doc_id <> s.min_id))""".stripMargin
+
   /** MinHash-LSH near-dup candidates + exact Jaccard verify ≥ 0.5.
-    * Same integer-permutation minhash in both engines (Dedup scaladoc). */
+    * Same integer-permutation minhash in both engines (Dedup
+    * scaladoc), same hot-bucket star cap on both sides. */
   val minhashNearDup: Entry = Entry(
     "minhash_lsh_neardup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, starAbove = StarCap)
       Dedup.jaccard(docs, "doc_id", "text", cands)
         .where(col("jaccard") >= 0.5)
         .orderBy("a", "b")
     },
     Some(s"""WITH ${minhashBandsSql("documents")},
-        |cands AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.band_key = r.band_key
-        |    AND l.doc_id < r.doc_id),
+        |$minhashCandsSql,
         |toksets AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         |  FROM documents)
@@ -195,17 +222,13 @@ object TextQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, starAbove = StarCap)
       val pairs = Dedup.jaccard(docs, "doc_id", "text", cands)
         .where(col("jaccard") >= 0.5).select("a", "b")
       Dedup.connectedComponents(pairs).orderBy("id")
     },
     Some(s"""WITH RECURSIVE ${minhashBandsSql("documents")},
-        |cands AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.band_key = r.band_key
-        |    AND l.doc_id < r.doc_id),
+        |$minhashCandsSql,
         |toksets AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         |  FROM documents),
@@ -238,7 +261,7 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val cands = Dedup.minhashCandidates(docs, "doc_id", "text",
-        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, starAbove = StarCap)
       val pairs = Dedup.jaccard(docs, "doc_id", "text", cands)
         .where(col("jaccard") >= 0.5).select("a", "b")
       val comp = Dedup.connectedComponents(pairs)
@@ -254,11 +277,7 @@ object TextQueries {
         .orderBy("lang")
     },
     Some(s"""WITH RECURSIVE ${minhashBandsSql("documents")},
-        |cands AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.band_key = r.band_key
-        |    AND l.doc_id < r.doc_id),
+        |$minhashCandsSql,
         |toksets AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         |  FROM documents),

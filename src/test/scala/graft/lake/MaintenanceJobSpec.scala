@@ -32,6 +32,34 @@ class MaintenanceJobSpec extends SparkSpec {
       .toSeq == Seq(("k1", 1), ("k2", 20)))
   }
 
+  test("stacked deletion vectors: detail gauges the debt, the threshold fold clears it") {
+    val root = tmpDir("maint-dv")
+    val store = new TableStore(spark, root)
+    store.create("t", (1 to 20).map(i => (i, s"v$i")).toDF("id", "v"))
+    // each dv commit adds one broadcast anti-join to EVERY read
+    store.deleteWhere("t", col("id") === 3)
+    store.deleteWhere("t", col("id") === 7)
+    val d = store.detail("t").head()
+    assert(d.getAs[Int]("n_dv_entries") == 2)
+    assert(d.getAs[Long]("dv_bytes") > 0L)
+    def joins(): Int =
+      "BroadcastHashJoin".r.findAllIn(
+        store.read("t").queryExecution.executedPlan.toString).size
+    // stacked vectors UNION into one anti-join per commit group (not
+    // one per dv commit) — the join count is bounded by groups, the
+    // union's size by dv_bytes; both fold away at the threshold
+    assert(joins() == 1, "stacked dvs must share one anti-join per group")
+    // dv debt counts toward the same compaction threshold as
+    // equality-delete debt — one maintenance pass folds it away
+    val s = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "t",
+      claimTtlMs = 60 * 60 * 1000L, compactDebt = 2, vacuumKeep = 1))
+    assert(s.compacted)
+    assert(joins() == 0, "compaction must remove the read-side joins")
+    val d2 = store.detail("t").head()
+    assert(d2.getAs[Int]("n_dv_entries") == 0 && d2.getAs[Long]("dv_bytes") == 0L)
+    assert(store.read("t").count() == 18)
+  }
+
   test("arg parsing with defaults") {
     val a = MaintenanceJob.parseArgs(Array(
       "--store_root", "/lake", "--table", "t", "--compact_debt", "2"))

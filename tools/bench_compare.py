@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Bench regression tripwire: compare a graft.Bench run against the
+recorded per-query baseline and flag real regressions.
+
+Usage:
+    python3 tools/bench_compare.py BENCH_OUTPUT [--baseline tools/bench_baseline.json]
+                                   [--factor 1.5] [--min-delta 0.15]
+
+BENCH_OUTPUT is a file containing graft.Bench's stdout (the full JSON
+line with the per-query "queries" map; sbt log noise is fine) — or a
+raw JSON line. A query flags when BOTH hold:
+
+    current_sec > factor * baseline_sec       (relative, default 1.5x)
+    current_sec - baseline_sec > min_delta    (absolute, filters ~0.1 s
+                                               noise on sub-second queries)
+
+The baseline is refreshed from an IDLE close-out run (min over reps)
+each round — see BASELINE.md. Exit 1 iff any query flags, so the
+check drops into scripts; queries present on only one side are
+reported informationally and never flag (new queries have no history,
+removed ones no current).
+"""
+import argparse
+import json
+import re
+import sys
+
+
+def extract_bench(text):
+    """Last {"metric":"total",...,"queries":{...}} object in the text."""
+    best = None
+    for line in text.splitlines():
+        i = line.find('{"metric":"total"')
+        if i < 0:
+            continue
+        # the JSON object runs to the line's final closing brace
+        j = line.rfind("}")
+        if j < 0:
+            continue
+        try:
+            obj = json.loads(line[i:j + 1])
+        except json.JSONDecodeError:
+            continue
+        if "queries" in obj:
+            best = obj
+    if best is None:
+        raise SystemExit("no bench JSON line with a 'queries' map found")
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench", help="file with graft.Bench output (or a JSON line)")
+    ap.add_argument("--baseline", default="tools/bench_baseline.json")
+    ap.add_argument("--factor", type=float, default=1.5)
+    ap.add_argument("--min-delta", type=float, default=0.15)
+    args = ap.parse_args()
+
+    try:
+        with open(args.bench) as f:
+            text = f.read()
+    except FileNotFoundError:
+        text = args.bench  # allow passing the raw JSON line directly
+    cur = extract_bench(text)["queries"]
+
+    with open(args.baseline) as f:
+        base_doc = json.load(f)
+    base = base_doc["queries"]
+
+    flagged, improved = [], []
+    for q in sorted(set(cur) & set(base)):
+        c, b = cur[q], base[q]
+        if c > args.factor * b and c - b > args.min_delta:
+            flagged.append((q, b, c))
+        elif b > args.factor * c and b - c > args.min_delta:
+            improved.append((q, b, c))
+    new = sorted(set(cur) - set(base))
+    gone = sorted(set(base) - set(cur))
+
+    print(f"baseline: {base_doc.get('note', args.baseline)} "
+          f"({len(base)} queries); current: {len(cur)} queries")
+    for q, b, c in flagged:
+        print(f"REGRESSION {q}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
+    for q, b, c in improved:
+        print(f"improved   {q}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
+    if new:
+        print(f"new (no baseline): {', '.join(new)}")
+    if gone:
+        print(f"missing vs baseline: {', '.join(gone)}")
+    tot_c = sum(cur.values())
+    tot_b = sum(base[q] for q in base if q in cur)
+    print(f"total over common queries: {tot_b:.1f}s baseline -> {tot_c - sum(cur[q] for q in new):.1f}s current")
+    if flagged:
+        print(f"{len(flagged)} regression(s) above {args.factor}x — investigate "
+              "before trusting the round's bench", file=sys.stderr)
+        sys.exit(1)
+    print("no regressions above threshold")
+
+
+if __name__ == "__main__":
+    main()
