@@ -103,11 +103,18 @@ object FileIngest {
       val newWm = math.max(wm, listed.map(_._2).max)
       val newWms = st.watermarks + (root -> newWm)
       // prune entries every later run would skip by the mtime rule
-      // anyway — this is what keeps the header O(window), not O(history)
-      def pruned(path: String, mtime: Long): Boolean =
-        newWms.exists { case (r, w) =>
-          (path == r || path.startsWith(r + "/")) && mtime < bound(w)
-        }
+      // anyway — this is what keeps the header O(window), not
+      // O(history). An entry may be covered by SEVERAL known roots
+      // (nested ingest roots, e.g. /data and /data/sub): it prunes
+      // only when EVERY covering root's bound exceeds it — a lagging
+      // inner root still needs the entry, and pruning by the outer
+      // root's advanced watermark alone would make the inner root's
+      // next run reload the file
+      def pruned(path: String, mtime: Long): Boolean = {
+        val covering = newWms.filter { case (r, _) =>
+          path == r || path.startsWith(r + "/") }
+        covering.nonEmpty && covering.forall { case (_, w) => mtime < bound(w) }
+      }
       val entries = (st.files ++ fresh).filterNot((pruned _).tupled)
       val lines = entries.toSeq.sortBy(_._1)
         .map { case (p, t) => TableStore.ingestLine(t, p) } ++

@@ -67,6 +67,8 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val DetailStmt =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val IngestStmt =
+    """(?is)^\s*DESCRIBE\s+INGEST\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val SetPartitionedStmt =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_]\w*)\s+SET\s+PARTITIONED\s+BY\s*\(\s*([^)]*?)\s*\)\s*;?\s*$""".r
   private val RestoreStmt =
@@ -253,6 +255,19 @@ object GraftSql {
         // one row of current-state metadata, no scan
         require(store.exists(table), s"unknown graft table $table")
         store.detail(table)
+      case IngestStmt(table) =>
+        // the COPY INTO ledger as rows — ingested files still inside
+        // the watermark window plus the per-root watermarks; manifest
+        // header only, no scan
+        require(store.exists(table), s"unknown graft table $table")
+        val st = store.currentVersion(table)
+          .map(store.ingestState(table, _))
+          .getOrElse(TableStore.IngestState.empty)
+        import spark.implicits._
+        (st.files.toSeq.sorted.map { case (p, t) => ("file", p, t) } ++
+          st.watermarks.toSeq.sorted.map { case (r, t) =>
+            ("watermark", r, t) })
+          .toDF("kind", "path", "mtime")
       case SetPartitionedStmt(table, cols) =>
         // partition evolution: future writes only, no rewrite;
         // `SET PARTITIONED BY ()` makes new commits unpartitioned

@@ -2,6 +2,7 @@ package graft.lake
 
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 /** COPY INTO: single-commit exactly-once file ingest — the ledger
   * rides the data table's own manifest (`#ingest=` headers), so no
@@ -215,6 +216,28 @@ class FileIngestSpec extends SparkSpec {
     assert(ids(store) == Seq(1, 2, 3))
   }
 
+  test("nested ingest roots: the outer root's watermark must not prune the inner's ledger") {
+    val src = tmpDir("ci-nest")
+    val store = new TableStore(spark, tmpDir("ci-nest-store"))
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    def setTimes(name: String, t: Long): Unit =
+      FsListing.dataFiles(new Path(s"$src/$name"), spark.sessionState.newHadoopConf())
+        .foreach(f => fs.setTimes(new Path(f), t, t))
+    // the INNER root ingests an old file...
+    writeSrc(src, "sub/a", Seq((1, "a"))); setTimes("sub/a", 1000L)
+    FileIngest.copyInto(spark, store, "t", s"$src/sub", slackMs = 0L)
+    // ...then the OUTER root ingests a newer file, advancing ITS
+    // watermark far past the inner file's mtime
+    writeSrc(src, "b", Seq((2, "b"))); setTimes("b", 9000L)
+    FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
+    // the inner root's ledger entry must survive (its own watermark
+    // is still 1000): a re-run on the inner root is a no-op, not a
+    // duplicate load of file a
+    assert(FileIngest.copyInto(spark, store, "t", s"$src/sub", slackMs = 0L) ==
+      FileIngest.Result(0, 0L))
+    assert(ids(store) == Seq(1, 2))
+  }
+
   test("SQL COPY INTO surface returns metrics and stays idempotent") {
     val src = tmpDir("ci-src3")
     val store = new TableStore(spark, tmpDir("ci-store3"))
@@ -224,5 +247,10 @@ class FileIngestSpec extends SparkSpec {
     val m2 = GraftSql.execute(spark, store, s"COPY INTO tci FROM '$src'")
     assert(m2.select("files_loaded").as[Int].head() == 0)
     assert(store.read("tci").count() == 3)
+    // the ledger is inspectable through SQL: file rows + the root's
+    // listing watermark, straight from the manifest header
+    val led = GraftSql.execute(spark, store, "DESCRIBE INGEST tci")
+    assert(led.where(col("kind") === "file").count() >= 1)
+    assert(led.where(col("kind") === "watermark").count() == 1)
   }
 }
