@@ -28,7 +28,9 @@ object MaintenanceJob {
                            sweptOrphanDirs: Seq[String],
                            compacted: Boolean,
                            smallFilesFolded: Int,
-                           retainedVersions: Seq[Long])
+                           retainedVersions: Seq[Long],
+                           txnsRolledForward: Seq[String] = Nil,
+                           txnsRolledBack: Seq[String] = Nil)
 
   /** Defaults live ONLY on the Args case class; CLI flags override via
     * copy, so programmatic and CLI construction can't disagree. */
@@ -47,12 +49,16 @@ object MaintenanceJob {
       .fold(withKeep)(v => withKeep.copy(compactSmallBytes = v))
   }
 
-  /** One maintenance pass. Order matters: claims first (unblocks
-    * writers), orphan sweep second (uses the same TTL), compaction
-    * before vacuum (vacuum then drops the superseded delete files once
-    * their versions age out). */
+  /** One maintenance pass. Order matters: dead TRANSACTIONS resolve
+    * first (a journaled crash mid-COMMIT rolls forward, an
+    * unjournaled one rolls back — their claims and staged manifests
+    * must not fall to blind takeover), then stale claims (unblocks
+    * writers), orphan sweep (same TTL), compaction before vacuum
+    * (vacuum then drops the superseded delete files once their
+    * versions age out). */
   def run(spark: SparkSession, args: Args): Summary = {
     val store = new TableStore(spark, args.storeRoot)
+    val (txnFwd, txnBack) = store.recoverTransactions(args.claimTtlMs)
     val claims = store.recoverStaleClaims(args.table, args.claimTtlMs)
     val orphans = store.vacuumOrphans(args.table, args.claimTtlMs)
     val compacted = store.deleteDebt(args.table) >= args.compactDebt
@@ -65,7 +71,8 @@ object MaintenanceJob {
         store.compactSmall(args.table, args.compactSmallBytes)
       else 0
     store.vacuum(args.table, keep = args.vacuumKeep)
-    Summary(claims, orphans, compacted, folded, store.versions(args.table))
+    Summary(claims, orphans, compacted, folded, store.versions(args.table),
+      txnFwd, txnBack)
   }
 
   def main(argv: Array[String]): Unit = {

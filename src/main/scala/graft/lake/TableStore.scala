@@ -232,8 +232,16 @@ final class TableStore(spark: SparkSession, root: String,
         pairs.foreach { case (table, v) =>
           val sp = stagedManifestPath(txn, table, v)
           if (!fs(manifestPath(table, v)).exists(manifestPath(table, v)) &&
-              fs(sp).exists(sp))
-            claims.promote(sp, manifestPath(table, v), hadoopConf)
+              fs(sp).exists(sp)) {
+            // two janitors may race the same promote: the loser's
+            // rename throws on the vanished source — benign iff the
+            // destination landed (either janitor's, same bytes)
+            try claims.promote(sp, manifestPath(table, v), hadoopConf)
+            catch { case scala.util.control.NonFatal(t) =>
+              if (!fs(manifestPath(table, v)).exists(manifestPath(table, v)))
+                throw t
+            }
+          }
         }
         fs(intentPath(txn)).delete(intentPath(txn), false)
         forward += txn
@@ -897,7 +905,12 @@ final class TableStore(spark: SparkSession, root: String,
       if (fs(p).exists(p)) readSmallFile(p) else "" }
     val srcParts = partitioning(src)
     // shared files carry the source's PHYSICAL names; the clone must
-    // inherit the mapping or renamed columns would read physically
+    // inherit the mapping or renamed columns would read physically.
+    // The COPY INTO ledger (#ingest=) deliberately does NOT clone —
+    // same stance as Delta CLONE, whose docs exclude COPY INTO and
+    // streaming txn metadata: the clone is a new ingest target, and
+    // silently skipping files "already loaded" into the SOURCE would
+    // be the surprising behavior
     commitMeta(dst, _ => (manifest(src, cur), stats, rawColmap(src, cur)),
       mustCreate = true, createParts = srcParts, op = s"CLONE($src)")
     // a clone is a full table-metadata fork: CHECK constraints carry

@@ -60,6 +60,40 @@ class MaintenanceJobSpec extends SparkSpec {
     assert(store.read("t").count() == 18)
   }
 
+  test("the maintenance pass resolves a dead transaction before claim takeover") {
+    val root = tmpDir("maint-txn")
+    // a writer dies between a two-table COMMIT's pointer swings
+    val crash = new CommitPrimitive {
+      val inner = new HadoopCommitPrimitive(spark.sessionState.newHadoopConf())
+      var promotes = 0
+      def tryClaim(d: org.apache.hadoop.fs.Path, v: Long) = inner.tryClaim(d, v)
+      def publish(m: org.apache.hadoop.fs.Path, c: String) = inner.publish(m, c)
+      def listClaims(d: org.apache.hadoop.fs.Path) = inner.listClaims(d)
+      def deleteClaim(d: org.apache.hadoop.fs.Path, v: Long) = inner.deleteClaim(d, v)
+      override def promote(s: org.apache.hadoop.fs.Path,
+                           d: org.apache.hadoop.fs.Path,
+                           c: org.apache.hadoop.conf.Configuration): Unit = {
+        promotes += 1
+        if (promotes == 2) throw new RuntimeException("simulated crash")
+        inner.promote(s, d, c)
+      }
+    }
+    val dying = new TableStore(spark, root, Some(crash))
+    dying.create("a", Seq((1, "x")).toDF("id", "v"))
+    dying.create("b", Seq((10, "y")).toDF("id", "v"))
+    dying.beginTransaction()
+    dying.append("a", Seq((2, "x2")).toDF("id", "v"))
+    dying.append("b", Seq((11, "y2")).toDF("id", "v"))
+    intercept[RuntimeException] { dying.commitTransaction() }
+    // ONE janitor pass (fresh process) must leave both tables
+    // advanced — not take over the dead txn's claims and strand it
+    val s = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "b",
+      claimTtlMs = 0L, compactDebt = 99, vacuumKeep = 10))
+    assert(s.txnsRolledForward.size == 1 && s.txnsRolledBack.isEmpty)
+    val store = new TableStore(spark, root)
+    assert(store.read("a").count() == 2 && store.read("b").count() == 2)
+  }
+
   test("arg parsing with defaults") {
     val a = MaintenanceJob.parseArgs(Array(
       "--store_root", "/lake", "--table", "t", "--compact_debt", "2"))
