@@ -82,6 +82,18 @@ object FileIngest {
     def bound(wm: Long): Long =
       if (wm == Long.MinValue || slackMs == Long.MaxValue) Long.MinValue
       else wm - slackMs
+    // the highest watermark bound among the roots COVERING a path:
+    // any such root's advanced watermark certifies that every
+    // then-present file under it older than its bound was ingested,
+    // so a file below that bound is skippable without a ledger entry
+    // — crucially also for a DIFFERENT (new, nested, or enclosing)
+    // root's first run, whose own watermark is still MinValue but
+    // whose files a sibling watermark may already have pruned from
+    // the ledger
+    def coveredBound(wms: Map[String, Long])(path: String): Long =
+      wms.collect { case (r, w) if path == r || path.startsWith(r + "/") =>
+        bound(w)
+      }.maxOption.getOrElse(Long.MinValue)
     var attempts = 0
     while (true) {
       attempts += 1
@@ -92,9 +104,9 @@ object FileIngest {
       val st = dataV.map(store.ingestState(table, _))
         .getOrElse(TableStore.IngestState.empty)
       val wm = st.watermarks.getOrElse(root, Long.MinValue)
-      val b = bound(wm)
+      val skipBelow = coveredBound(st.watermarks) _
       val fresh = listed.filter { case (p, t) =>
-        t >= b && !st.files.contains(p)
+        t >= skipBelow(p) && !st.files.contains(p)
       }
       if (fresh.isEmpty) return Result(0, 0L)
       val df = spark.read.option("mergeSchema", "true").format(format)
@@ -102,20 +114,15 @@ object FileIngest {
       val n = df.count() // fresh files only — the price of an exact report
       val newWm = math.max(wm, listed.map(_._2).max)
       val newWms = st.watermarks + (root -> newWm)
-      // prune entries every later run would skip by the mtime rule
+      // prune entries every later run will skip by the mtime rule
       // anyway — this is what keeps the header O(window), not
-      // O(history). An entry may be covered by SEVERAL known roots
-      // (nested ingest roots, e.g. /data and /data/sub): it prunes
-      // only when EVERY covering root's bound exceeds it — a lagging
-      // inner root still needs the entry, and pruning by the outer
-      // root's advanced watermark alone would make the inner root's
-      // next run reload the file
-      def pruned(path: String, mtime: Long): Boolean = {
-        val covering = newWms.filter { case (r, _) =>
-          path == r || path.startsWith(r + "/") }
-        covering.nonEmpty && covering.forall { case (_, w) => mtime < bound(w) }
-      }
-      val entries = (st.files ++ fresh).filterNot((pruned _).tupled)
+      // O(history). The prune bound and the skip bound are the SAME
+      // function over the same watermark set, so an entry is dropped
+      // exactly when no future run (under any recorded root) could
+      // need it
+      val pruneBelow = coveredBound(newWms) _
+      val entries = (st.files ++ fresh).filter { case (p, t) =>
+        t >= pruneBelow(p) }
       val lines = entries.toSeq.sortBy(_._1)
         .map { case (p, t) => TableStore.ingestLine(t, p) } ++
         newWms.toSeq.sortBy(_._1)

@@ -156,7 +156,7 @@ object GraftSql {
         // a failed statement inside an open BEGIN must not leave the
         // store half-applied AND mid-transaction: roll the staged
         // commits back, then surface the original failure
-        if (store.inTransaction && !txnWasOpen) store.rollbackTransaction()
+        if (store.inTransaction && !txnWasOpen) unwindOrFinish(store)
         throw t
       }
     if (store.inTransaction && !txnWasOpen) {
@@ -186,12 +186,25 @@ object GraftSql {
     val result =
       try executeScript(spark, store, script)
       catch { case t: Throwable =>
-        if (store.inTransaction) store.rollbackTransaction()
+        if (store.inTransaction) unwindOrFinish(store)
         throw t
       }
     store.commitTransaction()
     result
   }
+
+  /** Unwind an open transaction after a failure — UNLESS its COMMIT
+    * already journaled the intent (rollback is then refused: the
+    * decision is durable), in which case finish the swing instead.
+    * A commit retry that fails again leaves the intent for
+    * [[TableStore.recoverTransactions]]; either way the ORIGINAL
+    * failure is what surfaces to the caller. */
+  private def unwindOrFinish(store: TableStore): Unit =
+    try store.rollbackTransaction()
+    catch { case _: IllegalStateException =>
+      try store.commitTransaction()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Execute ONE SQL statement against graft tables: MERGE runs on
     * the store; everything else is plain `spark.sql`. Returns the

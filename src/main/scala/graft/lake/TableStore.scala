@@ -132,14 +132,19 @@ final class TableStore(spark: SparkSession, root: String,
     if (!f.exists(d)) Map.empty
     else f.listStatus(d).toSeq
       .filter(_.getPath.getName.startsWith("commit-"))
-      .map { st =>
+      .flatMap { st =>
         val txn = st.getPath.getName.stripPrefix("commit-")
-        val pairs = readSmallFile(st.getPath).split("\n").toSeq
-          .filter(_.nonEmpty).map { l =>
-            val i = l.lastIndexOf('\t')
-            (l.substring(0, i), l.substring(i + 1).toLong)
-          }
-        txn -> pairs
+        // intents are short-lived (they exist only during a COMMIT's
+        // swing window): one listed here may legitimately vanish
+        // before we read it — the live writer finished; skip it
+        try {
+          val pairs = readSmallFile(st.getPath).split("\n").toSeq
+            .filter(_.nonEmpty).map { l =>
+              val i = l.lastIndexOf('\t')
+              (l.substring(0, i), l.substring(i + 1).toLong)
+            }
+          Some(txn -> pairs)
+        } catch { case _: java.io.FileNotFoundException => None }
       }.toMap
   }
 
@@ -159,15 +164,19 @@ final class TableStore(spark: SparkSession, root: String,
     if (stagedCommits.nonEmpty) {
       val d = txnDir
       if (!fs(d).exists(d)) fs(d).mkdirs(d)
-      // the journal write is the commit point: atomic publish via the
-      // same primitive as manifests
+      // the journal write is the commit POINT OF NO RETURN: atomic
+      // publish via the same primitive as manifests. A promote
+      // failure below leaves the transaction state intact — the
+      // caller may RETRY commitTransaction (already-promoted pairs
+      // are skipped, making it resumable) or leave the intent for
+      // recoverTransactions; rollbackTransaction refuses once the
+      // intent is durable, so the decision can never be half-undone.
       claims.publish(intentPath(txn),
         stagedCommits.map { case (t, v) => s"$t\t$v" }.mkString("\n"))
       stagedCommits.foreach { case (table, v) =>
         // the primitive owns atomic publication (rename on FS backends,
         // read+atomic-PUT on S3-class stores) — never raw FileSystem ops
-        claims.promote(stagedManifestPath(txn, table, v),
-          manifestPath(table, v), hadoopConf)
+        promoteIfPending(txn, table, v)
       }
       fs(intentPath(txn)).delete(intentPath(txn), false)
     }
@@ -175,12 +184,37 @@ final class TableStore(spark: SparkSession, root: String,
     activeTxn = None
   }
 
+  /** Promote (table, v)'s staged manifest unless the final manifest
+    * already landed — makes commit/recovery promotion idempotent and
+    * tolerant of a racing janitor (the loser's vanished-source rename
+    * is benign iff the destination exists: same bytes either way). */
+  private def promoteIfPending(txn: String, table: String, v: Long): Unit = {
+    val dst = manifestPath(table, v)
+    val sp = stagedManifestPath(txn, table, v)
+    if (!fs(dst).exists(dst) && fs(sp).exists(sp)) {
+      try claims.promote(sp, dst, hadoopConf)
+      catch { case scala.util.control.NonFatal(t) =>
+        if (!fs(dst).exists(dst)) throw t
+      }
+    }
+  }
+
   /** Abort the active transaction: delete every staged manifest and
     * release its claim. Staged data dirs become orphans for
-    * [[vacuumOrphans]]. */
+    * [[vacuumOrphans]]. REFUSED once a COMMIT journaled its intent —
+    * the decision is durable, and discarding the not-yet-promoted
+    * staged manifests would strand the transaction permanently
+    * half-applied (retry [[commitTransaction]], or let
+    * [[recoverTransactions]] finish the swing). */
   def rollbackTransaction(): Unit = synchronized {
     val txn = activeTxn.getOrElse(
       throw new IllegalStateException("no active transaction"))
+    val ip = intentPath(txn)
+    if (fs(ip).exists(ip))
+      throw new IllegalStateException(
+        s"transaction $txn already journaled its commit intent; it can " +
+          "only roll FORWARD — retry commitTransaction or run " +
+          "recoverTransactions")
     stagedCommits.reverseIterator.foreach { case (table, v) =>
       claims.discard(stagedManifestPath(txn, table, v), hadoopConf)
       claims.deleteClaim(tablePath(table), v)
@@ -215,11 +249,15 @@ final class TableStore(spark: SparkSession, root: String,
         }
       }
     }
-    val intents = pendingIntents()
-    val intentAge: Map[String, Long] = intents.keys.map { txn =>
-      txn -> (now - fs(intentPath(txn)).getFileStatus(intentPath(txn))
-        .getModificationTime)
+    val intents0 = pendingIntents()
+    // an intent can vanish between the listing and this stat — the
+    // live writer completed its COMMIT; that txn is resolved, skip it
+    val intentAge: Map[String, Long] = intents0.keys.flatMap { txn =>
+      try Some(txn -> (now - fs(intentPath(txn))
+        .getFileStatus(intentPath(txn)).getModificationTime))
+      catch { case _: java.io.FileNotFoundException => None }
     }.toMap
+    val intents = intents0.filter(kv => intentAge.contains(kv._1))
     val forward = scala.collection.mutable.ListBuffer.empty[String]
     val back = scala.collection.mutable.ListBuffer.empty[String]
     // roll FORWARD every dead transaction with a durable intent —
@@ -229,20 +267,7 @@ final class TableStore(spark: SparkSession, root: String,
       val stagedOf = staged.filter(_._1 == txn)
       val age = (stagedOf.map(s => now - s._4) :+ intentAge(txn)).min
       if (age >= ttlMs) {
-        pairs.foreach { case (table, v) =>
-          val sp = stagedManifestPath(txn, table, v)
-          if (!fs(manifestPath(table, v)).exists(manifestPath(table, v)) &&
-              fs(sp).exists(sp)) {
-            // two janitors may race the same promote: the loser's
-            // rename throws on the vanished source — benign iff the
-            // destination landed (either janitor's, same bytes)
-            try claims.promote(sp, manifestPath(table, v), hadoopConf)
-            catch { case scala.util.control.NonFatal(t) =>
-              if (!fs(manifestPath(table, v)).exists(manifestPath(table, v)))
-                throw t
-            }
-          }
-        }
+        pairs.foreach { case (table, v) => promoteIfPending(txn, table, v) }
         fs(intentPath(txn)).delete(intentPath(txn), false)
         forward += txn
       }
@@ -698,17 +723,6 @@ final class TableStore(spark: SparkSession, root: String,
         commit(table, df, carryAll(table), mustCreate = false, op = "APPEND")
     }
 
-  /** Append that ABORTS ([[SnapshotConflictException]]) if the table
-    * changed since `readSnapshot` — for read-check-append protocols
-    * (COPY INTO's ledger) where a concurrent commit invalidates the
-    * decision to write. Plain [[append]] stays blind (append-safe by
-    * construction); this variant is for appends whose CONTENT was
-    * derived from the table's own state. */
-  def appendIfUnchanged(table: String, df: DataFrame,
-                        readSnapshot: Long): Unit =
-    commit(table, df, carryAll(table), mustCreate = false,
-      readSnapshot = Some(readSnapshot), op = "APPEND")
-
   private def carryAll(table: String): Option[Long] => Seq[String] =
     cur => cur.map(manifest(table, _)).getOrElse(Nil)
 
@@ -783,9 +797,14 @@ final class TableStore(spark: SparkSession, root: String,
             if (fs(p).exists(p)) readSmallFile(p) else ""
           }.getOrElse("")
           writeSmallFile(statsPath(table, v), prevStats)
+          val header = cur.map(w => readSmallFile(manifestFile(table, w))
+            .split("\n").toSeq).getOrElse(Nil)
           publishManifest(table, v, carriedLines ++ dvFiles.map(DvPrefix + _),
-            cur.flatMap(rawColmap(table, _)),
-            ingest = carriedIngest(table, cur), op = "DELETE (dv)")
+            header.collectFirst { case l if l.startsWith(ColmapHeader) =>
+              l.stripPrefix(ColmapHeader).trim }.filter(_.nonEmpty),
+            ingest = header.filter(l => l.startsWith(IngestHeader) ||
+              l.startsWith(IngestWmHeader)),
+            op = "DELETE (dv)")
         }
         return n
       } catch { case e: SnapshotConflictException =>
@@ -1543,9 +1562,19 @@ final class TableStore(spark: SparkSession, root: String,
       }
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
-      publishManifest(table, v, carriedLines ++ newFiles,
-        cur.flatMap(rawColmap(table, _)), txn,
-        ingest = ingest.getOrElse(carriedIngest(table, cur)), op = op)
+      // ONE header read serves both carried header kinds — separate
+      // rawColmap/rawIngest calls would GET the same small object
+      // twice more per commit on an object-store backend
+      val header = cur.map(w => readSmallFile(manifestFile(table, w))
+        .split("\n").toSeq).getOrElse(Nil)
+      val colmap = header.collectFirst {
+        case l if l.startsWith(ColmapHeader) =>
+          l.stripPrefix(ColmapHeader).trim
+      }.filter(_.nonEmpty)
+      val carriedIng = header.filter(l =>
+        l.startsWith(IngestHeader) || l.startsWith(IngestWmHeader))
+      publishManifest(table, v, carriedLines ++ newFiles, colmap, txn,
+        ingest = ingest.getOrElse(carriedIng), op = op)
     } catch { case e: SnapshotConflictException =>
       // conflicts are an expected, caller-handled outcome (retry or
       // surface) — don't leave the orphan data dir for vacuumOrphans

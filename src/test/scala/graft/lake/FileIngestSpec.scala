@@ -216,7 +216,7 @@ class FileIngestSpec extends SparkSpec {
     assert(ids(store) == Seq(1, 2, 3))
   }
 
-  test("nested ingest roots: the outer root's watermark must not prune the inner's ledger") {
+  test("overlapping ingest roots never reload: skip and prune share one bound") {
     val src = tmpDir("ci-nest")
     val store = new TableStore(spark, tmpDir("ci-nest-store"))
     val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
@@ -226,16 +226,21 @@ class FileIngestSpec extends SparkSpec {
     // the INNER root ingests an old file...
     writeSrc(src, "sub/a", Seq((1, "a"))); setTimes("sub/a", 1000L)
     FileIngest.copyInto(spark, store, "t", s"$src/sub", slackMs = 0L)
-    // ...then the OUTER root ingests a newer file, advancing ITS
-    // watermark far past the inner file's mtime
-    writeSrc(src, "b", Seq((2, "b"))); setTimes("b", 9000L)
-    FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
-    // the inner root's ledger entry must survive (its own watermark
-    // is still 1000): a re-run on the inner root is a no-op, not a
-    // duplicate load of file a
+    // ...then a SECOND inner file advances the inner watermark past
+    // a's mtime, pruning a's ledger entry
+    writeSrc(src, "sub/b", Seq((2, "b"))); setTimes("sub/b", 5000L)
+    FileIngest.copyInto(spark, store, "t", s"$src/sub", slackMs = 0L)
+    // a FIRST-EVER run on the ENCLOSING root: its own watermark is
+    // -inf, but the inner root's watermark covers a and b — neither
+    // may reload even though a's ledger entry is pruned
+    writeSrc(src, "c", Seq((3, "c"))); setTimes("c", 6000L)
+    val r = FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
+    assert(r.rowsLoaded == 1, s"outer first run must load ONLY c, got $r")
+    assert(ids(store) == Seq(1, 2, 3))
+    // and a re-run on the inner root stays a no-op
     assert(FileIngest.copyInto(spark, store, "t", s"$src/sub", slackMs = 0L) ==
       FileIngest.Result(0, 0L))
-    assert(ids(store) == Seq(1, 2))
+    assert(ids(store) == Seq(1, 2, 3))
   }
 
   test("SQL COPY INTO surface returns metrics and stays idempotent") {

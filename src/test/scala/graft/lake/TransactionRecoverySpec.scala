@@ -110,6 +110,47 @@ class TransactionRecoverySpec extends SparkSpec {
     assert(janitor.read("a").count() == 2)
   }
 
+  test("a script COMMIT dying between swings can only roll FORWARD, never half-apply") {
+    val root = tmpDir("txnrec-script")
+    val store = seedTwoTables(root, Some(new CrashOnPromote(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()), dieOn = 2)))
+    // the script's COMMIT promotes a, dies on b; the failure handler
+    // must NOT roll back (the intent is durable — discarding b's
+    // staged manifest would strand the txn half-applied forever); it
+    // finishes the swing instead, and the original failure surfaces
+    val e = intercept[RuntimeException] {
+      GraftSql.executeScript(spark, store,
+        """BEGIN;
+          |INSERT INTO a VALUES (2, 'x2');
+          |INSERT INTO b VALUES (11, 'y2');
+          |COMMIT""".stripMargin)
+    }
+    assert(e.getMessage.contains("simulated crash"))
+    // both tables advanced — the all-or-nothing held through the crash
+    val fresh = new TableStore(spark, root)
+    assert(fresh.read("a").count() == 2)
+    assert(fresh.read("b").count() == 2)
+    assert(!store.inTransaction)
+    // nothing left for recovery
+    assert(fresh.recoverTransactions(ttlMs = 0L) == ((Nil, Nil)))
+  }
+
+  test("rollback is refused once the commit intent is journaled") {
+    val root = tmpDir("txnrec-refuse")
+    // dieOn=2 with only ONE staged table: the first promote dies
+    val store = seedTwoTables(root, Some(new CrashOnPromote(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()), dieOn = 1)))
+    store.beginTransaction()
+    store.append("a", Seq((2, "x2")).toDF("id", "v"))
+    intercept[RuntimeException] { store.commitTransaction() }
+    val e = intercept[IllegalStateException] { store.rollbackTransaction() }
+    assert(e.getMessage.contains("roll FORWARD"))
+    // the retry resumes the swing and completes the commit
+    store.commitTransaction()
+    assert(!store.inTransaction)
+    assert(new TableStore(spark, root).read("a").count() == 2)
+  }
+
   test("a second instance's write during an open transaction fails loudly, not silently") {
     val root = tmpDir("txnrec-guard2")
     val store = seedTwoTables(root, None)
