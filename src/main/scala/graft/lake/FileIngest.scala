@@ -71,14 +71,30 @@ object FileIngest {
     * (the reference's `mergeSchema: true` ingestion,
     * icberg/iceberg_tables.py:23). Returns how many files and rows
     * this run actually loaded. */
+  /** `pattern`: optional glob over the path RELATIVE to `srcPath`
+    * (Databricks COPY INTO's PATTERN option — e.g. `*.json`, or a
+    * nested `dir/<star>/part-*.parquet` shape); non-matching files
+    * are invisible to the run. The listing watermark stays per-root:
+    * runs with
+    * DIFFERENT patterns over one root share it, so a later broader
+    * pattern will NOT pick up pre-watermark files an earlier narrow
+    * pattern excluded — use distinct roots (or a generous `slackMs`)
+    * when patterns vary. */
   def copyInto(spark: SparkSession, store: TableStore, table: String,
                srcPath: String, format: String = "parquet",
-               slackMs: Long = slackFromEnv): Result = {
+               slackMs: Long = slackFromEnv,
+               pattern: Option[String] = None): Result = {
     val conf = spark.sessionState.newHadoopConf()
     val raw = new Path(srcPath)
     val rootFs = raw.getFileSystem(conf)
     require(rootFs.exists(raw), s"COPY INTO source $srcPath does not exist")
     val root = rootFs.makeQualified(raw).toString
+    val matcher: String => Boolean = pattern match {
+      case None => _ => true
+      case Some(g) =>
+        val gp = new org.apache.hadoop.fs.GlobPattern(g)
+        p => gp.matches(p.stripPrefix(root).stripPrefix("/"))
+    }
     def bound(wm: Long): Long =
       if (wm == Long.MinValue || slackMs == Long.MaxValue) Long.MinValue
       else wm - slackMs
@@ -100,6 +116,7 @@ object FileIngest {
       // list + read the ledger fresh each attempt: a lost race means
       // someone else moved the table, and the decision must be remade
       val listed = FsListing.dataFilesWithTimes(new Path(root), conf)
+        .filter(f => matcher(f._1))
       val dataV = store.currentVersion(table)
       val st = dataV.map(store.ingestState(table, _))
         .getOrElse(TableStore.IngestState.empty)

@@ -86,7 +86,7 @@ object GraftSql {
   private val CommitStmt = """(?is)^\s*COMMIT\s*;?\s*$""".r
   private val RollbackStmt = """(?is)^\s*ROLLBACK\s*;?\s*$""".r
   private val CopyIntoStmt =
-    """(?is)^\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?\s*;?\s*$""".r
+    """(?is)^\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""".r
   private val BloomIndexStmt =
     """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+OPTIONS\s*\(\s*fpp\s*=\s*([0-9.]+)\s*\))?\s*;?\s*$""".r
 
@@ -228,10 +228,11 @@ object GraftSql {
       case _ => ()
     }
     sql match {
-      case CopyIntoStmt(table, path, fmt) =>
+      case CopyIntoStmt(table, path, fmt, pat) =>
         // exactly-once file ingest (ledger inside the data commit)
         val r = FileIngest.copyInto(spark, store, table, path,
-          Option(fmt).map(_.toLowerCase).getOrElse("parquet"))
+          Option(fmt).map(_.toLowerCase).getOrElse("parquet"),
+          pattern = Option(pat))
         import spark.implicits._
         Seq((table, path, r.filesLoaded, r.rowsLoaded))
           .toDF("table", "source", "files_loaded", "rows_loaded")

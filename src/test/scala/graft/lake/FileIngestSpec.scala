@@ -243,6 +243,25 @@ class FileIngestSpec extends SparkSpec {
     assert(ids(store) == Seq(1, 2, 3))
   }
 
+  test("PATTERN restricts the listing to matching relative paths") {
+    val src = tmpDir("ci-pat")
+    val store = new TableStore(spark, tmpDir("ci-pat-store"))
+    writeSrc(src, "keep/a", Seq((1, "a")))
+    writeSrc(src, "skip/b", Seq((2, "b")))
+    val r = FileIngest.copyInto(spark, store, "t", src,
+      pattern = Some("keep/*/*.parquet"))
+    assert(r.rowsLoaded == 1)
+    assert(ids(store) == Seq(1))
+    // the same pattern re-run is a no-op; a broader SQL run then
+    // picks up the rest
+    assert(FileIngest.copyInto(spark, store, "t", src,
+      pattern = Some("keep/*/*.parquet")) == FileIngest.Result(0, 0L))
+    val m = GraftSql.execute(spark, store,
+      s"COPY INTO t FROM '$src' PATTERN = 'skip/*/*.parquet'")
+    assert(m.select("rows_loaded").as[Long].head() == 1L)
+    assert(ids(store) == Seq(1, 2))
+  }
+
   test("SQL COPY INTO surface returns metrics and stays idempotent") {
     val src = tmpDir("ci-src3")
     val store = new TableStore(spark, tmpDir("ci-store3"))
