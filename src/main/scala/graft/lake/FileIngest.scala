@@ -50,16 +50,20 @@ object FileIngest {
     sys.env.get("SPARK_GRAFT_INGEST_SLACK_MS").map(_.toLong)
       .getOrElse(DefaultSlackMs)
 
+  /** The table's CURRENT ingest state (empty for a table that never
+    * saw COPY INTO) — the one resolution rule shared by the loader,
+    * the ledger view, and DESCRIBE INGEST. */
+  def state(store: TableStore, table: String): TableStore.IngestState =
+    store.currentVersion(table)
+      .map(store.ingestState(table, _)).getOrElse(TableStore.IngestState.empty)
+
   /** The ledger as a derived view — (file, mtime) per ingested source
     * file still inside the watermark window. Driver-side tiny (the
     * pruned header), for observability and specs. */
   def ledger(spark: SparkSession, store: TableStore,
              table: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val st = store.currentVersion(table)
-      .map(store.ingestState(table, _)).getOrElse(TableStore.IngestState.empty)
-    st.files.toSeq.sortBy(_._1).map { case (f, t) => (f, t) }
-      .toDF("file", "mtime")
+    state(store, table).files.toSeq.sortBy(_._1).toDF("file", "mtime")
   }
 
   /** Load every not-yet-ingested data file under `srcPath` (a file or
@@ -74,12 +78,15 @@ object FileIngest {
   /** `pattern`: optional glob over the path RELATIVE to `srcPath`
     * (Databricks COPY INTO's PATTERN option — e.g. `*.json`, or a
     * nested `dir/<star>/part-*.parquet` shape); non-matching files
-    * are invisible to the run. The listing watermark stays per-root:
-    * runs with
-    * DIFFERENT patterns over one root share it, so a later broader
-    * pattern will NOT pick up pre-watermark files an earlier narrow
-    * pattern excluded — use distinct roots (or a generous `slackMs`)
-    * when patterns vary. */
+    * are invisible to the run. Standard glob semantics (java.nio
+    * PathMatcher): `*` does NOT cross `/`, `**` does — the behavior
+    * every fnmatch/pathGlobFilter user expects; Hadoop's GlobPattern
+    * would silently match into deeper directories. A pattern run
+    * never ADVANCES the root's listing watermark (its listing proves
+    * nothing about the files the pattern excluded — advancing would
+    * make a later broader run silently skip them forever); it still
+    * SKIPS by watermarks that unrestricted runs established, which
+    * certify every then-present file. */
   def copyInto(spark: SparkSession, store: TableStore, table: String,
                srcPath: String, format: String = "parquet",
                slackMs: Long = slackFromEnv,
@@ -92,8 +99,10 @@ object FileIngest {
     val matcher: String => Boolean = pattern match {
       case None => _ => true
       case Some(g) =>
-        val gp = new org.apache.hadoop.fs.GlobPattern(g)
-        p => gp.matches(p.stripPrefix(root).stripPrefix("/"))
+        val m = java.nio.file.FileSystems.getDefault
+          .getPathMatcher("glob:" + g)
+        p => m.matches(java.nio.file.Paths.get(
+          p.stripPrefix(root).stripPrefix("/")))
     }
     def bound(wm: Long): Long =
       if (wm == Long.MinValue || slackMs == Long.MaxValue) Long.MinValue
@@ -129,8 +138,11 @@ object FileIngest {
       val df = spark.read.option("mergeSchema", "true").format(format)
         .load(fresh.map(_._1): _*)
       val n = df.count() // fresh files only — the price of an exact report
-      val newWm = math.max(wm, listed.map(_._2).max)
-      val newWms = st.watermarks + (root -> newWm)
+      // a PATTERN run must not advance the watermark: its listing
+      // says nothing about the excluded files (see scaladoc)
+      val newWms =
+        if (pattern.isDefined) st.watermarks
+        else st.watermarks + (root -> math.max(wm, listed.map(_._2).max))
       // prune entries every later run will skip by the mtime rule
       // anyway — this is what keeps the header O(window), not
       // O(history). The prune bound and the skip bound are the SAME

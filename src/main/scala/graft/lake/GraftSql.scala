@@ -274,9 +274,7 @@ object GraftSql {
         // the watermark window plus the per-root watermarks; manifest
         // header only, no scan
         require(store.exists(table), s"unknown graft table $table")
-        val st = store.currentVersion(table)
-          .map(store.ingestState(table, _))
-          .getOrElse(TableStore.IngestState.empty)
+        val st = FileIngest.state(store, table)
         import spark.implicits._
         (st.files.toSeq.sorted.map { case (p, t) => ("file", p, t) } ++
           st.watermarks.toSeq.sorted.map { case (r, t) =>

@@ -797,14 +797,9 @@ final class TableStore(spark: SparkSession, root: String,
             if (fs(p).exists(p)) readSmallFile(p) else ""
           }.getOrElse("")
           writeSmallFile(statsPath(table, v), prevStats)
-          val header = cur.map(w => readSmallFile(manifestFile(table, w))
-            .split("\n").toSeq).getOrElse(Nil)
+          val (colmap, carriedIng) = carriedHeader(table, cur)
           publishManifest(table, v, carriedLines ++ dvFiles.map(DvPrefix + _),
-            header.collectFirst { case l if l.startsWith(ColmapHeader) =>
-              l.stripPrefix(ColmapHeader).trim }.filter(_.nonEmpty),
-            ingest = header.filter(l => l.startsWith(IngestHeader) ||
-              l.startsWith(IngestWmHeader)),
-            op = "DELETE (dv)")
+            colmap, ingest = carriedIng, op = "DELETE (dv)")
         }
         return n
       } catch { case e: SnapshotConflictException =>
@@ -1309,6 +1304,24 @@ final class TableStore(spark: SparkSession, root: String,
   private def carriedIngest(table: String, cur: Option[Long]): Seq[String] =
     cur.toSeq.flatMap(rawIngest(table, _))
 
+  /** (column mapping, ingest ledger lines) of `cur`'s manifest in ONE
+    * small-file read — the carried headers every data commit
+    * republishes. Separate rawColmap/rawIngest calls would GET the
+    * same small object twice more per commit on an object-store
+    * backend; a future header kind gets carried by extending THIS
+    * helper, not by finding every commit path. */
+  private def carriedHeader(table: String,
+                            cur: Option[Long]): (Option[String], Seq[String]) = {
+    val header = cur.map(w => readSmallFile(manifestFile(table, w))
+      .split("\n").toSeq).getOrElse(Nil)
+    (header.collectFirst {
+      case l if l.startsWith(ColmapHeader) =>
+        l.stripPrefix(ColmapHeader).trim
+    }.filter(_.nonEmpty),
+      header.filter(l => l.startsWith(IngestHeader) ||
+        l.startsWith(IngestWmHeader)))
+  }
+
   /** COPY INTO's ledger at version `v`, parsed:
     * (source file → its listing mtime, source root → listing
     * watermark). O(manifest header) — one small-file read, no table
@@ -1562,17 +1575,7 @@ final class TableStore(spark: SparkSession, root: String,
       }
       writeSmallFile(statsPath(table, v),
         (carriedStats.toSeq ++ newStats).mkString("\n"))
-      // ONE header read serves both carried header kinds — separate
-      // rawColmap/rawIngest calls would GET the same small object
-      // twice more per commit on an object-store backend
-      val header = cur.map(w => readSmallFile(manifestFile(table, w))
-        .split("\n").toSeq).getOrElse(Nil)
-      val colmap = header.collectFirst {
-        case l if l.startsWith(ColmapHeader) =>
-          l.stripPrefix(ColmapHeader).trim
-      }.filter(_.nonEmpty)
-      val carriedIng = header.filter(l =>
-        l.startsWith(IngestHeader) || l.startsWith(IngestWmHeader))
+      val (colmap, carriedIng) = carriedHeader(table, cur)
       publishManifest(table, v, carriedLines ++ newFiles, colmap, txn,
         ingest = ingest.getOrElse(carriedIng), op = op)
     } catch { case e: SnapshotConflictException =>
@@ -2076,8 +2079,20 @@ final class TableStore(spark: SparkSession, root: String,
     val dir = tablePath(table)
     val f = fs(dir)
     if (!f.exists(dir)) return Seq.empty
-    val referenced = versions(table)
-      .flatMap(manifest(table, _))
+    // STAGED manifests reference data too: a transaction's dirs are
+    // not orphans while its staged manifest exists on disk — the
+    // manifest may yet promote (journaled roll-forward), and deleting
+    // the dirs would publish a manifest over vanished files. Dead
+    // unjournaled transactions lose their staged manifests to
+    // recoverTransactions' rollback first; THEN the dirs orphan.
+    val stagedLines = f.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("staged-") &&
+        p.getName.contains("-manifest-"))
+      .flatMap(p => readSmallFile(p).split("\n").toSeq
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")))
+    val referenced = (versions(table).flatMap(manifest(table, _)) ++
+      stagedLines)
       .map(lineFile)
       .flatMap { p =>
         val rel = p.stripPrefix(dir.toString).stripPrefix("/")

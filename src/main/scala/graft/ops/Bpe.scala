@@ -109,11 +109,16 @@ object Bpe {
     * not a document sample, so the merges reflect the real corpus
     * distribution. One distributed aggregate (shuffle on the token,
     * map-side combined) and a top-`maxWords` cap by (frequency desc,
-    * token asc) bound the driver's training input to |V| entries —
-    * the dropped low-frequency tail is exactly what BPE training
-    * ignores anyway (its pairs never win a merge against the head).
-    * Deterministic on any cluster layout: the aggregate is
-    * partition-order-free and the cap's ordering is total. */
+    * token asc) bound the driver's training input to |V| entries.
+    * The cap is an APPROXIMATION when it binds: the dropped tail's
+    * tokens are individually rare, but a character pair spread
+    * across many of them could in aggregate outvote a head pair —
+    * standard head-truncated BPE practice (every production
+    * tokenizer trains on a bounded vocabulary), not exact full-vocab
+    * training; raise `maxWords` when the distinct-pre-token count is
+    * near it and exactness matters. Deterministic on any cluster
+    * layout either way: the aggregate is partition-order-free and
+    * the cap's ordering is total. */
   def trainFromCorpus(df: DataFrame, textCol: String,
                       numMerges: Int, maxWords: Int = 50000): Seq[(String, String)] = {
     val words = df

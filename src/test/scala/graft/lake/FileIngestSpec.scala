@@ -248,6 +248,10 @@ class FileIngestSpec extends SparkSpec {
     val store = new TableStore(spark, tmpDir("ci-pat-store"))
     writeSrc(src, "keep/a", Seq((1, "a")))
     writeSrc(src, "skip/b", Seq((2, "b")))
+    // standard glob semantics: a bare '*' does NOT cross '/' — a
+    // top-level '*.parquet' matches nothing here (all files nest)
+    assert(FileIngest.copyInto(spark, store, "t0", src,
+      pattern = Some("*.parquet")) == FileIngest.Result(0, 0L))
     val r = FileIngest.copyInto(spark, store, "t", src,
       pattern = Some("keep/*/*.parquet"))
     assert(r.rowsLoaded == 1)
@@ -259,6 +263,26 @@ class FileIngestSpec extends SparkSpec {
     val m = GraftSql.execute(spark, store,
       s"COPY INTO t FROM '$src' PATTERN = 'skip/*/*.parquet'")
     assert(m.select("rows_loaded").as[Long].head() == 1L)
+    assert(ids(store) == Seq(1, 2))
+  }
+
+  test("a PATTERN run never advances the watermark past files it excluded") {
+    val src = tmpDir("ci-pat-wm")
+    val store = new TableStore(spark, tmpDir("ci-pat-wm-store"))
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    def setTimes(name: String, t: Long): Unit =
+      FsListing.dataFiles(new Path(s"$src/$name"), spark.sessionState.newHadoopConf())
+        .foreach(f => fs.setTimes(new Path(f), t, t))
+    // an old excluded file and a new matching one
+    writeSrc(src, "b/old", Seq((1, "old"))); setTimes("b/old", 1000L)
+    writeSrc(src, "a/new", Seq((2, "new"))); setTimes("a/new", 9000L)
+    val r1 = FileIngest.copyInto(spark, store, "t", src, slackMs = 0L,
+      pattern = Some("a/**"))
+    assert(r1.rowsLoaded == 1)
+    // were the pattern run to set watermark=9000, the unrestricted
+    // run would skip b/old (mtime 1000) forever — silent data loss
+    val r2 = FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
+    assert(r2.rowsLoaded == 1, "the excluded old file must still ingest")
     assert(ids(store) == Seq(1, 2))
   }
 

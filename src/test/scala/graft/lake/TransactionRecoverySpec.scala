@@ -151,6 +151,27 @@ class TransactionRecoverySpec extends SparkSpec {
     assert(new TableStore(spark, root).read("a").count() == 2)
   }
 
+  test("vacuumOrphans must not reap a staged transaction's data dirs") {
+    val root = tmpDir("txnrec-vac")
+    val store = seedTwoTables(root, None)
+    store.beginTransaction()
+    store.append("b", Seq((11, "y2")).toDF("id", "v"))
+    // an aggressive janitor (ttl=0) runs while the commit is staged:
+    // the staged manifest references the new data dir, so the dir is
+    // NOT an orphan — deleting it would let a later roll-forward
+    // publish a manifest over vanished files
+    val janitor = new TableStore(spark, root)
+    assert(janitor.vacuumOrphans("b", ttlMs = 0L).isEmpty)
+    store.commitTransaction()
+    assert(janitor.read("b").orderBy("id").count() == 2)
+    // after a ROLLBACK, the discarded staging's dirs DO orphan
+    store.beginTransaction()
+    store.append("b", Seq((12, "y3")).toDF("id", "v"))
+    store.rollbackTransaction()
+    assert(janitor.vacuumOrphans("b", ttlMs = 0L).nonEmpty)
+    assert(janitor.read("b").count() == 2)
+  }
+
   test("a second instance's write during an open transaction fails loudly, not silently") {
     val root = tmpDir("txnrec-guard2")
     val store = seedTwoTables(root, None)
