@@ -128,6 +128,11 @@ object Dedup {
         .select("a", "b").distinct()
     } else {
       require(starAbove >= 2, "starAbove must be >= 2")
+      // bucket size + min via groupBy + join (NOT a window): the
+      // aggregated side is tiny (one row per bucket) so AQE
+      // broadcasts it back — one shuffle of the band frame and no
+      // per-partition sort; a window form was measured same-or-worse
+      // at sf0.1 because it forces that sort on the full frame
       val sized = bands.groupBy("band", "band_key")
         .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__min_id"))
       val tagged = bands.join(sized, Seq("band", "band_key"))
