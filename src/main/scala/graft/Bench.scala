@@ -69,7 +69,19 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(fullJson)
+    // The full record must survive log truncation: the driver keeps only
+    // the tail of stdout, so round 9's official artifact carried
+    // "parsed": null and the per-query map was lost. Persist the complete
+    // JSON to a file at the repo root (override via SPARK_GRAFT_BENCH_OUT);
+    // tools/bench_compare.py reads it directly.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
     // Second, COMPACT record: the driver's capture keeps only the tail of
     // stdout, and the full line above ends in the queries_max noise gauge —
     // round 3's official bench record preserved only worst-rep contention

@@ -148,9 +148,17 @@ object FileIngest {
       // O(history). The prune bound and the skip bound are the SAME
       // function over the same watermark set, so an entry is dropped
       // exactly when no future run (under any recorded root) could
-      // need it
+      // need it. One wrinkle: a source file OVERWRITTEN in place is
+      // skipped by path while its entry still carries the OLD mtime —
+      // refresh a still-listed file's entry to max(recorded, listed)
+      // so the entry can never prune while the file itself still
+      // looks fresh (pruning at the stale mtime would make the next
+      // run reload the file and duplicate its original rows)
+      val listedTimes = listed.toMap
+      val refreshed = st.files.map { case (p, t) =>
+        p -> math.max(t, listedTimes.getOrElse(p, t)) }
       val pruneBelow = coveredBound(newWms) _
-      val entries = (st.files ++ fresh).filter { case (p, t) =>
+      val entries = (refreshed ++ fresh).filter { case (p, t) =>
         t >= pruneBelow(p) }
       val lines = entries.toSeq.sortBy(_._1)
         .map { case (p, t) => TableStore.ingestLine(t, p) } ++

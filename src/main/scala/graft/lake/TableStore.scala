@@ -197,6 +197,17 @@ final class TableStore(spark: SparkSession, root: String,
         if (!fs(dst).exists(dst)) throw t
       }
     }
+    // A journaled intent must end with the final manifest in place.
+    // If BOTH the staged source and the destination are missing, the
+    // staged manifest was discarded out from under this transaction
+    // (e.g. a janitor's TTL rollback raced a still-live writer) —
+    // fail loudly instead of reporting a half-applied commit as
+    // success, which is the exact state the journal exists to prevent.
+    if (!fs(dst).exists(dst))
+      throw new IllegalStateException(
+        s"staged manifest for ($table,$v) in txn $txn vanished before " +
+          "promotion — a concurrent recovery likely rolled this " +
+          "transaction back; the commit cannot complete atomically")
   }
 
   /** Abort the active transaction: delete every staged manifest and
@@ -1312,8 +1323,13 @@ final class TableStore(spark: SparkSession, root: String,
     * helper, not by finding every commit path. */
   private def carriedHeader(table: String,
                             cur: Option[Long]): (Option[String], Seq[String]) = {
-    val header = cur.map(w => readSmallFile(manifestFile(table, w))
-      .split("\n").toSeq).getOrElse(Nil)
+    // mirror rawColmap/rawIngest's missing-manifest tolerance: if the
+    // superseded manifest vanished (raced by an external cleanup),
+    // carry empty headers rather than dying mid-commit
+    val header = cur.filter(w => fs(manifestFile(table, w))
+        .exists(manifestFile(table, w)))
+      .map(w => readSmallFile(manifestFile(table, w))
+        .split("\n").toSeq).getOrElse(Nil)
     (header.collectFirst {
       case l if l.startsWith(ColmapHeader) =>
         l.stripPrefix(ColmapHeader).trim

@@ -163,8 +163,15 @@ object Bpe {
       .groupBy(groupCol)
       .agg(count(lit(1)).as("pre_tokens"),
         sum("pieces").as("bpe_pieces"))
-    df.groupBy(groupCol).agg(count(lit(1)).as("docs"))
-      .join(agg, Seq(groupCol), "left")
+    // null-safe join key: a NULL group must pick up ITS aggregate,
+    // not get na.fill'ed to 0 while its docs are counted (USING-join
+    // equality never matches NULL to NULL). The agg side's key is
+    // renamed first — both frames descend from df, and drop(Column)
+    // on the ambiguous shared lineage removes the wrong one.
+    val aggR = agg.withColumnRenamed(groupCol, "__bpe_g")
+    val docs = df.groupBy(groupCol).agg(count(lit(1)).as("docs"))
+    docs.join(aggR, col(groupCol) <=> col("__bpe_g"), "left")
+      .drop("__bpe_g")
       .na.fill(0L, Seq("pre_tokens", "bpe_pieces"))
   }
 }

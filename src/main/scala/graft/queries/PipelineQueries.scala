@@ -1013,7 +1013,7 @@ object PipelineQueries {
       def rule(tbl: String, name: String, viol: Column, n: Column) =
         struct(lit(tbl).as("table_name"), lit(name).as("rule"),
           viol.as("violations"), n.as("n_rows"))
-      liAgg.crossJoin(orph).crossJoin(oAgg)
+      liAgg.crossJoin(broadcast(orph)).crossJoin(broadcast(oAgg))
         .select(explode(array(
           rule("lineitem", "null_quantity", col("null_qty"), col("li_n")),
           rule("lineitem", "discount_in_[0,1]", col("bad_discount"),

@@ -216,6 +216,45 @@ class FileIngestSpec extends SparkSpec {
     assert(ids(store) == Seq(1, 2, 3))
   }
 
+  test("a file OVERWRITTEN in place never reloads: its entry refreshes to the new mtime") {
+    val src = tmpDir("ci-mod")
+    val store = new TableStore(spark, tmpDir("ci-mod-store"))
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    def setTimes(name: String, t: Long): Unit =
+      FsListing.dataFiles(new Path(s"$src/$name"), spark.sessionState.newHadoopConf())
+        .foreach(f => fs.setTimes(new Path(f), t, t))
+    writeSrc(src, "a", Seq((1, "a"))); setTimes("a", 1000L)
+    FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
+    // a is overwritten IN PLACE (same file PATH, new bytes, new
+    // mtime) while a sibling advances the watermark past a's ORIGINAL
+    // mtime — the stale-recorded entry must refresh to the listed
+    // mtime instead of pruning, or the next run would see a as
+    // "fresh" and reload (duplicate) its originally ingested rows
+    locally {
+      val conf = spark.sessionState.newHadoopConf()
+      val aFile = new Path(FsListing.dataFiles(new Path(s"$src/a"), conf).head)
+      val tmp = tmpDir("ci-mod-tmp")
+      writeSrc(tmp, "x", Seq((9, "z")))
+      val nFile = new Path(FsListing.dataFiles(new Path(s"$tmp/x"), conf).head)
+      org.apache.hadoop.fs.FileUtil.copy(fs, nFile, fs, aFile, false, true, conf)
+    }
+    setTimes("a", 6000L)
+    writeSrc(src, "b", Seq((2, "b"))); setTimes("b", 5000L)
+    val r2 = FileIngest.copyInto(spark, store, "t", src, slackMs = 0L)
+    assert(r2.rowsLoaded == 1, s"only b is fresh, got $r2")
+    // the refreshed entry survives the prune at the NEW mtime (6000
+    // >= wm 6000); b's entry (5000 < bound) prunes as usual — the
+    // stale 1000 would have pruned too, re-exposing a as "fresh"
+    val led = FileIngest.ledger(spark, store, "t")
+      .select("mtime").as[Long].collect().toSeq.sorted
+    assert(led == Seq(6000L), s"ledger mtimes: $led")
+    // re-run: a stays skipped BY PATH (file-based exactly-once keeps
+    // the originally ingested rows; modified content is not reloaded)
+    assert(FileIngest.copyInto(spark, store, "t", src, slackMs = 0L) ==
+      FileIngest.Result(0, 0L))
+    assert(ids(store) == Seq(1, 2))
+  }
+
   test("overlapping ingest roots never reload: skip and prune share one bound") {
     val src = tmpDir("ci-nest")
     val store = new TableStore(spark, tmpDir("ci-nest-store"))

@@ -62,6 +62,30 @@ class TransactionRecoverySpec extends SparkSpec {
     assert(fresh.read("b").count() == 3)
   }
 
+  test("TTL takeover of a LIVE transaction surfaces at commit, never a silent half-commit") {
+    val root = tmpDir("txnrec-takeover")
+    val store = seedTwoTables(root, None)
+    store.beginTransaction()
+    store.append("a", Seq((2, "x2")).toDF("id", "v"))
+    store.append("b", Seq((11, "y2")).toDF("id", "v"))
+    // a janitor with a too-aggressive TTL rolls the still-live
+    // transaction back (no intent journaled yet): the staged
+    // manifests are discarded out from under the writer
+    val janitor = new TableStore(spark, root)
+    val (fwd, back) = janitor.recoverTransactions(ttlMs = 0L)
+    assert(fwd.isEmpty && back.size == 1)
+    // the live writer's COMMIT must now FAIL LOUDLY — both the staged
+    // source and the destination are gone, so silently "succeeding"
+    // would report a commit that never applied (the exact data-loss
+    // mode the journal exists to prevent)
+    val e = intercept[IllegalStateException] { store.commitTransaction() }
+    assert(e.getMessage.contains("vanished before promotion"))
+    // neither table advanced
+    val fresh = new TableStore(spark, root)
+    assert(fresh.currentVersion("a").contains(0L))
+    assert(fresh.currentVersion("b").contains(0L))
+  }
+
   test("crash BEFORE the journal write: recovery rolls the whole txn BACK") {
     val root = tmpDir("txnrec-back")
     val store = seedTwoTables(root, None)
