@@ -137,7 +137,6 @@ object FileIngest {
       if (fresh.isEmpty) return Result(0, 0L)
       val df = spark.read.option("mergeSchema", "true").format(format)
         .load(fresh.map(_._1): _*)
-      val n = df.count() // fresh files only — the price of an exact report
       // a PATTERN run must not advance the watermark: its listing
       // says nothing about the excluded files (see scaladoc)
       val newWms =
@@ -165,7 +164,12 @@ object FileIngest {
         newWms.toSeq.sortBy(_._1)
           .map { case (r, t) => TableStore.ingestWmLine(t, r) }
       try {
-        dataV match {
+        // the commit folds parquet footer row counts into the stats
+        // sidecar anyway — the exactness report rides that, so the
+        // batch is read ONCE (by the write), never a second counting
+        // pass; at a daily 100 TB drop that's one read, not two. -1
+        // (a source with a real __rows column) falls back to counting.
+        val committed = dataV match {
           case Some(v) => store.appendIngest(table, df, lines, v)
           case None =>
             try store.createIngest(table, df, lines)
@@ -176,6 +180,7 @@ object FileIngest {
                 throw new SnapshotConflictException(e.getMessage)
             }
         }
+        val n = if (committed >= 0) committed else df.count()
         return Result(fresh.size, n)
       } catch {
         case e: SnapshotConflictException =>

@@ -233,6 +233,138 @@ object FileStats {
     }
   }
 
+  /** Conservative driver-side test of a pushed-down Catalyst data
+    * filter against ONE file's recorded stats — the evaluator behind
+    * [[StatsFileIndex]], which makes manifest-level skipping automatic
+    * on the DEFAULT read path (`store.read(t).where(...)`, SQL SELECT)
+    * instead of opt-in via [[graft.lake.TableStore.readPruned]].
+    * Answers "could any row of this file satisfy `e`?": false only
+    * when the recorded ranges / null counts PROVE no row can;
+    * unsupported expression shapes, unknown columns, and type
+    * mismatches all answer true (keep the file). Handles the shapes
+    * Spark actually pushes to a file scan: comparisons between an
+    * attribute and a literal (both orders), IsNull/IsNotNull,
+    * IN / INSET, StartsWith, AND / OR. */
+  def exprMayMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   statOf: String => Option[Stat]): Boolean = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    e match {
+      case ce.And(l, r) => exprMayMatch(l, statOf) && exprMayMatch(r, statOf)
+      case ce.Or(l, r) => exprMayMatch(l, statOf) || exprMayMatch(r, statOf)
+      case ce.EqualTo(a: ce.AttributeReference, ce.Literal(v, _)) =>
+        cmpMayMatch(statOf(a.name), v, "=")
+      case ce.EqualTo(ce.Literal(v, _), a: ce.AttributeReference) =>
+        cmpMayMatch(statOf(a.name), v, "=")
+      case ce.EqualNullSafe(a: ce.AttributeReference, ce.Literal(v, _))
+          if v != null => cmpMayMatch(statOf(a.name), v, "=")
+      case ce.EqualNullSafe(ce.Literal(v, _), a: ce.AttributeReference)
+          if v != null => cmpMayMatch(statOf(a.name), v, "=")
+      case ce.GreaterThan(a: ce.AttributeReference, ce.Literal(v, _)) =>
+        cmpMayMatch(statOf(a.name), v, ">")
+      case ce.GreaterThan(ce.Literal(v, _), a: ce.AttributeReference) =>
+        cmpMayMatch(statOf(a.name), v, "<")
+      case ce.GreaterThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) =>
+        cmpMayMatch(statOf(a.name), v, ">=")
+      case ce.GreaterThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) =>
+        cmpMayMatch(statOf(a.name), v, "<=")
+      case ce.LessThan(a: ce.AttributeReference, ce.Literal(v, _)) =>
+        cmpMayMatch(statOf(a.name), v, "<")
+      case ce.LessThan(ce.Literal(v, _), a: ce.AttributeReference) =>
+        cmpMayMatch(statOf(a.name), v, ">")
+      case ce.LessThanOrEqual(a: ce.AttributeReference, ce.Literal(v, _)) =>
+        cmpMayMatch(statOf(a.name), v, "<=")
+      case ce.LessThanOrEqual(ce.Literal(v, _), a: ce.AttributeReference) =>
+        cmpMayMatch(statOf(a.name), v, ">=")
+      case ce.IsNull(a: ce.AttributeReference) =>
+        mayMatch(statOf(a.name), IsNull(a.name))
+      case ce.IsNotNull(a: ce.AttributeReference) =>
+        mayMatch(statOf(a.name), IsNotNull(a.name))
+      case ce.In(a: ce.AttributeReference, vs)
+          if vs.nonEmpty && vs.size <= 256 &&
+            vs.forall(_.isInstanceOf[ce.Literal]) =>
+        vs.exists { case ce.Literal(v, _) =>
+          cmpMayMatch(statOf(a.name), v, "=") }
+      case ce.InSet(a: ce.AttributeReference, vs) if vs.size <= 4096 =>
+        vs.exists(v => cmpMayMatch(statOf(a.name), v, "="))
+      case ce.StartsWith(a: ce.AttributeReference, ce.Literal(p, _)) =>
+        (strLit(p), statOf(a.name)) match {
+          case (Some(_), Some(Stat(NullTag, _, _, _))) => false
+          case (Some(pfx), Some(Stat(StrTag, mnb, mxb, _))) if pfx.nonEmpty =>
+            // any s with prefix pfx satisfies pfx <= s < pfxNext
+            val pfxNext = pfx.init + (pfx.last + 1).toChar
+            unb64(mxb) >= pfx && unb64(mnb) < pfxNext
+          case _ => true
+        }
+      case _ => true
+    }
+  }
+
+  /** Can a file with this stats entry hold a row whose column `op`
+    * the literal `v`? Type-mismatched or unreadable literals keep the
+    * file; an all-NULL column rejects every value comparison. */
+  private def cmpMayMatch(entry: Option[Stat], v: Any, op: String): Boolean =
+    entry match {
+      case Some(Stat(NullTag, _, _, _)) => false
+      case Some(Stat(NumTag, mn, mx, _)) =>
+        numLit(v) match {
+          case None => true
+          case Some(x) =>
+            val lo = BigDecimal(mn); val hi = BigDecimal(mx)
+            op match {
+              case "=" => x >= lo && x <= hi
+              case ">" => hi > x
+              case ">=" => hi >= x
+              case "<" => lo < x
+              case "<=" => lo <= x
+              case _ => true
+            }
+        }
+      case Some(Stat(StrTag, mnb, mxb, _)) =>
+        strLit(v) match {
+          case None => true
+          case Some(x) =>
+            val lo = unb64(mnb); val hi = unb64(mxb)
+            op match {
+              case "=" => x >= lo && x <= hi
+              case ">" => hi > x
+              case ">=" => hi >= x
+              case "<" => lo < x
+              case "<=" => lo <= x
+              case _ => true
+            }
+        }
+      case _ => true
+    }
+
+  /** Literal → BigDecimal for the numeric stats space; None (keep)
+    * for NaN, NULL, and non-numeric types. */
+  private def numLit(v: Any): Option[BigDecimal] = v match {
+    case null => None
+    case i: Int => Some(BigDecimal(i))
+    case l: Long => Some(BigDecimal(l))
+    case s: Short => Some(BigDecimal(s.toInt))
+    case b: Byte => Some(BigDecimal(b.toInt))
+    case f: Float => if (f.isNaN) None else Some(BigDecimal(f.toDouble))
+    case d: Double => if (d.isNaN) None else Some(BigDecimal(d))
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
+    case d: java.math.BigDecimal => Some(BigDecimal(d))
+    case _ => None
+  }
+
+  /** Literal → String for the string stats space. Non-ASCII answers
+    * None (keep): the sidecar only records all-ASCII bounds, where
+    * Java string order and parquet's unsigned-UTF-8 order agree —
+    * but the LITERAL must be ASCII too for the comparison to agree
+    * with Spark's binary collation. */
+  private def strLit(v: Any): Option[String] = v match {
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      val s = u.toString
+      if (s.exists(_ >= 0x80.toChar)) None else Some(s)
+    case s: String =>
+      if (s.exists(_ >= 0x80.toChar)) None else Some(s)
+    case _ => None
+  }
+
   /** The residual predicate to apply after pruning (stats are a
     * superset filter, never the answer). */
   def residual(df: DataFrame, pred: Pred): DataFrame = pred match {

@@ -335,7 +335,12 @@ final class TableStore(spark: SparkSession, root: String,
   def currentVersion(table: String): Option[Long] =
     versions(table).lastOption
 
-  /** S3/S4: destination table scan of the current committed version. */
+  /** S3/S4: destination table scan of the current committed version.
+    * Stats-sidecar file skipping is AUTOMATIC here: the scan is built
+    * over a [[StatsFileIndex]], so `read(t).where(pred)` drops
+    * non-intersecting files when Catalyst pushes `pred` down — every
+    * front-door path (SQL SELECT included) gets the pruning
+    * `readPruned` used to require opting into. */
   def read(table: String): DataFrame = {
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist"))
@@ -355,17 +360,21 @@ final class TableStore(spark: SparkSession, root: String,
     * anti-joins the union of its later delete sets (small, broadcast);
     * `compact` folds the debt away. */
   def readVersion(table: String, v: Long): DataFrame =
-    columnMapping(table, v).applyRead(readLines(table, manifest(table, v)))
+    columnMapping(table, v).applyRead(
+      readLines(table, manifest(table, v), stats = statsFor(table, v)))
 
   /** Version `v`'s rows viewed under version `schemaV`'s column
     * mapping — how `changes(_, fromV, toV)` sees its fromV endpoint.
     * Exposed within the package for feed-telescoping assertions. */
   private[lake] def readVersionAs(table: String, v: Long,
                                   schemaV: Long): DataFrame =
-    columnMapping(table, schemaV).applyRead(readLines(table, manifest(table, v)))
+    columnMapping(table, schemaV).applyRead(
+      readLines(table, manifest(table, v), stats = statsFor(table, v)))
 
   private def readLines(table: String, lines: Seq[String],
-                        withRowId: Boolean = false): DataFrame = {
+                        withRowId: Boolean = false,
+                        stats: Map[(String, String), FileStats.Stat] =
+                          Map.empty): DataFrame = {
     val prefix = tablePath(table).toString
     // Commit group = the d-<uuid> dir the file was written into. Find
     // it by the path component, NOT by stripping this table's prefix:
@@ -401,8 +410,7 @@ final class TableStore(spark: SparkSession, root: String,
       .map { case (base, fs) => (base, fs.map(_._1), fs.map(_._2).min) }
       .sortBy(_._3)
     groups.map { case (base, files, minIdx) =>
-      val raw = spark.read.option("mergeSchema", "true").option("basePath", base)
-        .parquet(files: _*)
+      val raw = statsScan(base, files, stats)
       // positional deletion vectors (Iceberg/Delta DV shape): rows are
       // identified by (file, row position in file) — `_metadata`
       // columns, zero storage cost on the data. A vector applies to
@@ -438,6 +446,30 @@ final class TableStore(spark: SparkSession, root: String,
           delKeys.columns.toSeq, "left_anti")
       }
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** One commit group's scan, built the way `spark.read.parquet`
+    * builds it (same [[org.apache.spark.sql.execution.datasources.InMemoryFileIndex]]
+    * listing, same mergeSchema inference, same basePath partition
+    * resolution) but over a [[StatsFileIndex]] so the sidecar's
+    * per-file min/max/null stats prune files at predicate-pushdown
+    * time — the DEFAULT read path's automatic data skipping. With no
+    * stats recorded the index degenerates to the plain listing. */
+  private def statsScan(base: String, files: Seq[String],
+                        stats: Map[(String, String), FileStats.Stat])
+      : DataFrame = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val opts = Map("mergeSchema" -> "true", "basePath" -> base)
+    val inMem = new InMemoryFileIndex(spark, files.map(new Path(_)), opts, None)
+    val fmt = new ParquetFileFormat
+    val dataSchema = fmt.inferSchema(spark, opts,
+      inMem.allFiles()).getOrElse(
+        throw new IllegalStateException(
+          s"could not infer parquet schema under $base"))
+    val rel = HadoopFsRelation(new StatsFileIndex(inMem, stats),
+      inMem.partitionSchema, dataSchema, None, fmt, opts)(spark)
+    spark.baseRelationToDataFrame(rel)
   }
 
   private val DelPrefix = "del|"
@@ -476,7 +508,8 @@ final class TableStore(spark: SparkSession, root: String,
     val v = currentVersion(table).getOrElse(
       throw new IllegalStateException(s"table $table does not exist"))
     FileStats.residual(columnMapping(table, v)
-      .applyRead(readLines(table, pruneLines(table, v, pred))), pred)
+      .applyRead(readLines(table, pruneLines(table, v, pred),
+        stats = statsFor(table, v))), pred)
   }
 
   /** Manifest lines of version `v` with stats-excluded data files
@@ -604,7 +637,8 @@ final class TableStore(spark: SparkSession, root: String,
     if (keep.forall(isDeleteLine))
       read(table).where(lit(false))
     else
-      columnMapping(table, v).applyRead(readLines(table, keep))
+      columnMapping(table, v).applyRead(
+        readLines(table, keep, stats = statsFor(table, v)))
         .where(col(column) === lit(value))
   }
 
@@ -788,7 +822,8 @@ final class TableStore(spark: SparkSession, root: String,
       val rs = currentVersion(table).getOrElse(
         throw new IllegalStateException(s"table $table does not exist"))
       val mapped = columnMapping(table, rs).applyRead(
-        readLines(table, manifest(table, rs), withRowId = true))
+        readLines(table, manifest(table, rs), withRowId = true,
+          stats = statsFor(table, rs)))
       // a SQL statement's predicate may qualify columns by the
       // statement alias (`t.x`) — resolve it here
       val withId = alias.fold(mapped)(a => mapped.alias(a))
@@ -844,7 +879,8 @@ final class TableStore(spark: SparkSession, root: String,
       val rs = currentVersion(table).getOrElse(
         throw new IllegalStateException(s"table $table does not exist"))
       val mapped = columnMapping(table, rs).applyRead(
-        readLines(table, manifest(table, rs), withRowId = true))
+        readLines(table, manifest(table, rs), withRowId = true,
+          stats = statsFor(table, rs)))
       val cols = mapped.columns.filterNot(c =>
         c == RowFileCol || c == RowPosCol).toIndexedSeq
       assigns.keys.foreach { k =>
@@ -1363,9 +1399,12 @@ final class TableStore(spark: SparkSession, root: String,
     * `readSnapshot` — the single-commit exactly-once ingest
     * primitive: there is no state in which the data is visible but
     * the ledger is not, so a crashed run's retry can never reload a
-    * published batch. */
+    * published batch. Returns the committed batch's row count folded
+    * from the write's own parquet footers (-1 if unknown — see
+    * [[commit]]), so the caller's exactness report costs no second
+    * scan of the source. */
   def appendIngest(table: String, df: DataFrame, ingestLines: Seq[String],
-                   readSnapshot: Long): Unit =
+                   readSnapshot: Long): Long =
     commit(table, df, carryAll(table), mustCreate = false,
       readSnapshot = Some(readSnapshot), ingest = Some(ingestLines),
       op = "COPY INTO")
@@ -1373,7 +1412,7 @@ final class TableStore(spark: SparkSession, root: String,
   /** First-run half of [[appendIngest]]: CREATE is itself the
     * conflict check — a racing first run loses the create claim. */
   def createIngest(table: String, df: DataFrame,
-                   ingestLines: Seq[String]): Unit = {
+                   ingestLines: Seq[String]): Long = {
     require(!exists(table), s"table $table already exists")
     commit(table, df, carried = _ => Nil, mustCreate = true,
       ingest = Some(ingestLines), op = "COPY INTO")
@@ -1499,7 +1538,7 @@ final class TableStore(spark: SparkSession, root: String,
                      preserveLayout: Boolean = false,
                      readSnapshot: Option[Long] = None,
                      ingest: Option[Seq[String]] = None,
-                     op: String = "WRITE"): Unit = {
+                     op: String = "WRITE"): Long = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
     val parts = if (mustCreate) createParts else partitioning(table)
     // CHECK constraints ride the write job itself (observe = metrics
@@ -1563,6 +1602,21 @@ final class TableStore(spark: SparkSession, root: String,
     // driver-side metadata reads, no second pass over the data;
     // retries reuse it (the files don't change across attempts)
     val newStats = FileStats.compute(hadoopConf, newFiles)
+    // rows this commit adds, from the same footers — the exact-once
+    // COPY INTO report reads the batch ONCE (the write), never a
+    // second counting pass. -1 = unknown (a file carrying a real
+    // __rows column suppresses its row line); callers fall back.
+    val newRows: Long = {
+      val byFile = newStats.flatMap { l =>
+        l.split("\t", -1) match {
+          case Array(k, c, _, total, _) if c == FileStats.RowsCol =>
+            Some(k -> total.toLong)
+          case _ => None
+        }
+      }.toMap
+      val counts = newFiles.map(f => byFile.get(FileStats.fileKey(f)))
+      if (counts.forall(_.isDefined)) counts.flatten.sum else -1L
+    }
 
     try claimLoop(table, mustCreate,
         onExists = () => fs(dataDir).delete(dataDir, true)) { (cur, v) =>
@@ -1600,6 +1654,7 @@ final class TableStore(spark: SparkSession, root: String,
       fs(dataDir).delete(dataDir, true)
       throw e
     }
+    newRows
   }
 
   /** Delta-ConflictChecker-style validation for rewrite commits: the

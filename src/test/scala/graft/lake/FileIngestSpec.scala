@@ -185,6 +185,38 @@ class FileIngestSpec extends SparkSpec {
     assert(rows == Seq((1, "a", None), (2, "b", Some(9.5))))
   }
 
+  test("the exactness report costs no second scan: source records read exactly once") {
+    val src = tmpDir("ci-once")
+    val store = new TableStore(spark, tmpDir("ci-once-store"))
+    writeSrc(src, "a", Seq((1, "a"), (2, "b"), (3, "c")))
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val r = FileIngest.copyInto(spark, store, "t", src)
+      // listener events are async — wait for the counter to go quiet
+      var last = -1L
+      var spins = 0
+      while (read.get() != last && spins < 100) {
+        last = read.get(); spins += 1; Thread.sleep(100)
+      }
+      // the reported count comes from the write's own footers, and
+      // matches the actual table delta...
+      assert(r.rowsLoaded == 3)
+      // ...with the 3 source records read ONCE (the write). The old
+      // exact-report df.count() read them a second time — at a daily
+      // 100 TB drop that was the whole batch scanned twice.
+      assert(read.get() == 3,
+        s"source scanned ${read.get()} records — a second pass snuck in")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(store.read("t").count() == 3)
+  }
+
   test("the mtime watermark prunes the ledger and bounds the lookback window") {
     val src = tmpDir("ci-wm")
     val store = new TableStore(spark, tmpDir("ci-wm-store"))

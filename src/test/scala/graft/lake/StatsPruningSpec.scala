@@ -32,6 +32,68 @@ class StatsPruningSpec extends SparkSpec {
         .orderBy("id").as[(Long, Long)].collect().toSeq)
   }
 
+  /** Files actually scanned (post-pruning) by every file-source scan
+    * in the executed plan — descends into adaptive subtrees. Metrics
+    * populate when the scan's partitions materialize, so run an
+    * action first. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(s.metrics("numFiles").value)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+      }.flatten
+    scans(df.queryExecution.executedPlan).sum
+  }
+
+  test("DEFAULT read path prunes automatically: a pushed predicate scans fewer files than the manifest") {
+    val store = freshStore()
+    store.create("t", spark.range(0, 800)
+      .select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("id")))
+    val total = dataLines(store, "t")
+    assert(total >= 8)
+    // plain read().where(...) — no readPruned opt-in anywhere
+    val df = store.read("t").where(col("id").between(100, 199))
+    val scanned = scannedFiles(df)
+    assert(scanned < total,
+      s"default path scanned every file: $scanned of $total")
+    assert(scanned <= 2, s"expected <=2 of $total range files, got $scanned")
+    assert(df.select("id").as[Long].collect().toSeq.sorted ==
+      (100L to 199L))
+    // equality and IN prune too
+    assert(scannedFiles(store.read("t").where(col("id") === 450L)) <= 1)
+    assert(scannedFiles(store.read("t")
+      .where(col("id").isin(10L, 20L, 710L))) <= 2)
+    // an unfiltered read scans everything — pruning never drops a
+    // file without a predicate proving it dead
+    assert(scannedFiles(store.read("t")) == total)
+  }
+
+  test("automatic pruning preserves MoR deletes, evolution, and SQL front-door reads") {
+    val store = freshStore()
+    store.create("t",
+      spark.range(0, 100).toDF("id").repartitionByRange(4, col("id")))
+    store.appendWithDeletes("t", Seq(10L, 200L).toDF("id"),
+      deleteKeys = Seq(11L, 12L).toDF("id"))
+    // filtered default-path read: deletes still applied on survivors
+    val got = store.read("t").where(col("id") <= 20)
+      .as[Long].collect().toSeq.sorted
+    assert(got == ((0L to 20L).filterNot(Set(11L, 12L)) :+ 10L).sorted)
+    // schema evolution: a file predating the column survives a
+    // predicate on it (no stats entry -> conservative keep)
+    store.append("t", Seq((5000L, Some(1.5))).toDF("id", "score"))
+    assert(store.read("t").where(col("score").isNull).count() == 100)
+    // SQL through the front door pushes the predicate into the same
+    // pruned scan
+    val out = GraftSql.executeScript(spark, store,
+      "SELECT id FROM t WHERE id >= 90 AND id < 100")
+    assert(scannedFiles(out) < dataLines(store, "t"))
+    assert(out.as[Long].collect().toSeq.sorted == (90L to 99L))
+  }
+
   test("appends carry stats by reference; both commits prune") {
     val store = freshStore()
     store.create("t",
