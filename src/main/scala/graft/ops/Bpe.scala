@@ -145,6 +145,66 @@ object Bpe {
       .withColumn("pieces", nPieces(col("tok")).cast("long"))
   }
 
+  /** (distinct pre-token, piece STRINGS) under `merges` — the full
+    * segmentation map behind [[vocabPieces]]'s counts and
+    * [[docPieceIds]]'s id sequences. Same shape: one corpus-sized
+    * distinct, segmentation over |V| rows only. */
+  def vocabSegments(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(ranks)
+    val segUdf = udf((tok: String) => segment(tok, bc.value))
+    df.select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
+      .distinct()
+      .withColumn("pieces", segUdf(col("tok")))
+  }
+
+  /** Deterministic piece vocabulary: every piece the corpus's
+    * segmentations emit, id-assigned in lexicographic piece order.
+    * Driver-side is safe by construction: a piece is either a base
+    * character or the product of one merge rule, so |pieces| <=
+    * |alphabet| + |merges| — hundreds, not corpus-sized. */
+  def pieceIdMap(df: DataFrame, textCol: String,
+                 merges: Seq[(String, String)]): Seq[(String, Int)] =
+    vocabSegments(df, textCol, merges)
+      .select(explode(col("pieces")).as("p")).distinct()
+      .orderBy("p")
+      .collect().map(_.getString(0)).zipWithIndex.toSeq
+
+  /** Per-document piece-ID sequences — the materialization step a
+    * pretraining pipeline actually ships (ids, not counts). Document
+    * order is preserved: pre-tokens explode WITH POSITION, join the
+    * broadcast |V|-row segmentation (corpus rows never carry merge
+    * work), and each doc re-assembles by position. Empty /
+    * whitespace-only docs keep a row with an empty sequence. One
+    * corpus shuffle (the per-doc re-assembly) — at 100 TB that is
+    * the floor for any order-preserving tokenization. */
+  def docPieceIds(df: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)],
+                  pieceIds: Map[String, Int]): DataFrame = {
+    val ranks = merges.zipWithIndex.toMap
+    val spark = df.sparkSession
+    val bcR = spark.sparkContext.broadcast(ranks)
+    val bcP = spark.sparkContext.broadcast(pieceIds)
+    val idsUdf = udf((tok: String) => segment(tok, bcR.value)
+      .map(p => bcP.value.getOrElse(p,
+        throw new IllegalArgumentException(s"piece '$p' not in vocab"))))
+    val segs = df.select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
+      .distinct()
+      .withColumn("ids", idsUdf(col("tok")))
+    val toks = df.select(col(idCol),
+      posexplode(TextOps.bpeTokens(col(textCol))).as(Seq("pos", "tok")))
+    val asm = toks.join(broadcast(segs), Seq("tok"))
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("ids")))),
+        x => x.getField("ids"))).as("piece_ids"))
+    df.select(col(idCol)).join(asm, Seq(idCol), "left")
+      .withColumn("piece_ids",
+        coalesce(col("piece_ids"), typedLit(Array.empty[Int])))
+  }
+
   /** Real-tokenizer budget per group: docs, total pre-tokens, and
     * total BPE pieces. The per-doc piece count joins each doc's
     * exploded pre-tokens to the broadcast vocabulary map — corpus

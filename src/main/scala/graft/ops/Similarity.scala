@@ -84,24 +84,58 @@ object Similarity {
   def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
                       numPlanes: Int = 3, numTables: Int = 4,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
+                      vecCol: String = "embedding",
+                      starAbove: Int = Int.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val b = lshBucketsMulti(corpus, numPlanes, numTables, idCol, vecCol)
-    val l = b.select(col(idCol).as("a"), col(vecCol).as("va"),
-      col("table"), col("bucket"))
-    val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"),
-      col("table"), col("bucket"))
     // Score per bucket-join occurrence, THEN dedup multi-table repeats
     // on narrow (a, b, cos) rows: the codegen'd dot product is cheaper
     // than shipping two 64-float arrays through a shuffle (a distinct
     // over the vectors measured ~2.6s at sf0.1, a first()-aggregate —
     // which loses hash aggregation on array buffers — ~7s; this shape
     // ~2.4s). max() is exact: every occurrence computes the same cosine.
-    l.join(r, Seq("table", "bucket"))
-      .where(col("a") < col("b"))
-      .select(col("a"), col("b"),
-        round(cosine(col("va"), col("vb")), 4).as("cos"))
-      .groupBy("a", "b")
+    val scored =
+      if (starAbove == Int.MaxValue) {
+        val l = b.select(col(idCol).as("a"), col(vecCol).as("va"),
+          col("table"), col("bucket"))
+        val r = b.select(col(idCol).as("b"), col(vecCol).as("vb"),
+          col("table"), col("bucket"))
+        l.join(r, Seq("table", "bucket"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            round(cosine(col("va"), col("vb")), 4).as("cos"))
+      } else {
+        // Hot-bucket star cap — the same guard [[graft.ops.Dedup
+        // .pairsFromBands]] applies to minhash buckets. Plane buckets
+        // are "statistically" corpus/2^planes, but a dedup-shaped
+        // corpus of near-identical vectors lands in ONE bucket and
+        // the within-bucket a<b join goes quadratic — exactly the
+        // 100 TB failure mode. A bucket over the cap emits bucket-min
+        // star edges (m−1) instead of all pairs (m(m−1)/2);
+        // connectivity for grouping/keep decisions is preserved.
+        // min_by pulls the star center's VECTOR in the same
+        // aggregate, so no join back to the corpus is needed.
+        require(starAbove >= 2, "starAbove must be >= 2")
+        val sized = b.groupBy("table", "bucket")
+          .agg(count(lit(1)).as("__bn"), min(col(idCol)).as("__min_id"),
+            min_by(col(vecCol), col(idCol)).as("__min_vec"))
+        val tagged = b.join(sized, Seq("table", "bucket"))
+        val small = tagged.where(col("__bn") <= starAbove)
+        val l = small.select(col(idCol).as("a"), col(vecCol).as("va"),
+          col("table"), col("bucket"))
+        val r = small.select(col(idCol).as("b"), col(vecCol).as("vb"),
+          col("table"), col("bucket"))
+        val allPairs = l.join(r, Seq("table", "bucket"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b"),
+            round(cosine(col("va"), col("vb")), 4).as("cos"))
+        val star = tagged.where(col("__bn") > starAbove &&
+            col(idCol) =!= col("__min_id"))
+          .select(col("__min_id").as("a"), col(idCol).as("b"),
+            round(cosine(col("__min_vec"), col(vecCol)), 4).as("cos"))
+        allPairs.unionByName(star)
+      }
+    scored.groupBy("a", "b")
       .agg(max("cos").as("cos"))
       .where(col("cos") > threshold)
   }

@@ -107,12 +107,22 @@ object TextOps {
     *
     * Returns the input plus (start_off, pack_id, n_tokens). */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    budget: Int, streamCols: Seq[Column]): DataFrame = {
+                    budget: Int, streamCols: Seq[Column]): DataFrame =
+    packSequencesByCount(df, idCol, tokenCount(col(textCol)), budget,
+      streamCols)
+
+  /** [[packSequences]] with the per-document token count supplied by
+    * the caller — e.g. `size(piece_ids)` so packs are laid out by the
+    * REAL tokenizer's counts (the sequences a pretraining pipeline
+    * ships), not the whitespace approximation. Same cumulative-window
+    * shape, same (start_off, pack_id, n_tokens) contract. */
+  def packSequencesByCount(df: DataFrame, idCol: String, countCol: Column,
+                           budget: Int, streamCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0, "token budget must be positive")
     val w = Window.partitionBy(streamCols: _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokenCount(col(textCol)).cast("long"))
+    df.withColumn("n_tokens", countCol.cast("long"))
       .withColumn("start_off",
         sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("pack_id",

@@ -931,6 +931,56 @@ object TextQueries {
     },
     () => bpeBudgetOracle)
 
+  @volatile private var bpePieceOracle: Option[String] = None
+
+  /** Materialized piece-ID sequences — the training-data step beyond
+    * counts: per document, the actual BPE piece ids in order (as a
+    * CSV string for the compare; the library API
+    * [[graft.ops.Bpe.docPieceIds]] returns the array<int>). Dynamic
+    * oracle: the (pre-token → id CSV) segmentation map embeds as
+    * VALUES and DuckDB replays pre-tokenization WITH position, the
+    * map join, and the ordered re-assembly. Round-trip (ids →
+    * pieces → original pre-token text) is spec-pinned in BpeSpec. */
+  val bpePieceIds: Entry = new Entry(
+    "bpe_piece_ids_export",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.ops.Bpe.trainFromCorpus(docs, "text",
+        numMerges = 64)
+      val pid = graft.ops.Bpe.pieceIdMap(docs, "text", merges).toMap
+      val tokIds = graft.ops.Bpe.vocabSegments(docs, "text", merges)
+        .collect()
+        .map(r => (r.getString(0),
+          r.getSeq[String](1).map(pid).mkString(",")))
+        .sortBy(_._1)
+      bpePieceOracle = Some(s"""WITH seg(tok, ids, np) AS (VALUES ${
+          tokIds.map { case (tk, ids) =>
+            s"('${tk.replace("'", "''")}', '$ids', ${ids.count(_ == ',') + 1})"
+          }.mkString(", ")}),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(text,
+        |      '${TextOps.bpePattern.replace("'", "''")}')) AS tok,
+        |    generate_subscripts(regexp_extract_all(text,
+        |      '${TextOps.bpePattern.replace("'", "''")}'), 1) AS ord
+        |  FROM documents),
+        |asm AS (
+        |  SELECT doc_id, string_agg(ids, ',' ORDER BY ord) AS ids_csv,
+        |         CAST(sum(np) AS BIGINT) AS n_pieces
+        |  FROM toks JOIN seg USING (tok) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_pieces, 0) AS n_pieces,
+        |  COALESCE(a.ids_csv, '') AS ids_csv
+        |FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
+      graft.ops.Bpe.docPieceIds(docs, "doc_id", "text", merges, pid)
+        .select(col("doc_id"),
+          size(col("piece_ids")).cast("long").as("n_pieces"),
+          array_join(col("piece_ids"), ",").as("ids_csv"))
+        .orderBy("doc_id")
+    },
+    () => bpePieceOracle)
+
   /** The flagship LLM-corpus curation pipeline, composed end to end:
     * exact dedup (canonical = min doc_id per content hash) → MinHash
     * near-dup removal (drop the higher id of every verified pair) →
@@ -1527,7 +1577,7 @@ object TextQueries {
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   val entries: Seq[Entry] = Seq(dedupExact, textQuality, langStats, tokenBudget,
-    bpeTokenBudget,
+    bpeTokenBudget, bpePieceIds,
     tokenFrequency, langIdNgram, docFingerprint, minhashNearDup,
     nearDupComponents, nearDupCanonical, ngramJaccard, simhashSig,
     curationE2e, winnowPairs,

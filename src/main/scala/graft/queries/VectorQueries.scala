@@ -84,17 +84,39 @@ object VectorQueries {
        |    CAST(sum(CASE WHEN dt >= 0 THEN power(2, p) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM contrib GROUP BY vec_id, tbl)""".stripMargin
 
+  /** Hot-bucket star cap for the embedding LSH family — the
+    * [[graft.ops.Dedup.pairsFromBands]] guard ported to plane
+    * buckets, ON in the registry and mirrored exactly in the oracle.
+    * Sized to trigger at sf0.1 (avg bucket ≈ corpus/2^planes = 250 >
+    * 64) so the thinning is exercised and oracle-checked, while a
+    * healthy production bucket (planes sized to the corpus) stays
+    * under it. */
+  private val EmbStarCap = 64
+
   val embeddingNearDup: Entry = Entry(
     "embedding_neardup_pairs",
     (s, dir) => Similarity.nearDupPairsLsh(
         t(s, dir, "embeddings"), threshold = 0.25,
-        numPlanes = ndPlanes, numTables = ndTables)
+        numPlanes = ndPlanes, numTables = ndTables,
+        starAbove = EmbStarCap)
       .orderBy("a", "b"),
     Some(s"""WITH ${bucketsSql(ndPlanes, ndTables)},
+        |sized AS (
+        |  SELECT tbl, bucket, count(*) AS bn, min(vec_id) AS min_id
+        |  FROM buckets GROUP BY tbl, bucket),
         |cands AS (
-        |  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-        |  FROM buckets l JOIN buckets r
-        |    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        |  SELECT DISTINCT a, b FROM (
+        |    SELECT l.vec_id AS a, r.vec_id AS b
+        |    FROM buckets l JOIN buckets r
+        |      ON l.tbl = r.tbl AND l.bucket = r.bucket
+        |      AND l.vec_id < r.vec_id
+        |    JOIN sized s ON s.tbl = l.tbl AND s.bucket = l.bucket
+        |    WHERE s.bn <= $EmbStarCap
+        |    UNION ALL
+        |    SELECT s.min_id AS a, x.vec_id AS b
+        |    FROM buckets x JOIN sized s
+        |      ON s.tbl = x.tbl AND s.bucket = x.bucket
+        |    WHERE s.bn > $EmbStarCap AND x.vec_id <> s.min_id)),
         |norms AS (
         |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
         |dots AS (
