@@ -89,86 +89,96 @@ class FileIngestSpec extends SparkSpec {
     assert(r.rowsLoaded == 2)
     assert(store.read("t").count() == 3)
   }
+  // The exactly-once crash/race suites run against BOTH commit
+  // primitives — O_EXCL file create (HDFS/file://) and the fake-S3
+  // conditional PUT — so the claim is proven where the object-store
+  // swap actually happens, not just on the rename-capable backend.
+  private def primitives: Seq[(String, () => CommitPrimitive)] = Seq(
+    ("o-excl", () =>
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf())),
+    ("cond-put-s3", () => new FakeS3Primitive))
 
-  test("crash BEFORE the manifest publish: retry loads the batch exactly once") {
-    val src = tmpDir("ci-crash1")
-    val crashable = new Crashable(
-      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
-    val store = new TableStore(spark, tmpDir("ci-crash1-store"), Some(crashable))
-    writeSrc(src, "a", Seq((1, "a")))
-    FileIngest.copyInto(spark, store, "t", src)
-    writeSrc(src, "b", Seq((2, "b"), (3, "c")))
-    crashable.crashNextPublish = true
-    intercept[RuntimeException] { FileIngest.copyInto(spark, store, "t", src) }
-    // nothing published: the table still reads the seed batch only
-    assert(ids(store) == Seq(1))
-    // the dead writer's claim unblocks via TTL takeover, then the
-    // retry loads b's rows ONCE — never zero, never twice
-    store.recoverStaleClaims("t", ttlMs = 0L)
-    val r = FileIngest.copyInto(spark, store, "t", src)
-    assert(r.rowsLoaded == 2)
-    assert(ids(store) == Seq(1, 2, 3))
-  }
-
-  test("crash AFTER the manifest publish: data AND ledger landed, retry no-ops") {
-    val src = tmpDir("ci-crash2")
-    val prim = new CrashAfterPublish(
-      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
-    val store = new TableStore(spark, tmpDir("ci-crash2-store"), Some(prim))
-    writeSrc(src, "a", Seq((1, "a")))
-    FileIngest.copyInto(spark, store, "t", src)
-    writeSrc(src, "b", Seq((2, "b")))
-    prim.armed = true
-    intercept[RuntimeException] { FileIngest.copyInto(spark, store, "t", src) }
-    // the commit landed atomically WITH its ledger — the state the
-    // old two-commit design could not guarantee
-    assert(ids(store) == Seq(1, 2))
-    assert(FileIngest.copyInto(spark, store, "t", src) ==
-      FileIngest.Result(0, 0L))
-    assert(ids(store) == Seq(1, 2))
-  }
-
-  test("overlapping runs from two stores never double-load: loser retries and no-ops") {
-    val src = tmpDir("ci-src4")
-    val root = tmpDir("ci-store4")
-    writeSrc(src, "a", Seq((1, "a")))
-    val plain = new TableStore(spark, root)
-    FileIngest.copyInto(spark, plain, "t", src) // seed the ledger
-    writeSrc(src, "b", Seq((2, "b"), (3, "c")))
-    // run A (injected store) reads the ledger, then — in the window
-    // before its first claim — run B loads the same fresh files and
-    // commits; A's snapshot-checked commit conflicts internally,
-    // retries against B's ledger, and must report a no-op
-    val inj = new RaceInjector(
-      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
-    val storeA = new TableStore(spark, root, Some(inj))
-    inj.hook = () => { FileIngest.copyInto(spark, plain, "t", src); () }
-    inj.armed = true
-    assert(FileIngest.copyInto(spark, storeA, "t", src) ==
-      FileIngest.Result(0, 0L))
-    // exactly ONE copy of the new rows (B's), never two
-    assert(ids(plain) == Seq(1, 2, 3))
-  }
-
-  test("concurrent runs on the SAME store instance load the batch exactly once") {
-    val src = tmpDir("ci-src5")
-    val store = new TableStore(spark, tmpDir("ci-store5"))
-    writeSrc(src, "a", Seq((1, "a"), (2, "b")))
-    val results = new java.util.concurrent.ConcurrentLinkedQueue[FileIngest.Result]()
-    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (1 to 2).map { _ =>
-      new Thread(() =>
-        try results.add(FileIngest.copyInto(spark, store, "t", src))
-        catch { case e: Throwable => errs.add(e) })
+  for ((pname, mk) <- primitives) {
+    test(s"[$pname] crash BEFORE the manifest publish: retry loads the batch exactly once") {
+      val src = tmpDir("ci-crash1")
+      val crashable = new Crashable(mk())
+      val store = new TableStore(spark, tmpDir("ci-crash1-store"), Some(crashable))
+      writeSrc(src, "a", Seq((1, "a")))
+      FileIngest.copyInto(spark, store, "t", src)
+      writeSrc(src, "b", Seq((2, "b"), (3, "c")))
+      crashable.crashNextPublish = true
+      intercept[RuntimeException] { FileIngest.copyInto(spark, store, "t", src) }
+      // nothing published: the table still reads the seed batch only
+      assert(ids(store) == Seq(1))
+      // the dead writer's claim unblocks via TTL takeover, then the
+      // retry loads b's rows ONCE — never zero, never twice
+      store.recoverStaleClaims("t", ttlMs = 0L)
+      val r = FileIngest.copyInto(spark, store, "t", src)
+      assert(r.rowsLoaded == 2)
+      assert(ids(store) == Seq(1, 2, 3))
     }
-    threads.foreach(_.start()); threads.foreach(_.join())
-    assert(errs.isEmpty, s"copyInto failed: ${errs.peek()}")
-    // one run loaded the batch, the other observed its ledger and
-    // no-oped — in either interleaving the table holds ONE copy
-    import scala.jdk.CollectionConverters._
-    assert(results.asScala.map(_.rowsLoaded).sum == 2L)
-    assert(ids(store) == Seq(1, 2))
+
+    test(s"[$pname] crash AFTER the manifest publish: data AND ledger landed, retry no-ops") {
+      val src = tmpDir("ci-crash2")
+      val prim = new CrashAfterPublish(mk())
+      val store = new TableStore(spark, tmpDir("ci-crash2-store"), Some(prim))
+      writeSrc(src, "a", Seq((1, "a")))
+      FileIngest.copyInto(spark, store, "t", src)
+      writeSrc(src, "b", Seq((2, "b")))
+      prim.armed = true
+      intercept[RuntimeException] { FileIngest.copyInto(spark, store, "t", src) }
+      // the commit landed atomically WITH its ledger — the state the
+      // old two-commit design could not guarantee
+      assert(ids(store) == Seq(1, 2))
+      assert(FileIngest.copyInto(spark, store, "t", src) ==
+        FileIngest.Result(0, 0L))
+      assert(ids(store) == Seq(1, 2))
+    }
+
+    test(s"[$pname] overlapping runs from two stores never double-load: loser retries and no-ops") {
+      val src = tmpDir("ci-src4")
+      val root = tmpDir("ci-store4")
+      writeSrc(src, "a", Seq((1, "a")))
+      // both stores must share ONE primitive instance: the fake S3
+      // bucket's conditional-PUT ledger lives in the primitive (two
+      // Hadoop primitives share state through the filesystem instead)
+      val shared = mk()
+      val plain = new TableStore(spark, root, Some(shared))
+      FileIngest.copyInto(spark, plain, "t", src) // seed the ledger
+      writeSrc(src, "b", Seq((2, "b"), (3, "c")))
+      // run A (injected store) reads the ledger, then — in the window
+      // before its first claim — run B loads the same fresh files and
+      // commits; A's snapshot-checked commit conflicts internally,
+      // retries against B's ledger, and must report a no-op
+      val inj = new RaceInjector(shared)
+      val storeA = new TableStore(spark, root, Some(inj))
+      inj.hook = () => { FileIngest.copyInto(spark, plain, "t", src); () }
+      inj.armed = true
+      assert(FileIngest.copyInto(spark, storeA, "t", src) ==
+        FileIngest.Result(0, 0L))
+      // exactly ONE copy of the new rows (B's), never two
+      assert(ids(plain) == Seq(1, 2, 3))
+    }
+
+    test(s"[$pname] concurrent same-store copyInto threads load the batch exactly once") {
+      val src = tmpDir("ci-src5p")
+      val store = new TableStore(spark, tmpDir("ci-store5p"), Some(mk()))
+      writeSrc(src, "a", Seq((1, "a"), (2, "b")))
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[FileIngest.Result]()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 2).map { _ =>
+        new Thread(() =>
+          try results.add(FileIngest.copyInto(spark, store, "t", src))
+          catch { case e: Throwable => errs.add(e) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"copyInto failed: ${errs.peek()}")
+      import scala.jdk.CollectionConverters._
+      assert(results.asScala.map(_.rowsLoaded).sum == 2L)
+      assert(ids(store) == Seq(1, 2))
+    }
   }
+
 
   test("a drifted batch evolves the table union-by-name instead of failing") {
     val src = tmpDir("ci-evolve")
