@@ -365,8 +365,13 @@ object TextQueries {
         .where(TextOps.tokenCount(col("text")) >= 20 &&
           TextOps.typeTokenRatio(col("text")) >= 0.45)
         .localCheckpoint()
+      // star-capped candidates (same knob as minhash_lsh_neardup):
+      // the flagship was the last steep K=100 family (exponent 0.56)
+      // because a duplicate-heavy corpus made its uncapped bucket
+      // pair-join — and the Jaccard verify fed by it — quadratic
       val pairs = Dedup.jaccard(gated, "doc_id", "text",
-          Dedup.minhashCandidates(gated, "doc_id", "text"))
+          Dedup.minhashCandidates(gated, "doc_id", "text",
+            starAbove = StarCap))
         .where(col("jaccard") >= 0.5).select("a", "b")
       val dupes = Dedup.connectedComponents(pairs)
         .where(col("id") =!= col("component")).select("id")
@@ -388,11 +393,7 @@ object TextQueries {
         |    AND round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |        / len(string_split(text, ' ')), 4) >= 0.45),
         |${minhashBandsSql("gated")},
-        |cands AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.band_key = r.band_key
-        |    AND l.doc_id < r.doc_id),
+        |$minhashCandsSql,
         |toksets AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         |  FROM gated),
@@ -1004,7 +1005,7 @@ object TextQueries {
         .drop("keep_id")
         .localCheckpoint()
       val cands = Dedup.minhashCandidates(kept, "doc_id", "text",
-        shingleN = 3, numHashes = 8, rowsPerBand = 2)
+        shingleN = 3, numHashes = 8, rowsPerBand = 2, starAbove = StarCap)
       val dropIds = Dedup.jaccard(kept, "doc_id", "text", cands)
         .where(col("jaccard") >= 0.5)
         .select(col("b").as("doc_id")).distinct()
@@ -1026,11 +1027,7 @@ object TextQueries {
         |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
         |    FROM documents) WHERE doc_id = keep_id),
         |${minhashBandsSql("kept")},
-        |cands AS (
-        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.band_key = r.band_key
-        |    AND l.doc_id < r.doc_id),
+        |$minhashCandsSql,
         |toksets AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
         |  FROM kept),
