@@ -187,9 +187,17 @@ object FileStats {
       val mx = bounds.map(_._2).max
       Some(s"$key\t$name\t$StrTag\t${b64(mn)}\t${b64(mx)}\t$nulls")
     } else {
-      val nums = bounds.map { case (mn, mx) => (BigDecimal(mn), BigDecimal(mx)) }
-      Some(s"$key\t$name\t$NumTag\t${nums.map(_._1).min}\t" +
-        s"${nums.map(_._2).max}\t$nulls")
+      // Parquet records +/-Infinity min/max for FP columns holding
+      // infinite values (only NaN suppresses FP stats); those don't
+      // parse as BigDecimal. Skip the entry (keep the file) rather
+      // than crash the commit that computes the sidecar.
+      val nums = bounds.map { case (mn, mx) =>
+        (scala.util.Try(BigDecimal(mn)).toOption,
+         scala.util.Try(BigDecimal(mx)).toOption)
+      }
+      if (nums.exists(p => p._1.isEmpty || p._2.isEmpty)) return None
+      Some(s"$key\t$name\t$NumTag\t${nums.map(_._1.get).min}\t" +
+        s"${nums.map(_._2.get).max}\t$nulls")
     }
   }
 
@@ -344,8 +352,14 @@ object FileStats {
     case l: Long => Some(BigDecimal(l))
     case s: Short => Some(BigDecimal(s.toInt))
     case b: Byte => Some(BigDecimal(b.toInt))
-    case f: Float => if (f.isNaN) None else Some(BigDecimal(f.toDouble))
-    case d: Double => if (d.isNaN) None else Some(BigDecimal(d))
+    // Floats convert via toString, NOT toDouble: the sidecar records
+    // Float.toString bounds (e.g. "0.1"), and BigDecimal(0.1f.toDouble)
+    // = 0.10000000149... would sit ABOVE that bound — an equality probe
+    // at a file's exact float min/max would wrongly prune the file.
+    case f: Float =>
+      if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toString))
+    case d: Double =>
+      if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d))
     case d: org.apache.spark.sql.types.Decimal => Some(d.toBigDecimal)
     case d: java.math.BigDecimal => Some(BigDecimal(d))
     case _ => None

@@ -1359,13 +1359,21 @@ final class TableStore(spark: SparkSession, root: String,
     * helper, not by finding every commit path. */
   private def carriedHeader(table: String,
                             cur: Option[Long]): (Option[String], Seq[String]) = {
-    // mirror rawColmap/rawIngest's missing-manifest tolerance: if the
-    // superseded manifest vanished (raced by an external cleanup),
-    // carry empty headers rather than dying mid-commit
-    val header = cur.filter(w => fs(manifestFile(table, w))
-        .exists(manifestFile(table, w)))
-      .map(w => readSmallFile(manifestFile(table, w))
-        .split("\n").toSeq).getOrElse(Nil)
+    // Unlike the READ-ONLY rawColmap/rawIngest tolerance, a commit
+    // must NOT shrug off a vanished current manifest: publishing a new
+    // version with empty carried headers silently discards the column
+    // mapping (logical names revert to physical) and the COPY INTO
+    // ledger (every ingested source file reloads — duplicate rows).
+    // A current-version manifest that is gone mid-commit means the
+    // snapshot itself was destroyed externally; refuse loudly.
+    val header = cur.map { w =>
+      val m = manifestFile(table, w)
+      require(fs(m).exists(m),
+        s"manifest for current version ($table, v$w) vanished mid-commit; " +
+          "refusing to publish with empty carried headers (column mapping " +
+          "and COPY INTO ledger would be silently lost)")
+      readSmallFile(m).split("\n").toSeq
+    }.getOrElse(Nil)
     (header.collectFirst {
       case l if l.startsWith(ColmapHeader) =>
         l.stripPrefix(ColmapHeader).trim

@@ -193,6 +193,38 @@ object Bpe {
     val segs = df.select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
       .distinct()
       .withColumn("ids", idsUdf(col("tok")))
+    assembleFromSegs(df, idCol, textCol, segs)
+  }
+
+  /** [[docPieceIds]] with the (pre-token → piece ids) segmentation
+    * supplied precomputed — a caller that already collected
+    * [[vocabSegments]] (e.g. to emit an export manifest) skips the
+    * corpus-sized distinct+segment pass and pays only the one
+    * assembly shuffle. */
+  def docPieceIdsPreseg(df: DataFrame, idCol: String, textCol: String,
+                        seg: Seq[(String, Seq[Int])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    assembleFromSegs(df, idCol, textCol, seg.toDF("tok", "ids"))
+  }
+
+  /** Driver-side tail of [[pieceIdMap]] over an already-collected
+    * segmentation — same id assignment (lexicographic in unsigned
+    * UTF-8 byte order, matching Spark's binary string sort) without
+    * pieceIdMap's corpus scan. */
+  def pieceIdsFromSegments(seg: Seq[(String, Seq[String])]): Seq[(String, Int)] =
+    seg.flatMap(_._2).distinct
+      .sortBy(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (b & 0xff).toChar).mkString)
+      .zipWithIndex
+
+  /** Order-preserving re-assembly shared by the docPieceIds variants:
+    * pre-tokens explode WITH POSITION, join the broadcast |V|-row
+    * segmentation, and each doc re-assembles by position. Empty /
+    * whitespace-only docs keep a row with an empty sequence. */
+  private def assembleFromSegs(df: DataFrame, idCol: String,
+                               textCol: String,
+                               segs: DataFrame): DataFrame = {
     val toks = df.select(col(idCol),
       posexplode(TextOps.bpeTokens(col(textCol))).as(Seq("pos", "tok")))
     val asm = toks.join(broadcast(segs), Seq("tok"))

@@ -948,11 +948,17 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val merges = graft.ops.Bpe.trainFromCorpus(docs, "text",
         numMerges = 64)
-      val pid = graft.ops.Bpe.pieceIdMap(docs, "text", merges).toMap
-      val tokIds = graft.ops.Bpe.vocabSegments(docs, "text", merges)
+      // ONE corpus distinct+segment pass feeds everything driver-side:
+      // the piece-id assignment, the oracle's VALUES map, and (below)
+      // the precomputed segmentation for the assembly — pieceIdMap +
+      // a second vocabSegments + docPieceIds' internal pass would
+      // re-segment the corpus three times for the same |V| rows.
+      val segRows = graft.ops.Bpe.vocabSegments(docs, "text", merges)
         .collect()
-        .map(r => (r.getString(0),
-          r.getSeq[String](1).map(pid).mkString(",")))
+        .map(r => (r.getString(0), r.getSeq[String](1).toSeq))
+      val pid = graft.ops.Bpe.pieceIdsFromSegments(segRows).toMap
+      val tokIds = segRows
+        .map { case (tk, ps) => (tk, ps.map(pid).mkString(",")) }
         .sortBy(_._1)
       bpePieceOracle = Some(s"""WITH seg(tok, ids, np) AS (VALUES ${
           tokIds.map { case (tk, ids) =>
@@ -974,7 +980,8 @@ object TextQueries {
         |  COALESCE(a.ids_csv, '') AS ids_csv
         |FROM documents d LEFT JOIN asm a ON d.doc_id = a.doc_id
         |ORDER BY d.doc_id""".stripMargin)
-      graft.ops.Bpe.docPieceIds(docs, "doc_id", "text", merges, pid)
+      graft.ops.Bpe.docPieceIdsPreseg(docs, "doc_id", "text",
+        segRows.map { case (tk, ps) => (tk, ps.map(pid)) })
         .select(col("doc_id"),
           size(col("piece_ids")).cast("long").as("n_pieces"),
           array_join(col("piece_ids"), ",").as("ids_csv"))

@@ -188,6 +188,37 @@ class StatsPruningSpec extends SparkSpec {
     assert(FileStats.mayMatch(legacy.get(("f", "c")), IsNotNull("c")))
   }
 
+  test("float equality at a file's exact bound never prunes the matching file") {
+    val store = freshStore()
+    // 0.1f is not exactly representable: its Float.toString bound
+    // ("0.1") sits BELOW its toDouble widening (0.10000000149...), so
+    // a literal converted via toDouble would fail x <= hi and wrongly
+    // drop the only matching file
+    store.create("t", Seq((1L, 0.1f), (2L, 0.25f)).toDF("id", "score"))
+    store.append("t", Seq((3L, 7.5f)).toDF("id", "score"))
+    val got = store.read("t").where(col("score") === 0.1f)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(1L), s"float-bound equality lost rows: $got")
+    assert(scannedFiles(store.read("t").where(col("score") === 0.1f)) == 1)
+    // >= / <= probes at the exact recorded max/min keep the file too
+    assert(store.read("t").where(col("score") >= 7.5f).count() == 1)
+    assert(store.read("t").where(col("score") <= 0.1f).count() == 1)
+  }
+
+  test("infinite double bounds don't crash the commit; the file stays conservative") {
+    val store = freshStore()
+    // parquet records +/-Infinity min/max (only NaN suppresses FP
+    // stats); the sidecar must skip the entry, not die in BigDecimal
+    store.create("t", Seq((1L, Double.PositiveInfinity), (2L, 1.0))
+      .toDF("id", "v"))
+    store.append("t", Seq((3L, Double.NegativeInfinity)).toDF("id", "v"))
+    // no stats entry for v -> conservative keep on any probe
+    assert(store.read("t").where(col("v") > 0.5).count() == 2)
+    assert(store.read("t").where(col("v").isNotNull).count() == 3)
+    // finite columns of the same commit still prune
+    assert(scannedFiles(store.read("t").where(col("id") === 3L)) <= 2)
+  }
+
   test("z-ordered layout prunes on BOTH clustering dimensions") {
     val store = freshStore()
     // integer y (col/64 alone would be double division)
