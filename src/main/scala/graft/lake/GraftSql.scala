@@ -89,6 +89,8 @@ object GraftSql {
     """(?is)^\s*COPY\s+INTO\s+([A-Za-z_]\w*)\s+FROM\s+'([^']+)'(?:\s+FILEFORMAT\s*=\s*([A-Za-z]+))?(?:\s+PATTERN\s*=\s*'([^']+)')?\s*;?\s*$""".r
   private val BloomIndexStmt =
     """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+OPTIONS\s*\(\s*fpp\s*=\s*([0-9.]+)\s*\))?\s*;?\s*$""".r
+  private val BloomRefreshStmt =
+    """(?is)^\s*REFRESH\s+BLOOMFILTER\s+INDEX(?:ES)?\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)(?:\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\))?\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -260,6 +262,17 @@ object GraftSql {
           Option(fpp).map(_.toDouble).getOrElse(0.01))
         import spark.implicits._
         Seq((table, column)).toDF("table_name", "indexed_column")
+      case BloomRefreshStmt(table, column) =>
+        // incremental counterpart: index ONLY files without an entry
+        // (O(new files)); bare REFRESH sweeps every indexed column —
+        // the steady-state verb that keeps AUTOMATIC bloom skipping
+        // effective as appends land
+        require(store.exists(table), s"unknown graft table $table")
+        val cols = Option(column).map(Seq(_))
+          .getOrElse(store.bloomIndexedColumns(table))
+        import spark.implicits._
+        cols.map(c => (table, c, store.updateBloomIndex(table, c)))
+          .toDF("table_name", "indexed_column", "files_indexed")
       case HistoryStmt(table) =>
         // per-version files / delete-entries / bytes / rows / commit
         // time — metadata-only (manifests + stats sidecars, no scan)

@@ -30,7 +30,8 @@ object MaintenanceJob {
                            smallFilesFolded: Int,
                            retainedVersions: Seq[Long],
                            txnsRolledForward: Seq[String] = Nil,
-                           txnsRolledBack: Seq[String] = Nil)
+                           txnsRolledBack: Seq[String] = Nil,
+                           bloomFilesIndexed: Int = 0)
 
   /** Defaults live ONLY on the Args case class; CLI flags override via
     * copy, so programmatic and CLI construction can't disagree. */
@@ -71,8 +72,13 @@ object MaintenanceJob {
         store.compactSmall(args.table, args.compactSmallBytes)
       else 0
     store.vacuum(args.table, keep = args.vacuumKeep)
+    // last: refresh existing bloom indexes over the post-compaction
+    // file set (O(files without an entry)) so AUTOMATIC bloom skipping
+    // stays effective without user action; a compaction rewrite makes
+    // this the full rebuild the stale index needed anyway
+    val bloomed = store.refreshBloomIndexes(args.table)
     Summary(claims, orphans, compacted, folded, store.versions(args.table),
-      txnFwd, txnBack)
+      txnFwd, txnBack, bloomed)
   }
 
   def main(argv: Array[String]): Unit = {

@@ -410,7 +410,8 @@ final class TableStore(spark: SparkSession, root: String,
       .map { case (base, fs) => (base, fs.map(_._1), fs.map(_._2).min) }
       .sortBy(_._3)
     groups.map { case (base, files, minIdx) =>
-      val raw = statsScan(base, files, stats)
+      val raw = statsScan(base, files, stats,
+        (c, k) => bloomRejectsCached(table, c, k))
       // positional deletion vectors (Iceberg/Delta DV shape): rows are
       // identified by (file, row position in file) — `_metadata`
       // columns, zero storage cost on the data. A vector applies to
@@ -456,7 +457,9 @@ final class TableStore(spark: SparkSession, root: String,
     * time — the DEFAULT read path's automatic data skipping. With no
     * stats recorded the index degenerates to the plain listing. */
   private def statsScan(base: String, files: Seq[String],
-                        stats: Map[(String, String), FileStats.Stat])
+                        stats: Map[(String, String), FileStats.Stat],
+                        bloomRejects: (String, String) => Option[Set[String]] =
+                          (_, _) => None)
       : DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -467,7 +470,7 @@ final class TableStore(spark: SparkSession, root: String,
       inMem.allFiles()).getOrElse(
         throw new IllegalStateException(
           s"could not infer parquet schema under $base"))
-    val rel = HadoopFsRelation(new StatsFileIndex(inMem, stats),
+    val rel = HadoopFsRelation(new StatsFileIndex(inMem, stats, bloomRejects),
       inMem.partitionSchema, dataSchema, None, fmt, opts)(spark)
     spark.baseRelationToDataFrame(rel)
   }
@@ -591,6 +594,35 @@ final class TableStore(spark: SparkSession, root: String,
     missing.size
   }
 
+  /** LOGICAL names of the columns that have a bloom index sidecar —
+    * physical `bloom-<col>` dirs mapped back through the current
+    * column mapping, so the result feeds [[updateBloomIndex]]
+    * directly. Indexes over since-dropped columns are dead weight and
+    * not reported. Driver-side listing only. */
+  def bloomIndexedColumns(table: String): Seq[String] = {
+    val dir = tablePath(table)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    val cm = currentVersion(table).map(columnMapping(table, _))
+      .getOrElse(ColumnMapping(Map.empty, Set.empty))
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("bloom-")).map(_.stripPrefix("bloom-"))
+      .filterNot(cm.isDropped)
+      .map(phys => cm.renames.collectFirst {
+        case (l, p) if p.equalsIgnoreCase(phys) => l
+      }.getOrElse(phys))
+      .sorted
+  }
+
+  /** Incremental refresh of EVERY existing bloom index on the table —
+    * the maintenance-pass hook that keeps automatic bloom skipping
+    * effective on append-heavy tables (each refresh is O(files without
+    * an entry); after a compaction rewrite that naturally degenerates
+    * to the full rebuild the stale index needed anyway). Returns files
+    * newly indexed across all columns. */
+  def refreshBloomIndexes(table: String, fpp: Double = 0.01): Int =
+    bloomIndexedColumns(table).map(updateBloomIndex(table, _, fpp)).sum
+
   /** One (file, bloom bits) row per input file — NULL keys never enter
     * the bits (an equality lookup can't match NULL), but a file whose
     * keys are ALL null still gets an (empty, reject-everything) entry,
@@ -671,6 +703,47 @@ final class TableStore(spark: SparkSession, root: String,
     manifest(table, v).filter { line =>
       isDeleteLine(line) || !rejected(FileStats.fileKey(line))
     }
+  }
+
+  /** Probe results for AUTOMATIC bloom skipping, keyed
+    * (table, physical column, rendered probe key) → file keys whose
+    * bloom definitely lacks the key. Safe to cache indefinitely:
+    * entries are per IMMUTABLE file, so a file's reject verdict for a
+    * given key never changes — files indexed AFTER the cached probe
+    * (incremental [[updateBloomIndex]]) are merely kept conservatively
+    * until a fresh probe, and keys for files that left the manifest
+    * are never looked up. Bounded by wholesale clear, not LRU: probes
+    * are point-lookup keys, a handful per session. */
+  private val bloomProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Set[String]]()
+
+  /** The automatic-path bloom probe behind [[StatsFileIndex]]: None
+    * when `physCol` has no bloom index (nothing provable — the common
+    * case, answered by one driver-side exists), else the set of file
+    * keys that DEFINITELY lack `key`, computed where the bits are
+    * (executors filter the sidecar; the driver never deserializes the
+    * index) and cached so a query re-planned under AQE — or repeated
+    * point lookups for the same key — pays the job once. Any probe
+    * failure keeps every file. */
+  private[lake] def bloomRejectsCached(table: String, physCol: String,
+                                       key: String): Option[Set[String]] = {
+    val p = bloomPath(table, physCol)
+    if (!fs(p).exists(p)) return None
+    val ck = (table, physCol, key)
+    val hit = bloomProbeCache.get(ck)
+    if (hit != null) return Some(hit)
+    import spark.implicits._
+    try {
+      val rejects = udf((bits: Array[Byte]) =>
+        !org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bits)).mightContainString(key))
+      val rejected = spark.read.parquet(p.toString)
+        .where(rejects(col("bits")))
+        .select("file").as[String].collect().toSet
+      if (bloomProbeCache.size > 1024) bloomProbeCache.clear()
+      bloomProbeCache.put(ck, rejected)
+      Some(rejected)
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Parsed stats sidecar of a version (empty for pre-stats tables). */

@@ -352,6 +352,34 @@ object PipelineQueries {
         |FROM customer WHERE c_custkey IN (42, 77, 120)
         |ORDER BY c_custkey""".stripMargin))
 
+  /** AUTOMATIC bloom skipping on the DEFAULT read path: keys are md5
+    * hashes hash-distributed across files, so every file's string
+    * min/max spans the key space and stats prune nothing — once the
+    * index is built, a plain `read(t).where(key = ...)` (no
+    * readPointLookup opt-in) consults the bloom sidecar at
+    * predicate-pushdown time and plans only the surviving file(s).
+    * Content is pruning-invariant, so the oracle is the equality
+    * filter on the pre-hash key; the scanned-file counts are asserted
+    * in BloomIndexSpec. */
+  val bloomAutoLookup: Entry = Entry(
+    "bloom_auto_lookup",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-bloomauto"))
+      store.create("cust_ba", t(s, dir, "customer")
+        .select(md5(col("c_custkey").cast("string")).as("ckey"),
+          col("c_custkey"), col("c_name"))
+        .repartition(8, col("c_custkey")))
+      store.buildBloomIndex("cust_ba", "ckey")
+      val probes = Seq(42L, 77L, 120L).map(k =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString))
+      store.read("cust_ba").where(col("ckey").isin(probes: _*))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name
+        |FROM customer WHERE c_custkey IN (42, 77, 120)
+        |ORDER BY c_custkey""".stripMargin))
+
   /** Null-count data skipping end-to-end: the stats sidecar records
     * per-file null counts (folded from the same parquet footers as
     * min/max), so `IS NULL` drops every file with a recorded zero
@@ -1619,7 +1647,7 @@ object PipelineQueries {
     cdcPipelineE2eDv, unpivotMeasures,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, skewSaltedJoin,
     zorderScan, statsPrunedScan,
-    nullPrunedScan, bloomPointLookup, scd2Incremental,
+    nullPrunedScan, bloomPointLookup, bloomAutoLookup, scd2Incremental,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,
     mergeStructEvolving, copyIntoIdempotent, copyIntoEvolving,

@@ -103,6 +103,116 @@ class BloomIndexSpec extends SparkSpec {
       store.manifest("t5", v).size)
   }
 
+  /** Files actually scanned (post-pruning) by every file-source scan
+    * in the executed plan — descends into adaptive subtrees. */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
+      p.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(s.metrics("numFiles").value)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+      }.flatten
+    scans(df.queryExecution.executedPlan).sum
+  }
+
+  test("bloom skipping is AUTOMATIC on the default read path once an index exists") {
+    val store = mkStore()
+    // md5-ish keys hash-distributed across files: every file's string
+    // min/max range spans the whole key space, so stats prune NOTHING
+    // — only the bloom can separate files for a point probe
+    val df = (0L until 4000L)
+      .map(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i))
+      .toDF("key", "v").repartition(4, col("v"))
+    store.create("t8", df)
+    val probe = org.apache.commons.codec.digest.DigestUtils.md5Hex("2500")
+    val total = store.manifest("t8", store.currentVersion("t8").get)
+      .count(l => !l.startsWith("del|"))
+    // without an index: equality scans every file (stats can't help)
+    assert(scannedFiles(store.read("t8").where(col("key") === probe)) == total)
+    store.buildBloomIndex("t8", "key")
+    // plain read().where(...) — no readPointLookup opt-in anywhere
+    val hit = store.read("t8").where(col("key") === probe)
+    assert(scannedFiles(hit) == 1,
+      s"expected the 1 bloom-surviving file of $total")
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(2500L))
+    // absent key: every file bloom-rejected, zero files scanned, empty
+    val miss = store.read("t8").where(col("key") === ("0" * 32))
+    assert(scannedFiles(miss) == 0)
+    assert(miss.count() == 0)
+    // IN-lists probe per value; SQL front-door pushes the same shape
+    val probes = Seq("10", "3999").map(s =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s))
+    assert(store.read("t8").where(col("key").isin(probes: _*))
+      .select("v").as[Long].collect().toSeq.sorted == Seq(10L, 3999L))
+    val sql = GraftSql.executeScript(spark, store,
+      s"SELECT v FROM t8 WHERE key = '$probe'")
+    assert(scannedFiles(sql) == 1)
+    assert(sql.as[Long].collect().toSeq == Seq(2500L))
+  }
+
+  test("automatic bloom path follows column mapping and tolerates stale entries") {
+    val store = mkStore()
+    val df = (0L until 2000L)
+      .map(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString), i))
+      .toDF("key", "v").repartition(4, col("v"))
+    store.create("t9", df)
+    store.renameColumn("t9", "key", "doc_key")
+    store.buildBloomIndex("t9", "doc_key")
+    val probe = org.apache.commons.codec.digest.DigestUtils.md5Hex("77")
+    // the logical name resolves through the mapping to the physical
+    // bloom sidecar at pushdown time
+    val hit = store.read("t9").where(col("doc_key") === probe)
+    assert(scannedFiles(hit) == 1)
+    assert(hit.select("v").as[Long].collect().toSeq == Seq(77L))
+    // appended files have no entry yet: kept conservatively, exact
+    store.append("t9", Seq((("f" * 32), 90001L)).toDF("doc_key", "v"))
+    val late = store.read("t9").where(col("doc_key") === ("f" * 32))
+    assert(late.select("v").as[Long].collect().toSeq == Seq(90001L))
+  }
+
+  test("REFRESH BLOOMFILTER INDEX sweeps the appended files through the front door") {
+    val store = mkStore()
+    createKeyed(store, "t10")
+    store.buildBloomIndex("t10", "id")
+    assert(store.bloomIndexedColumns("t10") == Seq("id"))
+    store.append("t10", Seq((90001L, "late")).toDF("id", "name"))
+    // bare REFRESH (no column list) sweeps every indexed column
+    val r = GraftSql.execute(spark, store,
+      "REFRESH BLOOMFILTER INDEXES ON TABLE t10")
+    assert(r.collect().map(x =>
+      (x.getString(0), x.getString(1), x.getInt(2))).toSeq ==
+      Seq(("t10", "id", 1)))
+    // idempotent; the explicit-column form works too
+    val r2 = GraftSql.execute(spark, store,
+      "REFRESH BLOOMFILTER INDEX ON TABLE t10 FOR COLUMNS(id)")
+    assert(r2.collect().map(_.getInt(2)).toSeq == Seq(0))
+    val v = store.currentVersion("t10").get
+    assert(store.bloomPrunedLines("t10", v, "id", 90001L).size <
+      store.manifest("t10", v).size)
+  }
+
+  test("maintenance pass refreshes existing bloom indexes (none = no-op)") {
+    val root = tmpDir("bloomidx-maint")
+    val store = new TableStore(spark, root)
+    createKeyed(store, "tm")
+    // no index yet: the pass must not invent one
+    val s0 = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "tm",
+      claimTtlMs = 60 * 60 * 1000L, compactDebt = 99, vacuumKeep = 9))
+    assert(s0.bloomFilesIndexed == 0)
+    assert(store.bloomIndexedColumns("tm").isEmpty)
+    store.buildBloomIndex("tm", "id")
+    store.append("tm", Seq((90001L, "late-a")).toDF("id", "name"))
+    store.append("tm", Seq((90002L, "late-b")).toDF("id", "name"))
+    val s1 = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "tm",
+      claimTtlMs = 60 * 60 * 1000L, compactDebt = 99, vacuumKeep = 9))
+    assert(s1.bloomFilesIndexed == 2)
+    val v = store.currentVersion("tm").get
+    assert(store.bloomPrunedLines("tm", v, "id", 90002L).size <
+      store.manifest("tm", v).size)
+  }
+
   test("index follows column mapping: lookup by the RENAMED logical name") {
     val store = mkStore()
     createKeyed(store, "t4")
