@@ -276,6 +276,27 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Top-`keep` nearest-centroid assignment — the probe half of IVF
+    * factored out for callers that search a PERSISTED index
+    * ([[VectorIndex]]): broadcast cross-score, then rank by rounded
+    * cosine with a cent_id tiebreak (the same 4-dp discipline as
+    * [[ivfSearch]], so an oracle holding identical centroid literals
+    * reproduces the probed lists exactly). Returns one
+    * (idCol, vecCol, cent_id) row per probed list. */
+  def assignTopClusters(df: DataFrame, cents: DataFrame, keep: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val scored = df.select(col(idCol), col(vecCol))
+      .join(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("cent_id"),
+        round(cosine(col(vecCol), col("cvec")), 4).as("ccos"))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
+    scored.withColumn("crnk", row_number().over(w))
+      .where(col("crnk") <= keep).drop("ccos", "crnk")
+  }
+
   /** Nearest-centroid assignment — the shared IVF / SemDeDup building
     * block: broadcast cross-score + hash-agg argmax (no per-key sort),
     * cosines rounded to 4 dp with a cent_id tiebreak so an oracle

@@ -230,64 +230,102 @@ object VectorQueries {
         .mkString(", ")
     }.mkString(", ")
 
+  /** The full IVF replay for a fixed centroid VALUES set — shared by
+    * ivf_ann_topk (in-query training) and ivf_ann_persisted (index
+    * built into a TableStore): assignment (rounded cosine, cent_id
+    * tiebreak), nprobe=4 probed lists for vec_id < 5, candidate
+    * search, top-5 rank. One text, two entries — the persisted search
+    * must equal the in-query one given the same centroids, and
+    * sharing the oracle makes that the checked contract. */
+  private def ivfOracleSql(centValues: String): String =
+    s"""WITH exp AS (
+       |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+       |         generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |cent(cent_id, i, cx) AS (VALUES $centValues),
+       |norms AS (
+       |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+       |cnorms AS (
+       |  SELECT cent_id, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY cent_id),
+       |cdots AS (
+       |  SELECT e.vec_id, c.cent_id, sum(e.x * c.cx) AS dp
+       |  FROM exp e JOIN cent c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cent_id),
+       |cscore AS (
+       |  SELECT vec_id, cent_id, round(dp / (n.nrm * cn.cnrm), 4) AS ccos
+       |  FROM cdots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cent_id)),
+       |assign AS (
+       |  SELECT vec_id AS vid, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cent_id) AS r
+       |    FROM cscore) WHERE r = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC, cent_id) AS r
+       |    FROM cscore WHERE vec_id < 5) WHERE r <= 4),
+       |cands AS (
+       |  SELECT p.qid, a.vid FROM probes p JOIN assign a
+       |  ON p.cent_id = a.cent_id WHERE p.qid <> a.vid),
+       |dots AS (
+       |  SELECT cd.qid, cd.vid, sum(eq.x * ec.x) AS dp
+       |  FROM cands cd
+       |  JOIN exp eq ON eq.vec_id = cd.qid
+       |  JOIN exp ec ON ec.vec_id = cd.vid AND eq.i = ec.i
+       |  GROUP BY cd.qid, cd.vid),
+       |scored AS (
+       |  SELECT qid, vid, round(dp / (nq.nrm * nc.nrm), 4) AS cos
+       |  FROM dots JOIN norms nq ON qid = nq.vec_id
+       |  JOIN norms nc ON vid = nc.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, vid) AS rnk
+       |  FROM scored)
+       |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
   val ivfTopK: Entry = new Entry(
     "ivf_ann_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = Similarity.kmeansCentroids(emb, nlist = 16, iterations = 2)
       val centValues = centValuesSql(cents)
-      ivfOracle = Some(
-        s"""WITH exp AS (
-           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-           |         generate_subscripts(embedding, 1) AS i
-           |  FROM embeddings),
-           |cent(cent_id, i, cx) AS (VALUES $centValues),
-           |norms AS (
-           |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
-           |cnorms AS (
-           |  SELECT cent_id, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY cent_id),
-           |cdots AS (
-           |  SELECT e.vec_id, c.cent_id, sum(e.x * c.cx) AS dp
-           |  FROM exp e JOIN cent c ON e.i = c.i
-           |  GROUP BY e.vec_id, c.cent_id),
-           |cscore AS (
-           |  SELECT vec_id, cent_id, round(dp / (n.nrm * cn.cnrm), 4) AS ccos
-           |  FROM cdots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cent_id)),
-           |assign AS (
-           |  SELECT vec_id AS vid, cent_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |        ORDER BY ccos DESC, cent_id) AS r
-           |    FROM cscore) WHERE r = 1),
-           |probes AS (
-           |  SELECT vec_id AS qid, cent_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |        ORDER BY ccos DESC, cent_id) AS r
-           |    FROM cscore WHERE vec_id < 5) WHERE r <= 4),
-           |cands AS (
-           |  SELECT p.qid, a.vid FROM probes p JOIN assign a
-           |  ON p.cent_id = a.cent_id WHERE p.qid <> a.vid),
-           |dots AS (
-           |  SELECT cd.qid, cd.vid, sum(eq.x * ec.x) AS dp
-           |  FROM cands cd
-           |  JOIN exp eq ON eq.vec_id = cd.qid
-           |  JOIN exp ec ON ec.vec_id = cd.vid AND eq.i = ec.i
-           |  GROUP BY cd.qid, cd.vid),
-           |scored AS (
-           |  SELECT qid, vid, round(dp / (nq.nrm * nc.nrm), 4) AS cos
-           |  FROM dots JOIN norms nq ON qid = nq.vec_id
-           |  JOIN norms nc ON vid = nc.vec_id),
-           |ranked AS (
-           |  SELECT *, row_number() OVER (PARTITION BY qid
-           |      ORDER BY cos DESC, vid) AS rnk
-           |  FROM scored)
-           |SELECT qid, rnk, vid, cos FROM ranked WHERE rnk <= 5
-           |ORDER BY qid, rnk""".stripMargin)
+      ivfOracle = Some(ivfOracleSql(centValues))
       Similarity.ivfSearch(emb, emb.where(col("vec_id") < 5), cents,
           k = 5, nprobe = 4)
         .select("qid", "rnk", "vid", "cos")
         .orderBy("qid", "rnk")
     },
     () => ivfOracle)
+
+  @volatile private var ivfPersistedOracle: Option[String] = None
+
+  /** PERSISTED IVF index, end to end: train + write
+    * centroids/inverted lists into a TableStore
+    * ([[graft.ops.VectorIndex.buildIvfIndex]] — lists
+    * hive-partitioned by cent_id), then serve the same probes from
+    * the stored index alone (no corpus touch; probed lists prune at
+    * the partition level). Same parameters and determinism as
+    * ivf_ann_topk, and the SAME oracle text over the read-back
+    * centroid literals — the checked contract that a persisted search
+    * equals the in-query one. Partition-pruning ratios are asserted
+    * in VectorIndexSpec. */
+  val ivfPersisted: Entry = new Entry(
+    "ivf_ann_persisted",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfidx").toString)
+      graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf", emb,
+        nlist = 16, kmeansIters = 2)
+      val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
+      ivfPersistedOracle = Some(ivfOracleSql(centValuesSql(cents)))
+      graft.ops.VectorIndex.searchIvfIndex(store, "emb_ivf",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfPersistedOracle)
 
   /** Oracle for semantic_dedup_prune, derived at run time like
     * ivf_ann_topk's: the deterministic trained centroids become VALUES
@@ -669,6 +707,7 @@ object VectorQueries {
         |FROM sel ORDER BY qid, rnk""".stripMargin))
 
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
-    labelCentroids, annLsh, ivfTopK, semanticDedup, quantizationError,
+    labelCentroids, annLsh, ivfTopK, ivfPersisted, semanticDedup,
+    quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

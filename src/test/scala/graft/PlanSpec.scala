@@ -148,6 +148,7 @@ class PlanSpec extends SparkSpec {
       "tfidf_top_terms",          // 1-row corpus-stats cross join
       "unigram_logprob_quality",  // 1-row token-total cross join
       "ivf_ann_topk",             // nlist-centroid broadcast cross-score
+      "ivf_ann_persisted",        // same cross-score vs the stored centroids
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
       "mmr_diversified_topk",     // broadcast probes x int8 corpus scan
       "dq_audit_report",          // 1-row rule-aggregate cross joins

@@ -103,19 +103,6 @@ class BloomIndexSpec extends SparkSpec {
       store.manifest("t5", v).size)
   }
 
-  /** Files actually scanned (post-pruning) by every file-source scan
-    * in the executed plan — descends into adaptive subtrees. */
-  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
-      p.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          Seq(s.metrics("numFiles").value)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-      }.flatten
-    scans(df.queryExecution.executedPlan).sum
-  }
 
   test("bloom skipping is AUTOMATIC on the default read path once an index exists") {
     val store = mkStore()

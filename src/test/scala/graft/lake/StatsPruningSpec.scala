@@ -32,21 +32,6 @@ class StatsPruningSpec extends SparkSpec {
         .orderBy("id").as[(Long, Long)].collect().toSeq)
   }
 
-  /** Files actually scanned (post-pruning) by every file-source scan
-    * in the executed plan — descends into adaptive subtrees. Metrics
-    * populate when the scan's partitions materialize, so run an
-    * action first. */
-  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
-    df.collect()
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
-      p.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          Seq(s.metrics("numFiles").value)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-      }.flatten
-    scans(df.queryExecution.executedPlan).sum
-  }
 
   test("DEFAULT read path prunes automatically: a pushed predicate scans fewer files than the manifest") {
     val store = freshStore()

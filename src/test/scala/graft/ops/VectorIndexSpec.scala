@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.lake.TableStore
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: build-once/serve-many parity with the
+  * in-query ivfSearch, partition-level list pruning, and rebuild
+  * semantics. */
+class VectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic synthetic corpus: n vectors of dim 8, values from
+    * a fixed affine recurrence — clustered enough that k-means
+    * separates, stable across runs. */
+  private def corpus(n: Int): org.apache.spark.sql.DataFrame =
+    (0 until n).map { i =>
+      val base = (i % 4) * 10.0f
+      (i.toLong, Array.tabulate(8)(d => base + ((i * 7 + d * 3) % 5) * 0.1f))
+    }.toDF("vec_id", "embedding")
+
+  test("persisted search equals the in-query ivfSearch on the same centroids") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200)
+    VectorIndex.buildIvfIndex(store, "ix", emb, nlist = 8, kmeansIters = 2)
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    val probes = emb.where(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val persisted = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    val inQuery = rows(
+      Similarity.ivfSearch(emb, probes, cents, k = 5, nprobe = 3))
+    assert(persisted.nonEmpty)
+    assert(persisted == inQuery)
+  }
+
+  test("search reads ONLY the probed lists: partition pruning on cent_id") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(400)
+    VectorIndex.buildIvfIndex(store, "ix", emb, nlist = 8, kmeansIters = 2)
+    val lt = VectorIndex.listsTable("ix")
+    val totalFiles = store.manifest(lt, store.currentVersion(lt).get)
+      .count(l => !l.startsWith("del|"))
+    val nLists = store.read(lt).select("cent_id").distinct().count()
+    assert(nLists >= 3, s"expected a multi-list index, got $nLists lists")
+    // one probe, nprobe=1: at most 1/nLists of the partitions scanned
+    val one = VectorIndex.searchIvfIndex(store, "ix",
+      emb.where(col("vec_id") === 0L), k = 3, nprobe = 1)
+    // count only the LISTS table's scan — the tiny centroid read is a
+    // separate (unpruned, broadcast) file scan in the same plan
+    val scanned = scannedFiles(one, "ix_lists")
+    assert(scanned > 0 && scanned < totalFiles,
+      s"probed search scanned $scanned of $totalFiles list files")
+    assert(scanned <= totalFiles / nLists.toInt + 1,
+      s"expected ~1 list of $nLists, scanned $scanned of $totalFiles")
+  }
+
+  test("rebuild overwrites the index; searches see the new corpus only") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    VectorIndex.buildIvfIndex(store, "ix", corpus(100), nlist = 4,
+      kmeansIters = 1)
+    // rebuild over a SHIFTED id space — old ids must vanish
+    val shifted = corpus(100).withColumn("vec_id", col("vec_id") + 1000L)
+    VectorIndex.buildIvfIndex(store, "ix", shifted, nlist = 4,
+      kmeansIters = 1)
+    val got = VectorIndex.searchIvfIndex(store, "ix",
+        shifted.where(col("vec_id") === 1000L), k = 3, nprobe = 4)
+      .select("vid").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ >= 1000L),
+      s"stale pre-rebuild ids surfaced: $got")
+  }
+
+  test("recall vs brute force is sane on a clustered corpus") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200)
+    VectorIndex.buildIvfIndex(store, "ix", emb, nlist = 8, kmeansIters = 2)
+    val probes = emb.where(col("vec_id") < 5)
+    val ann = VectorIndex.searchIvfIndex(store, "ix", probes,
+        k = 3, nprobe = 4)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, probes, k = 3)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall vs brute force too low")
+  }
+}
