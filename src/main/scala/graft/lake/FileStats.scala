@@ -48,9 +48,9 @@ object FileStats {
   final case class Stat(tag: String, min: String, max: String,
                         nulls: Option[Long])
 
-  private val NumTag = "num"
-  private val StrTag = "str"
-  private val NullTag = "nul"
+  private[lake] val NumTag = "num"
+  private[lake] val StrTag = "str"
+  private[lake] val NullTag = "nul"
   private[lake] val CntTag = "cnt"
   private[lake] val RowsCol = "__rows"
 

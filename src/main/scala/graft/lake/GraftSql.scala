@@ -91,6 +91,8 @@ object GraftSql {
     """(?is)^\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\)(?:\s+OPTIONS\s*\(\s*fpp\s*=\s*([0-9.]+)\s*\))?\s*;?\s*$""".r
   private val BloomRefreshStmt =
     """(?is)^\s*REFRESH\s+BLOOMFILTER\s+INDEX(?:ES)?\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)(?:\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\))?\s*;?\s*$""".r
+  private val AnalyzeStmt =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -247,6 +249,13 @@ object GraftSql {
       case RollbackStmt() =>
         store.rollbackTransaction()
         txnStatus(spark, "rollback")
+      case AnalyzeStmt(table, cols) =>
+        // table-level column stats folded from the per-file footer
+        // sidecar (TableStore.columnStats) — O(manifest), no data
+        // scan; the ANALYZE a 100 TB table can afford to run daily
+        require(store.exists(table), s"unknown graft table $table")
+        store.columnStats(table,
+          Option(cols).toSeq.flatMap(_.split(",")).map(_.trim))
       case OptimizeStmt(table, zcols) =>
         executeOptimize(spark, store, table,
           Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim))

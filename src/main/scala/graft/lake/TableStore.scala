@@ -754,6 +754,86 @@ final class TableStore(spark: SparkSession, root: String,
     else FileStats.parse(readSmallFile(p))
   }
 
+  /** Footer row counts of the CURRENT version's live data files,
+    * keyed by full manifest path — served from the stats sidecar the
+    * commit already folded, so it is O(manifest) and opens no data
+    * file. The scan-free profile primitive (index sizing, DESCRIBE):
+    * at 100 TB a "how big is each partition" question must never cost
+    * a data pass. Files committed before the stats sidecar existed
+    * (pre-stats tables, foreign CONVERT files whose footers were
+    * unreadable) are absent from the map — callers treat absence as
+    * "unknown", not zero. Counts are per-file physical rows; MoR
+    * delete debt is NOT subtracted (fold it with compact/OPTIMIZE
+    * first for exact liveness). */
+  def fileRowCounts(table: String): Map[String, Long] = {
+    val v = currentVersion(table).getOrElse(return Map.empty)
+    val stats = statsFor(table, v)
+    manifest(table, v).filterNot(isDeleteLine).flatMap { f =>
+      stats.get((FileStats.fileKey(f), FileStats.RowsCol))
+        .flatMap(st => scala.util.Try(st.max.toLong).toOption)
+        .map(f -> _)
+    }.toMap
+  }
+
+  /** Table-level column statistics — one row per column:
+    * (col_name, n_rows, n_nulls, min_v, max_v), numeric bounds as
+    * DOUBLE — folded entirely from the stats sidecar the commits
+    * already recorded, so ANALYZE on a 100 TB table is O(manifest)
+    * and opens no data file. Exactness contract: a field is non-NULL
+    * only when EVERY live file carries a sidecar entry for the column
+    * with a known null count — files from pre-stats commits, or
+    * columns whose footer stats were skipped (NaN-holding floats,
+    * non-ASCII string bounds, timestamps/decimals) surface NULL =
+    * unknown rather than a silently-wrong number. String columns
+    * report exact null counts with NULL numeric bounds. Counts are
+    * physical rows: MoR delete debt is NOT subtracted — fold it with
+    * OPTIMIZE first when exact liveness matters. */
+  def columnStats(table: String, cols: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val emptyOut = Seq.empty[
+      (String, Option[Long], Option[Long], Option[Double], Option[Double])]
+    val v = currentVersion(table).getOrElse(
+      return emptyOut.toDF("col_name", "n_rows", "n_nulls", "min_v", "max_v"))
+    val stats = statsFor(table, v)
+    val live = manifest(table, v).filterNot(isDeleteLine)
+      .map(FileStats.fileKey)
+    // the row count obeys the same contract as the bounds: any live
+    // file without a folded footer count makes the total unknown
+    val perFileRows = live.map(f => stats.get((f, FileStats.RowsCol))
+      .flatMap(st => scala.util.Try(st.max.toLong).toOption))
+    val nRows: Option[Long] =
+      if (perFileRows.exists(_.isEmpty)) None
+      else Some(perFileRows.flatten.sum)
+    val present = stats.keysIterator.map(_._2)
+      .filter(_ != FileStats.RowsCol).toSeq.distinct.sorted
+    val wanted =
+      if (cols.isEmpty) present
+      else { val req = cols.map(_.trim).toSet; present.filter(req.contains) }
+    val out = wanted.map { c =>
+      val entries = live.map(f => stats.get((f, c)))
+      if (entries.exists(_.isEmpty) ||
+          entries.flatten.exists(_.nulls.isEmpty))
+        (c, nRows, None: Option[Long], None: Option[Double],
+          None: Option[Double])
+      else {
+        val es = entries.flatten
+        val nNulls: Option[Long] = Some(es.flatMap(_.nulls).sum)
+        // bounds only when every valued entry is numeric (all-null
+        // files carry no bounds and legitimately contribute none)
+        val numeric = es.forall(e =>
+          e.tag == FileStats.NumTag || e.tag == FileStats.NullTag)
+        val valued = es.filter(_.tag == FileStats.NumTag)
+        val (mn, mx) =
+          if (!numeric || valued.isEmpty)
+            (None: Option[Double], None: Option[Double])
+          else (Some(valued.map(e => BigDecimal(e.min)).min.toDouble),
+                Some(valued.map(e => BigDecimal(e.max)).max.toDouble))
+        (c, nRows, nNulls, mn, mx)
+      }
+    }
+    out.toDF("col_name", "n_rows", "n_nulls", "min_v", "max_v")
+  }
+
   /** S6: CTAS — fails if the table already exists. `partitionBy`
     * selects a hive-style layout; reads then get partition pruning on
     * those columns — the scan-avoidance lever at 100 TB. */
@@ -804,6 +884,18 @@ final class TableStore(spark: SparkSession, root: String,
     commit(table, df, carried = _ => Nil, mustCreate = false,
       txn = Some((app, version)), readSnapshot = readSnapshot,
       op = "OVERWRITE")
+
+  /** Append recording an application transaction watermark in the
+    * SAME atomic commit — the micro-batch half of [[overwriteTxn]]:
+    * a streaming `foreachBatch` gets exactly-once appends by checking
+    * [[lastTxn]] before committing a possibly-replayed batch id, an
+    * O(manifest-header) guard instead of an O(table) data probe. */
+  def appendTxn(table: String, df: DataFrame,
+                app: String, version: Long): Unit = {
+    require(exists(table), s"table $table does not exist")
+    commit(table, df, carryAll(table), mustCreate = false,
+      txn = Some((app, version)), op = "APPEND")
+  }
 
   /** Create recording an initial transaction watermark atomically —
     * the bootstrap half of [[overwriteTxn]]. */

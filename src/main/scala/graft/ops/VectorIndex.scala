@@ -55,6 +55,70 @@ object VectorIndex {
     else store.create(lt, lists, partitionBy = Seq("cent_id"))
   }
 
+  /** Incremental index maintenance: assign `batch` to the EXISTING
+    * trained centroids and append to the inverted lists — O(batch);
+    * no rebuild, no corpus re-read, and the append lands under the
+    * lists table's hive layout so partition pruning keeps holding.
+    * The assignment rule is the same expression `buildIvfIndex` uses,
+    * so build(a) + append(b) serves exactly what build over a ∪ b
+    * with the same centroids would (the ivf_ann_incremental oracle
+    * re-proves that contract per run). Centroids do drift as data
+    * arrives: a batch far from the training distribution piles into
+    * few lists — watch `describeIvfIndex` skew and rebuild when
+    * max(rows) outgrows the mean by your probe budget. */
+  def appendToIvfIndex(store: TableStore, name: String, batch: DataFrame,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val cents = store.read(centroidsTable(name))
+    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
+      .select(col("cent_id"), col(idCol), col(vecCol))
+    store.append(listsTable(name), assigned)
+  }
+
+  /** Full reindex from the index's own contents: retrain k-means over
+    * the current inverted lists (they ARE the corpus — the original
+    * table is never re-read) and rebuild both tables. This is the
+    * move `describeIvfIndex`'s skew signal calls for once appended
+    * batches have drifted from the training distribution and piled
+    * into few lists: one corpus-sized pass, two atomic overwrites,
+    * searches racing the rebuild see the old index or the new one,
+    * never a mix. */
+  def rebuildIvfIndex(store: TableStore, name: String, nlist: Int = 16,
+                      kmeansIters: Int = 2, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    // pin the read before the overwrite swings the pointer; the old
+    // version's files stay on disk until a VACUUM, so the rebuild's
+    // write can keep reading them
+    val corpus = store.read(listsTable(name)).select(col(idCol), col(vecCol))
+    buildIvfIndex(store, name, corpus, nlist, kmeansIters, idCol, vecCol)
+  }
+
+  /** Scan-free index profile: one row per inverted list with its live
+    * file and row counts — (cent_id, files, rows) — served entirely
+    * from the manifest + stats sidecar (parquet footer counts folded
+    * at commit), so no list file is opened. This is the
+    * rebuild-vs-append signal at 100 TB: rows_max / rows_avg far
+    * above 1 means the centroids have drifted and probes over-read.
+    * Counts are manifest-sized driver metadata (one entry per file),
+    * never data-sized. */
+  def describeIvfIndex(store: TableStore, name: String): DataFrame = {
+    val lt = listsTable(name)
+    val CentDir = ".*/cent_id=([^/]+)/[^/]*$".r
+    val perFile = store.fileRowCounts(lt).toSeq.map { case (f, rows) =>
+      val cid = f match {
+        case CentDir(v) => v.toLong
+        case _ => -1L // unpartitioned stray (pre-evolution file)
+      }
+      (cid, rows)
+    }
+    val spark = store.read(centroidsTable(name)).sparkSession
+    import spark.implicits._
+    perFile.toDF("cent_id", "rows")
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("files"), sum("rows").as("rows"))
+      .orderBy("cent_id")
+  }
+
   /** ANN top-k for `probes` against the persisted index — never
     * touches the corpus table, reads only the probed lists. Result
     * shape matches [[Similarity.ivfSearch]]: (qid, vid, cos, rnk),

@@ -283,6 +283,48 @@ object PipelineQueries {
         |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin))
 
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS` through the SQL front
+    * door: CTAS a lineitem projection into the store (the commit
+    * folds per-file parquet footer stats into the `stats-<n>`
+    * sidecar), then serve TABLE-level column statistics from that
+    * sidecar alone — O(manifest), no data file opened: the ANALYZE a
+    * 100 TB table can afford to run after every ingest. The oracle
+    * recomputes rows/nulls/min/max from the data itself, proving the
+    * folded footer stats are exact; string columns report exact null
+    * counts with NULL numeric bounds. */
+  val analyzeTableStats: Entry = Entry(
+    "analyze_table_stats",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-analyze"))
+      store.create("li", t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_quantity",
+          "l_extendedprice", "l_returnflag"))
+      GraftSql.execute(s, store, "ANALYZE TABLE li COMPUTE STATISTICS")
+        .orderBy("col_name")
+    },
+    Some("""SELECT * FROM (
+        |  SELECT 'l_extendedprice' AS col_name, count(*) AS n_rows,
+        |         count(*) - count(l_extendedprice) AS n_nulls,
+        |         CAST(min(l_extendedprice) AS DOUBLE) AS min_v,
+        |         CAST(max(l_extendedprice) AS DOUBLE) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_orderkey', count(*), count(*) - count(l_orderkey),
+        |         CAST(min(l_orderkey) AS DOUBLE),
+        |         CAST(max(l_orderkey) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*), count(*) - count(l_partkey),
+        |         CAST(min(l_partkey) AS DOUBLE),
+        |         CAST(max(l_partkey) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |         CAST(min(l_quantity) AS DOUBLE),
+        |         CAST(max(l_quantity) AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |         NULL, NULL FROM lineitem
+        |) ORDER BY col_name""".stripMargin))
+
   /** Incremental SCD2 maintenance end-to-end ([[graft.lake.Scd2]]):
     * build the dimension from the first half of the change log, apply
     * the second half as a separate atomic commit, and read back. The
@@ -1646,7 +1688,7 @@ object PipelineQueries {
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     cdcPipelineE2eDv, unpivotMeasures,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, skewSaltedJoin,
-    zorderScan, statsPrunedScan,
+    zorderScan, statsPrunedScan, analyzeTableStats,
     nullPrunedScan, bloomPointLookup, bloomAutoLookup, scd2Incremental,
     q6Forecast, q4OrderPriority, statsNumeric, mergeSqlDelete,
     mergeSqlConditional, mergeSqlUpdate, mergeSqlFullSync, mergeSqlEvolving,

@@ -327,6 +327,39 @@ object VectorQueries {
     },
     () => ivfPersistedOracle)
 
+  @volatile private var ivfIncrementalOracle: Option[String] = None
+
+  /** INCREMENTALLY MAINTAINED IVF index: train + persist over the
+    * even-id half of the corpus, then
+    * [[graft.ops.VectorIndex.appendToIvfIndex]] the odd-id half —
+    * O(batch) assignment against the stored centroids, an append
+    * commit under the lists table's hive layout, no rebuild. Probes
+    * then search the combined index. The oracle is the SAME shared
+    * IVF replay text over the stored (even-half-trained) centroids,
+    * assigning the WHOLE corpus — i.e. the checked contract is
+    * build(a) + append(b) ≡ build(a ∪ b) given the same centroids,
+    * which is exactly what makes append a sound maintenance move at
+    * 100 TB (the daily embedding drop costs one assignment pass over
+    * the batch, never a corpus re-read). */
+  val ivfIncremental: Entry = new Entry(
+    "ivf_ann_incremental",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfinc").toString)
+      graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf",
+        emb.where(col("vec_id") % 2 === 0), nlist = 16, kmeansIters = 2)
+      graft.ops.VectorIndex.appendToIvfIndex(store, "emb_ivf",
+        emb.where(col("vec_id") % 2 === 1))
+      val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
+      ivfIncrementalOracle = Some(ivfOracleSql(centValuesSql(cents)))
+      graft.ops.VectorIndex.searchIvfIndex(store, "emb_ivf",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfIncrementalOracle)
+
   /** Oracle for semantic_dedup_prune, derived at run time like
     * ivf_ann_topk's: the deterministic trained centroids become VALUES
     * literals, so the oracle replays assignment (rounded cosine,
@@ -707,7 +740,8 @@ object VectorQueries {
         |FROM sel ORDER BY qid, rnk""".stripMargin))
 
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
-    labelCentroids, annLsh, ivfTopK, ivfPersisted, semanticDedup,
+    labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
+    semanticDedup,
     quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

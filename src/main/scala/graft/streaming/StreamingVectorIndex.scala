@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.lake.TableStore
+import graft.ops.{Similarity, VectorIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming maintenance of a persisted IVF ANN index
+  * ([[graft.ops.VectorIndex]]): embedding arrivals land in a parquet
+  * directory, each micro-batch is assigned to the stored (already
+  * trained) centroids and appended to the inverted lists — the
+  * streaming form of `appendToIvfIndex`, so searches see new vectors
+  * within one trigger without any rebuild.
+  *
+  * Exactly-once: `foreachBatch` is at-least-once under crash-replay,
+  * so each batch commits through [[TableStore.appendTxn]] with the
+  * batch id as the application transaction watermark — a replayed
+  * batch is recognized via [[TableStore.lastTxn]] BEFORE any work
+  * (an O(manifest-header) probe, not an O(corpus) data read) and
+  * skipped. The guard and the data land in the same atomic commit,
+  * so there is no window where one is visible without the other.
+  *
+  * Scale: per-batch cost is O(batch) — one broadcast centroid
+  * assignment (nlist × dim, tiny) plus an append commit under the
+  * lists table's hive layout, so partition pruning keeps holding for
+  * searches as the index grows. The corpus is never re-read.
+  */
+object StreamingVectorIndex {
+
+  private def appId(name: String) = s"ivf-ingest-$name"
+
+  /** Start streaming embedding arrivals from `sourceDir` into the
+    * persisted index `name` (which must already be built —
+    * `buildIvfIndex` trains the centroids this ingest assigns
+    * against). Caller stops the returned query. `sourceSchema` is
+    * required when the landing dir may still be empty at start. */
+  def startIngest(spark: SparkSession, sourceDir: String,
+                  store: TableStore, name: String,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  checkpointDir: Option[String] = None,
+                  sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                  maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    require(store.exists(VectorIndex.centroidsTable(name)),
+      s"IVF index $name is not built — run buildIvfIndex first")
+    val schema = sourceSchema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val writer = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestBatch(store, name, batch, batchId,
+          idCol, vecCol)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  /** One micro-batch: skip if the lists table already committed this
+    * batch id, else assign against the stored centroids and append
+    * with the watermark in the same commit. */
+  private[streaming] def ingestBatch(store: TableStore, name: String,
+                                     batch: DataFrame, batchId: Long,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding"): Unit = {
+    val lt = VectorIndex.listsTable(name)
+    val replayed = store.lastTxn(lt, appId(name)).exists(_ >= batchId)
+    if (!replayed) {
+      val cents = store.read(VectorIndex.centroidsTable(name))
+      val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
+        .select(col("cent_id"), col(idCol), col(vecCol))
+      store.appendTxn(lt, assigned, appId(name), batchId)
+    }
+  }
+}

@@ -33,6 +33,36 @@ class GraftSqlSpec extends SparkSpec {
       .toSeq == Seq("y", "z"))
   }
 
+  test("ANALYZE TABLE serves exact column stats without opening a data file") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("prof", Seq(
+      (1L, Option(2.5), Option("a")),
+      (2L, Option.empty[Double], Option("b")),
+      (3L, Option(-1.25), Option.empty[String])).toDF("k", "x", "s"))
+    // a second commit so the fold spans several files' sidecars
+    store.append("prof", Seq((9L, Option(7.0), Option("c"))).toDF("k", "x", "s"))
+    val out = GraftSql.execute(spark, store,
+      "ANALYZE TABLE prof COMPUTE STATISTICS")
+    // no file scan anywhere in the plan: the stats come from the
+    // sidecar, never from reading the table
+    assert(out.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, "ANALYZE must not scan data files")
+    val rows = out.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(rows("k") == ((4L, 0L, Some(1.0), Some(9.0))))
+    assert(rows("x") == ((4L, 1L, Some(-1.25), Some(7.0))))
+    // string column: exact null count, numeric bounds unknown
+    assert(rows("s") == ((4L, 1L, None, None)))
+    // FOR COLUMNS restricts the report
+    val only = GraftSql.execute(spark, store,
+      "ANALYZE TABLE prof COMPUTE STATISTICS FOR COLUMNS (x)")
+      .collect().map(_.getString(0)).toSeq
+    assert(only == Seq("x"))
+  }
+
   test("non-MERGE statements delegate to spark.sql") {
     val r = GraftSql.execute(spark, new TableStore(spark, tmpDir("gsql")),
       "SELECT 1 + 1 AS two")

@@ -73,6 +73,102 @@ class VectorIndexSpec extends SparkSpec {
       s"stale pre-rebuild ids surfaced: $got")
   }
 
+  test("append-maintained index equals a full build on the same centroids") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200)
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    VectorIndex.buildIvfIndex(store, "ix", even, nlist = 8, kmeansIters = 2)
+    VectorIndex.appendToIvfIndex(store, "ix", odd)
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    val probes = emb.where(col("vec_id") < 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val incremental = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    // the contract: build(even) + append(odd) ≡ assigning the WHOLE
+    // corpus to the stored (even-trained) centroids
+    val fullOnSameCents = rows(
+      Similarity.ivfSearch(emb, probes, cents, k = 5, nprobe = 3))
+    assert(incremental.nonEmpty)
+    assert(incremental == fullOnSameCents)
+    // odd ids actually entered the index (the append wasn't a no-op)
+    assert(incremental.exists(_._3 % 2 == 1),
+      "no odd (appended) vector surfaced in any top-k")
+  }
+
+  test("partition pruning survives an incremental append") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(400)
+    VectorIndex.buildIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 2 === 0), nlist = 8, kmeansIters = 2)
+    VectorIndex.appendToIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 2 === 1))
+    val lt = VectorIndex.listsTable("ix")
+    val totalFiles = store.manifest(lt, store.currentVersion(lt).get)
+      .count(l => !l.startsWith("del|"))
+    val one = VectorIndex.searchIvfIndex(store, "ix",
+      emb.where(col("vec_id") === 0L), k = 3, nprobe = 1)
+    val scanned = scannedFiles(one, "ix_lists")
+    assert(scanned > 0 && scanned < totalFiles,
+      s"post-append probed search scanned $scanned of $totalFiles files")
+  }
+
+  test("describeIvfIndex serves per-list counts without opening a list file") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(300)
+    VectorIndex.buildIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 2 === 0), nlist = 8, kmeansIters = 2)
+    VectorIndex.appendToIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 2 === 1))
+    val desc = VectorIndex.describeIvfIndex(store, "ix")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // sidecar-served counts match an actual read-back group-by
+    // the hive partition column reads back directory-inferred (int);
+    // normalize to the describe output's long
+    val actual = store.read(VectorIndex.listsTable("ix"))
+      .groupBy(col("cent_id").cast("long").as("cent_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(desc.keySet == actual.keySet)
+    actual.foreach { case (cid, n) =>
+      assert(desc(cid)._2 == n, s"list $cid: sidecar ${desc(cid)._2} != $n")
+    }
+    assert(desc.values.map(_._2).sum == 300L)
+    // every live list file is accounted for in the sidecar
+    val lt = VectorIndex.listsTable("ix")
+    val liveFiles = store.manifest(lt, store.currentVersion(lt).get)
+      .count(l => !l.startsWith("del|"))
+    assert(desc.values.map(_._1).sum == liveFiles.toLong)
+  }
+
+  test("rebuildIvfIndex retrains from the lists; contents and search survive") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200)
+    // train on a skewed seed (one cluster), then append the rest —
+    // the shape that drifts lists — and reindex
+    VectorIndex.buildIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 4 === 0), nlist = 8, kmeansIters = 2)
+    VectorIndex.appendToIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 4 =!= 0))
+    VectorIndex.rebuildIvfIndex(store, "ix", nlist = 8, kmeansIters = 2)
+    // every vector exactly once; search equals ivfSearch on the NEW centroids
+    val ids = store.read(VectorIndex.listsTable("ix"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == 200 && ids.distinct.size == 200)
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    val probes = emb.where(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+        .collect().toSeq.map(r => (r.getLong(0), r.getInt(1),
+          r.getLong(2), r.getDouble(3)))
+    val got = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    val want = rows(Similarity.ivfSearch(emb, probes, cents, k = 5, nprobe = 3))
+    assert(got.nonEmpty && got == want)
+  }
+
   test("recall vs brute force is sane on a clustered corpus") {
     val store = new TableStore(spark, tmpDir("ivfidx"))
     val emb = corpus(200)

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.TableStore
+import graft.ops.{Similarity, VectorIndex}
+import org.apache.spark.sql.functions._
+
+/** Streaming IVF maintenance: arrivals enter the persisted index
+  * within a trigger, searches equal a batch rebuild on the same
+  * centroids, and crash-replayed micro-batches commit exactly once. */
+class StreamingVectorIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(from: Int, n: Int): org.apache.spark.sql.DataFrame =
+    (from until from + n).map { i =>
+      val base = (i % 4) * 10.0f
+      (i.toLong, Array.tabulate(8)(d => base + ((i * 7 + d * 3) % 5) * 0.1f))
+    }.toDF("vec_id", "embedding")
+
+  test("streamed arrivals are searchable and equal a batch append") {
+    val store = new TableStore(spark, tmpDir("sivf-store"))
+    val src = tmpDir("sivf-src")
+    val seed = corpus(0, 120)
+    VectorIndex.buildIvfIndex(store, "ix", seed, nlist = 8, kmeansIters = 2)
+    // first arrivals land before the stream starts
+    corpus(120, 40).coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingVectorIndex.startIngest(spark, src, store, "ix",
+      checkpointDir = Some(tmpDir("sivf-ckpt")))
+    try {
+      q.processAllAvailable()
+      corpus(160, 40).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = seed.unionByName(corpus(120, 80))
+    val probes = all.where(col("vec_id") >= 160L && col("vec_id") < 163L)
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+        .collect().toSeq.map(r => (r.getLong(0), r.getInt(1),
+          r.getLong(2), r.getDouble(3)))
+    val streamed = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    val batch = rows(
+      Similarity.ivfSearch(all, probes, cents, k = 5, nprobe = 3))
+    assert(streamed.nonEmpty && streamed == batch)
+    // every streamed vector is in the index exactly once
+    val ids = store.read(VectorIndex.listsTable("ix"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == ids.distinct.size && ids.size == 200)
+  }
+
+  test("a crash-replayed micro-batch commits exactly once") {
+    val store = new TableStore(spark, tmpDir("sivf-once"))
+    VectorIndex.buildIvfIndex(store, "ix", corpus(0, 60), nlist = 4,
+      kmeansIters = 1)
+    val b = corpus(100, 10)
+    StreamingVectorIndex.ingestBatch(store, "ix", b, batchId = 0L)
+    // at-least-once replay of the same batch id after a "crash"
+    StreamingVectorIndex.ingestBatch(store, "ix", b, batchId = 0L)
+    StreamingVectorIndex.ingestBatch(store, "ix", corpus(110, 5), batchId = 1L)
+    val n = store.read(VectorIndex.listsTable("ix"))
+      .where(col("vec_id") >= 100L).count()
+    assert(n == 15L, s"expected 15 appended vectors, found $n")
+  }
+}
