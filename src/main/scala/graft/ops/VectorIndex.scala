@@ -51,7 +51,12 @@ object VectorIndex {
     val lt = listsTable(name)
     if (store.exists(ct)) store.overwrite(ct, cents)
     else store.create(ct, cents)
-    if (store.exists(lt)) store.overwrite(lt, lists, preserveLayout = true)
+    // default layout handling on every path: the commit AQE-rebalances
+    // partitioned writes on cent_id, so list files stay few and
+    // right-sized instead of tasks × nlist fragments (preserveLayout
+    // would skip that — it is for pre-shaped z-ordered frames, which
+    // this assignment output is not)
+    if (store.exists(lt)) store.overwrite(lt, lists)
     else store.create(lt, lists, partitionBy = Seq("cent_id"))
   }
 

@@ -49,6 +49,31 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(ids.size == ids.distinct.size && ids.size == 200)
   }
 
+  test("a publish failure mid-batch replays to exactly one commit") {
+    import graft.lake.{Crashable, HadoopCommitPrimitive}
+    val crashable = new Crashable(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
+    val store = new TableStore(spark, tmpDir("sivf-crash"), Some(crashable))
+    VectorIndex.buildIvfIndex(store, "ix", corpus(0, 60), nlist = 4,
+      kmeansIters = 1)
+    val lt = VectorIndex.listsTable("ix")
+    val vBefore = store.currentVersion(lt).get
+    val b = corpus(100, 10)
+    crashable.failNextPublish = true
+    intercept[RuntimeException] {
+      StreamingVectorIndex.ingestBatch(store, "ix", b, batchId = 0L)
+    }
+    // the failed attempt published nothing — guard and data share one
+    // commit, so there is no watermark-without-data state either way
+    assert(store.currentVersion(lt).contains(vBefore))
+    // foreachBatch redelivers batch 0 after the failure; lastTxn has
+    // no watermark for it, so the replay commits — exactly once
+    StreamingVectorIndex.ingestBatch(store, "ix", b, batchId = 0L)
+    StreamingVectorIndex.ingestBatch(store, "ix", b, batchId = 0L) // second replay: skipped
+    assert(store.currentVersion(lt).contains(vBefore + 1))
+    assert(store.read(lt).where(col("vec_id") >= 100L).count() == 10L)
+  }
+
   test("a crash-replayed micro-batch commits exactly once") {
     val store = new TableStore(spark, tmpDir("sivf-once"))
     VectorIndex.buildIvfIndex(store, "ix", corpus(0, 60), nlist = 4,
