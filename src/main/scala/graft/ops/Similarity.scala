@@ -417,8 +417,8 @@ object Similarity {
   // -------------------------------------------------------------------
 
   /** Explode a vector frame into (asId, sub, svec) subvector rows. */
-  private def subVectors(df: DataFrame, m: Int, sd: Int, idCol: String,
-                         vecCol: String, asId: String): DataFrame =
+  private[ops] def subVectors(df: DataFrame, m: Int, sd: Int, idCol: String,
+                              vecCol: String, asId: String): DataFrame =
     df.select(col(idCol).as(asId),
       posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice($vecCol, s * $sd + 1, $sd))"))

@@ -35,6 +35,8 @@ object VectorIndex {
 
   def centroidsTable(name: String): String = s"${name}_centroids"
   def listsTable(name: String): String = s"${name}_lists"
+  def booksTable(name: String): String = s"${name}_books"
+  def codesTable(name: String): String = s"${name}_codes"
 
   /** Train k-means over `corpus` and persist centroids + inverted
     * lists under `name`. O(corpus) — one assignment pass after
@@ -58,6 +60,128 @@ object VectorIndex {
     // this assignment output is not)
     if (store.exists(lt)) store.overwrite(lt, lists)
     else store.create(lt, lists, partitionBy = Seq("cent_id"))
+  }
+
+  /** Persist an IVF-PQ index (the IVFADC design of Jégou/Douze/Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011 —
+    * the shape FAISS serves billion-vector corpora with): a coarse
+    * quantizer routes vectors into inverted lists, and the lists store
+    * m-byte PQ CODES instead of full vectors, so the stored index is
+    * ~dim·4/m× smaller than the corpus and a probed search reads only
+    * code bytes. Three tables:
+    *
+    *   - `<name>_centroids` — coarse k-means (cent_id, cvec), tiny;
+    *   - `<name>_books`     — per-subspace codebooks (sub, cent_id,
+    *     cvec), m × ksub rows, tiny — broadcast at search time;
+    *   - `<name>_codes`     — (cent_id, id, sub, code): m small-int
+    *     rows per vector, hive-PARTITIONED by cent_id (probed lists
+    *     prune at the partition level exactly like the full-vector
+    *     index; the narrow int columns RLE/dict-compress to the PQ
+    *     budget in parquet).
+    *
+    * Training (coarse + codebooks) is deterministic (lowest-id seeds,
+    * fixed iterations, rounded-cosine argmax with cent_id tiebreaks),
+    * so both literal sets embed into a DuckDB oracle replay. */
+  def buildIvfPqIndex(store: TableStore, name: String, corpus: DataFrame,
+                      nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                      kmeansIters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): Unit = {
+    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+      idCol, vecCol)
+    val books = Similarity.pqTrain(corpus, m, ksub)
+    // one assignment pass + one encode pass; the join keys on idCol so
+    // each vector's m code rows land in its list's partition
+    val assigned = Similarity.assignClusters(corpus, cents, idCol, vecCol)
+      .select(col(idCol), col("cent_id"))
+    val codes = Similarity.pqEncode(corpus, books, m, idCol, vecCol)
+      .join(assigned, Seq(idCol))
+      .select(col("cent_id"), col(idCol), col("sub"), col("code"))
+    def put(t: String, df: DataFrame, parts: Seq[String] = Nil): Unit =
+      if (store.exists(t)) store.overwrite(t, df)
+      else store.create(t, df, partitionBy = parts)
+    put(centroidsTable(name), cents)
+    put(booksTable(name), books)
+    put(codesTable(name), codes, Seq("cent_id"))
+  }
+
+  /** IVF-PQ search: probes assign to their nprobe coarse lists
+    * (broadcast centroids), ONLY those code partitions are read
+    * (literal-IN pruning on cent_id), and candidates score by
+    * asymmetric distance — each probe's m × ksub dot-product LUT
+    * broadcasts into the code join, a candidate's approximate cosine
+    * is Σ LUT[sub][code] over its m codes normalized by probe and
+    * reconstruction norms. Nothing data-sized moves: per probed list
+    * the work is |list| × m small-int rows, and the corpus/full
+    * vectors are never touched. Determinism matches pqTopK (4-dp
+    * rounding, vid tiebreak) so the oracle replays ranking exactly.
+    * Result: (qid, vid, cos_pq, rnk ≤ k). */
+  def searchIvfPqIndex(store: TableStore, name: String, probes: DataFrame,
+                       k: Int, nprobe: Int, m: Int = 8,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(probes.sparkSession)
+    val cents = store.read(centroidsTable(name))
+    val books = store.read(booksTable(name))
+    val sd = books.select(size(col("cvec"))).first().getInt(0)
+    val pa = Similarity.assignTopClusters(probes, cents, nprobe,
+        idCol, vecCol)
+      .select(col(idCol).as("qid"), col("cent_id"))
+    val codes0 = store.read(codesTable(name))
+    val dt = codes0.schema("cent_id").dataType
+    val needed = pa.select(col("cent_id").cast(dt)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    if (needed.isEmpty)
+      return pa.select(col("qid"), col("qid").as("vid"),
+        lit(0.0).as("cos_pq"), lit(0).as("rnk")).where(lit(false))
+    val lists = codes0.where(col("cent_id").isin(needed: _*))
+      .select(col("cent_id"), col(idCol).as("vid"), col("sub"), col("code"))
+    // per-probe LUT: dot of each probe sub-vector with every codeword
+    val lut = Similarity.subVectors(probes, m, sd, idCol, vecCol, "qid")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cent_id").as("code"),
+        Similarity.dot(col("svec"), col("cvec")).as("pd"))
+    // reconstruction norm from the PRUNED codes only — per-vid
+    // intrinsic, so pruning cannot change a surviving candidate's score
+    val bookNorms = books.select(col("sub"), col("cent_id").as("code"),
+      Similarity.dot(col("cvec"), col("cvec")).as("css"))
+    val reconNorm = lists.join(broadcast(bookNorms), Seq("sub", "code"))
+      .groupBy("vid").agg(sqrt(sum("css")).as("rn"))
+    val qNorm = probes.select(col(idCol).as("qid"),
+      Similarity.norm(col(vecCol)).as("qn"))
+    // candidate pairs come straight off the list join: a vid lives in
+    // exactly one list, so (qid, vid) appears once per sub — the
+    // group-by sums exactly its m LUT entries, no distinct needed
+    val scored = lists
+      .join(pa.withColumn("cent_id", col("cent_id").cast(dt)), Seq("cent_id"))
+      .where(col("qid") =!= col("vid"))
+      .join(broadcast(lut), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vid").agg(sum("pd").as("adp"))
+      .join(reconNorm, Seq("vid"))
+      .join(broadcast(qNorm), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        round(col("adp") / (col("qn") * col("rn")), 4).as("cos_pq"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_pq").desc, col("vid"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+  }
+
+  /** Incremental IVF-PQ maintenance: assign + encode `batch` against
+    * the STORED coarse centroids and codebooks and append its code
+    * rows — O(batch · m), no retraining, no corpus re-read, same
+    * append-≡-rebuild contract as [[appendToIvfIndex]]. */
+  def appendToIvfPqIndex(store: TableStore, name: String, batch: DataFrame,
+                         m: Int = 8,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val cents = store.read(centroidsTable(name))
+    val books = store.read(booksTable(name))
+    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
+      .select(col(idCol), col("cent_id"))
+    val codes = Similarity.pqEncode(batch, books, m, idCol, vecCol)
+      .join(assigned, Seq(idCol))
+      .select(col("cent_id"), col(idCol), col("sub"), col("code"))
+    store.append(codesTable(name), codes)
   }
 
   /** Incremental index maintenance: assign `batch` to the EXISTING

@@ -360,6 +360,130 @@ object VectorQueries {
     },
     () => ivfIncrementalOracle)
 
+  @volatile private var ivfPqOracle: Option[String] = None
+
+  /** (sub, cent_id, si, cx) VALUES rows for a collected codebook frame
+    * — the book-side analog of [[centValuesSql]]. */
+  private def bookValuesSql(books: org.apache.spark.sql.DataFrame): String =
+    books.collect().map { r =>
+      val cid = r.get(r.fieldIndex("cent_id"))
+      val sub = r.getInt(r.fieldIndex("sub"))
+      val vec = r.getSeq[Float](r.fieldIndex("cvec"))
+      vec.zipWithIndex
+        .map { case (x, i) => s"($sub, $cid, ${i + 1}, ${x.toDouble})" }
+        .mkString(", ")
+    }.mkString(", ")
+
+  /** PERSISTED IVF-PQ index (Jégou et al.'s IVFADC, the
+    * billion-vector serving shape): coarse k-means routes vectors to
+    * inverted lists that store m-byte PQ CODES, not vectors —
+    * [[graft.ops.VectorIndex.buildIvfPqIndex]] persists centroids +
+    * codebooks + hive-partitioned codes, and the search reads ONLY
+    * the probed code partitions, scoring candidates by asymmetric
+    * distance (per-probe LUT broadcast into the code join). The
+    * oracle replays BOTH deterministic quantizers from the read-back
+    * literals: coarse assignment bounds the candidate set, PQ
+    * encode + LUT reproduce every ADC score to the 4-dp rounding —
+    * so probed-ANN-over-codes is exactly checkable end to end. */
+  val ivfPqPersisted: Entry = new Entry(
+    "ivfpq_ann_persisted",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpq").toString)
+      graft.ops.VectorIndex.buildIvfPqIndex(store, "emb_ivfpq", emb,
+        nlist = 16, m = 8, ksub = 16, kmeansIters = 2)
+      val cents = store.read(
+        graft.ops.VectorIndex.centroidsTable("emb_ivfpq"))
+      val books = store.read(graft.ops.VectorIndex.booksTable("emb_ivfpq"))
+      ivfPqOracle = Some(
+        s"""WITH exp AS (
+           |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+           |         generate_subscripts(embedding, 1) AS i
+           |  FROM embeddings),
+           |norms AS (
+           |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
+           |cent(cent_id, i, cx) AS (VALUES ${centValuesSql(cents)}),
+           |cnorms AS (
+           |  SELECT cent_id, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY cent_id),
+           |cdots AS (
+           |  SELECT e.vec_id, c.cent_id, sum(e.x * c.cx) AS dp
+           |  FROM exp e JOIN cent c ON e.i = c.i
+           |  GROUP BY e.vec_id, c.cent_id),
+           |cscore AS (
+           |  SELECT vec_id, cent_id, round(dp / (n.nrm * cn.cnrm), 4) AS ccos
+           |  FROM cdots d JOIN norms n USING (vec_id)
+           |  JOIN cnorms cn USING (cent_id)),
+           |assign AS (
+           |  SELECT vec_id AS vid, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY ccos DESC, cent_id) AS r
+           |    FROM cscore) WHERE r = 1),
+           |probes AS (
+           |  SELECT vec_id AS qid, cent_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |        ORDER BY ccos DESC, cent_id) AS r
+           |    FROM cscore WHERE vec_id < 5) WHERE r <= 4),
+           |cands AS (
+           |  SELECT p.qid, a.vid FROM probes p JOIN assign a
+           |  ON p.cent_id = a.cent_id WHERE p.qid <> a.vid),
+           |sub AS (
+           |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub,
+           |         ((i - 1) % 8) + 1 AS si, x
+           |  FROM exp),
+           |book(sub, cent_id, si, cx) AS (VALUES ${bookValuesSql(books)}),
+           |bss AS (SELECT sub, cent_id, sum(cx * cx) AS ss
+           |        FROM book GROUP BY sub, cent_id),
+           |snorm AS (SELECT vec_id, sub, sqrt(sum(x * x)) AS sn
+           |          FROM sub GROUP BY vec_id, sub),
+           |sdot AS (
+           |  SELECT s.vec_id, s.sub, b.cent_id, sum(s.x * b.cx) AS dp
+           |  FROM sub s JOIN book b ON s.sub = b.sub AND s.si = b.si
+           |  GROUP BY s.vec_id, s.sub, b.cent_id),
+           |enc AS (
+           |  SELECT vec_id AS vid, sub, cent_id AS code FROM (
+           |    SELECT d.vec_id, d.sub, d.cent_id, row_number() OVER (
+           |        PARTITION BY d.vec_id, d.sub
+           |        ORDER BY round(dp / (sn.sn * sqrt(bs.ss)), 4) DESC,
+           |                 d.cent_id) AS r
+           |    FROM sdot d
+           |    JOIN snorm sn ON d.vec_id = sn.vec_id AND d.sub = sn.sub
+           |    JOIN bss bs ON d.sub = bs.sub AND d.cent_id = bs.cent_id)
+           |  WHERE r = 1),
+           |rnorm AS (
+           |  SELECT enc.vid AS rvid, sqrt(sum(ss)) AS rn
+           |  FROM enc JOIN bss ON enc.sub = bss.sub AND enc.code = bss.cent_id
+           |  GROUP BY enc.vid),
+           |lut AS (
+           |  SELECT s.vec_id AS qid, s.sub, b.cent_id AS code,
+           |         sum(s.x * b.cx) AS pd
+           |  FROM sub s JOIN book b ON s.sub = b.sub AND s.si = b.si
+           |  WHERE s.vec_id < 5
+           |  GROUP BY s.vec_id, s.sub, b.cent_id),
+           |adc AS (
+           |  SELECT l.qid, e.vid, sum(l.pd) AS adp
+           |  FROM enc e
+           |  JOIN lut l ON e.sub = l.sub AND e.code = l.code
+           |  JOIN cands c ON c.qid = l.qid AND c.vid = e.vid
+           |  GROUP BY l.qid, e.vid),
+           |scored AS (
+           |  SELECT adc.qid, adc.vid,
+           |         round(adp / (nq.nrm * rn.rn), 4) AS cos_pq
+           |  FROM adc JOIN norms nq ON adc.qid = nq.vec_id
+           |  JOIN rnorm rn ON adc.vid = rn.rvid),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY cos_pq DESC, vid) AS rnk
+           |  FROM scored)
+           |SELECT qid, rnk, vid, cos_pq FROM ranked WHERE rnk <= 5
+           |ORDER BY qid, rnk""".stripMargin)
+      graft.ops.VectorIndex.searchIvfPqIndex(store, "emb_ivfpq",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4, m = 8)
+        .select("qid", "rnk", "vid", "cos_pq")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfPqOracle)
+
   /** Oracle for semantic_dedup_prune, derived at run time like
     * ivf_ann_topk's: the deterministic trained centroids become VALUES
     * literals, so the oracle replays assignment (rounded cosine,
@@ -741,7 +865,7 @@ object VectorQueries {
 
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
-    semanticDedup,
+    ivfPqPersisted, semanticDedup,
     quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

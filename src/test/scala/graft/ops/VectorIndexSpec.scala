@@ -169,6 +169,50 @@ class VectorIndexSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("IVF-PQ: append-maintained codes equal a one-shot encode; search prunes") {
+    val store = new TableStore(spark, tmpDir("ivfpq"))
+    val emb = corpus(200)
+    val even = emb.where(col("vec_id") % 2 === 0)
+    VectorIndex.buildIvfPqIndex(store, "px", even, nlist = 8, m = 4,
+      ksub = 8, kmeansIters = 2)
+    VectorIndex.appendToIvfPqIndex(store, "px", emb.where(col("vec_id") % 2 === 1),
+      m = 4)
+    // contract: build(even) + append(odd) == assign+encode of the
+    // WHOLE corpus against the stored (even-trained) quantizers
+    val cents = store.read(VectorIndex.centroidsTable("px"))
+    val books = store.read(VectorIndex.booksTable("px"))
+    val want = Similarity.pqEncode(emb, books, m = 4)
+      .join(Similarity.assignClusters(emb, cents).select("vec_id", "cent_id"),
+        Seq("vec_id"))
+      .select(col("cent_id").cast("long"), col("vec_id"), col("sub"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val got = store.read(VectorIndex.codesTable("px"))
+      .select(col("cent_id").cast("long"), col("vec_id"), col("sub"),
+        col("code").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+    assert(got.map(_._2).size == got.size / 4) // m code rows per vector, no dups
+    // a one-probe search reads a strict subset of the code partitions
+    val totalFiles = store.manifest(VectorIndex.codesTable("px"),
+      store.currentVersion(VectorIndex.codesTable("px")).get)
+      .count(l => !l.startsWith("del|"))
+    val one = VectorIndex.searchIvfPqIndex(store, "px",
+      emb.where(col("vec_id") === 0L), k = 3, nprobe = 1, m = 4)
+    val scanned = scannedFiles(one, "px_codes")
+    assert(scanned > 0 && scanned < totalFiles,
+      s"probed IVF-PQ search scanned $scanned of $totalFiles code files")
+    // ADC recall vs brute force stays sane on the clustered corpus
+    val probes = emb.where(col("vec_id") < 5)
+    val ann = VectorIndex.searchIvfPqIndex(store, "px", probes, k = 3,
+        nprobe = 4, m = 4)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, probes, k = 3)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((ann intersect brute).size.toDouble / brute.size >= 0.4)
+  }
+
   test("recall vs brute force is sane on a clustered corpus") {
     val store = new TableStore(spark, tmpDir("ivfidx"))
     val emb = corpus(200)
