@@ -166,6 +166,22 @@ object VectorIndex {
     scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
   }
 
+  /** Assign + encode a batch against an IVF-PQ index's STORED
+    * quantizers — the shared O(batch · m) maintenance frame
+    * ((cent_id, id, sub, code)) behind both the batch append and the
+    * streaming micro-batch ingest. */
+  def encodeForIvfPq(store: TableStore, name: String, batch: DataFrame,
+                     m: Int = 8, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = store.read(centroidsTable(name))
+    val books = store.read(booksTable(name))
+    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
+      .select(col(idCol), col("cent_id"))
+    Similarity.pqEncode(batch, books, m, idCol, vecCol)
+      .join(assigned, Seq(idCol))
+      .select(col("cent_id"), col(idCol), col("sub"), col("code"))
+  }
+
   /** Incremental IVF-PQ maintenance: assign + encode `batch` against
     * the STORED coarse centroids and codebooks and append its code
     * rows — O(batch · m), no retraining, no corpus re-read, same
@@ -173,16 +189,9 @@ object VectorIndex {
   def appendToIvfPqIndex(store: TableStore, name: String, batch: DataFrame,
                          m: Int = 8,
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): Unit = {
-    val cents = store.read(centroidsTable(name))
-    val books = store.read(booksTable(name))
-    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
-      .select(col(idCol), col("cent_id"))
-    val codes = Similarity.pqEncode(batch, books, m, idCol, vecCol)
-      .join(assigned, Seq(idCol))
-      .select(col("cent_id"), col(idCol), col("sub"), col("code"))
-    store.append(codesTable(name), codes)
-  }
+                         vecCol: String = "embedding"): Unit =
+    store.append(codesTable(name),
+      encodeForIvfPq(store, name, batch, m, idCol, vecCol))
 
   /** Incremental index maintenance: assign `batch` to the EXISTING
     * trained centroids and append to the inverted lists — O(batch);
@@ -231,7 +240,11 @@ object VectorIndex {
     * Counts are manifest-sized driver metadata (one entry per file),
     * never data-sized. */
   def describeIvfIndex(store: TableStore, name: String): DataFrame = {
-    val lt = listsTable(name)
+    // works for both index shapes: full-vector lists (one row per
+    // vector) and IVF-PQ codes (m rows per vector — the skew RATIO is
+    // what matters, and a constant factor cancels out of it)
+    val lt = if (store.exists(listsTable(name))) listsTable(name)
+             else codesTable(name)
     val CentDir = ".*/cent_id=([^/]+)/[^/]*$".r
     val perFile = store.fileRowCounts(lt).toSeq.map { case (f, rows) =>
       val cid = f match {

@@ -29,6 +29,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object StreamingVectorIndex {
 
   private def appId(name: String) = s"ivf-ingest-$name"
+  private def pqAppId(name: String) = s"ivfpq-ingest-$name"
 
   /** Start streaming embedding arrivals from `sourceDir` into the
     * persisted index `name` (which must already be built —
@@ -72,5 +73,49 @@ object StreamingVectorIndex {
         .select(col("cent_id"), col(idCol), col(vecCol))
       store.appendTxn(lt, assigned, appId(name), batchId)
     }
+  }
+
+  /** IVF-PQ form of [[startIngest]]: arrivals assign + PQ-encode
+    * against the stored quantizers and append m-byte code rows —
+    * per micro-batch O(batch · m), exactly-once through the same
+    * appendTxn/lastTxn watermark, searches see new vectors within a
+    * trigger at the code-compressed storage cost. */
+  def startPqIngest(spark: SparkSession, sourceDir: String,
+                    store: TableStore, name: String, m: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    checkpointDir: Option[String] = None,
+                    sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
+                    maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    require(store.exists(booksTableOf(name)),
+      s"IVF-PQ index $name is not built — run buildIvfPqIndex first")
+    val schema = sourceSchema.getOrElse(spark.read.parquet(sourceDir).schema)
+    val writer = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) ingestPqBatch(store, name, batch, batchId, m,
+          idCol, vecCol)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .start()
+  }
+
+  private def booksTableOf(name: String) = VectorIndex.booksTable(name)
+
+  /** One IVF-PQ micro-batch: lastTxn replay guard, then the shared
+    * assign+encode frame appended with the watermark in one commit. */
+  private[streaming] def ingestPqBatch(store: TableStore, name: String,
+                                       batch: DataFrame, batchId: Long,
+                                       m: Int = 8,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding"): Unit = {
+    val ct = VectorIndex.codesTable(name)
+    val replayed = store.lastTxn(ct, pqAppId(name)).exists(_ >= batchId)
+    if (!replayed)
+      store.appendTxn(ct,
+        VectorIndex.encodeForIvfPq(store, name, batch, m, idCol, vecCol),
+        pqAppId(name), batchId)
   }
 }

@@ -49,6 +49,40 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(ids.size == ids.distinct.size && ids.size == 200)
   }
 
+  test("streamed PQ arrivals encode exactly like a batch maintenance pass") {
+    val store = new TableStore(spark, tmpDir("sivfpq-store"))
+    val src = tmpDir("sivfpq-src")
+    val seed = corpus(0, 120)
+    VectorIndex.buildIvfPqIndex(store, "px", seed, nlist = 8, m = 4,
+      ksub = 8, kmeansIters = 2)
+    corpus(120, 40).coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingVectorIndex.startPqIngest(spark, src, store, "px",
+      m = 4, checkpointDir = Some(tmpDir("sivfpq-ckpt")))
+    try {
+      q.processAllAvailable()
+      corpus(160, 40).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    // the codes table equals one assign+encode of the whole corpus
+    // against the stored quantizers — stream == batch, exactly once
+    val all = seed.unionByName(corpus(120, 80))
+    val want = VectorIndex.encodeForIvfPq(store, "px", all, m = 4)
+      .select(col("cent_id").cast("long"), col("vec_id"), col("sub"),
+        col("code").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val got = store.read(VectorIndex.codesTable("px"))
+      .select(col("cent_id").cast("long"), col("vec_id"), col("sub"),
+        col("code").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(got == want && got.size == 200 * 4)
+    // replay guard: re-delivering the last batch id is a no-op
+    StreamingVectorIndex.ingestPqBatch(store, "px", corpus(160, 40),
+      batchId = 1L, m = 4)
+    assert(store.read(VectorIndex.codesTable("px")).count() == 200L * 4)
+  }
+
   test("a publish failure mid-batch replays to exactly one commit") {
     import graft.lake.{Crashable, HadoopCommitPrimitive}
     val crashable = new Crashable(
