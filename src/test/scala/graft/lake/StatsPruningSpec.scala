@@ -204,6 +204,55 @@ class StatsPruningSpec extends SparkSpec {
     assert(scannedFiles(store.read("t").where(col("id") === 3L)) <= 2)
   }
 
+  test("columnStats folds to the exact recomputed stats under random commits") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("x", DoubleType),
+      StructField("s", StringType)))
+    for (seed <- Seq(7, 31, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val store = freshStore()
+      val t = s"cs$seed"
+      // random rows with nulls in every column, committed in 1-4
+      // batches (create + appends) so the fold spans several sidecars
+      val rows = (0 until 40 + rnd.nextInt(40)).map { i =>
+        Row(
+          if (rnd.nextInt(8) == 0) null else rnd.nextLong() % 1000L,
+          if (rnd.nextInt(8) == 0) null else rnd.nextInt(2000) / 7.0 - 100.0,
+          if (rnd.nextInt(8) == 0) null else s"v${rnd.nextInt(100)}")
+      }
+      val batches = rows.grouped(math.max(rows.size / (1 + rnd.nextInt(4)), 1))
+        .toSeq
+      def frame(b: Seq[Row]) = spark.createDataFrame(
+        spark.sparkContext.parallelize(b, 1 + rnd.nextInt(3)), schema)
+      store.create(t, frame(batches.head))
+      batches.tail.foreach(b => store.append(t, frame(b)))
+      val got = store.columnStats(t).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val n = rows.size.toLong
+      for (c <- Seq("k", "x", "s")) {
+        val idx = schema.fieldIndex(c)
+        val vals = rows.map(_.get(idx)).filter(_ != null)
+        val r = got(c)
+        assert(r.getLong(1) == n, s"$c rows")
+        assert(r.getLong(2) == n - vals.size, s"$c nulls")
+        if (c == "s") { assert(r.isNullAt(3) && r.isNullAt(4)) }
+        else {
+          val nums = vals.map {
+            case l: java.lang.Long => l.toDouble
+            case d: java.lang.Double => d.toDouble
+          }
+          if (nums.isEmpty) assert(r.isNullAt(3) && r.isNullAt(4))
+          else {
+            assert(r.getDouble(3) == nums.min, s"$c min")
+            assert(r.getDouble(4) == nums.max, s"$c max")
+          }
+        }
+      }
+    }
+  }
+
   test("z-ordered layout prunes on BOTH clustering dimensions") {
     val store = freshStore()
     // integer y (col/64 alone would be double division)
