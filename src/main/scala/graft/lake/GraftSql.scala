@@ -93,6 +93,8 @@ object GraftSql {
     """(?is)^\s*REFRESH\s+BLOOMFILTER\s+INDEX(?:ES)?\s+ON\s+(?:TABLE\s+)?([A-Za-z_]\w*)(?:\s+FOR\s+COLUMNS\s*\(\s*([A-Za-z_]\w*)\s*\))?\s*;?\s*$""".r
   private val AnalyzeStmt =
     """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
+  private val VectorIndexDescStmt =
+    """(?is)^\s*DESCRIBE\s+VECTOR\s+INDEX\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -249,6 +251,13 @@ object GraftSql {
       case RollbackStmt() =>
         store.rollbackTransaction()
         txnStatus(spark, "rollback")
+      case VectorIndexDescStmt(name) =>
+        // per-list file/row profile of a persisted IVF / IVF-PQ index,
+        // served from the manifest + stats sidecar (no list file
+        // opened) — the rebuild-vs-append skew gauge as a SQL verb
+        require(store.exists(graft.ops.VectorIndex.centroidsTable(name)),
+          s"unknown vector index $name")
+        graft.ops.VectorIndex.describeIvfIndex(store, name)
       case AnalyzeStmt(table, cols) =>
         // table-level column stats folded from the per-file footer
         // sidecar (TableStore.columnStats) — O(manifest), no data

@@ -63,6 +63,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(only == Seq("x"))
   }
 
+  test("DESCRIBE VECTOR INDEX profiles per-list counts through the front door") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    val emb = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (i % 4) * 10.0f + d * 0.1f))
+    }.toDF("vec_id", "embedding")
+    graft.ops.VectorIndex.buildIvfIndex(store, "vx", emb, nlist = 4,
+      kmeansIters = 1)
+    val out = GraftSql.execute(spark, store, "DESCRIBE VECTOR INDEX vx")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.map(_._3).sum == 80L)
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "DESCRIBE VECTOR INDEX nope")
+    }
+  }
+
   test("non-MERGE statements delegate to spark.sql") {
     val r = GraftSql.execute(spark, new TableStore(spark, tmpDir("gsql")),
       "SELECT 1 + 1 AS two")
