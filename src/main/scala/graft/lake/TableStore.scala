@@ -770,10 +770,18 @@ final class TableStore(spark: SparkSession, root: String,
     val stats = statsFor(table, v)
     manifest(table, v).filterNot(isDeleteLine).flatMap { f =>
       stats.get((FileStats.fileKey(f), FileStats.RowsCol))
+        .filter(_.tag == FileStats.CntTag) // not a user column named __rows
         .flatMap(st => scala.util.Try(st.max.toLong).toOption)
         .map(f -> _)
     }.toMap
   }
+
+  /** Full paths of the CURRENT version's live data files (delete-entry
+    * lines excluded) — the manifest-level file inventory, O(manifest),
+    * no filesystem listing. */
+  def liveDataFiles(table: String): Seq[String] =
+    currentVersion(table).map(v =>
+      manifest(table, v).filterNot(isDeleteLine)).getOrElse(Nil)
 
   /** Table-level column statistics — one row per column:
     * (col_name, n_rows, n_nulls, min_v, max_v), numeric bounds as
@@ -787,7 +795,9 @@ final class TableStore(spark: SparkSession, root: String,
     * unknown rather than a silently-wrong number. String columns
     * report exact null counts with NULL numeric bounds. Counts are
     * physical rows: MoR delete debt is NOT subtracted — fold it with
-    * OPTIMIZE first when exact liveness matters. */
+    * OPTIMIZE first when exact liveness matters. Names are LOGICAL on
+    * both sides: `cols` takes the names users see, renamed columns
+    * report under their logical name, dropped columns are hidden. */
   def columnStats(table: String, cols: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val emptyOut = Seq.empty[
@@ -798,19 +808,37 @@ final class TableStore(spark: SparkSession, root: String,
     val live = manifest(table, v).filterNot(isDeleteLine)
       .map(FileStats.fileKey)
     // the row count obeys the same contract as the bounds: any live
-    // file without a folded footer count makes the total unknown
+    // file without a folded footer count makes the total unknown.
+    // tag-checked: a user column literally named __rows suppresses the
+    // commit's cnt line, and its own num entry must not be misread as
+    // a file row count
     val perFileRows = live.map(f => stats.get((f, FileStats.RowsCol))
+      .filter(_.tag == FileStats.CntTag)
       .flatMap(st => scala.util.Try(st.max.toLong).toOption))
     val nRows: Option[Long] =
       if (perFileRows.exists(_.isEmpty)) None
       else Some(perFileRows.flatten.sum)
+    // sidecar entries carry PHYSICAL names — report logical ones, hide
+    // dropped columns, and take FOR COLUMNS requests in logical terms,
+    // same translation discipline as every other sidecar consumer
+    // (pruneLines, bloomIndexedColumns)
+    val cm = columnMapping(table, v)
+    def logicalOf(phys: String): String = cm.renames.collectFirst {
+      case (l, p) if p.equalsIgnoreCase(phys) => l
+    }.getOrElse(phys)
     val present = stats.keysIterator.map(_._2)
-      .filter(_ != FileStats.RowsCol).toSeq.distinct.sorted
+      .filter(_ != FileStats.RowsCol).toSeq.distinct
+      .filterNot(cm.isDropped)
+      .sortBy(logicalOf)
     val wanted =
       if (cols.isEmpty) present
-      else { val req = cols.map(_.trim).toSet; present.filter(req.contains) }
-    val out = wanted.map { c =>
-      val entries = live.map(f => stats.get((f, c)))
+      else {
+        val req = cols.map(c => cm.physicalOf(c.trim).toLowerCase).toSet
+        present.filter(p => req.contains(p.toLowerCase))
+      }
+    val out = wanted.map { c0 =>
+      val c = logicalOf(c0)
+      val entries = live.map(f => stats.get((f, c0)))
       if (entries.exists(_.isEmpty) ||
           entries.flatten.exists(_.nulls.isEmpty))
         (c, nRows, None: Option[Long], None: Option[Double],
@@ -1798,6 +1826,18 @@ final class TableStore(spark: SparkSession, root: String,
       // past the version this rewrite's frame was computed from in a
       // way the rewrite would silently undo
       readSnapshot.foreach(rs => assertSnapshotCurrent(table, rs, cur))
+      // Delta's SetTransaction discipline: REVALIDATE the app-txn
+      // watermark INSIDE the claim, against the published chain as of
+      // this attempt. The caller-side lastTxn check happens before any
+      // work, so a zombie writer (driver failover replaying a batch id
+      // the new driver already committed) passes it — this check is
+      // what actually makes appendTxn/overwriteTxn exactly-once under
+      // concurrent redelivery: the replay no-ops instead of
+      // double-applying.
+      txn.foreach { case (app, ver) =>
+        if (lastTxn(table, app).exists(_ >= ver))
+          throw new TableStore.TxnAlreadyApplied(app, ver)
+      }
       if (mustCreate && createParts.nonEmpty)
         writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
           createParts.mkString(","))
@@ -1821,11 +1861,18 @@ final class TableStore(spark: SparkSession, root: String,
       val (colmap, carriedIng) = carriedHeader(table, cur)
       publishManifest(table, v, carriedLines ++ newFiles, colmap, txn,
         ingest = ingest.getOrElse(carriedIng), op = op)
-    } catch { case e: SnapshotConflictException =>
-      // conflicts are an expected, caller-handled outcome (retry or
-      // surface) — don't leave the orphan data dir for vacuumOrphans
-      fs(dataDir).delete(dataDir, true)
-      throw e
+    } catch {
+      case e: SnapshotConflictException =>
+        // conflicts are an expected, caller-handled outcome (retry or
+        // surface) — don't leave the orphan data dir for vacuumOrphans
+        fs(dataDir).delete(dataDir, true)
+        throw e
+      case _: TableStore.TxnAlreadyApplied =>
+        // replayed batch: the data is already in the table from the
+        // first delivery — clean up this attempt's files and report
+        // zero new rows (the claim was released by claimLoop)
+        fs(dataDir).delete(dataDir, true)
+        return 0L
     }
     newRows
   }
@@ -2374,6 +2421,14 @@ final class TableStore(spark: SparkSession, root: String,
 }
 
 object TableStore {
+  /** Control flow for the in-claim app-txn revalidation: a commit
+    * whose (app, version) watermark the published chain already
+    * carries must no-op (exactly-once under zombie redelivery), not
+    * publish a duplicate. NonFatal, so claimLoop releases the claim
+    * on the way out; caught only by commit() itself. */
+  private[lake] final class TxnAlreadyApplied(app: String, ver: Long)
+    extends RuntimeException(s"txn $app:$ver already applied")
+
   /** Parsed COPY INTO ledger of one version: every ingested source
     * file (path → its listing mtime) plus the per-source-root listing
     * watermark [[FileIngest]] prunes and skips against. */

@@ -89,7 +89,8 @@ object VectorIndex {
                       vecCol: String = "embedding"): Unit = {
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
       idCol, vecCol)
-    val books = Similarity.pqTrain(corpus, m, ksub)
+    val books = Similarity.pqTrain(corpus, m, ksub, kmeansIters,
+      idCol, vecCol)
     // one assignment pass + one encode pass; the join keys on idCol so
     // each vector's m code rows land in its list's partition
     val assigned = Similarity.assignClusters(corpus, cents, idCol, vecCol)
@@ -117,13 +118,14 @@ object VectorIndex {
     * rounding, vid tiebreak) so the oracle replays ranking exactly.
     * Result: (qid, vid, cos_pq, rnk ≤ k). */
   def searchIvfPqIndex(store: TableStore, name: String, probes: DataFrame,
-                       k: Int, nprobe: Int, m: Int = 8,
+                       k: Int, nprobe: Int, m: Int = 0,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(probes.sparkSession)
     val cents = store.read(centroidsTable(name))
     val books = store.read(booksTable(name))
+    val mUse = storedM(books, m)
     val sd = books.select(size(col("cvec"))).first().getInt(0)
     val pa = Similarity.assignTopClusters(probes, cents, nprobe,
         idCol, vecCol)
@@ -138,7 +140,7 @@ object VectorIndex {
     val lists = codes0.where(col("cent_id").isin(needed: _*))
       .select(col("cent_id"), col(idCol).as("vid"), col("sub"), col("code"))
     // per-probe LUT: dot of each probe sub-vector with every codeword
-    val lut = Similarity.subVectors(probes, m, sd, idCol, vecCol, "qid")
+    val lut = Similarity.subVectors(probes, mUse, sd, idCol, vecCol, "qid")
       .join(broadcast(books), Seq("sub"))
       .select(col("qid"), col("sub"), col("cent_id").as("code"),
         Similarity.dot(col("svec"), col("cvec")).as("pd"))
@@ -171,15 +173,27 @@ object VectorIndex {
     * ((cent_id, id, sub, code)) behind both the batch append and the
     * streaming micro-batch ingest. */
   def encodeForIvfPq(store: TableStore, name: String, batch: DataFrame,
-                     m: Int = 8, idCol: String = "vec_id",
+                     m: Int = 0, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val cents = store.read(centroidsTable(name))
     val books = store.read(booksTable(name))
     val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
       .select(col(idCol), col("cent_id"))
-    Similarity.pqEncode(batch, books, m, idCol, vecCol)
+    Similarity.pqEncode(batch, books, storedM(books, m), idCol, vecCol)
       .join(assigned, Seq(idCol))
       .select(col("cent_id"), col(idCol), col("sub"), col("code"))
+  }
+
+  /** The m an index was BUILT with, read from its stored codebooks
+    * (max sub + 1). A caller-supplied m is validated against it — a
+    * mismatched m would slice probes into wrong-width sub-vectors and
+    * return plausible-looking but wrong rankings; 0 (the default on
+    * every read path) means "use the stored value". */
+  private def storedM(books: DataFrame, m: Int): Int = {
+    val stored = books.agg(max(col("sub"))).first().getInt(0) + 1
+    require(m <= 0 || m == stored,
+      s"m=$m does not match the stored codebooks (index was built with m=$stored)")
+    stored
   }
 
   /** Incremental IVF-PQ maintenance: assign + encode `batch` against
@@ -187,7 +201,7 @@ object VectorIndex {
     * rows — O(batch · m), no retraining, no corpus re-read, same
     * append-≡-rebuild contract as [[appendToIvfIndex]]. */
   def appendToIvfPqIndex(store: TableStore, name: String, batch: DataFrame,
-                         m: Int = 8,
+                         m: Int = 0,
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): Unit =
     store.append(codesTable(name),
@@ -218,9 +232,14 @@ object VectorIndex {
     * table is never re-read) and rebuild both tables. This is the
     * move `describeIvfIndex`'s skew signal calls for once appended
     * batches have drifted from the training distribution and piled
-    * into few lists: one corpus-sized pass, two atomic overwrites,
-    * searches racing the rebuild see the old index or the new one,
-    * never a mix. */
+    * into few lists: one corpus-sized pass, two atomic overwrites.
+    * Each TABLE's swing is atomic, but centroids and lists are
+    * separate commits: a search racing the rebuild can pair the new
+    * centroids with the old lists for one probe — an approximation-
+    * quality wobble (probed partitions chosen under the other
+    * quantizer), never a correctness break, and it heals at the lists
+    * swing. Serve searches from a pinned `readVersion` or schedule
+    * rebuilds off-peak when even that wobble matters. */
   def rebuildIvfIndex(store: TableStore, name: String, nlist: Int = 16,
                       kmeansIters: Int = 2, idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
@@ -246,18 +265,24 @@ object VectorIndex {
     val lt = if (store.exists(listsTable(name))) listsTable(name)
              else codesTable(name)
     val CentDir = ".*/cent_id=([^/]+)/[^/]*$".r
-    val perFile = store.fileRowCounts(lt).toSeq.map { case (f, rows) =>
-      val cid = f match {
-        case CentDir(v) => v.toLong
-        case _ => -1L // unpartitioned stray (pre-evolution file)
-      }
-      (cid, rows)
+    val rowsByFile = store.fileRowCounts(lt)
+    // file inventory comes from the MANIFEST, not from the sidecar: a
+    // file without a folded footer count (pre-stats commit, CONVERTed
+    // foreign file) still counts toward `files` and turns its list's
+    // row total NULL = unknown — never silently smaller. cent_id stays
+    // the raw partition-directory value (string), so non-numeric ids
+    // profile instead of crashing; "" marks unpartitioned strays.
+    val perFile = store.liveDataFiles(lt).map { f =>
+      val cid = f match { case CentDir(v) => v; case _ => "" }
+      (cid, rowsByFile.get(f))
     }
-    val spark = store.read(centroidsTable(name)).sparkSession
+    val spark = org.apache.spark.sql.SparkSession.active
     import spark.implicits._
     perFile.toDF("cent_id", "rows")
       .groupBy("cent_id")
-      .agg(count(lit(1)).as("files"), sum("rows").as("rows"))
+      .agg(count(lit(1)).as("files"),
+        when(count(when(col("rows").isNull, 1)) > 0, lit(null))
+          .otherwise(sum("rows")).as("rows"))
       .orderBy("cent_id")
   }
 

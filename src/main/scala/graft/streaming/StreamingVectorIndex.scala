@@ -19,7 +19,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * batch is recognized via [[TableStore.lastTxn]] BEFORE any work
   * (an O(manifest-header) probe, not an O(corpus) data read) and
   * skipped. The guard and the data land in the same atomic commit,
-  * so there is no window where one is visible without the other.
+  * and the commit REVALIDATES the watermark inside its claim (Delta's
+  * SetTransaction discipline), so even a zombie writer racing the
+  * replacement driver on the same batch id no-ops instead of
+  * double-appending.
   *
   * Scale: per-batch cost is O(batch) — one broadcast centroid
   * assignment (nlist × dim, tiny) plus an append commit under the
@@ -81,7 +84,7 @@ object StreamingVectorIndex {
     * appendTxn/lastTxn watermark, searches see new vectors within a
     * trigger at the code-compressed storage cost. */
   def startPqIngest(spark: SparkSession, sourceDir: String,
-                    store: TableStore, name: String, m: Int = 8,
+                    store: TableStore, name: String, m: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     checkpointDir: Option[String] = None,
                     sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
@@ -108,7 +111,7 @@ object StreamingVectorIndex {
     * assign+encode frame appended with the watermark in one commit. */
   private[streaming] def ingestPqBatch(store: TableStore, name: String,
                                        batch: DataFrame, batchId: Long,
-                                       m: Int = 8,
+                                       m: Int = 0,
                                        idCol: String = "vec_id",
                                        vecCol: String = "embedding"): Unit = {
     val ct = VectorIndex.codesTable(name)

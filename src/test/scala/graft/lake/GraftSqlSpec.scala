@@ -63,6 +63,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(only == Seq("x"))
   }
 
+  test("ANALYZE TABLE speaks logical names under rename and hides drops") {
+    val store = new TableStore(spark, tmpDir("gsql"))
+    store.create("prof2", Seq((1L, 2.0, "a"), (2L, 4.0, "b"))
+      .toDF("k", "x", "s"))
+    GraftSql.execute(spark, store, "ALTER TABLE prof2 RENAME COLUMN x TO y")
+    GraftSql.execute(spark, store, "ALTER TABLE prof2 DROP COLUMN s")
+    val all = GraftSql.execute(spark, store,
+      "ANALYZE TABLE prof2 COMPUTE STATISTICS")
+      .collect().map(_.getString(0)).toSeq
+    // renamed column reports under its LOGICAL name; dropped is hidden
+    assert(all == Seq("k", "y"), s"got $all")
+    // FOR COLUMNS takes the logical name and resolves the rename
+    val y = GraftSql.execute(spark, store,
+      "ANALYZE TABLE prof2 COMPUTE STATISTICS FOR COLUMNS (y)")
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4)))
+    assert(y.toSeq == Seq(("y", 2.0, 4.0)))
+  }
+
   test("DESCRIBE VECTOR INDEX profiles per-list counts through the front door") {
     val store = new TableStore(spark, tmpDir("gsql"))
     val emb = (0 until 80).map { i =>
@@ -71,7 +89,7 @@ class GraftSqlSpec extends SparkSpec {
     graft.ops.VectorIndex.buildIvfIndex(store, "vx", emb, nlist = 4,
       kmeansIters = 1)
     val out = GraftSql.execute(spark, store, "DESCRIBE VECTOR INDEX vx")
-    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(rows.nonEmpty && rows.map(_._3).sum == 80L)
     intercept[IllegalArgumentException] {
       GraftSql.execute(spark, store, "DESCRIBE VECTOR INDEX nope")

@@ -124,13 +124,12 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.appendToIvfIndex(store, "ix",
       emb.where(col("vec_id") % 2 === 1))
     val desc = VectorIndex.describeIvfIndex(store, "ix")
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     // sidecar-served counts match an actual read-back group-by
-    // the hive partition column reads back directory-inferred (int);
-    // normalize to the describe output's long
+    // (cent_id in the profile is the raw partition-directory string)
     val actual = store.read(VectorIndex.listsTable("ix"))
-      .groupBy(col("cent_id").cast("long").as("cent_id")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .groupBy(col("cent_id").cast("string").as("cent_id")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(desc.keySet == actual.keySet)
     actual.foreach { case (cid, n) =>
       assert(desc(cid)._2 == n, s"list $cid: sidecar ${desc(cid)._2} != $n")
@@ -211,6 +210,16 @@ class VectorIndexSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(emb, probes, k = 3)
       .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((ann intersect brute).size.toDouble / brute.size >= 0.4)
+    // m defaults to the stored codebooks' value; a mismatched caller
+    // m is a loud error, never a silently-wrong slicing
+    val inferred = VectorIndex.searchIvfPqIndex(store, "px", probes,
+      k = 3, nprobe = 4).select("qid", "vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inferred == ann)
+    intercept[IllegalArgumentException] {
+      VectorIndex.searchIvfPqIndex(store, "px", probes, k = 3,
+        nprobe = 4, m = 8).collect()
+    }
   }
 
   test("recall vs brute force is sane on a clustered corpus") {

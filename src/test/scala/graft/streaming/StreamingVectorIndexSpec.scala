@@ -108,6 +108,26 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(store.read(lt).where(col("vec_id") >= 100L).count() == 10L)
   }
 
+  test("a zombie writer racing the same batch id no-ops inside the commit") {
+    // the caller-side lastTxn guard can be passed by two writers
+    // before either commits (driver failover); the in-claim
+    // revalidation is what must stop the second — simulate it by
+    // calling appendTxn directly twice with the same watermark
+    val store = new TableStore(spark, tmpDir("sivf-zombie"))
+    VectorIndex.buildIvfIndex(store, "ix", corpus(0, 60), nlist = 4,
+      kmeansIters = 1)
+    val lt = VectorIndex.listsTable("ix")
+    val vBefore = store.currentVersion(lt).get
+    val rows = corpus(100, 10).withColumn("cent_id", lit(0L))
+      .select(col("cent_id"), col("vec_id"), col("embedding"))
+    store.appendTxn(lt, rows, "ivf-ingest-ix", 7L)
+    store.appendTxn(lt, rows, "ivf-ingest-ix", 7L) // zombie replay
+    store.appendTxn(lt, rows, "ivf-ingest-ix", 6L) // stale watermark
+    assert(store.currentVersion(lt).contains(vBefore + 1))
+    assert(store.read(lt).where(col("vec_id") >= 100L).count() == 10L)
+    assert(store.lastTxn(lt, "ivf-ingest-ix").contains(7L))
+  }
+
   test("a crash-replayed micro-batch commits exactly once") {
     val store = new TableStore(spark, tmpDir("sivf-once"))
     VectorIndex.buildIvfIndex(store, "ix", corpus(0, 60), nlist = 4,
