@@ -104,6 +104,31 @@ class CommitPrimitiveSpec extends SparkSpec {
       assert(store.currentVersion("t").contains(3L))
     }
 
+    test(s"[$name] racing writers on one txn watermark commit exactly once") {
+      // two writers (zombie + replacement driver) deliver the SAME
+      // batch id concurrently: the claim serializes them and the
+      // in-claim watermark revalidation makes the loser a no-op —
+      // exactly one copy of the rows lands, on BOTH primitives
+      val store = new TableStore(spark, tmpDir("cp"), Some(mk()))
+      store.create("t", Seq((0, "z")).toDF("id", "v"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 3).map { _ =>
+        new Thread(() =>
+          try store.appendTxn("t", Seq((1, "a")).toDF("id", "v"),
+            "stream-app", 42L)
+          catch { case e: Throwable => errs.add(e) })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"appendTxn failed: ${errs.peek()}")
+      assert(store.read("t").where("id = 1").count() == 1L,
+        "a replayed watermark double-applied")
+      assert(store.currentVersion("t").contains(1L))
+      assert(store.lastTxn("t", "stream-app").contains(42L))
+      // a later batch from the survivor still goes through
+      store.appendTxn("t", Seq((2, "b")).toDF("id", "v"), "stream-app", 43L)
+      assert(store.read("t").count() == 3L)
+    }
+
     test(s"[$name] a foreign claim blocks the version until TTL recovery") {
       val prim = mk()
       val root = tmpDir("cp")
