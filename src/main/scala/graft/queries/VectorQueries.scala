@@ -360,6 +360,46 @@ object VectorQueries {
     },
     () => ivfIncrementalOracle)
 
+  @volatile private var ivfStreamingOracle: Option[String] = None
+
+  /** STREAMING-maintained IVF index on the oracle-checked path: train
+    * on the even-id half, then deliver the odd half as two
+    * foreachBatch micro-batches through
+    * [[graft.streaming.StreamingVectorIndex.ingestBatch]] — each an
+    * appendTxn carrying its batch id — and CRASH-REPLAY the second
+    * batch. The replay must no-op (caller lastTxn guard + the
+    * commit's in-claim revalidation); if it double-applied, every
+    * duplicated candidate would score twice and the rank/hash compare
+    * against the shared IVF replay oracle would fail. Same
+    * centroids-as-literals oracle as the batch forms: stream ≡ batch
+    * ≡ one-shot build is the checked contract, now including the
+    * exactly-once leg. */
+  val ivfStreamingIngest: Entry = new Entry(
+    "ivf_ann_streaming_ingest",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfstream").toString)
+      graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf",
+        emb.where(col("vec_id") % 2 === 0), nlist = 16, kmeansIters = 2)
+      val b0 = emb.where(col("vec_id") % 4 === 1)
+      val b1 = emb.where(col("vec_id") % 4 === 3)
+      graft.streaming.StreamingVectorIndex.ingestBatch(store, "emb_ivf",
+        b0, batchId = 0L)
+      graft.streaming.StreamingVectorIndex.ingestBatch(store, "emb_ivf",
+        b1, batchId = 1L)
+      // at-least-once redelivery after a simulated checkpoint loss
+      graft.streaming.StreamingVectorIndex.ingestBatch(store, "emb_ivf",
+        b1, batchId = 1L)
+      val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
+      ivfStreamingOracle = Some(ivfOracleSql(centValuesSql(cents)))
+      graft.ops.VectorIndex.searchIvfIndex(store, "emb_ivf",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfStreamingOracle)
+
   @volatile private var ivfPqOracle: Option[String] = None
 
   /** (sub, cent_id, si, cx) VALUES rows for a collected codebook frame
@@ -865,7 +905,7 @@ object VectorQueries {
 
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
-    ivfPqPersisted, semanticDedup,
+    ivfStreamingIngest, ivfPqPersisted, semanticDedup,
     quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

@@ -63,11 +63,13 @@ object StreamingVectorIndex {
 
   /** One micro-batch: skip if the lists table already committed this
     * batch id, else assign against the stored centroids and append
-    * with the watermark in the same commit. */
-  private[streaming] def ingestBatch(store: TableStore, name: String,
-                                     batch: DataFrame, batchId: Long,
-                                     idCol: String = "vec_id",
-                                     vecCol: String = "embedding"): Unit = {
+    * with the watermark in the same commit. Public so callers wiring
+    * their own foreachBatch (or a non-streaming driver with its own
+    * batch-id ledger) get the identical exactly-once discipline. */
+  def ingestBatch(store: TableStore, name: String,
+                  batch: DataFrame, batchId: Long,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
     val lt = VectorIndex.listsTable(name)
     val replayed = store.lastTxn(lt, appId(name)).exists(_ >= batchId)
     if (!replayed) {

@@ -150,6 +150,7 @@ class PlanSpec extends SparkSpec {
       "ivf_ann_topk",             // nlist-centroid broadcast cross-score
       "ivf_ann_persisted",        // same cross-score vs the stored centroids
       "ivf_ann_incremental",      // same cross-score (build + append path)
+      "ivf_ann_streaming_ingest", // same cross-score (streamed appendTxn path)
       "ivfpq_ann_persisted",      // coarse + codebook broadcast cross-scores
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
       "mmr_diversified_topk",     // broadcast probes x int8 corpus scan
