@@ -222,6 +222,38 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE folds fragmented lists; search and pruning survive") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(240)
+    VectorIndex.buildIvfIndex(store, "ix",
+      emb.where(col("vec_id") < 80L), nlist = 8, kmeansIters = 2)
+    // four small appends fragment every list across commits
+    for (b <- 0 until 4)
+      VectorIndex.appendToIvfIndex(store, "ix",
+        emb.where(col("vec_id") >= 80L + b * 40L &&
+          col("vec_id") < 120L + b * 40L))
+    val lt = VectorIndex.listsTable("ix")
+    def liveFiles() = store.liveDataFiles(lt).size
+    val probes = emb.where(col("vec_id") < 4)
+    def search() = VectorIndex.searchIvfIndex(store, "ix", probes,
+        k = 5, nprobe = 3)
+      .select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+      .collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val before = search()
+    val filesBefore = liveFiles()
+    graft.lake.GraftSql.execute(spark, store, s"OPTIMIZE $lt")
+    assert(liveFiles() < filesBefore,
+      s"OPTIMIZE did not fold: $filesBefore -> ${liveFiles()}")
+    assert(search() == before, "search changed across compaction")
+    // probed search still reads a strict subset of the folded files
+    val one = VectorIndex.searchIvfIndex(store, "ix",
+      emb.where(col("vec_id") === 0L), k = 3, nprobe = 1)
+    val scanned = scannedFiles(one, "ix_lists")
+    assert(scanned > 0 && scanned < liveFiles(),
+      s"post-OPTIMIZE search scanned $scanned of ${liveFiles()}")
+  }
+
   test("recall vs brute force is sane on a clustered corpus") {
     val store = new TableStore(spark, tmpDir("ivfidx"))
     val emb = corpus(200)
