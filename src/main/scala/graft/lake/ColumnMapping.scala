@@ -32,6 +32,12 @@ final case class ColumnMapping(renames: Map[String, String],
     case (l, p) if l.equalsIgnoreCase(logical) => p
   }.getOrElse(logical)
 
+  /** User-visible name for a storage column (identity when
+    * unrenamed) — the inverse of [[physicalOf]]. */
+  def logicalOf(physical: String): String = renames.collectFirst {
+    case (l, p) if p.equalsIgnoreCase(physical) => l
+  }.getOrElse(physical)
+
   def isDropped(physical: String): Boolean =
     dropped.exists(_.equalsIgnoreCase(physical))
 

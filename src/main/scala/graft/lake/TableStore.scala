@@ -53,7 +53,8 @@ import java.util.UUID
   * a vacuumed version then fails loudly on read instead of returning
   * partial data.
   */
-final class TableStore(spark: SparkSession, root: String,
+final class TableStore(private[graft] val spark: SparkSession,
+                       root: String,
                        primitive: Option[CommitPrimitive] = None) {
 
   /** The store's root directory (for opening a second, independent
@@ -608,9 +609,7 @@ final class TableStore(spark: SparkSession, root: String,
     f.listStatus(dir).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("bloom-")).map(_.stripPrefix("bloom-"))
       .filterNot(cm.isDropped)
-      .map(phys => cm.renames.collectFirst {
-        case (l, p) if p.equalsIgnoreCase(phys) => l
-      }.getOrElse(phys))
+      .map(cm.logicalOf)
       .sorted
   }
 
@@ -765,8 +764,13 @@ final class TableStore(spark: SparkSession, root: String,
     * "unknown", not zero. Counts are per-file physical rows; MoR
     * delete debt is NOT subtracted (fold it with compact/OPTIMIZE
     * first for exact liveness). */
-  def fileRowCounts(table: String): Map[String, Long] = {
-    val v = currentVersion(table).getOrElse(return Map.empty)
+  def fileRowCounts(table: String): Map[String, Long] =
+    currentVersion(table).map(fileRowCounts(table, _)).getOrElse(Map.empty)
+
+  /** [[fileRowCounts]] pinned to a version — pass the same `v` to
+    * [[liveDataFiles]] when composing the two, or a commit racing the
+    * reads tears the profile across versions. */
+  def fileRowCounts(table: String, v: Long): Map[String, Long] = {
     val stats = statsFor(table, v)
     manifest(table, v).filterNot(isDeleteLine).flatMap { f =>
       stats.get((FileStats.fileKey(f), FileStats.RowsCol))
@@ -780,8 +784,11 @@ final class TableStore(spark: SparkSession, root: String,
     * lines excluded) — the manifest-level file inventory, O(manifest),
     * no filesystem listing. */
   def liveDataFiles(table: String): Seq[String] =
-    currentVersion(table).map(v =>
-      manifest(table, v).filterNot(isDeleteLine)).getOrElse(Nil)
+    currentVersion(table).map(liveDataFiles(table, _)).getOrElse(Nil)
+
+  /** [[liveDataFiles]] pinned to a version (see [[fileRowCounts]]). */
+  def liveDataFiles(table: String, v: Long): Seq[String] =
+    manifest(table, v).filterNot(isDeleteLine)
 
   /** Table-level column statistics — one row per column:
     * (col_name, n_rows, n_nulls, min_v, max_v), numeric bounds as
@@ -823,13 +830,10 @@ final class TableStore(spark: SparkSession, root: String,
     // same translation discipline as every other sidecar consumer
     // (pruneLines, bloomIndexedColumns)
     val cm = columnMapping(table, v)
-    def logicalOf(phys: String): String = cm.renames.collectFirst {
-      case (l, p) if p.equalsIgnoreCase(phys) => l
-    }.getOrElse(phys)
     val present = stats.keysIterator.map(_._2)
       .filter(_ != FileStats.RowsCol).toSeq.distinct
       .filterNot(cm.isDropped)
-      .sortBy(logicalOf)
+      .sortBy(cm.logicalOf)
     val wanted =
       if (cols.isEmpty) present
       else {
@@ -837,7 +841,7 @@ final class TableStore(spark: SparkSession, root: String,
         present.filter(p => req.contains(p.toLowerCase))
       }
     val out = wanted.map { c0 =>
-      val c = logicalOf(c0)
+      val c = cm.logicalOf(c0)
       val entries = live.map(f => stats.get((f, c0)))
       if (entries.exists(_.isEmpty) ||
           entries.flatten.exists(_.nulls.isEmpty))
@@ -1834,6 +1838,11 @@ final class TableStore(spark: SparkSession, root: String,
       // what actually makes appendTxn/overwriteTxn exactly-once under
       // concurrent redelivery: the replay no-ops instead of
       // double-applying.
+      // cost: O(1) in steady state (an app that uses txn commits
+      // writes a header near the chain's top every batch); an app's
+      // FIRST-ever batch on a long-retained table pays one full
+      // manifest scan before returning None — once per app, inside
+      // the claim. Acceptable: vacuum bounds retained versions.
       txn.foreach { case (app, ver) =>
         if (lastTxn(table, app).exists(_ >= ver))
           throw new TableStore.TxnAlreadyApplied(app, ver)

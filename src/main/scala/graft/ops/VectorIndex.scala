@@ -125,8 +125,7 @@ object VectorIndex {
     graft.functions.GraftFunctions.register(probes.sparkSession)
     val cents = store.read(centroidsTable(name))
     val books = store.read(booksTable(name))
-    val mUse = storedM(books, m)
-    val sd = books.select(size(col("cvec"))).first().getInt(0)
+    val (mUse, sd) = bookMeta(books, m)
     val pa = Similarity.assignTopClusters(probes, cents, nprobe,
         idCol, vecCol)
       .select(col(idCol).as("qid"), col("cent_id"))
@@ -179,21 +178,23 @@ object VectorIndex {
     val books = store.read(booksTable(name))
     val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
       .select(col(idCol), col("cent_id"))
-    Similarity.pqEncode(batch, books, storedM(books, m), idCol, vecCol)
+    Similarity.pqEncode(batch, books, bookMeta(books, m)._1, idCol, vecCol)
       .join(assigned, Seq(idCol))
       .select(col("cent_id"), col(idCol), col("sub"), col("code"))
   }
 
-  /** The m an index was BUILT with, read from its stored codebooks
-    * (max sub + 1). A caller-supplied m is validated against it — a
+  /** (m, sub-dim) of a stored codebook table, in ONE driver action
+    * over the tiny books frame. m is what the index was BUILT with
+    * (max sub + 1); a caller-supplied m is validated against it — a
     * mismatched m would slice probes into wrong-width sub-vectors and
     * return plausible-looking but wrong rankings; 0 (the default on
     * every read path) means "use the stored value". */
-  private def storedM(books: DataFrame, m: Int): Int = {
-    val stored = books.agg(max(col("sub"))).first().getInt(0) + 1
+  private def bookMeta(books: DataFrame, m: Int): (Int, Int) = {
+    val r = books.agg(max(col("sub")), first(size(col("cvec")))).first()
+    val stored = r.getInt(0) + 1
     require(m <= 0 || m == stored,
       s"m=$m does not match the stored codebooks (index was built with m=$stored)")
-    stored
+    (stored, r.getInt(1))
   }
 
   /** Incremental IVF-PQ maintenance: assign + encode `batch` against
@@ -264,26 +265,32 @@ object VectorIndex {
     // what matters, and a constant factor cancels out of it)
     val lt = if (store.exists(listsTable(name))) listsTable(name)
              else codesTable(name)
+    require(store.exists(lt), s"unknown vector index $name")
     val CentDir = ".*/cent_id=([^/]+)/[^/]*$".r
-    val rowsByFile = store.fileRowCounts(lt)
+    // one version pin for BOTH the file inventory and the row counts —
+    // a commit racing the profile must not tear it across versions
+    val v = store.currentVersion(lt).get
+    val rowsByFile = store.fileRowCounts(lt, v)
     // file inventory comes from the MANIFEST, not from the sidecar: a
     // file without a folded footer count (pre-stats commit, CONVERTed
     // foreign file) still counts toward `files` and turns its list's
     // row total NULL = unknown — never silently smaller. cent_id stays
     // the raw partition-directory value (string), so non-numeric ids
     // profile instead of crashing; "" marks unpartitioned strays.
-    val perFile = store.liveDataFiles(lt).map { f =>
-      val cid = f match { case CentDir(v) => v; case _ => "" }
+    val perFile = store.liveDataFiles(lt, v).map { f =>
+      val cid = f match { case CentDir(c) => c; case _ => "" }
       (cid, rowsByFile.get(f))
     }
-    val spark = org.apache.spark.sql.SparkSession.active
+    val spark = store.spark
     import spark.implicits._
     perFile.toDF("cent_id", "rows")
       .groupBy("cent_id")
       .agg(count(lit(1)).as("files"),
         when(count(when(col("rows").isNull, 1)) > 0, lit(null))
           .otherwise(sum("rows")).as("rows"))
-      .orderBy("cent_id")
+      // numeric ids order numerically; non-numeric ones sort after,
+      // lexicographically (cast returns NULL for them)
+      .orderBy(col("cent_id").cast("long").asc_nulls_last, col("cent_id"))
   }
 
   /** ANN top-k for `probes` against the persisted index — never
