@@ -209,6 +209,7 @@ final class TableStore(private[graft] val spark: SparkSession,
         s"staged manifest for ($table,$v) in txn $txn vanished before " +
           "promotion — a concurrent recovery likely rolled this " +
           "transaction back; the commit cannot complete atomically")
+    writeLatestHint(table, v)
   }
 
   /** Abort the active transaction: delete every staged manifest and
@@ -332,9 +333,76 @@ final class TableStore(private[graft] val spark: SparkSession,
   def exists(table: String): Boolean = currentVersion(table).isDefined
 
   /** Highest committed version (published manifests are the sole
-    * source of truth). */
-  def currentVersion(table: String): Option[Long] =
-    versions(table).lastOption
+    * source of truth). O(1) metadata: resolved through the `_LATEST`
+    * checkpoint hint + forward existence probes, NOT by listing every
+    * `manifest-<n>` — a streaming table at one commit per micro-batch
+    * accrues ~86k manifests/day, and the hot read path must not pay a
+    * directory listing that grows with table age (the `_last_
+    * checkpoint` idea from the Delta paper, reduced to a pointer:
+    * manifests here are already self-contained — each carries the
+    * full file list and headers — so no log-replay rollup is
+    * needed, only an entry point). */
+  def currentVersion(table: String): Option[Long] = {
+    // this instance's own staged commits are visible to itself (a
+    // transaction reads its earlier writes); invisible to every other
+    // reader until the commit swing
+    val staged = synchronized {
+      if (activeTxn.isEmpty) None
+      else stagedCommits.collect { case (t, v) if t == table => v }
+        .reduceOption(_ max _)
+    }
+    (publishedCurrent(table).toSeq ++ staged.toSeq).reduceOption(_ max _)
+  }
+
+  private def latestHintPath(table: String): Path =
+    new Path(tablePath(table), "_LATEST")
+
+  /** Best-effort checkpoint-hint write (atomic overwrite via the
+    * commit primitive's publish — readers never see a torn file on
+    * rename-capable backends). The hint is an OPTIMIZATION, never a
+    * source of truth: a failed write merely leaves the next reader a
+    * longer forward probe or the listing fallback. */
+  private def writeLatestHint(table: String, v: Long): Unit =
+    try claims.publish(latestHintPath(table), v.toString)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The hint is trusted only as a LOWER bound on published versions:
+    * even a torn plain-file write can only truncate the decimal to a
+    * prefix, which is numerically smaller — the forward probe then
+    * recovers the rest. Unparseable/missing → None → full-listing
+    * fallback. */
+  private def readLatestHint(table: String): Option[Long] = {
+    val p = latestHintPath(table)
+    try {
+      if (!fs(p).exists(p)) None
+      else Some(readSmallFile(p).trim.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Highest PUBLISHED version. Fast path: hint + forward probes —
+    * O(commits since the hint was written), i.e. O(1) amortized, vs
+    * the O(#commits-ever) directory listing. Published versions are
+    * dense upward from the hint (claims serialize writers to
+    * current+1; vacuum only removes versions below the retained
+    * window), so the first missing `manifest-(v+1)` is the frontier.
+    * A hint pointing at a since-vacuumed version falls back to the
+    * full listing and repairs itself. */
+  private def publishedCurrent(table: String): Option[Long] =
+    readLatestHint(table) match {
+      case Some(h) if manifestPublished(table, h) =>
+        var v = h
+        while (manifestPublished(table, v + 1)) v += 1
+        Some(v)
+      case _ =>
+        val cur = listedPublished(table).lastOption
+        cur.foreach(writeLatestHint(table, _))
+        cur
+    }
+
+  private def manifestPublished(table: String, v: Long): Boolean = {
+    val m = manifestPath(table, v)
+    fs(m).exists(m)
+  }
 
   /** S3/S4: destination table scan of the current committed version.
     * Stats-sidecar file skipping is AUTOMATIC here: the scan is built
@@ -1529,6 +1597,7 @@ final class TableStore(private[graft] val spark: SparkSession,
         synchronized { stagedCommits += ((table, v)) }
       case None =>
         claims.publish(manifestPath(table, v), body)
+        writeLatestHint(table, v)
     }
   }
 
@@ -2029,15 +2098,13 @@ final class TableStore(private[graft] val spark: SparkSession,
     recovered
   }
 
-  /** Committed version history (manifest-backed; readable versions). */
+  /** Committed version history (manifest-backed; readable versions).
+    * This is the HISTORY primitive (time travel, CDF, vacuum) and
+    * legitimately lists the directory — the hot read path resolves
+    * the current version through [[currentVersion]]'s O(1) checkpoint
+    * hint instead and never calls this. */
   def versions(table: String): Seq[Long] = {
-    val dir = tablePath(table)
-    val f = fs(dir)
-    val published =
-      if (!f.exists(dir)) Seq.empty[Long]
-      else f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("manifest-"))
-        .map(_.stripPrefix("manifest-").toLong)
+    val published = listedPublished(table)
     // this instance's own staged commits are visible to itself (a
     // transaction reads its earlier writes); invisible to every other
     // reader until the commit swing
@@ -2046,6 +2113,20 @@ final class TableStore(private[graft] val spark: SparkSession,
       else synchronized {
         stagedCommits.collect { case (t, v) if t == table => v }.toSeq }
     (published ++ staged).distinct.sorted
+  }
+
+  /** Full `manifest-<n>` directory listing — O(#commits-ever).
+    * Instrumented (MetaMetrics) so specs can pin that table READS
+    * never take this path once the checkpoint hint exists. */
+  private def listedPublished(table: String): Seq[Long] = {
+    MetaMetrics.manifestListings.incrementAndGet()
+    val dir = tablePath(table)
+    val f = fs(dir)
+    if (!f.exists(dir)) Seq.empty[Long]
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong)
+      .sorted
   }
 
   /** Store tables (dirs under the root with at least one published
