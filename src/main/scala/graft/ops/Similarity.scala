@@ -301,19 +301,26 @@ object Similarity {
     * block: broadcast cross-score + hash-agg argmax (no per-key sort),
     * cosines rounded to 4 dp with a cent_id tiebreak so an oracle
     * holding the identical centroid literals reproduces the partition
-    * exactly. Returns (idCol, vecCol, cent_id). */
+    * exactly. Returns (idCol, vecCol, cent_id, carryCols*) —
+    * `carryCols` ride the argmax struct, so attribute columns reach
+    * the output without a second corpus-sized join. */
   def assignClusters(corpus: DataFrame, cents: DataFrame,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding",
+                     carryCols: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    corpus.select(col(idCol), col(vecCol))
+    corpus.select((Seq(idCol, vecCol) ++ carryCols).map(col): _*)
       .join(broadcast(cents))
-      .select(col(idCol), col(vecCol), col("cent_id"),
-        round(cosine(col(vecCol), col("cvec")), 4).as("ccos"))
+      .select(Seq(col(idCol), col(vecCol), col("cent_id"),
+        round(cosine(col(vecCol), col("cvec")), 4).as("ccos")) ++
+        carryCols.map(col): _*)
       .groupBy(col(idCol))
-      .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"),
-        col(vecCol).as("v"))).as("m"))
-      .select(col(idCol), col("m.v").as(vecCol), (-col("m.nc")).as("cent_id"))
+      .agg(max(struct(Seq(col("ccos"), (-col("cent_id")).as("nc"),
+        col(vecCol).as("v")) ++
+        carryCols.map(c => col(c).as(s"c_$c")): _*)).as("m"))
+      .select(Seq(col(idCol), col("m.v").as(vecCol),
+        (-col("m.nc")).as("cent_id")) ++
+        carryCols.map(c => col(s"m.c_$c").as(c)): _*)
   }
 
   /** SemDeDup-style semantic near-duplicate pruning (Abbas et al.

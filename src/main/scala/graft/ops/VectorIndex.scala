@@ -40,15 +40,22 @@ object VectorIndex {
 
   /** Train k-means over `corpus` and persist centroids + inverted
     * lists under `name`. O(corpus) — one assignment pass after
-    * training; re-running overwrites (index rebuild). */
+    * training; re-running overwrites (index rebuild). `attrCols` are
+    * carried INTO the inverted lists (lang, date, source, …) so
+    * [[searchIvfIndexFiltered]] can push an attribute predicate into
+    * the lists scan — the store's stats/bloom sidecars then prune
+    * list FILES by the attribute on top of the cent_id partition
+    * pruning, instead of post-filtering shrunken results. */
   def buildIvfIndex(store: TableStore, name: String, corpus: DataFrame,
                     nlist: Int = 16, kmeansIters: Int = 2,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): Unit = {
+                    vecCol: String = "embedding",
+                    attrCols: Seq[String] = Nil): Unit = {
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
       idCol, vecCol)
-    val lists = Similarity.assignClusters(corpus, cents, idCol, vecCol)
-      .select(col("cent_id"), col(idCol), col(vecCol))
+    val lists = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+        carryCols = attrCols)
+      .select((Seq("cent_id", idCol, vecCol) ++ attrCols).map(col): _*)
     val ct = centroidsTable(name)
     val lt = listsTable(name)
     if (store.exists(ct)) store.overwrite(ct, cents)
@@ -223,9 +230,45 @@ object VectorIndex {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): Unit = {
     val cents = store.read(centroidsTable(name))
-    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
-      .select(col("cent_id"), col(idCol), col(vecCol))
+    // carry whatever attribute columns the lists were BUILT with —
+    // the batch must supply them, or the append fails loudly instead
+    // of silently nulling the filterable attributes of new vectors
+    val listCols = store.read(listsTable(name)).columns.toSeq
+    val attrs = listCols.filterNot(Set("cent_id", idCol, vecCol))
+    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol,
+        carryCols = attrs)
+      .select(listCols.map(col): _*)
     store.append(listsTable(name), assigned)
+  }
+
+  /** Propagate corpus deletes into the persisted index: drop `ids`'
+    * vectors from the inverted lists as merge-on-read EQUALITY
+    * deletes — one O(batch) commit, no list rewrite (the store
+    * anti-joins the keys at read; `OPTIMIZE`/compact folds the debt
+    * away). Without this, a dedup purge or CDC delete on the corpus
+    * leaves the index serving stale ids forever. The contract —
+    * search-after-delete ≡ search over an index rebuilt from the
+    * survivors (same centroids; deletes never retrain) — is what
+    * the ivf_ann_after_delete oracle and VectorIndexSpec re-prove. */
+  def deleteFromIvfIndex(store: TableStore, name: String, ids: DataFrame,
+                         idCol: String = "vec_id"): Unit =
+    deleteFromIndexTable(store, listsTable(name), ids, idCol)
+
+  /** [[deleteFromIvfIndex]] for an IVF-PQ index: one equality-delete
+    * key removes all m code rows of each vector. */
+  def deleteFromIvfPqIndex(store: TableStore, name: String, ids: DataFrame,
+                           idCol: String = "vec_id"): Unit =
+    deleteFromIndexTable(store, codesTable(name), ids, idCol)
+
+  private def deleteFromIndexTable(store: TableStore, table: String,
+                                   ids: DataFrame, idCol: String): Unit = {
+    require(store.exists(table), s"unknown vector index table $table")
+    // delete-only commit: an empty batch under the lists schema plus
+    // the equality-delete keys — the store publishes carried files +
+    // del lines, O(keys), zero data rewritten
+    store.appendWithDeletes(table,
+      store.read(table).where(org.apache.spark.sql.functions.lit(false)),
+      ids.select(col(idCol)).distinct())
   }
 
   /** Full reindex from the index's own contents: retrain k-means over
@@ -300,14 +343,65 @@ object VectorIndex {
   def searchIvfIndex(store: TableStore, name: String, probes: DataFrame,
                      k: Int, nprobe: Int,
                      idCol: String = "vec_id",
-                     vecCol: String = "embedding"): DataFrame = {
+                     vecCol: String = "embedding"): DataFrame =
+    searchIvfCore(store, name, probes, k, nprobe, None, idCol, vecCol)
+
+  /** Attribute-filtered ANN — "top-k WHERE lang='en' / date range",
+    * the most common production ANN query. The predicate pushes INTO
+    * the lists scan (partition pruning on the probed cent_ids still
+    * applies first; the store's stats/bloom sidecars then skip list
+    * files by the attribute), and ranking runs over the SURVIVORS —
+    * k never silently shrinks to whatever a post-filter left.
+    *
+    * Probe widening: a selective filter thins every list, so reading
+    * the base `nprobe` lists would surface fewer than k matches per
+    * probe. Effective probes =
+    * `max(nprobe, min(nlist, ceil(nprobe / selectivity)))` — the
+    * widened read keeps E[survivors per probe set] at the unfiltered
+    * level, capped at the whole index. Selectivity is measured with
+    * one column-pruned aggregate over the lists table (only the
+    * filter's attribute columns are read) unless the caller passes
+    * it — at 100 TB supply it from table stats (`ANALYZE`) or a
+    * sample instead of the measuring pass. The rule is replayed
+    * verbatim (same counts, same IEEE arithmetic) by the
+    * ivf_ann_filtered DuckDB oracle. */
+  def searchIvfIndexFiltered(store: TableStore, name: String,
+                             probes: DataFrame, k: Int, nprobe: Int,
+                             filter: org.apache.spark.sql.Column,
+                             selectivity: Double = Double.NaN,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val lists0 = store.read(listsTable(name))
+    val s0 =
+      if (!selectivity.isNaN) selectivity
+      else {
+        val r = lists0.agg(cnt(lit(1)), cnt(when(filter, 1))).first()
+        if (r.getLong(0) == 0L) 1.0
+        else r.getLong(1) * 1.0 / r.getLong(0)
+      }
+    val nlist = store.read(centroidsTable(name)).count()
+    val widened = math.min(nlist.toDouble,
+      math.ceil(nprobe / math.max(s0, 1e-9))).toInt
+    searchIvfCore(store, name, probes, k, math.max(nprobe, widened),
+      Some(filter), idCol, vecCol)
+  }
+
+  private def searchIvfCore(store: TableStore, name: String,
+                            probes: DataFrame, k: Int, nprobe: Int,
+                            listFilter: Option[org.apache.spark.sql.Column],
+                            idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(probes.sparkSession)
     val cents = store.read(centroidsTable(name))
     val pa = Similarity.assignTopClusters(probes, cents, nprobe,
         idCol, vecCol)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cent_id"))
-    val lists0 = store.read(listsTable(name))
+    val lists00 = store.read(listsTable(name))
+    // the attribute predicate lands directly on the scan: Catalyst
+    // pushes it down, and the store's StatsFileIndex prunes list
+    // files against it — filtering narrows the read, never the k
+    val lists0 = listFilter.fold(lists00)(lists00.where)
     // the hive partition column's read-back type may be narrower than
     // the centroid ids' (directory-name inference); align BOTH the IN
     // literals and the join key to it, or the cast around the

@@ -237,12 +237,15 @@ object VectorQueries {
     * search, top-5 rank. One text, two entries — the persisted search
     * must equal the in-query one given the same centroids, and
     * sharing the oracle makes that the checked contract. */
-  private def ivfOracleSql(centValues: String): String =
+  private def ivfOracleSql(centValues: String,
+                           candPred: String = "TRUE",
+                           nprobeSql: String = "4",
+                           extraCtes: String = ""): String =
     s"""WITH exp AS (
        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
        |         generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
-       |cent(cent_id, i, cx) AS (VALUES $centValues),
+       |cent(cent_id, i, cx) AS (VALUES $centValues),$extraCtes
        |norms AS (
        |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
        |cnorms AS (
@@ -255,15 +258,16 @@ object VectorQueries {
        |  SELECT vec_id, cent_id, round(dp / (n.nrm * cn.cnrm), 4) AS ccos
        |  FROM cdots d JOIN norms n USING (vec_id) JOIN cnorms cn USING (cent_id)),
        |assign AS (
-       |  SELECT vec_id AS vid, cent_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |  SELECT vid, cent_id FROM (
+       |    SELECT vec_id AS vid, cent_id, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY ccos DESC, cent_id) AS r
-       |    FROM cscore) WHERE r = 1),
+       |    FROM cscore) a JOIN embeddings em ON em.vec_id = a.vid
+       |  WHERE r = 1 AND ($candPred)),
        |probes AS (
        |  SELECT vec_id AS qid, cent_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY ccos DESC, cent_id) AS r
-       |    FROM cscore WHERE vec_id < 5) WHERE r <= 4),
+       |    FROM cscore WHERE vec_id < 5) WHERE r <= $nprobeSql),
        |cands AS (
        |  SELECT p.qid, a.vid FROM probes p JOIN assign a
        |  ON p.cent_id = a.cent_id WHERE p.qid <> a.vid),
@@ -399,6 +403,83 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     },
     () => ivfStreamingOracle)
+
+  @volatile private var ivfAfterDeleteOracle: Option[String] = None
+
+  /** DELETE PROPAGATION into the persisted index: build over the full
+    * corpus, purge ids ≡ 3 (mod 7) — the shape of a dedup purge or
+    * CDC delete wave — via
+    * [[graft.ops.VectorIndex.deleteFromIvfIndex]] (merge-on-read
+    * equality deletes on the lists table: one O(keys) commit, zero
+    * rewrite), then search. Checked contract: search-after-delete ≡
+    * search over an index rebuilt from the survivors with the SAME
+    * centroids (deletes never retrain) — the oracle is the shared
+    * IVF replay with the candidate side restricted to survivors,
+    * while probes still assign against the full centroid set. Without
+    * the delete path the purged vectors would keep surfacing as
+    * neighbors and every rank below them would shift — a hash miss. */
+  val ivfAfterDelete: Entry = new Entry(
+    "ivf_ann_after_delete",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfdel").toString)
+      graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf", emb,
+        nlist = 16, kmeansIters = 2)
+      graft.ops.VectorIndex.deleteFromIvfIndex(store, "emb_ivf",
+        emb.where(col("vec_id") % 7 === 3))
+      val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
+      ivfAfterDeleteOracle = Some(ivfOracleSql(centValuesSql(cents),
+        candPred = "em.vec_id % 7 <> 3"))
+      graft.ops.VectorIndex.searchIvfIndex(store, "emb_ivf",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfAfterDeleteOracle)
+
+  @volatile private var ivfFilteredOracle: Option[String] = None
+
+  /** ATTRIBUTE-FILTERED ANN — "top-k within label < 5", the most
+    * common production ANN query. The index is built with `label`
+    * carried into the inverted lists
+    * ([[graft.ops.VectorIndex.buildIvfIndex]] attrCols), and
+    * [[graft.ops.VectorIndex.searchIvfIndexFiltered]] pushes the
+    * predicate into the lists scan — candidates rank over the
+    * SURVIVORS, so k never silently shrinks the way a post-filter
+    * would. Probe widening rides along: measured selectivity s over
+    * the lists, effective nprobe =
+    * max(nprobe, min(nlist, ceil(nprobe / s))) — the oracle replays
+    * the rule from the same counts (same IEEE arithmetic), then the
+    * same replayed assignment/ranking restricted to matching
+    * candidates. */
+  val ivfFiltered: Entry = new Entry(
+    "ivf_ann_filtered",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivffil").toString)
+      graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf", emb,
+        nlist = 16, kmeansIters = 2, attrCols = Seq("label"))
+      val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
+      ivfFilteredOracle = Some(ivfOracleSql(centValuesSql(cents),
+        candPred = "em.label < 5",
+        nprobeSql = "(SELECT np FROM npv)",
+        extraCtes = """
+          |selv AS (
+          |  SELECT greatest(count(*) FILTER (WHERE label < 5) * 1.0
+          |                    / count(*), 1e-9) AS s
+          |  FROM embeddings),
+          |npv AS (
+          |  SELECT greatest(4, least(16, CAST(ceil(4 / s) AS BIGINT))) AS np
+          |  FROM selv),""".stripMargin))
+      graft.ops.VectorIndex.searchIvfIndexFiltered(store, "emb_ivf",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4,
+          filter = col("label") < 5)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfFilteredOracle)
 
   @volatile private var ivfPqOracle: Option[String] = None
 
@@ -707,7 +788,13 @@ object VectorQueries {
     "pq_ann_topk",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val books = Similarity.pqTrain(emb, m = 8, ksub = 16)
+      // 1 Lloyd iteration: this entry pays PQ TRAINING in-query (the
+      // persisted ivfpq lifecycle covers the full-build path), and the
+      // second iteration bought no ranking-quality difference the
+      // oracle could see while costing a full corpus materialization —
+      // it kept this query in the bench's slowest-5 since round 4. The
+      // oracle replays from the read-back books, so it re-derives.
+      val books = Similarity.pqTrain(emb, m = 8, ksub = 16, iterations = 1)
       val bookValues = books.collect().map { r =>
         val cid = r.get(r.fieldIndex("cent_id"))
         val sub = r.getInt(r.fieldIndex("sub"))
@@ -905,7 +992,8 @@ object VectorQueries {
 
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
-    ivfStreamingIngest, ivfPqPersisted, semanticDedup,
+    ivfStreamingIngest, ivfAfterDelete, ivfFiltered,
+    ivfPqPersisted, semanticDedup,
     quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

@@ -151,6 +151,8 @@ class PlanSpec extends SparkSpec {
       "ivf_ann_persisted",        // same cross-score vs the stored centroids
       "ivf_ann_incremental",      // same cross-score (build + append path)
       "ivf_ann_streaming_ingest", // same cross-score (streamed appendTxn path)
+      "ivf_ann_after_delete",     // same cross-score (post-delete search)
+      "ivf_ann_filtered",         // same cross-score (attribute-filtered search)
       "ivfpq_ann_persisted",      // coarse + codebook broadcast cross-scores
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
       "mmr_diversified_topk",     // broadcast probes x int8 corpus scan

@@ -267,4 +267,120 @@ class VectorIndexSpec extends SparkSpec {
     val recall = (ann intersect brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall vs brute force too low")
   }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+
+  test("delete propagation: search-after-delete equals a search over " +
+    "the survivors under the same centroids") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200)
+    VectorIndex.buildIvfIndex(store, "ix", emb, nlist = 8, kmeansIters = 2)
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    VectorIndex.deleteFromIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 5 === 2))
+    val probes = emb.where(col("vec_id") < 6)
+    val afterDelete = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    // reference: the in-query search over ONLY the survivors, with the
+    // index's own (full-corpus-trained) centroids — deletes must not
+    // retrain, only stop serving the purged ids
+    val survivors = emb.where(col("vec_id") % 5 =!= 2)
+    val rebuilt = rows(
+      Similarity.ivfSearch(survivors, probes, cents, k = 5, nprobe = 3))
+    assert(afterDelete.nonEmpty)
+    assert(afterDelete == rebuilt)
+    assert(afterDelete.forall(_._3 % 5 != 2), "a purged id kept serving")
+    // the delete is merge-on-read: folding the debt (compact) must not
+    // change the result
+    store.compact(VectorIndex.listsTable("ix"))
+    assert(rows(VectorIndex.searchIvfIndex(store, "ix", probes,
+      k = 5, nprobe = 3)) == afterDelete)
+  }
+
+  test("IVF-PQ delete propagation removes all code rows of purged ids") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200)
+    VectorIndex.buildIvfPqIndex(store, "px", emb, nlist = 4, m = 4,
+      ksub = 8, kmeansIters = 1)
+    VectorIndex.deleteFromIvfPqIndex(store, "px",
+      emb.where(col("vec_id") % 5 === 2))
+    val codes = store.read(VectorIndex.codesTable("px"))
+    assert(codes.where(col("vec_id") % 5 === 2).count() == 0L,
+      "purged ids still have code rows")
+    val got = VectorIndex.searchIvfPqIndex(store, "px",
+        emb.where(col("vec_id") < 6), k = 5, nprobe = 4)
+      .select("vid").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ % 5 != 2),
+      s"purged ids surfaced from the PQ lists: $got")
+  }
+
+  test("filtered search: a tautological filter equals the unfiltered " +
+    "search; a real filter ranks k over the survivors only") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(400).withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    VectorIndex.buildIvfIndex(store, "ix", emb, nlist = 8,
+      kmeansIters = 2, attrCols = Seq("label"))
+    val probes = emb.where(col("vec_id") < 6)
+    val unfiltered = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    val always = rows(VectorIndex.searchIvfIndexFiltered(store, "ix",
+      probes, k = 5, nprobe = 3, filter = col("label") >= 0))
+    assert(always == unfiltered,
+      "selectivity-1 filter changed the result (widening must be a no-op)")
+    val filtered = VectorIndex.searchIvfIndexFiltered(store, "ix",
+      probes, k = 5, nprobe = 3, filter = col("label") === 1)
+    val got = filtered.select("qid", "rnk", "vid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 % 3 == 1), "a non-matching candidate ranked")
+    // k SURVIVES the filter: the widened probe set yields a full
+    // dense 1..k ranking per probe (survivors are plentiful here)
+    val perQ = got.groupBy(_._1).values
+    assert(perQ.forall(_.map(_._2).sorted == (1 to 5)),
+      "filtering shrank k (post-filter behavior)")
+  }
+
+  test("filtered search still prunes: the attribute predicate narrows " +
+    "the lists scan, never widens it to the whole index") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(400).withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    VectorIndex.buildIvfIndex(store, "ix", emb, nlist = 8,
+      kmeansIters = 2, attrCols = Seq("label"))
+    val lt = VectorIndex.listsTable("ix")
+    val totalFiles = store.manifest(lt, store.currentVersion(lt).get)
+      .count(l => !l.startsWith("del|"))
+    // selectivity 1/3 widens nprobe 1 → 3 of 8 lists: still pruned
+    val one = VectorIndex.searchIvfIndexFiltered(store, "ix",
+      emb.where(col("vec_id") === 0L), k = 3, nprobe = 1,
+      filter = col("label") === 1)
+    val scanned = scannedFiles(one, "ix_lists")
+    assert(scanned > 0 && scanned < totalFiles,
+      s"filtered search scanned $scanned of $totalFiles list files")
+  }
+
+  test("append after an attributed build carries the attribute columns") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200).withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    VectorIndex.buildIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 2 === 0), nlist = 4, kmeansIters = 1,
+      attrCols = Seq("label"))
+    VectorIndex.appendToIvfIndex(store, "ix",
+      emb.where(col("vec_id") % 2 === 1))
+    val lists = store.read(VectorIndex.listsTable("ix"))
+    assert(lists.where(col("label").isNull).count() == 0L,
+      "appended vectors lost their attribute values")
+    assert(lists.count() == 200L)
+    // and the filter applies across built + appended rows alike
+    val got = VectorIndex.searchIvfIndexFiltered(store, "ix",
+        emb.where(col("vec_id") < 4), k = 5, nprobe = 2,
+        filter = col("label") === 1)
+      .select("vid").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ % 3 == 1))
+  }
 }
