@@ -52,6 +52,19 @@ import java.util.UUID
   * data files unreferenced by retained versions and their manifests —
   * a vacuumed version then fails loudly on read instead of returning
   * partial data.
+  *
+  * Driver-side metadata bounds (the documented scale envelope, same
+  * class as OSS Delta's driver-side log replay): the current-version
+  * lookup is O(1) via the `_LATEST` checkpoint hint; a READ holds one
+  * manifest (one line per live file) and one stats sidecar
+  * (O(files × tracked columns) small entries) in driver memory — at
+  * 10^6 files ≈ low hundreds of MB, the practical per-table ceiling
+  * before partitioning into more tables (Delta's checkpoint-parquet
+  * answer to the same wall is a format change, out of scope here).
+  * Bloom probes never materialize per-file key sets beyond
+  * `MaxBloomRejects` (excess files stay in the plan conservatively),
+  * and bloom maintenance resolves membership with anti-joins, not
+  * collected sets.
   */
 final class TableStore(private[graft] val spark: SparkSession,
                        root: String,
@@ -646,17 +659,33 @@ final class TableStore(private[graft] val spark: SparkSession,
       throw new IllegalStateException(s"table $table does not exist"))
     val phys = columnMapping(table, v).physicalOf(column)
     val p = bloomPath(table, phys)
+    val live = manifest(table, v).filterNot(isDeleteLine)
     if (!fs(p).exists(p)) {
-      val n = manifest(table, v).count(l => !isDeleteLine(l))
       buildBloomIndex(table, column, fpp)
-      return n
+      return live.size
     }
     import spark.implicits._
-    val indexed = spark.read.parquet(p.toString)
-      .select("file").as[String].collect().toSet
-    val missing = manifest(table, v)
-      .filterNot(isDeleteLine)
-      .filterNot(l => indexed(FileStats.fileKey(l)))
+    // membership resolves as ANTI-JOINS, never a collected key set:
+    // the sidecar holds one row per file ever indexed, and pulling
+    // every key to the driver is exactly the O(#files) driver-memory
+    // fold that walls at 10^7 files. Only the MISSING keys (O(new
+    // files), the append working set) materialize here.
+    val sideKeys = spark.read.parquet(p.toString).select(col("file"))
+    val liveKeys = live.map(FileStats.fileKey).toDF("file")
+    val missingKeys = liveKeys.join(sideKeys, Seq("file"), "left_anti")
+      .as[String].collect().toSet
+    val stale = sideKeys.join(liveKeys, Seq("file"), "left_anti").count()
+    // entries for files that left the manifest (compaction rewrite,
+    // vacuum) are dead weight every probe job scans — once they reach
+    // the live file count (a compaction strands exactly one corpse
+    // per rewritten file), appending more would keep a sidecar that
+    // is half corpses, so fall back to the full rebuild the
+    // compaction made necessary anyway
+    if (stale > 0 && stale >= live.size) {
+      buildBloomIndex(table, column, fpp)
+      return live.size
+    }
+    val missing = live.filter(l => missingKeys(FileStats.fileKey(l)))
     if (missing.isEmpty) return 0
     bloomEntries(table, v, missing, phys, fpp)
       .write.mode(SaveMode.Append).parquet(p.toString)
@@ -683,10 +712,12 @@ final class TableStore(private[graft] val spark: SparkSession,
 
   /** Incremental refresh of EVERY existing bloom index on the table —
     * the maintenance-pass hook that keeps automatic bloom skipping
-    * effective on append-heavy tables (each refresh is O(files without
-    * an entry); after a compaction rewrite that naturally degenerates
-    * to the full rebuild the stale index needed anyway). Returns files
-    * newly indexed across all columns. */
+    * effective on append-heavy tables. Each refresh is O(files
+    * without an entry); when stale entries (files that left the
+    * manifest — a compaction rewrite drops every indexed path)
+    * outnumber the live files, [[updateBloomIndex]] rebuilds the
+    * sidecar outright so probe jobs stop scanning corpses. Returns
+    * files newly indexed across all columns. */
   def refreshBloomIndexes(table: String, fpp: Double = 0.01): Int =
     bloomIndexedColumns(table).map(updateBloomIndex(table, _, fpp)).sum
 
@@ -699,10 +730,17 @@ final class TableStore(private[graft] val spark: SparkSession,
     import spark.implicits._
     // sizing comes from the footer row counts the commit already
     // folded into the stats sidecar — shared by full builds and
-    // incremental updates so the two can never size filters apart
+    // incremental updates so the two can never size filters apart.
+    // The CntTag guard (same as fileRowCounts/columnStats): a USER
+    // column literally named __rows writes a num-tagged entry whose
+    // max ("12.5") is not a row count — without the guard the toLong
+    // would crash every bloom build on such a table, including the
+    // unattended MaintenanceJob refresh path.
     val rowsByFile = statsFor(table, v).collect {
-      case ((f, c), st) if c == FileStats.RowsCol => f -> st.max.toLong
-    }
+      case ((f, c), st) if c == FileStats.RowsCol &&
+          st.tag == FileStats.CntTag =>
+        scala.util.Try(st.max.toLong).toOption.map(f -> _)
+    }.flatten.toMap
     val rowsB = spark.sparkContext.broadcast(rowsByFile)
     spark.read.parquet(files: _*)
       .select(input_file_name().as("__f"),
@@ -764,9 +802,17 @@ final class TableStore(private[graft] val spark: SparkSession,
     val rejects = udf((bits: Array[Byte]) =>
       !org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bits)).mightContainString(key))
-    val rejected = spark.read.parquet(p.toString)
-      .where(rejects(col("bits")))
-      .select("file").as[String].collect().toSet
+    // capped like the automatic path (MaxBloomRejects): files past
+    // the cap stay in the plan conservatively rather than pulling an
+    // unbounded key set to the driver. A corrupt sidecar degrades to
+    // no pruning — the contract (result ≡ unindexed read) holds
+    // regardless of index state, so a broken index must never fail
+    // the lookup itself.
+    val rejected = scala.util.Try {
+      spark.read.parquet(p.toString)
+        .where(rejects(col("bits")))
+        .select("file").as[String].limit(MaxBloomRejects).collect().toSet
+    }.getOrElse(Set.empty[String])
     manifest(table, v).filter { line =>
       isDeleteLine(line) || !rejected(FileStats.fileKey(line))
     }
@@ -784,6 +830,31 @@ final class TableStore(private[graft] val spark: SparkSession,
   private val bloomProbeCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), Set[String]]()
 
+  /** Bound on one probe's collected reject set (and so on each
+    * bloomProbeCache entry): at 10^7 files a key absent everywhere
+    * would otherwise pull every file key to the driver per probe.
+    * Past the cap the remainder is KEPT conservatively — pruning
+    * loses effectiveness, correctness is untouched. ~100k keys ≈ a
+    * few MB, probing stays planner-cheap. */
+  private val MaxBloomRejects = 100000
+
+  /** Bloom sidecars that failed to probe, (table, physCol) → a
+    * content stamp of the sidecar at failure time. While the stamp
+    * matches, the column is treated as UNINDEXED (logged once) — a
+    * persistently corrupt sidecar must not re-run a driver-blocking
+    * probe job on every plan of every query that touches the key. A
+    * rebuilt sidecar changes the stamp and re-enables probing. */
+  private val bloomBroken =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+
+  /** Order-independent identity of a sidecar dir's contents (names,
+    * lengths, mtimes) — one driver-side listing, no data read. */
+  private def bloomStamp(p: Path): Long =
+    fs(p).listStatus(p).foldLeft(0L) { (acc, st) =>
+      acc ^ (st.getPath.getName.hashCode.toLong * 1315423911L +
+        st.getLen * 31L + st.getModificationTime)
+    }
+
   /** The automatic-path bloom probe behind [[StatsFileIndex]]: None
     * when `physCol` has no bloom index (nothing provable — the common
     * case, answered by one driver-side exists), else the set of file
@@ -799,18 +870,33 @@ final class TableStore(private[graft] val spark: SparkSession,
     val ck = (table, physCol, key)
     val hit = bloomProbeCache.get(ck)
     if (hit != null) return Some(hit)
-    import spark.implicits._
     try {
+      // a sidecar that failed before is no-index until its bytes
+      // change — never a probe job per plan against known-bad bits
+      val broken = bloomBroken.get((table, physCol))
+      if (broken != 0L && broken == bloomStamp(p)) return None
+      import spark.implicits._
       val rejects = udf((bits: Array[Byte]) =>
         !org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bits)).mightContainString(key))
+      // the collected reject list is CAPPED (see MaxBloomRejects):
+      // executors filter where the bits are, the driver receives at
+      // most the cap — files past it stay in the plan conservatively
       val rejected = spark.read.parquet(p.toString)
         .where(rejects(col("bits")))
-        .select("file").as[String].collect().toSet
+        .select("file").as[String].limit(MaxBloomRejects).collect().toSet
       if (bloomProbeCache.size > 1024) bloomProbeCache.clear()
       bloomProbeCache.put(ck, rejected)
       Some(rejected)
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(e) =>
+      val bk = (table, physCol)
+      if (!bloomBroken.containsKey(bk))
+        println(s"[graft] bloom index $table.$physCol failed to probe " +
+          s"and is DISABLED until its sidecar changes: ${e.getMessage}")
+      try bloomBroken.put(bk, bloomStamp(p))
+      catch { case scala.util.control.NonFatal(_) => () }
+      None
+    }
   }
 
   /** Parsed stats sidecar of a version (empty for pre-stats tables). */

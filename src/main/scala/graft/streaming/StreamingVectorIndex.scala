@@ -38,17 +38,29 @@ object StreamingVectorIndex {
     * persisted index `name` (which must already be built —
     * `buildIvfIndex` trains the centroids this ingest assigns
     * against). Caller stops the returned query. `sourceSchema` is
-    * required when the landing dir may still be empty at start. */
+    * required when the landing dir may still be empty at start.
+    *
+    * `checkpointDir` is REQUIRED and must be durable: the appId
+    * watermark guard is only sound under a STABLE checkpoint. A
+    * restart without one gets fresh batch ids starting at 0, and
+    * every new batch with id ≤ the persisted watermark would be
+    * skipped as a "replay" — silent data LOSS, the exact inverse of
+    * the duplicate protection the watermark provides (the same caveat
+    * Delta attaches to txnAppId/txnVersion idempotent writes). */
   def startIngest(spark: SparkSession, sourceDir: String,
                   store: TableStore, name: String,
+                  checkpointDir: String,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  checkpointDir: Option[String] = None,
                   sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
                   maxFilesPerTrigger: Int = 16): StreamingQuery = {
     require(store.exists(VectorIndex.centroidsTable(name)),
       s"IVF index $name is not built — run buildIvfIndex first")
+    require(checkpointDir.nonEmpty,
+      "checkpointDir must be a durable location: without a stable " +
+        "checkpoint, restarted batch ids restart at 0 and the " +
+        "exactly-once watermark would silently DROP new batches")
     val schema = sourceSchema.getOrElse(spark.read.parquet(sourceDir).schema)
-    val writer = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .writeStream
@@ -57,7 +69,7 @@ object StreamingVectorIndex {
         if (!batch.isEmpty) ingestBatch(store, name, batch, batchId,
           idCol, vecCol)
       }
-    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .option("checkpointLocation", checkpointDir)
       .start()
   }
 
@@ -65,7 +77,12 @@ object StreamingVectorIndex {
     * batch id, else assign against the stored centroids and append
     * with the watermark in the same commit. Public so callers wiring
     * their own foreachBatch (or a non-streaming driver with its own
-    * batch-id ledger) get the identical exactly-once discipline. */
+    * batch-id ledger) get the identical exactly-once discipline —
+    * under the SAME stable-id caveat as [[startIngest]]'s
+    * checkpointDir: batch ids must never restart.
+    * Attribute columns the lists were built with
+    * (buildIvfIndex attrCols) are carried from the batch, same as
+    * [[graft.ops.VectorIndex.appendToIvfIndex]]. */
   def ingestBatch(store: TableStore, name: String,
                   batch: DataFrame, batchId: Long,
                   idCol: String = "vec_id",
@@ -74,8 +91,10 @@ object StreamingVectorIndex {
     val replayed = store.lastTxn(lt, appId(name)).exists(_ >= batchId)
     if (!replayed) {
       val cents = store.read(VectorIndex.centroidsTable(name))
-      val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
-        .select(col("cent_id"), col(idCol), col(vecCol))
+      val listCols = store.read(lt).columns.toSeq
+      val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol,
+          carryCols = listCols.filterNot(Set("cent_id", idCol, vecCol)))
+        .select(listCols.map(col): _*)
       store.appendTxn(lt, assigned, appId(name), batchId)
     }
   }
@@ -84,17 +103,22 @@ object StreamingVectorIndex {
     * against the stored quantizers and append m-byte code rows —
     * per micro-batch O(batch · m), exactly-once through the same
     * appendTxn/lastTxn watermark, searches see new vectors within a
-    * trigger at the code-compressed storage cost. */
+    * trigger at the code-compressed storage cost. `checkpointDir`
+    * must be durable — see [[startIngest]]. */
   def startPqIngest(spark: SparkSession, sourceDir: String,
-                    store: TableStore, name: String, m: Int = 0,
+                    store: TableStore, name: String,
+                    checkpointDir: String, m: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
-                    checkpointDir: Option[String] = None,
                     sourceSchema: Option[org.apache.spark.sql.types.StructType] = None,
                     maxFilesPerTrigger: Int = 16): StreamingQuery = {
     require(store.exists(booksTableOf(name)),
       s"IVF-PQ index $name is not built — run buildIvfPqIndex first")
+    require(checkpointDir.nonEmpty,
+      "checkpointDir must be a durable location: without a stable " +
+        "checkpoint, restarted batch ids restart at 0 and the " +
+        "exactly-once watermark would silently DROP new batches")
     val schema = sourceSchema.getOrElse(spark.read.parquet(sourceDir).schema)
-    val writer = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
       .writeStream
@@ -103,7 +127,7 @@ object StreamingVectorIndex {
         if (!batch.isEmpty) ingestPqBatch(store, name, batch, batchId, m,
           idCol, vecCol)
       }
-    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d))
+      .option("checkpointLocation", checkpointDir)
       .start()
   }
 

@@ -211,4 +211,53 @@ class BloomIndexSpec extends SparkSpec {
     assert(store.bloomPrunedLines("t4", v, "cust_id", 123L).size <
       store.manifest("t4", v).size)
   }
+
+  test("a compaction rewrite triggers a full sidecar rebuild (stale " +
+    "entries never accumulate past the live file count)") {
+    val store = mkStore()
+    createKeyed(store, "t9")
+    store.buildBloomIndex("t9", "id")
+    // compact rewrites every data file: all 4 indexed paths go stale
+    store.compact("t9")
+    val n = store.updateBloomIndex("t9", "id")
+    val live = store.manifest("t9", store.currentVersion("t9").get)
+      .count(l => !l.startsWith("del|"))
+    assert(n == live, s"expected a full rebuild of $live files, got $n")
+    // the sidecar now holds ONLY live entries — no corpses to scan
+    val sidecar = spark.read.parquet(
+      tmpDirOf(store, "t9") + "/bloom-id").select("file").as[String]
+      .collect().toSet
+    val liveKeys = store.manifest("t9", store.currentVersion("t9").get)
+      .filterNot(_.startsWith("del|")).map(FileStats.fileKey).toSet
+    assert(sidecar == liveKeys,
+      s"stale entries survived the refresh: ${(sidecar -- liveKeys).take(3)}")
+    // and probing still works post-rebuild
+    assert(store.readPointLookup("t9", "id", 2500L).count() == 1)
+  }
+
+  private def tmpDirOf(store: TableStore, table: String): String =
+    store.rootPath + "/" + table
+
+  test("a corrupt sidecar disables probing (logged once, negatively " +
+    "cached) instead of failing or re-probing per plan; a rebuild " +
+    "re-enables it") {
+    val store = mkStore()
+    createKeyed(store, "t10")
+    store.buildBloomIndex("t10", "id")
+    assert(store.bloomRejectsCached("t10", "id", "2500").isDefined)
+    // corrupt the sidecar: overwrite it with a wrong-schema frame
+    val dir = tmpDirOf(store, "t10") + "/bloom-id"
+    Seq(("x", 1)).toDF("file", "bits").write
+      .mode("overwrite").parquet(dir)
+    // fresh probes see the corruption: conservative no-index, and the
+    // (table,col) pair is negatively cached against the broken bytes
+    assert(store.bloomRejectsCached("t10", "id", "9999").isEmpty)
+    assert(store.bloomRejectsCached("t10", "id", "9998").isEmpty)
+    // reads stay correct without the index
+    assert(store.readPointLookup("t10", "id", 2500L).count() == 1)
+    // a rebuilt sidecar changes the content stamp and re-enables
+    store.buildBloomIndex("t10", "id")
+    assert(store.bloomRejectsCached("t10", "id", "9997").isDefined,
+      "a rebuilt sidecar stayed negatively cached")
+  }
 }

@@ -25,7 +25,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
     // first arrivals land before the stream starts
     corpus(120, 40).coalesce(1).write.mode("append").parquet(src)
     val q = StreamingVectorIndex.startIngest(spark, src, store, "ix",
-      checkpointDir = Some(tmpDir("sivf-ckpt")))
+      checkpointDir = tmpDir("sivf-ckpt"))
     try {
       q.processAllAvailable()
       corpus(160, 40).coalesce(1).write.mode("append").parquet(src)
@@ -57,7 +57,7 @@ class StreamingVectorIndexSpec extends SparkSpec {
       ksub = 8, kmeansIters = 2)
     corpus(120, 40).coalesce(1).write.mode("append").parquet(src)
     val q = StreamingVectorIndex.startPqIngest(spark, src, store, "px",
-      m = 4, checkpointDir = Some(tmpDir("sivfpq-ckpt")))
+      checkpointDir = tmpDir("sivfpq-ckpt"), m = 4)
     try {
       q.processAllAvailable()
       corpus(160, 40).coalesce(1).write.mode("append").parquet(src)
