@@ -1099,11 +1099,25 @@ final class TableStore(private[graft] val spark: SparkSession,
     * committed or its last txn commit was vacuumed. */
   def lastTxn(table: String, app: String): Option[Long] = {
     val prefix = s"$TxnHeader$app:"
-    versions(table).reverse.iterator.flatMap { v =>
-      readSmallFile(manifestFile(table, v)).split("\n").collectFirst {
+    // walk DOWN from the checkpoint-resolved current version instead
+    // of listing every manifest: the steady-state ingest (every
+    // commit carries the app's header) answers from the head manifest
+    // alone, and the micro-batch hot path stays O(1) metadata like
+    // reads. Published versions are dense downward until the vacuum
+    // horizon; a missing manifest IS that horizon — the watermark, if
+    // it ever existed, is unrecoverable past it, same answer the
+    // listing walk gave.
+    var v = currentVersion(table).getOrElse(return None)
+    while (v >= 0) {
+      val m = manifestFile(table, v)
+      if (!fs(m).exists(m)) return None
+      val hit = readSmallFile(m).split("\n").collectFirst {
         case l if l.startsWith(prefix) => l.stripPrefix(prefix).trim.toLong
       }
-    }.nextOption()
+      if (hit.isDefined) return hit
+      v -= 1
+    }
+    None
   }
 
   /** S8: append — O(batch): writes only the new files; the manifest
@@ -2527,12 +2541,19 @@ final class TableStore(private[graft] val spark: SparkSession,
       f.delete(statsPath(table, v), false)
       claims.deleteClaim(tablePath(table), v)
     }
-    // drop data/delete dirs emptied of parquet files
+    // drop data/delete dirs emptied of parquet files. An IN-FLIGHT
+    // writer's dir also "looks" empty — its rows still live under the
+    // committer's _temporary attempt dirs, which the data-file listing
+    // rightly skips — and reaping it kills the write job mid-task
+    // (found by SoakSpec racing vacuum against continuous ingest), so
+    // a dir with a _temporary entry is a writer's, not vacuum's;
+    // crashed writers' leftovers fall to vacuumOrphans' TTL instead.
     f.listStatus(tablePath(table)).toSeq
       .filter(st => st.isDirectory &&
         (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-") ||
           st.getPath.getName.startsWith("v-")))
-      .filter(st => listDataFiles(st.getPath).isEmpty)
+      .filter(st => listDataFiles(st.getPath).isEmpty &&
+        !f.exists(new Path(st.getPath, "_temporary")))
       .foreach(st => f.delete(st.getPath, true))
   }
 
