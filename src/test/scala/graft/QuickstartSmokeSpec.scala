@@ -1,0 +1,85 @@
+package graft
+
+import graft.lake.{CdcIngest, GraftSql, TableStore}
+import graft.ops.{Dedup, VectorIndex}
+import org.apache.spark.sql.functions._
+
+/** The README "Quickstart" snippets, verbatim — this spec is the
+  * compile-and-run guarantee behind them. Keep the two in sync: a
+  * snippet edited here must be edited there and vice versa. */
+class QuickstartSmokeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quickstart: versioned tables (TableStore)") {
+    val store = new TableStore(spark, tmpDir("qs-tables"))
+    store.create("users", Seq((1L, "ada"), (2L, "grace")).toDF("id", "name"))
+    store.append("users", Seq((3L, "edsger")).toDF("id", "name"))
+    // upsert without rewriting a file: merge-on-read delete + reinsert
+    store.appendWithDeletes("users",
+      Seq((2L, "grace h.")).toDF("id", "name"), Seq(2L).toDF("id"))
+    assert(store.read("users").count() == 3)             // current state
+    assert(store.readVersion("users", 0L).count() == 2)  // time travel
+    store.compact("users")                                // fold MoR debt
+    store.vacuum("users", keep = 2)                       // retention
+  }
+
+  test("quickstart: CDC upserts (CdcIngest)") {
+    val store = new TableStore(spark, tmpDir("qs-cdc"))
+    val batch = Seq(
+      ("I", 1L, "a", "2024-01-01 10:00:00"),
+      ("U", 1L, "a-v2", "2024-01-02 10:00:00"),
+      ("D", 2L, "b", "2024-01-02 11:00:00"))
+      .toDF("Op", "id", "v", "process_date")
+      .withColumn("process_date", col("process_date").cast("timestamp"))
+    CdcIngest.ingest(spark, store, "dim", batch,
+      CdcIngest.Config(primaryKey = "id", dateCol = "process_date"))
+    // keep-latest per key, tombstones dropped; re-ingesting the same
+    // batch is a watermark-guarded no-op
+    assert(store.read("dim").select("v").as[String].collect()
+      .toSeq == Seq("a-v2"))
+  }
+
+  test("quickstart: SQL front door (GraftSql)") {
+    val store = new TableStore(spark, tmpDir("qs-sql"))
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("src")
+    GraftSql.execute(spark, store, "CREATE TABLE t AS SELECT * FROM src")
+    GraftSql.execute(spark, store, "INSERT INTO t VALUES (3, 'z')")
+    GraftSql.execute(spark, store, "UPDATE t SET v = 'y2' WHERE id = 2")
+    GraftSql.execute(spark, store,
+      "MERGE INTO t USING src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val was = GraftSql.execute(spark, store, "SELECT * FROM t VERSION AS OF 0")
+    GraftSql.execute(spark, store, "OPTIMIZE t")
+    assert(store.read("t").count() == 3 && was.count() == 2)
+  }
+
+  test("quickstart: LLM data ops (dedup + persisted ANN)") {
+    val store = new TableStore(spark, tmpDir("qs-llm"))
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog at night"),
+      (3L, "an entirely different document about spark and parquet"))
+      .toDF("doc_id", "text")
+    // near-duplicate candidate pairs via MinHash-LSH (banded, never
+    // all-pairs), then exact-Jaccard verify on the candidates only
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+    assert(cands.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((1L, 2L)))
+    // persisted IVF ANN: build once (attributes ride into the lists),
+    // then filtered top-k, O(batch) appends, and delete propagation
+    val emb = (0L until 60L).map(i => (i, Array.tabulate(8)(d =>
+      (i % 3) * 10f + d * 0.1f), (i % 3).toInt)).toDF(
+      "vec_id", "embedding", "label")
+    VectorIndex.buildIvfIndex(store, "ix", emb, nlist = 4,
+      kmeansIters = 1, attrCols = Seq("label"))
+    val hits = VectorIndex.searchIvfIndexFiltered(store, "ix",
+      emb.where(col("vec_id") === 0L), k = 5, nprobe = 2,
+      filter = col("label") === 0)
+    assert(hits.count() == 5)
+    VectorIndex.deleteFromIvfIndex(store, "ix",
+      emb.where(col("vec_id") === 3L))
+    assert(VectorIndex.searchIvfIndex(store, "ix",
+        emb.where(col("vec_id") === 0L), k = 50, nprobe = 4)
+      .where(col("vid") === 3L).isEmpty)
+  }
+}
