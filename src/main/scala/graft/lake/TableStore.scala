@@ -2552,8 +2552,15 @@ final class TableStore(private[graft] val spark: SparkSession,
       .filter(st => st.isDirectory &&
         (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-") ||
           st.getPath.getName.startsWith("v-")))
-      .filter(st => listDataFiles(st.getPath).isEmpty &&
-        !f.exists(new Path(st.getPath, "_temporary")))
+      .filter { st =>
+        // _temporary checked FIRST (short-circuits the recursive
+        // listing for in-flight dirs), and the listing itself is
+        // race-tolerant: a dir whose children vanish mid-iteration
+        // (the writer's job-commit renames) is by definition
+        // in-flight — treat as non-empty, never delete
+        !f.exists(new Path(st.getPath, "_temporary")) &&
+          scala.util.Try(listDataFiles(st.getPath).isEmpty).getOrElse(false)
+      }
       .foreach(st => f.delete(st.getPath, true))
   }
 
