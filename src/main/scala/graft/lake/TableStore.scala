@@ -669,12 +669,35 @@ final class TableStore(private[graft] val spark: SparkSession,
     // the sidecar holds one row per file ever indexed, and pulling
     // every key to the driver is exactly the O(#files) driver-memory
     // fold that walls at 10^7 files. Only the MISSING keys (O(new
-    // files), the append working set) materialize here.
-    val sideKeys = spark.read.parquet(p.toString).select(col("file"))
-    val liveKeys = live.map(FileStats.fileKey).toDF("file")
-    val missingKeys = liveKeys.join(sideKeys, Seq("file"), "left_anti")
-      .as[String].collect().toSet
-    val stale = sideKeys.join(liveKeys, Seq("file"), "left_anti").count()
+    // files), the append working set) materialize here. An UNREADABLE
+    // sidecar (the state the probe path negatively caches and treats
+    // as no-index) rebuilds outright — maintenance is the only path
+    // that can heal it, so it must never crash on it instead.
+    val diffed = scala.util.Try {
+      val side = spark.read.parquet(p.toString)
+      // validate the WHOLE shape the probe path depends on, not just
+      // the file column — appending good entries next to wrong-typed
+      // ones would leave a mixed-schema sidecar that still fails every
+      // probe (the rebuild below is the heal)
+      require(side.schema("file").dataType ==
+          org.apache.spark.sql.types.StringType &&
+        side.schema("bits").dataType ==
+          org.apache.spark.sql.types.BinaryType,
+        s"sidecar schema is ${side.schema.simpleString}")
+      val sideKeys = side.select(col("file"))
+      val liveKeys = live.map(FileStats.fileKey).toDF("file")
+      val missingKeys = liveKeys.join(sideKeys, Seq("file"), "left_anti")
+        .as[String].collect().toSet
+      (missingKeys, sideKeys.join(liveKeys, Seq("file"), "left_anti").count())
+    }
+    val (missingKeys, stale) = diffed match {
+      case scala.util.Failure(e) =>
+        println(s"[graft] bloom sidecar $table.$phys unreadable " +
+          s"(${e.getMessage}); rebuilding it")
+        buildBloomIndex(table, column, fpp)
+        return live.size
+      case scala.util.Success(d) => d
+    }
     // entries for files that left the manifest (compaction rewrite,
     // vacuum) are dead weight every probe job scans — once they reach
     // the live file count (a compaction strands exactly one corpse
@@ -730,17 +753,12 @@ final class TableStore(private[graft] val spark: SparkSession,
     import spark.implicits._
     // sizing comes from the footer row counts the commit already
     // folded into the stats sidecar — shared by full builds and
-    // incremental updates so the two can never size filters apart.
-    // The CntTag guard (same as fileRowCounts/columnStats): a USER
-    // column literally named __rows writes a num-tagged entry whose
-    // max ("12.5") is not a row count — without the guard the toLong
-    // would crash every bloom build on such a table, including the
-    // unattended MaintenanceJob refresh path.
-    val rowsByFile = statsFor(table, v).collect {
-      case ((f, c), st) if c == FileStats.RowsCol &&
-          st.tag == FileStats.CntTag =>
-        scala.util.Try(st.max.toLong).toOption.map(f -> _)
-    }.flatten.toMap
+    // incremental updates so the two can never size filters apart,
+    // extracted through the SAME guard fileRowCounts applies (a user
+    // column literally named __rows must not crash the build)
+    val rowsByFile = statsFor(table, v).flatMap {
+      case ((f, c), st) => rowCountOf(c, st).map(f -> _)
+    }
     val rowsB = spark.sparkContext.broadcast(rowsByFile)
     spark.read.parquet(files: _*)
       .select(input_file_name().as("__f"),
@@ -843,9 +861,11 @@ final class TableStore(private[graft] val spark: SparkSession,
     * matches, the column is treated as UNINDEXED (logged once) — a
     * persistently corrupt sidecar must not re-run a driver-blocking
     * probe job on every plan of every query that touches the key. A
-    * rebuilt sidecar changes the stamp and re-enables probing. */
+    * rebuilt sidecar changes the stamp and re-enables probing. Boxed
+    * Long: absence must be `null`, never a sentinel a legitimate
+    * stamp (e.g. an empty dir's fold = 0) could collide with. */
   private val bloomBroken =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
 
   /** Order-independent identity of a sidecar dir's contents (names,
     * lengths, mtimes) — one driver-side listing, no data read. */
@@ -874,7 +894,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       // a sidecar that failed before is no-index until its bytes
       // change — never a probe job per plan against known-bad bits
       val broken = bloomBroken.get((table, physCol))
-      if (broken != 0L && broken == bloomStamp(p)) return None
+      if (broken != null && broken.longValue == bloomStamp(p)) return None
       import spark.implicits._
       val rejects = udf((bits: Array[Byte]) =>
         !org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -898,6 +918,18 @@ final class TableStore(private[graft] val spark: SparkSession,
       None
     }
   }
+
+  /** The one place a sidecar entry becomes a per-file ROW COUNT: only
+    * the synthetic `__rows` entry with the count tag qualifies (a user
+    * column literally named __rows writes a num-tagged entry whose max
+    * — e.g. "12.5" — is not a count), and an unparseable max is
+    * "unknown", never a crash. Every consumer (bloom sizing,
+    * fileRowCounts, profiles) must extract through here so they can
+    * never disagree on what counts as a count. */
+  private def rowCountOf(col: String, st: FileStats.Stat): Option[Long] =
+    if (col == FileStats.RowsCol && st.tag == FileStats.CntTag)
+      scala.util.Try(st.max.toLong).toOption
+    else None
 
   /** Parsed stats sidecar of a version (empty for pre-stats tables). */
   private[lake] def statsFor(table: String, v: Long)
@@ -928,8 +960,7 @@ final class TableStore(private[graft] val spark: SparkSession,
     val stats = statsFor(table, v)
     manifest(table, v).filterNot(isDeleteLine).flatMap { f =>
       stats.get((FileStats.fileKey(f), FileStats.RowsCol))
-        .filter(_.tag == FileStats.CntTag) // not a user column named __rows
-        .flatMap(st => scala.util.Try(st.max.toLong).toOption)
+        .flatMap(st => rowCountOf(FileStats.RowsCol, st))
         .map(f -> _)
     }.toMap
   }
@@ -2545,24 +2576,34 @@ final class TableStore(private[graft] val spark: SparkSession,
     // writer's dir also "looks" empty — its rows still live under the
     // committer's _temporary attempt dirs, which the data-file listing
     // rightly skips — and reaping it kills the write job mid-task
-    // (found by SoakSpec racing vacuum against continuous ingest), so
-    // a dir with a _temporary entry is a writer's, not vacuum's;
+    // (found by SoakSpec racing vacuum against continuous ingest);
     // crashed writers' leftovers fall to vacuumOrphans' TTL instead.
+    val now0 = System.currentTimeMillis()
     f.listStatus(tablePath(table)).toSeq
       .filter(st => st.isDirectory &&
         (st.getPath.getName.startsWith("d-") || st.getPath.getName.startsWith("x-") ||
           st.getPath.getName.startsWith("v-")))
       .filter { st =>
-        // _temporary checked FIRST (short-circuits the recursive
-        // listing for in-flight dirs), and the listing itself is
-        // race-tolerant: a dir whose children vanish mid-iteration
-        // (the writer's job-commit renames) is by definition
-        // in-flight — treat as non-empty, never delete
-        !f.exists(new Path(st.getPath, "_temporary")) &&
+        // Three guards against reaping a LIVE writer's dir, closing
+        // the check-then-delete windows one by one: (1) an age floor —
+        // a writer mkdirs its d-dir moments before the committer's
+        // _temporary appears, so a young dir is presumed in-flight
+        // (husks emptied by this vacuum wait one grace period; they
+        // hold no data meanwhile); (2) _temporary presence — the
+        // committer is mid-job; (3) a race-tolerant listing — children
+        // vanishing mid-iteration (job-commit renames) mean in-flight,
+        // treat as non-empty.
+        now0 - st.getModificationTime >= EmptyDirSweepGraceMs &&
+          !f.exists(new Path(st.getPath, "_temporary")) &&
           scala.util.Try(listDataFiles(st.getPath).isEmpty).getOrElse(false)
       }
       .foreach(st => f.delete(st.getPath, true))
   }
+
+  /** Grace before an apparently-empty commit dir may be swept — must
+    * exceed the gap between a writer's mkdirs and its first task file
+    * (milliseconds in practice; minutes for margin). */
+  private val EmptyDirSweepGraceMs: Long = 10 * 60 * 1000L
 
   /** Companion to `recoverStaleClaims`: delete d-/x- commit dirs that
     * no retained manifest references and that are older than `ttlMs` —

@@ -38,6 +38,22 @@ object VectorIndex {
   def booksTable(name: String): String = s"${name}_books"
   def codesTable(name: String): String = s"${name}_codes"
 
+  /** The lists table's column set, cached per (store root, index):
+    * it is fixed at [[buildIvfIndex]] time (appends conform to it),
+    * and the streaming ingest needs it EVERY micro-batch — deriving
+    * it by building a full read plan per batch would put an
+    * O(manifest) metadata walk back on the hot path the store's
+    * checkpoint hint keeps O(1). A rebuild through this object
+    * refreshes the entry; an out-of-band schema change (another
+    * process rebuilding with different attrCols) is picked up on the
+    * next JVM, the same staleness window any schema cache has. */
+  private val listColsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+
+  private[graft] def listCols(store: TableStore, name: String): Seq[String] =
+    listColsCache.computeIfAbsent((store.rootPath, name),
+      _ => store.read(listsTable(name)).columns.toSeq)
+
   /** Train k-means over `corpus` and persist centroids + inverted
     * lists under `name`. O(corpus) — one assignment pass after
     * training; re-running overwrites (index rebuild). `attrCols` are
@@ -67,6 +83,8 @@ object VectorIndex {
     // this assignment output is not)
     if (store.exists(lt)) store.overwrite(lt, lists)
     else store.create(lt, lists, partitionBy = Seq("cent_id"))
+    listColsCache.put((store.rootPath, name),
+      Seq("cent_id", idCol, vecCol) ++ attrCols)
   }
 
   /** Persist an IVF-PQ index (the IVFADC design of Jégou/Douze/Schmid,
@@ -233,11 +251,10 @@ object VectorIndex {
     // carry whatever attribute columns the lists were BUILT with —
     // the batch must supply them, or the append fails loudly instead
     // of silently nulling the filterable attributes of new vectors
-    val listCols = store.read(listsTable(name)).columns.toSeq
-    val attrs = listCols.filterNot(Set("cent_id", idCol, vecCol))
+    val cols = listCols(store, name)
     val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol,
-        carryCols = attrs)
-      .select(listCols.map(col): _*)
+        carryCols = cols.filterNot(Set("cent_id", idCol, vecCol)))
+      .select(cols.map(col): _*)
     store.append(listsTable(name), assigned)
   }
 
@@ -344,7 +361,8 @@ object VectorIndex {
                      k: Int, nprobe: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame =
-    searchIvfCore(store, name, probes, k, nprobe, None, idCol, vecCol)
+    searchIvfCore(store, name, store.read(centroidsTable(name)), probes,
+      k, nprobe, None, idCol, vecCol)
 
   /** Attribute-filtered ANN — "top-k WHERE lang='en' / date range",
     * the most common production ANN query. The predicate pushes INTO
@@ -380,20 +398,22 @@ object VectorIndex {
         if (r.getLong(0) == 0L) 1.0
         else r.getLong(1) * 1.0 / r.getLong(0)
       }
-    val nlist = store.read(centroidsTable(name)).count()
+    // one centroid read serves both the widening bound and the search
+    val cents = store.read(centroidsTable(name))
+    val nlist = cents.count()
     val widened = math.min(nlist.toDouble,
       math.ceil(nprobe / math.max(s0, 1e-9))).toInt
-    searchIvfCore(store, name, probes, k, math.max(nprobe, widened),
+    searchIvfCore(store, name, cents, probes, k, math.max(nprobe, widened),
       Some(filter), idCol, vecCol)
   }
 
   private def searchIvfCore(store: TableStore, name: String,
+                            cents: DataFrame,
                             probes: DataFrame, k: Int, nprobe: Int,
                             listFilter: Option[org.apache.spark.sql.Column],
                             idCol: String, vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(probes.sparkSession)
-    val cents = store.read(centroidsTable(name))
     val pa = Similarity.assignTopClusters(probes, cents, nprobe,
         idCol, vecCol)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("cent_id"))

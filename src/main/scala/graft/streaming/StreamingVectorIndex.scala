@@ -91,10 +91,13 @@ object StreamingVectorIndex {
     val replayed = store.lastTxn(lt, appId(name)).exists(_ >= batchId)
     if (!replayed) {
       val cents = store.read(VectorIndex.centroidsTable(name))
-      val listCols = store.read(lt).columns.toSeq
+      // cached per (store, index): the lists schema is fixed at build
+      // time, and a per-batch read plan just for column names would
+      // put O(manifest) metadata back on the micro-batch hot path
+      val cols = VectorIndex.listCols(store, name)
       val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol,
-          carryCols = listCols.filterNot(Set("cent_id", idCol, vecCol)))
-        .select(listCols.map(col): _*)
+          carryCols = cols.filterNot(Set("cent_id", idCol, vecCol)))
+        .select(cols.map(col): _*)
       store.appendTxn(lt, assigned, appId(name), batchId)
     }
   }

@@ -255,9 +255,13 @@ class BloomIndexSpec extends SparkSpec {
     assert(store.bloomRejectsCached("t10", "id", "9998").isEmpty)
     // reads stay correct without the index
     assert(store.readPointLookup("t10", "id", 2500L).count() == 1)
-    // a rebuilt sidecar changes the content stamp and re-enables
-    store.buildBloomIndex("t10", "id")
+    // the MAINTENANCE path heals it: updateBloomIndex (what
+    // refreshBloomIndexes calls unattended) must rebuild the broken
+    // sidecar, not crash on it — and the rebuild changes the content
+    // stamp, re-enabling probes past the negative cache
+    assert(store.updateBloomIndex("t10", "id") == 4)
     assert(store.bloomRejectsCached("t10", "id", "9997").isDefined,
       "a rebuilt sidecar stayed negatively cached")
+    assert(store.readPointLookup("t10", "id", 2500L).count() == 1)
   }
 }
