@@ -38,21 +38,24 @@ object VectorIndex {
   def booksTable(name: String): String = s"${name}_books"
   def codesTable(name: String): String = s"${name}_codes"
 
-  /** The lists table's column set, cached per (store root, index):
-    * it is fixed at [[buildIvfIndex]] time (appends conform to it),
-    * and the streaming ingest needs it EVERY micro-batch — deriving
-    * it by building a full read plan per batch would put an
-    * O(manifest) metadata walk back on the hot path the store's
-    * checkpoint hint keeps O(1). A rebuild through this object
-    * refreshes the entry; an out-of-band schema change (another
-    * process rebuilding with different attrCols) is picked up on the
-    * next JVM, the same staleness window any schema cache has. */
-  private val listColsCache =
+  /** An index table's column set, cached per (store root, table): it
+    * is fixed at build time (appends conform to it), and the
+    * streaming ingest needs it EVERY micro-batch — deriving it by
+    * building a full read plan per batch would put an O(manifest)
+    * metadata walk back on the hot path the store's checkpoint hint
+    * keeps O(1). A rebuild through this object refreshes the entry;
+    * an out-of-band schema change (another process rebuilding with
+    * different attrCols) is picked up on the next JVM, the same
+    * staleness window any schema cache has. */
+  private val colsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
 
+  private[graft] def cachedCols(store: TableStore, table: String): Seq[String] =
+    colsCache.computeIfAbsent((store.rootPath, table),
+      _ => store.read(table).columns.toSeq)
+
   private[graft] def listCols(store: TableStore, name: String): Seq[String] =
-    listColsCache.computeIfAbsent((store.rootPath, name),
-      _ => store.read(listsTable(name)).columns.toSeq)
+    cachedCols(store, listsTable(name))
 
   /** Train k-means over `corpus` and persist centroids + inverted
     * lists under `name`. O(corpus) — one assignment pass after
@@ -83,7 +86,7 @@ object VectorIndex {
     // this assignment output is not)
     if (store.exists(lt)) store.overwrite(lt, lists)
     else store.create(lt, lists, partitionBy = Seq("cent_id"))
-    listColsCache.put((store.rootPath, name),
+    colsCache.put((store.rootPath, lt),
       Seq("cent_id", idCol, vecCol) ++ attrCols)
   }
 
@@ -111,24 +114,31 @@ object VectorIndex {
                       nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                       kmeansIters: Int = 2,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): Unit = {
+                      vecCol: String = "embedding",
+                      attrCols: Seq[String] = Nil): Unit = {
     val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
       idCol, vecCol)
     val books = Similarity.pqTrain(corpus, m, ksub, kmeansIters,
       idCol, vecCol)
     // one assignment pass + one encode pass; the join keys on idCol so
-    // each vector's m code rows land in its list's partition
-    val assigned = Similarity.assignClusters(corpus, cents, idCol, vecCol)
-      .select(col(idCol), col("cent_id"))
+    // each vector's m code rows land in its list's partition. attrCols
+    // ride the assignment (m copies per vector in the codes — narrow
+    // values that RLE/dict-compress away in parquet) so
+    // [[searchIvfPqIndexFiltered]] can push predicates into the scan.
+    val assigned = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+        carryCols = attrCols)
+      .select((Seq(idCol, "cent_id") ++ attrCols).map(col): _*)
     val codes = Similarity.pqEncode(corpus, books, m, idCol, vecCol)
       .join(assigned, Seq(idCol))
-      .select(col("cent_id"), col(idCol), col("sub"), col("code"))
+      .select((Seq("cent_id", idCol, "sub", "code") ++ attrCols).map(col): _*)
     def put(t: String, df: DataFrame, parts: Seq[String] = Nil): Unit =
       if (store.exists(t)) store.overwrite(t, df)
       else store.create(t, df, partitionBy = parts)
     put(centroidsTable(name), cents)
     put(booksTable(name), books)
     put(codesTable(name), codes, Seq("cent_id"))
+    colsCache.put((store.rootPath, codesTable(name)),
+      Seq("cent_id", idCol, "sub", "code") ++ attrCols)
   }
 
   /** IVF-PQ search: probes assign to their nprobe coarse lists
@@ -145,7 +155,46 @@ object VectorIndex {
   def searchIvfPqIndex(store: TableStore, name: String, probes: DataFrame,
                        k: Int, nprobe: Int, m: Int = 0,
                        idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding"): DataFrame =
+    searchIvfPqCore(store, name, probes, k, nprobe, None, m, idCol, vecCol)
+
+  /** Attribute-filtered IVF-PQ search — [[searchIvfIndexFiltered]]'s
+    * contract on the code-compressed index: the predicate pushes into
+    * the codes scan (a filtered-out vector loses all m of its code
+    * rows, so survivors' reconstruction norms are untouched), ranking
+    * runs over the survivors, and the probe set widens by the same
+    * measured-selectivity rule. Selectivity measured over code rows
+    * equals the vector-level ratio exactly (every vector contributes
+    * exactly m rows, and IEEE division of equal true quotients yields
+    * identical doubles — the oracle replays from the corpus side). */
+  def searchIvfPqIndexFiltered(store: TableStore, name: String,
+                               probes: DataFrame, k: Int, nprobe: Int,
+                               filter: org.apache.spark.sql.Column,
+                               selectivity: Double = Double.NaN,
+                               m: Int = 0,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val codes0 = store.read(codesTable(name))
+    val s0 =
+      if (!selectivity.isNaN) selectivity
+      else {
+        val r = codes0.agg(cnt(lit(1)), cnt(when(filter, 1))).first()
+        if (r.getLong(0) == 0L) 1.0
+        else r.getLong(1) * 1.0 / r.getLong(0)
+      }
+    val nlist = store.read(centroidsTable(name)).count()
+    val widened = math.min(nlist.toDouble,
+      math.ceil(nprobe / math.max(s0, 1e-9))).toInt
+    searchIvfPqCore(store, name, probes, k, math.max(nprobe, widened),
+      Some(filter), m, idCol, vecCol)
+  }
+
+  private def searchIvfPqCore(store: TableStore, name: String,
+                              probes: DataFrame, k: Int, nprobe: Int,
+                              codesFilter: Option[org.apache.spark.sql.Column],
+                              m: Int, idCol: String,
+                              vecCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(probes.sparkSession)
     val cents = store.read(centroidsTable(name))
@@ -154,7 +203,8 @@ object VectorIndex {
     val pa = Similarity.assignTopClusters(probes, cents, nprobe,
         idCol, vecCol)
       .select(col(idCol).as("qid"), col("cent_id"))
-    val codes0 = store.read(codesTable(name))
+    val codes00 = store.read(codesTable(name))
+    val codes0 = codesFilter.fold(codes00)(codes00.where)
     val dt = codes0.schema("cent_id").dataType
     val needed = pa.select(col("cent_id").cast(dt)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
@@ -201,11 +251,17 @@ object VectorIndex {
                      vecCol: String = "embedding"): DataFrame = {
     val cents = store.read(centroidsTable(name))
     val books = store.read(booksTable(name))
-    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol)
-      .select(col(idCol), col("cent_id"))
+    // conform to the codes table's column set (cached — the streaming
+    // ingest calls this per micro-batch): attribute columns the index
+    // was built with must come from the batch, loudly, not null-fill
+    val cols = cachedCols(store, codesTable(name))
+    val attrs = cols.filterNot(Set("cent_id", idCol, "sub", "code"))
+    val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol,
+        carryCols = attrs)
+      .select((Seq(idCol, "cent_id") ++ attrs).map(col): _*)
     Similarity.pqEncode(batch, books, bookMeta(books, m)._1, idCol, vecCol)
       .join(assigned, Seq(idCol))
-      .select(col("cent_id"), col(idCol), col("sub"), col("code"))
+      .select(cols.map(col): _*)
   }
 
   /** (m, sub-dim) of a stored codebook table, in ONE driver action

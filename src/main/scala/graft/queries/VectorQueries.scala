@@ -517,14 +517,32 @@ object VectorQueries {
       val cents = store.read(
         graft.ops.VectorIndex.centroidsTable("emb_ivfpq"))
       val books = store.read(graft.ops.VectorIndex.booksTable("emb_ivfpq"))
-      ivfPqOracle = Some(
-        s"""WITH exp AS (
+      ivfPqOracle = Some(ivfPqOracleSql(centValuesSql(cents),
+        bookValuesSql(books)))
+      graft.ops.VectorIndex.searchIvfPqIndex(store, "emb_ivfpq",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4, m = 8)
+        .select("qid", "rnk", "vid", "cos_pq")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfPqOracle)
+
+  /** The full IVF-PQ (IVFADC) replay for fixed coarse-centroid and
+    * codebook VALUES sets — shared by the persisted, post-delete, and
+    * attribute-filtered forms exactly as [[ivfOracleSql]] is shared
+    * by the full-vector family. `candPred` restricts the CANDIDATE
+    * side (the replayed `em` row of each assigned vector);
+    * `nprobeSql`/`extraCtes` replay the probe-widening rule. */
+  private def ivfPqOracleSql(centValues: String, bookValues: String,
+                             candPred: String = "TRUE",
+                             nprobeSql: String = "4",
+                             extraCtes: String = ""): String =
+    s"""WITH exp AS (
            |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
            |         generate_subscripts(embedding, 1) AS i
            |  FROM embeddings),
            |norms AS (
            |  SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM exp GROUP BY vec_id),
-           |cent(cent_id, i, cx) AS (VALUES ${centValuesSql(cents)}),
+           |cent(cent_id, i, cx) AS (VALUES $centValues),$extraCtes
            |cnorms AS (
            |  SELECT cent_id, sqrt(sum(cx * cx)) AS cnrm FROM cent GROUP BY cent_id),
            |cdots AS (
@@ -536,15 +554,16 @@ object VectorQueries {
            |  FROM cdots d JOIN norms n USING (vec_id)
            |  JOIN cnorms cn USING (cent_id)),
            |assign AS (
-           |  SELECT vec_id AS vid, cent_id FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |  SELECT vid, cent_id FROM (
+           |    SELECT vec_id AS vid, cent_id, row_number() OVER (PARTITION BY vec_id
            |        ORDER BY ccos DESC, cent_id) AS r
-           |    FROM cscore) WHERE r = 1),
+           |    FROM cscore) a JOIN embeddings em ON em.vec_id = a.vid
+           |  WHERE r = 1 AND ($candPred)),
            |probes AS (
            |  SELECT vec_id AS qid, cent_id FROM (
            |    SELECT *, row_number() OVER (PARTITION BY vec_id
            |        ORDER BY ccos DESC, cent_id) AS r
-           |    FROM cscore WHERE vec_id < 5) WHERE r <= 4),
+           |    FROM cscore WHERE vec_id < 5) WHERE r <= $nprobeSql),
            |cands AS (
            |  SELECT p.qid, a.vid FROM probes p JOIN assign a
            |  ON p.cent_id = a.cent_id WHERE p.qid <> a.vid),
@@ -552,7 +571,7 @@ object VectorQueries {
            |  SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub,
            |         ((i - 1) % 8) + 1 AS si, x
            |  FROM exp),
-           |book(sub, cent_id, si, cx) AS (VALUES ${bookValuesSql(books)}),
+           |book(sub, cent_id, si, cx) AS (VALUES $bookValues),
            |bss AS (SELECT sub, cent_id, sum(cx * cx) AS ss
            |        FROM book GROUP BY sub, cent_id),
            |snorm AS (SELECT vec_id, sub, sqrt(sum(x * x)) AS sn
@@ -597,13 +616,78 @@ object VectorQueries {
            |      ORDER BY cos_pq DESC, vid) AS rnk
            |  FROM scored)
            |SELECT qid, rnk, vid, cos_pq FROM ranked WHERE rnk <= 5
-           |ORDER BY qid, rnk""".stripMargin)
+           |ORDER BY qid, rnk""".stripMargin
+
+  @volatile private var ivfPqDeleteOracle: Option[String] = None
+
+  /** DELETE PROPAGATION on the code-compressed index
+    * ([[graft.ops.VectorIndex.deleteFromIvfPqIndex]] — one equality
+    * key removes all m code rows of a vector as a merge-on-read
+    * commit): ivf_ann_after_delete's contract at the IVFADC storage
+    * shape, under the shared PQ replay restricted to survivors. */
+  val ivfPqAfterDelete: Entry = new Entry(
+    "ivfpq_ann_after_delete",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqdel").toString)
+      graft.ops.VectorIndex.buildIvfPqIndex(store, "emb_ivfpq", emb,
+        nlist = 16, m = 8, ksub = 16, kmeansIters = 1)
+      graft.ops.VectorIndex.deleteFromIvfPqIndex(store, "emb_ivfpq",
+        emb.where(col("vec_id") % 7 === 3))
+      val cents = store.read(
+        graft.ops.VectorIndex.centroidsTable("emb_ivfpq"))
+      val books = store.read(graft.ops.VectorIndex.booksTable("emb_ivfpq"))
+      ivfPqDeleteOracle = Some(ivfPqOracleSql(centValuesSql(cents),
+        bookValuesSql(books), candPred = "em.vec_id % 7 <> 3"))
       graft.ops.VectorIndex.searchIvfPqIndex(store, "emb_ivfpq",
           emb.where(col("vec_id") < 5), k = 5, nprobe = 4, m = 8)
         .select("qid", "rnk", "vid", "cos_pq")
         .orderBy("qid", "rnk")
     },
-    () => ivfPqOracle)
+    () => ivfPqDeleteOracle)
+
+  @volatile private var ivfPqFilteredOracle: Option[String] = None
+
+  /** ATTRIBUTE-FILTERED IVF-PQ search: label rides the code rows
+    * (narrow, RLE-compressed), the predicate pushes into the codes
+    * scan, ranking runs over the survivors, and the probe set widens
+    * by the same measured-selectivity rule as the full-vector form —
+    * the production "top-k within lang/date" query at the
+    * billion-vector storage shape. The oracle replays the widening
+    * from the corpus-side counts (the code-row ratio equals the
+    * vector ratio exactly: every vector holds exactly m rows). */
+  val ivfPqFiltered: Entry = new Entry(
+    "ivfpq_ann_filtered",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqfil").toString)
+      graft.ops.VectorIndex.buildIvfPqIndex(store, "emb_ivfpq", emb,
+        nlist = 16, m = 8, ksub = 16, kmeansIters = 1,
+        attrCols = Seq("label"))
+      val cents = store.read(
+        graft.ops.VectorIndex.centroidsTable("emb_ivfpq"))
+      val books = store.read(graft.ops.VectorIndex.booksTable("emb_ivfpq"))
+      ivfPqFilteredOracle = Some(ivfPqOracleSql(centValuesSql(cents),
+        bookValuesSql(books),
+        candPred = "em.label < 5",
+        nprobeSql = "(SELECT np FROM npv)",
+        extraCtes = """
+          |selv AS (
+          |  SELECT greatest(count(*) FILTER (WHERE label < 5) * 1.0
+          |                    / count(*), 1e-9) AS s
+          |  FROM embeddings),
+          |npv AS (
+          |  SELECT greatest(4, least(16, CAST(ceil(4 / s) AS BIGINT))) AS np
+          |  FROM selv),""".stripMargin))
+      graft.ops.VectorIndex.searchIvfPqIndexFiltered(store, "emb_ivfpq",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4,
+          filter = col("label") < 5, m = 8)
+        .select("qid", "rnk", "vid", "cos_pq")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfPqFilteredOracle)
 
   /** Oracle for semantic_dedup_prune, derived at run time like
     * ivf_ann_topk's: the deterministic trained centroids become VALUES
@@ -993,7 +1077,7 @@ object VectorQueries {
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
     ivfStreamingIngest, ivfAfterDelete, ivfFiltered,
-    ivfPqPersisted, semanticDedup,
+    ivfPqPersisted, ivfPqAfterDelete, ivfPqFiltered, semanticDedup,
     quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

@@ -154,6 +154,8 @@ class PlanSpec extends SparkSpec {
       "ivf_ann_after_delete",     // same cross-score (post-delete search)
       "ivf_ann_filtered",         // same cross-score (attribute-filtered search)
       "ivfpq_ann_persisted",      // coarse + codebook broadcast cross-scores
+      "ivfpq_ann_after_delete",   // same cross-scores (post-delete search)
+      "ivfpq_ann_filtered",       // same cross-scores (attribute-filtered)
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
       "mmr_diversified_topk",     // broadcast probes x int8 corpus scan
       "dq_audit_report",          // 1-row rule-aggregate cross joins

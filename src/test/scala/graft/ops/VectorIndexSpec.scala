@@ -363,6 +363,38 @@ class VectorIndexSpec extends SparkSpec {
       s"filtered search scanned $scanned of $totalFiles list files")
   }
 
+  test("IVF-PQ filtered search: tautological filter equals unfiltered; " +
+    "real filter ranks survivors only and attrs ride appended codes") {
+    val store = new TableStore(spark, tmpDir("ivfidx"))
+    val emb = corpus(200).withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    VectorIndex.buildIvfPqIndex(store, "px",
+      emb.where(col("vec_id") % 2 === 0), nlist = 4, m = 4, ksub = 8,
+      kmeansIters = 1, attrCols = Seq("label"))
+    // appended codes must carry the attribute too (encodeForIvfPq
+    // conforms to the codes table's built column set)
+    VectorIndex.appendToIvfPqIndex(store, "px",
+      emb.where(col("vec_id") % 2 === 1))
+    val codes = store.read(VectorIndex.codesTable("px"))
+    assert(codes.where(col("label").isNull).count() == 0L)
+    val probes = emb.where(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "vid", "cos_pq").orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val unfiltered = rows(VectorIndex.searchIvfPqIndex(store, "px",
+      probes, k = 5, nprobe = 2))
+    val always = rows(VectorIndex.searchIvfPqIndexFiltered(store, "px",
+      probes, k = 5, nprobe = 2, filter = col("label") >= 0))
+    assert(always == unfiltered,
+      "selectivity-1 filter changed the PQ result")
+    val got = VectorIndex.searchIvfPqIndexFiltered(store, "px",
+        probes, k = 5, nprobe = 2, filter = col("label") === 1)
+      .select("vid").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ % 3 == 1),
+      s"non-matching candidates ranked: $got")
+  }
+
   test("append after an attributed build carries the attribute columns") {
     val store = new TableStore(spark, tmpDir("ivfidx"))
     val emb = corpus(200).withColumn("label",
