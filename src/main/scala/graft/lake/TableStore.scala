@@ -1182,7 +1182,8 @@ final class TableStore(private[graft] val spark: SparkSession,
     * serializable semantics instead (abort on any concurrent data or
     * schema change). */
   def appendWithDeletes(table: String, df: DataFrame, deleteKeys: DataFrame,
-                        readSnapshot: Option[Long] = None): Unit = {
+                        readSnapshot: Option[Long] = None,
+                        txn: Option[(String, Long)] = None): Unit = {
     require(exists(table), s"table $table does not exist")
     val delDir = new Path(tablePath(table), s"x-${UUID.randomUUID()}")
     // delete keys anti-join raw (physical) data groups at read time,
@@ -1190,9 +1191,12 @@ final class TableStore(private[graft] val spark: SparkSession,
     currentMapping(table).applyWrite(deleteKeys, table)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(delDir.toString)
     val delLines = listDataFiles(delDir).map(DelPrefix + _)
+    // `txn` makes the delete+insert pair IDEMPOTENT under redelivery
+    // (Delta SetTransaction semantics, same as appendTxn): a replayed
+    // (app, version) no-ops inside the claim instead of double-applying
     commit(table, df,
       carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false,
-      readSnapshot = readSnapshot, op = "MERGE-ON-READ")
+      readSnapshot = readSnapshot, txn = txn, op = "MERGE-ON-READ")
   }
 
   /** Positional (deletion-vector) DELETE — Iceberg v2 position

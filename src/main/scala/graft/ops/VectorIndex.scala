@@ -314,6 +314,90 @@ object VectorIndex {
     store.append(listsTable(name), assigned)
   }
 
+  /** Build an IVF index over a STORE TABLE and bind it to that
+    * table's version history: the lists table's creation commit
+    * records the corpus version it indexed as an application-
+    * transaction watermark, so [[syncIvfIndex]] can later pull the
+    * corpus's change feed from exactly that point. The read is
+    * version-pinned — a commit racing the build lands in the first
+    * sync, never in a gap. */
+  def buildIvfIndexFromTable(store: TableStore, name: String,
+                             corpusTable: String,
+                             nlist: Int = 16, kmeansIters: Int = 2,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             attrCols: Seq[String] = Nil): Unit = {
+    val v = store.currentVersion(corpusTable).getOrElse(
+      throw new IllegalStateException(s"table $corpusTable does not exist"))
+    val corpus = store.readVersion(corpusTable, v)
+    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+      idCol, vecCol)
+    val lists = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+        carryCols = attrCols)
+      .select((Seq("cent_id", idCol, vecCol) ++ attrCols).map(col): _*)
+    val ct = centroidsTable(name)
+    val lt = listsTable(name)
+    if (store.exists(ct)) store.overwrite(ct, cents)
+    else store.create(ct, cents)
+    if (store.exists(lt))
+      store.overwriteTxn(lt, lists, syncApp(corpusTable), v)
+    else store.createTxn(lt, lists, syncApp(corpusTable), v,
+      partitionBy = Seq("cent_id"))
+    colsCache.put((store.rootPath, lt),
+      Seq("cent_id", idCol, vecCol) ++ attrCols)
+  }
+
+  private def syncApp(corpusTable: String) = s"ivf-sync-$corpusTable"
+
+  /** Catch the index up with its corpus table's CHANGE FEED — the
+    * "index follows the table" maintenance move. One call applies
+    * everything committed since the last sync (or the
+    * [[buildIvfIndexFromTable]] bootstrap) as ONE atomic merge-on-read
+    * commit: every touched id's old list rows equality-delete, the
+    * ids' current rows (keep-latest netted from the feed — a key
+    * deleted and reinserted in the range lands once, a key whose last
+    * change is a delete lands zero times) re-assign and insert, and
+    * the corpus version rides the commit as the sync watermark —
+    * crash-redelivery no-ops (same SetTransaction discipline as the
+    * streaming ingest). O(changed data): the feed is manifest-aware
+    * on append-only history and the commit rewrites no list file.
+    * Returns the corpus version synced to, or None when already
+    * current. */
+  def syncIvfIndex(store: TableStore, name: String, corpusTable: String,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Option[Long] = {
+    val lt = listsTable(name)
+    val app = syncApp(corpusTable)
+    val last = store.lastTxn(lt, app).getOrElse(throw new IllegalStateException(
+      s"index $name is not bound to $corpusTable — build it with " +
+        "buildIvfIndexFromTable to record the sync watermark"))
+    store.changesSince(corpusTable, last) match {
+      case None => None
+      case Some((feed, cur)) =>
+        import org.apache.spark.sql.expressions.Window
+        // net the feed to each touched id's FINAL state: latest
+        // commit wins; within one commit an insert beats the delete
+        // that precedes it (a delete-and-reinsert batch)
+        val w = Window.partitionBy(idCol).orderBy(
+          col("_commit_version").desc,
+          when(col("_change_type") === "insert", 0).otherwise(1))
+        val latest = feed.withColumn("__r", row_number().over(w))
+          .where(col("__r") === 1)
+        val inserts = latest.where(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version", "__r")
+        val touched = feed.select(col(idCol)).distinct()
+        val cents = store.read(centroidsTable(name))
+        val cols = listCols(store, name)
+        val assigned = Similarity.assignClusters(inserts, cents, idCol,
+            vecCol,
+            carryCols = cols.filterNot(Set("cent_id", idCol, vecCol)))
+          .select(cols.map(col): _*)
+        store.appendWithDeletes(lt, assigned, touched,
+          txn = Some((app, cur)))
+        Some(cur)
+    }
+  }
+
   /** Propagate corpus deletes into the persisted index: drop `ids`'
     * vectors from the inverted lists as merge-on-read EQUALITY
     * deletes — one O(batch) commit, no list rewrite (the store

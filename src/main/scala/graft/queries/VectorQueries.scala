@@ -438,6 +438,43 @@ object VectorQueries {
     },
     () => ivfAfterDeleteOracle)
 
+  @volatile private var ivfSyncedOracle: Option[String] = None
+
+  /** INDEX FOLLOWS THE TABLE: build the index bound to a store-table
+    * corpus version ([[graft.ops.VectorIndex.buildIvfIndexFromTable]]
+    * records the version as a sync watermark), let the corpus evolve
+    * through normal table commits (an append wave, then a DV DELETE —
+    * the dedup-purge shape), then ONE
+    * [[graft.ops.VectorIndex.syncIvfIndex]] call applies the change
+    * feed: touched ids' old rows equality-delete, final states
+    * re-assign and insert, and the corpus version rides the commit —
+    * atomic, exactly-once under redelivery, O(changed data). The
+    * oracle is the shared IVF replay over the stored (pre-append
+    * trained) centroids with candidates restricted to the corpus's
+    * final state — if the sync missed a delete, double-applied an
+    * insert, or skipped the appended wave, the hash breaks. */
+  val ivfSynced: Entry = new Entry(
+    "ivf_ann_synced",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfsync").toString)
+      store.create("corpus", emb.where(col("vec_id") % 2 === 0))
+      graft.ops.VectorIndex.buildIvfIndexFromTable(store, "emb_ivf",
+        "corpus", nlist = 16, kmeansIters = 2)
+      store.append("corpus", emb.where(col("vec_id") % 2 === 1))
+      store.deleteWhere("corpus", col("vec_id") % 7 === 3)
+      graft.ops.VectorIndex.syncIvfIndex(store, "emb_ivf", "corpus")
+      val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
+      ivfSyncedOracle = Some(ivfOracleSql(centValuesSql(cents),
+        candPred = "em.vec_id % 7 <> 3"))
+      graft.ops.VectorIndex.searchIvfIndex(store, "emb_ivf",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfSyncedOracle)
+
   @volatile private var ivfFilteredOracle: Option[String] = None
 
   /** ATTRIBUTE-FILTERED ANN — "top-k within label < 5", the most
@@ -1076,7 +1113,7 @@ object VectorQueries {
 
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
-    ivfStreamingIngest, ivfAfterDelete, ivfFiltered,
+    ivfStreamingIngest, ivfAfterDelete, ivfFiltered, ivfSynced,
     ivfPqPersisted, ivfPqAfterDelete, ivfPqFiltered, semanticDedup,
     quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)

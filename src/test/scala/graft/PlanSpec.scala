@@ -153,6 +153,7 @@ class PlanSpec extends SparkSpec {
       "ivf_ann_streaming_ingest", // same cross-score (streamed appendTxn path)
       "ivf_ann_after_delete",     // same cross-score (post-delete search)
       "ivf_ann_filtered",         // same cross-score (attribute-filtered search)
+      "ivf_ann_synced",           // same cross-score (CDF-synced index)
       "ivfpq_ann_persisted",      // coarse + codebook broadcast cross-scores
       "ivfpq_ann_after_delete",   // same cross-scores (post-delete search)
       "ivfpq_ann_filtered",       // same cross-scores (attribute-filtered)

@@ -395,6 +395,57 @@ class VectorIndexSpec extends SparkSpec {
       s"non-matching candidates ranked: $got")
   }
 
+  test("syncIvfIndex follows the corpus table's change feed: appends, " +
+    "deletes, delete-and-reinsert, idempotence") {
+    val store = new TableStore(spark, tmpDir("ivfsync"))
+    val emb = corpus(200)
+    store.create("corpus", emb.where(col("vec_id") % 2 === 0))
+    VectorIndex.buildIvfIndexFromTable(store, "ix", "corpus",
+      nlist = 8, kmeansIters = 2)
+    // corpus evolves: append the odd half, purge ids ≡ 2 (mod 5),
+    // and delete-and-reinsert id 4 with a CHANGED vector in one batch
+    store.append("corpus", emb.where(col("vec_id") % 2 === 1))
+    store.deleteWhere("corpus", col("vec_id") % 5 === 2)
+    val moved = Seq((4L, Array.tabulate(8)(d => 30f + d * 0.1f)))
+      .toDF("vec_id", "embedding")
+    store.appendWithDeletes("corpus", moved, Seq(4L).toDF("vec_id"))
+
+    assert(VectorIndex.syncIvfIndex(store, "ix", "corpus").isDefined)
+    // idempotent: nothing new to apply
+    assert(VectorIndex.syncIvfIndex(store, "ix", "corpus").isEmpty)
+
+    // the lists now mirror the corpus exactly (ids once each, purged
+    // ids absent, the moved vector under its NEW embedding)
+    import spark.implicits._
+    val lt = VectorIndex.listsTable("ix")
+    val ids = store.read(lt).select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == ids.distinct.size, "a synced id landed twice")
+    assert(ids.toSet == (0L until 200L).filterNot(_ % 5 == 2).toSet)
+    val movedVec = store.read(lt).where(col("vec_id") === 4L)
+      .select("embedding").as[Seq[Float]].head()
+    assert(movedVec.head == 30f, "delete-and-reinsert kept the OLD vector")
+
+    // search parity: synced index ≡ in-query search over the corpus's
+    // final state with the index's own centroids
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    val probes = emb.where(col("vec_id") < 6)
+    val synced = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    val replay = rows(Similarity.ivfSearch(store.read("corpus"), probes,
+      cents, k = 5, nprobe = 3))
+    assert(synced.nonEmpty && synced == replay)
+  }
+
+  test("syncIvfIndex refuses an index not bound to a table") {
+    val store = new TableStore(spark, tmpDir("ivfsync"))
+    VectorIndex.buildIvfIndex(store, "ix", corpus(100), nlist = 4,
+      kmeansIters = 1)
+    val e = intercept[IllegalStateException] {
+      VectorIndex.syncIvfIndex(store, "ix", "corpus")
+    }
+    assert(e.getMessage.contains("buildIvfIndexFromTable"))
+  }
+
   test("append after an attributed build carries the attribute columns") {
     val store = new TableStore(spark, tmpDir("ivfidx"))
     val emb = corpus(200).withColumn("label",
