@@ -349,6 +349,75 @@ object VectorIndex {
 
   private def syncApp(corpusTable: String) = s"ivf-sync-$corpusTable"
 
+  /** [[buildIvfIndexFromTable]] for the IVF-PQ shape: the codes
+    * table's creation commit carries the indexed corpus version, so
+    * [[syncIvfPqIndex]] can follow the table's change feed. */
+  def buildIvfPqIndexFromTable(store: TableStore, name: String,
+                               corpusTable: String,
+                               nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                               kmeansIters: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               attrCols: Seq[String] = Nil): Unit = {
+    val v = store.currentVersion(corpusTable).getOrElse(
+      throw new IllegalStateException(s"table $corpusTable does not exist"))
+    val corpus = store.readVersion(corpusTable, v)
+    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+      idCol, vecCol)
+    val books = Similarity.pqTrain(corpus, m, ksub, kmeansIters,
+      idCol, vecCol)
+    val assigned = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+        carryCols = attrCols)
+      .select((Seq(idCol, "cent_id") ++ attrCols).map(col): _*)
+    val codes = Similarity.pqEncode(corpus, books, m, idCol, vecCol)
+      .join(assigned, Seq(idCol))
+      .select((Seq("cent_id", idCol, "sub", "code") ++ attrCols).map(col): _*)
+    def put(t: String, df: DataFrame): Unit =
+      if (store.exists(t)) store.overwrite(t, df) else store.create(t, df)
+    put(centroidsTable(name), cents)
+    put(booksTable(name), books)
+    val kt = codesTable(name)
+    if (store.exists(kt))
+      store.overwriteTxn(kt, codes, syncApp(corpusTable), v)
+    else store.createTxn(kt, codes, syncApp(corpusTable), v,
+      partitionBy = Seq("cent_id"))
+    colsCache.put((store.rootPath, kt),
+      Seq("cent_id", idCol, "sub", "code") ++ attrCols)
+  }
+
+  /** [[syncIvfIndex]] on the code-compressed index: the same netted
+    * change-feed application — touched ids' code rows equality-delete
+    * (one key removes all m), final states assign + PQ-encode against
+    * the STORED quantizers and insert, the corpus version rides the
+    * commit — one atomic O(changed · m) merge-on-read commit,
+    * idempotent under redelivery. */
+  def syncIvfPqIndex(store: TableStore, name: String, corpusTable: String,
+                     m: Int = 0, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Option[Long] = {
+    val kt = codesTable(name)
+    val app = syncApp(corpusTable)
+    val last = store.lastTxn(kt, app).getOrElse(throw new IllegalStateException(
+      s"index $name is not bound to $corpusTable — build it with " +
+        "buildIvfPqIndexFromTable to record the sync watermark"))
+    store.changesSince(corpusTable, last) match {
+      case None => None
+      case Some((feed, cur)) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(idCol).orderBy(
+          col("_commit_version").desc,
+          when(col("_change_type") === "insert", 0).otherwise(1))
+        val latest = feed.withColumn("__r", row_number().over(w))
+          .where(col("__r") === 1)
+        val inserts = latest.where(col("_change_type") === "insert")
+          .drop("_change_type", "_commit_version", "__r")
+        val touched = feed.select(col(idCol)).distinct()
+        store.appendWithDeletes(kt,
+          encodeForIvfPq(store, name, inserts, m, idCol, vecCol),
+          touched, txn = Some((app, cur)))
+        Some(cur)
+    }
+  }
+
   /** Catch the index up with its corpus table's CHANGE FEED — the
     * "index follows the table" maintenance move. One call applies
     * everything committed since the last sync (or the

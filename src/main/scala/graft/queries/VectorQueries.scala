@@ -726,6 +726,42 @@ object VectorQueries {
     },
     () => ivfPqFilteredOracle)
 
+  @volatile private var ivfPqSyncedOracle: Option[String] = None
+
+  /** [[ivfSynced]]'s pipeline at the IVFADC storage shape: the codes
+    * table binds to the corpus version
+    * ([[graft.ops.VectorIndex.buildIvfPqIndexFromTable]]), the corpus
+    * takes an append wave and a DV-delete purge, and one
+    * [[graft.ops.VectorIndex.syncIvfPqIndex]] applies the netted
+    * change feed — touched ids' m code rows equality-delete, final
+    * states re-encode against the STORED quantizers and insert,
+    * atomically with the watermark. Oracle: the shared IVFADC replay
+    * restricted to the corpus's final state. */
+  val ivfPqSynced: Entry = new Entry(
+    "ivfpq_ann_synced",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val store = new graft.lake.TableStore(s,
+        java.nio.file.Files.createTempDirectory("graft-ivfpqsync").toString)
+      store.create("corpus", emb.where(col("vec_id") % 2 === 0))
+      graft.ops.VectorIndex.buildIvfPqIndexFromTable(store, "emb_ivfpq",
+        "corpus", nlist = 16, m = 8, ksub = 16, kmeansIters = 1)
+      store.append("corpus", emb.where(col("vec_id") % 2 === 1))
+      store.deleteWhere("corpus", col("vec_id") % 7 === 3)
+      graft.ops.VectorIndex.syncIvfPqIndex(store, "emb_ivfpq", "corpus",
+        m = 8)
+      val cents = store.read(
+        graft.ops.VectorIndex.centroidsTable("emb_ivfpq"))
+      val books = store.read(graft.ops.VectorIndex.booksTable("emb_ivfpq"))
+      ivfPqSyncedOracle = Some(ivfPqOracleSql(centValuesSql(cents),
+        bookValuesSql(books), candPred = "em.vec_id % 7 <> 3"))
+      graft.ops.VectorIndex.searchIvfPqIndex(store, "emb_ivfpq",
+          emb.where(col("vec_id") < 5), k = 5, nprobe = 4, m = 8)
+        .select("qid", "rnk", "vid", "cos_pq")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfPqSyncedOracle)
+
   /** Oracle for semantic_dedup_prune, derived at run time like
     * ivf_ann_topk's: the deterministic trained centroids become VALUES
     * literals, so the oracle replays assignment (rounded cosine,
@@ -1114,7 +1150,8 @@ object VectorQueries {
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
     ivfStreamingIngest, ivfAfterDelete, ivfFiltered, ivfSynced,
-    ivfPqPersisted, ivfPqAfterDelete, ivfPqFiltered, semanticDedup,
+    ivfPqPersisted, ivfPqAfterDelete, ivfPqFiltered, ivfPqSynced,
+    semanticDedup,
     quantizationError,
     quantizedTopK, pqTopK, hardNegatives, mmrTopK)
 }

@@ -436,6 +436,41 @@ class VectorIndexSpec extends SparkSpec {
     assert(synced.nonEmpty && synced == replay)
   }
 
+  test("syncIvfPqIndex mirrors the corpus feed onto the code rows") {
+    val store = new TableStore(spark, tmpDir("ivfpqsync"))
+    val emb = corpus(200)
+    store.create("corpus", emb.where(col("vec_id") % 2 === 0))
+    VectorIndex.buildIvfPqIndexFromTable(store, "px", "corpus",
+      nlist = 4, m = 4, ksub = 8, kmeansIters = 1)
+    store.append("corpus", emb.where(col("vec_id") % 2 === 1))
+    store.deleteWhere("corpus", col("vec_id") % 5 === 2)
+    assert(VectorIndex.syncIvfPqIndex(store, "px", "corpus",
+      m = 4).isDefined)
+    assert(VectorIndex.syncIvfPqIndex(store, "px", "corpus",
+      m = 4).isEmpty) // idempotent
+    import spark.implicits._
+    val codes = store.read(VectorIndex.codesTable("px"))
+    val perId = codes.groupBy("vec_id").count()
+      .select("count").as[Long].collect().toSeq
+    assert(perId.forall(_ == 4L), "a synced vector has != m code rows")
+    val ids = codes.select("vec_id").distinct().as[Long].collect().toSet
+    assert(ids == (0L until 200L).filterNot(_ % 5 == 2).toSet)
+    // synced codes ≡ a one-shot encode of the corpus's final state
+    // against the stored quantizers
+    val want = VectorIndex.encodeForIvfPq(store, "px",
+        store.read("corpus"), m = 4)
+      .select(col("cent_id").cast("long"), col("vec_id"), col("sub"),
+        col("code").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val got = codes
+      .select(col("cent_id").cast("long"), col("vec_id"), col("sub"),
+        col("code").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("syncIvfIndex refuses an index not bound to a table") {
     val store = new TableStore(spark, tmpDir("ivfsync"))
     VectorIndex.buildIvfIndex(store, "ix", corpus(100), nlist = 4,
