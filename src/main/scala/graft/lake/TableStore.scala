@@ -2568,10 +2568,17 @@ final class TableStore(private[graft] val spark: SparkSession,
     // clone's manifest references the SOURCE table's files, which are
     // that table's to reap, not ours
     val own = tablePath(table).toString + "/"
+    // commit dirs this pass deletes files FROM: they were manifest-
+    // referenced, so they can never be an in-flight writer's — safe
+    // to sweep immediately once emptied, no age floor needed
+    val touchedDirs = scala.collection.mutable.Set.empty[String]
     all.filterNot(kept.contains).foreach { v =>
       manifest(table, v).map(pathOf).filterNot(referenced.contains)
         .filter(_.startsWith(own))
-        .foreach(p => f.delete(new Path(p), false))
+        .foreach { p =>
+          f.delete(new Path(p), false)
+          touchedDirs += p.stripPrefix(own).split("/").head
+        }
       f.delete(manifestPath(table, v), false)
       f.delete(statsPath(table, v), false)
       claims.deleteClaim(tablePath(table), v)
@@ -2589,15 +2596,17 @@ final class TableStore(private[graft] val spark: SparkSession,
           st.getPath.getName.startsWith("v-")))
       .filter { st =>
         // Three guards against reaping a LIVE writer's dir, closing
-        // the check-then-delete windows one by one: (1) an age floor —
-        // a writer mkdirs its d-dir moments before the committer's
-        // _temporary appears, so a young dir is presumed in-flight
-        // (husks emptied by this vacuum wait one grace period; they
-        // hold no data meanwhile); (2) _temporary presence — the
-        // committer is mid-job; (3) a race-tolerant listing — children
-        // vanishing mid-iteration (job-commit renames) mean in-flight,
-        // treat as non-empty.
-        now0 - st.getModificationTime >= EmptyDirSweepGraceMs &&
+        // the check-then-delete windows one by one: (1) an age floor
+        // for dirs this pass did NOT empty itself — a writer mkdirs
+        // its d-dir moments before the committer's _temporary appears,
+        // so a young never-referenced dir is presumed in-flight (dirs
+        // whose files this vacuum just deleted WERE referenced, hence
+        // never in-flight — swept immediately); (2) _temporary
+        // presence — the committer is mid-job; (3) a race-tolerant
+        // listing — children vanishing mid-iteration (job-commit
+        // renames) mean in-flight, treat as non-empty.
+        (touchedDirs.contains(st.getPath.getName) ||
+          now0 - st.getModificationTime >= EmptyDirSweepGraceMs) &&
           !f.exists(new Path(st.getPath, "_temporary")) &&
           scala.util.Try(listDataFiles(st.getPath).isEmpty).getOrElse(false)
       }
