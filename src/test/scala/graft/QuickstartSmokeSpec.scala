@@ -82,4 +82,23 @@ class QuickstartSmokeSpec extends SparkSpec {
         emb.where(col("vec_id") === 0L), k = 50, nprobe = 4)
       .where(col("vid") === 3L).isEmpty)
   }
+
+  test("quickstart: the index follows its corpus table (CDF sync)") {
+    val store = new TableStore(spark, tmpDir("qs-sync"))
+    val emb = (0L until 60L).map(i => (i, Array.tabulate(8)(d =>
+      (i % 3) * 10f + d * 0.1f))).toDF("vec_id", "embedding")
+    store.create("corpus", emb.where(col("vec_id") < 40))
+    // bind the index to the corpus version it saw at build time...
+    VectorIndex.buildIvfIndexFromTable(store, "ix", "corpus",
+      nlist = 4, kmeansIters = 1)
+    // ...let the table evolve through normal commits...
+    store.append("corpus", emb.where(col("vec_id") >= 40))
+    store.deleteWhere("corpus", col("vec_id") === 7L)
+    // ...then one call applies the change feed: atomic, exactly-once,
+    // O(changed data) — the index never serves a purged id again
+    VectorIndex.syncIvfIndex(store, "ix", "corpus")
+    val ids = store.read(VectorIndex.listsTable("ix"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == (0L until 60L).toSet - 7L)
+  }
 }
