@@ -142,9 +142,6 @@ object GraftSql {
     // a wide store doesn't pay O(tables × statements) manifest reads.
     // Precedence caveat: a session temp view sharing a MENTIONED store
     // table's name is replaced — the store is the system of record.
-    def mentioned(t: String): Boolean =
-      ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
-        .findFirstIn(script).isDefined
     // a BEGIN opened by an OUTER caller (executeTransaction) is that
     // caller's to close; one opened by THIS script must be closed by
     // this script — an unbalanced BEGIN would leave the store
@@ -154,8 +151,7 @@ object GraftSql {
       try runnable.map { stmt =>
         // re-listed per statement: a table the script itself CREATEs
         // must resolve in the statements after its CTAS
-        store.tables().filter(mentioned)
-          .foreach(t => store.read(t).createOrReplaceTempView(t))
+        registerMentioned(store, script)
         executeStmt(spark, store, stmt, allowTxnControl = true)
       }.last
       catch { case t: Throwable =>
@@ -205,6 +201,21 @@ object GraftSql {
     * A commit retry that fails again leaves the intent for
     * [[TableStore.recoverTransactions]]; either way the ORIGINAL
     * failure is what surfaces to the caller. */
+  /** S10 hand-off: refresh a temp view for each store table `sql`
+    * mentions by name, so plain SELECTs resolve store tables at the
+    * current manifest (a view registered once would pin an old one).
+    * Scoped to mentioned tables: unrelated session views survive and
+    * a wide store doesn't pay O(tables) manifest reads per statement.
+    * Precedence caveat: a session temp view sharing a MENTIONED store
+    * table's name is replaced — the store is the system of record. */
+  private def registerMentioned(store: TableStore, sql: String): Unit = {
+    def mentioned(t: String): Boolean =
+      ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
+        .findFirstIn(sql).isDefined
+    store.tables().filter(mentioned)
+      .foreach(t => store.read(t).createOrReplaceTempView(t))
+  }
+
   private def unwindOrFinish(store: TableStore): Unit =
     try store.rollbackTransaction()
     catch { case _: IllegalStateException =>
@@ -220,8 +231,12 @@ object GraftSql {
     * rolls back on imbalance) and [[executeTransaction]] may open
     * one — a bare `execute("BEGIN")` would leave the store silently
     * staging every later commit with nothing guarding the close. */
-  def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame =
+  def execute(spark: SparkSession, store: TableStore, sql: String): DataFrame = {
+    // the quickstart's most obvious line — `execute("SELECT * FROM t")`
+    // — must resolve store tables just like a script statement does
+    registerMentioned(store, sql)
     executeStmt(spark, store, sql, allowTxnControl = false)
+  }
 
   private def executeStmt(spark: SparkSession, store: TableStore,
                           sql: String, allowTxnControl: Boolean): DataFrame = {

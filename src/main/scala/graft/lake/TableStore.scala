@@ -890,11 +890,19 @@ final class TableStore(private[graft] val spark: SparkSession,
     val ck = (table, physCol, key)
     val hit = bloomProbeCache.get(ck)
     if (hit != null) return Some(hit)
+    // a sidecar that failed before is no-index until its bytes
+    // change — never a probe job per plan against known-bad bits.
+    // The stamp is taken BEFORE the probe job: a rebuild landing
+    // while the probe runs changes the live stamp, so stamping a
+    // failure with this PRE-probe value can never mark the healthy
+    // rebuilt sidecar broken (it would stay disabled until its
+    // bytes changed again — conservative but needlessly blind).
+    val broken = bloomBroken.get((table, physCol))
+    val preStamp = try bloomStamp(p) catch {
+      case scala.util.control.NonFatal(_) => return None
+    }
+    if (broken != null && broken.longValue == preStamp) return None
     try {
-      // a sidecar that failed before is no-index until its bytes
-      // change — never a probe job per plan against known-bad bits
-      val broken = bloomBroken.get((table, physCol))
-      if (broken != null && broken.longValue == bloomStamp(p)) return None
       import spark.implicits._
       val rejects = udf((bits: Array[Byte]) =>
         !org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -913,8 +921,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       if (!bloomBroken.containsKey(bk))
         println(s"[graft] bloom index $table.$physCol failed to probe " +
           s"and is DISABLED until its sidecar changes: ${e.getMessage}")
-      try bloomBroken.put(bk, bloomStamp(p))
-      catch { case scala.util.control.NonFatal(_) => () }
+      bloomBroken.put(bk, preStamp)
       None
     }
   }
@@ -1102,6 +1109,21 @@ final class TableStore(private[graft] val spark: SparkSession,
       txn = Some((app, version)), readSnapshot = readSnapshot,
       op = "OVERWRITE")
 
+  /** Overwrite RE-ASSERTING an application watermark verbatim — for
+    * maintenance that rewrites a table's contents WITHOUT advancing
+    * the app's cursor (an index rebuild re-committing its change-feed
+    * binding so the watermark rides the new head manifest instead of
+    * stranding in an old one a vacuum will drop). Unlike
+    * [[overwriteTxn]], the replay guard is OFF: re-publishing the
+    * SAME version is the point here, not a redelivery to suppress —
+    * so this must never be used for at-least-once batch commits. */
+  def overwriteReassertTxn(table: String, df: DataFrame,
+                           app: String, version: Long,
+                           readSnapshot: Option[Long] = None): Unit =
+    commit(table, df, carried = _ => Nil, mustCreate = false,
+      txn = Some((app, version)), txnReassert = true,
+      readSnapshot = readSnapshot, op = "OVERWRITE")
+
   /** Append recording an application transaction watermark in the
     * SAME atomic commit — the micro-batch half of [[overwriteTxn]]:
     * a streaming `foreachBatch` gets exactly-once appends by checking
@@ -1144,6 +1166,32 @@ final class TableStore(private[graft] val spark: SparkSession,
       if (!fs(m).exists(m)) return None
       val hit = readSmallFile(m).split("\n").collectFirst {
         case l if l.startsWith(prefix) => l.stripPrefix(prefix).trim.toLong
+      }
+      if (hit.isDefined) return hit
+      v -= 1
+    }
+    None
+  }
+
+  /** Latest (app, watermark) among apps whose id starts with
+    * `appPrefix`, walking down from the current version like
+    * [[lastTxn]]. For maintenance that must REDISCOVER a binding it
+    * didn't create — e.g. an index rebuild carrying forward the
+    * change-feed watermark `buildIvfIndexFromTable` recorded, without
+    * being told which corpus table the index follows. The app id is
+    * everything before the LAST ':' (app ids never contain ':' by
+    * construction, but the split tolerates one defensively). */
+  def lastTxnMatching(table: String, appPrefix: String): Option[(String, Long)] = {
+    val prefix = s"$TxnHeader$appPrefix"
+    var v = currentVersion(table).getOrElse(return None)
+    while (v >= 0) {
+      val m = manifestFile(table, v)
+      if (!fs(m).exists(m)) return None
+      val hit = readSmallFile(m).split("\n").collectFirst {
+        case l if l.startsWith(prefix) =>
+          val rest = l.stripPrefix(TxnHeader)
+          val i = rest.lastIndexOf(':')
+          (rest.substring(0, i), rest.substring(i + 1).trim.toLong)
       }
       if (hit.isDefined) return hit
       v -= 1
@@ -1944,6 +1992,7 @@ final class TableStore(private[graft] val spark: SparkSession,
                      requireWithin: Option[Set[String]] = None,
                      physicalFrame: Boolean = false,
                      txn: Option[(String, Long)] = None,
+                     txnReassert: Boolean = false,
                      preserveLayout: Boolean = false,
                      readSnapshot: Option[Long] = None,
                      ingest: Option[Seq[String]] = None,
@@ -2047,7 +2096,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       // FIRST-ever batch on a long-retained table pays one full
       // manifest scan before returning None — once per app, inside
       // the claim. Acceptable: vacuum bounds retained versions.
-      txn.foreach { case (app, ver) =>
+      if (!txnReassert) txn.foreach { case (app, ver) =>
         if (lastTxn(table, app).exists(_ >= ver))
           throw new TableStore.TxnAlreadyApplied(app, ver)
       }
@@ -2605,12 +2654,30 @@ final class TableStore(private[graft] val spark: SparkSession,
         // presence — the committer is mid-job; (3) a race-tolerant
         // listing — children vanishing mid-iteration (job-commit
         // renames) mean in-flight, treat as non-empty.
+        // Guards (1) and (2) assume filesystem semantics an OBJECT
+        // STORE doesn't give (dir mtimes are synthetic — often 0, so
+        // every dir looks "old" — and cloud-native committers never
+        // create _temporary): there, never-referenced dirs are left
+        // to vacuumOrphans' TTL, and only dirs THIS pass emptied
+        // (manifest-referenced, provably not in-flight) are swept.
         (touchedDirs.contains(st.getPath.getName) ||
-          now0 - st.getModificationTime >= EmptyDirSweepGraceMs) &&
+          (!onObjectStore(table) &&
+            now0 - st.getModificationTime >= EmptyDirSweepGraceMs)) &&
           !f.exists(new Path(st.getPath, "_temporary")) &&
           scala.util.Try(listDataFiles(st.getPath).isEmpty).getOrElse(false)
       }
       .foreach(st => f.delete(st.getPath, true))
+  }
+
+  /** Whether this table's files live on an object store (no real
+    * directories: synthetic mtimes, rename = copy, cloud committers
+    * skip `_temporary`) — the backends where mtime/_temporary-based
+    * in-flight-writer heuristics fail OPEN and must not be trusted. */
+  private def onObjectStore(table: String): Boolean = {
+    val scheme = Option(tablePath(table).toUri.getScheme)
+      .getOrElse("file").toLowerCase
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "obs",
+      "wasb", "wasbs", "abfs", "abfss", "swift").contains(scheme)
   }
 
   /** Grace before an apparently-empty commit dir may be swept — must

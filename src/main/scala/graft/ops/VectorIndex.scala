@@ -513,11 +513,42 @@ object VectorIndex {
   def rebuildIvfIndex(store: TableStore, name: String, nlist: Int = 16,
                       kmeansIters: Int = 2, idCol: String = "vec_id",
                       vecCol: String = "embedding"): Unit = {
+    val lt = listsTable(name)
+    // an attribute-built index keeps its attributes across rebuilds —
+    // they are derived from the stored lists schema, not re-declared
+    // by the caller (dropping them would silently break filtered
+    // search AND poison colsCache so later appends stop carrying them)
+    val attrs = store.read(lt).columns.toSeq
+      .filterNot(Set("cent_id", idCol, vecCol))
+    // an index bound to a corpus table's change feed keeps its
+    // binding: the rebuild re-commits the lists under the SAME app id
+    // and watermark, so syncIvfIndex keeps pulling the feed from where
+    // the last sync left it (a plain overwrite would strand the
+    // watermark in an old manifest and unbind once it's vacuumed)
+    val binding = store.lastTxnMatching(lt, "ivf-sync-")
     // pin the read before the overwrite swings the pointer; the old
     // version's files stay on disk until a VACUUM, so the rebuild's
     // write can keep reading them
-    val corpus = store.read(listsTable(name)).select(col(idCol), col(vecCol))
-    buildIvfIndex(store, name, corpus, nlist, kmeansIters, idCol, vecCol)
+    val corpus = store.read(lt)
+      .select((Seq(idCol, vecCol) ++ attrs).map(col): _*)
+    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+      idCol, vecCol)
+    val lists = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+        carryCols = attrs)
+      .select((Seq("cent_id", idCol, vecCol) ++ attrs).map(col): _*)
+    val ct = centroidsTable(name)
+    if (store.exists(ct)) store.overwrite(ct, cents)
+    else store.create(ct, cents)
+    binding match {
+      // re-ASSERT (not advance) the watermark: the rebuild rewrites
+      // content the syncs already applied, so the cursor must stay
+      // where the last sync left it — overwriteTxn's replay guard
+      // would see the equal version and no-op the whole rebuild
+      case Some((app, v)) => store.overwriteReassertTxn(lt, lists, app, v)
+      case None           => store.overwrite(lt, lists)
+    }
+    colsCache.put((store.rootPath, lt),
+      Seq("cent_id", idCol, vecCol) ++ attrs)
   }
 
   /** Scan-free index profile: one row per inverted list with its live

@@ -982,7 +982,9 @@ object PipelineQueries {
       // the oracle proving both statements preserve every row
       g("OPTIMIZE lc")
       g("VACUUM lc RETAIN 1 VERSIONS")
-      store.read("lc").orderBy("k")
+      // the quickstart's most obvious line: a bare SELECT through
+      // single-statement execute resolves the store table by name
+      g("SELECT k, name, r FROM lc ORDER BY k")
     },
     Some("""WITH base AS (
         |  SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r

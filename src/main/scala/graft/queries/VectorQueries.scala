@@ -504,8 +504,11 @@ object VectorQueries {
         nprobeSql = "(SELECT np FROM npv)",
         extraCtes = """
           |selv AS (
-          |  SELECT greatest(count(*) FILTER (WHERE label < 5) * 1.0
-          |                    / count(*), 1e-9) AS s
+          |  -- both counts CAST to DOUBLE so DuckDB performs the same
+          |  -- IEEE double division Spark does (DECIMAL-first division
+          |  -- can land one probe off at a ceil() integer boundary)
+          |  SELECT greatest(CAST(count(*) FILTER (WHERE label < 5) AS DOUBLE)
+          |                    / CAST(count(*) AS DOUBLE), 1e-9) AS s
           |  FROM embeddings),
           |npv AS (
           |  SELECT greatest(4, least(16, CAST(ceil(4 / s) AS BIGINT))) AS np
@@ -712,8 +715,11 @@ object VectorQueries {
         nprobeSql = "(SELECT np FROM npv)",
         extraCtes = """
           |selv AS (
-          |  SELECT greatest(count(*) FILTER (WHERE label < 5) * 1.0
-          |                    / count(*), 1e-9) AS s
+          |  -- both counts CAST to DOUBLE so DuckDB performs the same
+          |  -- IEEE double division Spark does (DECIMAL-first division
+          |  -- can land one probe off at a ceil() integer boundary)
+          |  SELECT greatest(CAST(count(*) FILTER (WHERE label < 5) AS DOUBLE)
+          |                    / CAST(count(*) AS DOUBLE), 1e-9) AS s
           |  FROM embeddings),
           |npv AS (
           |  SELECT greatest(4, least(16, CAST(ceil(4 / s) AS BIGINT))) AS np

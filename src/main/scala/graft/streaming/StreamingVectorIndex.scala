@@ -46,7 +46,10 @@ object StreamingVectorIndex {
     * every new batch with id ≤ the persisted watermark would be
     * skipped as a "replay" — silent data LOSS, the exact inverse of
     * the duplicate protection the watermark provides (the same caveat
-    * Delta attaches to txnAppId/txnVersion idempotent writes). */
+    * Delta attaches to txnAppId/txnVersion idempotent writes).
+    * Defense in depth: a batch id STRICTLY below the watermark is
+    * detected at the first micro-batch and fails the query loudly
+    * (see `guardBatchIdRegression`) instead of no-oping forever. */
   def startIngest(spark: SparkSession, sourceDir: String,
                   store: TableStore, name: String,
                   checkpointDir: String,
@@ -88,7 +91,9 @@ object StreamingVectorIndex {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding"): Unit = {
     val lt = VectorIndex.listsTable(name)
-    val replayed = store.lastTxn(lt, appId(name)).exists(_ >= batchId)
+    val wm = store.lastTxn(lt, appId(name))
+    guardBatchIdRegression(wm, batchId, appId(name), name)
+    val replayed = wm.exists(_ >= batchId)
     if (!replayed) {
       val cents = store.read(VectorIndex.centroidsTable(name))
       // cached per (store, index): the lists schema is fixed at build
@@ -144,10 +149,36 @@ object StreamingVectorIndex {
                                        idCol: String = "vec_id",
                                        vecCol: String = "embedding"): Unit = {
     val ct = VectorIndex.codesTable(name)
-    val replayed = store.lastTxn(ct, pqAppId(name)).exists(_ >= batchId)
+    val wm = store.lastTxn(ct, pqAppId(name))
+    guardBatchIdRegression(wm, batchId, pqAppId(name), name)
+    val replayed = wm.exists(_ >= batchId)
     if (!replayed)
       store.appendTxn(ct,
         VectorIndex.encodeForIvfPq(store, name, batch, m, idCol, vecCol),
         pqAppId(name), batchId)
   }
+
+  /** A batch id BELOW the persisted watermark is never a legitimate
+    * crash replay: with a stable checkpoint Spark re-delivers at most
+    * the LAST batch (id == watermark — the crash landed between our
+    * commit and the offset commit), and ids are monotonic within one
+    * query. Strictly-below means the query restarted WITHOUT its
+    * checkpoint (ids reset to 0) — every new batch would silently
+    * no-op as a "replay", i.e. data LOSS — or a zombie instance is
+    * racing the replacement driver on stale work. Both must die
+    * loudly, not skip quietly. */
+  private def guardBatchIdRegression(watermark: Option[Long], batchId: Long,
+                                     app: String, name: String): Unit =
+    watermark.filter(_ > batchId).foreach { w =>
+      throw new IllegalStateException(
+        s"streaming batch-id REGRESSION on index '$name': batch $batchId " +
+          s"arrived strictly below the persisted exactly-once watermark $w " +
+          s"(app '$app'). This means the query restarted WITHOUT its " +
+          "original checkpoint (batch ids reset to 0, and every new batch " +
+          "would be silently dropped as a replay) or a zombie writer is " +
+          "racing a replacement driver. Restart the ingest from its " +
+          "original durable checkpointLocation; to intentionally start " +
+          "over, rebuild the index (which resets the watermark) and use " +
+          "a fresh checkpoint.")
+    }
 }

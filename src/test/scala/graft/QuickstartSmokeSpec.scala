@@ -50,7 +50,10 @@ class QuickstartSmokeSpec extends SparkSpec {
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
     val was = GraftSql.execute(spark, store, "SELECT * FROM t VERSION AS OF 0")
     GraftSql.execute(spark, store, "OPTIMIZE t")
-    assert(store.read("t").count() == 3 && was.count() == 2)
+    // a bare SELECT resolves the store table at the CURRENT manifest
+    val now = GraftSql.execute(spark, store, "SELECT * FROM t")
+    assert(store.read("t").count() == 3 && was.count() == 2
+      && now.count() == 3)
   }
 
   test("quickstart: LLM data ops (dedup + persisted ANN)") {

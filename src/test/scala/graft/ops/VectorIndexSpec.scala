@@ -481,6 +481,42 @@ class VectorIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("buildIvfIndexFromTable"))
   }
 
+  test("rebuild preserves attribute columns and the change-feed binding") {
+    val store = new TableStore(spark, tmpDir("ivfrebuild"))
+    val emb = corpus(200).withColumn("label",
+      (col("vec_id") % 3).cast("int"))
+    store.create("corpus", emb.where(col("vec_id") % 2 === 0))
+    VectorIndex.buildIvfIndexFromTable(store, "ix", "corpus",
+      nlist = 4, kmeansIters = 1, attrCols = Seq("label"))
+    // retrain with different nlist — attributes must survive the
+    // rebuild (derived from the stored lists, not re-declared)...
+    VectorIndex.rebuildIvfIndex(store, "ix", nlist = 8, kmeansIters = 2)
+    val lists = store.read(VectorIndex.listsTable("ix"))
+    assert(lists.columns.contains("label"),
+      "rebuild dropped the carried attribute columns")
+    assert(lists.where(col("label").isNull).count() == 0L)
+    // ...filtered search still works over the rebuilt lists...
+    val got = VectorIndex.searchIvfIndexFiltered(store, "ix",
+        emb.where(col("vec_id") < 4), k = 5, nprobe = 2,
+        filter = col("label") === 1)
+      .select("vid").as[Long].collect().toSeq
+    assert(got.nonEmpty && got.forall(_ % 3 == 1))
+    // ...an append through the refreshed colsCache keeps carrying them...
+    VectorIndex.appendToIvfIndex(store, "ix",
+      emb.where(col("vec_id") === 1L))
+    assert(store.read(VectorIndex.listsTable("ix"))
+      .where(col("label").isNull).count() == 0L)
+    // ...and the sync binding survives: the corpus keeps evolving and
+    // syncIvfIndex still follows the feed instead of refusing
+    store.append("corpus", emb.where(col("vec_id") % 2 === 1
+      && col("vec_id") =!= 1L))
+    assert(VectorIndex.syncIvfIndex(store, "ix", "corpus").isDefined,
+      "rebuild lost the buildIvfIndexFromTable watermark")
+    val ids = store.read(VectorIndex.listsTable("ix"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == ids.distinct.size && ids.toSet == (0L until 200L).toSet)
+  }
+
   test("append after an attributed build carries the attribute columns") {
     val store = new TableStore(spark, tmpDir("ivfidx"))
     val emb = corpus(200).withColumn("label",

@@ -128,6 +128,44 @@ class StreamingVectorIndexSpec extends SparkSpec {
     assert(store.lastTxn(lt, "ivf-ingest-ix").contains(7L))
   }
 
+  test("restart without the checkpoint fails loudly on batch-id regression") {
+    // a query restarted WITHOUT its checkpoint gets fresh batch ids
+    // from 0; under the watermark those batches would silently no-op
+    // as "replays" — data loss. The guard must kill the query instead.
+    val store = new TableStore(spark, tmpDir("sivf-regress"))
+    VectorIndex.buildIvfIndex(store, "ix", corpus(0, 60), nlist = 4,
+      kmeansIters = 1)
+    StreamingVectorIndex.ingestBatch(store, "ix", corpus(100, 10),
+      batchId = 5L)
+    val before = store.read(VectorIndex.listsTable("ix")).count()
+    val e = intercept[IllegalStateException] {
+      StreamingVectorIndex.ingestBatch(store, "ix", corpus(110, 5),
+        batchId = 0L)
+    }
+    assert(e.getMessage.contains("REGRESSION")
+      && e.getMessage.contains("checkpoint"))
+    // the loud failure committed nothing — and a replay of the LAST
+    // batch id (the one legitimate at-least-once case) still no-ops
+    assert(store.read(VectorIndex.listsTable("ix")).count() == before)
+    StreamingVectorIndex.ingestBatch(store, "ix", corpus(100, 10),
+      batchId = 5L)
+    assert(store.read(VectorIndex.listsTable("ix")).count() == before)
+  }
+
+  test("PQ ingest fails loudly on batch-id regression too") {
+    val store = new TableStore(spark, tmpDir("sivfpq-regress"))
+    VectorIndex.buildIvfPqIndex(store, "px", corpus(0, 60), nlist = 4,
+      m = 4, ksub = 8, kmeansIters = 1)
+    StreamingVectorIndex.ingestPqBatch(store, "px", corpus(100, 10),
+      batchId = 3L, m = 4)
+    val before = store.read(VectorIndex.codesTable("px")).count()
+    intercept[IllegalStateException] {
+      StreamingVectorIndex.ingestPqBatch(store, "px", corpus(110, 5),
+        batchId = 1L, m = 4)
+    }
+    assert(store.read(VectorIndex.codesTable("px")).count() == before)
+  }
+
   test("a crash-replayed micro-batch commits exactly once") {
     val store = new TableStore(spark, tmpDir("sivf-once"))
     VectorIndex.buildIvfIndex(store, "ix", corpus(0, 60), nlist = 4,
