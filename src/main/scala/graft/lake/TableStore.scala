@@ -1372,14 +1372,75 @@ final class TableStore(private[graft] val spark: SparkSession,
   def compact(table: String): Unit = {
     var attempts = 0
     var done = false
-    while (!done) {
-      attempts += 1
-      val rs = currentVersion(table).getOrElse(
-        throw new IllegalStateException(s"table $table does not exist"))
-      try { overwrite(table, readVersion(table, rs), readSnapshot = Some(rs),
-        op = "COMPACT"); done = true }
-      catch { case e: SnapshotConflictException =>
-        if (attempts >= 5) throw e }
+    var raised = false
+    try {
+      while (!done) {
+        attempts += 1
+        val rs = currentVersion(table).getOrElse(
+          throw new IllegalStateException(s"table $table does not exist"))
+        try { overwrite(table, readVersion(table, rs), readSnapshot = Some(rs),
+          op = "COMPACT"); done = true }
+        catch { case e: SnapshotConflictException =>
+          if (attempts >= 8) throw e
+          // two straight losses mean a HOT writer: without priority
+          // the fold defers forever and the table's merge-on-read
+          // debt (one anti-join per read) grows unbounded. Raise the
+          // janitor claim — writers back off at their claim point
+          // until the fold lands or the marker's TTL expires — and
+          // recompute from the new head.
+          if (attempts >= 2 && !raised) { raiseJanitor(table); raised = true }
+        }
+      }
+    } finally if (raised) clearJanitor(table)
+  }
+
+  /** The janitor priority claim: while `_JANITOR` holds an unexpired
+    * deadline, every OTHER writer's claim attempt on the table waits —
+    * the backpressure that bounds merge-on-read debt under continuous
+    * ingest (a fold that loses every snapshot race defers forever; a
+    * soak proves ingest alone will outrun it). TTL-bounded so a
+    * crashed janitor can't wedge writers: the marker self-expires and
+    * any later fold republishes it. */
+  private def janitorMarker(table: String): Path =
+    new Path(tablePath(table), "_JANITOR")
+
+  /** Must exceed one fold's duration at your scale — an expired
+    * marker mid-fold just means writers stop yielding (the fold then
+    * retries under conflict, the pre-priority behavior). */
+  private val JanitorTtlMs: Long = 10 * 60 * 1000L
+
+  /** True on the thread that raised the janitor marker: its own fold
+    * commit must pass `awaitJanitor`, not deadlock on it. */
+  private val janitorThread: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  private def raiseJanitor(table: String): Unit = {
+    claims.publish(janitorMarker(table),
+      (System.currentTimeMillis() + JanitorTtlMs).toString)
+    janitorThread.set(java.lang.Boolean.TRUE)
+  }
+
+  private def clearJanitor(table: String): Unit = {
+    janitorThread.set(java.lang.Boolean.FALSE)
+    try { val m = janitorMarker(table); fs(m).delete(m, false); () }
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Writer-side half of the priority claim: wait while a fresh
+    * janitor marker is up. A torn/vanished marker or an expired
+    * deadline means no janitor — proceed. Bounded by the marker's own
+    * deadline, so a crashed janitor stalls writers at most TTL. */
+  private def awaitJanitor(table: String): Unit = {
+    if (janitorThread.get().booleanValue) return
+    val m = janitorMarker(table)
+    while (true) {
+      val deadline =
+        try {
+          if (!fs(m).exists(m)) return
+          readSmallFile(m).trim.toLong
+        } catch { case scala.util.control.NonFatal(_) => return }
+      if (System.currentTimeMillis() > deadline) return
+      Thread.sleep(25)
     }
   }
 
@@ -2209,6 +2270,11 @@ final class TableStore(private[graft] val spark: SparkSession,
           "transaction's staged commit (recoverTransactions), or another " +
           "instance's OPEN transaction holds the version; cross-instance " +
           "writes must wait for that transaction to finish")
+      // priority yield: a janitor holding the table's _JANITOR marker
+      // is folding merge-on-read debt it kept losing races for —
+      // writers wait here (claim point, after their data is staged)
+      // so the fold lands; TTL-bounded, janitor's own thread exempt
+      awaitJanitor(table)
       val cur = currentVersion(table)
       if (mustCreate && cur.isDefined) {
         onExists()
@@ -2353,6 +2419,18 @@ final class TableStore(private[graft] val spark: SparkSession,
   def changes(table: String, fromV: Long, toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast => bc, col, lit}
     require(fromV <= toV, s"fromV $fromV must be <= toV $toV")
+    // a range of content-neutral rewrites (COMPACT / OPTIMIZE /
+    // z-order) preserves the row bag by contract: emit the empty feed
+    // directly instead of falling back to the O(table) two-sided bag
+    // diff a rewrite normally forces — this is what keeps "maintenance
+    // ran between syncs" from turning an incremental consumer's next
+    // pull into a full-table scan
+    val neutralOps = Set("COMPACT", "OPTIMIZE", "OPTIMIZE (zorder)")
+    if (fromV < toV &&
+        ((fromV + 1) to toV).forall(v => neutralOps(operationOf(table, v))))
+      return readVersion(table, toV).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
     // every version in the range is consulted both as "current" and
     // "previous" — read each manifest file once
     val man = scala.collection.mutable.LongMap.empty[Seq[String]]

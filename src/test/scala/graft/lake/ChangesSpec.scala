@@ -79,6 +79,27 @@ class ChangesSpec extends SparkSpec {
     telescopes(store, "t", 0L, 1L)
   }
 
+  test("a content-neutral rewrite range short-circuits to an empty feed") {
+    val store = freshStore()
+    store.create("t", Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    store.appendWithDeletes("t", Seq((2, "B")).toDF("id", "v"),
+      Seq(Tuple1(2)).toDF("id"))
+    val pre = store.currentVersion("t").get
+    store.compact("t")
+    val cur = store.currentVersion("t").get
+    assert(cur == pre + 1)
+    // COMPACT preserves the row bag by contract: the feed is empty
+    // WITHOUT the O(table) endpoint bag diff a rewrite normally forces
+    assert(store.changes("t", pre, cur).isEmpty)
+    telescopes(store, "t", pre, cur)
+    // the short-circuit never opens the range's LOWER endpoint, so it
+    // still answers after that manifest is vacuumed — the case where
+    // an incremental consumer's cursor sits just below a maintenance
+    // rewrite the vacuum has since aged out
+    store.vacuum("t", keep = 1)
+    assert(store.changes("t", pre, cur).isEmpty)
+  }
+
   test("changesSince drives a cursor-based sync loop") {
     val store = freshStore()
     store.create("t", Seq((1, "a")).toDF("id", "v"))

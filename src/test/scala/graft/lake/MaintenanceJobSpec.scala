@@ -94,6 +94,68 @@ class MaintenanceJobSpec extends SparkSpec {
     assert(store.read("a").count() == 2 && store.read("b").count() == 2)
   }
 
+  test("the pass syncs bound vector indexes and leaves no cursor below " +
+    "the vacuum horizon") {
+    import graft.ops.{Similarity, VectorIndex}
+    def corpus(from: Int, n: Int) =
+      (from until from + n).map { i =>
+        val base = (i % 4) * 10.0f
+        (i.toLong,
+          Array.tabulate(8)(d => base + ((i * 7 + d * 3) % 5) * 0.1f))
+      }.toDF("vec_id", "embedding")
+    val root = tmpDir("maint-idx")
+    val store = new TableStore(spark, root)
+    store.create("corpus", corpus(0, 100))
+    VectorIndex.buildIvfIndexFromTable(store, "ix", "corpus",
+      nlist = 4, kmeansIters = 1)
+    VectorIndex.buildIvfPqIndexFromTable(store, "px", "corpus",
+      nlist = 4, m = 4, ksub = 8, kmeansIters = 1)
+    // the corpus evolves while nothing maintains the indexes by hand
+    store.append("corpus", corpus(100, 40))
+    store.deleteWhere("corpus", col("vec_id") % 5 === 2L)
+
+    // one pass: syncs both bound indexes, compacts the corpus's dv
+    // debt, vacuums aggressively (keep=1) — the catch-up sync must
+    // keep the cursors valid across that vacuum
+    val s = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "corpus",
+      claimTtlMs = 60 * 60 * 1000L, compactDebt = 1, vacuumKeep = 1))
+    assert(s.compacted)
+    assert(s.indexesSynced.size == 2 &&
+      s.indexesSynced.forall(_.contains('@')),
+      s"expected both indexes version-stamped, got ${s.indexesSynced}")
+
+    // the lists mirror the corpus's final state exactly
+    val want = (0L until 140L).filterNot(_ % 5 == 2).toSet
+    val ids = store.read(VectorIndex.listsTable("ix"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == want)
+    // ivf_ann_synced-style parity: search over the maintained index ≡
+    // in-query search over the corpus with the index's own centroids
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    val probes = corpus(0, 6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val got = rows(
+      VectorIndex.searchIvfIndex(store, "ix", probes, k = 5, nprobe = 3))
+    val replay = rows(Similarity.ivfSearch(store.read("corpus"), probes,
+      cents, k = 5, nprobe = 3))
+    assert(got.nonEmpty && got == replay)
+    // PQ side: every surviving id carries exactly m code rows
+    val perId = store.read(VectorIndex.codesTable("px"))
+      .groupBy("vec_id").count().select("count").as[Long].collect()
+    assert(perId.nonEmpty && perId.forall(_ == 4L))
+
+    // a quiet second pass reports the indexes as already current (no
+    // version stamp) — and, critically, does not blow up pulling a
+    // feed across the first pass's compaction + keep=1 vacuum
+    val s2 = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "corpus",
+      claimTtlMs = 60 * 60 * 1000L, compactDebt = 99, vacuumKeep = 1))
+    assert(s2.indexesSynced == Seq("ix", "px"),
+      s"expected quiet pass, got ${s2.indexesSynced}")
+  }
+
   test("arg parsing with defaults") {
     val a = MaintenanceJob.parseArgs(Array(
       "--store_root", "/lake", "--table", "t", "--compact_debt", "2"))

@@ -59,6 +59,92 @@ class SoakSpec extends SparkSpec {
 
   for ((pname, mkPrim) <- Seq[(String, () => Option[CommitPrimitive])](
       ("o-excl", () => None),
+      ("fake-s3", () => Some(new FakeS3Primitive))))
+  test(s"bound index follows a hot corpus: sync keeps parity, the " +
+    s"janitor's priority claim bounds merge-on-read debt [$pname]") {
+    val root = tmpDir("soak-idx")
+    val prim = mkPrim()
+    val store = new TableStore(spark, root, prim)
+    store.create("corpus", corpus(0, 100))
+    VectorIndex.buildIvfIndexFromTable(store, "ix", "corpus",
+      nlist = 4, kmeansIters = 1)
+
+    val nBatches = 10
+    val batchSize = 20
+    def batch(i: Int) = corpus(100 + i * batchSize, batchSize)
+
+    // every appendWithDeletes adds one del line; the maintenance loop
+    // folds at >= 2 and — with the janitor priority claim — LANDS the
+    // fold even though ingest never pauses, so post-pass debt can
+    // only be what raced in during the fold itself
+    val debtCeiling = 6
+    val maxDebtAfterPass = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new AtomicBoolean(false)
+    val failure = new AtomicReference[Throwable](null)
+    def guarded(r: => Unit): Runnable = () =>
+      try r catch { case t: Throwable =>
+        failure.compareAndSet(null, t); stop.set(true) }
+
+    val maintStore = new TableStore(spark, root, prim)
+    val lt = VectorIndex.listsTable("ix")
+    val maint = new Thread(guarded {
+      val ttl = 10 * 60 * 1000L
+      while (!stop.get()) {
+        maintStore.recoverTransactions(ttl)
+        maintStore.recoverStaleClaims("corpus", ttl)
+        maintStore.vacuumOrphans("corpus", ttl)
+        // the MaintenanceJob pass shape: index sync first (append-only
+        // feed range), then the debt folds — compact() now escalates
+        // to its priority claim instead of deferring forever
+        VectorIndex.syncIvfIndex(maintStore, "ix", "corpus")
+        if (maintStore.deleteDebt("corpus") >= 2)
+          maintStore.compact("corpus")
+        if (maintStore.deleteDebt(lt) >= 2) maintStore.compact(lt)
+        val d = maintStore.deleteDebt("corpus")
+        maxDebtAfterPass.getAndUpdate(m => math.max(m, d))
+        Thread.sleep(30)
+      }
+    })
+    maint.start()
+    try {
+      (0 until nBatches).foreach { i =>
+        // hot ingest with merge-on-read debt accrual: each batch
+        // appends AND equality-deletes a key from an earlier batch
+        store.appendWithDeletes("corpus", batch(i),
+          Seq(100L + i).toDF("vec_id"))
+      }
+    } finally { stop.set(true); maint.join(60000) }
+    if (failure.get() != null) throw failure.get()
+
+    assert(maxDebtAfterPass.get() <= debtCeiling,
+      s"debt after a maintenance pass reached ${maxDebtAfterPass.get()} " +
+        s"(> $debtCeiling): the fold is starving under ingest")
+
+    // final catch-up, then ivf_ann_synced-style parity: the index
+    // serves exactly what an in-query search over the corpus's final
+    // state (with the index's own centroids) serves
+    VectorIndex.syncIvfIndex(store, "ix", "corpus")
+    val deleted = (1 until nBatches).map(i => 100L + i).toSet
+    val ids = store.read(lt).select("vec_id").as[Long].collect().toSeq
+    assert(ids.size == ids.distinct.size, "a synced id landed twice")
+    assert(ids.toSet ==
+      (0L until (100L + nBatches * batchSize)).filterNot(deleted).toSet)
+    val cents = store.read(VectorIndex.centroidsTable("ix"))
+    val probes = corpus(0, 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rnk", "vid", "cos").orderBy("qid", "rnk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val got = rows(VectorIndex.searchIvfIndex(store, "ix", probes,
+      k = 5, nprobe = 3))
+    val replay = rows(Similarity.ivfSearch(store.read("corpus"), probes,
+      cents, k = 5, nprobe = 3))
+    assert(got.nonEmpty && got == replay,
+      "soaked index diverged from the corpus replay")
+  }
+
+  for ((pname, mkPrim) <- Seq[(String, () => Option[CommitPrimitive])](
+      ("o-excl", () => None),
       // ONE shared instance per leg: the fake bucket's claim ledger is
       // per-instance state, so every racing store must share it — on
       // real S3 the bucket itself is the shared ledger
