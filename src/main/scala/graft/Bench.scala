@@ -38,6 +38,36 @@ object Bench {
           try run(fn(spark, warmDir)) catch { case _: Throwable => () }
         }
     }
+    // Epoch canary: a fixed pure-Spark workload (no graft code, no
+    // testdata) timed right before the measured run. The box this
+    // bench runs on demonstrably drifts 1.1-1.6x within a round under
+    // sustained 32-thread load, which exceeded the tripwire's 1.5x
+    // threshold two rounds running — per-query times only compare
+    // within a box epoch, so the canary measures THIS run's epoch and
+    // tools/bench_compare.py scales every baseline by the ratio of
+    // run-canary to baseline-canary. Three legs cover the three cost
+    // shapes the suite is made of: codegen'd CPU, a hash-agg shuffle,
+    // and a sort; min-of-3 per leg, same contention discipline as the
+    // measured queries.
+    val canarySec: Double = {
+      import org.apache.spark.sql.functions._
+      val legs: Seq[() => Unit] = Seq(
+        () => run(spark.range(60000000L)
+          .select(sum((col("id") * 2654435761L) % 1000003).as("s"))),
+        () => run(spark.range(8000000L)
+          .groupBy((col("id") % 262144).as("k"))
+          .agg(count(lit(1)).as("n"), sum("id").as("s"))),
+        () => run(spark.range(4000000L)
+          .select(hash(col("id")).as("h")).orderBy("h")))
+      legs.foreach(f => f()) // warm the canary's own codegen
+      legs.map { f =>
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          f()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }.sum
+    }
     // Time each query N times and report the MIN: a single contended
     // sample on a shared host can read 5-10x slower than the query's
     // true cost and fake a regression. The max is kept as a noise gauge
@@ -69,7 +99,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
     println(fullJson)
     // The full record must survive log truncation: the driver keeps only
     // the tail of stdout, so round 9's official artifact carried
@@ -93,7 +123,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, mn, mx) => s"\"" + k + s"\":[$mn,$mx]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"reps":$reps,"failed":${failed.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"nqueries":${results.size},"reps":$reps,"failed":${failed.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED all reps: " +
         failed.mkString(", "))

@@ -213,6 +213,69 @@ object FileStats {
       }
     }.toMap
 
+  /** One parsed sidecar line: (fileKey, column, [[Stat]]). */
+  private def parseLine(line: String): Option[(String, String, Stat)] =
+    line.trim match {
+      case "" => None
+      case l => l.split("\t", -1) match {
+        case Array(f, c, tag, mn, mx) => Some((f, c, Stat(tag, mn, mx, None)))
+        case Array(f, c, tag, mn, mx, nulls) =>
+          Some((f, c, Stat(tag, mn, mx, nulls.toLongOption)))
+        case _ => None
+      }
+    }
+
+  /** Instrumentation from one [[streamRejects]] pass — the bounded-
+    * driver-memory proof a spec can assert on: resident state is ONE
+    * file's column group (`maxGroupCols` entries at peak) plus the
+    * rejected-key set (≤ `cap`), never the full (file, column) map. */
+  final case class StreamFoldStats(files: Long, lines: Long,
+                                   maxGroupCols: Int, capped: Boolean)
+
+  /** Fold a stats sidecar's lines into the set of file keys whose
+    * recorded stats PROVE the caller's predicate can't match —
+    * streaming, so driver memory is O(one file's columns + cap), not
+    * O(#files): at 10⁷ manifest files the materialized map
+    * ([[parse]]) is a multi-GB driver wall; this fold's resident
+    * state stays a few KB regardless of table size.
+    *
+    * `keep(colStats)` answers "could this file hold a matching row?"
+    * given the file's column → [[Stat]] group; `false` rejects it.
+    * Commit-written sidecars keep one file's lines contiguous, but
+    * contiguity is an optimization, not a correctness requirement: a
+    * key reappearing later is simply evaluated again over the later
+    * partial group, and a rejection proved from ANY subset of a
+    * file's recorded entries is still a valid proof (entries are
+    * per-column facts), while a never-rejected file is conservatively
+    * kept. Rejections past `cap` are dropped (files stay in the plan)
+    * so the returned set — the only O(#files)-shaped state — is
+    * bounded like the bloom probes' `MaxBloomRejects`. */
+  def streamRejects(lines: Iterator[String],
+                    keep: scala.collection.Map[String, Stat] => Boolean,
+                    cap: Int): (Set[String], StreamFoldStats) = {
+    val rejected = scala.collection.mutable.HashSet.empty[String]
+    val group = scala.collection.mutable.HashMap.empty[String, Stat]
+    var curKey: String = null
+    var nFiles = 0L; var nLines = 0L; var maxCols = 0; var capped = false
+    def flush(): Unit = if (curKey != null) {
+      nFiles += 1
+      if (group.size > maxCols) maxCols = group.size
+      if (!keep(group)) {
+        if (rejected.size < cap) rejected += curKey else capped = true
+      }
+      group.clear()
+    }
+    lines.foreach { raw =>
+      parseLine(raw).foreach { case (f, c, st) =>
+        nLines += 1
+        if (f != curKey) { flush(); curKey = f }
+        group(c) = st
+      }
+    }
+    flush()
+    (rejected.toSet, StreamFoldStats(nFiles, nLines, maxCols, capped))
+  }
+
   /** Can rows of a file with these stats satisfy the predicate?
     * Unknown/mismatched entries answer true (keep the file). */
   def mayMatch(entry: Option[Stat], pred: Pred): Boolean = pred match {

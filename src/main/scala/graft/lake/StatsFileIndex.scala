@@ -18,9 +18,13 @@ import org.apache.spark.sql.types.StructType
   *
   * At 100 TB this is the difference between the engine's own skipping
   * working everywhere and working only in the three queries that call
-  * the opt-in API: pruning happens driver-side from KB-sized sidecar
-  * metadata, before any footer is opened, and shows up directly in the
-  * scan's `numFiles` metric. Pruning is conservative by construction
+  * the opt-in API: pruning happens driver-side before any footer is
+  * opened, and shows up directly in the scan's `numFiles` metric.
+  * Driver memory is BOUNDED: the index never holds a materialized
+  * (file, column) → stat map — `statsRejects` streams the sidecar
+  * ([[FileStats.streamRejects]]) and returns only the capped set of
+  * provably-dead file keys, so a 10⁷-file manifest costs the planner
+  * a bounded reject set, not a multi-GB map. Pruning is conservative
   * (unknown columns/types/expressions keep the file; equality deletes
   * ride separate manifest lines and are untouched), so the result
   * always equals the unpruned scan filtered — the 172-query oracle
@@ -42,7 +46,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class StatsFileIndex(
     inner: InMemoryFileIndex,
-    stats: Map[(String, String), FileStats.Stat],
+    statsRejects: Seq[Expression] => Set[String],
     bloomRejects: (String, String) => Option[Set[String]] =
       (_, _) => None) extends FileIndex {
 
@@ -60,12 +64,12 @@ final class StatsFileIndex(
     val bloomRejected: Set[String] =
       dataFilters.flatMap(e => StatsFileIndex.rejectsOf(e, bloomRejects))
         .foldLeft(Set.empty[String])(_ ++ _)
-    if (stats.isEmpty && bloomRejected.isEmpty) dirs
+    val statRejected = statsRejects(dataFilters)
+    if (statRejected.isEmpty && bloomRejected.isEmpty) dirs
     else dirs.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         val key = FileStats.fileKey(f.getPath.toString)
-        !bloomRejected(key) && dataFilters.forall(e =>
-          FileStats.exprMayMatch(e, c => stats.get((key, c))))
+        !bloomRejected(key) && !statRejected(key)
       })
     }
   }

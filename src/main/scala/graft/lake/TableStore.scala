@@ -443,7 +443,8 @@ final class TableStore(private[graft] val spark: SparkSession,
     * `compact` folds the debt away. */
   def readVersion(table: String, v: Long): DataFrame =
     columnMapping(table, v).applyRead(
-      readLines(table, manifest(table, v), stats = statsFor(table, v)))
+      readLines(table, manifest(table, v),
+        statsRejects = statsRejectsFor(table, v)))
 
   /** Version `v`'s rows viewed under version `schemaV`'s column
     * mapping — how `changes(_, fromV, toV)` sees its fromV endpoint.
@@ -451,12 +452,13 @@ final class TableStore(private[graft] val spark: SparkSession,
   private[lake] def readVersionAs(table: String, v: Long,
                                   schemaV: Long): DataFrame =
     columnMapping(table, schemaV).applyRead(
-      readLines(table, manifest(table, v), stats = statsFor(table, v)))
+      readLines(table, manifest(table, v),
+        statsRejects = statsRejectsFor(table, v)))
 
   private def readLines(table: String, lines: Seq[String],
                         withRowId: Boolean = false,
-                        stats: Map[(String, String), FileStats.Stat] =
-                          Map.empty): DataFrame = {
+                        statsRejects: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Set[String] =
+                          _ => Set.empty): DataFrame = {
     val prefix = tablePath(table).toString
     // Commit group = the d-<uuid> dir the file was written into. Find
     // it by the path component, NOT by stripping this table's prefix:
@@ -492,7 +494,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       .map { case (base, fs) => (base, fs.map(_._1), fs.map(_._2).min) }
       .sortBy(_._3)
     groups.map { case (base, files, minIdx) =>
-      val raw = statsScan(base, files, stats,
+      val raw = statsScan(base, files, statsRejects,
         (c, k) => bloomRejectsCached(table, c, k))
       // positional deletion vectors (Iceberg/Delta DV shape): rows are
       // identified by (file, row position in file) — `_metadata`
@@ -539,7 +541,7 @@ final class TableStore(private[graft] val spark: SparkSession,
     * time — the DEFAULT read path's automatic data skipping. With no
     * stats recorded the index degenerates to the plain listing. */
   private def statsScan(base: String, files: Seq[String],
-                        stats: Map[(String, String), FileStats.Stat],
+                        statsRejects: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Set[String],
                         bloomRejects: (String, String) => Option[Set[String]] =
                           (_, _) => None)
       : DataFrame = {
@@ -552,7 +554,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       inMem.allFiles()).getOrElse(
         throw new IllegalStateException(
           s"could not infer parquet schema under $base"))
-    val rel = HadoopFsRelation(new StatsFileIndex(inMem, stats, bloomRejects),
+    val rel = HadoopFsRelation(new StatsFileIndex(inMem, statsRejects, bloomRejects),
       inMem.partitionSchema, dataSchema, None, fmt, opts)(spark)
     spark.baseRelationToDataFrame(rel)
   }
@@ -594,7 +596,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       throw new IllegalStateException(s"table $table does not exist"))
     FileStats.residual(columnMapping(table, v)
       .applyRead(readLines(table, pruneLines(table, v, pred),
-        stats = statsFor(table, v))), pred)
+        statsRejects = statsRejectsFor(table, v))), pred)
   }
 
   /** Manifest lines of version `v` with stats-excluded data files
@@ -604,11 +606,17 @@ final class TableStore(private[graft] val spark: SparkSession,
     * predicate's logical column resolves through the mapping first. */
   private[lake] def pruneLines(table: String, v: Long,
                                pred: FileStats.Pred): Seq[String] = {
-    val stats = statsFor(table, v)
     val physCol = columnMapping(table, v).physicalOf(pred.col)
+    // stream the sidecar into a capped reject set — same bounded
+    // driver allocation as the automatic path (one file's column
+    // group resident, never the full map)
+    val rejected = withStatsLines(table, v) { lines =>
+      FileStats.streamRejects(lines,
+        group => FileStats.mayMatch(group.get(physCol), pred),
+        MaxStatsRejects)._1
+    }
     manifest(table, v).filter { line =>
-      isDeleteLine(line) ||
-        FileStats.mayMatch(stats.get((FileStats.fileKey(line), physCol)), pred)
+      isDeleteLine(line) || !rejected(FileStats.fileKey(line))
     }
   }
 
@@ -793,7 +801,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       read(table).where(lit(false))
     else
       columnMapping(table, v).applyRead(
-        readLines(table, keep, stats = statsFor(table, v)))
+        readLines(table, keep, statsRejects = statsRejectsFor(table, v)))
         .where(col(column) === lit(value))
   }
 
@@ -938,12 +946,76 @@ final class TableStore(private[graft] val spark: SparkSession,
       scala.util.Try(st.max.toLong).toOption
     else None
 
-  /** Parsed stats sidecar of a version (empty for pre-stats tables). */
+  /** Parsed stats sidecar of a version (empty for pre-stats tables).
+    * O(#files) driver memory — reserved for explicit profile verbs
+    * (ANALYZE, DESCRIBE, bloom sizing) whose OUTPUT is per-file
+    * anyway; the per-query read path never calls this, it streams
+    * through [[statsRejectsFor]] instead. */
   private[lake] def statsFor(table: String, v: Long)
       : Map[(String, String), FileStats.Stat] = {
     val p = statsPath(table, v)
     if (!fs(p).exists(p)) Map.empty
     else FileStats.parse(readSmallFile(p))
+  }
+
+  /** Run `f` over the sidecar's lines as a STREAM — the full text is
+    * never materialized (a 10⁷-file sidecar is GBs; the reader holds
+    * one line). Absent sidecar → empty iterator. */
+  private def withStatsLines[A](table: String, v: Long)
+                               (f: Iterator[String] => A): A = {
+    val p = statsPath(table, v)
+    if (!fs(p).exists(p)) return f(Iterator.empty)
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs(p).open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try f(Iterator.continually(in.readLine()).takeWhile(_ != null))
+    finally in.close()
+  }
+
+  /** Reject-set ceiling for one stats fold, same contract as
+    * [[MaxBloomRejects]]: files past the cap stay in the plan
+    * conservatively, so the only O(#files)-shaped planner state —
+    * the rejected-key set — is bounded (~100k keys ≈ a few MB)
+    * while one file's column group is the only other resident
+    * parse state. */
+  private val MaxStatsRejects = 100000
+
+  /** Verdicts for AUTOMATIC stats skipping, keyed
+    * (table, version, canonicalized filter set) → rejected file keys.
+    * Safe to cache: a version's sidecar is immutable once its
+    * manifest publishes, so a (version, filters) verdict never
+    * changes. Bounded by wholesale clear like [[bloomProbeCache]] —
+    * entries are per distinct pushed filter set, a handful per
+    * session. */
+  private val statsRejectCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), Set[String]]()
+
+  /** The automatic-path stats probe behind [[StatsFileIndex]]: the
+    * file keys of version `v` whose sidecar stats PROVE the pushed
+    * data filters can't match. Streams the sidecar
+    * ([[FileStats.streamRejects]]) so planning a query over a
+    * 10⁷-file table holds one file's column group plus the capped
+    * reject set — never the O(#files × #cols) map [[statsFor]]
+    * materializes. Any fold failure keeps every file (pruning is an
+    * optimization; the scan result never depends on it). */
+  private[lake] def statsRejectsFor(table: String, v: Long)(
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Set[String] = {
+    if (dataFilters.isEmpty) return Set.empty
+    val ck = (table, v,
+      dataFilters.map(_.canonicalized.toString).sorted.mkString("&"))
+    val hit = statsRejectCache.get(ck)
+    if (hit != null) return hit
+    val rejected = try {
+      withStatsLines(table, v) { lines =>
+        FileStats.streamRejects(lines,
+          group => dataFilters.forall(e =>
+            FileStats.exprMayMatch(e, c => group.get(c))),
+          MaxStatsRejects)._1
+      }
+    } catch { case scala.util.control.NonFatal(_) => Set.empty[String] }
+    if (statsRejectCache.size > 1024) statsRejectCache.clear()
+    statsRejectCache.put(ck, rejected)
+    rejected
   }
 
   /** Footer row counts of the CURRENT version's live data files,
@@ -1271,7 +1343,7 @@ final class TableStore(private[graft] val spark: SparkSession,
         throw new IllegalStateException(s"table $table does not exist"))
       val mapped = columnMapping(table, rs).applyRead(
         readLines(table, manifest(table, rs), withRowId = true,
-          stats = statsFor(table, rs)))
+          statsRejects = statsRejectsFor(table, rs)))
       // a SQL statement's predicate may qualify columns by the
       // statement alias (`t.x`) — resolve it here
       val withId = alias.fold(mapped)(a => mapped.alias(a))
@@ -1328,7 +1400,7 @@ final class TableStore(private[graft] val spark: SparkSession,
         throw new IllegalStateException(s"table $table does not exist"))
       val mapped = columnMapping(table, rs).applyRead(
         readLines(table, manifest(table, rs), withRowId = true,
-          stats = statsFor(table, rs)))
+          statsRejects = statsRejectsFor(table, rs)))
       val cols = mapped.columns.filterNot(c =>
         c == RowFileCol || c == RowPosCol).toIndexedSeq
       assigns.keys.foreach { k =>
@@ -2170,17 +2242,14 @@ final class TableStore(private[graft] val spark: SparkSession,
       // Written after the claim (so the version is ours) and before
       // the manifest (readers only consult stats of published
       // versions); a crash in between leaves an invisible sidecar
-      // the next claimant of v simply overwrites.
-      val prevStats = cur.map(statsFor(table, _)).getOrElse(Map.empty)
+      // the next claimant of v simply overwrites. STREAMED line by
+      // line — the commit-side mirror of the read path's bounded
+      // fold: carrying a 10⁷-file sidecar holds one line plus the
+      // carried-key set (whose strings the manifest already holds),
+      // never the full text or the (file, column) map.
       val carriedKeys = carriedLines.filterNot(isDeleteLine)
         .map(FileStats.fileKey).toSet
-      val carriedStats = prevStats.collect {
-        case ((f, c), FileStats.Stat(tag, mn, mx, nulls))
-            if carriedKeys.contains(f) =>
-          s"$f\t$c\t$tag\t$mn\t$mx" + nulls.fold("")(n => s"\t$n")
-      }
-      writeSmallFile(statsPath(table, v),
-        (carriedStats.toSeq ++ newStats).mkString("\n"))
+      writeStatsCarried(table, cur, v, carriedKeys.contains, newStats)
       val (colmap, carriedIng) = carriedHeader(table, cur)
       publishManifest(table, v, carriedLines ++ newFiles, colmap, txn,
         ingest = ingest.getOrElse(carriedIng), op = op)
@@ -2820,6 +2889,44 @@ final class TableStore(private[graft] val spark: SparkSession,
   private def writeSmallFile(p: Path, content: String): Unit = {
     val out = fs(p).create(p, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** Write version `v`'s stats sidecar as a STREAM: copy the lines of
+    * `from`'s sidecar whose file key passes `keep`, then append
+    * `extra` — one line resident at a time, so a commit against a
+    * 10⁷-file table never holds the multi-GB sidecar text the
+    * string-based carry would. Crash-safe the same way the string
+    * write was: the sidecar lands before the manifest publishes, and
+    * an orphaned partial write is invisible (readers consult only
+    * published versions' sidecars) until the next claimant of `v`
+    * overwrites it. */
+  private def writeStatsCarried(table: String, from: Option[Long], v: Long,
+                                keep: String => Boolean,
+                                extra: Seq[String]): Unit = {
+    val p = statsPath(table, v)
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs(p).create(p, true), StandardCharsets.UTF_8))
+    try {
+      var first = true
+      def emit(line: String): Unit = {
+        if (!first) w.write("\n")
+        w.write(line)
+        first = false
+      }
+      from.foreach { f =>
+        withStatsLines(table, f) { lines =>
+          lines.foreach { l =>
+            val t = l.trim
+            if (t.nonEmpty) {
+              val tab = t.indexOf('\t')
+              val key = if (tab < 0) t else t.substring(0, tab)
+              if (keep(key)) emit(t)
+            }
+          }
+        }
+      }
+      extra.foreach(emit)
+    } finally w.close()
   }
 }
 

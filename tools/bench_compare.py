@@ -61,15 +61,39 @@ def main():
             text = f.read()
     except FileNotFoundError:
         text = args.bench  # allow passing the raw JSON line directly
-    cur = extract_bench(text)["queries"]
+    cur_doc = extract_bench(text)
+    cur = cur_doc["queries"]
 
     with open(args.baseline) as f:
         base_doc = json.load(f)
     base = base_doc["queries"]
 
+    # Epoch normalization: the box demonstrably slows 1.1-1.6x over a
+    # round of sustained load, so absolute per-query times only compare
+    # within a box epoch. graft.Bench times a fixed pure-Spark canary
+    # (canary_sec) immediately before the measured run; the ratio of
+    # the run's canary to the baseline's canary measures the epoch
+    # drift, and every baseline scales by it before comparing. Clamped
+    # to [1.0, 3.0]: a FASTER box never tightens thresholds below the
+    # recorded baselines (those stay the honest floor), and a >3x
+    # canary means the host is too sick to adjudicate. Runs/baselines
+    # without a canary compare raw (ratio 1.0, legacy behavior).
+    cur_canary = cur_doc.get("canary_sec")
+    base_canary = base_doc.get("canary_sec")
+    if cur_canary and base_canary:
+        ratio = max(1.0, min(3.0, cur_canary / base_canary))
+        print(f"canary: baseline {base_canary:.2f}s -> run {cur_canary:.2f}s; "
+              f"epoch ratio {ratio:.2f}x applied to every baseline")
+    else:
+        ratio = 1.0
+        print("canary: absent on "
+              + ("both sides" if not cur_canary and not base_canary
+                 else "baseline" if not base_canary else "run")
+              + "; comparing raw (epoch ratio 1.00x)")
+
     flagged, improved = [], []
     for q in sorted(set(cur) & set(base)):
-        c, b = cur[q], base[q]
+        c, b = cur[q], base[q] * ratio
         if c > args.factor * b and c - b > args.min_delta:
             flagged.append((q, b, c))
         elif b > args.factor * c and b - c > args.min_delta:
