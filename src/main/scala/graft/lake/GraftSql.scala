@@ -95,6 +95,17 @@ object GraftSql {
     """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_]\w*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+COLUMNS\s*\(\s*([^)]+?)\s*\))?\s*;?\s*$""".r
   private val VectorIndexDescStmt =
     """(?is)^\s*DESCRIBE\s+VECTOR\s+INDEX\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  // Incremental materialized views (graft.lake.MaterializedView):
+  // the select list is a RESTRICTED grammar — group columns, count(*),
+  // sum(col) — the self-maintainable aggregate set; anything else must
+  // stay a plain (recomputed) query. No aliases: the view serves its
+  // canonical names (group cols, cnt, sum_<col>).
+  private val CreateMvStmt =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val RefreshMvStmt =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val OptimizeMvStmt =
+    """(?is)^\s*OPTIMIZE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -212,8 +223,15 @@ object GraftSql {
     def mentioned(t: String): Boolean =
       ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
         .findFirstIn(sql).isDefined
-    store.tables().filter(mentioned)
-      .foreach(t => store.read(t).createOrReplaceTempView(t))
+    store.tables().filter(mentioned).foreach { t =>
+      // a materialized view (it has a `<t>__def` companion) serves
+      // its CONSOLIDATED rows in SQL — the stored signed partials are
+      // an implementation detail a SELECT must never surface
+      val df = if (!t.endsWith("__def") && store.exists(t + "__def"))
+        MaterializedView.read(store, t)
+      else store.read(t)
+      df.createOrReplaceTempView(t)
+    }
   }
 
   private def unwindOrFinish(store: TableStore): Unit =
@@ -280,6 +298,40 @@ object GraftSql {
         require(store.exists(table), s"unknown graft table $table")
         store.columnStats(table,
           Option(cols).toSeq.flatMap(_.split(",")).map(_.trim))
+      case CreateMvStmt(mv, selectList, src, groupList) =>
+        // restricted IVM grammar: group cols + count(*) + sum(col).
+        // The items are single identifiers or 1-arg calls, so a comma
+        // split is unambiguous.
+        val items = selectList.split(",").map(_.trim)
+        val groupCols = groupList.split(",").map(_.trim).toSeq
+        val SumItem = """(?i)sum\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+        val CntItem = """(?i)count\s*\(\s*\*\s*\)""".r
+        val Ident = """([A-Za-z_]\w*)""".r
+        val sumCols = scala.collection.mutable.ArrayBuffer.empty[String]
+        items.foreach {
+          case SumItem(c) => sumCols += c
+          case CntItem() => () // cnt is always maintained
+          case Ident(c) if groupCols.exists(_.equalsIgnoreCase(c)) => ()
+          case other => throw new IllegalArgumentException(
+            s"materialized views maintain only group columns, count(*) " +
+              s"and sum(col) incrementally; '$other' is not one of " +
+              "those — use a plain query (or CTAS) for it")
+        }
+        val bound = MaterializedView.create(store, mv, src,
+          groupCols, sumCols.toSeq)
+        import spark.implicits._
+        Seq((mv, src, bound)).toDF("view_name", "source", "bound_version")
+      case RefreshMvStmt(mv) =>
+        // fold the source's change feed since the last refresh — one
+        // atomic O(changed data) append of signed partials
+        val bound = MaterializedView.refresh(store, mv)
+        import spark.implicits._
+        Seq((mv, bound)).toDF("view_name", "bound_version")
+      case OptimizeMvStmt(mv) =>
+        // fold accumulated partials to one row per group, binding kept
+        MaterializedView.compactPartials(store, mv)
+        import spark.implicits._
+        Seq((mv, store.read(mv).count())).toDF("view_name", "groups")
       case OptimizeStmt(table, zcols) =>
         executeOptimize(spark, store, table,
           Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim))

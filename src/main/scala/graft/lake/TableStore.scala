@@ -1202,10 +1202,12 @@ final class TableStore(private[graft] val spark: SparkSession,
     * [[lastTxn]] before committing a possibly-replayed batch id, an
     * O(manifest-header) guard instead of an O(table) data probe. */
   def appendTxn(table: String, df: DataFrame,
-                app: String, version: Long): Unit = {
+                app: String, version: Long,
+                readSnapshot: Option[Long] = None): Unit = {
     require(exists(table), s"table $table does not exist")
     commit(table, df, carryAll(table), mustCreate = false,
-      txn = Some((app, version)), op = "APPEND")
+      txn = Some((app, version)), readSnapshot = readSnapshot,
+      op = "APPEND")
   }
 
   /** Create recording an initial transaction watermark atomically —

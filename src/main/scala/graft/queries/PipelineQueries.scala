@@ -815,6 +815,48 @@ object PipelineQueries {
         |FROM events GROUP BY day, event_type
         |ORDER BY day, event_type""".stripMargin))
 
+  /** CDF-bound materialized view, full lifecycle
+    * ([[graft.lake.MaterializedView]]): create a count/sum view bound
+    * to the source's version, append a batch AND merge-on-read-delete
+    * a key slice on the source, then ONE refresh folds both from the
+    * change feed as signed partial rows — O(changed data), never a
+    * source rescan (where rollup_incremental_refresh re-aggregates
+    * the delta from the base by predicate and can't fold deletes at
+    * all) — and compactPartials folds the partials without losing the
+    * binding. Measures sum as DECIMAL(18,4) (order-free exactness,
+    * same convention as the rollup). Oracle: the from-scratch
+    * aggregate over the source's FINAL state. */
+  val mvIncremental: Entry = Entry(
+    "mv_incremental_refresh",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mv"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("decimal(18,4)").as("qty"),
+          col("l_extendedprice").cast("decimal(18,4)").as("price"))
+      store.create("li_src", li.where(col("l_orderkey") % 3 =!= 0))
+      graft.lake.MaterializedView.create(store, "li_mv", "li_src",
+        Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+      store.append("li_src", li.where(col("l_orderkey") % 3 === 0))
+      store.appendWithDeletes("li_src", li.limit(0),
+        deleteKeys = li.select("l_orderkey")
+          .where(col("l_orderkey") % 7 === 0).distinct())
+      graft.lake.MaterializedView.refresh(store, "li_mv")
+      graft.lake.MaterializedView.compactPartials(store, "li_mv")
+      graft.lake.MaterializedView.read(store, "li_mv")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("cnt").as("n"),
+          col("sum_qty").cast("double").as("sum_qty"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_orderkey % 7 <> 0
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
   /** Plain DML through the SQL front door — the statements Spark
     * parses but cannot run on parquet tables without a v2 row-level
     * catalog: a conditional multi-assignment UPDATE (alias-qualified
@@ -1700,7 +1742,7 @@ object PipelineQueries {
     sqlTimeTravelDiff,
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
-    tableChanges, cdfAggregate, rollupRefresh,
+    tableChanges, cdfAggregate, rollupRefresh, mvIncremental,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

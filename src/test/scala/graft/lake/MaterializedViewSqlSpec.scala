@@ -1,0 +1,63 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of incremental materialized views: CREATE/REFRESH/
+  * OPTIMIZE MATERIALIZED VIEW through the front door, and SELECTs
+  * that serve the CONSOLIDATED view (never the stored partials). */
+class MaterializedViewSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CREATE / REFRESH / OPTIMIZE MATERIALIZED VIEW round-trip; SELECT serves consolidated rows") {
+    val store = new TableStore(spark, tmpDir("mvsql"))
+    store.create("sales", Seq((1L, "a", 10.0), (2L, "a", 5.0),
+      (3L, "b", 2.0)).toDF("id", "g", "x"))
+    val created = GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW sales_mv AS " +
+        "SELECT g, count(*), sum(x) FROM sales GROUP BY g")
+    assert(created.select("bound_version").as[Long].head() == 0L)
+    store.append("sales", Seq((4L, "b", 8.0), (5L, "c", 1.0))
+      .toDF("id", "g", "x"))
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW sales_mv")
+    // SELECT over the MV name = consolidated groups, not partials
+    val got = GraftSql.execute(spark, store,
+      "SELECT g, cnt, sum_x FROM sales_mv ORDER BY g")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 15.0), ("b", 2L, 10.0), ("c", 1L, 1.0)))
+    // OPTIMIZE folds the partial rows; the SELECT is unchanged
+    GraftSql.execute(spark, store, "OPTIMIZE MATERIALIZED VIEW sales_mv")
+    assert(store.read("sales_mv").count() == 3)
+    val after = GraftSql.execute(spark, store,
+      "SELECT g, cnt, sum_x FROM sales_mv ORDER BY g")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(after == got)
+  }
+
+  test("non-maintainable aggregates are rejected with a pointer to plain queries") {
+    val store = new TableStore(spark, tmpDir("mvsql2"))
+    store.create("s2", Seq((1L, "a", 1.0)).toDF("id", "g", "x"))
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "CREATE MATERIALIZED VIEW bad_mv AS " +
+          "SELECT g, max(x) FROM s2 GROUP BY g")
+    }
+    assert(e.getMessage.contains("sum(col)"))
+  }
+
+  test("MV refresh works inside a script alongside source DML") {
+    val store = new TableStore(spark, tmpDir("mvsql3"))
+    store.create("ev", Seq((1L, "x", 1.0), (2L, "y", 2.0))
+      .toDF("id", "g", "v"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW ev_mv AS " +
+        "SELECT g, count(*), sum(v) FROM ev GROUP BY g")
+    val out = GraftSql.executeScript(spark, store,
+      """INSERT INTO ev VALUES (3, 'x', 5.0);
+        |DELETE FROM ev WHERE id = 2;
+        |REFRESH MATERIALIZED VIEW ev_mv;
+        |SELECT g, cnt, sum_v FROM ev_mv ORDER BY g""".stripMargin)
+    assert(out.as[(String, Long, Double)].collect().toSeq ==
+      Seq(("x", 2L, 6.0)))
+  }
+}
