@@ -34,7 +34,8 @@ object MaintenanceJob {
                            txnsRolledForward: Seq[String] = Nil,
                            txnsRolledBack: Seq[String] = Nil,
                            bloomFilesIndexed: Int = 0,
-                           indexesSynced: Seq[String] = Nil)
+                           indexesSynced: Seq[String] = Nil,
+                           viewsRefreshed: Seq[String] = Nil)
 
   /** Defaults live ONLY on the Args case class; CLI flags override via
     * copy, so programmatic and CLI construction can't disagree. */
@@ -80,6 +81,11 @@ object MaintenanceJob {
     // OPTIMIZE lands in the NEXT sync range, where the content-
     // neutral short-circuit in `changes` keeps it free
     val synced1 = syncBoundIndexes(store, args)
+    // materialized-view freshness rides the same window as index
+    // sync: fold the feed while the range is still append-only, then
+    // fold each refreshed view's accumulated partials (the refresh
+    // path only ever appends; nothing else compacts view tables)
+    val refreshed = refreshBoundViews(store, args)
     val compacted = store.deleteDebt(args.table) >= args.compactDebt
     if (compacted) store.compact(args.table)
     // small-file fold after debt compaction (it requires zero debt)
@@ -95,6 +101,7 @@ object MaintenanceJob {
     // neutral feed short-circuit) keeps it at the head, so the vacuum
     // below can never drop a manifest a future feed pull still needs
     val synced2 = syncBoundIndexes(store, args)
+    val refreshed2 = refreshBoundViews(store, args)
     store.vacuum(args.table, keep = args.vacuumKeep)
     // last: refresh existing bloom indexes over the post-compaction
     // file set (O(files without an entry)) so AUTOMATIC bloom skipping
@@ -104,11 +111,39 @@ object MaintenanceJob {
     // per index, report the most informative entry across both sync
     // passes: a version-stamped "name@v" from either beats a bare
     // "already current" name
-    val synced = (synced1 ++ synced2).groupBy(_.takeWhile(_ != '@'))
-      .toSeq.sortBy(_._1)
-      .map { case (n, es) => es.filter(_.contains('@')).lastOption.getOrElse(n) }
+    def merged(a: Seq[String], b: Seq[String]): Seq[String] =
+      (a ++ b).groupBy(_.takeWhile(_ != '@')).toSeq.sortBy(_._1)
+        .map { case (n, es) =>
+          es.filter(_.contains('@')).lastOption.getOrElse(n) }
     Summary(claims, orphans, compacted, folded, store.versions(args.table),
-      txnFwd, txnBack, bloomed, synced)
+      txnFwd, txnBack, bloomed, merged(synced1, synced2),
+      merged(refreshed, refreshed2))
+  }
+
+  /** Refresh every materialized view BOUND to `args.table` (its
+    * `<mv>__def` companion names the table as source and the MV
+    * manifest carries the `mv-sync-<table>` watermark), then fold the
+    * refreshed view's partial rows — refresh only appends, so without
+    * this fold a hot source grows the view's partial count without
+    * bound. Returns "name@version" per refreshed view ("name" when
+    * already current). Discovery is O(tables) metadata probes, no
+    * data touched. */
+  private def refreshBoundViews(store: TableStore, args: Args): Seq[String] = {
+    val app = s"mv-sync-${args.table}"
+    store.tables().sorted.flatMap { t =>
+      val isBoundMv = !t.endsWith("__def") && store.exists(t + "__def") &&
+        store.lastTxn(t, app).isDefined
+      if (!isBoundMv) None
+      else {
+        val before = store.lastTxn(t, app)
+        val to = MaterializedView.refresh(store, t)
+        if (before.contains(to)) Some(t) // already current, no fold needed
+        else {
+          MaterializedView.compactPartials(store, t)
+          Some(s"$t@$to")
+        }
+      }
+    }
   }
 
   /** Sync every vector index BOUND to `args.table` (its lists/codes
@@ -153,7 +188,8 @@ object MaintenanceJob {
     println(s"[graft] ${args.table}: claims=${s.recoveredClaims.mkString(",")} " +
       s"orphans=${s.sweptOrphanDirs.mkString(",")} compacted=${s.compacted} " +
       s"versions=${s.retainedVersions.mkString(",")} " +
-      s"indexes=${s.indexesSynced.mkString(",")}")
+      s"indexes=${s.indexesSynced.mkString(",")} " +
+      s"views=${s.viewsRefreshed.mkString(",")}")
     spark.stop()
   }
 }

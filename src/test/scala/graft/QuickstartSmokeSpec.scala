@@ -56,6 +56,23 @@ class QuickstartSmokeSpec extends SparkSpec {
       && now.count() == 3)
   }
 
+  test("quickstart: incremental materialized views (MaterializedView)") {
+    val store = new TableStore(spark, tmpDir("qs-mv"))
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").createOrReplaceTempView("srcv")
+    GraftSql.execute(spark, store, "CREATE TABLE t AS SELECT * FROM srcv")
+    GraftSql.execute(spark, store, "CREATE MATERIALIZED VIEW t_mv AS " +
+      "SELECT v, count(*), sum(id) FROM t GROUP BY v")
+    GraftSql.execute(spark, store, "INSERT INTO t VALUES (9, 'x')")
+    GraftSql.execute(spark, store, "DELETE FROM t WHERE id = 1")
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW t_mv")
+    val rows = GraftSql.execute(spark, store, // consolidated rows, O(view)
+      "SELECT v, cnt, sum_id FROM t_mv ORDER BY v")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("x", 1L, 9L), ("y", 1L, 2L)))
+    GraftSql.execute(spark, store, "OPTIMIZE MATERIALIZED VIEW t_mv")
+    assert(store.read("t_mv").count() == 2)
+  }
+
   test("quickstart: LLM data ops (dedup + persisted ANN)") {
     val store = new TableStore(spark, tmpDir("qs-llm"))
     val docs = Seq(

@@ -156,6 +156,40 @@ class MaintenanceJobSpec extends SparkSpec {
       s"expected quiet pass, got ${s2.indexesSynced}")
   }
 
+  test("the pass refreshes bound materialized views and folds their partials") {
+    val root = tmpDir("maint-mv")
+    val store = new TableStore(spark, root)
+    store.create("src", Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "g", "x"))
+    MaterializedView.create(store, "mv", "src", Seq("g"), Seq("x"))
+    // the source evolves while nothing refreshes the view by hand —
+    // appends AND a row-level delete, across several commits
+    store.append("src", Seq((3L, "a", 3.0), (4L, "c", 4.0)).toDF("id", "g", "x"))
+    store.append("src", Seq((5L, "c", 5.0)).toDF("id", "g", "x"))
+    store.deleteWhere("src", col("id") === 2L)
+
+    val s = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "src",
+      claimTtlMs = 60 * 60 * 1000L, compactDebt = 1, vacuumKeep = 1))
+    assert(s.viewsRefreshed.size == 1 && s.viewsRefreshed.head.startsWith("mv@"),
+      s"expected a version-stamped refresh, got ${s.viewsRefreshed}")
+    // the view mirrors the source's final state — group b netted away
+    val got = MaterializedView.read(store, "mv")
+      .select("g", "cnt", "sum_x").orderBy("g")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 4.0), ("c", 2L, 9.0)))
+    // the pass also folded the partials (refresh alone only appends)
+    assert(store.read("mv").count() == 2,
+      s"partials not folded: ${store.read("mv").count()} rows")
+
+    // a quiet second pass reports the view as already current — and
+    // survives the first pass's compaction + keep=1 vacuum on the
+    // source (the refresh cursor was caught up before the vacuum)
+    val s2 = MaintenanceJob.run(spark, MaintenanceJob.Args(root, "src",
+      claimTtlMs = 60 * 60 * 1000L, compactDebt = 99, vacuumKeep = 1))
+    assert(s2.viewsRefreshed == Seq("mv"),
+      s"expected quiet pass, got ${s2.viewsRefreshed}")
+  }
+
   test("arg parsing with defaults") {
     val a = MaintenanceJob.parseArgs(Array(
       "--store_root", "/lake", "--table", "t", "--compact_debt", "2"))
