@@ -101,7 +101,7 @@ object GraftSql {
   // stay a plain (recomputed) query. No aliases: the view serves its
   // canonical names (group cols, cnt, sum_<col>).
   private val CreateMvStmt =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
   private val RefreshMvStmt =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val OptimizeMvStmt =
@@ -298,7 +298,7 @@ object GraftSql {
         require(store.exists(table), s"unknown graft table $table")
         store.columnStats(table,
           Option(cols).toSeq.flatMap(_.split(",")).map(_.trim))
-      case CreateMvStmt(mv, selectList, src, groupList) =>
+      case CreateMvStmt(mv, selectList, src, filterSql, groupList) =>
         // restricted IVM grammar: group cols + count(*) + sum(col).
         // The items are single identifiers or 1-arg calls, so a comma
         // split is unambiguous.
@@ -318,7 +318,7 @@ object GraftSql {
               "those — use a plain query (or CTAS) for it")
         }
         val bound = MaterializedView.create(store, mv, src,
-          groupCols, sumCols.toSeq)
+          groupCols, sumCols.toSeq, Option(filterSql).map(_.trim))
         import spark.implicits._
         Seq((mv, src, bound)).toDF("view_name", "source", "bound_version")
       case RefreshMvStmt(mv) =>

@@ -51,7 +51,14 @@ object MaterializedView {
   private def sumCol(c: String): String = "sum_" + c
 
   private final case class Def(src: String, groupCols: Seq[String],
-                               sumCols: Seq[String])
+                               sumCols: Seq[String],
+                               filterSql: Option[String]) {
+    /** Apply the view's WHERE to a batch of source-shaped rows — the
+      * initial fold and every feed fold MUST go through this, or a
+      * filtered view would fold rows it never admitted. */
+    def admitted(rows: DataFrame): DataFrame =
+      filterSql.fold(rows)(f => rows.where(expr(f)))
+  }
 
   private def loadDef(store: TableStore, mv: String): Def = {
     val r = store.read(defTable(mv)).collect() match {
@@ -61,7 +68,8 @@ object MaterializedView {
     }
     def split(s: String) = s.split(",").toSeq.filter(_.nonEmpty)
     Def(r.getAs[String]("src"), split(r.getAs[String]("group_cols")),
-      split(r.getAs[String]("sum_cols")))
+      split(r.getAs[String]("sum_cols")),
+      Option(r.getAs[String]("filter_sql")).filter(_.nonEmpty))
   }
 
   /** Signed partial rows for one batch: per group, `__cnt` = Σ sign
@@ -74,21 +82,26 @@ object MaterializedView {
         d.sumCols.map(c => sum(col(c) * sign).as(sumCol(c))): _*)
 
   /** Create `mv` = SELECT groupCols, count(*), sum(sumCols...) FROM
-    * `src` GROUP BY groupCols, bound to `src`'s CURRENT version, as
-    * one initial full fold + the watermark in one atomic create.
-    * Returns the bound source version. */
+    * `src` [WHERE filter] GROUP BY groupCols, bound to `src`'s CURRENT
+    * version, as one initial full fold + the watermark in one atomic
+    * create. A `filter` (Spark SQL over source columns) stays
+    * self-maintainable: the feed's insert AND delete images pass the
+    * same predicate, so rows the view never admitted can't be
+    * subtracted. Returns the bound source version. */
   def create(store: TableStore, mv: String, src: String,
-             groupCols: Seq[String], sumCols: Seq[String]): Long = {
+             groupCols: Seq[String], sumCols: Seq[String],
+             filter: Option[String] = None): Long = {
     require(groupCols.nonEmpty, "at least one group column")
     val spark = store.spark
     import spark.implicits._
     val v = store.currentVersion(src).getOrElse(
       throw new IllegalStateException(s"table $src does not exist"))
-    val d = Def(src, groupCols, sumCols)
+    val d = Def(src, groupCols, sumCols, filter)
     store.create(defTable(mv),
-      Seq((src, groupCols.mkString(","), sumCols.mkString(",")))
-        .toDF("src", "group_cols", "sum_cols"))
-    val base = partials(store.readVersion(src, v), d, lit(1L))
+      Seq((src, groupCols.mkString(","), sumCols.mkString(","),
+        filter.getOrElse("")))
+        .toDF("src", "group_cols", "sum_cols", "filter_sql"))
+    val base = partials(d.admitted(store.readVersion(src, v)), d, lit(1L))
     store.createTxn(mv, base.coalesce(4), appId(src), v)
     v
   }
@@ -115,8 +128,8 @@ object MaterializedView {
       val sign = when(col("_change_type") === "insert", lit(1L))
         .otherwise(lit(-1L))
       val delta = partials(
-        store.changes(d.src, bound, cur)
-          .drop("_commit_version"), d, sign)
+        d.admitted(store.changes(d.src, bound, cur)
+          .drop("_commit_version")), d, sign)
       try {
         // the delta may be EMPTY (a neutral-rewrite range: OPTIMIZE /
         // compact on the source) — commit it anyway so the watermark

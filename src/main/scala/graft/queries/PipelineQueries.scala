@@ -823,9 +823,11 @@ object PipelineQueries {
     * source rescan (where rollup_incremental_refresh re-aggregates
     * the delta from the base by predicate and can't fold deletes at
     * all) — and compactPartials folds the partials without losing the
-    * binding. Measures sum as DECIMAL(18,4) (order-free exactness,
-    * same convention as the rollup). Oracle: the from-scratch
-    * aggregate over the source's FINAL state. */
+    * binding. The view carries a WHERE (`qty > 5`): the feed's insert
+    * and delete images pass the same predicate, so filtering stays
+    * self-maintainable. Measures sum as DECIMAL(18,4) (order-free
+    * exactness, same convention as the rollup). Oracle: the
+    * from-scratch filtered aggregate over the source's FINAL state. */
   val mvIncremental: Entry = Entry(
     "mv_incremental_refresh",
     (s, dir) => {
@@ -836,7 +838,8 @@ object PipelineQueries {
           col("l_extendedprice").cast("decimal(18,4)").as("price"))
       store.create("li_src", li.where(col("l_orderkey") % 3 =!= 0))
       graft.lake.MaterializedView.create(store, "li_mv", "li_src",
-        Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"))
+        Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"),
+        filter = Some("qty > 5"))
       store.append("li_src", li.where(col("l_orderkey") % 3 === 0))
       store.appendWithDeletes("li_src", li.limit(0),
         deleteKeys = li.select("l_orderkey")
@@ -854,6 +857,7 @@ object PipelineQueries {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_orderkey % 7 <> 0
+        |  AND CAST(l_quantity AS DECIMAL(18,4)) > 5
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 

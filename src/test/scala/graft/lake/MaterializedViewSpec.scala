@@ -119,6 +119,25 @@ class MaterializedViewSpec extends SparkSpec {
     assert(a == ((1L, 10.0)))
   }
 
+  test("a WHERE-filtered view admits the same rows on insert and delete") {
+    val store = freshStore()
+    store.create("t", src((1, "a", 1.0), (2, "a", 9.0), (3, "b", 7.0)))
+    MaterializedView.create(store, "m", "t", Seq("g"), Seq("x"),
+      filter = Some("x > 5"))
+    // only (2,a,9) and (3,b,7) were admitted
+    assert(MaterializedView.read(store, "m").select("g", "cnt", "sum_x")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq ==
+      Seq(("a", 1L, 9.0), ("b", 1L, 7.0)))
+    // delete an admitted row and a never-admitted row in one commit:
+    // only the admitted one may subtract
+    store.appendWithDeletes("t", src((4, "b", 6.0)),
+      deleteKeys = Seq(1L, 2L).toDF("id"))
+    MaterializedView.refresh(store, "m")
+    val got = MaterializedView.read(store, "m").select("g", "cnt", "sum_x")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("b", 2L, 13.0)), s"got $got")
+  }
+
   test("refresh on a non-MV table fails loudly") {
     val store = freshStore()
     store.create("plain", src((1, "a", 1.0)))

@@ -34,6 +34,21 @@ class MaterializedViewSqlSpec extends SparkSpec {
     assert(after == got)
   }
 
+  test("CREATE MATERIALIZED VIEW with a WHERE folds only admitted rows") {
+    val store = new TableStore(spark, tmpDir("mvsqlw"))
+    store.create("w", Seq((1L, "a", 2.0), (2L, "a", 9.0), (3L, "b", 7.0))
+      .toDF("id", "g", "x"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW w_mv AS " +
+        "SELECT g, count(*), sum(x) FROM w WHERE x > 5 GROUP BY g")
+    GraftSql.execute(spark, store, "INSERT INTO w VALUES (4, 'b', 1.0)")
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW w_mv")
+    val got = GraftSql.execute(spark, store,
+      "SELECT g, cnt, sum_x FROM w_mv ORDER BY g")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 1L, 9.0), ("b", 1L, 7.0))) // x=1.0/2.0 never admitted
+  }
+
   test("non-maintainable aggregates are rejected with a pointer to plain queries") {
     val store = new TableStore(spark, tmpDir("mvsql2"))
     store.create("s2", Seq((1L, "a", 1.0)).toDF("id", "g", "x"))

@@ -145,6 +145,63 @@ class SoakSpec extends SparkSpec {
 
   for ((pname, mkPrim) <- Seq[(String, () => Option[CommitPrimitive])](
       ("o-excl", () => None),
+      ("fake-s3", () => Some(new FakeS3Primitive))))
+  test(s"bound materialized view follows a hot source: refresh keeps " +
+    s"parity while ingest never pauses [$pname]") {
+    val root = tmpDir("soak-mv")
+    val prim = mkPrim()
+    val store = new TableStore(spark, root, prim)
+    def rows(from: Int, n: Int) =
+      (from until from + n).map(i =>
+        (i.toLong, s"g${i % 3}", (i % 7).toDouble)).toDF("id", "g", "x")
+    store.create("src", rows(0, 50))
+    MaterializedView.create(store, "mv", "src", Seq("g"), Seq("x"))
+
+    val nBatches = 10
+    val batchSize = 20
+    val stop = new AtomicBoolean(false)
+    val failure = new AtomicReference[Throwable](null)
+    def guarded(r: => Unit): Runnable = () =>
+      try r catch { case t: Throwable =>
+        failure.compareAndSet(null, t); stop.set(true) }
+    val maintStore = new TableStore(spark, root, prim)
+    val maint = new Thread(guarded {
+      while (!stop.get()) {
+        // MaintenanceJob's view pass shape against the live source:
+        // refresh from the feed, fold the partials, bound the debt
+        MaterializedView.refresh(maintStore, "mv")
+        MaterializedView.compactPartials(maintStore, "mv")
+        if (maintStore.deleteDebt("src") >= 2) maintStore.compact("src")
+        Thread.sleep(30)
+      }
+    })
+    maint.start()
+    try {
+      (0 until nBatches).foreach { i =>
+        // appends AND an equality delete per batch — the view must
+        // fold both directions while its refresher races this writer
+        store.appendWithDeletes("src", rows(50 + i * batchSize, batchSize),
+          Seq(50L + i).toDF("id"))
+      }
+    } finally { stop.set(true); maint.join(60000) }
+    if (failure.get() != null) throw failure.get()
+
+    // final catch-up, then parity vs a from-scratch recompute
+    MaterializedView.refresh(store, "mv")
+    val got = MaterializedView.read(store, "mv")
+      .select("g", "cnt", "sum_x").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val want = store.read("src")
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == want, s"soaked view diverged:\n got  $got\n want $want")
+  }
+
+  for ((pname, mkPrim) <- Seq[(String, () => Option[CommitPrimitive])](
+      ("o-excl", () => None),
       // ONE shared instance per leg: the fake bucket's claim ledger is
       // per-instance state, so every racing store must share it — on
       // real S3 the bucket itself is the shared ledger
