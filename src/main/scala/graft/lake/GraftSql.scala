@@ -305,20 +305,27 @@ object GraftSql {
         val items = selectList.split(",").map(_.trim)
         val groupCols = groupList.split(",").map(_.trim).toSeq
         val SumItem = """(?i)sum\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+        val MinItem = """(?i)min\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+        val MaxItem = """(?i)max\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
         val CntItem = """(?i)count\s*\(\s*\*\s*\)""".r
         val Ident = """([A-Za-z_]\w*)""".r
         val sumCols = scala.collection.mutable.ArrayBuffer.empty[String]
+        val minCols = scala.collection.mutable.ArrayBuffer.empty[String]
+        val maxCols = scala.collection.mutable.ArrayBuffer.empty[String]
         items.foreach {
           case SumItem(c) => sumCols += c
+          case MinItem(c) => minCols += c
+          case MaxItem(c) => maxCols += c
           case CntItem() => () // cnt is always maintained
           case Ident(c) if groupCols.exists(_.equalsIgnoreCase(c)) => ()
           case other => throw new IllegalArgumentException(
-            s"materialized views maintain only group columns, count(*) " +
-              s"and sum(col) incrementally; '$other' is not one of " +
-              "those — use a plain query (or CTAS) for it")
+            s"materialized views maintain only group columns, count(*), " +
+              s"sum(col), min(col) and max(col) incrementally; '$other' " +
+              "is not one of those — use a plain query (or CTAS) for it")
         }
         val bound = MaterializedView.create(store, mv, src,
-          groupCols, sumCols.toSeq, Option(filterSql).map(_.trim))
+          groupCols, sumCols.toSeq, Option(filterSql).map(_.trim),
+          minCols.toSeq, maxCols.toSeq)
         import spark.implicits._
         Seq((mv, src, bound)).toDF("view_name", "source", "bound_version")
       case RefreshMvStmt(mv) =>

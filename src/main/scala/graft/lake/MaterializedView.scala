@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * `TableStore.changes` was built for (its doc: "an incremental
   * materialized view reads the feed, not the table").
   *
-  * Scope: GROUP BY views with self-maintainable aggregates —
-  * `count(*)` and `sum(col)` — the pair that folds under BOTH insert
-  * and delete (count ± 1, sum ± x); `avg` derives as sum/count at
-  * read. min/max are deliberately out: a deleted extremum can't be
-  * repaired from a delta, it needs a rescan of the group.
+  * Scope: GROUP BY views over `count(*)` / `sum(col)` — the pair
+  * that folds under BOTH insert and delete (count ± 1, sum ± x);
+  * `avg` derives as sum/count at read — plus `min(col)`/`max(col)`
+  * under the standard IVM repair rule: inserts fold incrementally,
+  * and a delete touching a group triggers a recompute of THAT
+  * group's extrema from the source (O(affected groups' rows), the
+  * best possible bound — a deleted extremum is not recoverable from
+  * any delta). Recomputed extrema are fenced by a reset epoch on the
+  * partial rows so pre-delete evidence can never resurface.
   *
   * Storage model is merge-on-read, mirroring the store's own delete
   * philosophy: the MV table holds PARTIAL-aggregate rows
@@ -49,15 +53,27 @@ object MaterializedView {
   private def appId(src: String): String = s"mv-sync-$src"
   private[lake] val CntCol = "__cnt"
   private def sumCol(c: String): String = "sum_" + c
+  private def minCol(c: String): String = "min_" + c
+  private def maxCol(c: String): String = "max_" + c
+  // extremum control pair, present only when min/max cols exist: every
+  // partial row is stamped with the source version it folded
+  // (`__mm_epoch`) and whether it REPLACES older extremum evidence
+  // (`__mm_reset`) — the fence that keeps a deleted extremum from
+  // resurfacing out of pre-delete partial rows
+  private val EpochCol = "__mm_epoch"
+  private val ResetCol = "__mm_reset"
 
   private final case class Def(src: String, groupCols: Seq[String],
                                sumCols: Seq[String],
-                               filterSql: Option[String]) {
+                               filterSql: Option[String],
+                               minCols: Seq[String] = Nil,
+                               maxCols: Seq[String] = Nil) {
     /** Apply the view's WHERE to a batch of source-shaped rows — the
       * initial fold and every feed fold MUST go through this, or a
       * filtered view would fold rows it never admitted. */
     def admitted(rows: DataFrame): DataFrame =
       filterSql.fold(rows)(f => rows.where(expr(f)))
+    def hasMm: Boolean = minCols.nonEmpty || maxCols.nonEmpty
   }
 
   private def loadDef(store: TableStore, mv: String): Def = {
@@ -69,39 +85,56 @@ object MaterializedView {
     def split(s: String) = s.split(",").toSeq.filter(_.nonEmpty)
     Def(r.getAs[String]("src"), split(r.getAs[String]("group_cols")),
       split(r.getAs[String]("sum_cols")),
-      Option(r.getAs[String]("filter_sql")).filter(_.nonEmpty))
+      Option(r.getAs[String]("filter_sql")).filter(_.nonEmpty),
+      split(r.getAs[String]("min_cols")), split(r.getAs[String]("max_cols")))
   }
 
   /** Signed partial rows for one batch: per group, `__cnt` = Σ sign
     * and `sum_<c>` = Σ c·sign. NULL measure values vanish from the
     * sum on both the +1 and the -1 side (same row, same NULL), so
-    * insert/delete pairs cancel exactly. */
-  private def partials(rows: DataFrame, d: Def, sign: Column): DataFrame =
+    * insert/delete pairs cancel exactly. min/max fold only INSERT
+    * images (a delete image's extremum is repaired by the refresh's
+    * affected-group recompute, never subtracted) and each row stamps
+    * the `(epoch, reset)` fence. */
+  private def partials(rows: DataFrame, d: Def, sign: Column,
+                       epoch: Long, reset: Boolean): DataFrame = {
+    val aggs =
+      d.sumCols.map(c => sum(col(c) * sign).as(sumCol(c))) ++
+      d.minCols.map(c => min(when(sign > 0, col(c))).as(minCol(c))) ++
+      d.maxCols.map(c => max(when(sign > 0, col(c))).as(maxCol(c))) ++
+      (if (d.hasMm) Seq(first(lit(epoch)).as(EpochCol),
+        first(lit(reset)).as(ResetCol)) else Nil)
     rows.groupBy(d.groupCols.map(col): _*)
-      .agg(sum(sign).as(CntCol),
-        d.sumCols.map(c => sum(col(c) * sign).as(sumCol(c))): _*)
+      .agg(sum(sign).as(CntCol), aggs: _*)
+  }
 
-  /** Create `mv` = SELECT groupCols, count(*), sum(sumCols...) FROM
-    * `src` [WHERE filter] GROUP BY groupCols, bound to `src`'s CURRENT
-    * version, as one initial full fold + the watermark in one atomic
-    * create. A `filter` (Spark SQL over source columns) stays
+  /** Create `mv` = SELECT groupCols, count(*), sum/min/max(cols...)
+    * FROM `src` [WHERE filter] GROUP BY groupCols, bound to `src`'s
+    * CURRENT version, as one initial full fold + the watermark in one
+    * atomic create. A `filter` (Spark SQL over source columns) stays
     * self-maintainable: the feed's insert AND delete images pass the
     * same predicate, so rows the view never admitted can't be
-    * subtracted. Returns the bound source version. */
+    * subtracted. min/max maintain incrementally on inserts; a delete
+    * touching a group triggers an O(that group's source rows)
+    * recompute at refresh time (see [[refresh]]) — bounded repair,
+    * never a full-view rescan. Returns the bound source version. */
   def create(store: TableStore, mv: String, src: String,
              groupCols: Seq[String], sumCols: Seq[String],
-             filter: Option[String] = None): Long = {
+             filter: Option[String] = None,
+             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "at least one group column")
     val spark = store.spark
     import spark.implicits._
     val v = store.currentVersion(src).getOrElse(
       throw new IllegalStateException(s"table $src does not exist"))
-    val d = Def(src, groupCols, sumCols, filter)
+    val d = Def(src, groupCols, sumCols, filter, minCols, maxCols)
     store.create(defTable(mv),
       Seq((src, groupCols.mkString(","), sumCols.mkString(","),
-        filter.getOrElse("")))
-        .toDF("src", "group_cols", "sum_cols", "filter_sql"))
-    val base = partials(d.admitted(store.readVersion(src, v)), d, lit(1L))
+        filter.getOrElse(""), minCols.mkString(","), maxCols.mkString(",")))
+        .toDF("src", "group_cols", "sum_cols", "filter_sql",
+          "min_cols", "max_cols"))
+    val base = partials(d.admitted(store.readVersion(src, v)), d, lit(1L),
+      epoch = v, reset = true)
     store.createTxn(mv, base.coalesce(4), appId(src), v)
     v
   }
@@ -127,9 +160,47 @@ object MaterializedView {
       val mvSnap = store.currentVersion(mv)
       val sign = when(col("_change_type") === "insert", lit(1L))
         .otherwise(lit(-1L))
-      val delta = partials(
-        d.admitted(store.changes(d.src, bound, cur)
-          .drop("_commit_version")), d, sign)
+      val feed = d.admitted(store.changes(d.src, bound, cur)
+        .drop("_commit_version"))
+      val folded = partials(feed, d, sign, epoch = cur, reset = false)
+      // min/max extremum repair: a delete may have removed a group's
+      // recorded extremum, which no delta can restore — recompute
+      // min/max for EXACTLY the delete-touched groups from the
+      // source's folded version (semi-join: O(those groups' rows),
+      // partition/stats pruning applies) and stamp their delta rows
+      // reset=true, fencing off every older partial's extremum
+      // evidence. Insert-only refreshes never touch the source.
+      val delta =
+        if (!d.hasMm) folded
+        else {
+          val affected = feed.where(col("_change_type") === "delete")
+            .select(d.groupCols.map(col): _*).distinct()
+          if (affected.isEmpty) folded
+          else {
+            val reAggs = d.minCols.map(c => min(col(c)).as("__re_min_" + c)) ++
+              d.maxCols.map(c => max(col(c)).as("__re_max_" + c))
+            val re = d.admitted(store.readVersion(d.src, cur))
+              .join(affected, d.groupCols, "left_semi")
+              .groupBy(d.groupCols.map(col): _*)
+              .agg(reAggs.head, reAggs.tail: _*)
+            // groups the deletes EMPTIED have no source rows left: keep
+            // them via the affected side so their fence still lands
+            // (extrema NULL; the group nets to cnt 0 and drops at read)
+            val reAll = affected.withColumn("__is_aff", lit(true))
+              .join(re, d.groupCols, "left_outer")
+            folded.join(reAll, d.groupCols, "left_outer")
+              .select(d.groupCols.map(col) ++ Seq(col(CntCol)) ++
+                d.sumCols.map(c => col(sumCol(c))) ++
+                d.minCols.map(c => when(col("__is_aff").isNotNull,
+                  col("__re_min_" + c)).otherwise(col(minCol(c)))
+                  .as(minCol(c))) ++
+                d.maxCols.map(c => when(col("__is_aff").isNotNull,
+                  col("__re_max_" + c)).otherwise(col(maxCol(c)))
+                  .as(maxCol(c))) ++
+                Seq(col(EpochCol),
+                  col("__is_aff").isNotNull.as(ResetCol)): _*)
+          }
+        }
       try {
         // the delta may be EMPTY (a neutral-rewrite range: OPTIMIZE /
         // compact on the source) — commit it anyway so the watermark
@@ -144,17 +215,41 @@ object MaterializedView {
     sys.error("unreachable")
   }
 
+  /** Per-group consolidation of the stored partials, preserving the
+    * internal column names. min/max respect the reset fence: per
+    * group, only rows at or above the group's latest reset epoch
+    * contribute extrema — older rows may still carry a deleted
+    * extremum. Two O(view) passes (the fence, then the fold); the
+    * view is the small side by construction. */
+  private def consolidate(d: Def, rows: DataFrame): DataFrame = {
+    val base = rows.groupBy(d.groupCols.map(col): _*)
+    if (!d.hasMm)
+      base.agg(sum(CntCol).as(CntCol),
+        d.sumCols.map(c => sum(sumCol(c)).as(sumCol(c))): _*)
+    else {
+      val fence = rows.groupBy(d.groupCols.map(col): _*)
+        .agg(max(when(col(ResetCol), col(EpochCol))).as("__w"))
+      val fenced = rows.join(fence, d.groupCols)
+      val admit = col(EpochCol) >= coalesce(col("__w"), lit(Long.MinValue))
+      fenced.groupBy(d.groupCols.map(col): _*)
+        .agg(sum(CntCol).as(CntCol),
+          (d.sumCols.map(c => sum(sumCol(c)).as(sumCol(c))) ++
+            d.minCols.map(c => min(when(admit, col(minCol(c))))
+              .as(minCol(c))) ++
+            d.maxCols.map(c => max(when(admit, col(maxCol(c))))
+              .as(maxCol(c)))): _*)
+    }
+  }
+
   /** The view's consolidated rows: one row per surviving group —
-    * group cols, `cnt` (count(*)) and `sum_<col>` per measure. A tiny
-    * groupBy over the stored partials; groups whose inserts and
-    * deletes net to zero disappear, exactly as a recompute would
-    * drop them. */
+    * group cols, `cnt` (count(*)), `sum_<col>`/`min_<col>`/
+    * `max_<col>` per declared measure. A tiny groupBy over the stored
+    * partials; groups whose inserts and deletes net to zero
+    * disappear, exactly as a recompute would drop them. */
   def read(store: TableStore, mv: String): DataFrame = {
     val d = loadDef(store, mv)
-    store.read(mv)
-      .groupBy(d.groupCols.map(col): _*)
-      .agg(sum(CntCol).as("cnt"),
-        d.sumCols.map(c => sum(sumCol(c)).as(sumCol(c))): _*)
+    consolidate(d, store.read(mv))
+      .withColumnRenamed(CntCol, "cnt")
       .where(col("cnt") > 0)
   }
 
@@ -163,18 +258,22 @@ object MaterializedView {
     * source binding — the watermark re-commits verbatim with the
     * folded rows (same reassert discipline as the vector-index
     * rebuild), so a refresh after compaction continues from exactly
-    * where the partials left off. Run it like OPTIMIZE: when the
-    * partial count grows past a few batches per group. */
+    * where the partials left off. The folded rows re-stamp
+    * reset=true at the bound epoch: they ARE the fence-admitted
+    * consolidation, so they replace all prior extremum evidence by
+    * construction. Run it like OPTIMIZE: when the partial count grows
+    * past a few batches per group. */
   def compactPartials(store: TableStore, mv: String): Unit = {
     val d = loadDef(store, mv)
     val bound = store.lastTxn(mv, appId(d.src)).getOrElse(
       throw new IllegalStateException(s"$mv carries no mv-sync watermark"))
     val mvSnap = store.currentVersion(mv)
-    val folded = store.read(mv)
-      .groupBy(d.groupCols.map(col): _*)
-      .agg(sum(CntCol).as(CntCol),
-        d.sumCols.map(c => sum(sumCol(c)).as(sumCol(c))): _*)
+    val folded0 = consolidate(d, store.read(mv))
       .where(col(CntCol) =!= 0L)
+    val folded =
+      if (!d.hasMm) folded0
+      else folded0.withColumn(EpochCol, lit(bound))
+        .withColumn(ResetCol, lit(true))
     store.overwriteReassertTxn(mv, folded.coalesce(4), appId(d.src), bound,
       readSnapshot = mvSnap)
   }

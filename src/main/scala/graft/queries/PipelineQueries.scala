@@ -825,9 +825,12 @@ object PipelineQueries {
     * all) — and compactPartials folds the partials without losing the
     * binding. The view carries a WHERE (`qty > 5`): the feed's insert
     * and delete images pass the same predicate, so filtering stays
-    * self-maintainable. Measures sum as DECIMAL(18,4) (order-free
-    * exactness, same convention as the rollup). Oracle: the
-    * from-scratch filtered aggregate over the source's FINAL state. */
+    * self-maintainable. min/max(price) ride along under the IVM
+    * repair rule — the MoR delete triggers the affected-group
+    * recompute + reset fence, all under this oracle. Measures sum as
+    * DECIMAL(18,4) (order-free exactness, same convention as the
+    * rollup). Oracle: the from-scratch filtered aggregate over the
+    * source's FINAL state. */
   val mvIncremental: Entry = Entry(
     "mv_incremental_refresh",
     (s, dir) => {
@@ -839,7 +842,8 @@ object PipelineQueries {
       store.create("li_src", li.where(col("l_orderkey") % 3 =!= 0))
       graft.lake.MaterializedView.create(store, "li_mv", "li_src",
         Seq("l_returnflag", "l_linestatus"), Seq("qty", "price"),
-        filter = Some("qty > 5"))
+        filter = Some("qty > 5"),
+        minCols = Seq("price"), maxCols = Seq("price"))
       store.append("li_src", li.where(col("l_orderkey") % 3 === 0))
       store.appendWithDeletes("li_src", li.limit(0),
         deleteKeys = li.select("l_orderkey")
@@ -850,12 +854,16 @@ object PipelineQueries {
         .select(col("l_returnflag"), col("l_linestatus"),
           col("cnt").as("n"),
           col("sum_qty").cast("double").as("sum_qty"),
-          col("sum_price").cast("double").as("sum_price"))
+          col("sum_price").cast("double").as("sum_price"),
+          col("min_price").cast("double").as("min_price"),
+          col("max_price").cast("double").as("max_price"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  CAST(min(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,
+        |  CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
         |FROM lineitem WHERE l_orderkey % 7 <> 0
         |  AND CAST(l_quantity AS DECIMAL(18,4)) > 5
         |GROUP BY l_returnflag, l_linestatus

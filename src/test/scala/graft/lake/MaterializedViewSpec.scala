@@ -138,6 +138,48 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == Seq(("b", 2L, 13.0)), s"got $got")
   }
 
+  test("min/max maintain incrementally on inserts; a delete repairs exactly the touched groups") {
+    val store = freshStore()
+    store.create("t", src((1, "a", 5.0), (2, "a", 9.0), (3, "b", 3.0)))
+    MaterializedView.create(store, "m", "t", Seq("g"), Seq("x"),
+      minCols = Seq("x"), maxCols = Seq("x"))
+    def state() = MaterializedView.read(store, "m")
+      .select("g", "cnt", "sum_x", "min_x", "max_x").orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(state() == Seq(("a", 2L, 14.0, 5.0, 9.0), ("b", 1L, 3.0, 3.0, 3.0)))
+    // insert-only refresh: extrema widen without touching the source
+    store.append("t", src((4, "a", 1.0), (5, "b", 8.0)))
+    MaterializedView.refresh(store, "m")
+    assert(state() == Seq(("a", 3L, 15.0, 1.0, 9.0), ("b", 2L, 11.0, 3.0, 8.0)))
+    // delete group a's MAX (9.0): the old extremum must not resurface
+    // from pre-delete partial rows — the recompute + reset fence
+    store.appendWithDeletes("t", src().limit(0),
+      deleteKeys = Seq(2L).toDF("id"))
+    MaterializedView.refresh(store, "m")
+    assert(state() == Seq(("a", 2L, 6.0, 1.0, 5.0), ("b", 2L, 11.0, 3.0, 8.0)))
+    // compaction preserves the repaired extrema and later inserts fold
+    MaterializedView.compactPartials(store, "m")
+    assert(state() == Seq(("a", 2L, 6.0, 1.0, 5.0), ("b", 2L, 11.0, 3.0, 8.0)))
+    store.append("t", src((6, "a", 7.0)))
+    MaterializedView.refresh(store, "m")
+    assert(state() == Seq(("a", 3L, 13.0, 1.0, 7.0), ("b", 2L, 11.0, 3.0, 8.0)))
+  }
+
+  test("a delete-and-reinsert of the extremum in one commit repairs to the reinserted value") {
+    val store = freshStore()
+    store.create("t", src((1, "a", 5.0), (2, "a", 9.0)))
+    MaterializedView.create(store, "m", "t", Seq("g"), Seq("x"),
+      maxCols = Seq("x"))
+    // one atomic commit: the max row leaves and a lower one arrives
+    store.appendWithDeletes("t", src((3, "a", 6.0)),
+      deleteKeys = Seq(2L).toDF("id"))
+    MaterializedView.refresh(store, "m")
+    val got = MaterializedView.read(store, "m")
+      .select("g", "cnt", "max_x").as[(String, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq(("a", 2L, 6.0)))
+  }
+
   test("refresh on a non-MV table fails loudly") {
     val store = freshStore()
     store.create("plain", src((1, "a", 1.0)))

@@ -15,22 +15,23 @@ class MaterializedViewSqlSpec extends SparkSpec {
       (3L, "b", 2.0)).toDF("id", "g", "x"))
     val created = GraftSql.execute(spark, store,
       "CREATE MATERIALIZED VIEW sales_mv AS " +
-        "SELECT g, count(*), sum(x) FROM sales GROUP BY g")
+        "SELECT g, count(*), sum(x), min(x), max(x) FROM sales GROUP BY g")
     assert(created.select("bound_version").as[Long].head() == 0L)
     store.append("sales", Seq((4L, "b", 8.0), (5L, "c", 1.0))
       .toDF("id", "g", "x"))
     GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW sales_mv")
     // SELECT over the MV name = consolidated groups, not partials
     val got = GraftSql.execute(spark, store,
-      "SELECT g, cnt, sum_x FROM sales_mv ORDER BY g")
-      .as[(String, Long, Double)].collect().toSeq
-    assert(got == Seq(("a", 2L, 15.0), ("b", 2L, 10.0), ("c", 1L, 1.0)))
+      "SELECT g, cnt, sum_x, min_x, max_x FROM sales_mv ORDER BY g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 15.0, 5.0, 10.0),
+      ("b", 2L, 10.0, 2.0, 8.0), ("c", 1L, 1.0, 1.0, 1.0)))
     // OPTIMIZE folds the partial rows; the SELECT is unchanged
     GraftSql.execute(spark, store, "OPTIMIZE MATERIALIZED VIEW sales_mv")
     assert(store.read("sales_mv").count() == 3)
     val after = GraftSql.execute(spark, store,
-      "SELECT g, cnt, sum_x FROM sales_mv ORDER BY g")
-      .as[(String, Long, Double)].collect().toSeq
+      "SELECT g, cnt, sum_x, min_x, max_x FROM sales_mv ORDER BY g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
     assert(after == got)
   }
 
@@ -55,7 +56,7 @@ class MaterializedViewSqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       GraftSql.execute(spark, store,
         "CREATE MATERIALIZED VIEW bad_mv AS " +
-          "SELECT g, max(x) FROM s2 GROUP BY g")
+          "SELECT g, avg(x) FROM s2 GROUP BY g")
     }
     assert(e.getMessage.contains("sum(col)"))
   }
