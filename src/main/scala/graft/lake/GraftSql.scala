@@ -106,6 +106,8 @@ object GraftSql {
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val OptimizeMvStmt =
     """(?is)^\s*OPTIMIZE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val DescribeMvStmt =
+    """(?is)^\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -339,6 +341,9 @@ object GraftSql {
         MaterializedView.compactPartials(store, mv)
         import spark.implicits._
         Seq((mv, store.read(mv).count())).toDF("view_name", "groups")
+      case DescribeMvStmt(mv) =>
+        // definition + binding + staleness, metadata-only (no scan)
+        MaterializedView.describe(store, mv)
       case OptimizeStmt(table, zcols) =>
         executeOptimize(spark, store, table,
           Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim))

@@ -253,6 +253,30 @@ object MaterializedView {
       .where(col("cnt") > 0)
   }
 
+  /** One row of view metadata — definition, binding, and staleness —
+    * all from manifests and the 1-row def table, no data scan:
+    * (view_name, source, group_cols, sum_cols, min_cols, max_cols,
+    * filter_sql, bound_version, source_version, versions_behind,
+    * n_partial_rows). `versions_behind` is the REFRESH debt gauge a
+    * scheduler polls; `n_partial_rows` (from the stats sidecar's
+    * footer counts, physical rows incl. MoR debt) is the OPTIMIZE
+    * gauge. */
+  def describe(store: TableStore, mv: String): DataFrame = {
+    val d = loadDef(store, mv)
+    val spark = store.spark
+    import spark.implicits._
+    val bound = store.lastTxn(mv, appId(d.src))
+    val srcV = store.currentVersion(d.src)
+    val behind = for (b <- bound; s <- srcV) yield math.max(0L, s - b)
+    val partialRows = store.fileRowCounts(mv).values.sum
+    Seq((mv, d.src, d.groupCols.mkString(","), d.sumCols.mkString(","),
+      d.minCols.mkString(","), d.maxCols.mkString(","),
+      d.filterSql.getOrElse(""), bound, srcV, behind, partialRows))
+      .toDF("view_name", "source", "group_cols", "sum_cols", "min_cols",
+        "max_cols", "filter_sql", "bound_version", "source_version",
+        "versions_behind", "n_partial_rows")
+  }
+
   /** Fold the accumulated partial rows back to one row per group
     * (dropping net-zero groups) WITHOUT advancing or losing the
     * source binding — the watermark re-commits verbatim with the

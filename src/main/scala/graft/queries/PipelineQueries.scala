@@ -869,6 +869,43 @@ object PipelineQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
+  /** Streaming-fresh materialized view
+    * ([[graft.streaming.StreamingMaterializedView]]): half the events
+    * seed the source table + view; the other half arrives as parquet
+    * micro-batches whose foreachBatch appends exactly-once AND folds
+    * the change feed into the view per trigger. The consolidated read
+    * must equal the from-scratch aggregate over ALL events — the
+    * stream==batch contract, under the DuckDB oracle. */
+  val mvStreaming: Entry = Entry(
+    "mv_streaming_fresh",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-smv"))
+      val srcDir = tmpDir("graft-smv-src")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("decimal(18,4)").as("v"))
+      store.create("ev_t", ev.where(col("event_id") % 2 === 0))
+      graft.lake.MaterializedView.create(store, "ev_mv", "ev_t",
+        Seq("event_type"), Seq("v"), minCols = Seq("v"), maxCols = Seq("v"))
+      ev.where(col("event_id") % 2 =!= 0)
+        .coalesce(2).write.mode("overwrite").parquet(srcDir)
+      val q = graft.streaming.StreamingMaterializedView.start(s, srcDir,
+        store, "ev_t", views = Seq("ev_mv"),
+        checkpointDir = tmpDir("graft-smv-ckpt"), maxFilesPerTrigger = 1)
+      try q.processAllAvailable() finally q.stop()
+      graft.lake.MaterializedView.read(store, "ev_mv")
+        .select(col("event_type"), col("cnt").as("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        |  CAST(min(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS min_v,
+        |  CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   /** Plain DML through the SQL front door — the statements Spark
     * parses but cannot run on parquet tables without a v2 row-level
     * catalog: a conditional multi-assignment UPDATE (alias-qualified
@@ -1754,7 +1791,7 @@ object PipelineQueries {
     sqlTimeTravelDiff,
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
-    tableChanges, cdfAggregate, rollupRefresh, mvIncremental,
+    tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

@@ -61,6 +61,28 @@ class MaterializedViewSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("sum(col)"))
   }
 
+  test("DESCRIBE MATERIALIZED VIEW reports binding and staleness without a scan") {
+    val store = new TableStore(spark, tmpDir("mvdesc"))
+    store.create("d1", Seq((1L, "a", 1.0)).toDF("id", "g", "x"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW d1_mv AS " +
+        "SELECT g, count(*), sum(x), max(x) FROM d1 WHERE x > 0 GROUP BY g")
+    store.append("d1", Seq((2L, "b", 2.0)).toDF("id", "g", "x"))
+    store.append("d1", Seq((3L, "c", 3.0)).toDF("id", "g", "x"))
+    val desc = GraftSql.execute(spark, store,
+      "DESCRIBE MATERIALIZED VIEW d1_mv").collect().head
+    assert(desc.getAs[String]("source") == "d1")
+    assert(desc.getAs[String]("max_cols") == "x")
+    assert(desc.getAs[String]("filter_sql") == "x > 0")
+    assert(desc.getAs[Long]("bound_version") == 0L)
+    assert(desc.getAs[Long]("source_version") == 2L)
+    assert(desc.getAs[Long]("versions_behind") == 2L)
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW d1_mv")
+    val after = GraftSql.execute(spark, store,
+      "DESCRIBE MATERIALIZED VIEW d1_mv").collect().head
+    assert(after.getAs[Long]("versions_behind") == 0L)
+  }
+
   test("MV refresh works inside a script alongside source DML") {
     val store = new TableStore(spark, tmpDir("mvsql3"))
     store.create("ev", Seq((1L, "x", 1.0), (2L, "y", 2.0))

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.lake.{MaterializedView, TableStore}
+import org.apache.spark.sql.functions._
+
+/** Streaming-fresh materialized views: each micro-batch appends to
+  * the source and folds the change feed into the bound views —
+  * stream == batch, exactly-once under replay, self-healing when a
+  * refresh is skipped. */
+class StreamingMaterializedViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(from: Int, n: Int) =
+    (from until from + n).map(i =>
+      (i.toLong, s"g${i % 3}", (i % 5).toDouble)).toDF("id", "g", "x")
+
+  test("streamed batches keep the view equal to a from-scratch recompute") {
+    val store = new TableStore(spark, tmpDir("smv-store"))
+    val src = tmpDir("smv-src")
+    store.create("ev", rows(0, 30))
+    MaterializedView.create(store, "ev_mv", "ev", Seq("g"), Seq("x"),
+      minCols = Seq("x"), maxCols = Seq("x"))
+    rows(30, 20).coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingMaterializedView.start(spark, src, store, "ev",
+      views = Seq("ev_mv"), checkpointDir = tmpDir("smv-ckpt"))
+    try {
+      q.processAllAvailable()
+      rows(50, 20).coalesce(1).write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    def consolidated = MaterializedView.read(store, "ev_mv")
+      .select("g", "cnt", "sum_x", "min_x", "max_x").orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    val want = store.read("ev")
+      .groupBy("g").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
+        min("x").as("min_x"), max("x").as("max_x"))
+      .orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(store.read("ev").count() == 70)
+    assert(consolidated == want, s"view diverged from recompute")
+  }
+
+  test("a replayed micro-batch appends once; the refresh after a crash-gap self-heals") {
+    val store = new TableStore(spark, tmpDir("smv2-store"))
+    store.create("ev", rows(0, 10))
+    MaterializedView.create(store, "ev_mv", "ev", Seq("g"), Seq("x"))
+    // batch 1 delivered twice (crash redelivery): one append only
+    StreamingMaterializedView.ingestBatch(store, "ev", Seq("ev_mv"),
+      rows(10, 10), batchId = 1L)
+    StreamingMaterializedView.ingestBatch(store, "ev", Seq("ev_mv"),
+      rows(10, 10), batchId = 1L)
+    assert(store.read("ev").count() == 20)
+    // crash BETWEEN append and refresh: simulate by appending with the
+    // watermark directly, then let the next batch's refresh heal it
+    store.appendTxn("ev", rows(20, 10), "mv-stream-ev", 2L)
+    StreamingMaterializedView.ingestBatch(store, "ev", Seq("ev_mv"),
+      rows(30, 10), batchId = 3L)
+    val got = MaterializedView.read(store, "ev_mv")
+      .agg(sum("cnt")).as[Long].head()
+    assert(got == 40L, s"view holds $got rows' worth of counts, want 40")
+  }
+}
