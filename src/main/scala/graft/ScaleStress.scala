@@ -41,7 +41,8 @@ object ScaleStress {
     "minhash_lsh_neardup", "span_dedup_c4", "decontamination_overlap",
     "repetition_gopher_filters", "bm25_retrieval_topk",
     "hybrid_retrieval_rrf", "curriculum_quality_bins",
-    "exact_percentiles_rank", "q9_product_profit", "q8_market_share")
+    "exact_percentiles_rank", "q9_product_profit", "q8_market_share",
+    "mv_incremental_refresh", "mv_streaming_fresh")
 
   /** Far above any base key range, far below long overflow at K≤many. */
   private val Off = 1L << 36

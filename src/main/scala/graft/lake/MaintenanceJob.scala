@@ -139,7 +139,12 @@ object MaintenanceJob {
         val to = MaterializedView.refresh(store, t)
         if (before.contains(to)) Some(t) // already current, no fold needed
         else {
-          MaterializedView.compactPartials(store, t)
+          // a racing refresher can beat the fold to the snapshot —
+          // defer to the next pass (the scheduled-job shape compact()
+          // takes); the refresh above already landed, so the view is
+          // fresh either way and only the partial fold waits
+          try MaterializedView.compactPartials(store, t)
+          catch { case _: SnapshotConflictException => () }
           Some(s"$t@$to")
         }
       }
