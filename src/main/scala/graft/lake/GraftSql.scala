@@ -309,25 +309,29 @@ object GraftSql {
         val SumItem = """(?i)sum\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
         val MinItem = """(?i)min\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
         val MaxItem = """(?i)max\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+        val AvgItem = """(?i)avg\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
         val CntItem = """(?i)count\s*\(\s*\*\s*\)""".r
         val Ident = """([A-Za-z_]\w*)""".r
         val sumCols = scala.collection.mutable.ArrayBuffer.empty[String]
         val minCols = scala.collection.mutable.ArrayBuffer.empty[String]
         val maxCols = scala.collection.mutable.ArrayBuffer.empty[String]
+        val avgCols = scala.collection.mutable.ArrayBuffer.empty[String]
         items.foreach {
           case SumItem(c) => sumCols += c
           case MinItem(c) => minCols += c
           case MaxItem(c) => maxCols += c
+          case AvgItem(c) => avgCols += c
           case CntItem() => () // cnt is always maintained
           case Ident(c) if groupCols.exists(_.equalsIgnoreCase(c)) => ()
           case other => throw new IllegalArgumentException(
             s"materialized views maintain only group columns, count(*), " +
-              s"sum(col), min(col) and max(col) incrementally; '$other' " +
-              "is not one of those — use a plain query (or CTAS) for it")
+              s"sum(col), avg(col), min(col) and max(col) incrementally; " +
+              s"'$other' is not one of those — use a plain query (or " +
+              "CTAS) for it")
         }
         val bound = MaterializedView.create(store, mv, src,
           groupCols, sumCols.toSeq, Option(filterSql).map(_.trim),
-          minCols.toSeq, maxCols.toSeq)
+          minCols.toSeq, maxCols.toSeq, avgCols.toSeq)
         import spark.implicits._
         Seq((mv, src, bound)).toDF("view_name", "source", "bound_version")
       case RefreshMvStmt(mv) =>

@@ -55,6 +55,8 @@ object MaterializedView {
   private def sumCol(c: String): String = "sum_" + c
   private def minCol(c: String): String = "min_" + c
   private def maxCol(c: String): String = "max_" + c
+  private def avgCol(c: String): String = "avg_" + c
+  private def cntCol(c: String): String = "cnt_" + c
   // extremum control pair, present only when min/max cols exist: every
   // partial row is stamped with the source version it folded
   // (`__mm_epoch`) and whether it REPLACES older extremum evidence
@@ -67,13 +69,17 @@ object MaterializedView {
                                sumCols: Seq[String],
                                filterSql: Option[String],
                                minCols: Seq[String] = Nil,
-                               maxCols: Seq[String] = Nil) {
+                               maxCols: Seq[String] = Nil,
+                               avgCols: Seq[String] = Nil) {
     /** Apply the view's WHERE to a batch of source-shaped rows — the
       * initial fold and every feed fold MUST go through this, or a
       * filtered view would fold rows it never admitted. */
     def admitted(rows: DataFrame): DataFrame =
       filterSql.fold(rows)(f => rows.where(expr(f)))
     def hasMm: Boolean = minCols.nonEmpty || maxCols.nonEmpty
+    /** Columns whose signed SUM the view stores: declared sums plus
+      * the numerators of declared averages. */
+    def storedSumCols: Seq[String] = (sumCols ++ avgCols).distinct
   }
 
   private def loadDef(store: TableStore, mv: String): Def = {
@@ -86,20 +92,26 @@ object MaterializedView {
     Def(r.getAs[String]("src"), split(r.getAs[String]("group_cols")),
       split(r.getAs[String]("sum_cols")),
       Option(r.getAs[String]("filter_sql")).filter(_.nonEmpty),
-      split(r.getAs[String]("min_cols")), split(r.getAs[String]("max_cols")))
+      split(r.getAs[String]("min_cols")), split(r.getAs[String]("max_cols")),
+      split(r.getAs[String]("avg_cols")))
   }
 
   /** Signed partial rows for one batch: per group, `__cnt` = Σ sign
     * and `sum_<c>` = Σ c·sign. NULL measure values vanish from the
     * sum on both the +1 and the -1 side (same row, same NULL), so
-    * insert/delete pairs cancel exactly. min/max fold only INSERT
-    * images (a delete image's extremum is repaired by the refresh's
-    * affected-group recompute, never subtracted) and each row stamps
-    * the `(epoch, reset)` fence. */
+    * insert/delete pairs cancel exactly. Averages additionally store
+    * the signed NON-NULL count `cnt_<c>` — SQL avg ignores NULL rows,
+    * so dividing by `__cnt` would be wrong the moment a measure holds
+    * a NULL. min/max fold only INSERT images (a delete image's
+    * extremum is repaired by the refresh's affected-group recompute,
+    * never subtracted) and each row stamps the `(epoch, reset)`
+    * fence. */
   private def partials(rows: DataFrame, d: Def, sign: Column,
                        epoch: Long, reset: Boolean): DataFrame = {
     val aggs =
-      d.sumCols.map(c => sum(col(c) * sign).as(sumCol(c))) ++
+      d.storedSumCols.map(c => sum(col(c) * sign).as(sumCol(c))) ++
+      d.avgCols.map(c => sum(when(col(c).isNotNull, sign)
+        .otherwise(lit(0L))).as(cntCol(c))) ++
       d.minCols.map(c => min(when(sign > 0, col(c))).as(minCol(c))) ++
       d.maxCols.map(c => max(when(sign > 0, col(c))).as(maxCol(c))) ++
       (if (d.hasMm) Seq(first(lit(epoch)).as(EpochCol),
@@ -121,18 +133,20 @@ object MaterializedView {
   def create(store: TableStore, mv: String, src: String,
              groupCols: Seq[String], sumCols: Seq[String],
              filter: Option[String] = None,
-             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Long = {
+             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+             avgCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "at least one group column")
     val spark = store.spark
     import spark.implicits._
     val v = store.currentVersion(src).getOrElse(
       throw new IllegalStateException(s"table $src does not exist"))
-    val d = Def(src, groupCols, sumCols, filter, minCols, maxCols)
+    val d = Def(src, groupCols, sumCols, filter, minCols, maxCols, avgCols)
     store.create(defTable(mv),
       Seq((src, groupCols.mkString(","), sumCols.mkString(","),
-        filter.getOrElse(""), minCols.mkString(","), maxCols.mkString(",")))
+        filter.getOrElse(""), minCols.mkString(","), maxCols.mkString(","),
+        avgCols.mkString(",")))
         .toDF("src", "group_cols", "sum_cols", "filter_sql",
-          "min_cols", "max_cols"))
+          "min_cols", "max_cols", "avg_cols"))
     val base = partials(d.admitted(store.readVersion(src, v)), d, lit(1L),
       epoch = v, reset = true)
     store.createTxn(mv, base.coalesce(4), appId(src), v)
@@ -222,10 +236,12 @@ object MaterializedView {
     * extremum. Two O(view) passes (the fence, then the fold); the
     * view is the small side by construction. */
   private def consolidate(d: Def, rows: DataFrame): DataFrame = {
-    val base = rows.groupBy(d.groupCols.map(col): _*)
+    val additive =
+      d.storedSumCols.map(c => sum(sumCol(c)).as(sumCol(c))) ++
+      d.avgCols.map(c => sum(cntCol(c)).as(cntCol(c)))
     if (!d.hasMm)
-      base.agg(sum(CntCol).as(CntCol),
-        d.sumCols.map(c => sum(sumCol(c)).as(sumCol(c))): _*)
+      rows.groupBy(d.groupCols.map(col): _*)
+        .agg(sum(CntCol).as(CntCol), additive: _*)
     else {
       val fence = rows.groupBy(d.groupCols.map(col): _*)
         .agg(max(when(col(ResetCol), col(EpochCol))).as("__w"))
@@ -233,7 +249,7 @@ object MaterializedView {
       val admit = col(EpochCol) >= coalesce(col("__w"), lit(Long.MinValue))
       fenced.groupBy(d.groupCols.map(col): _*)
         .agg(sum(CntCol).as(CntCol),
-          (d.sumCols.map(c => sum(sumCol(c)).as(sumCol(c))) ++
+          (additive ++
             d.minCols.map(c => min(when(admit, col(minCol(c))))
               .as(minCol(c))) ++
             d.maxCols.map(c => max(when(admit, col(maxCol(c))))
@@ -243,14 +259,22 @@ object MaterializedView {
 
   /** The view's consolidated rows: one row per surviving group —
     * group cols, `cnt` (count(*)), `sum_<col>`/`min_<col>`/
-    * `max_<col>` per declared measure. A tiny groupBy over the stored
-    * partials; groups whose inserts and deletes net to zero
-    * disappear, exactly as a recompute would drop them. */
+    * `max_<col>`/`avg_<col>` per declared measure (`avg` divides the
+    * stored signed sum by the stored signed NON-NULL count, as
+    * DOUBLE — NULL when the group holds no non-null values, matching
+    * SQL avg). A tiny groupBy over the stored partials; groups whose
+    * inserts and deletes net to zero disappear, exactly as a
+    * recompute would drop them. */
   def read(store: TableStore, mv: String): DataFrame = {
     val d = loadDef(store, mv)
-    consolidate(d, store.read(mv))
-      .withColumnRenamed(CntCol, "cnt")
-      .where(col("cnt") > 0)
+    val cons = consolidate(d, store.read(mv))
+    val out = d.groupCols.map(col) ++ Seq(col(CntCol).as("cnt")) ++
+      d.sumCols.map(c => col(sumCol(c))) ++
+      d.avgCols.map(c => when(col(cntCol(c)) > 0,
+        col(sumCol(c)).cast("double") / col(cntCol(c))).as(avgCol(c))) ++
+      d.minCols.map(c => col(minCol(c))) ++
+      d.maxCols.map(c => col(maxCol(c)))
+    cons.select(out: _*).where(col("cnt") > 0)
   }
 
   /** One row of view metadata — definition, binding, and staleness —
@@ -270,11 +294,12 @@ object MaterializedView {
     val behind = for (b <- bound; s <- srcV) yield math.max(0L, s - b)
     val partialRows = store.fileRowCounts(mv).values.sum
     Seq((mv, d.src, d.groupCols.mkString(","), d.sumCols.mkString(","),
-      d.minCols.mkString(","), d.maxCols.mkString(","),
-      d.filterSql.getOrElse(""), bound, srcV, behind, partialRows))
-      .toDF("view_name", "source", "group_cols", "sum_cols", "min_cols",
-        "max_cols", "filter_sql", "bound_version", "source_version",
-        "versions_behind", "n_partial_rows")
+      d.avgCols.mkString(","), d.minCols.mkString(","),
+      d.maxCols.mkString(","), d.filterSql.getOrElse(""),
+      bound, srcV, behind, partialRows))
+      .toDF("view_name", "source", "group_cols", "sum_cols", "avg_cols",
+        "min_cols", "max_cols", "filter_sql", "bound_version",
+        "source_version", "versions_behind", "n_partial_rows")
   }
 
   /** Fold the accumulated partial rows back to one row per group

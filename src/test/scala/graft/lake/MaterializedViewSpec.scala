@@ -180,6 +180,46 @@ class MaterializedViewSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 6.0)))
   }
 
+  test("avg divides by the NON-NULL count and survives deletes of null and non-null rows") {
+    val store = freshStore()
+    store.create("t", Seq((1L, "a", Some(4.0)), (2L, "a", None),
+      (3L, "a", Some(8.0)), (4L, "b", None)).toDF("id", "g", "x"))
+    MaterializedView.create(store, "m", "t", Seq("g"), Nil,
+      avgCols = Seq("x"))
+    def state() = MaterializedView.read(store, "m")
+      .select("g", "cnt", "avg_x").orderBy("g")
+      .as[(String, Long, Option[Double])].collect().toSeq
+    // avg over (4, NULL, 8) = 6, not 4 — divide by 2, not cnt=3;
+    // group b's only x is NULL -> avg NULL like SQL
+    assert(state() == Seq(("a", 3L, Some(6.0)), ("b", 1L, None)))
+    // delete one null row and one non-null row: numerator and
+    // denominator both adjust through the signed partials
+    store.appendWithDeletes("t",
+      Seq.empty[(Long, String, Option[Double])].toDF("id", "g", "x"),
+      deleteKeys = Seq(2L, 3L).toDF("id"))
+    MaterializedView.refresh(store, "m")
+    assert(state() == Seq(("a", 1L, Some(4.0)), ("b", 1L, None)))
+    MaterializedView.compactPartials(store, "m")
+    assert(state() == Seq(("a", 1L, Some(4.0)), ("b", 1L, None)))
+  }
+
+  test("a full OVERWRITE of the source (rewrite commit) refreshes through the bag diff") {
+    val store = freshStore()
+    store.create("t", src((1, "a", 1.0), (2, "a", 9.0), (3, "b", 3.0)))
+    MaterializedView.create(store, "m", "t", Seq("g"), Seq("x"),
+      minCols = Seq("x"), maxCols = Seq("x"))
+    // a rewrite commit (no row-level lineage): the feed falls back to
+    // the two-sided bag diff, which the refresh must fold exactly —
+    // including the min/max repair for the groups the diff deletes from
+    store.overwrite("t", src((4, "a", 5.0), (5, "c", 7.0)))
+    MaterializedView.refresh(store, "m")
+    val got = MaterializedView.read(store, "m")
+      .select("g", "cnt", "sum_x", "min_x", "max_x").orderBy("g")
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 1L, 5.0, 5.0, 5.0), ("c", 1L, 7.0, 7.0, 7.0)),
+      s"got $got")
+  }
+
   test("refresh on a non-MV table fails loudly") {
     val store = freshStore()
     store.create("plain", src((1, "a", 1.0)))

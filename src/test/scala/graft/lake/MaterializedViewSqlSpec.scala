@@ -56,7 +56,7 @@ class MaterializedViewSqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       GraftSql.execute(spark, store,
         "CREATE MATERIALIZED VIEW bad_mv AS " +
-          "SELECT g, avg(x) FROM s2 GROUP BY g")
+          "SELECT g, count(DISTINCT x) FROM s2 GROUP BY g")
     }
     assert(e.getMessage.contains("sum(col)"))
   }
