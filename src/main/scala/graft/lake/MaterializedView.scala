@@ -110,7 +110,11 @@ object MaterializedView {
                        epoch: Long, reset: Boolean): DataFrame = {
     val aggs =
       d.storedSumCols.map(c => sum(col(c) * sign).as(sumCol(c))) ++
-      d.avgCols.map(c => sum(when(col(c).isNotNull, sign)
+      // signed NON-NULL count per summed column — it disambiguates
+      // "the non-null values canceled to 0" from "no non-null values
+      // survive" (SQL sum/avg answer 0 vs NULL there), and it is the
+      // avg denominator (SQL avg ignores NULL rows)
+      d.storedSumCols.map(c => sum(when(col(c).isNotNull, sign)
         .otherwise(lit(0L))).as(cntCol(c))) ++
       d.minCols.map(c => min(when(sign > 0, col(c))).as(minCol(c))) ++
       d.maxCols.map(c => max(when(sign > 0, col(c))).as(maxCol(c))) ++
@@ -202,9 +206,14 @@ object MaterializedView {
             // (extrema NULL; the group nets to cnt 0 and drops at read)
             val reAll = affected.withColumn("__is_aff", lit(true))
               .join(re, d.groupCols, "left_outer")
+            // project back to the EXACT partial-row schema: every
+            // additive column (stored sums AND avg non-null counts)
+            // must survive, or the dropped column null-fills on the
+            // merged read and the aggregate silently loses the batch
             folded.join(reAll, d.groupCols, "left_outer")
               .select(d.groupCols.map(col) ++ Seq(col(CntCol)) ++
-                d.sumCols.map(c => col(sumCol(c))) ++
+                d.storedSumCols.map(c => col(sumCol(c))) ++
+                d.storedSumCols.map(c => col(cntCol(c))) ++
                 d.minCols.map(c => when(col("__is_aff").isNotNull,
                   col("__re_min_" + c)).otherwise(col(minCol(c)))
                   .as(minCol(c))) ++
@@ -238,7 +247,7 @@ object MaterializedView {
   private def consolidate(d: Def, rows: DataFrame): DataFrame = {
     val additive =
       d.storedSumCols.map(c => sum(sumCol(c)).as(sumCol(c))) ++
-      d.avgCols.map(c => sum(cntCol(c)).as(cntCol(c)))
+      d.storedSumCols.map(c => sum(cntCol(c)).as(cntCol(c)))
     if (!d.hasMm)
       rows.groupBy(d.groupCols.map(col): _*)
         .agg(sum(CntCol).as(CntCol), additive: _*)
@@ -269,7 +278,8 @@ object MaterializedView {
     val d = loadDef(store, mv)
     val cons = consolidate(d, store.read(mv))
     val out = d.groupCols.map(col) ++ Seq(col(CntCol).as("cnt")) ++
-      d.sumCols.map(c => col(sumCol(c))) ++
+      d.sumCols.map(c => when(col(cntCol(c)) > 0, col(sumCol(c)))
+        .as(sumCol(c))) ++
       d.avgCols.map(c => when(col(cntCol(c)) > 0,
         col(sumCol(c)).cast("double") / col(cntCol(c))).as(avgCol(c))) ++
       d.minCols.map(c => col(minCol(c))) ++
