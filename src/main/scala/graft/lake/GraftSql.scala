@@ -445,7 +445,13 @@ object GraftSql {
         }.isDefined => executeTableChanges(spark, store, p, sql)
         case p if p.collectFirst { case tt: RelationTimeTravel => tt }.isDefined =>
           executeTimeTravelSelect(spark, store, p, sql)
-        case _ => spark.sql(sql)
+        case plain =>
+          // aggregate SELECTs consult the MV registry first: a FRESH
+          // bound view whose definition subsumes the query serves it
+          // at O(view) cost instead of a source scan (MvRewrite); any
+          // non-match runs the statement directly
+          MvRewrite.tryRewrite(spark, store, sql, plain)
+            .getOrElse(spark.sql(sql))
       }
     }
   }

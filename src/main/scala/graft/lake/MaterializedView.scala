@@ -48,15 +48,15 @@ import org.apache.spark.sql.functions._
   */
 object MaterializedView {
 
-  private def defTable(mv: String): String = mv + "__def"
+  private[lake] def defTable(mv: String): String = mv + "__def"
   // no ':' — the txn header encodes app:version with ':' reserved
   private def appId(src: String): String = s"mv-sync-$src"
   private[lake] val CntCol = "__cnt"
-  private def sumCol(c: String): String = "sum_" + c
-  private def minCol(c: String): String = "min_" + c
-  private def maxCol(c: String): String = "max_" + c
+  private[lake] def sumCol(c: String): String = "sum_" + c
+  private[lake] def minCol(c: String): String = "min_" + c
+  private[lake] def maxCol(c: String): String = "max_" + c
   private def avgCol(c: String): String = "avg_" + c
-  private def cntCol(c: String): String = "cnt_" + c
+  private[lake] def cntCol(c: String): String = "cnt_" + c
   // extremum control pair, present only when min/max cols exist: every
   // partial row is stamped with the source version it folded
   // (`__mm_epoch`) and whether it REPLACES older extremum evidence
@@ -310,6 +310,39 @@ object MaterializedView {
       .toDF("view_name", "source", "group_cols", "sum_cols", "avg_cols",
         "min_cols", "max_cols", "filter_sql", "bound_version",
         "source_version", "versions_behind", "n_partial_rows")
+  }
+
+  /** The view's rewrite-facing surface: definition + freshness in one
+    * metadata-only probe (1-row def table + two manifest headers).
+    * `fresh` means every committed source version is folded — the
+    * precondition for [[MvRewrite]] to serve a query from the view
+    * instead of the source (a stale view would answer from the past).
+    */
+  private[lake] final case class Surface(mv: String, src: String,
+      groupCols: Seq[String], storedSumCols: Seq[String],
+      minCols: Seq[String], maxCols: Seq[String],
+      filterSql: Option[String], fresh: Boolean)
+
+  private[lake] def surface(store: TableStore, mv: String): Surface = {
+    val d = loadDef(store, mv)
+    val fresh = (for {
+      b <- store.lastTxn(mv, appId(d.src))
+      c <- store.currentVersion(d.src)
+    } yield c <= b).getOrElse(false)
+    Surface(mv, d.src, d.groupCols, d.storedSumCols, d.minCols, d.maxCols,
+      d.filterSql, fresh)
+  }
+
+  /** One consolidated row per SURVIVING group with the INTERNAL
+    * additive column names (`__cnt`, `sum_<c>`, `cnt_<c>`, `min_<c>`,
+    * `max_<c>`) — the substrate [[MvRewrite]] re-aggregates when a
+    * query groups by a SUBSET of the view's keys. Everything here is
+    * additive (or re-foldable, for extrema), so a further groupBy
+    * over these rows is exact. O(view) work. */
+  private[lake] def consolidatedAdditive(store: TableStore,
+                                         mv: String): DataFrame = {
+    val d = loadDef(store, mv)
+    consolidate(d, store.read(mv)).where(col(CntCol) > 0)
   }
 
   /** Fold the accumulated partial rows back to one row per group

@@ -906,6 +906,60 @@ object PipelineQueries {
         |  CAST(max(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** Query rewriting over a materialized view
+    * ([[graft.lake.MvRewrite]]): the full SQL-driven lifecycle —
+    * CREATE MATERIALIZED VIEW, source append + MoR delete, REFRESH —
+    * then a dashboard aggregate over the SOURCE table that the front
+    * door must serve from the view: it groups by a SUBSET of the
+    * view's keys (re-aggregating the additive partials) under a
+    * residual WHERE on the other group column, touching every
+    * translatable measure family (count(*) / count / sum / avg /
+    * min / max). The `require` makes the serve path load-bearing: if
+    * the rewrite ever stops matching, this query fails loudly rather
+    * than silently scanning the source. Measures ride on l_quantity
+    * (integral doubles — exact sums in any fold order) and
+    * l_extendedprice (min/max, order-free); avg divides an exact sum
+    * by a count, so the double is deterministic and the oracle
+    * replays it as sum/count. Oracle: the from-scratch aggregate over
+    * the source's FINAL state. */
+  val mvRewriteServed: Entry = Entry(
+    "mv_query_rewrite",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvrw"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+      store.create("li_rw", li.where(col("l_orderkey") % 3 =!= 0))
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW li_rw_mv AS
+          |SELECT l_returnflag, l_linestatus, count(*), sum(qty),
+          |  avg(qty), min(price), max(price)
+          |FROM li_rw GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      store.append("li_rw", li.where(col("l_orderkey") % 3 === 0))
+      store.appendWithDeletes("li_rw", li.limit(0),
+        deleteKeys = li.select("l_orderkey")
+          .where(col("l_orderkey") % 7 === 0).distinct())
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW li_rw_mv")
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT l_returnflag, count(*) AS n, count(qty) AS nq,
+          |  sum(qty) AS sum_qty, avg(qty) AS avg_qty,
+          |  min(price) AS min_price, max(price) AS max_price
+          |FROM li_rw WHERE l_linestatus = 'F'
+          |GROUP BY l_returnflag""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_query_rewrite expected the SELECT to be served from li_rw_mv")
+      served.orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n, count(l_quantity) AS nq,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(l_quantity) / count(l_quantity) AS DOUBLE) AS avg_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_orderkey % 7 <> 0 AND l_linestatus = 'F'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
+
   /** Plain DML through the SQL front door — the statements Spark
     * parses but cannot run on parquet tables without a v2 row-level
     * catalog: a conditional multi-assignment UPDATE (alias-qualified
@@ -1792,6 +1846,7 @@ object PipelineQueries {
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
+    mvRewriteServed,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

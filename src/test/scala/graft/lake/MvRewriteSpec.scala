@@ -1,0 +1,158 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** The MV rewrite contract ([[MvRewrite]]): an aggregate SELECT
+  * through the SQL front door is served from a FRESH bound
+  * materialized view whenever the view subsumes it — and NEVER
+  * otherwise. Every leg asserts both the routing (the hit counter)
+  * and the answer (parity with direct execution over the source). */
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() = new TableStore(spark, tmpDir("mvrw"))
+
+  private def rows(n: Int): DataFrame =
+    (1 to n).map { i =>
+      (i.toLong, "g" + (i % 3), "h" + (i % 2),
+        if (i % 7 == 0) null else java.lang.Double.valueOf(i.toDouble))
+    }.toDF("id", "g", "h", "x")
+
+  /** Run `sql` through the front door, return (result, servedFromMv). */
+  private def run(store: TableStore, sql: String): (Seq[Row], Boolean) = {
+    val before = MvRewrite.hits.get()
+    val got = GraftSql.execute(spark, store, sql)
+    val sorted = got.orderBy(got.columns.map(col): _*).collect().toSeq
+    (sorted, MvRewrite.hits.get() > before)
+  }
+
+  /** Direct execution of the same SQL with rewriting disabled. */
+  private def direct(store: TableStore, sql: String): Seq[Row] = {
+    spark.conf.set(MvRewrite.EnabledKey, "false")
+    try run(store, sql)._1
+    finally spark.conf.set(MvRewrite.EnabledKey, "true")
+  }
+
+  private def setup(): TableStore = {
+    val store = freshStore()
+    store.create("t", rows(40))
+    MaterializedView.create(store, "mv_t", "t", Seq("g", "h"), Seq("x"),
+      minCols = Seq("x"), maxCols = Seq("x"), avgCols = Seq("x"))
+    // exercise the fold paths the rewrite must see through: an append,
+    // a MoR delete, then a refresh that makes the view fresh again
+    store.append("t", rows(60).where(col("id") > 40))
+    store.appendWithDeletes("t", rows(0).limit(0),
+      deleteKeys = Seq(3L, 9L, 21L).toDF("id"))
+    MaterializedView.refresh(store, "mv_t")
+    store
+  }
+
+  private def assertServed(store: TableStore, sql: String): Unit = {
+    val (got, served) = run(store, sql)
+    assert(served, s"expected MV rewrite to serve: $sql")
+    assert(MvRewrite.lastServed.contains("mv_t"))
+    assert(got == direct(store, sql),
+      s"rewritten answer diverged from direct for: $sql")
+  }
+
+  private def assertDirect(store: TableStore, sql: String): Unit = {
+    val (got, served) = run(store, sql)
+    assert(!served, s"expected NO rewrite for: $sql")
+    assert(got == direct(store, sql))
+  }
+
+  test("exact group match: every measure family served from the view") {
+    val store = setup()
+    assertServed(store,
+      """SELECT g, h, count(*) AS n, count(x) AS nx, sum(x) AS sx,
+        |  avg(x) AS ax, min(x) AS mnx, max(x) AS mxx
+        |FROM t GROUP BY g, h""".stripMargin)
+  }
+
+  test("group-subset roll-up re-aggregates the view exactly (incl. NULL measures)") {
+    val store = setup()
+    assertServed(store,
+      "SELECT g, count(*) AS n, count(x) AS nx, sum(x) AS sx, avg(x) AS ax, " +
+        "min(x) AS mnx, max(x) AS mxx FROM t GROUP BY g")
+    // coarsest: single group column the view also groups on
+    assertServed(store, "SELECT h, sum(x) AS sx FROM t GROUP BY h")
+  }
+
+  test("residual WHERE on view group columns filters view rows; ordinals resolve") {
+    val store = setup()
+    assertServed(store,
+      "SELECT g, sum(x) AS sx FROM t WHERE h = 'h1' GROUP BY g")
+    assertServed(store,
+      "SELECT g, count(*) AS n FROM t WHERE h = 'h0' AND g <> 'g2' GROUP BY 1")
+  }
+
+  test("filtered view: only queries carrying the view's conjunct rewrite") {
+    val store = freshStore()
+    store.create("t", rows(40))
+    MaterializedView.create(store, "mv_t", "t", Seq("g", "h"), Seq("x"),
+      filter = Some("x > 2"))
+    assertServed(store,
+      "SELECT g, sum(x) AS sx FROM t WHERE x > 2 GROUP BY g")
+    assertServed(store,
+      "SELECT g, sum(x) AS sx FROM t WHERE x > 2 AND h = 'h1' GROUP BY g")
+    // missing the view's predicate → the view admitted fewer rows
+    assertDirect(store, "SELECT g, sum(x) AS sx FROM t GROUP BY g")
+    // different predicate → not subsumed
+    assertDirect(store, "SELECT g, sum(x) AS sx FROM t WHERE x > 3 GROUP BY g")
+  }
+
+  test("stale view never serves; refresh restores the rewrite") {
+    val store = setup()
+    store.append("t", rows(70).where(col("id") > 60))
+    // the view is behind the source now — answering from it would
+    // serve the past; the query must run direct and see the new rows
+    assertDirect(store, "SELECT g, count(*) AS n FROM t GROUP BY g")
+    MaterializedView.refresh(store, "mv_t")
+    assertServed(store, "SELECT g, count(*) AS n FROM t GROUP BY g")
+  }
+
+  test("untranslatable shapes fall through to direct execution") {
+    val store = setup()
+    // residual predicate on a NON-group column
+    assertDirect(store, "SELECT g, count(*) AS n FROM t WHERE x > 5 GROUP BY g")
+    // grouping by a column the view does not group on
+    assertDirect(store, "SELECT id, count(*) AS n FROM t GROUP BY id")
+    // DISTINCT aggregate
+    assertDirect(store, "SELECT g, count(DISTINCT h) AS n FROM t GROUP BY g")
+    // measure over a column the view does not maintain
+    assertDirect(store, "SELECT g, sum(id) AS si FROM t GROUP BY g")
+    // expression grouping
+    assertDirect(store, "SELECT upper(g) AS ug, count(*) AS n FROM t GROUP BY upper(g)")
+    // non-aggregate SELECT never consults the registry
+    assertDirect(store, "SELECT * FROM t WHERE id = 1")
+  }
+
+  test("schema guard abstains on type-promotion mismatch (decimal measures)") {
+    val store = freshStore()
+    store.create("td", rows(20)
+      .withColumn("x", col("x").cast("decimal(18,4)")))
+    MaterializedView.create(store, "mv_td", "td", Seq("g"), Seq("x"))
+    // direct sum(decimal(18,4)) widens to decimal(28,4); the stored
+    // signed partial widened further — the guard must refuse to serve
+    // a differently-typed column and fall back to direct execution
+    assertDirect(store, "SELECT g, sum(x) AS sx FROM td GROUP BY g")
+  }
+
+  test("config kill-switch disables the rewrite") {
+    val store = setup()
+    spark.conf.set(MvRewrite.EnabledKey, "false")
+    try {
+      val (got, served) = run(store, "SELECT g, count(*) AS n FROM t GROUP BY g")
+      assert(!served)
+      assert(got.nonEmpty)
+    } finally spark.conf.set(MvRewrite.EnabledKey, "true")
+  }
+
+  test("case-insensitive matching: uppercase SQL still rewrites") {
+    val store = setup()
+    assertServed(store,
+      "SELECT G, SUM(X) AS sx FROM T WHERE H = 'h1' GROUP BY G")
+  }
+}
