@@ -102,6 +102,10 @@ object GraftSql {
   // canonical names (group cols, cnt, sum_<col>).
   private val CreateMvStmt =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+  // the JOIN view form: FROM fact JOIN dim USING (cols) — inner join
+  // only, the shape the two-cursor IVM maintains exactly
+  private val CreateMvJoinStmt =
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s+(?:INNER\s+)?JOIN\s+([A-Za-z_]\w*)\s+USING\s*\(([^)]+)\)\s*(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
   private val RefreshMvStmt =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val OptimizeMvStmt =
@@ -221,6 +225,39 @@ object GraftSql {
     * a wide store doesn't pay O(tables) manifest reads per statement.
     * Precedence caveat: a session temp view sharing a MENTIONED store
     * table's name is replaced — the store is the system of record. */
+  /** Parse a CREATE MATERIALIZED VIEW select list into the maintained
+    * measure buckets (sum, min, max, avg). Items are single
+    * identifiers or 1-arg calls, so a comma split is unambiguous;
+    * group-column mentions and count(*) pass through (cnt is always
+    * maintained); anything else is rejected loudly. */
+  private def parseMvMeasures(selectList: String, groupCols: Seq[String])
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+    val SumItem = """(?i)sum\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+    val MinItem = """(?i)min\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+    val MaxItem = """(?i)max\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+    val AvgItem = """(?i)avg\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
+    val CntItem = """(?i)count\s*\(\s*\*\s*\)""".r
+    val Ident = """([A-Za-z_]\w*)""".r
+    val sumCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    val minCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    val maxCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    val avgCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    selectList.split(",").map(_.trim).foreach {
+      case SumItem(c) => sumCols += c
+      case MinItem(c) => minCols += c
+      case MaxItem(c) => maxCols += c
+      case AvgItem(c) => avgCols += c
+      case CntItem() => () // cnt is always maintained
+      case Ident(c) if groupCols.exists(_.equalsIgnoreCase(c)) => ()
+      case other => throw new IllegalArgumentException(
+        s"materialized views maintain only group columns, count(*), " +
+          s"sum(col), avg(col), min(col) and max(col) incrementally; " +
+          s"'$other' is not one of those — use a plain query (or " +
+          "CTAS) for it")
+    }
+    (sumCols.toSeq, minCols.toSeq, maxCols.toSeq, avgCols.toSeq)
+  }
+
   private def registerMentioned(store: TableStore, sql: String): Unit = {
     def mentioned(t: String): Boolean =
       ("(?i)\\b" + java.util.regex.Pattern.quote(t) + "\\b").r
@@ -300,38 +337,33 @@ object GraftSql {
         require(store.exists(table), s"unknown graft table $table")
         store.columnStats(table,
           Option(cols).toSeq.flatMap(_.split(",")).map(_.trim))
+      case CreateMvJoinStmt(mv, selectList, factT, dimT, joinList,
+                            filterSql, groupList) =>
+        // the two-cursor join view: additive measures only (min/max
+        // would need a join-side delete repair — rejected here)
+        val groupCols = groupList.split(",").map(_.trim).toSeq
+        val (sumCols, minCols, maxCols, avgCols) =
+          parseMvMeasures(selectList, groupCols)
+        require(minCols.isEmpty && maxCols.isEmpty,
+          "join materialized views maintain count(*)/sum/avg only — " +
+            "min/max need a delete repair that would re-join the source; " +
+            "use a plain view over a pre-joined table for extrema")
+        val bound = MaterializedView.createJoined(store, mv, factT, dimT,
+          joinList.split(",").map(_.trim).toSeq, groupCols, sumCols,
+          Option(filterSql).map(_.trim), avgCols)
+        import spark.implicits._
+        Seq((mv, factT, dimT, bound))
+          .toDF("view_name", "source", "dim", "bound_version")
       case CreateMvStmt(mv, selectList, src, filterSql, groupList) =>
         // restricted IVM grammar: group cols + count(*) + sum(col).
         // The items are single identifiers or 1-arg calls, so a comma
         // split is unambiguous.
-        val items = selectList.split(",").map(_.trim)
         val groupCols = groupList.split(",").map(_.trim).toSeq
-        val SumItem = """(?i)sum\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
-        val MinItem = """(?i)min\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
-        val MaxItem = """(?i)max\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
-        val AvgItem = """(?i)avg\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
-        val CntItem = """(?i)count\s*\(\s*\*\s*\)""".r
-        val Ident = """([A-Za-z_]\w*)""".r
-        val sumCols = scala.collection.mutable.ArrayBuffer.empty[String]
-        val minCols = scala.collection.mutable.ArrayBuffer.empty[String]
-        val maxCols = scala.collection.mutable.ArrayBuffer.empty[String]
-        val avgCols = scala.collection.mutable.ArrayBuffer.empty[String]
-        items.foreach {
-          case SumItem(c) => sumCols += c
-          case MinItem(c) => minCols += c
-          case MaxItem(c) => maxCols += c
-          case AvgItem(c) => avgCols += c
-          case CntItem() => () // cnt is always maintained
-          case Ident(c) if groupCols.exists(_.equalsIgnoreCase(c)) => ()
-          case other => throw new IllegalArgumentException(
-            s"materialized views maintain only group columns, count(*), " +
-              s"sum(col), avg(col), min(col) and max(col) incrementally; " +
-              s"'$other' is not one of those — use a plain query (or " +
-              "CTAS) for it")
-        }
+        val (sumCols, minCols, maxCols, avgCols) =
+          parseMvMeasures(selectList, groupCols)
         val bound = MaterializedView.create(store, mv, src,
-          groupCols, sumCols.toSeq, Option(filterSql).map(_.trim),
-          minCols.toSeq, maxCols.toSeq, avgCols.toSeq)
+          groupCols, sumCols, Option(filterSql).map(_.trim),
+          minCols, maxCols, avgCols)
         import spark.implicits._
         Seq((mv, src, bound)).toDF("view_name", "source", "bound_version")
       case RefreshMvStmt(mv) =>

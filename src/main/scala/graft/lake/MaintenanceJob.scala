@@ -129,15 +129,22 @@ object MaintenanceJob {
     * already current). Discovery is O(tables) metadata probes, no
     * data touched. */
   private def refreshBoundViews(store: TableStore, args: Args): Seq[String] = {
-    val app = s"mv-sync-${args.table}"
+    // a view is bound to this table as its SOURCE (mv-sync) or, for a
+    // join view, as its DIMENSION (mv-dimsync) — maintenance on either
+    // side must catch the view up before vacuum drops feed manifests
+    val apps = Seq(s"mv-sync-${args.table}", s"mv-dimsync-${args.table}")
     store.tables().sorted.flatMap { t =>
       val isBoundMv = !t.endsWith("__def") && store.exists(t + "__def") &&
-        store.lastTxn(t, app).isDefined
+        apps.exists(store.lastTxn(t, _).isDefined)
       if (!isBoundMv) None
       else {
-        val before = store.lastTxn(t, app)
+        // "did the refresh land a delta?" is the VIEW's own version
+        // advancing — watermark comparison alone misses a dim-only
+        // fold, whose fact cursor stays put
+        val before = store.currentVersion(t)
         val to = MaterializedView.refresh(store, t)
-        if (before.contains(to)) Some(t) // already current, no fold needed
+        if (store.currentVersion(t) == before)
+          Some(t) // already current, no fold needed
         else {
           // a racing refresher can beat the fold to the snapshot —
           // defer to the next pass (the scheduled-job shape compact()

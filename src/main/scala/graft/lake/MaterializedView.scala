@@ -51,6 +51,9 @@ object MaterializedView {
   private[lake] def defTable(mv: String): String = mv + "__def"
   // no ':' — the txn header encodes app:version with ':' reserved
   private def appId(src: String): String = s"mv-sync-$src"
+  // a join view carries a SECOND cursor for its dimension side,
+  // committed in the same atomic append as the fact cursor
+  private def dimAppId(dim: String): String = s"mv-dimsync-$dim"
   private[lake] val CntCol = "__cnt"
   private[lake] def sumCol(c: String): String = "sum_" + c
   private[lake] def minCol(c: String): String = "min_" + c
@@ -70,7 +73,9 @@ object MaterializedView {
                                filterSql: Option[String],
                                minCols: Seq[String] = Nil,
                                maxCols: Seq[String] = Nil,
-                               avgCols: Seq[String] = Nil) {
+                               avgCols: Seq[String] = Nil,
+                               dim: Option[String] = None,
+                               joinCols: Seq[String] = Nil) {
     /** Apply the view's WHERE to a batch of source-shaped rows — the
       * initial fold and every feed fold MUST go through this, or a
       * filtered view would fold rows it never admitted. */
@@ -89,11 +94,30 @@ object MaterializedView {
         s"$mv is not a materialized view (definition rows: ${rows.length})")
     }
     def split(s: String) = s.split(",").toSeq.filter(_.nonEmpty)
+    // dim/join_cols arrived with join views — tolerate a def row
+    // written before they existed
+    def opt(c: String): String =
+      if (r.schema.fieldNames.contains(c)) Option(r.getAs[String](c))
+        .getOrElse("")
+      else ""
     Def(r.getAs[String]("src"), split(r.getAs[String]("group_cols")),
       split(r.getAs[String]("sum_cols")),
       Option(r.getAs[String]("filter_sql")).filter(_.nonEmpty),
       split(r.getAs[String]("min_cols")), split(r.getAs[String]("max_cols")),
-      split(r.getAs[String]("avg_cols")))
+      split(r.getAs[String]("avg_cols")),
+      Some(opt("dim")).filter(_.nonEmpty), split(opt("join_cols")))
+  }
+
+  private def writeDef(store: TableStore, mv: String, d: Def): Unit = {
+    val spark = store.spark
+    import spark.implicits._
+    store.create(defTable(mv),
+      Seq((d.src, d.groupCols.mkString(","), d.sumCols.mkString(","),
+        d.filterSql.getOrElse(""), d.minCols.mkString(","),
+        d.maxCols.mkString(","), d.avgCols.mkString(","),
+        d.dim.getOrElse(""), d.joinCols.mkString(",")))
+        .toDF("src", "group_cols", "sum_cols", "filter_sql",
+          "min_cols", "max_cols", "avg_cols", "dim", "join_cols"))
   }
 
   /** Signed partial rows for one batch: per group, `__cnt` = Σ sign
@@ -145,16 +169,52 @@ object MaterializedView {
     val v = store.currentVersion(src).getOrElse(
       throw new IllegalStateException(s"table $src does not exist"))
     val d = Def(src, groupCols, sumCols, filter, minCols, maxCols, avgCols)
-    store.create(defTable(mv),
-      Seq((src, groupCols.mkString(","), sumCols.mkString(","),
-        filter.getOrElse(""), minCols.mkString(","), maxCols.mkString(","),
-        avgCols.mkString(",")))
-        .toDF("src", "group_cols", "sum_cols", "filter_sql",
-          "min_cols", "max_cols", "avg_cols"))
+    writeDef(store, mv, d)
     val base = partials(d.admitted(store.readVersion(src, v)), d, lit(1L),
       epoch = v, reset = true)
     store.createTxn(mv, base.coalesce(4), appId(src), v)
     v
+  }
+
+  /** Create a JOIN materialized view: `mv` = SELECT groupCols,
+    * count(*), sum/avg(cols...) FROM `fact` INNER JOIN `dim` USING
+    * (joinCols) [WHERE filter] GROUP BY groupCols — group, measure,
+    * and filter columns may come from EITHER side of the join.
+    * Maintained under changes to BOTH tables by the exact bag-algebra
+    * identity Δ(F⋈D) = ΔF⋈D_new ⊕ F_old⋈ΔD (each side's change feed
+    * signed ±1, the sign surviving the join into the partials): a
+    * fact-only day costs O(ΔF ⋈ D); a dim update costs O(F ⋈ ΔD) —
+    * an inner join on the changed keys, which partition/stats pruning
+    * on the fact's join column cuts to the affected slice. The two
+    * cursors (fact version, dim version) ride the SAME atomic append
+    * as the delta rows ([[TableStore.appendTxns]]), so refresh stays
+    * exactly-once under crash redelivery with either or both sides
+    * moving. min/max are not supported on join views (their delete
+    * repair would re-join the affected groups; use a plain view over
+    * a pre-joined table if extrema over a join are needed) — additive
+    * measures only (count/sum/avg). Returns the bound fact version.
+    */
+  def createJoined(store: TableStore, mv: String, fact: String,
+                   dim: String, joinCols: Seq[String],
+                   groupCols: Seq[String], sumCols: Seq[String],
+                   filter: Option[String] = None,
+                   avgCols: Seq[String] = Nil): Long = {
+    require(groupCols.nonEmpty, "at least one group column")
+    require(joinCols.nonEmpty, "at least one join column")
+    val vF = store.currentVersion(fact).getOrElse(
+      throw new IllegalStateException(s"table $fact does not exist"))
+    val vD = store.currentVersion(dim).getOrElse(
+      throw new IllegalStateException(s"table $dim does not exist"))
+    val d = Def(fact, groupCols, sumCols, filter, Nil, Nil, avgCols,
+      Some(dim), joinCols)
+    writeDef(store, mv, d)
+    val joined = store.readVersion(fact, vF)
+      .join(store.readVersion(dim, vD), joinCols)
+    val base = partials(d.admitted(joined), d, lit(1L),
+      epoch = vF, reset = true)
+    store.createTxns(mv, base.coalesce(4),
+      Seq(appId(fact) -> vF, dimAppId(dim) -> vD))
+    vF
   }
 
   /** Fold `src`'s change feed since the last refresh into `mv` as ONE
@@ -165,6 +225,66 @@ object MaterializedView {
     * snapshot check and this call retries from the new watermark. */
   def refresh(store: TableStore, mv: String): Long = {
     val d = loadDef(store, mv)
+    if (d.dim.isDefined) refreshJoined(store, mv, d)
+    else refreshPlain(store, mv, d)
+  }
+
+  /** Join-view refresh: fold ΔF⋈D_new ⊕ F_old⋈ΔD (see
+    * [[createJoined]]) into one atomic append advancing BOTH cursors.
+    * Reading F_old needs the bound fact version still retained —
+    * the same keep-up-before-vacuum discipline every CDF consumer
+    * here lives by (MaintenanceJob refreshes views before vacuum).
+    * The dim delta is broadcast (a dim change batch is small by
+    * construction); the fact delta joins the CURRENT dim snapshot,
+    * where the usual star-schema broadcast applies. Returns the bound
+    * fact version. */
+  private def refreshJoined(store: TableStore, mv: String, d: Def): Long = {
+    val dim = d.dim.get
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val boundF = store.lastTxn(mv, appId(d.src)).getOrElse(
+        throw new IllegalStateException(
+          s"$mv carries no mv-sync watermark for ${d.src}"))
+      val boundD = store.lastTxn(mv, dimAppId(dim)).getOrElse(
+        throw new IllegalStateException(
+          s"$mv carries no mv-dimsync watermark for $dim"))
+      val curF = store.currentVersion(d.src).getOrElse(
+        throw new IllegalStateException(s"table ${d.src} does not exist"))
+      val curD = store.currentVersion(dim).getOrElse(
+        throw new IllegalStateException(s"table $dim does not exist"))
+      if (curF <= boundF && curD <= boundD) return boundF
+      val mvSnap = store.currentVersion(mv)
+      val sign = when(col("_change_type") === "insert", lit(1L))
+        .otherwise(lit(-1L))
+      var deltas = List.empty[DataFrame]
+      if (curF > boundF) {
+        val dF = store.changes(d.src, boundF, curF).drop("_commit_version")
+        deltas ::= partials(
+          d.admitted(dF.join(store.readVersion(dim, curD), d.joinCols)),
+          d, sign, epoch = curF, reset = false)
+      }
+      if (curD > boundD) {
+        val dD = store.changes(dim, boundD, curD).drop("_commit_version")
+        deltas ::= partials(
+          d.admitted(store.readVersion(d.src, boundF)
+            .join(broadcast(dD), d.joinCols)),
+          d, sign, epoch = curF, reset = false)
+      }
+      val delta = deltas.reduce(_ unionByName _)
+      try {
+        store.appendTxns(mv, delta.coalesce(4),
+          Seq(appId(d.src) -> curF, dimAppId(dim) -> curD),
+          readSnapshot = mvSnap)
+        return curF
+      } catch {
+        case _: SnapshotConflictException if attempts < 5 => // retry
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def refreshPlain(store: TableStore, mv: String, d: Def): Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -303,13 +423,19 @@ object MaterializedView {
     val srcV = store.currentVersion(d.src)
     val behind = for (b <- bound; s <- srcV) yield math.max(0L, s - b)
     val partialRows = store.fileRowCounts(mv).values.sum
+    // join views report the dim cursor too; plain views show NULLs
+    val dimBound = d.dim.flatMap(dim => store.lastTxn(mv, dimAppId(dim)))
+    val dimV = d.dim.flatMap(store.currentVersion)
+    val dimBehind = for (b <- dimBound; s <- dimV) yield math.max(0L, s - b)
     Seq((mv, d.src, d.groupCols.mkString(","), d.sumCols.mkString(","),
       d.avgCols.mkString(","), d.minCols.mkString(","),
       d.maxCols.mkString(","), d.filterSql.getOrElse(""),
-      bound, srcV, behind, partialRows))
+      bound, srcV, behind, partialRows,
+      d.dim.getOrElse(""), d.joinCols.mkString(","), dimBound, dimBehind))
       .toDF("view_name", "source", "group_cols", "sum_cols", "avg_cols",
         "min_cols", "max_cols", "filter_sql", "bound_version",
-        "source_version", "versions_behind", "n_partial_rows")
+        "source_version", "versions_behind", "n_partial_rows",
+        "dim", "join_cols", "dim_bound_version", "dim_versions_behind")
   }
 
   /** The view's rewrite-facing surface: definition + freshness in one
@@ -321,16 +447,21 @@ object MaterializedView {
   private[lake] final case class Surface(mv: String, src: String,
       groupCols: Seq[String], storedSumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String],
-      filterSql: Option[String], fresh: Boolean)
+      filterSql: Option[String], fresh: Boolean,
+      joined: Boolean = false)
 
   private[lake] def surface(store: TableStore, mv: String): Surface = {
     val d = loadDef(store, mv)
-    val fresh = (for {
-      b <- store.lastTxn(mv, appId(d.src))
-      c <- store.currentVersion(d.src)
+    def current(app: String, table: String): Boolean = (for {
+      b <- store.lastTxn(mv, app)
+      c <- store.currentVersion(table)
     } yield c <= b).getOrElse(false)
+    val fresh = current(appId(d.src), d.src) &&
+      d.dim.forall(dim => current(dimAppId(dim), dim))
+    // a join view's rows have JOIN multiplicity — it must never serve
+    // a single-table query over the fact, so the rewrite skips it
     Surface(mv, d.src, d.groupCols, d.storedSumCols, d.minCols, d.maxCols,
-      d.filterSql, fresh)
+      d.filterSql, fresh, joined = d.dim.isDefined)
   }
 
   /** One consolidated row per SURVIVING group with the INTERNAL
@@ -359,6 +490,13 @@ object MaterializedView {
     val d = loadDef(store, mv)
     val bound = store.lastTxn(mv, appId(d.src)).getOrElse(
       throw new IllegalStateException(s"$mv carries no mv-sync watermark"))
+    // a join view's dim cursor must survive the fold too, or the next
+    // refresh would think the dim binding was vacuumed
+    val txns = Seq(appId(d.src) -> bound) ++ d.dim.map { dim =>
+      dimAppId(dim) -> store.lastTxn(mv, dimAppId(dim)).getOrElse(
+        throw new IllegalStateException(
+          s"$mv carries no mv-dimsync watermark for $dim"))
+    }
     val mvSnap = store.currentVersion(mv)
     val folded0 = consolidate(d, store.read(mv))
       .where(col(CntCol) =!= 0L)
@@ -366,7 +504,7 @@ object MaterializedView {
       if (!d.hasMm) folded0
       else folded0.withColumn(EpochCol, lit(bound))
         .withColumn(ResetCol, lit(true))
-    store.overwriteReassertTxn(mv, folded.coalesce(4), appId(d.src), bound,
+    store.overwriteReassertTxns(mv, folded.coalesce(4), txns,
       readSnapshot = mvSnap)
   }
 }

@@ -280,7 +280,9 @@ object MvRewrite {
           catch { case NonFatal(_) => None }
         }
         .filter { s =>
-          s.fresh && s.src.equalsIgnoreCase(shape.src) &&
+          // join views have join multiplicity — never a substitute
+          // for a single-table aggregate over their fact
+          !s.joined && s.fresh && s.src.equalsIgnoreCase(shape.src) &&
             shape.groupLc.forall(g =>
               s.groupCols.exists(_.equalsIgnoreCase(g))) &&
             shape.outs.collect { case m: Meas => m }.forall(satisfies(s, _))

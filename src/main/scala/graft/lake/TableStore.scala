@@ -1178,7 +1178,7 @@ final class TableStore(private[graft] val spark: SparkSession,
                    app: String, version: Long,
                    readSnapshot: Option[Long] = None): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false,
-      txn = Some((app, version)), readSnapshot = readSnapshot,
+      txns = Seq(app -> version), readSnapshot = readSnapshot,
       op = "OVERWRITE")
 
   /** Overwrite RE-ASSERTING an application watermark verbatim — for
@@ -1192,8 +1192,16 @@ final class TableStore(private[graft] val spark: SparkSession,
   def overwriteReassertTxn(table: String, df: DataFrame,
                            app: String, version: Long,
                            readSnapshot: Option[Long] = None): Unit =
+    overwriteReassertTxns(table, df, Seq(app -> version), readSnapshot)
+
+  /** [[overwriteReassertTxn]] for several app watermarks at once — a
+    * join view's partial fold re-asserts its fact AND dim bindings in
+    * the same rewrite commit. */
+  def overwriteReassertTxns(table: String, df: DataFrame,
+                            txns: Seq[(String, Long)],
+                            readSnapshot: Option[Long] = None): Unit =
     commit(table, df, carried = _ => Nil, mustCreate = false,
-      txn = Some((app, version)), txnReassert = true,
+      txns = txns, txnReassert = true,
       readSnapshot = readSnapshot, op = "OVERWRITE")
 
   /** Append recording an application transaction watermark in the
@@ -1203,10 +1211,24 @@ final class TableStore(private[graft] val spark: SparkSession,
     * O(manifest-header) guard instead of an O(table) data probe. */
   def appendTxn(table: String, df: DataFrame,
                 app: String, version: Long,
-                readSnapshot: Option[Long] = None): Unit = {
+                readSnapshot: Option[Long] = None): Unit =
+    appendTxns(table, df, Seq(app -> version), readSnapshot)
+
+  /** [[appendTxn]] carrying SEVERAL app watermarks in the one atomic
+    * commit — the primitive a maintainer with a multi-table cursor
+    * needs (a join materialized view folds a fact delta AND a dim
+    * delta, then must advance BOTH cursors with the data or neither).
+    * Replay guard: the commit no-ops iff every component is
+    * at-or-behind its published watermark (a replayed vector), or any
+    * single component is strictly past (a zombie crossing newer
+    * work); a vector where at least one component advances is new
+    * work and lands. */
+  def appendTxns(table: String, df: DataFrame,
+                 txns: Seq[(String, Long)],
+                 readSnapshot: Option[Long] = None): Unit = {
     require(exists(table), s"table $table does not exist")
     commit(table, df, carryAll(table), mustCreate = false,
-      txn = Some((app, version)), readSnapshot = readSnapshot,
+      txns = txns, readSnapshot = readSnapshot,
       op = "APPEND")
   }
 
@@ -1214,10 +1236,17 @@ final class TableStore(private[graft] val spark: SparkSession,
     * the bootstrap half of [[overwriteTxn]]. */
   def createTxn(table: String, df: DataFrame,
                 app: String, version: Long,
-                partitionBy: Seq[String] = Nil): Unit = {
+                partitionBy: Seq[String] = Nil): Unit =
+    createTxns(table, df, Seq(app -> version), partitionBy)
+
+  /** [[createTxn]] with several initial watermarks — the bootstrap of
+    * a multi-cursor maintainer (join materialized views). */
+  def createTxns(table: String, df: DataFrame,
+                 txns: Seq[(String, Long)],
+                 partitionBy: Seq[String] = Nil): Unit = {
     require(!exists(table), s"table $table already exists")
     commit(table, df, carried = _ => Nil, mustCreate = true,
-      createParts = partitionBy, txn = Some((app, version)), op = "CREATE")
+      createParts = partitionBy, txns = txns, op = "CREATE")
   }
 
   /** Latest watermark `app` recorded on any RETAINED version, newest
@@ -1318,7 +1347,7 @@ final class TableStore(private[graft] val spark: SparkSession,
     // (app, version) no-ops inside the claim instead of double-applying
     commit(table, df,
       carried = cur => carryAll(table)(cur) ++ delLines, mustCreate = false,
-      readSnapshot = readSnapshot, txn = txn, op = "MERGE-ON-READ")
+      readSnapshot = readSnapshot, txns = txn.toSeq, op = "MERGE-ON-READ")
   }
 
   /** Positional (deletion-vector) DELETE — Iceberg v2 position
@@ -1889,10 +1918,10 @@ final class TableStore(private[graft] val spark: SparkSession,
     * no cross-commit crash window. */
   private def publishManifest(table: String, v: Long, lines: Seq[String],
                               colmap: Option[String],
-                              txn: Option[(String, Long)] = None,
+                              txns: Seq[(String, Long)] = Nil,
                               ingest: Seq[String] = Nil,
                               op: String = "WRITE"): Unit = {
-    txn.foreach { case (app, _) =>
+    txns.foreach { case (app, _) =>
       require(!app.contains(":") && !app.contains("\n"),
         s"bad txn app id '$app'")
     }
@@ -1904,7 +1933,7 @@ final class TableStore(private[graft] val spark: SparkSession,
     val headers = Seq(s"$TsHeader${System.currentTimeMillis()}",
       s"$OpHeader$op") ++
       colmap.map(ColmapHeader + _).toSeq ++
-      txn.map { case (app, ver) => s"$TxnHeader$app:$ver" }.toSeq ++
+      txns.map { case (app, ver) => s"$TxnHeader$app:$ver" } ++
       ingest
     val body = (headers ++ lines).mkString("\n")
     activeTxn match {
@@ -2126,7 +2155,7 @@ final class TableStore(private[graft] val spark: SparkSession,
                      createParts: Seq[String] = Nil,
                      requireWithin: Option[Set[String]] = None,
                      physicalFrame: Boolean = false,
-                     txn: Option[(String, Long)] = None,
+                     txns: Seq[(String, Long)] = Nil,
                      txnReassert: Boolean = false,
                      preserveLayout: Boolean = false,
                      readSnapshot: Option[Long] = None,
@@ -2231,9 +2260,21 @@ final class TableStore(private[graft] val spark: SparkSession,
       // FIRST-ever batch on a long-retained table pays one full
       // manifest scan before returning None — once per app, inside
       // the claim. Acceptable: vacuum bounds retained versions.
-      if (!txnReassert) txn.foreach { case (app, ver) =>
-        if (lastTxn(table, app).exists(_ >= ver))
+      // Multi-watermark commits (a join view binding fact AND dim in
+      // one append) replay iff the whole VECTOR is at-or-behind the
+      // published watermarks; any single component strictly PAST its
+      // proposed value is a zombie crossing newer work — both no-op.
+      // For the single-app case this is exactly the old `last >= ver`.
+      if (!txnReassert && txns.nonEmpty) {
+        val states = txns.map { case (app, ver) =>
+          (app, ver, lastTxn(table, app)) }
+        val regressed = states.exists { case (_, ver, last) =>
+          last.exists(_ > ver) }
+        if (regressed || states.forall { case (_, ver, last) =>
+            last.exists(_ >= ver) }) {
+          val (app, ver, _) = states.head
           throw new TableStore.TxnAlreadyApplied(app, ver)
+        }
       }
       if (mustCreate && createParts.nonEmpty)
         writeSmallFile(new Path(tablePath(table), "_PARTITIONING"),
@@ -2253,7 +2294,7 @@ final class TableStore(private[graft] val spark: SparkSession,
         .map(FileStats.fileKey).toSet
       writeStatsCarried(table, cur, v, carriedKeys.contains, newStats)
       val (colmap, carriedIng) = carriedHeader(table, cur)
-      publishManifest(table, v, carriedLines ++ newFiles, colmap, txn,
+      publishManifest(table, v, carriedLines ++ newFiles, colmap, txns,
         ingest = ingest.getOrElse(carriedIng), op = op)
     } catch {
       case e: SnapshotConflictException =>

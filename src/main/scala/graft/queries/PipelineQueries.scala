@@ -960,6 +960,66 @@ object PipelineQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin))
 
+  /** Join materialized view, two-cursor IVM
+    * ([[graft.lake.MaterializedView.createJoined]]): an orders⋈customer
+    * star view (group by dim segment × fact status) maintained under
+    * BOTH sides changing — fact append + MoR delete AND a dim
+    * re-segmentation (delete+reinsert) — via the exact bag identity
+    * Δ(F⋈D) = ΔF⋈D_new ⊕ F_old⋈ΔD, with the fact and dim cursors
+    * advancing in ONE atomic append. One refresh folds everything;
+    * compactPartials proves the two-cursor binding survives the fold.
+    * Measures sum as DECIMAL(18,4) (order-free exactness); avg reads
+    * as the exact decimal sum cast to double over the non-null count,
+    * replayed identically by the oracle. Oracle: the from-scratch
+    * join-aggregate over both tables' FINAL states. */
+  val mvJoinIncremental: Entry = Entry(
+    "mv_join_incremental",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvjoin"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)").as("price"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      store.create("ord_f", ord.where(col("o_orderkey") % 4 =!= 0))
+      store.create("cust_d", cust)
+      graft.lake.MaterializedView.createJoined(store, "oc_mv",
+        "ord_f", "cust_d", Seq("o_custkey"),
+        Seq("c_mktsegment", "o_orderstatus"), Seq("price"),
+        avgCols = Seq("price"))
+      store.append("ord_f", ord.where(col("o_orderkey") % 4 === 0))
+      store.appendWithDeletes("ord_f", ord.limit(0),
+        deleteKeys = ord.select("o_orderkey")
+          .where(col("o_orderkey") % 7 === 0).distinct())
+      store.appendWithDeletes("cust_d",
+        cust.where(col("o_custkey") % 10 === 3)
+          .withColumn("c_mktsegment", lit("MACHINERY")),
+        deleteKeys = cust.select("o_custkey")
+          .where(col("o_custkey") % 10 === 3).distinct())
+      graft.lake.MaterializedView.refresh(store, "oc_mv")
+      graft.lake.MaterializedView.compactPartials(store, "oc_mv")
+      graft.lake.MaterializedView.read(store, "oc_mv")
+        .select(col("c_mktsegment"), col("o_orderstatus"),
+          col("cnt").as("n"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("avg_price"))
+        .orderBy("c_mktsegment", "o_orderstatus")
+    },
+    Some("""WITH dimf AS (
+        |  SELECT c_custkey, CASE WHEN c_custkey % 10 = 3
+        |    THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer),
+        |factf AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+        |  CAST(sum(price) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(price) AS DOUBLE) / count(*) AS DOUBLE) AS avg_price
+        |FROM factf JOIN dimf ON factf.o_custkey = dimf.c_custkey
+        |GROUP BY c_mktsegment, o_orderstatus
+        |ORDER BY c_mktsegment, o_orderstatus""".stripMargin))
+
   /** Plain DML through the SQL front door — the statements Spark
     * parses but cannot run on parquet tables without a v2 row-level
     * catalog: a conditional multi-assignment UPDATE (alias-qualified
@@ -1846,7 +1906,7 @@ object PipelineQueries {
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
-    mvRewriteServed,
+    mvRewriteServed, mvJoinIncremental,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

@@ -98,4 +98,31 @@ class MaterializedViewSqlSpec extends SparkSpec {
     assert(out.as[(String, Long, Double)].collect().toSeq ==
       Seq(("x", 2L, 6.0)))
   }
+
+  test("CREATE MATERIALIZED VIEW over a JOIN maintains both sides; min/max rejected") {
+    val store = new TableStore(spark, tmpDir("mvsqlj"))
+    store.create("fct", Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 4.0))
+      .toDF("id", "k", "x"))
+    store.create("dmn", Seq((10L, "east"), (20L, "west")).toDF("k", "seg"))
+    val created = GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW j_mv AS " +
+        "SELECT seg, count(*), sum(x), avg(x) FROM fct JOIN dmn USING (k) " +
+        "GROUP BY seg")
+    assert(created.columns.contains("dim"))
+    // mutate BOTH sides, one REFRESH folds both cursors atomically
+    GraftSql.execute(spark, store, "INSERT INTO fct VALUES (4, 20, 6.0)")
+    store.appendWithDeletes("dmn", Seq((10L, "north")).toDF("k", "seg"),
+      deleteKeys = Seq(10L).toDF("k"))
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW j_mv")
+    val got = GraftSql.execute(spark, store,
+      "SELECT seg, cnt, sum_x, avg_x FROM j_mv ORDER BY seg")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("north", 2L, 5.0, 2.5), ("west", 2L, 10.0, 5.0)))
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store,
+        "CREATE MATERIALIZED VIEW j_bad AS " +
+          "SELECT seg, min(x) FROM fct JOIN dmn USING (k) GROUP BY seg")
+    }
+    assert(e.getMessage.contains("join materialized views"))
+  }
 }
