@@ -448,7 +448,9 @@ object MaterializedView {
       groupCols: Seq[String], storedSumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String],
       filterSql: Option[String], fresh: Boolean,
-      joined: Boolean = false)
+      dim: Option[String] = None, joinCols: Seq[String] = Nil) {
+    def joined: Boolean = dim.isDefined
+  }
 
   private[lake] def surface(store: TableStore, mv: String): Surface = {
     val d = loadDef(store, mv)
@@ -458,10 +460,10 @@ object MaterializedView {
     } yield c <= b).getOrElse(false)
     val fresh = current(appId(d.src), d.src) &&
       d.dim.forall(dim => current(dimAppId(dim), dim))
-    // a join view's rows have JOIN multiplicity — it must never serve
-    // a single-table query over the fact, so the rewrite skips it
+    // a join view's rows have JOIN multiplicity — it serves only
+    // queries over the SAME join, never a single-table aggregate
     Surface(mv, d.src, d.groupCols, d.storedSumCols, d.minCols, d.maxCols,
-      d.filterSql, fresh, joined = d.dim.isDefined)
+      d.filterSql, fresh, dim = d.dim, joinCols = d.joinCols)
   }
 
   /** One consolidated row per SURVIVING group with the INTERNAL

@@ -8,7 +8,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedOrdinal, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Expression, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
 import org.apache.spark.sql.types.IntegerType
 
 /** Answer aggregate queries from a materialized view instead of the
@@ -20,10 +21,12 @@ import org.apache.spark.sql.types.IntegerType
   * registry before handing a SELECT to Spark.
   *
   * A query rewrites when a bound view exists with:
-  *  - the same source table, and the view FRESH (every committed
-  *    source version folded — a stale view would answer from the
-  *    past; run REFRESH MATERIALIZED VIEW first or let the
-  *    maintenance job keep it current);
+  *  - the same source SHAPE: a plain view for `FROM t`, a join view
+  *    for `FROM a JOIN b USING (cols)` over the same two tables
+  *    (order-free) and using-columns — and the view FRESH (every
+  *    committed version of every bound table folded — a stale view
+  *    would answer from the past; run REFRESH MATERIALIZED VIEW
+  *    first or let the maintenance job keep it current);
   *  - the query's GROUP BY a SUBSET of the view's group columns —
   *    the stored partial aggregates are additive (count/sum as
   *    signed sums, avg as sum + non-null count, min/max re-foldable),
@@ -73,8 +76,11 @@ object MvRewrite {
   private final case class Meas(fn: String, arg: Option[String],
                                 out: String) extends Out
 
+  /** `join` is set for `FROM a JOIN b USING (cols)` shapes: the two
+    * table names (order-free) plus the lowercase using-column set. */
   private final case class Shape(src: String, where: Option[Expression],
-                                 groupLc: Seq[String], outs: Seq[Out])
+                                 groupLc: Seq[String], outs: Seq[Out],
+                                 join: Option[(String, Set[String])] = None)
 
   /** Lowercase every attribute / function name so two independently
     * parsed trees of the same predicate compare equal regardless of
@@ -112,16 +118,34 @@ object MvRewrite {
     * output either a group column or an ALIASED translatable
     * aggregate. Anything else → None, and the statement runs direct.
     */
+  /** A bare one-part relation, or `a JOIN b USING (cols)` of two —
+    * returns (primary table, optional (other table, using cols)). */
+  private def sourceOf(p: LogicalPlan): Option[(String, Option[(String, Set[String])])] =
+    p match {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        Some((r.multipartIdentifier.head.toLowerCase, None))
+      case j: Join if j.condition.isEmpty =>
+        (j.joinType, j.left, j.right) match {
+          case (UsingJoin(Inner, cols), l: UnresolvedRelation,
+                r: UnresolvedRelation)
+              if l.multipartIdentifier.length == 1 &&
+                r.multipartIdentifier.length == 1 =>
+            Some((l.multipartIdentifier.head.toLowerCase,
+              Some((r.multipartIdentifier.head.toLowerCase,
+                cols.map(_.toLowerCase).toSet))))
+          case _ => None
+        }
+      case _ => None
+    }
+
   private def shapeOf(plan: LogicalPlan): Option[Shape] = plan match {
     case a: Aggregate =>
-      val relAndWhere = a.child match {
-        case Filter(cond, r: UnresolvedRelation) => Some((r, Some(cond)))
-        case r: UnresolvedRelation => Some((r, None))
-        case _ => None
+      val srcAndWhere = a.child match {
+        case Filter(cond, s) => sourceOf(s).map((_, Some(cond)))
+        case s => sourceOf(s).map((_, None))
       }
-      relAndWhere.flatMap { case (rel, where) =>
-        if (rel.multipartIdentifier.length != 1) None
-        else {
+      srcAndWhere.flatMap { case ((srcName, join), where) =>
+        {
           val aggExprs = a.aggregateExpressions
           // GROUP BY <ordinal> — resolve against the select list like
           // the analyzer would (the parser emits UnresolvedOrdinal;
@@ -162,9 +186,7 @@ object MvRewrite {
               case GRef(lc, _, _) => g.contains(lc)
               case _ => true
             }
-            if (refsOk)
-              Some(Shape(rel.multipartIdentifier.head.toLowerCase,
-                where, g, o))
+            if (refsOk) Some(Shape(srcName, where, g, o, join))
             else None
           }
         }
@@ -280,9 +302,18 @@ object MvRewrite {
           catch { case NonFatal(_) => None }
         }
         .filter { s =>
-          // join views have join multiplicity — never a substitute
-          // for a single-table aggregate over their fact
-          !s.joined && s.fresh && s.src.equalsIgnoreCase(shape.src) &&
+          // the view's source shape must BE the query's: a plain view
+          // for a single-table aggregate, a join view only for the
+          // SAME inner join (tables order-free, using-cols as a set —
+          // join multiplicity makes any other pairing wrong)
+          val sourceOk = shape.join match {
+            case None => !s.joined && s.src.equalsIgnoreCase(shape.src)
+            case Some((other, cols)) => s.joined &&
+              Set(s.src.toLowerCase, s.dim.get.toLowerCase) ==
+                Set(shape.src, other) &&
+              s.joinCols.map(_.toLowerCase).toSet == cols
+          }
+          sourceOk && s.fresh &&
             shape.groupLc.forall(g =>
               s.groupCols.exists(_.equalsIgnoreCase(g))) &&
             shape.outs.collect { case m: Meas => m }.forall(satisfies(s, _))

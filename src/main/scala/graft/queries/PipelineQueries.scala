@@ -960,6 +960,47 @@ object PipelineQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin))
 
+  /** Join-query rewriting over a join materialized view: the full
+    * SQL lifecycle (CREATE MATERIALIZED VIEW ... FROM fact JOIN dim
+    * USING (...), fact append, REFRESH), then the star query itself —
+    * `SELECT seg, count(*), sum(...) FROM fact JOIN dim USING (...)
+    * GROUP BY seg` — through the front door, which must serve it from
+    * the view (O(view), no join, no fact scan) — the `require` makes
+    * that routing load-bearing. Measures are count(*) and a sum of
+    * integral doubles (exact in any fold order). Oracle: the
+    * from-scratch join-aggregate over both final states. */
+  val mvJoinRewrite: Entry = Entry(
+    "mv_join_rewrite",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvjrw"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderkey").cast("double").as("okey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      store.create("ord_f", ord.where(col("okey") % 3 =!= 0))
+      store.create("cust_d", cust)
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW ocr_mv AS
+          |SELECT c_mktsegment, count(*), sum(okey)
+          |FROM ord_f JOIN cust_d USING (o_custkey)
+          |GROUP BY c_mktsegment""".stripMargin)
+      store.append("ord_f", ord.where(col("okey") % 3 === 0))
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW ocr_mv")
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT c_mktsegment, count(*) AS n, sum(okey) AS sum_okey
+          |FROM ord_f JOIN cust_d USING (o_custkey)
+          |GROUP BY c_mktsegment""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_join_rewrite expected the join SELECT to be served from ocr_mv")
+      served.orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+        |  sum(CAST(o_orderkey AS DOUBLE)) AS sum_okey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
   /** Join materialized view, two-cursor IVM
     * ([[graft.lake.MaterializedView.createJoined]]): an orders⋈customer
     * star view (group by dim segment × fact status) maintained under
@@ -1906,7 +1947,7 @@ object PipelineQueries {
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
-    mvRewriteServed, mvJoinIncremental,
+    mvRewriteServed, mvJoinIncremental, mvJoinRewrite,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

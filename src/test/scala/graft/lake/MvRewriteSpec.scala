@@ -155,4 +155,60 @@ class MvRewriteSpec extends SparkSpec {
     assertServed(store,
       "SELECT G, SUM(X) AS sx FROM T WHERE H = 'h1' GROUP BY G")
   }
+
+  private def setupJoin(): TableStore = {
+    val store = freshStore()
+    store.create("fct", (1 to 30).map(i =>
+      (i.toLong, (i % 5).toLong, i.toDouble)).toDF("id", "k", "x"))
+    store.create("dmn", (0 to 4).map(k =>
+      (k.toLong, "s" + (k % 2), "r" + k)).toDF("k", "seg", "reg"))
+    MaterializedView.createJoined(store, "j_mv", "fct", "dmn", Seq("k"),
+      Seq("seg", "reg"), Seq("x"), avgCols = Seq("x"))
+    store.append("fct", (31 to 40).map(i =>
+      (i.toLong, (i % 5).toLong, i.toDouble)).toDF("id", "k", "x"))
+    MaterializedView.refresh(store, "j_mv")
+    store
+  }
+
+  private def assertServedBy(store: TableStore, mv: String,
+                             sql: String): Unit = {
+    val (got, served) = run(store, sql)
+    assert(served, s"expected MV rewrite to serve: $sql")
+    assert(MvRewrite.lastServed.contains(mv))
+    assert(got == direct(store, sql),
+      s"rewritten answer diverged from direct for: $sql")
+  }
+
+  test("join queries are served from a matching join view (group subset + residual)") {
+    val store = setupJoin()
+    assertServedBy(store, "j_mv",
+      """SELECT seg, reg, count(*) AS n, sum(x) AS sx, avg(x) AS ax
+        |FROM fct JOIN dmn USING (k) GROUP BY seg, reg""".stripMargin)
+    // group subset + residual WHERE on a view group column
+    assertServedBy(store, "j_mv",
+      "SELECT seg, sum(x) AS sx FROM fct JOIN dmn USING (k) " +
+        "WHERE reg <> 'r0' GROUP BY seg")
+    // sides swapped: same inner join, still served
+    assertServedBy(store, "j_mv",
+      "SELECT seg, count(*) AS n FROM dmn JOIN fct USING (k) GROUP BY seg")
+  }
+
+  test("join views never serve single-table queries, and vice versa") {
+    val store = setupJoin()
+    // single-table aggregate over the fact: join multiplicity differs
+    assertDirect(store, "SELECT k, count(*) AS n FROM fct GROUP BY k")
+    // a DIFFERENT join (other using column) is not the view's join
+    store.create("dmn2", (0 to 4).map(k =>
+      (k.toLong, "z" + k)).toDF("k", "seg2"))
+    assertDirect(store,
+      "SELECT seg2, count(*) AS n FROM fct JOIN dmn2 USING (k) GROUP BY seg2")
+    // stale join view (dim moved) does not serve until refreshed
+    store.appendWithDeletes("dmn", Seq((0L, "s9", "r9")).toDF("k", "seg", "reg"),
+      deleteKeys = Seq(0L).toDF("k"))
+    assertDirect(store,
+      "SELECT seg, count(*) AS n FROM fct JOIN dmn USING (k) GROUP BY seg")
+    MaterializedView.refresh(store, "j_mv")
+    assertServedBy(store, "j_mv",
+      "SELECT seg, count(*) AS n FROM fct JOIN dmn USING (k) GROUP BY seg")
+  }
 }
