@@ -112,6 +112,8 @@ object GraftSql {
     """(?is)^\s*OPTIMIZE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val DescribeMvStmt =
     """(?is)^\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val ShowMvsStmt =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -380,6 +382,18 @@ object GraftSql {
       case DescribeMvStmt(mv) =>
         // definition + binding + staleness, metadata-only (no scan)
         MaterializedView.describe(store, mv)
+      case ShowMvsStmt() =>
+        // the view registry at a glance — name, shape, and whether the
+        // rewrite would currently serve from it. Metadata-only.
+        import spark.implicits._
+        store.tables().filter(_.endsWith("__def"))
+          .map(_.stripSuffix("__def")).sorted
+          .filter(mv => mv.nonEmpty && store.exists(mv))
+          .flatMap { mv =>
+            scala.util.Try(MaterializedView.surface(store, mv)).toOption }
+          .map(s => (s.mv, s.src, s.dim.getOrElse(""),
+            s.groupCols.mkString(","), s.fresh))
+          .toDF("view_name", "source", "dim", "group_cols", "fresh")
       case OptimizeStmt(table, zcols) =>
         executeOptimize(spark, store, table,
           Option(zcols).toSeq.flatMap(_.split(",")).map(_.trim))

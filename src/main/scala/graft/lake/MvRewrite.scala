@@ -6,9 +6,9 @@ import scala.util.control.NonFatal
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedOrdinal, UnresolvedRelation, UnresolvedStar}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Expression, Literal, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedOrdinal, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Expression, Literal, NullsFirst, SortOrder, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Limit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
 import org.apache.spark.sql.types.IntegerType
 
@@ -77,10 +77,46 @@ object MvRewrite {
                                 out: String) extends Out
 
   /** `join` is set for `FROM a JOIN b USING (cols)` shapes: the two
-    * table names (order-free) plus the lowercase using-column set. */
+    * table names (order-free) plus the lowercase using-column set.
+    * `groupLc` may be EMPTY — a global aggregate (one output row).
+    * `having`/`sort` are pre-translated: aggregate-function references
+    * became attribute refs to output aliases or to `hidden` measures
+    * (computed for the filter/ordering, dropped from the output).
+    * `limit` is a LIMIT n to apply after the ordering. */
   private final case class Shape(src: String, where: Option[Expression],
                                  groupLc: Seq[String], outs: Seq[Out],
-                                 join: Option[(String, Set[String])] = None)
+                                 join: Option[(String, Set[String])] = None,
+                                 having: Option[Expression] = None,
+                                 hidden: Seq[Meas] = Nil,
+                                 sort: Seq[(Expression, Boolean, Boolean)] = Nil,
+                                 limit: Option[Int] = None)
+
+  /** Rewrites aggregate-function references (in HAVING / ORDER BY)
+    * into post-aggregation column refs, reusing an output alias when
+    * the same measure is already selected and allocating a hidden
+    * `__hv_<i>` measure otherwise. */
+  private final class AggRefs(outs: Seq[Out]) {
+    val hidden = scala.collection.mutable.ArrayBuffer.empty[Meas]
+    private def nameFor(fn: String, arg: Option[String]): String =
+      outs.collectFirst { case Meas(`fn`, `arg`, out) => out }
+        .orElse(hidden.collectFirst { case Meas(`fn`, `arg`, out) => out })
+        .getOrElse {
+          val n = s"__hv_${hidden.size}"; hidden += Meas(fn, arg, n); n
+        }
+    def translate(e: Expression): Option[Expression] = {
+      var ok = true
+      val t = e.transform {
+        case f: UnresolvedFunction =>
+          parseMeasure(f) match {
+            case Some((fn, arg)) => UnresolvedAttribute(Seq(nameFor(fn, arg)))
+            case None => ok = false; f
+          }
+      }
+      if (ok && !t.exists { case _: SubqueryExpression => true
+          case _ => false }) Some(t)
+      else None
+    }
+  }
 
   /** Lowercase every attribute / function name so two independently
     * parsed trees of the same predicate compare equal regardless of
@@ -138,8 +174,37 @@ object MvRewrite {
       case _ => None
     }
 
-  private def shapeOf(plan: LogicalPlan): Option[Shape] = plan match {
-    case a: Aggregate =>
+  /** Peel LIMIT / ORDER BY / HAVING off the top; the core must be an
+    * Aggregate. Returns (aggregate, having cond, sort order, limit). */
+  private def unwrapAgg(plan: LogicalPlan): Option[(Aggregate,
+      Option[Expression], Seq[SortOrder], Option[Int])] = {
+    val (limited, limit) = plan match {
+      case Limit(l @ Literal(_, IntegerType), child) =>
+        (child, Some(l.value.asInstanceOf[Int]))
+      case p => (p, None)
+    }
+    val (sorted, order) = limited match {
+      case Sort(ord, true, child, _) => (child, ord)
+      case p => (p, Nil)
+    }
+    sorted match {
+      case UnresolvedHaving(cond, a: Aggregate) => Some((a, Some(cond), order, limit))
+      case a: Aggregate => Some((a, None, order, limit))
+      // a GLOBAL aggregate (no GROUP BY) parses as a Project — the
+      // analyzer's GlobalAggregates conversion hasn't run yet. Treat
+      // it as an empty-grouping Aggregate iff at least one projection
+      // is an aggregate call (a plain SELECT must never match).
+      case p: Project if p.projectList.exists {
+          case Alias(f: UnresolvedFunction, _) => parseMeasure(f).isDefined
+          case _ => false
+        } =>
+        Some((Aggregate(Nil, p.projectList, p.child), None, order, limit))
+      case _ => None
+    }
+  }
+
+  private def shapeOf(plan: LogicalPlan): Option[Shape] =
+    unwrapAgg(plan).flatMap { case (a, havingRaw, orderRaw, limit) =>
       val srcAndWhere = a.child match {
         case Filter(cond, s) => sourceOf(s).map((_, Some(cond)))
         case s => sourceOf(s).map((_, None))
@@ -176,23 +241,48 @@ object MvRewrite {
               parseMeasure(child).map { case (fn, arg) => Meas(fn, arg, name) }
             case _ => None
           }
-          if (groupLc.exists(_.isEmpty) || outs.exists(_.isEmpty) ||
-              groupLc.isEmpty) None
+          // empty grouping = global aggregate (one row) — allowed as
+          // long as there is at least one measure to translate
+          if (groupLc.exists(_.isEmpty) || outs.exists(_.isEmpty)) None
           else {
             val g = groupLc.flatten
             val o = outs.flatten
-            // every selected group ref must actually be grouped on
-            val refsOk = o.forall {
-              case GRef(lc, _, _) => g.contains(lc)
-              case _ => true
+            if (o.isEmpty) None
+            else {
+              // every selected group ref must actually be grouped on
+              val refsOk = o.forall {
+                case GRef(lc, _, _) => g.contains(lc)
+                case _: Meas => true
+              }
+              // HAVING / ORDER BY: aggregate refs become column refs
+              // (hidden measures allocated as needed); remaining
+              // attributes must be group columns or output aliases
+              val refs = new AggRefs(o)
+              val having = havingRaw.map(refs.translate)
+              val sort = orderRaw.map(so => refs.translate(so.child)
+                .map((_, so.direction == Ascending,
+                  so.nullOrdering == NullsFirst)))
+              val visible = g.toSet ++
+                o.collect { case Meas(_, _, out) => out.toLowerCase } ++
+                o.collect { case GRef(_, t, al) =>
+                  al.getOrElse(t).toLowerCase } ++
+                refs.hidden.map(_.out.toLowerCase)
+              def attrsOk(e: Expression): Boolean =
+                e.collect { case UnresolvedAttribute(p) => p }.forall(p =>
+                  p.length == 1 && visible.contains(p.head.toLowerCase))
+              val translatedOk =
+                having.forall(_.exists(attrsOk)) &&
+                  sort.forall(_.exists { case (e, _, _) => attrsOk(e) })
+              if (refsOk && translatedOk)
+                Some(Shape(srcName, where, g, o, join,
+                  having.flatten, refs.hidden.toSeq,
+                  sort.flatten, limit))
+              else None
             }
-            if (refsOk) Some(Shape(srcName, where, g, o, join))
-            else None
           }
         }
       }
-    case _ => None
-  }
+    }
 
   // ---- candidate matching ------------------------------------------------
 
@@ -249,8 +339,12 @@ object MvRewrite {
     def stored(lc: String): String = actual(s.storedSumCols, lc)
     val measures = shape.outs.collect { case m: Meas => m }
     def aggOf(m: Meas): Column = m match {
-      case Meas("count_star", _, out) => sum(col(CntCol)).as(out)
-      case Meas("count", Some(c), out) => sum(col(cntCol(stored(c)))).as(out)
+      // counts coalesce to 0: a GLOBAL aggregate over an empty view
+      // still returns its one row, and SQL count never yields NULL
+      case Meas("count_star", _, out) =>
+        coalesce(sum(col(CntCol)), lit(0L)).as(out)
+      case Meas("count", Some(c), out) =>
+        coalesce(sum(col(cntCol(stored(c)))), lit(0L)).as(out)
       case Meas("sum", Some(c), out) =>
         // NULL when no non-null source values survive, like SQL sum
         when(sum(col(cntCol(stored(c)))) > 0, sum(col(sumCol(stored(c)))))
@@ -265,13 +359,29 @@ object MvRewrite {
         max(col(maxCol(actual(s.maxCols, c)))).as(out)
       case m => sys.error(s"untranslatable measure $m") // guarded earlier
     }
+    val allMeasures = measures ++ shape.hidden
     val agged =
-      if (measures.isEmpty) base.select(groupCols: _*).distinct()
+      if (allMeasures.isEmpty) base.select(groupCols: _*).distinct()
       else {
-        val aggCols = measures.map(aggOf)
+        // empty groupCols = global aggregate: groupBy() returns its
+        // one row even over an empty view, exactly like SQL
+        val aggCols = allMeasures.map(aggOf)
         base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       }
-    agged.select(shape.outs.map {
+    val havinged = shape.having.foldLeft(agged)((d, h) => d.where(expr(h.sql)))
+    val sorted =
+      if (shape.sort.isEmpty) havinged
+      else havinged.orderBy(shape.sort.map { case (e, asc, nullsFirst) =>
+        val c = expr(e.sql)
+        (asc, nullsFirst) match {
+          case (true, true) => c.asc_nulls_first
+          case (true, false) => c.asc_nulls_last
+          case (false, true) => c.desc_nulls_first
+          case (false, false) => c.desc_nulls_last
+        }
+      }: _*)
+    val limited = shape.limit.foldLeft(sorted)((d, n) => d.limit(n))
+    limited.select(shape.outs.map {
       case GRef(lc, typed, alias) =>
         col(actual(s.groupCols, lc)).as(alias.getOrElse(typed))
       case m: Meas => col(m.out)
@@ -316,7 +426,8 @@ object MvRewrite {
           sourceOk && s.fresh &&
             shape.groupLc.forall(g =>
               s.groupCols.exists(_.equalsIgnoreCase(g))) &&
-            shape.outs.collect { case m: Meas => m }.forall(satisfies(s, _))
+            (shape.outs.collect { case m: Meas => m } ++ shape.hidden)
+              .forall(satisfies(s, _))
         }
         .sortBy(_.groupCols.length) // cheapest first: fewest view groups
       candidates.iterator.flatMap { s =>

@@ -99,6 +99,28 @@ class MaterializedViewSqlSpec extends SparkSpec {
       Seq(("x", 2L, 6.0)))
   }
 
+  test("SHOW MATERIALIZED VIEWS lists the registry with shape and freshness") {
+    val store = new TableStore(spark, tmpDir("mvshow"))
+    store.create("a", Seq((1L, "g", 1.0)).toDF("id", "g", "x"))
+    store.create("b", Seq((1L, "s")).toDF("id", "s"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW a_mv AS SELECT g, count(*) FROM a GROUP BY g")
+    MaterializedView.createJoined(store, "ab_mv", "a", "b", Seq("id"),
+      Seq("s"), Nil)
+    store.append("a", Seq((2L, "h", 2.0)).toDF("id", "g", "x"))
+    val got = GraftSql.execute(spark, store, "SHOW MATERIALIZED VIEWS")
+      .orderBy("view_name")
+      .as[(String, String, String, String, Boolean)].collect().toSeq
+    // both views are now STALE (the source moved past their binding)
+    assert(got == Seq(("a_mv", "a", "", "g", false),
+      ("ab_mv", "a", "b", "s", false)))
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW a_mv")
+    val fresh = GraftSql.execute(spark, store, "SHOW MATERIALIZED VIEWS")
+      .where(col("view_name") === "a_mv").select("fresh")
+      .as[Boolean].head()
+    assert(fresh)
+  }
+
   test("CREATE MATERIALIZED VIEW over a JOIN maintains both sides; min/max rejected") {
     val store = new TableStore(spark, tmpDir("mvsqlj"))
     store.create("fct", Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 4.0))

@@ -156,6 +156,51 @@ class MvRewriteSpec extends SparkSpec {
       "SELECT G, SUM(X) AS sx FROM T WHERE H = 'h1' GROUP BY G")
   }
 
+  test("global (ungrouped) aggregates are served, including over an empty-admission view") {
+    val store = setup()
+    assertServed(store,
+      "SELECT count(*) AS n, count(x) AS nx, sum(x) AS sx, avg(x) AS ax, " +
+        "min(x) AS mnx, max(x) AS mxx FROM t")
+    // residual on a group column still applies before the global fold
+    assertServed(store, "SELECT count(*) AS n, sum(x) AS sx FROM t WHERE g = 'g1'")
+    // a residual admitting NO view rows: count 0 (one row), sum NULL
+    val (got, served) = run(store,
+      "SELECT count(*) AS n, sum(x) AS sx FROM t WHERE g = 'nope'")
+    assert(served)
+    assert(got == direct(store, "SELECT count(*) AS n, sum(x) AS sx FROM t WHERE g = 'nope'"))
+    assert(got.head.getLong(0) == 0L && got.head.isNullAt(1))
+  }
+
+  test("HAVING translates aggregate refs (aliased, unaliased, hidden measures)") {
+    val store = setup()
+    assertServed(store,
+      "SELECT g, count(*) AS n FROM t GROUP BY g HAVING count(*) > 17")
+    // HAVING over a measure NOT in the select list → hidden column
+    assertServed(store,
+      "SELECT g, count(*) AS n FROM t GROUP BY g HAVING sum(x) > 100 AND avg(x) > 1")
+    // HAVING referencing the output alias
+    assertServed(store,
+      "SELECT g, count(*) AS n FROM t GROUP BY g HAVING n > 17")
+    // HAVING over an unmaintained measure falls through
+    assertDirect(store,
+      "SELECT g, count(*) AS n FROM t GROUP BY g HAVING sum(id) > 10")
+  }
+
+  test("ORDER BY and LIMIT ride the rewrite (top-k over the view)") {
+    val store = setup()
+    val sql = "SELECT g, sum(x) AS sx FROM t GROUP BY g ORDER BY sx DESC LIMIT 2"
+    val before = MvRewrite.hits.get()
+    val got = GraftSql.execute(spark, store, sql).collect().toSeq
+    assert(MvRewrite.hits.get() > before, "expected top-k to be served")
+    spark.conf.set(MvRewrite.EnabledKey, "false")
+    val want = try GraftSql.execute(spark, store, sql).collect().toSeq
+    finally spark.conf.set(MvRewrite.EnabledKey, "true")
+    assert(got == want, s"top-k diverged: got $got want $want")
+    // ordering by a measure not selected (hidden), mixed direction
+    assertServed(store,
+      "SELECT g, count(*) AS n FROM t GROUP BY g ORDER BY max(x) DESC, g ASC")
+  }
+
   private def setupJoin(): TableStore = {
     val store = freshStore()
     store.create("fct", (1 to 30).map(i =>

@@ -60,4 +60,29 @@ class StreamingMaterializedViewSpec extends SparkSpec {
       .agg(sum("cnt")).as[Long].head()
     assert(got == 40L, s"view holds $got rows' worth of counts, want 40")
   }
+
+  test("a JOIN view bound to the streamed fact stays fresh per micro-batch") {
+    val store = new TableStore(spark, tmpDir("smvj-store"))
+    val src = tmpDir("smvj-src")
+    store.create("evf", rows(0, 30).withColumnRenamed("g", "junk")
+      .select(col("id"), (col("id") % 4).as("k"), col("x")))
+    store.create("evd", (0L to 3L).map(k => (k, s"seg${k % 2}"))
+      .toDF("k", "seg"))
+    MaterializedView.createJoined(store, "evj_mv", "evf", "evd", Seq("k"),
+      Seq("seg"), Seq("x"))
+    rows(30, 20).select(col("id"), (col("id") % 4).as("k"), col("x"))
+      .coalesce(1).write.mode("append").parquet(src)
+    val q = StreamingMaterializedView.start(spark, src, store, "evf",
+      views = Seq("evj_mv"), checkpointDir = tmpDir("smvj-ckpt"))
+    try q.processAllAvailable() finally q.stop()
+    val got = MaterializedView.read(store, "evj_mv")
+      .select("seg", "cnt", "sum_x").orderBy("seg")
+      .as[(String, Long, Double)].collect().toSeq
+    val want = store.read("evf").join(store.read("evd"), Seq("k"))
+      .groupBy("seg").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      .orderBy("seg")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(store.read("evf").count() == 50)
+    assert(got == want, "join view diverged from recompute under streaming")
+  }
 }
