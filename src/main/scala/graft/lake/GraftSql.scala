@@ -227,38 +227,91 @@ object GraftSql {
     * a wide store doesn't pay O(tables) manifest reads per statement.
     * Precedence caveat: a session temp view sharing a MENTIONED store
     * table's name is replaced — the store is the system of record. */
+  /** Split a select list on TOP-LEVEL commas only — a group
+    * expression like `date_trunc('day', ts) AS day` must stay one
+    * item. Tracks paren depth and quoted strings. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+        case c => cur += c
+      }
+    }
+    val last = cur.toString.trim
+    if (last.nonEmpty) out += last
+    out.result()
+  }
+
   /** Parse a CREATE MATERIALIZED VIEW select list into the maintained
-    * measure buckets (sum, min, max, avg). Items are single
-    * identifiers or 1-arg calls, so a comma split is unambiguous;
+    * measure buckets (sum, min, max, avg) plus derived-group
+    * expressions. Measure items are 1-arg calls over plain columns;
+    * a `<expr> AS <alias>` item whose alias is a GROUP BY column
+    * declares a derived group (the daily-rollup shape); bare
     * group-column mentions and count(*) pass through (cnt is always
     * maintained); anything else is rejected loudly. */
   private def parseMvMeasures(selectList: String, groupCols: Seq[String])
-      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+      : (Seq[String], Seq[String], Seq[String], Seq[String],
+         Map[String, String]) = {
     val SumItem = """(?i)sum\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val MinItem = """(?i)min\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val MaxItem = """(?i)max\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val AvgItem = """(?i)avg\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val CntItem = """(?i)count\s*\(\s*\*\s*\)""".r
     val Ident = """([A-Za-z_]\w*)""".r
+    val ExprAs = """(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)$""".r
     val sumCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val minCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val maxCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val avgCols = scala.collection.mutable.ArrayBuffer.empty[String]
-    selectList.split(",").map(_.trim).foreach {
+    val groupExprs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    splitTopLevel(selectList).foreach {
       case SumItem(c) => sumCols += c
       case MinItem(c) => minCols += c
       case MaxItem(c) => maxCols += c
       case AvgItem(c) => avgCols += c
       case CntItem() => () // cnt is always maintained
       case Ident(c) if groupCols.exists(_.equalsIgnoreCase(c)) => ()
+      case ExprAs(e, alias)
+          if groupCols.exists(_.equalsIgnoreCase(alias)) =>
+        groupExprs += alias.toLowerCase -> e.trim
       case other => throw new IllegalArgumentException(
-        s"materialized views maintain only group columns, count(*), " +
-          s"sum(col), avg(col), min(col) and max(col) incrementally; " +
-          s"'$other' is not one of those — use a plain query (or " +
-          "CTAS) for it")
+        s"materialized views maintain only group columns (optionally " +
+          s"derived: <expr> AS <group alias>), count(*), sum(col), " +
+          s"avg(col), min(col) and max(col) incrementally; '$other' is " +
+          "not one of those — use a plain query (or CTAS) for it")
     }
-    (sumCols.toSeq, minCols.toSeq, maxCols.toSeq, avgCols.toSeq)
+    (sumCols.toSeq, minCols.toSeq, maxCols.toSeq, avgCols.toSeq,
+      groupExprs.toMap)
   }
+
+  /** A CREATE MATERIALIZED VIEW group item: a plain column name or
+    * the alias a `<expr> AS <alias>` select item declared. */
+  private def groupAlias(item: String): String = {
+    val Ident = """^([A-Za-z_]\w*)$""".r
+    item.trim match {
+      case Ident(n) => n
+      case other => throw new IllegalArgumentException(
+        "GROUP BY items in CREATE MATERIALIZED VIEW must be column " +
+          "names or the alias of a derived group (<expr> AS alias in " +
+          s"the select list); got '$other'")
+    }
+  }
+
+  /** The parallel groupExprs list for [[MaterializedView.create]]:
+    * empty when no derived groups, else one expr per group column
+    * (identity for the plain ones). */
+  private def groupExprsFor(groupCols: Seq[String],
+                            m: Map[String, String]): Seq[String] =
+    if (m.isEmpty) Nil
+    else groupCols.map(gc => m.getOrElse(gc.toLowerCase, gc))
 
   private def registerMentioned(store: TableStore, sql: String): Unit = {
     def mentioned(t: String): Boolean =
@@ -343,8 +396,8 @@ object GraftSql {
                             filterSql, groupList) =>
         // the two-cursor join view: additive measures only (min/max
         // would need a join-side delete repair — rejected here)
-        val groupCols = groupList.split(",").map(_.trim).toSeq
-        val (sumCols, minCols, maxCols, avgCols) =
+        val groupCols = splitTopLevel(groupList).map(groupAlias)
+        val (sumCols, minCols, maxCols, avgCols, exprMap) =
           parseMvMeasures(selectList, groupCols)
         require(minCols.isEmpty && maxCols.isEmpty,
           "join materialized views maintain count(*)/sum/avg only — " +
@@ -352,7 +405,8 @@ object GraftSql {
             "use a plain view over a pre-joined table for extrema")
         val bound = MaterializedView.createJoined(store, mv, factT, dimT,
           joinList.split(",").map(_.trim).toSeq, groupCols, sumCols,
-          Option(filterSql).map(_.trim), avgCols)
+          Option(filterSql).map(_.trim), avgCols,
+          groupExprsFor(groupCols, exprMap))
         import spark.implicits._
         Seq((mv, factT, dimT, bound))
           .toDF("view_name", "source", "dim", "bound_version")
@@ -360,12 +414,12 @@ object GraftSql {
         // restricted IVM grammar: group cols + count(*) + sum(col).
         // The items are single identifiers or 1-arg calls, so a comma
         // split is unambiguous.
-        val groupCols = groupList.split(",").map(_.trim).toSeq
-        val (sumCols, minCols, maxCols, avgCols) =
+        val groupCols = splitTopLevel(groupList).map(groupAlias)
+        val (sumCols, minCols, maxCols, avgCols, exprMap) =
           parseMvMeasures(selectList, groupCols)
         val bound = MaterializedView.create(store, mv, src,
           groupCols, sumCols, Option(filterSql).map(_.trim),
-          minCols, maxCols, avgCols)
+          minCols, maxCols, avgCols, groupExprsFor(groupCols, exprMap))
         import spark.implicits._
         Seq((mv, src, bound)).toDF("view_name", "source", "bound_version")
       case RefreshMvStmt(mv) =>

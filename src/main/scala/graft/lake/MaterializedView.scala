@@ -60,6 +60,9 @@ object MaterializedView {
   private[lake] def maxCol(c: String): String = "max_" + c
   private def avgCol(c: String): String = "avg_" + c
   private[lake] def cntCol(c: String): String = "cnt_" + c
+  // group EXPRESSIONS may contain commas, so the def row joins them on
+  // a non-printing separator no SQL expression contains
+  private val GroupExprSep = "\u0001"
   // extremum control pair, present only when min/max cols exist: every
   // partial row is stamped with the source version it folded
   // (`__mm_epoch`) and whether it REPLACES older extremum evidence
@@ -75,7 +78,20 @@ object MaterializedView {
                                maxCols: Seq[String] = Nil,
                                avgCols: Seq[String] = Nil,
                                dim: Option[String] = None,
-                               joinCols: Seq[String] = Nil) {
+                               joinCols: Seq[String] = Nil,
+                               groupExprs: Seq[String] = Nil) {
+    /** Derive the view's group columns on a source-shaped batch:
+      * `groupExprs(i)` (a SQL expression over source columns — e.g. a
+      * date_trunc for a daily rollup) materializes as column
+      * `groupCols(i)`. Empty/identity exprs are a no-op. Every fold
+      * path MUST project through this AFTER [[admitted]] (the WHERE
+      * speaks source columns) and before [[partials]] (which groups
+      * by the derived names). */
+    def projectGroups(rows: DataFrame): DataFrame =
+      if (groupExprs.isEmpty) rows
+      else groupCols.zip(groupExprs).foldLeft(rows) {
+        case (df, (a, e)) => if (e == a) df else df.withColumn(a, expr(e))
+      }
     /** Apply the view's WHERE to a batch of source-shaped rows — the
       * initial fold and every feed fold MUST go through this, or a
       * filtered view would fold rows it never admitted. */
@@ -105,7 +121,10 @@ object MaterializedView {
       Option(r.getAs[String]("filter_sql")).filter(_.nonEmpty),
       split(r.getAs[String]("min_cols")), split(r.getAs[String]("max_cols")),
       split(r.getAs[String]("avg_cols")),
-      Some(opt("dim")).filter(_.nonEmpty), split(opt("join_cols")))
+      Some(opt("dim")).filter(_.nonEmpty), split(opt("join_cols")),
+      // expressions may contain commas — they join on the
+    // non-printing GroupExprSep
+      opt("group_exprs").split(GroupExprSep).toSeq.filter(_.nonEmpty))
   }
 
   private def writeDef(store: TableStore, mv: String, d: Def): Unit = {
@@ -115,9 +134,11 @@ object MaterializedView {
       Seq((d.src, d.groupCols.mkString(","), d.sumCols.mkString(","),
         d.filterSql.getOrElse(""), d.minCols.mkString(","),
         d.maxCols.mkString(","), d.avgCols.mkString(","),
-        d.dim.getOrElse(""), d.joinCols.mkString(",")))
+        d.dim.getOrElse(""), d.joinCols.mkString(","),
+        d.groupExprs.mkString(GroupExprSep)))
         .toDF("src", "group_cols", "sum_cols", "filter_sql",
-          "min_cols", "max_cols", "avg_cols", "dim", "join_cols"))
+          "min_cols", "max_cols", "avg_cols", "dim", "join_cols",
+          "group_exprs"))
   }
 
   /** Signed partial rows for one batch: per group, `__cnt` = Σ sign
@@ -157,20 +178,31 @@ object MaterializedView {
     * subtracted. min/max maintain incrementally on inserts; a delete
     * touching a group triggers an O(that group's source rows)
     * recompute at refresh time (see [[refresh]]) — bounded repair,
-    * never a full-view rescan. Returns the bound source version. */
+    * never a full-view rescan. `groupExprs` (optional, parallel to
+    * `groupCols`) derives each group column from a SQL expression
+    * over source columns — the daily/hourly-rollup shape
+    * (`date_trunc(...)` AS day): every fold path projects the
+    * expression before grouping, so the view maintains exactly as if
+    * the source carried the derived column. Returns the bound source
+    * version. */
   def create(store: TableStore, mv: String, src: String,
              groupCols: Seq[String], sumCols: Seq[String],
              filter: Option[String] = None,
              minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-             avgCols: Seq[String] = Nil): Long = {
+             avgCols: Seq[String] = Nil,
+             groupExprs: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "at least one group column")
+    require(groupExprs.isEmpty || groupExprs.length == groupCols.length,
+      "groupExprs must be empty or parallel to groupCols")
     val spark = store.spark
     import spark.implicits._
     val v = store.currentVersion(src).getOrElse(
       throw new IllegalStateException(s"table $src does not exist"))
-    val d = Def(src, groupCols, sumCols, filter, minCols, maxCols, avgCols)
+    val d = Def(src, groupCols, sumCols, filter, minCols, maxCols, avgCols,
+      groupExprs = groupExprs)
     writeDef(store, mv, d)
-    val base = partials(d.admitted(store.readVersion(src, v)), d, lit(1L),
+    val base = partials(
+      d.projectGroups(d.admitted(store.readVersion(src, v))), d, lit(1L),
       epoch = v, reset = true)
     store.createTxn(mv, base.coalesce(4), appId(src), v)
     v
@@ -198,19 +230,22 @@ object MaterializedView {
                    dim: String, joinCols: Seq[String],
                    groupCols: Seq[String], sumCols: Seq[String],
                    filter: Option[String] = None,
-                   avgCols: Seq[String] = Nil): Long = {
+                   avgCols: Seq[String] = Nil,
+                   groupExprs: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "at least one group column")
     require(joinCols.nonEmpty, "at least one join column")
+    require(groupExprs.isEmpty || groupExprs.length == groupCols.length,
+      "groupExprs must be empty or parallel to groupCols")
     val vF = store.currentVersion(fact).getOrElse(
       throw new IllegalStateException(s"table $fact does not exist"))
     val vD = store.currentVersion(dim).getOrElse(
       throw new IllegalStateException(s"table $dim does not exist"))
     val d = Def(fact, groupCols, sumCols, filter, Nil, Nil, avgCols,
-      Some(dim), joinCols)
+      Some(dim), joinCols, groupExprs)
     writeDef(store, mv, d)
     val joined = store.readVersion(fact, vF)
       .join(store.readVersion(dim, vD), joinCols)
-    val base = partials(d.admitted(joined), d, lit(1L),
+    val base = partials(d.projectGroups(d.admitted(joined)), d, lit(1L),
       epoch = vF, reset = true)
     store.createTxns(mv, base.coalesce(4),
       Seq(appId(fact) -> vF, dimAppId(dim) -> vD))
@@ -261,14 +296,15 @@ object MaterializedView {
       if (curF > boundF) {
         val dF = store.changes(d.src, boundF, curF).drop("_commit_version")
         deltas ::= partials(
-          d.admitted(dF.join(store.readVersion(dim, curD), d.joinCols)),
+          d.projectGroups(d.admitted(
+            dF.join(store.readVersion(dim, curD), d.joinCols))),
           d, sign, epoch = curF, reset = false)
       }
       if (curD > boundD) {
         val dD = store.changes(dim, boundD, curD).drop("_commit_version")
         deltas ::= partials(
-          d.admitted(store.readVersion(d.src, boundF)
-            .join(broadcast(dD), d.joinCols)),
+          d.projectGroups(d.admitted(store.readVersion(d.src, boundF)
+            .join(broadcast(dD), d.joinCols))),
           d, sign, epoch = curF, reset = false)
       }
       val delta = deltas.reduce(_ unionByName _)
@@ -298,8 +334,8 @@ object MaterializedView {
       val mvSnap = store.currentVersion(mv)
       val sign = when(col("_change_type") === "insert", lit(1L))
         .otherwise(lit(-1L))
-      val feed = d.admitted(store.changes(d.src, bound, cur)
-        .drop("_commit_version"))
+      val feed = d.projectGroups(d.admitted(store.changes(d.src, bound, cur)
+        .drop("_commit_version")))
       val folded = partials(feed, d, sign, epoch = cur, reset = false)
       // min/max extremum repair: a delete may have removed a group's
       // recorded extremum, which no delta can restore — recompute
@@ -317,7 +353,7 @@ object MaterializedView {
           else {
             val reAggs = d.minCols.map(c => min(col(c)).as("__re_min_" + c)) ++
               d.maxCols.map(c => max(col(c)).as("__re_max_" + c))
-            val re = d.admitted(store.readVersion(d.src, cur))
+            val re = d.projectGroups(d.admitted(store.readVersion(d.src, cur)))
               .join(affected, d.groupCols, "left_semi")
               .groupBy(d.groupCols.map(col): _*)
               .agg(reAggs.head, reAggs.tail: _*)
@@ -448,7 +484,8 @@ object MaterializedView {
       groupCols: Seq[String], storedSumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String],
       filterSql: Option[String], fresh: Boolean,
-      dim: Option[String] = None, joinCols: Seq[String] = Nil) {
+      dim: Option[String] = None, joinCols: Seq[String] = Nil,
+      groupExprs: Seq[String] = Nil) {
     def joined: Boolean = dim.isDefined
   }
 
@@ -463,7 +500,8 @@ object MaterializedView {
     // a join view's rows have JOIN multiplicity — it serves only
     // queries over the SAME join, never a single-table aggregate
     Surface(mv, d.src, d.groupCols, d.storedSumCols, d.minCols, d.maxCols,
-      d.filterSql, fresh, dim = d.dim, joinCols = d.joinCols)
+      d.filterSql, fresh, dim = d.dim, joinCols = d.joinCols,
+      groupExprs = d.groupExprs)
   }
 
   /** One consolidated row per SURVIVING group with the INTERNAL

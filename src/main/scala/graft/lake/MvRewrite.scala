@@ -67,10 +67,13 @@ object MvRewrite {
   // ---- query-shape model -------------------------------------------------
 
   private sealed trait Out
-  /** Group-column reference in the select list. `typed` is the name
-    * as the user wrote it — the analyzer preserves that casing in the
-    * direct plan's output, so the rewrite must too. */
-  private final case class GRef(lc: String, typed: String,
+  /** Group-key reference in the select list: `e` is the NORMALIZED
+    * group expression (a bare column or a derived expression like a
+    * date_trunc). `typed` is the name as the user wrote it for the
+    * bare-column case — the analyzer preserves that casing in the
+    * direct plan's output, so the rewrite must too; expression keys
+    * must be aliased. */
+  private final case class GRef(e: Expression, typed: Option[String],
                                 alias: Option[String]) extends Out
   /** Translatable aggregate; `fn` ∈ count_star|count|sum|avg|min|max. */
   private final case class Meas(fn: String, arg: Option[String],
@@ -78,18 +81,33 @@ object MvRewrite {
 
   /** `join` is set for `FROM a JOIN b USING (cols)` shapes: the two
     * table names (order-free) plus the lowercase using-column set.
-    * `groupLc` may be EMPTY — a global aggregate (one output row).
-    * `having`/`sort` are pre-translated: aggregate-function references
-    * became attribute refs to output aliases or to `hidden` measures
-    * (computed for the filter/ordering, dropped from the output).
-    * `limit` is a LIMIT n to apply after the ordering. */
+    * `groupEs` holds the NORMALIZED group-key expressions (bare
+    * columns or derived expressions; may be EMPTY — a global
+    * aggregate, one output row). `having`/`sort` are pre-translated:
+    * aggregate-function references became attribute refs to output
+    * aliases or to `hidden` measures (computed for the
+    * filter/ordering, dropped from the output). `limit` is a LIMIT n
+    * to apply after the ordering. */
   private final case class Shape(src: String, where: Option[Expression],
-                                 groupLc: Seq[String], outs: Seq[Out],
+                                 groupEs: Seq[Expression], outs: Seq[Out],
                                  join: Option[(String, Set[String])] = None,
                                  having: Option[Expression] = None,
                                  hidden: Seq[Meas] = Nil,
                                  sort: Seq[(Expression, Boolean, Boolean)] = Nil,
-                                 limit: Option[Int] = None)
+                                 limit: Option[Int] = None) {
+    /** The query-visible name of group key i, if any: the alias the
+      * select list gave it, or the bare column name. HAVING/ORDER BY
+      * may reference keys only through these. */
+    def keyName(i: Int): Option[String] = {
+      val e = groupEs(i)
+      outs.collectFirst { case GRef(`e`, _, Some(a)) => a }
+        .orElse(outs.collectFirst { case GRef(`e`, Some(t), None) => t })
+        .orElse(e match {
+          case UnresolvedAttribute(Seq(n)) => Some(n)
+          case _ => None
+        })
+    }
+  }
 
   /** Rewrites aggregate-function references (in HAVING / ORDER BY)
     * into post-aggregation column refs, reusing an output alias when
@@ -228,44 +246,65 @@ object MvRewrite {
                 case x => x
               }).getOrElse(e)
           }
-          val groupLc = groupExprs.map {
-            case UnresolvedAttribute(Seq(n)) => Some(n.toLowerCase)
-            case _ => None
-          }
+          // group keys: bare columns or derived expressions — matched
+          // per candidate view later, so keep the normalized trees.
+          // Aggregate calls can never be group keys; reject early.
+          val groupEs = groupExprs.map(norm)
+          if (groupEs.exists(_.exists {
+              case f: UnresolvedFunction => parseMeasure(f).isDefined
+              case _ => false
+            })) return None
           val outs = aggExprs.map {
             case UnresolvedAttribute(Seq(n)) =>
-              Some(GRef(n.toLowerCase, n, None))
-            case Alias(UnresolvedAttribute(Seq(n)), name) =>
-              Some(GRef(n.toLowerCase, n, Some(name)))
+              Some(GRef(norm(UnresolvedAttribute(Seq(n))), Some(n), None))
             case Alias(child, name) =>
-              parseMeasure(child).map { case (fn, arg) => Meas(fn, arg, name) }
+              parseMeasure(child) match {
+                case Some((fn, arg)) => Some(Meas(fn, arg, name))
+                case None => child match {
+                  case UnresolvedAttribute(Seq(n)) =>
+                    Some(GRef(norm(UnresolvedAttribute(Seq(n))),
+                      Some(n), Some(name)))
+                  case e if !e.exists {
+                      case f: UnresolvedFunction =>
+                        parseMeasure(f).isDefined || f.isDistinct
+                      case _: SubqueryExpression => true
+                      case _ => false
+                    } =>
+                    // an ALIASED expression — a group key candidate
+                    Some(GRef(norm(e), None, Some(name)))
+                  case _ => None
+                }
+              }
             case _ => None
           }
           // empty grouping = global aggregate (one row) — allowed as
           // long as there is at least one measure to translate
-          if (groupLc.exists(_.isEmpty) || outs.exists(_.isEmpty)) None
+          if (outs.exists(_.isEmpty)) None
           else {
-            val g = groupLc.flatten
             val o = outs.flatten
             if (o.isEmpty) None
             else {
-              // every selected group ref must actually be grouped on
+              // every selected group ref must actually be grouped on,
+              // and expression keys must be aliased (their direct
+              // output name is not reproducible)
               val refsOk = o.forall {
-                case GRef(lc, _, _) => g.contains(lc)
+                case GRef(e, typed, alias) =>
+                  groupEs.contains(e) && (typed.isDefined || alias.isDefined)
                 case _: Meas => true
               }
               // HAVING / ORDER BY: aggregate refs become column refs
               // (hidden measures allocated as needed); remaining
-              // attributes must be group columns or output aliases
+              // attributes must be named group keys or output aliases
               val refs = new AggRefs(o)
               val having = havingRaw.map(refs.translate)
               val sort = orderRaw.map(so => refs.translate(so.child)
                 .map((_, so.direction == Ascending,
                   so.nullOrdering == NullsFirst)))
-              val visible = g.toSet ++
+              val shape0 = Shape(srcName, where, groupEs, o, join,
+                having.flatten, refs.hidden.toSeq, sort.flatten, limit)
+              val visible = groupEs.indices
+                .flatMap(shape0.keyName).map(_.toLowerCase).toSet ++
                 o.collect { case Meas(_, _, out) => out.toLowerCase } ++
-                o.collect { case GRef(_, t, al) =>
-                  al.getOrElse(t).toLowerCase } ++
                 refs.hidden.map(_.out.toLowerCase)
               def attrsOk(e: Expression): Boolean =
                 e.collect { case UnresolvedAttribute(p) => p }.forall(p =>
@@ -273,10 +312,7 @@ object MvRewrite {
               val translatedOk =
                 having.forall(_.exists(attrsOk)) &&
                   sort.forall(_.exists { case (e, _, _) => attrsOk(e) })
-              if (refsOk && translatedOk)
-                Some(Shape(srcName, where, g, o, join,
-                  having.flatten, refs.hidden.toSeq,
-                  sort.flatten, limit))
+              if (refsOk && translatedOk) Some(shape0)
               else None
             }
           }
@@ -299,11 +335,32 @@ object MvRewrite {
     }
   }
 
+  /** The view's group keys as (normalized parsed expression, column
+    * name) for the NON-identity (derived) ones, plus the identity
+    * column-name set. */
+  private def viewKeys(spark: SparkSession, s: MaterializedView.Surface)
+      : (Seq[(Expression, String)], Set[String]) = {
+    if (s.groupExprs.isEmpty)
+      (Nil, s.groupCols.map(_.toLowerCase).toSet)
+    else {
+      val pairs = s.groupExprs.zip(s.groupCols)
+      val (identity, derived) = pairs.partition { case (e, c) =>
+        e.equalsIgnoreCase(c) }
+      (derived.map { case (e, c) =>
+        (norm(spark.sessionState.sqlParser.parseExpression(e)), c) },
+        identity.map(_._2.toLowerCase).toSet)
+    }
+  }
+
   /** View-filter subsumption: the view's conjuncts must appear
-    * verbatim (normalized) among the query's; what remains must
-    * touch only view group columns and contain no subquery or
-    * function call. Returns the residual conjuncts, or None when the
-    * view cannot serve this WHERE. */
+    * verbatim (normalized) among the query's; what remains must be
+    * expressible over VIEW rows — any subtree equal to a derived
+    * group expression substitutes to that group's column, and every
+    * surviving attribute must be an IDENTITY group column (a source
+    * column the view carries verbatim; matching a derived column's
+    * NAME would be wrong, the source may hold an unrelated column of
+    * that name). Returns the substituted residual conjuncts, or None
+    * when the view cannot serve this WHERE. */
   private def residualOf(spark: SparkSession, s: MaterializedView.Surface,
                          where: Option[Expression]): Option[Seq[Expression]] = {
     val qConj = where.map(w => conjuncts(norm(w))).getOrElse(Nil)
@@ -312,30 +369,63 @@ object MvRewrite {
         spark.sessionState.sqlParser.parseExpression(f))))
       .getOrElse(Nil)
     if (!vConj.forall(qConj.contains)) return None
-    val residual = qConj.filterNot(vConj.contains)
-    val groupLc = s.groupCols.map(_.toLowerCase).toSet
+    val residual0 = qConj.filterNot(vConj.contains)
+    val (derived, identityLc) = viewKeys(spark, s)
+    // substitute derived-key subtrees via a marker so the attribute
+    // check below can tell "introduced by us" from "user-written"
+    val marker = derived.zipWithIndex.map { case ((e, c), i) =>
+      (e, s"__gx_$i", c) }
+    val residual = residual0.map(e => e.transform {
+      case sub if marker.exists(_._1 == sub) =>
+        UnresolvedAttribute(Seq(marker.find(_._1 == sub).get._2))
+    })
+    val markerNames = marker.map(_._2).toSet
     val ok = residual.forall { e =>
       val attrs = e.collect { case UnresolvedAttribute(parts) => parts }
-      attrs.forall(p => p.length == 1 && groupLc.contains(p.head)) &&
+      attrs.forall(p => p.length == 1 &&
+        (identityLc.contains(p.head) || markerNames.contains(p.head))) &&
         !e.exists {
           case _: SubqueryExpression | _: UnresolvedFunction => true
           case _ => false
         }
     }
-    if (ok) Some(residual) else None
+    if (!ok) return None
+    // markers → the view's real column names for execution
+    Some(residual.map(_.transform {
+      case UnresolvedAttribute(Seq(m)) if markerNames.contains(m) =>
+        UnresolvedAttribute(Seq(marker.find(_._2 == m).get._3))
+    }))
+  }
+
+  /** Map each query group key to a view group column: a bare column
+    * matches an IDENTITY view key of that name; an expression matches
+    * a derived view key by normalized-tree equality. None when any
+    * key has no home — the view cannot serve this grouping. */
+  private def gmapFor(spark: SparkSession, s: MaterializedView.Surface,
+                      shape: Shape): Option[Seq[String]] = {
+    val (derived, identityLc) = viewKeys(spark, s)
+    val mapped = shape.groupEs.map {
+      case a @ UnresolvedAttribute(Seq(n)) =>
+        if (identityLc.contains(n))
+          s.groupCols.find(_.equalsIgnoreCase(n))
+        else derived.collectFirst { case (e, c) if e == a => c }
+      case e => derived.collectFirst { case (de, c) if de == e => c }
+    }
+    if (mapped.forall(_.isDefined)) Some(mapped.map(_.get)) else None
   }
 
   // ---- the rewrite -------------------------------------------------------
 
   private def build(store: TableStore, s: MaterializedView.Surface,
-                    shape: Shape, residual: Seq[Expression]): DataFrame = {
+                    shape: Shape, residual: Seq[Expression],
+                    gmap: Seq[String]): DataFrame = {
     import MaterializedView.{cntCol, maxCol, minCol, sumCol, CntCol}
     def actual(cols: Seq[String], lc: String): String =
       cols.find(_.equalsIgnoreCase(lc)).get
     val base = residual.foldLeft(
       MaterializedView.consolidatedAdditive(store, s.mv))(
       (d, e) => d.where(expr(e.sql)))
-    val groupCols = shape.groupLc.map(lc => col(actual(s.groupCols, lc)))
+    val groupCols = gmap.map(col)
     def stored(lc: String): String = actual(s.storedSumCols, lc)
     val measures = shape.outs.collect { case m: Meas => m }
     def aggOf(m: Meas): Column = m match {
@@ -368,7 +458,15 @@ object MvRewrite {
         val aggCols = allMeasures.map(aggOf)
         base.groupBy(groupCols: _*).agg(aggCols.head, aggCols.tail: _*)
       }
-    val havinged = shape.having.foldLeft(agged)((d, h) => d.where(expr(h.sql)))
+    // group keys leave the agg under their VIEW column names; HAVING/
+    // ORDER BY and the final projection speak the QUERY's names —
+    // rename where they differ
+    val keyed = gmap.zipWithIndex.foldLeft(agged) { case (df, (v, i)) =>
+      shape.keyName(i).filterNot(_.equalsIgnoreCase(v))
+        .fold(df)(df.withColumnRenamed(v, _))
+    }
+    def keyNameOrView(i: Int): String = shape.keyName(i).getOrElse(gmap(i))
+    val havinged = shape.having.foldLeft(keyed)((d, h) => d.where(expr(h.sql)))
     val sorted =
       if (shape.sort.isEmpty) havinged
       else havinged.orderBy(shape.sort.map { case (e, asc, nullsFirst) =>
@@ -382,8 +480,9 @@ object MvRewrite {
       }: _*)
     val limited = shape.limit.foldLeft(sorted)((d, n) => d.limit(n))
     limited.select(shape.outs.map {
-      case GRef(lc, typed, alias) =>
-        col(actual(s.groupCols, lc)).as(alias.getOrElse(typed))
+      case GRef(e, typed, alias) =>
+        val i = shape.groupEs.indexOf(e)
+        col(keyNameOrView(i)).as(alias.orElse(typed).getOrElse(gmap(i)))
       case m: Meas => col(m.out)
     }: _*)
   }
@@ -424,24 +523,24 @@ object MvRewrite {
               s.joinCols.map(_.toLowerCase).toSet == cols
           }
           sourceOk && s.fresh &&
-            shape.groupLc.forall(g =>
-              s.groupCols.exists(_.equalsIgnoreCase(g))) &&
             (shape.outs.collect { case m: Meas => m } ++ shape.hidden)
               .forall(satisfies(s, _))
         }
         .sortBy(_.groupCols.length) // cheapest first: fewest view groups
       candidates.iterator.flatMap { s =>
-        residualOf(spark, s, shape.where).flatMap { residual =>
-          val cand = build(store, s, shape, residual)
+        for {
+          gmap <- gmapFor(spark, s, shape)
+          residual <- residualOf(spark, s, shape.where)
+          cand = build(store, s, shape, residual, gmap)
           // abstain unless the rewrite reproduces the direct plan's
           // analyzed schema exactly (names + types)
-          val direct = spark.sql(sql)
-          if (direct.schema.map(f => (f.name, f.dataType)) ==
-              cand.schema.map(f => (f.name, f.dataType))) {
-            hits.incrementAndGet()
-            lastServed = Some(s.mv)
-            Some(cand)
-          } else None
+          direct = spark.sql(sql)
+          if direct.schema.map(f => (f.name, f.dataType)) ==
+            cand.schema.map(f => (f.name, f.dataType))
+        } yield {
+          hits.incrementAndGet()
+          lastServed = Some(s.mv)
+          cand
         }
       }.nextOption()
     } catch { case NonFatal(_) => None }

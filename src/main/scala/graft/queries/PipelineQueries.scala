@@ -960,6 +960,59 @@ object PipelineQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin))
 
+  /** Derived-group materialized view — the canonical daily-rollup
+    * shape: the view groups by an EXPRESSION over the source
+    * (`(ts div 1000) div 86400000000` = the µs-epoch day index) that
+    * every fold path projects before grouping, so a time-bucketed
+    * rollup maintains at O(changed data) exactly like a plain view.
+    * Full SQL lifecycle: CREATE with `<expr> AS day` in the select
+    * list, append + MoR delete on the source, REFRESH + OPTIMIZE.
+    * Measures sum as DECIMAL(18,4) (order-free exactness). Oracle:
+    * the from-scratch day×type aggregate over the source's final
+    * state, with DuckDB deriving the same day index from epoch-µs. */
+  val mvExprGroupRollup: Entry = Entry(
+    "mv_expr_group_rollup",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mveg"))
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"),
+          col("value").cast("decimal(18,4)").as("v"))
+      store.create("ev_t", ev.where(col("event_id") % 2 === 0))
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW ev_day_mv AS
+          |SELECT (ts div 1000) div 86400000000 AS day, event_type,
+          |  count(*), sum(v)
+          |FROM ev_t GROUP BY day, event_type""".stripMargin)
+      store.append("ev_t", ev.where(col("event_id") % 2 =!= 0))
+      store.appendWithDeletes("ev_t", ev.limit(0),
+        deleteKeys = ev.select("event_id")
+          .where(col("event_id") % 9 === 0).distinct())
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW ev_day_mv")
+      GraftSql.execute(s, store, "OPTIMIZE MATERIALIZED VIEW ev_day_mv")
+      // the rollup query over the SOURCE, grouping by the same derived
+      // expression, must be served from the view (derived-group
+      // rewrite) — loud routing check, parity pinned by MvRewriteSpec
+      val before = graft.lake.MvRewrite.hits.get()
+      GraftSql.execute(s, store,
+        """SELECT (ts div 1000) div 86400000000 AS day, event_type,
+          |  count(*) AS n
+          |FROM ev_t GROUP BY 1, 2""".stripMargin).count()
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_expr_group_rollup expected the day-rollup SELECT to be " +
+          "served from ev_day_mv")
+      GraftSql.execute(s, store,
+        "SELECT day, event_type, cnt, sum_v FROM ev_day_mv")
+        .select(col("day"), col("event_type"), col("cnt").as("n"),
+          col("sum_v").cast("double").as("sum_v"))
+        .orderBy("day", "event_type")
+    },
+    Some("""SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events WHERE event_id % 9 <> 0
+        |GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin))
+
   /** Join-query rewriting over a join materialized view: the full
     * SQL lifecycle (CREATE MATERIALIZED VIEW ... FROM fact JOIN dim
     * USING (...), fact append, REFRESH), then the star query itself —
@@ -1947,7 +2000,7 @@ object PipelineQueries {
     sqlColumnMapping, convertInPlace, partitionEvolution, dqAudit,
     dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
-    mvRewriteServed, mvJoinIncremental, mvJoinRewrite,
+    mvRewriteServed, mvJoinIncremental, mvJoinRewrite, mvExprGroupRollup,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

@@ -201,6 +201,43 @@ class MvRewriteSpec extends SparkSpec {
       "SELECT g, count(*) AS n FROM t GROUP BY g ORDER BY max(x) DESC, g ASC")
   }
 
+  test("derived-group views serve queries that group by the same expression") {
+    val store = freshStore()
+    store.create("tv", (1 to 50).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "x"))
+    MaterializedView.create(store, "bkt_mv", "tv", Seq("bucket"), Seq("x"),
+      groupExprs = Seq("CAST(x / 10 AS INT)"))
+    def served(sql: String): Unit = {
+      val (got, wasServed) = run(store, sql)
+      assert(wasServed, s"expected derived-group rewrite for: $sql")
+      assert(MvRewrite.lastServed.contains("bkt_mv"))
+      assert(got == direct(store, sql), s"diverged for: $sql")
+    }
+    served("SELECT CAST(x / 10 AS INT) AS bucket, count(*) AS n, " +
+      "sum(x) AS sx FROM tv GROUP BY CAST(x / 10 AS INT)")
+    // ordinal form + residual over the SAME derived expression
+    served("SELECT CAST(x / 10 AS INT) AS b, sum(x) AS sx FROM tv " +
+      "WHERE CAST(x / 10 AS INT) <> 2 GROUP BY 1")
+    // global aggregate with a derived-expression residual
+    served("SELECT count(*) AS n FROM tv WHERE CAST(x / 10 AS INT) = 1")
+    // a DIFFERENT bucketing expression is not this view
+    assertDirect(store,
+      "SELECT CAST(x / 5 AS INT) AS b, count(*) AS n FROM tv GROUP BY 1")
+  }
+
+  test("a source column named like a derived key never leaks through the residual") {
+    val store = freshStore()
+    // tv2 has a REAL column `bucket` (unrelated values) AND the view
+    // derives its own `bucket` from x — WHERE bucket = 1 must run
+    // direct (over the source column), never filter view groups
+    store.create("tv2", (1 to 40).map(i =>
+      (i.toLong, i.toDouble, (i % 2).toLong)).toDF("id", "x", "bucket"))
+    MaterializedView.create(store, "bkt2_mv", "tv2", Seq("bucket"), Seq("x"),
+      groupExprs = Seq("CAST(x / 10 AS INT)"))
+    assertDirect(store, "SELECT count(*) AS n, sum(x) AS sx FROM tv2 " +
+      "WHERE bucket = 1")
+  }
+
   private def setupJoin(): TableStore = {
     val store = freshStore()
     store.create("fct", (1 to 30).map(i =>
