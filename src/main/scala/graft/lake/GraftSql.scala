@@ -114,6 +114,8 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val ShowMvsStmt =
     """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$""".r
+  private val DropMvStmt =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -436,6 +438,21 @@ object GraftSql {
       case DescribeMvStmt(mv) =>
         // definition + binding + staleness, metadata-only (no scan)
         MaterializedView.describe(store, mv)
+      case DropMvStmt(mv) =>
+        // the view AND its definition companion go together — a bare
+        // DROP TABLE on the view would orphan `<mv>__def` (and SHOW
+        // MATERIALIZED VIEWS ignores orphans, but the junk lingers)
+        val ifExists = sql.toUpperCase.contains("IF EXISTS")
+        val isMv = store.exists(mv) &&
+          store.exists(MaterializedView.defTable(mv))
+        if (!isMv && !ifExists) throw new IllegalArgumentException(
+          s"$mv is not a materialized view")
+        if (isMv) {
+          store.drop(mv)
+          store.drop(MaterializedView.defTable(mv))
+        }
+        import spark.implicits._
+        Seq((mv, isMv)).toDF("view_name", "dropped")
       case ShowMvsStmt() =>
         // the view registry at a glance — name, shape, and whether the
         // rewrite would currently serve from it. Metadata-only.

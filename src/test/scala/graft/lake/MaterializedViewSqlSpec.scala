@@ -121,6 +121,26 @@ class MaterializedViewSqlSpec extends SparkSpec {
     assert(fresh)
   }
 
+  test("DROP MATERIALIZED VIEW removes the view AND its definition companion") {
+    val store = new TableStore(spark, tmpDir("mvdrop"))
+    store.create("s", Seq((1L, "a", 1.0)).toDF("id", "g", "x"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW s_mv AS SELECT g, count(*) FROM s GROUP BY g")
+    assert(store.exists("s_mv") && store.exists("s_mv__def"))
+    val r = GraftSql.execute(spark, store, "DROP MATERIALIZED VIEW s_mv")
+      .as[(String, Boolean)].head()
+    assert(r == ("s_mv", true))
+    assert(!store.exists("s_mv") && !store.exists("s_mv__def"))
+    assert(GraftSql.execute(spark, store, "SHOW MATERIALIZED VIEWS").isEmpty)
+    // a plain table is NOT a materialized view; IF EXISTS tolerates both
+    intercept[IllegalArgumentException] {
+      GraftSql.execute(spark, store, "DROP MATERIALIZED VIEW s")
+    }
+    assert(!GraftSql.execute(spark, store,
+      "DROP MATERIALIZED VIEW IF EXISTS nope").as[(String, Boolean)].head()._2)
+    assert(store.exists("s"))
+  }
+
   test("CREATE MATERIALIZED VIEW over a JOIN maintains both sides; min/max rejected") {
     val store = new TableStore(spark, tmpDir("mvsqlj"))
     store.create("fct", Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 4.0))
