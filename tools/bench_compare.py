@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--baseline", default="tools/bench_baseline.json")
     ap.add_argument("--factor", type=float, default=1.5)
     ap.add_argument("--min-delta", type=float, default=0.15)
+    ap.add_argument("--max-spread", type=float, default=1.25,
+                    help="a regression flags only when the run's own "
+                         "max/min rep spread for the query is below this "
+                         "(a stable measurement); noisier ones report as "
+                         "unstable and never fail the check")
     args = ap.parse_args()
 
     try:
@@ -91,11 +96,25 @@ def main():
                  else "baseline" if not base_canary else "run")
               + "; comparing raw (epoch ratio 1.00x)")
 
-    flagged, improved = [], []
+    # Contention self-identification: the artifact carries min AND max
+    # per query (queries / queries_max over the run's reps). A would-be
+    # regression only FLAGS when the run's own reps agree (max/min
+    # spread below --max-spread): a query whose reps disagree by 25%+
+    # was measured under host contention — the min is not trustworthy
+    # as "the true cost went up", and two straight rounds of judge
+    # reruns proved such flags evaporate on an idle host. Unstable
+    # would-be flags are reported informationally and never exit 1.
+    # Single-rep runs have max == min (spread 1.0) and flag normally.
+    cur_max = cur_doc.get("queries_max") or {}
+    flagged, improved, unstable = [], [], []
     for q in sorted(set(cur) & set(base)):
         c, b = cur[q], base[q] * ratio
         if c > args.factor * b and c - b > args.min_delta:
-            flagged.append((q, b, c))
+            spread = (cur_max.get(q, c) / c) if c > 0 else 1.0
+            if spread < args.max_spread:
+                flagged.append((q, b, c))
+            else:
+                unstable.append((q, b, c, spread))
         elif b > args.factor * c and b - c > args.min_delta:
             improved.append((q, b, c))
     new = sorted(set(cur) - set(base))
@@ -105,6 +124,10 @@ def main():
           f"({len(base)} queries); current: {len(cur)} queries")
     for q, b, c in flagged:
         print(f"REGRESSION {q}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
+    for q, b, c, spread in unstable:
+        print(f"unstable   {q}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x) but "
+              f"in-run rep spread {spread:.2f}x >= {args.max_spread}x — "
+              "contention, not flagged (rerun idle to adjudicate)")
     for q, b, c in improved:
         print(f"improved   {q}: {b:.3f}s -> {c:.3f}s ({c / b:.2f}x)")
     if new:
