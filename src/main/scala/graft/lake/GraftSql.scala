@@ -102,10 +102,14 @@ object GraftSql {
   // canonical names (group cols, cnt, sum_<col>).
   private val CreateMvStmt =
     """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
-  // the JOIN view form: FROM fact JOIN dim USING (cols) — inner join
-  // only, the shape the two-cursor IVM maintains exactly
+  // the JOIN view form: FROM fact JOIN d1 USING (c1) [JOIN d2 USING
+  // (c2) ...] — a chain of inner joins, the shape the multi-cursor
+  // IVM maintains exactly (group 4 holds the whole chain; JoinClause
+  // re-parses it per dim)
   private val CreateMvJoinStmt =
-    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)\s+(?:INNER\s+)?JOIN\s+([A-Za-z_]\w*)\s+USING\s*\(([^)]+)\)\s*(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s+AS\s+SELECT\s+(.+?)\s+FROM\s+([A-Za-z_]\w*)((?:\s+(?:INNER\s+)?JOIN\s+[A-Za-z_]\w*\s+USING\s*\([^)]+\))+)\s*(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""".r
+  private val JoinClause =
+    """(?is)JOIN\s+([A-Za-z_]\w*)\s+USING\s*\(([^)]+)\)""".r
   private val RefreshMvStmt =
     """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val OptimizeMvStmt =
@@ -115,7 +119,7 @@ object GraftSql {
   private val ShowMvsStmt =
     """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$""".r
   private val DropMvStmt =
-    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
 
   /** Execute a multi-statement SQL SCRIPT — the Glue-job shape (one
     * job text, several `;`-separated statements run in order). The
@@ -394,23 +398,21 @@ object GraftSql {
         require(store.exists(table), s"unknown graft table $table")
         store.columnStats(table,
           Option(cols).toSeq.flatMap(_.split(",")).map(_.trim))
-      case CreateMvJoinStmt(mv, selectList, factT, dimT, joinList,
+      case CreateMvJoinStmt(mv, selectList, factT, joinChain,
                             filterSql, groupList) =>
-        // the two-cursor join view: additive measures only (min/max
-        // would need a join-side delete repair — rejected here)
+        // the multi-cursor join/star view: count/sum/avg plus min/max
+        // (extrema repair re-joins only the affected groups' slice)
+        val dims = JoinClause.findAllMatchIn(joinChain).map { m =>
+          m.group(1) -> m.group(2).split(",").map(_.trim).toSeq
+        }.toSeq
         val groupCols = splitTopLevel(groupList).map(groupAlias)
         val (sumCols, minCols, maxCols, avgCols, exprMap) =
           parseMvMeasures(selectList, groupCols)
-        require(minCols.isEmpty && maxCols.isEmpty,
-          "join materialized views maintain count(*)/sum/avg only — " +
-            "min/max need a delete repair that would re-join the source; " +
-            "use a plain view over a pre-joined table for extrema")
-        val bound = MaterializedView.createJoined(store, mv, factT, dimT,
-          joinList.split(",").map(_.trim).toSeq, groupCols, sumCols,
-          Option(filterSql).map(_.trim), avgCols,
-          groupExprsFor(groupCols, exprMap))
+        val bound = MaterializedView.createStar(store, mv, factT, dims,
+          groupCols, sumCols, Option(filterSql).map(_.trim), avgCols,
+          groupExprsFor(groupCols, exprMap), minCols, maxCols)
         import spark.implicits._
-        Seq((mv, factT, dimT, bound))
+        Seq((mv, factT, dims.map(_._1).mkString(","), bound))
           .toDF("view_name", "source", "dim", "bound_version")
       case CreateMvStmt(mv, selectList, src, filterSql, groupList) =>
         // restricted IVM grammar: group cols + count(*) + sum(col).
@@ -438,18 +440,26 @@ object GraftSql {
       case DescribeMvStmt(mv) =>
         // definition + binding + staleness, metadata-only (no scan)
         MaterializedView.describe(store, mv)
-      case DropMvStmt(mv) =>
+      case DropMvStmt(ifExistsGrp, mv) =>
         // the view AND its definition companion go together — a bare
         // DROP TABLE on the view would orphan `<mv>__def` (and SHOW
-        // MATERIALIZED VIEWS ignores orphans, but the junk lingers)
-        val ifExists = sql.toUpperCase.contains("IF EXISTS")
+        // MATERIALIZED VIEWS ignores orphans, but the junk lingers).
+        // IF EXISTS is a REGEX GROUP, not a substring probe — the
+        // grammar accepts any whitespace between the words, and a
+        // contains("IF EXISTS") check would miss 'IF\n EXISTS'.
+        val ifExists = ifExistsGrp != null
         val isMv = store.exists(mv) &&
           store.exists(MaterializedView.defTable(mv))
         if (!isMv && !ifExists) throw new IllegalArgumentException(
           s"$mv is not a materialized view")
         if (isMv) {
-          store.drop(mv)
+          // the __def companion drops FIRST: an MV without its def is
+          // already invisible to SHOW/DESCRIBE/rewrite, so a crash
+          // between the two deletes leaves a harmless bare table —
+          // never an orphan __def that would block re-CREATE of the
+          // same view name (and writeDef tolerates that orphan too)
           store.drop(MaterializedView.defTable(mv))
+          store.drop(mv)
         }
         import spark.implicits._
         Seq((mv, isMv)).toDF("view_name", "dropped")
@@ -462,7 +472,7 @@ object GraftSql {
           .filter(mv => mv.nonEmpty && store.exists(mv))
           .flatMap { mv =>
             scala.util.Try(MaterializedView.surface(store, mv)).toOption }
-          .map(s => (s.mv, s.src, s.dim.getOrElse(""),
+          .map(s => (s.mv, s.src, s.dims.mkString(","),
             s.groupCols.mkString(","), s.fresh))
           .toDF("view_name", "source", "dim", "group_cols", "fresh")
       case OptimizeStmt(table, zcols) =>
@@ -1436,7 +1446,7 @@ object GraftSql {
     * version whenever the two differ. Driver-only (a 1-row local
     * relation, no job). The RESTORE regex admits no quote characters
     * in the literal, so re-quoting is safe. */
-  private def sessionTimestampMs(spark: SparkSession, ts: String): Long =
+  private[graft] def sessionTimestampMs(spark: SparkSession, ts: String): Long =
     evalTimestampMs(spark, s"'$ts'")
 
   /** The merge compiles `spark.table(name)` / `store.read(name)` from

@@ -77,9 +77,18 @@ object MaterializedView {
                                minCols: Seq[String] = Nil,
                                maxCols: Seq[String] = Nil,
                                avgCols: Seq[String] = Nil,
-                               dim: Option[String] = None,
-                               joinCols: Seq[String] = Nil,
+                               dims: Seq[String] = Nil,
+                               dimJoinCols: Seq[Seq[String]] = Nil,
                                groupExprs: Seq[String] = Nil) {
+    def joined: Boolean = dims.nonEmpty
+    /** Fold a fact-shaped frame through every dim join in declaration
+      * order — the ONE place the star's join shape is spelled, so the
+      * initial fold, every refresh term and the extremum repair can
+      * never join differently. `dimOf(i)` supplies dim i's snapshot
+      * (old / new / delta, per the caller's IVM term). */
+    def joinAll(fact: DataFrame, dimOf: Int => DataFrame): DataFrame =
+      dims.indices.foldLeft(fact)((acc, i) =>
+        acc.join(dimOf(i), dimJoinCols(i)))
     /** Derive the view's group columns on a source-shaped batch:
       * `groupExprs(i)` (a SQL expression over source columns — e.g. a
       * date_trunc for a daily rollup) materializes as column
@@ -103,7 +112,36 @@ object MaterializedView {
     def storedSumCols: Seq[String] = (sumCols ++ avgCols).distinct
   }
 
+  /** Parsed defs keyed by (store root, view, `__def` manifest
+    * identity). The identity is the manifest's FILE LINES (uuid'd
+    * data paths — unique per write), not the version number: a
+    * DROP + re-CREATE resets the companion to version 0 again, so a
+    * version key would serve the dropped definition. One small-file
+    * manifest read per probe, NEVER a Spark job — the rewrite path's
+    * registry sweep over a store with many views answers from here
+    * instead of paying one collect job per view per statement.
+    * Bounded by wholesale clear (defs are tiny; entries accrue one
+    * per (view, redefinition)). */
+  private val defCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Def]()
+
   private def loadDef(store: TableStore, mv: String): Def = {
+    val key = store.currentVersion(defTable(mv)).map(v =>
+      (store.rootPath, mv, store.manifest(defTable(mv), v).hashCode))
+    key.flatMap(k => Option(defCache.get(k))) match {
+      case Some(d) => d
+      case None =>
+        val d = loadDefUncached(store, mv)
+        key.foreach { k =>
+          if (defCache.size > 1024) defCache.clear()
+          defCache.put(k, d)
+        }
+        d
+    }
+  }
+
+  private def loadDefUncached(store: TableStore, mv: String): Def = {
+    MetaMetrics.mvDefLoads.incrementAndGet()
     val r = store.read(defTable(mv)).collect() match {
       case Array(row) => row
       case rows => throw new IllegalStateException(
@@ -116,12 +154,19 @@ object MaterializedView {
       if (r.schema.fieldNames.contains(c)) Option(r.getAs[String](c))
         .getOrElse("")
       else ""
+    // dims serialize as a comma list; per-dim join-col lists join on
+    // '|' (a 1-dim def without '|' is the pre-star format — one list)
+    val dims = split(opt("dim"))
+    val dimJoin = opt("join_cols") match {
+      case "" => Nil
+      case s => s.split("\\|", -1).toSeq.map(split)
+    }
     Def(r.getAs[String]("src"), split(r.getAs[String]("group_cols")),
       split(r.getAs[String]("sum_cols")),
       Option(r.getAs[String]("filter_sql")).filter(_.nonEmpty),
       split(r.getAs[String]("min_cols")), split(r.getAs[String]("max_cols")),
       split(r.getAs[String]("avg_cols")),
-      Some(opt("dim")).filter(_.nonEmpty), split(opt("join_cols")),
+      dims, dimJoin,
       // expressions may contain commas — they join on the
     // non-printing GroupExprSep
       opt("group_exprs").split(GroupExprSep).toSeq.filter(_.nonEmpty))
@@ -130,11 +175,19 @@ object MaterializedView {
   private def writeDef(store: TableStore, mv: String, d: Def): Unit = {
     val spark = store.spark
     import spark.implicits._
+    // an ORPHAN def (companion present, view table absent — the
+    // residue of a DROP that crashed after deleting the view) must
+    // not block re-creating the view name: the orphan is invisible
+    // to SHOW/rewrite, so replacing it is safe. A def whose VIEW
+    // still exists falls through to create's loud already-exists.
+    if (store.exists(defTable(mv)) && !store.exists(mv))
+      store.drop(defTable(mv))
     store.create(defTable(mv),
       Seq((d.src, d.groupCols.mkString(","), d.sumCols.mkString(","),
         d.filterSql.getOrElse(""), d.minCols.mkString(","),
         d.maxCols.mkString(","), d.avgCols.mkString(","),
-        d.dim.getOrElse(""), d.joinCols.mkString(","),
+        d.dims.mkString(","),
+        d.dimJoinCols.map(_.mkString(",")).mkString("|"),
         d.groupExprs.mkString(GroupExprSep)))
         .toDF("src", "group_cols", "sum_cols", "filter_sql",
           "min_cols", "max_cols", "avg_cols", "dim", "join_cols",
@@ -209,46 +262,79 @@ object MaterializedView {
   }
 
   /** Create a JOIN materialized view: `mv` = SELECT groupCols,
-    * count(*), sum/avg(cols...) FROM `fact` INNER JOIN `dim` USING
-    * (joinCols) [WHERE filter] GROUP BY groupCols — group, measure,
-    * and filter columns may come from EITHER side of the join.
-    * Maintained under changes to BOTH tables by the exact bag-algebra
-    * identity Δ(F⋈D) = ΔF⋈D_new ⊕ F_old⋈ΔD (each side's change feed
-    * signed ±1, the sign surviving the join into the partials): a
-    * fact-only day costs O(ΔF ⋈ D); a dim update costs O(F ⋈ ΔD) —
-    * an inner join on the changed keys, which partition/stats pruning
-    * on the fact's join column cuts to the affected slice. The two
-    * cursors (fact version, dim version) ride the SAME atomic append
-    * as the delta rows ([[TableStore.appendTxns]]), so refresh stays
-    * exactly-once under crash redelivery with either or both sides
-    * moving. min/max are not supported on join views (their delete
-    * repair would re-join the affected groups; use a plain view over
-    * a pre-joined table if extrema over a join are needed) — additive
-    * measures only (count/sum/avg). Returns the bound fact version.
-    */
+    * count(*), sum/avg/min/max(cols...) FROM `fact` INNER JOIN `dim`
+    * USING (joinCols) [WHERE filter] GROUP BY groupCols — group,
+    * measure, and filter columns may come from EITHER side of the
+    * join. Maintained under changes to BOTH tables by the exact
+    * bag-algebra identity Δ(F⋈D) = ΔF⋈D_new ⊕ F_old⋈ΔD (each side's
+    * change feed signed ±1, the sign surviving the join into the
+    * partials): a fact-only day costs O(ΔF ⋈ D); a dim update costs
+    * O(F ⋈ ΔD) — an inner join on the changed keys, which
+    * partition/stats pruning on the fact's join column cuts to the
+    * affected slice. The cursors (fact version + one per dim) ride
+    * the SAME atomic append as the delta rows
+    * ([[TableStore.appendTxns]]), so refresh stays exactly-once under
+    * crash redelivery with any sides moving. min/max maintain
+    * incrementally on inserts; a delete on EITHER side triggers the
+    * same O(affected groups) extremum repair as plain views — the
+    * recompute re-joins only the affected groups' slice at the
+    * current versions, behind the reset-epoch fence. Returns the
+    * bound fact version. */
   def createJoined(store: TableStore, mv: String, fact: String,
                    dim: String, joinCols: Seq[String],
                    groupCols: Seq[String], sumCols: Seq[String],
                    filter: Option[String] = None,
                    avgCols: Seq[String] = Nil,
-                   groupExprs: Seq[String] = Nil): Long = {
+                   groupExprs: Seq[String] = Nil,
+                   minCols: Seq[String] = Nil,
+                   maxCols: Seq[String] = Nil): Long =
+    createStar(store, mv, fact, Seq(dim -> joinCols), groupCols, sumCols,
+      filter, avgCols, groupExprs, minCols, maxCols)
+
+  /** [[createJoined]] over a CHAIN of dims — the 3+-table star
+    * (TPC-H Q3/Q10-shaped dashboards): `fact JOIN d1 USING (c1) JOIN
+    * d2 USING (c2) ...`, maintained under changes to EVERY table by
+    * the telescoping identity
+    * Δ(F⋈D1⋈…⋈Dn) = ΔF⋈D1ⁿ⋈…⋈Dnⁿ ⊕ Fᵒ⋈ΔD1⋈D2ⁿ⋈…  ⊕ … ⊕
+    * Fᵒ⋈D1ᵒ⋈…⋈ΔDn (ᵒ = bound version, ⁿ = current): term i holds
+    * sides before i at their OLD versions, side i's delta, sides
+    * after i at NEW versions — exact bag algebra, each term O(that
+    * side's change ⋈ the star). One cursor per table, all advancing
+    * in one atomic append. */
+  def createStar(store: TableStore, mv: String, fact: String,
+                 dims: Seq[(String, Seq[String])],
+                 groupCols: Seq[String], sumCols: Seq[String],
+                 filter: Option[String] = None,
+                 avgCols: Seq[String] = Nil,
+                 groupExprs: Seq[String] = Nil,
+                 minCols: Seq[String] = Nil,
+                 maxCols: Seq[String] = Nil): Long = {
     require(groupCols.nonEmpty, "at least one group column")
-    require(joinCols.nonEmpty, "at least one join column")
+    require(dims.nonEmpty && dims.forall(_._2.nonEmpty),
+      "each dim needs at least one join column")
+    require(dims.map(_._1.toLowerCase).distinct.size == dims.size &&
+      !dims.exists(_._1.equalsIgnoreCase(fact)),
+      "star tables must be distinct (each carries its own cursor)")
     require(groupExprs.isEmpty || groupExprs.length == groupCols.length,
       "groupExprs must be empty or parallel to groupCols")
     val vF = store.currentVersion(fact).getOrElse(
       throw new IllegalStateException(s"table $fact does not exist"))
-    val vD = store.currentVersion(dim).getOrElse(
-      throw new IllegalStateException(s"table $dim does not exist"))
-    val d = Def(fact, groupCols, sumCols, filter, Nil, Nil, avgCols,
-      Some(dim), joinCols, groupExprs)
+    val vDs = dims.map { case (dim, _) =>
+      store.currentVersion(dim).getOrElse(
+        throw new IllegalStateException(s"table $dim does not exist")) }
+    val d = Def(fact, groupCols, sumCols, filter, minCols, maxCols, avgCols,
+      dims.map(_._1), dims.map(_._2), groupExprs)
     writeDef(store, mv, d)
-    val joined = store.readVersion(fact, vF)
-      .join(store.readVersion(dim, vD), joinCols)
+    val joined = d.joinAll(store.readVersion(fact, vF),
+      i => store.readVersion(d.dims(i), vDs(i)))
+    // the extremum fence epoch is the cursor-vector SUM (see
+    // refreshJoined) — curF alone would repeat across dim-only
+    // refreshes and let pre-delete evidence back past the fence
     val base = partials(d.projectGroups(d.admitted(joined)), d, lit(1L),
-      epoch = vF, reset = true)
+      epoch = vF + vDs.sum, reset = true)
     store.createTxns(mv, base.coalesce(4),
-      Seq(appId(fact) -> vF, dimAppId(dim) -> vD))
+      (appId(fact) -> vF) +: d.dims.zip(vDs).map { case (dim, v) =>
+        dimAppId(dim) -> v })
     vF
   }
 
@@ -260,57 +346,87 @@ object MaterializedView {
     * snapshot check and this call retries from the new watermark. */
   def refresh(store: TableStore, mv: String): Long = {
     val d = loadDef(store, mv)
-    if (d.dim.isDefined) refreshJoined(store, mv, d)
+    if (d.joined) refreshJoined(store, mv, d)
     else refreshPlain(store, mv, d)
   }
 
-  /** Join-view refresh: fold ΔF⋈D_new ⊕ F_old⋈ΔD (see
-    * [[createJoined]]) into one atomic append advancing BOTH cursors.
-    * Reading F_old needs the bound fact version still retained —
+  /** Join/star-view refresh: fold the telescoping terms (see
+    * [[createStar]]) into one atomic append advancing EVERY cursor.
+    * Reading the old fact/dim versions needs them still retained —
     * the same keep-up-before-vacuum discipline every CDF consumer
     * here lives by (MaintenanceJob refreshes views before vacuum).
-    * The dim delta is broadcast (a dim change batch is small by
-    * construction); the fact delta joins the CURRENT dim snapshot,
-    * where the usual star-schema broadcast applies. Returns the bound
-    * fact version. */
+    * Dim deltas are broadcast (a dim change batch is small by
+    * construction); the fact delta joins the CURRENT dim snapshots,
+    * where the usual star-schema broadcast applies. min/max deletes
+    * (either side) repair exactly like plain views: recompute the
+    * affected groups from the star joined at the CURRENT versions —
+    * O(affected groups' slice), fenced by the reset epoch. Returns
+    * the bound fact version. */
   private def refreshJoined(store: TableStore, mv: String, d: Def): Long = {
-    val dim = d.dim.get
     var attempts = 0
     while (true) {
       attempts += 1
+      // the MV snapshot is pinned BEFORE the watermark/source reads: a
+      // competing refresher landing a fold after this read (but before
+      // this refresher's commit) makes the snapshot stale, so the
+      // appendTxns below trips SnapshotConflictException and the retry
+      // re-reads fresh watermarks — pinning AFTER would admit a delta
+      // folded from already-covered bounds whose txn vector still has
+      // one strictly-advancing component (a double-fold)
+      val mvSnap = store.currentVersion(mv)
       val boundF = store.lastTxn(mv, appId(d.src)).getOrElse(
         throw new IllegalStateException(
           s"$mv carries no mv-sync watermark for ${d.src}"))
-      val boundD = store.lastTxn(mv, dimAppId(dim)).getOrElse(
-        throw new IllegalStateException(
-          s"$mv carries no mv-dimsync watermark for $dim"))
+      val boundDs = d.dims.map(dim => store.lastTxn(mv, dimAppId(dim))
+        .getOrElse(throw new IllegalStateException(
+          s"$mv carries no mv-dimsync watermark for $dim")))
       val curF = store.currentVersion(d.src).getOrElse(
         throw new IllegalStateException(s"table ${d.src} does not exist"))
-      val curD = store.currentVersion(dim).getOrElse(
-        throw new IllegalStateException(s"table $dim does not exist"))
-      if (curF <= boundF && curD <= boundD) return boundF
-      val mvSnap = store.currentVersion(mv)
+      val curDs = d.dims.map(dim => store.currentVersion(dim).getOrElse(
+        throw new IllegalStateException(s"table $dim does not exist")))
+      if (curF <= boundF &&
+          d.dims.indices.forall(i => curDs(i) <= boundDs(i))) return boundF
       val sign = when(col("_change_type") === "insert", lit(1L))
         .otherwise(lit(-1L))
-      var deltas = List.empty[DataFrame]
+      // row-level telescoping terms, kept UN-aggregated so the
+      // extremum repair can see which groups the deletes touched:
+      // term i holds sides before i OLD, side i's delta, sides after
+      // i NEW — the exact multi-way Δ expansion
+      var terms = List.empty[DataFrame]
       if (curF > boundF) {
         val dF = store.changes(d.src, boundF, curF).drop("_commit_version")
-        deltas ::= partials(
+        terms ::= d.projectGroups(d.admitted(
+          d.joinAll(dF, i => store.readVersion(d.dims(i), curDs(i)))))
+      }
+      d.dims.indices.foreach { i =>
+        if (curDs(i) > boundDs(i)) {
+          val dD = store.changes(d.dims(i), boundDs(i), curDs(i))
+            .drop("_commit_version")
+          terms ::= d.projectGroups(d.admitted(
+            d.joinAll(store.readVersion(d.src, boundF), j =>
+              if (j < i) store.readVersion(d.dims(j), boundDs(j))
+              else if (j == i) broadcast(dD)
+              else store.readVersion(d.dims(j), curDs(j)))))
+        }
+      }
+      val feedRows = terms.reduce(_.unionByName(_))
+      // the extremum fence epoch must STRICTLY increase per landed
+      // refresh even when only a dim moved (curF alone would repeat,
+      // letting same-epoch pre-delete evidence back past the fence) —
+      // the cursor-vector SUM is monotone and strictly advances on
+      // every non-noop refresh
+      val epoch = curF + curDs.sum
+      val folded = partials(feedRows, d, sign, epoch = epoch, reset = false)
+      val delta =
+        if (!d.hasMm) folded
+        else mmRepairDelta(d, folded, feedRows,
           d.projectGroups(d.admitted(
-            dF.join(store.readVersion(dim, curD), d.joinCols))),
-          d, sign, epoch = curF, reset = false)
-      }
-      if (curD > boundD) {
-        val dD = store.changes(dim, boundD, curD).drop("_commit_version")
-        deltas ::= partials(
-          d.projectGroups(d.admitted(store.readVersion(d.src, boundF)
-            .join(broadcast(dD), d.joinCols))),
-          d, sign, epoch = curF, reset = false)
-      }
-      val delta = deltas.reduce(_ unionByName _)
+            d.joinAll(store.readVersion(d.src, curF),
+              i => store.readVersion(d.dims(i), curDs(i))))))
       try {
         store.appendTxns(mv, delta.coalesce(4),
-          Seq(appId(d.src) -> curF, dimAppId(dim) -> curD),
+          (appId(d.src) -> curF) +: d.dims.indices.map(i =>
+            dimAppId(d.dims(i)) -> curDs(i)),
           readSnapshot = mvSnap)
         return curF
       } catch {
@@ -324,6 +440,10 @@ object MaterializedView {
     var attempts = 0
     while (true) {
       attempts += 1
+      // snapshot pinned BEFORE the watermark read — see refreshJoined:
+      // a fold landing after this read must conflict this commit, or
+      // an overlapping delta double-folds into the view
+      val mvSnap = store.currentVersion(mv)
       val bound = store.lastTxn(mv, appId(d.src)).getOrElse(
         throw new IllegalStateException(
           s"$mv carries no mv-sync watermark for ${d.src} — not a " +
@@ -331,55 +451,15 @@ object MaterializedView {
       val cur = store.currentVersion(d.src).getOrElse(
         throw new IllegalStateException(s"table ${d.src} does not exist"))
       if (cur <= bound) return bound
-      val mvSnap = store.currentVersion(mv)
       val sign = when(col("_change_type") === "insert", lit(1L))
         .otherwise(lit(-1L))
       val feed = d.projectGroups(d.admitted(store.changes(d.src, bound, cur)
         .drop("_commit_version")))
       val folded = partials(feed, d, sign, epoch = cur, reset = false)
-      // min/max extremum repair: a delete may have removed a group's
-      // recorded extremum, which no delta can restore — recompute
-      // min/max for EXACTLY the delete-touched groups from the
-      // source's folded version (semi-join: O(those groups' rows),
-      // partition/stats pruning applies) and stamp their delta rows
-      // reset=true, fencing off every older partial's extremum
-      // evidence. Insert-only refreshes never touch the source.
       val delta =
         if (!d.hasMm) folded
-        else {
-          val affected = feed.where(col("_change_type") === "delete")
-            .select(d.groupCols.map(col): _*).distinct()
-          if (affected.isEmpty) folded
-          else {
-            val reAggs = d.minCols.map(c => min(col(c)).as("__re_min_" + c)) ++
-              d.maxCols.map(c => max(col(c)).as("__re_max_" + c))
-            val re = d.projectGroups(d.admitted(store.readVersion(d.src, cur)))
-              .join(affected, d.groupCols, "left_semi")
-              .groupBy(d.groupCols.map(col): _*)
-              .agg(reAggs.head, reAggs.tail: _*)
-            // groups the deletes EMPTIED have no source rows left: keep
-            // them via the affected side so their fence still lands
-            // (extrema NULL; the group nets to cnt 0 and drops at read)
-            val reAll = affected.withColumn("__is_aff", lit(true))
-              .join(re, d.groupCols, "left_outer")
-            // project back to the EXACT partial-row schema: every
-            // additive column (stored sums AND avg non-null counts)
-            // must survive, or the dropped column null-fills on the
-            // merged read and the aggregate silently loses the batch
-            folded.join(reAll, d.groupCols, "left_outer")
-              .select(d.groupCols.map(col) ++ Seq(col(CntCol)) ++
-                d.storedSumCols.map(c => col(sumCol(c))) ++
-                d.storedSumCols.map(c => col(cntCol(c))) ++
-                d.minCols.map(c => when(col("__is_aff").isNotNull,
-                  col("__re_min_" + c)).otherwise(col(minCol(c)))
-                  .as(minCol(c))) ++
-                d.maxCols.map(c => when(col("__is_aff").isNotNull,
-                  col("__re_max_" + c)).otherwise(col(maxCol(c)))
-                  .as(maxCol(c))) ++
-                Seq(col(EpochCol),
-                  col("__is_aff").isNotNull.as(ResetCol)): _*)
-          }
-        }
+        else mmRepairDelta(d, folded, feed,
+          d.projectGroups(d.admitted(store.readVersion(d.src, cur))))
       try {
         // the delta may be EMPTY (a neutral-rewrite range: OPTIMIZE /
         // compact on the source) — commit it anyway so the watermark
@@ -392,6 +472,51 @@ object MaterializedView {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** min/max extremum repair, shared by plain and join/star views: a
+    * delete may have removed a group's recorded extremum, which no
+    * delta can restore — recompute min/max for EXACTLY the
+    * delete-touched groups from `currentState` (the source — or the
+    * star joined at current versions — admitted and group-projected;
+    * semi-join: O(those groups' slice), partition/stats pruning
+    * applies) and stamp their delta rows reset=true, fencing off
+    * every older partial's extremum evidence. Insert-only refreshes
+    * never evaluate `currentState`. */
+  private def mmRepairDelta(d: Def, folded: DataFrame, feedRows: DataFrame,
+                            currentState: => DataFrame): DataFrame = {
+    val affected = feedRows.where(col("_change_type") === "delete")
+      .select(d.groupCols.map(col): _*).distinct()
+    if (affected.isEmpty) folded
+    else {
+      val reAggs = d.minCols.map(c => min(col(c)).as("__re_min_" + c)) ++
+        d.maxCols.map(c => max(col(c)).as("__re_max_" + c))
+      val re = currentState
+        .join(affected, d.groupCols, "left_semi")
+        .groupBy(d.groupCols.map(col): _*)
+        .agg(reAggs.head, reAggs.tail: _*)
+      // groups the deletes EMPTIED have no source rows left: keep
+      // them via the affected side so their fence still lands
+      // (extrema NULL; the group nets to cnt 0 and drops at read)
+      val reAll = affected.withColumn("__is_aff", lit(true))
+        .join(re, d.groupCols, "left_outer")
+      // project back to the EXACT partial-row schema: every
+      // additive column (stored sums AND avg non-null counts)
+      // must survive, or the dropped column null-fills on the
+      // merged read and the aggregate silently loses the batch
+      folded.join(reAll, d.groupCols, "left_outer")
+        .select(d.groupCols.map(col) ++ Seq(col(CntCol)) ++
+          d.storedSumCols.map(c => col(sumCol(c))) ++
+          d.storedSumCols.map(c => col(cntCol(c))) ++
+          d.minCols.map(c => when(col("__is_aff").isNotNull,
+            col("__re_min_" + c)).otherwise(col(minCol(c)))
+            .as(minCol(c))) ++
+          d.maxCols.map(c => when(col("__is_aff").isNotNull,
+            col("__re_max_" + c)).otherwise(col(maxCol(c)))
+            .as(maxCol(c))) ++
+          Seq(col(EpochCol),
+            col("__is_aff").isNotNull.as(ResetCol)): _*)
+    }
   }
 
   /** Per-group consolidation of the stored partials, preserving the
@@ -459,15 +584,24 @@ object MaterializedView {
     val srcV = store.currentVersion(d.src)
     val behind = for (b <- bound; s <- srcV) yield math.max(0L, s - b)
     val partialRows = store.fileRowCounts(mv).values.sum
-    // join views report the dim cursor too; plain views show NULLs
-    val dimBound = d.dim.flatMap(dim => store.lastTxn(mv, dimAppId(dim)))
-    val dimV = d.dim.flatMap(store.currentVersion)
-    val dimBehind = for (b <- dimBound; s <- dimV) yield math.max(0L, s - b)
+    // join views report dim cursors too; plain views show NULLs. A
+    // star reports the MINIMUM dim bound and the MAXIMUM dims-behind
+    // (the staleness gauge a scheduler polls must reflect the worst
+    // side).
+    val dimCursors = d.dims.map { dim =>
+      (store.lastTxn(mv, dimAppId(dim)), store.currentVersion(dim)) }
+    val dimBound = dimCursors.flatMap(_._1).minOption
+    val dimBehind = {
+      val behinds = dimCursors.flatMap { case (b, v) =>
+        for (bb <- b; vv <- v) yield math.max(0L, vv - bb) }
+      if (behinds.size == d.dims.size) behinds.maxOption else None
+    }
     Seq((mv, d.src, d.groupCols.mkString(","), d.sumCols.mkString(","),
       d.avgCols.mkString(","), d.minCols.mkString(","),
       d.maxCols.mkString(","), d.filterSql.getOrElse(""),
       bound, srcV, behind, partialRows,
-      d.dim.getOrElse(""), d.joinCols.mkString(","), dimBound, dimBehind))
+      d.dims.mkString(","),
+      d.dimJoinCols.map(_.mkString(",")).mkString("|"), dimBound, dimBehind))
       .toDF("view_name", "source", "group_cols", "sum_cols", "avg_cols",
         "min_cols", "max_cols", "filter_sql", "bound_version",
         "source_version", "versions_behind", "n_partial_rows",
@@ -484,9 +618,16 @@ object MaterializedView {
       groupCols: Seq[String], storedSumCols: Seq[String],
       minCols: Seq[String], maxCols: Seq[String],
       filterSql: Option[String], fresh: Boolean,
-      dim: Option[String] = None, joinCols: Seq[String] = Nil,
+      dims: Seq[String] = Nil, dimJoinCols: Seq[Seq[String]] = Nil,
       groupExprs: Seq[String] = Nil) {
-    def joined: Boolean = dim.isDefined
+    def joined: Boolean = dims.nonEmpty
+    /** IDENTITY group columns — source columns the view carries
+      * verbatim (not derived expressions); the only keys a
+      * count(DISTINCT) can be served over. */
+    def identityGroupCols: Seq[String] =
+      if (groupExprs.isEmpty) groupCols
+      else groupCols.zip(groupExprs).collect {
+        case (c, e) if e.equalsIgnoreCase(c) => c }
   }
 
   private[lake] def surface(store: TableStore, mv: String): Surface = {
@@ -496,11 +637,11 @@ object MaterializedView {
       c <- store.currentVersion(table)
     } yield c <= b).getOrElse(false)
     val fresh = current(appId(d.src), d.src) &&
-      d.dim.forall(dim => current(dimAppId(dim), dim))
+      d.dims.forall(dim => current(dimAppId(dim), dim))
     // a join view's rows have JOIN multiplicity — it serves only
     // queries over the SAME join, never a single-table aggregate
     Surface(mv, d.src, d.groupCols, d.storedSumCols, d.minCols, d.maxCols,
-      d.filterSql, fresh, dim = d.dim, joinCols = d.joinCols,
+      d.filterSql, fresh, dims = d.dims, dimJoinCols = d.dimJoinCols,
       groupExprs = d.groupExprs)
   }
 
@@ -528,21 +669,33 @@ object MaterializedView {
     * past a few batches per group. */
   def compactPartials(store: TableStore, mv: String): Unit = {
     val d = loadDef(store, mv)
+    // snapshot FIRST, then the watermarks, then the rows pinned to the
+    // snapshot: a refresh landing after this read conflicts the commit
+    // (retry-or-surface), so the reasserted watermarks can never be
+    // older than the rows being folded (double-fold) or newer (lost
+    // delta) — same ordering discipline as refresh itself
+    val mvSnap = store.currentVersion(mv)
     val bound = store.lastTxn(mv, appId(d.src)).getOrElse(
       throw new IllegalStateException(s"$mv carries no mv-sync watermark"))
-    // a join view's dim cursor must survive the fold too, or the next
-    // refresh would think the dim binding was vacuumed
-    val txns = Seq(appId(d.src) -> bound) ++ d.dim.map { dim =>
-      dimAppId(dim) -> store.lastTxn(mv, dimAppId(dim)).getOrElse(
+    // a join view's dim cursors must survive the fold too, or the
+    // next refresh would think the dim bindings were vacuumed
+    val dimBounds = d.dims.map { dim =>
+      dim -> store.lastTxn(mv, dimAppId(dim)).getOrElse(
         throw new IllegalStateException(
           s"$mv carries no mv-dimsync watermark for $dim"))
     }
-    val mvSnap = store.currentVersion(mv)
-    val folded0 = consolidate(d, store.read(mv))
+    val txns = Seq(appId(d.src) -> bound) ++ dimBounds.map {
+      case (dim, b) => dimAppId(dim) -> b }
+    val folded0 = consolidate(d,
+      store.readVersion(mv, mvSnap.getOrElse(
+        throw new IllegalStateException(s"view table $mv does not exist"))))
       .where(col(CntCol) =!= 0L)
+    // the re-stamp epoch matches refresh's scale: plain views use the
+    // source cursor, join views the cursor-vector sum
+    val foldEpoch = bound + dimBounds.map(_._2).sum
     val folded =
       if (!d.hasMm) folded0
-      else folded0.withColumn(EpochCol, lit(bound))
+      else folded0.withColumn(EpochCol, lit(foldEpoch))
         .withColumn(ResetCol, lit(true))
     store.overwriteReassertTxns(mv, folded.coalesce(4), txns,
       readSnapshot = mvSnap)

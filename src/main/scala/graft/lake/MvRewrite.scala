@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving, UnresolvedOrdinal, UnresolvedRelation, UnresolvedStar}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, Expression, Literal, NullsFirst, SortOrder, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Limit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Limit, LogicalPlan, Project, Sort, SubqueryAlias}
 import org.apache.spark.sql.catalyst.plans.{Inner, UsingJoin}
 import org.apache.spark.sql.types.IntegerType
 
@@ -21,12 +21,15 @@ import org.apache.spark.sql.types.IntegerType
   * registry before handing a SELECT to Spark.
   *
   * A query rewrites when a bound view exists with:
-  *  - the same source SHAPE: a plain view for `FROM t`, a join view
-  *    for `FROM a JOIN b USING (cols)` over the same two tables
-  *    (order-free) and using-columns — and the view FRESH (every
-  *    committed version of every bound table folded — a stale view
-  *    would answer from the past; run REFRESH MATERIALIZED VIEW
-  *    first or let the maintenance job keep it current);
+  *  - the same source SHAPE: a plain view for `FROM t`, a join/star
+  *    view for a chain of inner joins over the same tables
+  *    (order-free) and join-column sets — both the `USING (cols)`
+  *    and the USING-equivalent `ON a.k = b.k [AND ...]` spellings
+  *    (table aliases fine; qualified columns strip to bare names) —
+  *    and the view FRESH (every committed version of every bound
+  *    table folded — a stale view would answer from the past; run
+  *    REFRESH MATERIALIZED VIEW first or let the maintenance job
+  *    keep it current);
   *  - the query's GROUP BY a SUBSET of the view's group columns —
   *    the stored partial aggregates are additive (count/sum as
   *    signed sums, avg as sum + non-null count, min/max re-foldable),
@@ -34,7 +37,10 @@ import org.apache.spark.sql.types.IntegerType
   *    consolidated row per view group: O(view) work, never O(source);
   *  - every aggregate translatable: count(*)/count(c)/sum(c)/avg(c)
   *    over the view's summed columns, min(c)/max(c) over its extrema
-  *    columns — no DISTINCT, no FILTER clauses;
+  *    columns, count(DISTINCT k) over its IDENTITY group columns
+  *    (the consolidated rows enumerate surviving group combinations,
+  *    so the distinct count is exact at O(view)) — no other DISTINCT,
+  *    no FILTER clauses;
   *  - the view's WHERE (if any) appearing verbatim among the query's
   *    conjuncts, and every RESIDUAL conjunct referencing only view
   *    GROUP columns (group columns are constant within a view row,
@@ -79,8 +85,10 @@ object MvRewrite {
   private final case class Meas(fn: String, arg: Option[String],
                                 out: String) extends Out
 
-  /** `join` is set for `FROM a JOIN b USING (cols)` shapes: the two
-    * table names (order-free) plus the lowercase using-column set.
+  /** `joins` is non-empty for `FROM a JOIN b ...` shapes: one
+    * (table, lowercase join-column set) pair per joined dim, in query
+    * order — both the `USING (cols)` and the USING-equivalent
+    * `ON a.k = b.k [AND ...]` spellings produce the same pair.
     * `groupEs` holds the NORMALIZED group-key expressions (bare
     * columns or derived expressions; may be EMPTY — a global
     * aggregate, one output row). `having`/`sort` are pre-translated:
@@ -90,7 +98,7 @@ object MvRewrite {
     * to apply after the ordering. */
   private final case class Shape(src: String, where: Option[Expression],
                                  groupEs: Seq[Expression], outs: Seq[Out],
-                                 join: Option[(String, Set[String])] = None,
+                                 joins: Seq[(String, Set[String])] = Nil,
                                  having: Option[Expression] = None,
                                  hidden: Seq[Meas] = Nil,
                                  sort: Seq[(Expression, Boolean, Boolean)] = Nil,
@@ -164,6 +172,16 @@ object MvRewrite {
             Some((fn, Some(n.toLowerCase)))
           case _ => None
         }
+      // count(DISTINCT k): servable EXACTLY when k is an identity
+      // group column — the consolidated view rows enumerate the
+      // surviving group combinations, so distinct k per coarser group
+      // is a count over view rows (checked in satisfies)
+      case f: UnresolvedFunction if f.isDistinct && f.filter.isEmpty =>
+        (f.nameParts.map(_.toLowerCase).mkString("."), f.arguments) match {
+          case ("count", Seq(UnresolvedAttribute(Seq(n)))) =>
+            Some(("count_distinct", Some(n.toLowerCase)))
+          case _ => None
+        }
       case _ => None
     }
 
@@ -172,24 +190,64 @@ object MvRewrite {
     * output either a group column or an ALIASED translatable
     * aggregate. Anything else → None, and the statement runs direct.
     */
-  /** A bare one-part relation, or `a JOIN b USING (cols)` of two —
-    * returns (primary table, optional (other table, using cols)). */
-  private def sourceOf(p: LogicalPlan): Option[(String, Option[(String, Set[String])])] =
+  /** A (possibly aliased) bare one-part relation — returns
+    * (table name, strippable qualifiers: the table name and its
+    * alias, lowercase). */
+  private def relationOf(p: LogicalPlan): Option[(String, Set[String])] =
     p match {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
-        Some((r.multipartIdentifier.head.toLowerCase, None))
-      case j: Join if j.condition.isEmpty =>
-        (j.joinType, j.left, j.right) match {
-          case (UsingJoin(Inner, cols), l: UnresolvedRelation,
-                r: UnresolvedRelation)
-              if l.multipartIdentifier.length == 1 &&
-                r.multipartIdentifier.length == 1 =>
-            Some((l.multipartIdentifier.head.toLowerCase,
-              Some((r.multipartIdentifier.head.toLowerCase,
-                cols.map(_.toLowerCase).toSet))))
+        val t = r.multipartIdentifier.head.toLowerCase
+        Some((t, Set(t)))
+      case SubqueryAlias(id, r: UnresolvedRelation)
+          if r.multipartIdentifier.length == 1 =>
+        val t = r.multipartIdentifier.head.toLowerCase
+        Some((t, Set(t, id.name.toLowerCase)))
+      case _ => None
+    }
+
+  /** An inner-join condition equivalent to `USING (cols)`: a
+    * conjunction of `EqualTo` where both sides are attributes ending
+    * in the SAME column name (optionally qualified by either side's
+    * table/alias). Returns the lowercase using-column set. */
+  private def usingEquivalent(cond: Expression,
+                              quals: Set[String]): Option[Set[String]] = {
+    val cols = conjuncts(cond).map {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            UnresolvedAttribute(l), UnresolvedAttribute(r))
+          if l.last.equalsIgnoreCase(r.last) &&
+            l.length <= 2 && r.length <= 2 &&
+            l.dropRight(1).forall(q => quals.contains(q.toLowerCase)) &&
+            r.dropRight(1).forall(q => quals.contains(q.toLowerCase)) =>
+        Some(l.last.toLowerCase)
+      case _ => None
+    }
+    if (cols.forall(_.isDefined)) Some(cols.flatten.toSet) else None
+  }
+
+  /** A bare one-part relation, or a LEFT-DEEP chain of inner joins of
+    * bare relations — `f JOIN d1 USING (c1) JOIN d2 ON f.k = d2.k
+    * ...` — returns (deepest-left table, one (dim, join-col set) per
+    * join in order, the strippable qualifier set: every table name
+    * and alias in the FROM). */
+  private def sourceOf(p: LogicalPlan)
+      : Option[(String, Seq[(String, Set[String])], Set[String])] =
+    p match {
+      case j: Join =>
+        val rightRel = relationOf(j.right)
+        val leftSrc = sourceOf(j.left)
+        (leftSrc, rightRel) match {
+          case (Some((src, joins, quals)), Some((dim, dimQuals))) =>
+            val allQuals = quals ++ dimQuals
+            val usingCols = (j.joinType, j.condition) match {
+              case (UsingJoin(Inner, cols), None) =>
+                Some(cols.map(_.toLowerCase).toSet)
+              case (Inner, Some(cond)) => usingEquivalent(cond, allQuals)
+              case _ => None
+            }
+            usingCols.map(cols => (src, joins :+ (dim, cols), allQuals))
           case _ => None
         }
-      case _ => None
+      case other => relationOf(other).map { case (t, q) => (t, Nil, q) }
     }
 
   /** Peel LIMIT / ORDER BY / HAVING off the top; the core must be an
@@ -227,18 +285,35 @@ object MvRewrite {
         case Filter(cond, s) => sourceOf(s).map((_, Some(cond)))
         case s => sourceOf(s).map((_, None))
       }
-      srcAndWhere.flatMap { case ((srcName, join), where) =>
+      srcAndWhere.flatMap { case ((srcName, joins, quals), where0) =>
         {
+          // strip 2-part qualifiers naming a FROM table/alias
+          // (`f.price` → `price`): the view stores bare columns, and a
+          // bare name over the view is exactly as (un)ambiguous as the
+          // qualified one over the join — the schema-equality guard
+          // abstains on anything the analyzer would resolve differently
+          def strip(e: Expression): Expression = e.transform {
+            case UnresolvedAttribute(parts)
+                if parts.length == 2 &&
+                  quals.contains(parts.head.toLowerCase) =>
+              UnresolvedAttribute(Seq(parts.last))
+          }
+          val where = where0.map(strip)
           val aggExprs = a.aggregateExpressions
+            .map(strip(_).asInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.NamedExpression])
           // GROUP BY <ordinal> — resolve against the select list like
-          // the analyzer would (the parser emits UnresolvedOrdinal;
-          // accept a plain integer literal too for robustness)
+          // the analyzer would. ONLY UnresolvedOrdinal qualifies: the
+          // parser emits it iff spark.sql.groupByOrdinal=true; a bare
+          // integer Literal reaches here exactly when that conf is
+          // false, where direct execution groups by the CONSTANT — an
+          // ordinal substitution would serve an answer the direct
+          // plan would not produce
           def ordinal(e: Expression): Option[Int] = e match {
             case UnresolvedOrdinal(i) => Some(i)
-            case l @ Literal(_, IntegerType) => Some(l.value.asInstanceOf[Int])
             case _ => None
           }
-          val groupExprs = a.groupingExpressions.map { e =>
+          val groupExprs = a.groupingExpressions.map(strip).map { e =>
             ordinal(e).filter(i => i >= 1 && i <= aggExprs.length)
               .map(i => aggExprs(i - 1) match {
                 case Alias(c, _) => c
@@ -296,11 +371,11 @@ object MvRewrite {
               // (hidden measures allocated as needed); remaining
               // attributes must be named group keys or output aliases
               val refs = new AggRefs(o)
-              val having = havingRaw.map(refs.translate)
-              val sort = orderRaw.map(so => refs.translate(so.child)
+              val having = havingRaw.map(h => refs.translate(strip(h)))
+              val sort = orderRaw.map(so => refs.translate(strip(so.child))
                 .map((_, so.direction == Ascending,
                   so.nullOrdering == NullsFirst)))
-              val shape0 = Shape(srcName, where, groupEs, o, join,
+              val shape0 = Shape(srcName, where, groupEs, o, joins,
                 having.flatten, refs.hidden.toSeq, sort.flatten, limit)
               val visible = groupEs.indices
                 .flatMap(shape0.keyName).map(_.toLowerCase).toSet ++
@@ -331,6 +406,13 @@ object MvRewrite {
         in(s.storedSumCols, c)
       case Meas("min", Some(c), _) => in(s.minCols, c)
       case Meas("max", Some(c), _) => in(s.maxCols, c)
+      // count(DISTINCT k) is exact from the view iff k is an IDENTITY
+      // group column: the consolidated rows enumerate exactly the
+      // surviving group combinations, so distinct-k-per-coarser-group
+      // is a count over them (a derived key's name could shadow an
+      // unrelated source column — identity only)
+      case Meas("count_distinct", Some(c), _) =>
+        in(s.identityGroupCols, c)
       case _ => false
     }
   }
@@ -447,6 +529,11 @@ object MvRewrite {
         min(col(minCol(actual(s.minCols, c)))).as(out)
       case Meas("max", Some(c), out) =>
         max(col(maxCol(actual(s.maxCols, c)))).as(out)
+      // consolidated rows are distinct surviving group combos, so a
+      // count of distinct identity-key values over them is EXACT —
+      // and countDistinct ignores NULL keys, same as SQL
+      case Meas("count_distinct", Some(c), out) =>
+        countDistinct(col(actual(s.groupCols, c))).as(out)
       case m => sys.error(s"untranslatable measure $m") // guarded earlier
     }
     val allMeasures = measures ++ shape.hidden
@@ -513,20 +600,35 @@ object MvRewrite {
         .filter { s =>
           // the view's source shape must BE the query's: a plain view
           // for a single-table aggregate, a join view only for the
-          // SAME inner join (tables order-free, using-cols as a set —
-          // join multiplicity makes any other pairing wrong)
-          val sourceOk = shape.join match {
-            case None => !s.joined && s.src.equalsIgnoreCase(shape.src)
-            case Some((other, cols)) => s.joined &&
-              Set(s.src.toLowerCase, s.dim.get.toLowerCase) ==
-                Set(shape.src, other) &&
-              s.joinCols.map(_.toLowerCase).toSet == cols
-          }
+          // SAME inner-join star — table set equal (order-free, inner
+          // joins commute) and the join-column sets equal as a
+          // multiset (join multiplicity makes any other pairing
+          // wrong). USING and ON spellings land here identically.
+          val sourceOk =
+            if (shape.joins.isEmpty) !s.joined &&
+              s.src.equalsIgnoreCase(shape.src)
+            else s.joined && {
+              val qTables = (shape.src +: shape.joins.map(_._1)).sorted
+              val vTables = (s.src.toLowerCase +:
+                s.dims.map(_.toLowerCase)).sorted
+              val qCols = shape.joins.map(_._2).sortBy(_.toSeq.sorted.mkString(","))
+              val vCols = s.dimJoinCols.map(_.map(_.toLowerCase).toSet)
+                .sortBy(_.toSeq.sorted.mkString(","))
+              qTables == vTables && qCols == vCols
+            }
           sourceOk && s.fresh &&
             (shape.outs.collect { case m: Meas => m } ++ shape.hidden)
               .forall(satisfies(s, _))
         }
         .sortBy(_.groupCols.length) // cheapest first: fewest view groups
+      // the schema-equality guard's DIRECT analysis happens at most
+      // once per statement — lazily, shared across every candidate —
+      // so a dashboard SELECT over a store with N views pays one
+      // structural match plus one analysis, never N schema probes
+      lazy val directSchema = {
+        MetaMetrics.mvDirectAnalyses.incrementAndGet()
+        spark.sql(sql).schema.map(f => (f.name, f.dataType))
+      }
       candidates.iterator.flatMap { s =>
         for {
           gmap <- gmapFor(spark, s, shape)
@@ -534,9 +636,7 @@ object MvRewrite {
           cand = build(store, s, shape, residual, gmap)
           // abstain unless the rewrite reproduces the direct plan's
           // analyzed schema exactly (names + types)
-          direct = spark.sql(sql)
-          if direct.schema.map(f => (f.name, f.dataType)) ==
-            cand.schema.map(f => (f.name, f.dataType))
+          if directSchema == cand.schema.map(f => (f.name, f.dataType))
         } yield {
           hits.incrementAndGet()
           lastServed = Some(s.mv)

@@ -1795,6 +1795,12 @@ final class TableStore(private[graft] val spark: SparkSession,
       mustCreate = false,
       requireWithin = Some(touchedSet),
       readSnapshot = readSnapshot,
+      // a racer's pure append OUTSIDE the touched dirs is not a
+      // conflict: carried re-carries its files, the replacement only
+      // supersedes dirs the racer never wrote (partition-granular
+      // optimistic concurrency — two writers on disjoint partitions
+      // both land without a logical retry)
+      snapshotDisjointOk = true,
       op = op)
   }
 
@@ -2159,6 +2165,7 @@ final class TableStore(private[graft] val spark: SparkSession,
                      txnReassert: Boolean = false,
                      preserveLayout: Boolean = false,
                      readSnapshot: Option[Long] = None,
+                     snapshotDisjointOk: Boolean = false,
                      ingest: Option[Seq[String]] = None,
                      op: String = "WRITE"): Long = {
     val dataDir = new Path(tablePath(table), s"d-${UUID.randomUUID()}")
@@ -2245,8 +2252,11 @@ final class TableStore(private[graft] val spark: SparkSession,
       // snapshot isolation for rewrite commits: abort (inside the
       // claim, before any sidecar/manifest write) if the table moved
       // past the version this rewrite's frame was computed from in a
-      // way the rewrite would silently undo
-      readSnapshot.foreach(rs => assertSnapshotCurrent(table, rs, cur))
+      // way the rewrite would silently undo; partition-scoped
+      // rewrites additionally tolerate pure appends OUTSIDE their
+      // touched dirs (logical, not physical, conflict detection)
+      readSnapshot.foreach(rs => assertSnapshotCurrent(table, rs, cur,
+        disjointAddsOk = if (snapshotDisjointOk) requireWithin else None))
       // Delta's SetTransaction discipline: REVALIDATE the app-txn
       // watermark INSIDE the claim, against the published chain as of
       // this attempt. The caller-side lastTxn check happens before any
@@ -2321,9 +2331,24 @@ final class TableStore(private[graft] val spark: SparkSession,
     * RESTORE to the same state). Anything else — appends, deletes,
     * MoR delete markers, compactions, renames — would be silently
     * undone by publishing this rewrite, so it aborts. A vacuumed
-    * in-between manifest is unverifiable and conflicts conservatively. */
+    * in-between manifest is unverifiable and conflicts conservatively.
+    *
+    * LOGICAL conflict detection for partition-scoped rewrites
+    * (`disjointAddsOk` = the hive dirs the commit replaces): an
+    * in-between commit that is a PURE ADDITION of data files entirely
+    * OUTSIDE the touched dirs is also harmless — the rewrite's
+    * `carried` re-evaluates against the winning claim's manifest, so
+    * the racer's files carry forward untouched while the replacement
+    * frame only supersedes partitions the racer never wrote. This is
+    * what lets a continuous-ingest table take a concurrent CDC merge
+    * to OTHER partitions without serializing the two logically
+    * (Delta/Iceberg's partition-level conflict granularity). Removed
+    * lines, delete markers (equality/DV — they apply across partition
+    * boundaries), or a column-mapping change still conflict. */
   private def assertSnapshotCurrent(table: String, readSnapshot: Long,
-                                    cur: Option[Long]): Unit = {
+                                    cur: Option[Long],
+                                    disjointAddsOk: Option[Set[String]] = None)
+      : Unit = {
     val c = cur.getOrElse(return)
     if (c < readSnapshot)
       throw new SnapshotConflictException(
@@ -2344,11 +2369,19 @@ final class TableStore(private[graft] val spark: SparkSession,
     var w = readSnapshot + 1
     while (w <= c) {
       val (lines, map) = stateOf(w)
-      if (lines != prevLines)
-        throw new SnapshotConflictException(
-          s"$table: concurrent data change at version $w (rewrite read " +
-            s"snapshot $readSnapshot, head is $c); retry against the " +
-            "current version")
+      if (lines != prevLines) {
+        val harmlessAdd = disjointAddsOk.exists { touched =>
+          val removed = prevLines -- lines
+          val added = lines -- prevLines
+          removed.isEmpty && added.forall(l =>
+            !isDeleteLine(l) && !touched.contains(partitionDirOf(table, l)))
+        }
+        if (!harmlessAdd)
+          throw new SnapshotConflictException(
+            s"$table: concurrent data change at version $w (rewrite read " +
+              s"snapshot $readSnapshot, head is $c); retry against the " +
+              "current version")
+      }
       if (map != prevMap)
         throw new SnapshotConflictException(
           s"$table: concurrent schema change (column mapping) at version " +
@@ -2403,7 +2436,14 @@ final class TableStore(private[graft] val spark: SparkSession,
         catch { case scala.util.control.NonFatal(t) =>
           claims.deleteClaim(tablePath(table), v); throw t }
         committed = true
-      } else Thread.sleep(math.min(250L, 2L * attempts))
+      } else {
+        // a lost claim is the CHEAP race outcome: the loser re-reads
+        // the new current and re-publishes (appends recompute nothing
+        // — carried re-evaluates). Counted so concurrency specs can
+        // pin the retry budget of disjoint writers.
+        MetaMetrics.claimConflicts.incrementAndGet()
+        Thread.sleep(math.min(250L, 2L * attempts))
+      }
     }
   }
 

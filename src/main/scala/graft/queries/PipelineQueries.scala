@@ -1114,6 +1114,220 @@ object PipelineQueries {
         |GROUP BY c_mktsegment, o_orderstatus
         |ORDER BY c_mktsegment, o_orderstatus""".stripMargin))
 
+  /** ON-spelling join rewrite: the view is created with USING, the
+    * dashboard query writes `ON f.k = d.k` with table aliases and
+    * qualified columns — the matcher must recognize the
+    * USING-equivalence and serve it at O(view) (routing is
+    * load-bearing via the `require`). Oracle: from-scratch join
+    * aggregate over the final states. */
+  val mvJoinOnRewrite: Entry = Entry(
+    "mv_join_on_rewrite",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvonrw"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderkey").cast("double").as("okey"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      store.create("ord_on", ord.where(col("okey") % 3 =!= 0))
+      store.create("cust_on", cust)
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW ocon_mv AS
+          |SELECT c_mktsegment, o_orderstatus, count(*), sum(okey)
+          |FROM ord_on JOIN cust_on USING (o_custkey)
+          |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)
+      store.append("ord_on", ord.where(col("okey") % 3 === 0))
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW ocon_mv")
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT d.c_mktsegment, count(*) AS n, sum(f.okey) AS sum_okey
+          |FROM ord_on f JOIN cust_on d ON f.o_custkey = d.o_custkey
+          |WHERE d.c_mktsegment <> 'MACHINERY'
+          |GROUP BY d.c_mktsegment""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_join_on_rewrite expected the ON-spelled join SELECT to be " +
+          "served from ocon_mv")
+      served.orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+        |  sum(CAST(o_orderkey AS DOUBLE)) AS sum_okey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment <> 'MACHINERY'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** 3-table star materialized view (TPC-H Q3/Q10 dashboard shape):
+    * lineitem ⋈ orders ⋈ part maintained under all three cursors by
+    * the telescoping identity — a fact append AND a dim re-key fold
+    * in ONE refresh — then the star query itself is served from the
+    * view (require: routing), group-subset included. Oracle:
+    * from-scratch 3-way join aggregate over the final states. */
+  val mvStar3Rewrite: Entry = Entry(
+    "mv_star3_rewrite",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvstar"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pkey"),
+          col("l_quantity").as("qty"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderstatus"))
+      val prt = t(s, dir, "part")
+        .select(col("p_partkey").as("pkey"), col("p_brand"))
+      store.create("li_f", li.where(col("okey") % 3 =!= 0))
+      store.create("ord_d", ord)
+      store.create("prt_d", prt)
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW star_mv AS
+          |SELECT o_orderstatus, p_brand, count(*), sum(qty)
+          |FROM li_f JOIN ord_d USING (okey) JOIN prt_d USING (pkey)
+          |GROUP BY o_orderstatus, p_brand""".stripMargin)
+      // all three tables move; one refresh folds every cursor
+      store.append("li_f", li.where(col("okey") % 3 === 0))
+      store.appendWithDeletes("prt_d",
+        prt.where(col("pkey") % 10 === 1)
+          .withColumn("p_brand", lit("Brand#99")),
+        deleteKeys = prt.select("pkey")
+          .where(col("pkey") % 10 === 1).distinct())
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW star_mv")
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT o_orderstatus, p_brand, count(*) AS n, sum(qty) AS sum_qty
+          |FROM li_f JOIN ord_d USING (okey) JOIN prt_d USING (pkey)
+          |GROUP BY o_orderstatus, p_brand""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_star3_rewrite expected the star SELECT to be served from star_mv")
+      served.orderBy("o_orderstatus", "p_brand")
+    },
+    Some("""WITH prtf AS (
+        |  SELECT p_partkey, CASE WHEN p_partkey % 10 = 1
+        |    THEN 'Brand#99' ELSE p_brand END AS p_brand FROM part)
+        |SELECT o_orderstatus, p_brand, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN prtf ON l_partkey = p_partkey
+        |GROUP BY o_orderstatus, p_brand
+        |ORDER BY o_orderstatus, p_brand""".stripMargin))
+
+  /** count(DISTINCT key) service: a view grouped by (flag, suppkey)
+    * serves `count(DISTINCT l_suppkey) GROUP BY flag` EXACTLY — the
+    * consolidated rows enumerate the surviving (flag, suppkey)
+    * combinations, so the distinct count is a count over view rows,
+    * O(view), correct across the MoR delete (vanished combinations
+    * net to zero and drop). Routing load-bearing. Oracle recomputes
+    * the distinct count from the surviving source rows. */
+  val mvCountDistinctRewrite: Entry = Entry(
+    "mv_count_distinct_rewrite",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvcd"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_suppkey"),
+          col("l_quantity").as("qty"))
+      store.create("li_cd", li.where(col("l_orderkey") % 2 =!= 0))
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW licd_mv AS
+          |SELECT l_returnflag, l_suppkey, count(*), sum(qty)
+          |FROM li_cd GROUP BY l_returnflag, l_suppkey""".stripMargin)
+      store.append("li_cd", li.where(col("l_orderkey") % 2 === 0))
+      store.appendWithDeletes("li_cd", li.limit(0),
+        deleteKeys = li.select("l_orderkey")
+          .where(col("l_orderkey") % 11 === 0).distinct())
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW licd_mv")
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT l_returnflag, count(DISTINCT l_suppkey) AS dsupp,
+          |  count(*) AS n, sum(qty) AS sum_qty
+          |FROM li_cd GROUP BY l_returnflag""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_count_distinct_rewrite expected the distinct-key SELECT to " +
+          "be served from licd_mv")
+      served.orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS dsupp,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 11 <> 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+
+  /** min/max on a JOIN view across a fact MoR delete: the deleted
+    * extrema are unrecoverable from any delta, so the refresh must
+    * run the join-side repair — recompute exactly the affected
+    * groups from the re-joined slice behind the reset-epoch fence —
+    * and the subsequent star query serves the repaired extrema from
+    * the view. Oracle: extrema over the surviving joined rows. */
+  val mvJoinMinMax: Entry = Entry(
+    "mv_join_minmax",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvjmm"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      store.create("ord_mm", ord.where(col("o_orderkey") % 5 =!= 0))
+      store.create("cust_mm", cust)
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW omm_mv AS
+          |SELECT c_mktsegment, count(*), min(price), max(price)
+          |FROM ord_mm JOIN cust_mm USING (o_custkey)
+          |GROUP BY c_mktsegment""".stripMargin)
+      store.append("ord_mm", ord.where(col("o_orderkey") % 5 === 0))
+      // the MoR delete takes out whole order ranges — including group
+      // extrema, forcing the join-side repair leg
+      store.appendWithDeletes("ord_mm", ord.limit(0),
+        deleteKeys = ord.select("o_orderkey")
+          .where(col("o_orderkey") % 7 === 0).distinct())
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW omm_mv")
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT c_mktsegment, count(*) AS n, min(price) AS min_price,
+          |  max(price) AS max_price
+          |FROM ord_mm JOIN cust_mm USING (o_custkey)
+          |GROUP BY c_mktsegment""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_join_minmax expected the extremum SELECT to be served from omm_mv")
+      served.orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+        |  min(CAST(o_totalprice AS DOUBLE)) AS min_price,
+        |  max(CAST(o_totalprice AS DOUBLE)) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+
+  /** Partition-granular optimistic concurrency, end-to-end through
+    * the store: a partition-scoped MERGE-style overwrite computed
+    * from a pinned snapshot tolerates an append that landed in OTHER
+    * partitions after the pin (logical conflict detection — Delta/
+    * Iceberg partition-level granularity), while the final state
+    * proves both writers' rows survived. Oracle: the deterministic
+    * union of the replacement and the racer's rows. */
+  val partitionDisjointWriters: Entry = Entry(
+    "partition_disjoint_writers",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-djw"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("price"))
+      store.create("t", ord.where(col("o_orderstatus") =!= "P"), Seq("o_orderstatus"))
+      val rs = store.currentVersion("t").get
+      // writer A computes a replacement for partition o_orderstatus=F
+      // from the pinned snapshot (drop keys % 3 = 0)
+      val replacement = store.readVersion("t", rs)
+        .where(col("o_orderstatus") === "F" && col("o_orderkey") % 3 =!= 0)
+      // writer B appends partition P rows AFTER A's pin — disjoint
+      store.append("t", ord.where(col("o_orderstatus") === "P"))
+      // A's scoped overwrite still lands: B's files are outside F
+      store.overwritePartitions("t", replacement, Seq("o_orderstatus=F"),
+        readSnapshot = Some(rs), op = "MERGE")
+      store.read("t")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderstatus <> 'F' OR o_orderkey % 3 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin))
+
   /** Plain DML through the SQL front door — the statements Spark
     * parses but cannot run on parquet tables without a v2 row-level
     * catalog: a conditional multi-assignment UPDATE (alias-qualified
@@ -2001,6 +2215,8 @@ object PipelineQueries {
     dqQuarantine,
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
     mvRewriteServed, mvJoinIncremental, mvJoinRewrite, mvExprGroupRollup,
+    mvJoinOnRewrite, mvStar3Rewrite, mvCountDistinctRewrite, mvJoinMinMax,
+    partitionDisjointWriters,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
     q9ProductProfit, q8MarketShare,

@@ -15,19 +15,21 @@ import org.apache.spark.sql.functions._
 class MaterializedViewJoinPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private def recompute(store: TableStore): Seq[(String, Long,
-      Option[Double], Option[Double])] =
+  private type Row6 = (String, Long, Option[Double], Option[Double],
+    Option[Double], Option[Double])
+
+  private def recompute(store: TableStore): Seq[Row6] =
     store.read("f").join(store.read("d"), Seq("k"))
       .groupBy("seg").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"),
-        avg("x").as("avg_x"))
+        avg("x").as("avg_x"), min("x").as("min_x"), max("x").as("max_x"))
       .orderBy("seg")
-      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+      .as[Row6].collect().toSeq
 
-  private def viewState(store: TableStore): Seq[(String, Long,
-      Option[Double], Option[Double])] =
+  private def viewState(store: TableStore): Seq[Row6] =
     MaterializedView.read(store, "m")
-      .select("seg", "cnt", "sum_x", "avg_x").orderBy("seg")
-      .as[(String, Long, Option[Double], Option[Double])].collect().toSeq
+      .select("seg", "cnt", "sum_x", "avg_x", "min_x", "max_x")
+      .orderBy("seg")
+      .as[Row6].collect().toSeq
 
   for (seed <- Seq(11, 4242))
   test(s"random fact+dim commit sequences keep join view == recompute [seed $seed]") {
@@ -49,8 +51,13 @@ class MaterializedViewJoinPropertySpec extends SparkSpec {
     }.toDF("k", "seg")
     store.create("f", factRows(8))
     store.create("d", dimRows(5))
+    // min/max included: every delete class below (fact MoR, fact DV,
+    // dim re-key, full overwrites on either side) must drive the
+    // join-side extremum repair, and the reset-epoch fence must hold
+    // across dim-only refreshes (the cursor-sum epoch)
     MaterializedView.createJoined(store, "m", "f", "d", Seq("k"),
-      Seq("seg"), Seq("x"), avgCols = Seq("x"))
+      Seq("seg"), Seq("x"), avgCols = Seq("x"),
+      minCols = Seq("x"), maxCols = Seq("x"))
     var checks = 0
     (1 to 14).foreach { step =>
       rnd.nextInt(7) match {

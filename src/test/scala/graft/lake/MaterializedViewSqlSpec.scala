@@ -141,30 +141,89 @@ class MaterializedViewSqlSpec extends SparkSpec {
     assert(store.exists("s"))
   }
 
-  test("CREATE MATERIALIZED VIEW over a JOIN maintains both sides; min/max rejected") {
+  test("DROP IF EXISTS tolerates any whitespace; orphan __def never blocks re-CREATE") {
+    val store = new TableStore(spark, tmpDir("mvsqld"))
+    // IF\n  EXISTS — the regex grammar accepts it, so the no-op
+    // detection must too (a contains("IF EXISTS") probe would throw)
+    assert(!GraftSql.execute(spark, store,
+      "DROP MATERIALIZED VIEW IF\n  EXISTS nothere")
+      .as[(String, Boolean)].head()._2)
+    // orphan __def (the residue of a DROP that crashed between the
+    // two deletes): CREATE of the same view name replaces it
+    store.create("s", Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "g", "x"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW o_mv AS SELECT g, count(*) FROM s GROUP BY g")
+    store.drop("o_mv") // simulate the crash: view gone, __def orphaned
+    assert(store.exists("o_mv__def"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW o_mv AS " +
+        "SELECT g, count(*), sum(x) FROM s GROUP BY g")
+    val got = GraftSql.execute(spark, store,
+      "SELECT g, cnt, sum_x FROM o_mv ORDER BY g")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 1L, 2.0), ("b", 1L, 3.0)))
+  }
+
+  test("CREATE MATERIALIZED VIEW over a JOIN maintains both sides incl. min/max") {
     val store = new TableStore(spark, tmpDir("mvsqlj"))
     store.create("fct", Seq((1L, 10L, 2.0), (2L, 10L, 3.0), (3L, 20L, 4.0))
       .toDF("id", "k", "x"))
     store.create("dmn", Seq((10L, "east"), (20L, "west")).toDF("k", "seg"))
     val created = GraftSql.execute(spark, store,
       "CREATE MATERIALIZED VIEW j_mv AS " +
-        "SELECT seg, count(*), sum(x), avg(x) FROM fct JOIN dmn USING (k) " +
-        "GROUP BY seg")
+        "SELECT seg, count(*), sum(x), avg(x), min(x), max(x) " +
+        "FROM fct JOIN dmn USING (k) GROUP BY seg")
     assert(created.columns.contains("dim"))
-    // mutate BOTH sides, one REFRESH folds both cursors atomically
+    // mutate BOTH sides, one REFRESH folds both cursors atomically;
+    // the dim delete re-keys fact rows, exercising the join-side
+    // extremum repair (east's max leaves with the re-keying)
     GraftSql.execute(spark, store, "INSERT INTO fct VALUES (4, 20, 6.0)")
     store.appendWithDeletes("dmn", Seq((10L, "north")).toDF("k", "seg"),
       deleteKeys = Seq(10L).toDF("k"))
     GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW j_mv")
     val got = GraftSql.execute(spark, store,
-      "SELECT seg, cnt, sum_x, avg_x FROM j_mv ORDER BY seg")
+      "SELECT seg, cnt, sum_x, avg_x, min_x, max_x FROM j_mv ORDER BY seg")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(("north", 2L, 5.0, 2.5, 2.0, 3.0),
+      ("west", 2L, 10.0, 5.0, 4.0, 6.0)))
+    // a fact-side MoR delete removes west's maximum; the repair must
+    // recompute that group's extrema from the re-joined slice
+    store.appendWithDeletes("fct", spark.emptyDataFrame
+      .select(lit(0L).as("id"), lit(0L).as("k"), lit(0.0).as("x")).limit(0),
+      deleteKeys = Seq(4L).toDF("id"))
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW j_mv")
+    val got2 = GraftSql.execute(spark, store,
+      "SELECT seg, cnt, min_x, max_x FROM j_mv ORDER BY seg")
       .as[(String, Long, Double, Double)].collect().toSeq
-    assert(got == Seq(("north", 2L, 5.0, 2.5), ("west", 2L, 10.0, 5.0)))
-    val e = intercept[IllegalArgumentException] {
-      GraftSql.execute(spark, store,
-        "CREATE MATERIALIZED VIEW j_bad AS " +
-          "SELECT seg, min(x) FROM fct JOIN dmn USING (k) GROUP BY seg")
-    }
-    assert(e.getMessage.contains("join materialized views"))
+    assert(got2 == Seq(("north", 2L, 2.0, 3.0), ("west", 1L, 4.0, 4.0)))
+  }
+
+  test("3-table star CREATE via SQL: chained USING joins, all cursors advance") {
+    val store = new TableStore(spark, tmpDir("mvsqls"))
+    store.create("f", Seq((1L, 1L, 10L, 2.0), (2L, 2L, 20L, 3.0),
+      (3L, 1L, 20L, 5.0)).toDF("id", "ka", "kb", "x"))
+    store.create("da", Seq((1L, "a1"), (2L, "a2")).toDF("ka", "sa"))
+    store.create("db", Seq((10L, "b1"), (20L, "b2")).toDF("kb", "sb"))
+    GraftSql.execute(spark, store,
+      "CREATE MATERIALIZED VIEW s_mv AS SELECT sa, sb, count(*), sum(x) " +
+        "FROM f JOIN da USING (ka) JOIN db USING (kb) GROUP BY sa, sb")
+    // every table moves; one refresh folds all three cursors
+    GraftSql.execute(spark, store, "INSERT INTO f VALUES (4, 2, 10, 7.0)")
+    store.appendWithDeletes("da", Seq((1L, "a9")).toDF("ka", "sa"),
+      deleteKeys = Seq(1L).toDF("ka"))
+    GraftSql.execute(spark, store, "INSERT INTO db VALUES (30, 'b3')")
+    GraftSql.execute(spark, store, "REFRESH MATERIALIZED VIEW s_mv")
+    val got = GraftSql.execute(spark, store,
+      "SELECT sa, sb, cnt, sum_x FROM s_mv ORDER BY sa, sb")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a2", "b1", 1L, 7.0), ("a2", "b2", 1L, 3.0),
+      ("a9", "b1", 1L, 2.0), ("a9", "b2", 1L, 5.0)))
+    // the recompute agrees (full star join over final states)
+    val recomputed = store.read("f")
+      .join(store.read("da"), Seq("ka")).join(store.read("db"), Seq("kb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("cnt"), sum("x").as("sum_x"))
+      .orderBy("sa", "sb")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == recomputed)
   }
 }

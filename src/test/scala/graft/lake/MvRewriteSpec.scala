@@ -119,8 +119,11 @@ class MvRewriteSpec extends SparkSpec {
     assertDirect(store, "SELECT g, count(*) AS n FROM t WHERE x > 5 GROUP BY g")
     // grouping by a column the view does not group on
     assertDirect(store, "SELECT id, count(*) AS n FROM t GROUP BY id")
-    // DISTINCT aggregate
-    assertDirect(store, "SELECT g, count(DISTINCT h) AS n FROM t GROUP BY g")
+    // DISTINCT aggregate over a NON-group column (a measure): the
+    // view stores partials for x, never its distinct values
+    assertDirect(store, "SELECT g, count(DISTINCT x) AS n FROM t GROUP BY g")
+    // distinct SUM is never servable
+    assertDirect(store, "SELECT g, sum(DISTINCT x) AS sx FROM t GROUP BY g")
     // measure over a column the view does not maintain
     assertDirect(store, "SELECT g, sum(id) AS si FROM t GROUP BY g")
     // expression grouping
@@ -292,5 +295,123 @@ class MvRewriteSpec extends SparkSpec {
     MaterializedView.refresh(store, "j_mv")
     assertServedBy(store, "j_mv",
       "SELECT seg, count(*) AS n FROM fct JOIN dmn USING (k) GROUP BY seg")
+  }
+
+  test("count(DISTINCT key) over identity group columns is served exactly") {
+    val store = setup()
+    // h is a view group column: distinct h per g counts surviving
+    // view-group combos — served, and exact across the MoR deletes
+    assertServed(store,
+      "SELECT g, count(DISTINCT h) AS dh, count(*) AS n FROM t GROUP BY g")
+    // global distinct over a group column
+    assertServed(store, "SELECT count(DISTINCT g) AS dg FROM t")
+    // with a residual on the other group column
+    assertServed(store,
+      "SELECT g, count(DISTINCT h) AS dh FROM t WHERE h <> 'h9' GROUP BY g")
+    // derived-key views must NOT serve count(DISTINCT <derived name>):
+    // here the source holds an UNRELATED column literally named b2 —
+    // serving distinct-b2 from the view's derived key would be wrong
+    val s2 = freshStore()
+    s2.create("tv", (1 to 20).map(i => (i.toLong, i % 4, i * 7, i * 1.0))
+      .toDF("id", "bucket", "b2", "x"))
+    MaterializedView.create(s2, "mv_tv", "tv", Seq("b2"), Seq("x"),
+      groupExprs = Seq("bucket % 2"))
+    val (got, served) = run(s2, "SELECT count(DISTINCT b2) AS db FROM tv")
+    assert(!served, "derived-key distinct must not serve")
+    assert(got == direct(s2, "SELECT count(DISTINCT b2) AS db FROM tv"))
+  }
+
+  test("ON equi-join spelling is served from a USING join view (and aliased)") {
+    val store = setupJoin()
+    assertServedBy(store, "j_mv",
+      """SELECT seg, count(*) AS n, sum(x) AS sx
+        |FROM fct JOIN dmn ON fct.k = dmn.k GROUP BY seg""".stripMargin)
+    // table aliases + qualified columns elsewhere in the query
+    assertServedBy(store, "j_mv",
+      """SELECT d.seg AS seg, count(*) AS n
+        |FROM fct f JOIN dmn d ON f.k = d.k
+        |WHERE d.reg <> 'r0' GROUP BY d.seg""".stripMargin)
+    // an ON condition that is NOT a using-equivalence runs direct
+    assertDirect(store,
+      """SELECT seg, count(*) AS n
+        |FROM fct f JOIN dmn d ON f.k = d.k AND f.x > 3
+        |GROUP BY seg""".stripMargin)
+    // a qualifier NOT naming a FROM table never strips: the invalid
+    // reference must surface as the analyzer's error, never get
+    // silently "fixed" into a view column by the rewrite
+    val before = MvRewrite.hits.get()
+    intercept[org.apache.spark.sql.AnalysisException] {
+      GraftSql.execute(spark, store,
+        "SELECT other.seg AS s2, count(*) AS n FROM fct JOIN dmn " +
+          "ON fct.k = dmn.k GROUP BY other.seg").collect()
+    }
+    assert(MvRewrite.hits.get() == before)
+  }
+
+  test("3-table star views serve star queries in any join order") {
+    val store = freshStore()
+    store.create("f3", (1 to 40).map(i =>
+      (i.toLong, (i % 5).toLong, (i % 3).toLong, i.toDouble))
+      .toDF("id", "k1", "k2", "x"))
+    store.create("d31", (0 to 4).map(k => (k.toLong, "s" + (k % 2)))
+      .toDF("k1", "seg"))
+    store.create("d32", (0 to 2).map(k => (k.toLong, "r" + k))
+      .toDF("k2", "reg"))
+    MaterializedView.createStar(store, "star_mv", "f3",
+      Seq("d31" -> Seq("k1"), "d32" -> Seq("k2")),
+      Seq("seg", "reg"), Seq("x"))
+    // both sides move; one refresh folds everything
+    store.append("f3", Seq((100L, 1L, 1L, 9.0)).toDF("id", "k1", "k2", "x"))
+    store.appendWithDeletes("d31", Seq((0L, "s9")).toDF("k1", "seg"),
+      deleteKeys = Seq(0L).toDF("k1"))
+    MaterializedView.refresh(store, "star_mv")
+    assertServedBy(store, "star_mv",
+      """SELECT seg, reg, count(*) AS n, sum(x) AS sx
+        |FROM f3 JOIN d31 USING (k1) JOIN d32 USING (k2)
+        |GROUP BY seg, reg""".stripMargin)
+    // dims in the other order + group subset + ON spelling
+    assertServedBy(store, "star_mv",
+      """SELECT seg, sum(x) AS sx
+        |FROM f3 JOIN d32 ON f3.k2 = d32.k2 JOIN d31 ON f3.k1 = d31.k1
+        |GROUP BY seg""".stripMargin)
+    // a 2-table subset of the star is a DIFFERENT aggregate — direct
+    assertDirect(store,
+      "SELECT seg, count(*) AS n FROM f3 JOIN d31 USING (k1) GROUP BY seg")
+  }
+
+  test("rewrite overhead: one direct analysis per statement, defs cached by version") {
+    val store = setup()
+    // widen the candidate pool: several more views over the same source
+    MaterializedView.create(store, "mv_g", "t", Seq("g"), Seq("x"))
+    MaterializedView.create(store, "mv_h", "t", Seq("h"), Seq("x"))
+    MaterializedView.create(store, "mv_gid", "t", Seq("g", "id"), Seq("x"))
+    val sql = "SELECT g, sum(x) AS sx FROM t GROUP BY g"
+    run(store, sql) // warm the def cache
+    MetaMetrics.reset()
+    val (_, served) = run(store, sql)
+    assert(served)
+    assert(MetaMetrics.mvDirectAnalyses.get() == 1,
+      s"expected ONE direct-plan analysis for the whole candidate set, " +
+        s"got ${MetaMetrics.mvDirectAnalyses.get()}")
+    assert(MetaMetrics.mvDefLoads.get() == 0,
+      "defs must answer from the version-keyed cache, not a collect " +
+        s"job per view (got ${MetaMetrics.mvDefLoads.get()} loads)")
+    // a structurally matching but unservable statement (measure not
+    // stored by any view) never analyzes the direct plan inside the
+    // rewrite — it just falls through to direct execution
+    MetaMetrics.reset()
+    val (_, served2) =
+      run(store, "SELECT g, sum(id) AS si FROM t GROUP BY g")
+    assert(!served2)
+    assert(MetaMetrics.mvDirectAnalyses.get() == 0,
+      "an unservable statement must not pay the schema-guard analysis")
+    // re-CREATE invalidates the cache through the version key: the
+    // redefined view serves the new definition, never the cached old
+    GraftSql.execute(spark, store, "DROP MATERIALIZED VIEW mv_g")
+    MaterializedView.create(store, "mv_g", "t", Seq("g"), Seq("id"))
+    val (got, servedNew) =
+      run(store, "SELECT g, sum(id) AS si FROM t GROUP BY g")
+    assert(servedNew && got == direct(store,
+      "SELECT g, sum(id) AS si FROM t GROUP BY g"))
   }
 }
