@@ -428,7 +428,8 @@ object Queries {
     StarQueries.entries ++ StarQueries2.entries ++ EventQueries.entries ++
     TextQueries.entries ++ VectorQueries.entries ++
     MultimodalQueries.entries ++ PipelineQueries.entries ++
-    RetrievalQueries.entries ++ DynamicFrameQueries.entries
+    RetrievalQueries.entries ++ DynamicFrameQueries.entries ++
+    Dsv2Queries.entries
 
   def queries: Map[String, QFn] =
     entries.map(e => e.name -> e.fn).toMap

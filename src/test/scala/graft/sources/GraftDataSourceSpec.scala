@@ -1,0 +1,140 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.lake.TableStore
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The vanilla-Spark surface ([[GraftDataSource]]/[[GraftCatalog]]):
+  * a session that never touches the graft API reads (and writes)
+  * store tables with full manifest semantics — MoR deletes applied,
+  * column mapping resolved, pushed filters driving manifest-level
+  * file skipping, time travel — with NO GraftSql involvement. */
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sorted(df: DataFrame): Seq[org.apache.spark.sql.Row] =
+    df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+
+  test("format(graft) read == store read across MoR deletes, DVs and renames") {
+    val root = tmpDir("dsv2")
+    val store = new TableStore(spark, root)
+    store.create("t", (1 to 40).map(i => (i.toLong, "g" + (i % 3), i * 2.0))
+      .toDF("id", "g", "x"))
+    // merge-on-read state: equality delete + reinsert in one commit
+    store.appendWithDeletes("t",
+      Seq((3L, "g9", 99.0)).toDF("id", "g", "x"),
+      deleteKeys = Seq(3L, 7L).toDF("id"))
+    // deletion-vector state
+    store.deleteWhere("t", col("id") === 11L)
+    // column mapping: files keep the physical name
+    store.renameColumn("t", "x", "score")
+
+    val viaApi = sorted(store.read("t"))
+    // path form
+    val viaPath = spark.read.format("graft").load(s"$root/t")
+    assert(viaPath.columns.toSeq == Seq("id", "g", "score"))
+    assert(sorted(viaPath) == viaApi)
+    // root+table options form
+    val viaOpts = spark.read.format("graft")
+      .option("root", root).option("table", "t").load()
+    assert(sorted(viaOpts) == viaApi)
+    // a filter + projection answers identically (Spark re-evaluates
+    // above the scan, so translation fidelity can't change results)
+    assert(sorted(viaPath.where(col("score") > 20.0 && col("g") =!= "g1")
+        .select("id", "score")) ==
+      sorted(store.read("t").where(col("score") > 20.0 && col("g") =!= "g1")
+        .select("id", "score")))
+  }
+
+  test("pushed filters shrink the planned file count (manifest-level skipping)") {
+    val root = tmpDir("dsv2p")
+    val store = new TableStore(spark, root)
+    // commits with disjoint id ranges: the per-commit stats sidecar
+    // records min/max per file, so an id predicate can prove most
+    // files irrelevant before any footer opens
+    store.create("r", (1 to 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .coalesce(1))
+    (1 to 4).foreach { k =>
+      store.append("r", ((k * 100 + 1) to (k * 100 + 100))
+        .map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1))
+    }
+    val df = spark.read.format("graft").load(s"$root/r")
+    assert(df.where(col("id") <= 50).count() == 50)
+    val filtered = GraftScanMetrics.lastScanFiles.get()
+    assert(df.count() == 500)
+    val full = GraftScanMetrics.lastScanFiles.get()
+    assert(full >= 5, s"expected >=5 planned files unfiltered, got $full")
+    assert(filtered < full,
+      s"pushed id<=50 should prune files: $filtered !< $full")
+    assert(filtered <= 1, s"only the first commit's file intersects; " +
+      s"planned $filtered")
+  }
+
+  test("reader time travel: versionAsOf option reads any retained version") {
+    val root = tmpDir("dsv2t")
+    val store = new TableStore(spark, root)
+    store.create("tt", Seq((1L, "a")).toDF("id", "s"))
+    store.append("tt", Seq((2L, "b")).toDF("id", "s"))
+    val v0 = spark.read.format("graft").option("versionAsOf", "0")
+      .load(s"$root/tt")
+    assert(sorted(v0) == sorted(store.readVersion("tt", 0)))
+    assert(v0.count() == 1)
+  }
+
+  test("catalog: SELECT / VERSION AS OF / INSERT / CTAS / DROP with no front door") {
+    val root = tmpDir("dsv2c")
+    val store = new TableStore(spark, root)
+    store.create("c", Seq((1L, "a", 2.0), (2L, "b", 3.0), (3L, "a", 4.0))
+      .toDF("id", "g", "x"))
+    store.append("c", Seq((4L, "b", 5.0)).toDF("id", "g", "x"))
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.root", root)
+
+    // plain SELECT with aggregation resolves through the catalog
+    val agg = spark.sql(
+      "SELECT g, count(*) AS n, sum(x) AS sx FROM gcat.c GROUP BY g ORDER BY g")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(agg == Seq(("a", 2L, 6.0), ("b", 2L, 8.0)))
+
+    // native time travel
+    assert(spark.sql("SELECT count(*) AS n FROM gcat.c VERSION AS OF 0")
+      .as[Long].head() == 3L)
+
+    // INSERT INTO lands as a store commit (visible to the graft API)
+    spark.sql("INSERT INTO gcat.c VALUES (5, 'c', 6.0)")
+    assert(store.read("c").count() == 5)
+    assert(store.currentVersion("c").contains(2L))
+
+    // CTAS through the catalog creates a real store table
+    spark.sql("CREATE TABLE gcat.c2 AS SELECT id, x FROM gcat.c WHERE g = 'a'")
+    assert(store.exists("c2"))
+    assert(sorted(spark.sql("SELECT * FROM gcat.c2")) ==
+      sorted(store.read("c").where(col("g") === "a").select("id", "x")))
+
+    // INSERT OVERWRITE = truncate-overwrite commit
+    spark.sql("INSERT OVERWRITE gcat.c2 VALUES (9, 1.5)")
+    assert(sorted(store.read("c2")) == Seq(org.apache.spark.sql.Row(9L, 1.5)))
+
+    spark.sql("DROP TABLE gcat.c2")
+    assert(!store.exists("c2"))
+    assert(spark.sql("SHOW TABLES IN gcat").collect()
+      .map(_.getString(1)).toSeq.contains("c"))
+  }
+
+  test("catalog TIMESTAMP AS OF resolves by commit time") {
+    val root = tmpDir("dsv2ts")
+    val store = new TableStore(spark, root)
+    store.create("h", Seq((1L, "a")).toDF("id", "s"))
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.append("h", Seq((2L, "b")).toDF("id", "s"))
+    spark.conf.set("spark.sql.catalog.gts", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gts.root", root)
+    val ts = new java.sql.Timestamp(betweenMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM gts.h TIMESTAMP AS OF '$ts'")
+      .as[Long].head() == 1L)
+  }
+}
