@@ -132,4 +132,69 @@ class DisjointWritersSpec extends SparkSpec {
   test("two-thread disjoint appends: all land, bounded claim retries (S3-class primitive)") {
     hammer(Some(new FakeS3Primitive), tmpDir("djw6"))
   }
+
+  /** Soak: a CONTINUOUS appender on partition `a` races a merge loop
+    * repeatedly rewriting partition `m` from pinned snapshots. With
+    * partition-granular conflict detection the merge must see ZERO
+    * snapshot conflicts — every in-between commit is a disjoint pure
+    * append — and both writers' final states must be exact. */
+  private def mergeAppendSoak(primitive: Option[CommitPrimitive],
+                              rootDir: String): Unit = {
+    val mk = () => new TableStore(spark, rootDir, primitive)
+    val store = mk()
+    store.create("t", part("m", 3).unionByName(part("a", 1, 9000)), Seq("p"))
+    val appends = 6
+    val merges = 4
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val appender = new Thread(() => {
+      try {
+        val s = mk()
+        (0 until appends).foreach { i =>
+          s.append("t", part("a", 2, 10000 + i * 100)); Thread.sleep(10)
+        }
+      } catch { case t: Throwable => failure.compareAndSet(null, t) }
+    })
+    val merger = new Thread(() => {
+      try {
+        val s = mk()
+        (1 to merges).foreach { g =>
+          val rs = s.currentVersion("t").get
+          // generation g replaces partition m outright — deterministic
+          // final state no matter how the appends interleave
+          val replacement = part("m", 3, g * 1000)
+            .withColumn("x", col("x") + lit(g * 1.0))
+          s.overwritePartitions("t", replacement, Seq("p=m"),
+            readSnapshot = Some(rs), op = "MERGE")
+          Thread.sleep(15)
+        }
+      } catch {
+        case _: SnapshotConflictException => conflicts.incrementAndGet()
+        case t: Throwable => failure.compareAndSet(null, t)
+      }
+    })
+    appender.start(); merger.start()
+    appender.join(60000); merger.join(60000)
+    if (failure.get() != null) throw failure.get()
+    assert(conflicts.get() == 0,
+      s"disjoint merge∥append soak hit ${conflicts.get()} snapshot " +
+        "conflicts — partition-granular detection failed")
+    val got = store.read("t").groupBy("p").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("m" -> 3L, "a" -> (1L + 2L * appends)), s"got $got")
+    // partition m holds exactly the LAST generation's rows
+    val mIds = store.read("t").where(col("p") === "m")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(mIds == Seq(merges * 1000L + 1, merges * 1000L + 2,
+      merges * 1000L + 3), s"m partition: $mIds")
+    assert(store.currentVersion("t").contains((appends + merges).toLong))
+  }
+
+  test("merge∥append soak on disjoint partitions: zero snapshot conflicts (Hadoop primitive)") {
+    mergeAppendSoak(None, tmpDir("djw7"))
+  }
+
+  test("merge∥append soak on disjoint partitions: zero snapshot conflicts (S3-class primitive)") {
+    mergeAppendSoak(Some(new FakeS3Primitive), tmpDir("djw8"))
+  }
 }
