@@ -94,16 +94,23 @@ object GraftDataSource {
     val store = new TableStore(spark, root)
     if (!store.exists(table))
       throw new NoSuchTableException(Seq(table))
-    val v = (ci.get("versionasof"), ci.get("timestampasof")) match {
-      case (Some(vs), _) => vs.trim.toLong
+    val isMv = GraftTable.isMaterializedView(store, table)
+    val pinned = (ci.get("versionasof"), ci.get("timestampasof")) match {
+      case (Some(vs), _) => Some(vs.trim.toLong)
       case (None, Some(ts)) =>
         val tsMs = graft.lake.GraftSql.sessionTimestampMs(spark, ts.trim)
-        store.versionAsOf(table, tsMs).getOrElse(
+        Some(store.versionAsOf(table, tsMs).getOrElse(
           throw new IllegalArgumentException(
-            s"no retained version of $table committed at or before $ts"))
-      case _ => store.currentVersion(table).get
+            s"no retained version of $table committed at or before $ts")))
+      case _ => None
     }
-    new GraftTable(store, table, v)
+    if (isMv && pinned.isDefined)
+      throw new IllegalArgumentException(
+        s"$table is a materialized view — it serves its CURRENT " +
+          "consolidated state; time travel over the stored partials is " +
+          "not meaningful (time-travel the SOURCE table instead)")
+    new GraftTable(store, table,
+      pinned.getOrElse(store.currentVersion(table).get), isMv)
   }
 }
 
@@ -116,30 +123,52 @@ object GraftScanMetrics {
 
 /** One graft store table pinned to a version — pinning at load time
   * gives every statement a consistent snapshot (a concurrent commit
-  * never tears one query's scans apart). */
-final class GraftTable(store: TableStore, table: String, version: Long)
+  * never tears one query's scans apart). A MATERIALIZED VIEW
+  * (`isMv`) serves its CONSOLIDATED rows — the stored signed
+  * partials are an implementation detail a vanilla reader must never
+  * see, and writes are refused outright (an appended raw row would
+  * corrupt the partial algebra). */
+final class GraftTable(store: TableStore, table: String, version: Long,
+                       isMv: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = table
 
   override lazy val schema: StructType =
-    store.readVersion(table, version).schema
+    if (isMv) graft.lake.MaterializedView.read(store, table).schema
+    else store.readVersion(table, version).schema
 
   override def partitioning(): Array[Transform] =
-    store.partitioning(table).map(Expressions.identity).toArray
+    if (isMv) Array.empty
+    else store.partitioning(table).map(Expressions.identity).toArray
 
   override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "version" -> version.toString).asJava
+    Map("provider" -> "graft", "version" -> version.toString,
+      "type" -> (if (isMv) "materialized-view" else "table")).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(store, table, version, schema)
+    new GraftScanBuilder(store, table, version, schema, isMv)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (isMv) throw new UnsupportedOperationException(
+      s"$table is a materialized view — it is maintained from its " +
+        "source's change feed (REFRESH MATERIALIZED VIEW), never " +
+        "written directly")
     new GraftWriteBuilder(store, table, truncate = false)
+  }
+}
+
+object GraftTable {
+  /** A store table is a materialized view iff its `__def` companion
+    * exists (the same registry rule GraftSql and SHOW MATERIALIZED
+    * VIEWS use). The companion itself reads as a plain table. */
+  private[sources] def isMaterializedView(store: TableStore,
+                                          table: String): Boolean =
+    !table.endsWith("__def") && store.exists(table + "__def")
 }
 
 /** Pushdown negotiation: Spark prunes columns and offers filters;
@@ -151,7 +180,7 @@ final class GraftTable(store: TableStore, table: String, version: Long)
   * the connector's pruning is an optimization, exactly like the
   * store's own. */
 final class GraftScanBuilder(store: TableStore, table: String, version: Long,
-                             tableSchema: StructType)
+                             tableSchema: StructType, isMv: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -169,14 +198,15 @@ final class GraftScanBuilder(store: TableStore, table: String, version: Long,
     required = requiredSchema
 
   override def build(): Scan =
-    new GraftScan(store, table, version, required, pushed)
+    new GraftScan(store, table, version, required, pushed, isMv)
 }
 
 /** The scan: a [[V1Scan]] whose relation executes the store-composed
   * plan (manifest resolution, MoR anti-joins, column mapping, sidecar
   * skipping) and hands its InternalRows to Spark unconverted. */
 final class GraftScan(store: TableStore, table: String, version: Long,
-                      required: StructType, pushed: Array[Filter])
+                      required: StructType, pushed: Array[Filter],
+                      isMv: Boolean = false)
     extends Scan with V1Scan {
 
   override def readSchema(): StructType = required
@@ -186,14 +216,15 @@ final class GraftScan(store: TableStore, table: String, version: Long,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftRelation(context, store, table, version, required, pushed)
+    new GraftRelation(context, store, table, version, required, pushed, isMv)
       .asInstanceOf[T]
 }
 
 private final class GraftRelation(context: SQLContext, store: TableStore,
                                   table: String, version: Long,
                                   required: StructType,
-                                  pushed: Array[Filter])
+                                  pushed: Array[Filter],
+                                  isMv: Boolean)
     extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = context
@@ -202,7 +233,12 @@ private final class GraftRelation(context: SQLContext, store: TableStore,
   override def needConversion: Boolean = false
 
   override def buildScan(): RDD[Row] = {
-    val base = store.readVersion(table, version)
+    // a materialized view serves its consolidated rows (Catalyst
+    // pushes group-column predicates below the consolidation groupBy
+    // on its own); a plain table serves the pinned snapshot
+    val base =
+      if (isMv) graft.lake.MaterializedView.read(store, table)
+      else store.readVersion(table, version)
     // pushed filters re-apply on the inner plan — THIS is what drives
     // parquet predicate pushdown and the manifest-level stats/bloom
     // file skipping for the DSv2 path (Spark's own copy of the filter
@@ -337,13 +373,21 @@ class GraftCatalog extends TableCatalog {
     val t = nameOf(ident)
     val v = s.currentVersion(t).getOrElse(
       throw new NoSuchTableException(Seq(t)))
-    new GraftTable(s, t, v)
+    new GraftTable(s, t, v, GraftTable.isMaterializedView(s, t))
   }
+
+  private def requirePlain(s: TableStore, t: String): Unit =
+    if (GraftTable.isMaterializedView(s, t))
+      throw new IllegalArgumentException(
+        s"$t is a materialized view — it serves its CURRENT consolidated " +
+          "state; time travel over the stored partials is not meaningful " +
+          "(time-travel the SOURCE table instead)")
 
   /** `VERSION AS OF <v>` — any retained manifest reads. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val s = store
     val t = nameOf(ident)
+    requirePlain(s, t)
     val v = version.trim.toLong
     if (!s.versions(t).contains(v)) throw new NoSuchTableException(Seq(t))
     new GraftTable(s, t, v)
@@ -353,6 +397,7 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val s = store
     val t = nameOf(ident)
+    requirePlain(s, t)
     val v = s.versionAsOf(t, timestampMicros / 1000L).getOrElse(
       throw new NoSuchTableException(Seq(t)))
     new GraftTable(s, t, v)

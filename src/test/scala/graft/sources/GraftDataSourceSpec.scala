@@ -122,6 +122,34 @@ class GraftDataSourceSpec extends SparkSpec {
       .map(_.getString(1)).toSeq.contains("c"))
   }
 
+  test("materialized views serve CONSOLIDATED rows; writes and time travel refused") {
+    val root = tmpDir("dsv2mv")
+    val store = new TableStore(spark, root)
+    store.create("src", (1 to 30).map(i => (i.toLong, "g" + (i % 3), i * 1.0))
+      .toDF("id", "g", "x"))
+    graft.lake.MaterializedView.create(store, "m", "src", Seq("g"), Seq("x"))
+    store.append("src", Seq((31L, "g0", 5.0)).toDF("id", "g", "x"))
+    graft.lake.MaterializedView.refresh(store, "m")
+    spark.conf.set("spark.sql.catalog.gmv", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gmv.root", root)
+    // a vanilla reader sees the consolidated view, never the signed
+    // partial rows (which would double-count across refresh batches)
+    val viaCat = sorted(spark.sql("SELECT g, cnt, sum_x FROM gmv.m"))
+    val viaApi = sorted(graft.lake.MaterializedView.read(store, "m")
+      .select("g", "cnt", "sum_x"))
+    assert(viaCat == viaApi)
+    val viaFmt = spark.read.format("graft").load(s"$root/m")
+    assert(sorted(viaFmt.select("g", "cnt", "sum_x")) == viaApi)
+    // raw appends would corrupt the partial algebra — refused
+    intercept[Exception] {
+      spark.sql("INSERT INTO gmv.m VALUES ('g9', 1, 1.0)")
+    }
+    // time travel over partials is not meaningful — refused loudly
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gmv.m VERSION AS OF 0").collect()
+    }
+  }
+
   test("catalog TIMESTAMP AS OF resolves by commit time") {
     val root = tmpDir("dsv2ts")
     val store = new TableStore(spark, root)
