@@ -453,13 +453,14 @@ object GraftSql {
         if (!isMv && !ifExists) throw new IllegalArgumentException(
           s"$mv is not a materialized view")
         if (isMv) {
-          // the __def companion drops FIRST: an MV without its def is
-          // already invisible to SHOW/DESCRIBE/rewrite, so a crash
-          // between the two deletes leaves a harmless bare table —
-          // never an orphan __def that would block re-CREATE of the
-          // same view name (and writeDef tolerates that orphan too)
-          store.drop(MaterializedView.defTable(mv))
+          // the VIEW table drops first: a crash between the two
+          // deletes then leaves an INVISIBLE orphan __def (absent
+          // from SHOW/DESCRIBE/rewrite; writeDef replaces it on
+          // re-CREATE) — the opposite order would leave a visible
+          // table of raw signed partials under the view's name AND
+          // block re-creating it
           store.drop(mv)
+          store.drop(MaterializedView.defTable(mv))
         }
         import spark.implicits._
         Seq((mv, isMv)).toDF("view_name", "dropped")

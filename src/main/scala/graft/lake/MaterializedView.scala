@@ -123,11 +123,14 @@ object MaterializedView {
     * Bounded by wholesale clear (defs are tiny; entries accrue one
     * per (view, redefinition)). */
   private val defCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Def]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Def]()
 
   private def loadDef(store: TableStore, mv: String): Def = {
+    // the key carries the LINES themselves (small — a def table is a
+    // handful of paths), not a 32-bit hash a redefinition could
+    // collide with and silently serve the dropped definition
     val key = store.currentVersion(defTable(mv)).map(v =>
-      (store.rootPath, mv, store.manifest(defTable(mv), v).hashCode))
+      (store.rootPath, mv, store.manifest(defTable(mv), v).mkString("\n")))
     key.flatMap(k => Option(defCache.get(k))) match {
       case Some(d) => d
       case None =>
@@ -247,6 +250,12 @@ object MaterializedView {
     require(groupCols.nonEmpty, "at least one group column")
     require(groupExprs.isEmpty || groupExprs.length == groupCols.length,
       "groupExprs must be empty or parallel to groupCols")
+    // checked BEFORE the def lands: failing on the create below would
+    // leave a valid __def next to the existing plain table,
+    // reclassifying the user's data as a materialized view (DROP
+    // MATERIALIZED VIEW would then delete it; DSv2 reads would try to
+    // consolidate it)
+    require(!store.exists(mv), s"table $mv already exists")
     val spark = store.spark
     import spark.implicits._
     val v = store.currentVersion(src).getOrElse(
@@ -317,6 +326,8 @@ object MaterializedView {
       "star tables must be distinct (each carries its own cursor)")
     require(groupExprs.isEmpty || groupExprs.length == groupCols.length,
       "groupExprs must be empty or parallel to groupCols")
+    // see create: the name must be free BEFORE the def lands
+    require(!store.exists(mv), s"table $mv already exists")
     val vF = store.currentVersion(fact).getOrElse(
       throw new IllegalStateException(s"table $fact does not exist"))
     val vDs = dims.map { case (dim, _) =>
@@ -393,8 +404,12 @@ object MaterializedView {
       // term i holds sides before i OLD, side i's delta, sides after
       // i NEW — the exact multi-way Δ expansion
       var terms = List.empty[DataFrame]
+      // the UN-joined change feeds, kept so the extremum repair can
+      // probe for deletes without executing the joined terms
+      var rawDeltas = List.empty[DataFrame]
       if (curF > boundF) {
         val dF = store.changes(d.src, boundF, curF).drop("_commit_version")
+        rawDeltas ::= dF
         terms ::= d.projectGroups(d.admitted(
           d.joinAll(dF, i => store.readVersion(d.dims(i), curDs(i)))))
       }
@@ -402,6 +417,7 @@ object MaterializedView {
         if (curDs(i) > boundDs(i)) {
           val dD = store.changes(d.dims(i), boundDs(i), curDs(i))
             .drop("_commit_version")
+          rawDeltas ::= dD
           terms ::= d.projectGroups(d.admitted(
             d.joinAll(store.readVersion(d.src, boundF), j =>
               if (j < i) store.readVersion(d.dims(j), boundDs(j))
@@ -420,6 +436,8 @@ object MaterializedView {
       val delta =
         if (!d.hasMm) folded
         else mmRepairDelta(d, folded, feedRows,
+          rawDeltas.exists(r =>
+            !r.where(col("_change_type") === "delete").isEmpty),
           d.projectGroups(d.admitted(
             d.joinAll(store.readVersion(d.src, curF),
               i => store.readVersion(d.dims(i), curDs(i))))))
@@ -459,6 +477,7 @@ object MaterializedView {
       val delta =
         if (!d.hasMm) folded
         else mmRepairDelta(d, folded, feed,
+          !feed.where(col("_change_type") === "delete").isEmpty,
           d.projectGroups(d.admitted(store.readVersion(d.src, cur))))
       try {
         // the delta may be EMPTY (a neutral-rewrite range: OPTIMIZE /
@@ -484,11 +503,18 @@ object MaterializedView {
     * every older partial's extremum evidence. Insert-only refreshes
     * never evaluate `currentState`. */
   private def mmRepairDelta(d: Def, folded: DataFrame, feedRows: DataFrame,
+                            hasDeletes: => Boolean,
                             currentState: => DataFrame): DataFrame = {
-    val affected = feedRows.where(col("_change_type") === "delete")
-      .select(d.groupCols.map(col): _*).distinct()
-    if (affected.isEmpty) folded
+    // the delete probe runs on the RAW feed(s) the caller supplies —
+    // for a star view that avoids executing the multi-way joined feed
+    // once just to learn the common case (insert-only) needs no
+    // repair. With deletes present the repair runs unconditionally:
+    // delete rows that joined away leave `affected` empty and the
+    // left-outer projection then reproduces `folded` exactly.
+    if (!hasDeletes) folded
     else {
+      val affected = feedRows.where(col("_change_type") === "delete")
+        .select(d.groupCols.map(col): _*).distinct()
       val reAggs = d.minCols.map(c => min(col(c)).as("__re_min_" + c)) ++
         d.maxCols.map(c => max(col(c)).as("__re_max_" + c))
       val re = currentState
@@ -555,9 +581,19 @@ object MaterializedView {
     * SQL avg). A tiny groupBy over the stored partials; groups whose
     * inserts and deletes net to zero disappear, exactly as a
     * recompute would drop them. */
-  def read(store: TableStore, mv: String): DataFrame = {
+  def read(store: TableStore, mv: String): DataFrame =
+    readAt(store, mv, store.currentVersion(mv).getOrElse(
+      throw new IllegalStateException(s"view table $mv does not exist")))
+
+  /** [[read]] pinned to version `v` of the VIEW table (the def row is
+    * immutable for the view's lifetime — a redefinition is a new
+    * `__def` table). The DSv2 connector reads through this so ONE
+    * statement's scans all serve the same snapshot even while a
+    * refresh commits mid-query. */
+  private[graft] def readAt(store: TableStore, mv: String,
+                            v: Long): DataFrame = {
     val d = loadDef(store, mv)
-    val cons = consolidate(d, store.read(mv))
+    val cons = consolidate(d, store.readVersion(mv, v))
     val out = d.groupCols.map(col) ++ Seq(col(CntCol).as("cnt")) ++
       d.sumCols.map(c => when(col(cntCol(c)) > 0, col(sumCol(c)))
         .as(sumCol(c))) ++

@@ -206,19 +206,30 @@ object MvRewrite {
     }
 
   /** An inner-join condition equivalent to `USING (cols)`: a
-    * conjunction of `EqualTo` where both sides are attributes ending
-    * in the SAME column name (optionally qualified by either side's
-    * table/alias). Returns the lowercase using-column set. */
-  private def usingEquivalent(cond: Expression,
-                              quals: Set[String]): Option[Set[String]] = {
+    * conjunction of `EqualTo` where both sides are QUALIFIED
+    * attributes ending in the SAME column name, one side qualified by
+    * the LEFT subtree's tables/aliases and the other by the RIGHT
+    * table's. Both qualifiers are REQUIRED and must name opposite
+    * sides: `ON f.a = f.a` (a typo for `f.a = d.a`) is a not-null
+    * cross join, and an equality binding two LEFT tables leaves the
+    * right one unconstrained — either, matched as USING, would serve
+    * a different join's multiplicity. Unqualified spellings run
+    * direct. Returns the lowercase using-column set. */
+  private def usingEquivalent(cond: Expression, leftQuals: Set[String],
+                              rightQuals: Set[String]): Option[Set[String]] = {
+    def side(parts: Seq[String]): Option[Boolean] = // Some(isRight)
+      if (parts.length != 2) None
+      else if (rightQuals.contains(parts.head.toLowerCase)) Some(true)
+      else if (leftQuals.contains(parts.head.toLowerCase)) Some(false)
+      else None
     val cols = conjuncts(cond).map {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(
             UnresolvedAttribute(l), UnresolvedAttribute(r))
-          if l.last.equalsIgnoreCase(r.last) &&
-            l.length <= 2 && r.length <= 2 &&
-            l.dropRight(1).forall(q => quals.contains(q.toLowerCase)) &&
-            r.dropRight(1).forall(q => quals.contains(q.toLowerCase)) =>
-        Some(l.last.toLowerCase)
+          if l.last.equalsIgnoreCase(r.last) =>
+        (side(l), side(r)) match {
+          case (Some(a), Some(b)) if a != b => Some(l.last.toLowerCase)
+          case _ => None
+        }
       case _ => None
     }
     if (cols.forall(_.isDefined)) Some(cols.flatten.toSet) else None
@@ -237,14 +248,14 @@ object MvRewrite {
         val leftSrc = sourceOf(j.left)
         (leftSrc, rightRel) match {
           case (Some((src, joins, quals)), Some((dim, dimQuals))) =>
-            val allQuals = quals ++ dimQuals
             val usingCols = (j.joinType, j.condition) match {
               case (UsingJoin(Inner, cols), None) =>
                 Some(cols.map(_.toLowerCase).toSet)
-              case (Inner, Some(cond)) => usingEquivalent(cond, allQuals)
+              case (Inner, Some(cond)) =>
+                usingEquivalent(cond, quals, dimQuals)
               case _ => None
             }
-            usingCols.map(cols => (src, joins :+ (dim, cols), allQuals))
+            usingCols.map(cols => (src, joins :+ (dim, cols), quals ++ dimQuals))
           case _ => None
         }
       case other => relationOf(other).map { case (t, q) => (t, Nil, q) }
@@ -608,13 +619,26 @@ object MvRewrite {
             if (shape.joins.isEmpty) !s.joined &&
               s.src.equalsIgnoreCase(shape.src)
             else s.joined && {
-              val qTables = (shape.src +: shape.joins.map(_._1)).sorted
-              val vTables = (s.src.toLowerCase +:
-                s.dims.map(_.toLowerCase)).sorted
-              val qCols = shape.joins.map(_._2).sortBy(_.toSeq.sorted.mkString(","))
-              val vCols = s.dimJoinCols.map(_.map(_.toLowerCase).toSet)
-                .sortBy(_.toSeq.sorted.mkString(","))
-              qTables == vTables && qCols == vCols
+              // each dim is bound by ITS OWN column set — the pairing
+              // must match per table, never as two independently
+              // sorted multisets (dims sharing column names could
+              // otherwise swap bindings and serve a different join's
+              // multiplicity). Same fact: dim→cols maps must be
+              // equal. Different fact: only the symmetric 2-table
+              // case commutes trivially (one USING set binds both
+              // sides), so only that swap is accepted.
+              val qMap = shape.joins
+                .map { case (t, cs) => t -> cs }.toMap
+              val vMap = s.dims.map(_.toLowerCase)
+                .zip(s.dimJoinCols.map(_.map(_.toLowerCase).toSet)).toMap
+              val sameFact = s.src.equalsIgnoreCase(shape.src)
+              if (sameFact)
+                shape.joins.size == s.dims.size && qMap == vMap
+              else
+                shape.joins.size == 1 && s.dims.size == 1 &&
+                  shape.src == s.dims.head.toLowerCase &&
+                  qMap.get(s.src.toLowerCase) ==
+                    vMap.get(s.dims.head.toLowerCase)
             }
           sourceOk && s.fresh &&
             (shape.outs.collect { case m: Meas => m } ++ shape.hidden)

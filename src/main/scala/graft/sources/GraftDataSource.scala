@@ -135,7 +135,7 @@ final class GraftTable(store: TableStore, table: String, version: Long,
   override def name(): String = table
 
   override lazy val schema: StructType =
-    if (isMv) graft.lake.MaterializedView.read(store, table).schema
+    if (isMv) graft.lake.MaterializedView.readAt(store, table, version).schema
     else store.readVersion(table, version).schema
 
   override def partitioning(): Array[Transform] =
@@ -235,9 +235,11 @@ private final class GraftRelation(context: SQLContext, store: TableStore,
   override def buildScan(): RDD[Row] = {
     // a materialized view serves its consolidated rows (Catalyst
     // pushes group-column predicates below the consolidation groupBy
-    // on its own); a plain table serves the pinned snapshot
+    // on its own) — pinned to the load-time version like a plain
+    // table, so a refresh landing mid-statement can't tear one
+    // query's scans across two view states
     val base =
-      if (isMv) graft.lake.MaterializedView.read(store, table)
+      if (isMv) graft.lake.MaterializedView.readAt(store, table, version)
       else store.readVersion(table, version)
     // pushed filters re-apply on the inner plan — THIS is what drives
     // parquet predicate pushdown and the manifest-level stats/bloom
@@ -283,7 +285,11 @@ private[sources] object GraftFilters {
 
   /** Post-pruning file count of every file-source scan in the plan —
     * the manifest-level skipping evidence. Driver-side listing only
-    * (the StatsFileIndex applies its sidecar rejects in listFiles). */
+    * (the StatsFileIndex applies its sidecar rejects in listFiles),
+    * and CHEAP on repeat: the leaf-file listing is memoized in the
+    * underlying InMemoryFileIndex and the sidecar verdicts in the
+    * store's per-(version, filters) reject cache, so this sweep does
+    * not re-read the sidecar execution already folded. */
   def plannedFiles(qe: org.apache.spark.sql.execution.QueryExecution): Long = {
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] =
       p.collect {
