@@ -159,6 +159,14 @@ object CdcIngest {
     val replacement = dest.where(bucketMatch)
       .join(updKeys, Seq(cfg.primaryKey), "left_anti")
       .unionByName(survivors, allowMissingColumns = true)
+    // STRICT snapshot validation (disjointAddsOk stays false): the
+    // touched-bucket probe above read EVERY partition (the pk
+    // semi-join), so a concurrent append — even into an untouched
+    // bucket — can carry a matched/tombstoned key this replacement
+    // never folded. Tolerating it would resurrect deleted keys;
+    // aborting (SnapshotConflictException) keeps the §7.7 merge
+    // exactly-once under races, as the pin comment in
+    // incrementalLoad promises.
     store.overwritePartitions(table, replacement, touchedSpecs.toSeq,
       readSnapshot = Some(readSnapshot), op = "MERGE")
   }

@@ -1773,9 +1773,23 @@ final class TableStore(private[graft] val spark: SparkSession,
     * `df` holds no rows simply gets no new files — that's how a
     * fully-deleted partition empties out. Values must be path-literal
     * (date buckets are); a null bucket maps to Hive's default
-    * partition name. */
+    * partition name.
+    *
+    * `disjointAddsOk` opts IN to partition-granular conflict
+    * detection: a racer's pure append OUTSIDE the touched dirs is
+    * tolerated (its files re-carry, the replacement supersedes only
+    * dirs the racer never wrote). That is sound ONLY when the
+    * transaction's READS were confined to the touched partitions —
+    * the caller asserts that by passing true. A merge whose probe
+    * scanned the whole table (e.g. a pk semi-join deciding which
+    * buckets are touched) must stay strict: a concurrent append of a
+    * matched key into an UNtouched bucket is a logical conflict its
+    * replacement frame can't see, and tolerating it resurrects
+    * deleted keys. Default = strict (abort on any concurrent change
+    * past a pinned `readSnapshot`). */
   def overwritePartitions(table: String, df: DataFrame, touched: Seq[String],
                           readSnapshot: Option[Long] = None,
+                          disjointAddsOk: Boolean = false,
                           op: String = "OVERWRITE-PARTITIONS"): Unit = {
     require(partitioning(table).nonEmpty,
       s"table $table is not partitioned; use overwrite")
@@ -1795,12 +1809,7 @@ final class TableStore(private[graft] val spark: SparkSession,
       mustCreate = false,
       requireWithin = Some(touchedSet),
       readSnapshot = readSnapshot,
-      // a racer's pure append OUTSIDE the touched dirs is not a
-      // conflict: carried re-carries its files, the replacement only
-      // supersedes dirs the racer never wrote (partition-granular
-      // optimistic concurrency — two writers on disjoint partitions
-      // both land without a logical retry)
-      snapshotDisjointOk = true,
+      snapshotDisjointOk = disjointAddsOk,
       op = op)
   }
 

@@ -1315,8 +1315,11 @@ object PipelineQueries {
       // writer B appends partition P rows AFTER A's pin — disjoint
       store.append("t", ord.where(col("o_orderstatus") === "P"))
       // A's scoped overwrite still lands: B's files are outside F
+      // disjointAddsOk: A's replacement was computed ONLY from
+      // partition F of the pinned snapshot, so B's disjoint append
+      // is provably outside A's read set — the exemption is sound
       store.overwritePartitions("t", replacement, Seq("o_orderstatus=F"),
-        readSnapshot = Some(rs), op = "MERGE")
+        readSnapshot = Some(rs), disjointAddsOk = true, op = "MERGE")
       store.read("t")
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("sum_price"))

@@ -132,6 +132,13 @@ final class GraftTable(store: TableStore, table: String, version: Long,
                        isMv: Boolean = false)
     extends Table with SupportsRead with SupportsWrite {
 
+  /** Exposed for the row-level DML extension ([[graft.plans.GraftDml]])
+    * — the command executes against the SAME pinned version the
+    * analyzed relation reads, and commits through the same store. */
+  private[graft] def graftStore: TableStore = store
+  private[graft] def pinnedVersion: Long = version
+  private[graft] def isMaterialized: Boolean = isMv
+
   override def name(): String = table
 
   override lazy val schema: StructType =
@@ -158,6 +165,14 @@ final class GraftTable(store: TableStore, table: String, version: Long,
       s"$table is a materialized view — it is maintained from its " +
         "source's change feed (REFRESH MATERIALIZED VIEW), never " +
         "written directly")
+    // a live view's `__def` companion is the view's definition row —
+    // a vanilla INSERT/TRUNCATE into it would corrupt the definition
+    // (the next loadDef expects exactly 1 row) and brick the view
+    if (GraftTable.isLiveCompanion(store, table))
+      throw new UnsupportedOperationException(
+        s"$table is the definition companion of materialized view " +
+          s"'${table.stripSuffix("__def")}' — it is engine-managed " +
+          "and cannot be written directly")
     new GraftWriteBuilder(store, table, truncate = false)
   }
 }
@@ -169,6 +184,15 @@ object GraftTable {
   private[sources] def isMaterializedView(store: TableStore,
                                           table: String): Boolean =
     !table.endsWith("__def") && store.exists(table + "__def")
+
+  /** `<mv>__def` companion of a LIVE view (both tables exist) — an
+    * engine-managed definition row vanilla writers/droppers must not
+    * touch in isolation. An ORPHAN def (view table absent) is not
+    * live: it is invisible residue a re-create may replace. */
+  private[sources] def isLiveCompanion(store: TableStore,
+                                       table: String): Boolean =
+    table.endsWith("__def") &&
+      store.exists(table.stripSuffix("__def"))
 }
 
 /** Pushdown negotiation: Spark prunes columns and offers filters;
@@ -368,7 +392,11 @@ class GraftCatalog extends TableCatalog {
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) throw new NoSuchNamespaceException(namespace.toSeq)
-    store.tables().map(Identifier.of(Array.empty[String], _)).toArray
+    val s = store
+    // live views' `__def` companions are engine-managed internals —
+    // hidden from SHOW TABLES (still loadable by exact name)
+    s.tables().filterNot(GraftTable.isLiveCompanion(s, _))
+      .map(Identifier.of(Array.empty[String], _)).toArray
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -421,6 +449,23 @@ class GraftCatalog extends TableCatalog {
           s"graft tables partition by identity columns only, not $other")
       }
     }
+    // creating `<x>__def` beside an existing plain table x would
+    // reclassify x as a materialized view (the registry rule is
+    // "companion exists") — DSv2 reads would then consolidate x's
+    // raw rows against a bogus def and DROP MATERIALIZED VIEW
+    // would delete user data. Refuse outright.
+    if (t.endsWith("__def") && s.exists(t.stripSuffix("__def")))
+      throw new IllegalArgumentException(
+        s"cannot create $t: '__def'-suffixed names beside an existing " +
+          s"table are reserved for materialized-view definitions " +
+          s"(table '${t.stripSuffix("__def")}' exists)")
+    // the mirror hazard: a new plain table t beside an ORPHAN
+    // t__def (residue of a crashed DROP) would be reclassified as an
+    // MV the moment it lands. The orphan is invisible to
+    // SHOW/DESCRIBE/rewrite, so clearing it is safe — same rule as
+    // MaterializedView.writeDef.
+    if (s.exists(t + "__def") && !s.exists(t))
+      s.drop(t + "__def")
     val spark = SparkSession.active
     // one empty schema-bearing commit; CTAS data follows via the
     // V1 write (both are normal store commits)
@@ -435,8 +480,27 @@ class GraftCatalog extends TableCatalog {
       "ALTER on graft tables goes through the graft API / GraftSql " +
         "(schema evolution is a manifest commit, not a catalog change)")
 
-  override def dropTable(ident: Identifier): Boolean =
-    ident.namespace().isEmpty && store.drop(ident.name())
+  override def dropTable(ident: Identifier): Boolean = {
+    if (ident.namespace().nonEmpty) return false
+    val s = store
+    val t = ident.name()
+    // a live view's companion must never be dropped alone — that
+    // would demote the view to a plain table of raw signed partials
+    // under the view's name
+    if (GraftTable.isLiveCompanion(s, t))
+      throw new IllegalArgumentException(
+        s"$t is the definition companion of materialized view " +
+          s"'${t.stripSuffix("__def")}' — drop the view instead " +
+          "(DROP TABLE <view> removes both)")
+    val isMv = GraftTable.isMaterializedView(s, t)
+    val dropped = s.drop(t)
+    // MV: the definition companion goes with the view (same order as
+    // the front door's DROP MATERIALIZED VIEW — view first, so a
+    // crash between the two leaves only an invisible orphan def that
+    // createTable/writeDef clear on re-create)
+    if (dropped && isMv) s.drop(t + "__def")
+    dropped
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(

@@ -160,4 +160,39 @@ class CdcIngestSpec extends SparkSpec {
     val b = storeB.read("t").select("key", "process_date").orderBy("key").collect().toSeq
     assert(a == b)
   }
+
+  test("bucketed merge ABORTS when a matched key lands in an untouched bucket concurrently") {
+    // The resurrection race: the merge's touched-bucket probe reads
+    // the WHOLE table, so its read set is not confined to the touched
+    // dirs — a racer appending a matched key into an untouched bucket
+    // inside the claim window must conflict (strict snapshot
+    // validation), or the tombstone would miss the racer's row and
+    // the deleted key would come back.
+    val bucketed = CdcIngest.Config(bucketFormat = Some("yyyy-MM"))
+    val dir = tmpDir("ingest-race")
+    val inj = new RaceInjector(
+      new HadoopCommitPrimitive(spark.sessionState.newHadoopConf()))
+    val store = new TableStore(spark, dir, Some(inj))
+    val racerStore = new TableStore(spark, dir)
+    CdcIngest.ingest(spark, store, "t", cdc(
+      ("k1", "2024-01-05 10:00:00", "I"),
+      ("k2", "2024-02-05 10:00:00", "I")), bucketed)
+    // racer: re-inserts k1 into the March bucket (outside the merge's
+    // touched dir p_bucket=2024-01) between the pinned read and claim
+    val racerRow = Seq(("k1", "2024-03-05 10:00:00")).toDF("key", "ts")
+      .withColumn("process_date", col("ts").cast("timestamp")).drop("ts")
+      .withColumn(CdcIngest.BucketCol,
+        date_format(col("process_date"), "yyyy-MM"))
+    inj.armed = true
+    inj.hook = () => racerStore.append("t", racerRow)
+    intercept[SnapshotConflictException] {
+      CdcIngest.ingest(spark, store, "t",
+        cdc(("k1", "2024-05-01 10:00:00", "D")), bucketed)
+    }
+    // nothing half-applied: both original rows AND the racer's row
+    // survive; k1 is NOT silently resurrected past a committed delete
+    assert(keys(store.read("t")) == Seq("k1", "k1", "k2"))
+    assert(store.read("t").where(col(CdcIngest.BucketCol) === "2024-03")
+      .count() == 1)
+  }
 }

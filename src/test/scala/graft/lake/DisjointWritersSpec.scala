@@ -39,7 +39,7 @@ class DisjointWritersSpec extends SparkSpec {
     // the racer's append lands FIRST (inside the claim window); the
     // scoped overwrite must tolerate it — its files are outside p=a
     store.overwritePartitions("t", replacement, Seq("p=a"),
-      readSnapshot = Some(rs))
+      readSnapshot = Some(rs), disjointAddsOk = true)
     val got = store.read("t").groupBy("p").count()
       .as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 2L, "b" -> 5L, "c" -> 3L),
@@ -53,8 +53,10 @@ class DisjointWritersSpec extends SparkSpec {
     inj.armed = true
     inj.hook = () => racerStore.append("t", part("a", 1, 300))
     intercept[SnapshotConflictException] {
+      // even WITH the disjoint-adds opt-in: the racer wrote INTO a
+      // touched dir, so partition-granular detection must still abort
       store.overwritePartitions("t", part("a", 2, 200), Seq("p=a"),
-        readSnapshot = Some(rs))
+        readSnapshot = Some(rs), disjointAddsOk = true)
     }
     // the racer's row is intact; the overwrite never half-applied
     assert(store.read("t").where(col("id") === 301L).count() == 1)
@@ -73,7 +75,7 @@ class DisjointWritersSpec extends SparkSpec {
       part("b", 1, 400), deleteKeys = Seq(101L).toDF("id"))
     intercept[SnapshotConflictException] {
       store.overwritePartitions("t", part("a", 2, 200), Seq("p=a"),
-        readSnapshot = Some(rs))
+        readSnapshot = Some(rs), disjointAddsOk = true)
     }
   }
 
@@ -89,7 +91,7 @@ class DisjointWritersSpec extends SparkSpec {
     inj.armed = true
     inj.hook = () => racerStore.append("t", part("c", 2, 300))
     store.overwritePartitions("t", replacement, Seq("p=a"),
-      readSnapshot = Some(rs), op = "MERGE")
+      readSnapshot = Some(rs), disjointAddsOk = true, op = "MERGE")
     val got = store.read("t").groupBy("p").count()
       .as[(String, Long)].collect().toMap
     assert(got == Map("a" -> 4L, "b" -> 4L, "c" -> 2L), s"got $got")
@@ -165,7 +167,7 @@ class DisjointWritersSpec extends SparkSpec {
           val replacement = part("m", 3, g * 1000)
             .withColumn("x", col("x") + lit(g * 1.0))
           s.overwritePartitions("t", replacement, Seq("p=m"),
-            readSnapshot = Some(rs), op = "MERGE")
+            readSnapshot = Some(rs), disjointAddsOk = true, op = "MERGE")
           Thread.sleep(15)
         }
       } catch {

@@ -150,6 +150,56 @@ class GraftDataSourceSpec extends SparkSpec {
     }
   }
 
+  test("catalog MV lifecycle: drop removes the def companion; companions are shielded") {
+    val root = tmpDir("dsv2mvlc")
+    val store = new TableStore(spark, root)
+    store.create("src", (1 to 12).map(i => (i.toLong, "g" + (i % 2), i * 1.0))
+      .toDF("id", "g", "x"))
+    graft.lake.MaterializedView.create(store, "m", "src", Seq("g"), Seq("x"))
+    spark.conf.set("spark.sql.catalog.glc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.glc.root", root)
+
+    // a live view's companion: hidden from SHOW TABLES, refuses
+    // direct writes and a standalone drop
+    val listed = spark.sql("SHOW TABLES IN glc").collect()
+      .map(_.getString(1)).toSet
+    assert(listed.contains("m") && !listed.contains("m__def"),
+      s"live companion must be hidden from SHOW TABLES: $listed")
+    intercept[Exception] {
+      spark.sql("INSERT INTO glc.m__def VALUES " +
+        "('x','g','x','','','','','','','')")
+    }
+    assert(store.read("m__def").count() == 1,
+      "refused INSERT must leave the definition row intact")
+    intercept[Exception] { spark.sql("DROP TABLE glc.m__def") }
+    assert(store.exists("m__def"))
+
+    // DROP TABLE on the VIEW through the catalog removes BOTH tables
+    // — no orphan def to reclassify a later plain table
+    spark.sql("DROP TABLE glc.m")
+    assert(!store.exists("m") && !store.exists("m__def"),
+      "catalog drop of an MV must remove the def companion too")
+
+    // CREATE TABLE over an ORPHAN def clears the residue: the new
+    // plain table must NOT be reclassified as a materialized view
+    graft.lake.MaterializedView.create(store, "m2", "src", Seq("g"), Seq("x"))
+    store.drop("m2") // crash-shaped: view gone, def orphaned
+    assert(store.exists("m2__def"))
+    spark.sql("CREATE TABLE glc.m2 AS SELECT id, x FROM glc.src WHERE g = 'g0'")
+    assert(!store.exists("m2__def"),
+      "orphan def must be cleared by catalog CREATE")
+    assert(sorted(spark.sql("SELECT id, x FROM glc.m2")) ==
+      sorted(store.read("src").where(col("g") === "g0").select("id", "x")),
+      "new plain table must serve its raw rows, not consolidate")
+
+    // creating `<x>__def` beside an existing plain table is refused —
+    // it would reclassify x as an MV
+    intercept[Exception] {
+      spark.sql("CREATE TABLE glc.m2__def AS SELECT id FROM glc.src")
+    }
+    assert(!store.exists("m2__def"))
+  }
+
   test("catalog TIMESTAMP AS OF resolves by commit time") {
     val root = tmpDir("dsv2ts")
     val store = new TableStore(spark, root)
