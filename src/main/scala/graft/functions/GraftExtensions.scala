@@ -20,5 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // hand-written HOF dot products silently become the native
     // codegen'd expression (see RewriteHofDotProduct)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    // row-level SQL (MERGE/UPDATE/DELETE) on catalog-addressed graft
+    // tables — the resolved plans compile onto the store's atomic
+    // commit machinery (see graft.plans.GraftDml)
+    ext.injectResolutionRule(session => graft.plans.GraftDmlRule(session))
+    ext.injectPlannerStrategy(_ => graft.plans.GraftDmlStrategy)
   }
 }

@@ -15,8 +15,7 @@ import graft.sources.{GraftCatalog, GraftScanMetrics}
   * column mapping, stats file skipping, time travel) intact. */
 object Dsv2Queries {
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = Queries.scratchDir(prefix)
 
   /** `spark.read.format("graft")` over a table in merge-on-read state
     * (append + equality delete, never compacted): the DSv2 scan must
@@ -49,7 +48,10 @@ object Dsv2Queries {
       val served = df.where(col("l_orderkey") <= cut)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
-      val out = served.orderBy("l_returnflag").cache()
+      val out = served.orderBy("l_returnflag")
+      // the skip-check probe runs the tiny aggregate once here (no
+      // cache — a persisted block would outlive the query, and the
+      // re-execution at consumption time costs less than the leak)
       out.count()
       val filteredFiles = GraftScanMetrics.lastScanFiles.get()
       df.groupBy("l_returnflag").count().count()
@@ -105,5 +107,111 @@ object Dsv2Queries {
         |  USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin))
 
-  val entries: Seq[Entry] = Seq(dsv2ReadPath, dsv2CatalogSql)
+  /** The reference's headline statement in its native habitat: `MERGE
+    * INTO <catalog>.<table>` in a VANILLA Spark session (no GraftSql
+    * anywhere) — matched DELETE, matched UPDATE, and conditional
+    * NOT MATCHED INSERT in one statement, landing as ONE atomic
+    * store commit through the GraftExtensions row-level DML path
+    * (mirrors icberg/iceberg_tables.py:45-50). Oracle replays the
+    * merge as outer-join SQL. */
+  val dsv2MergeSql: Entry = Entry(
+    "dsv2_merge_sql",
+    (s, dir) => {
+      val root = tmpDir("graft-dsv2m")
+      val store = new TableStore(s, root)
+      val ord = t(s, dir, "orders")
+      store.create("m_t", ord.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("price")))
+      ord.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast("double") * 2).as("newprice"),
+          when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"))
+        .createOrReplaceTempView("dsv2_merge_src")
+      s.conf.set("spark.sql.catalog.gm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gm.root", root)
+      s.sql(
+        """MERGE INTO gm.m_t AS t USING dsv2_merge_src AS s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET price = s.newprice
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT (k, st, price)
+          |  VALUES (s.k, 'NEW', s.newprice)
+          |""".stripMargin)
+      s.sql(
+        """SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price
+          |FROM gm.m_t GROUP BY st ORDER BY st""".stripMargin)
+    },
+    Some("""WITH target AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(o_totalprice AS DOUBLE) * 2 AS newprice,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |merged AS (
+        |  SELECT t.k, t.st,
+        |         CASE WHEN s.k IS NOT NULL THEN s.newprice
+        |              ELSE t.price END AS price
+        |  FROM target t LEFT JOIN src s ON t.k = s.k
+        |  WHERE s.k IS NULL OR s.op <> 'D'
+        |  UNION ALL
+        |  SELECT s.k, 'NEW' AS st, s.newprice AS price
+        |  FROM src s LEFT JOIN target t ON t.k = s.k
+        |  WHERE t.k IS NULL AND s.op <> 'D')
+        |SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price
+        |FROM merged GROUP BY st ORDER BY st""".stripMargin))
+
+  /** Vanilla-SQL schema evolution + row-level DML through the
+    * catalog: `ALTER TABLE gq.t ADD COLUMNS` lands as the store's
+    * metadata-only evolution commit (old rows backfill NULL, no data
+    * rewrite), the next INSERT carries the new column, and an UPDATE
+    * fills it for existing rows — three statements no plain-parquet
+    * catalog can run. Oracle replays all three. */
+  val dsv2AlterDml: Entry = Entry(
+    "dsv2_alter_dml_sql",
+    (s, dir) => {
+      val root = tmpDir("graft-dsv2a")
+      val store = new TableStore(s, root)
+      val ord = t(s, dir, "orders")
+      store.create("a_t", ord.where(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("price")))
+      ord.where(col("o_orderkey") % 4 === 2)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("price"),
+          (col("o_totalprice").cast("double") * 0.5).as("bonus"))
+        .createOrReplaceTempView("dsv2_alter_ins")
+      s.conf.set("spark.sql.catalog.ga", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.ga.root", root)
+      s.sql("ALTER TABLE ga.a_t ADD COLUMNS (bonus DOUBLE)")
+      s.sql("INSERT INTO ga.a_t SELECT k, st, price, bonus FROM dsv2_alter_ins")
+      s.sql("UPDATE ga.a_t SET bonus = price * 0.1 WHERE st = 'F'")
+      s.sql(
+        """SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price,
+          |  round(sum(bonus), 2) AS sum_bonus, count(bonus) AS n_bonus
+          |FROM ga.a_t GROUP BY st ORDER BY st""".stripMargin)
+    },
+    Some("""WITH t0 AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(NULL AS DOUBLE) AS bonus
+        |  FROM orders WHERE o_orderkey % 4 = 1),
+        |ins AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st,
+        |         CAST(o_totalprice AS DOUBLE) AS price,
+        |         CAST(o_totalprice AS DOUBLE) * 0.5 AS bonus
+        |  FROM orders WHERE o_orderkey % 4 = 2),
+        |allr AS (SELECT * FROM t0 UNION ALL SELECT * FROM ins),
+        |upd AS (
+        |  SELECT k, st, price,
+        |         CASE WHEN st = 'F' THEN price * 0.1 ELSE bonus END AS bonus
+        |  FROM allr)
+        |SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price,
+        |  round(sum(bonus), 2) AS sum_bonus, count(bonus) AS n_bonus
+        |FROM upd GROUP BY st ORDER BY st""".stripMargin))
+
+  val entries: Seq[Entry] =
+    Seq(dsv2ReadPath, dsv2CatalogSql, dsv2MergeSql, dsv2AlterDml)
 }

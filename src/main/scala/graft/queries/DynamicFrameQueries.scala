@@ -16,8 +16,7 @@ import Queries.{Entry, t}
   */
 object DynamicFrameQueries {
 
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = Queries.scratchDir(prefix)
 
   /** ApplyMapping over events: rename + cast + project in one
     * projection. `ts` (engine contract: epoch-nanos long) maps through

@@ -13,9 +13,8 @@ import Queries.{Entry, t}
   */
 object PipelineQueries {
 
-  /** Fresh scratch dir for a query's throwaway store. */
-  private def tmpDir(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+  /** Fresh scratch dir for a query's throwaway store (shutdown-reaped). */
+  private def tmpDir(prefix: String): String = Queries.scratchDir(prefix)
 
   /** THE engine end-to-end: derive a CDC stream from events, split it
     * into 3 time-ordered batches, run full-load + 2 incremental merges

@@ -33,6 +33,30 @@ object Queries {
   private[queries] def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Scratch dirs for queries' throwaway stores, reaped in one JVM
+    * shutdown hook — a full Verify/Bench run creates hundreds of
+    * them, and leaving them in /tmp across runs is a disk leak (the
+    * result DataFrames read lazily AFTER the query function returns,
+    * so in-query deletion is not an option). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val reaper: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { p =>
+        try {
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        } catch { case _: Throwable => () }
+      }))
+  }
+  private[queries] def scratchDir(prefix: String): String = {
+    reaper
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   // ---------------------------------------------------------------------
   // CDC parity queries (SURVEY §2.2/§2.5: W1, P4, P5, P6; §2.3 J1)
   // ---------------------------------------------------------------------

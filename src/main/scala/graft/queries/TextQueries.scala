@@ -318,7 +318,7 @@ object TextQueries {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       val store = new TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-bandidx").toString)
+        Queries.scratchDir("graft-bandidx"))
       Dedup.indexBands(store, "band_index",
         docs.where(col("doc_id") < 400), "doc_id", "text")
       val pairs = Dedup.batchCandidates(store, "band_index",

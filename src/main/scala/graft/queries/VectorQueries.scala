@@ -319,7 +319,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfidx").toString)
+        Queries.scratchDir("graft-ivfidx"))
       graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf", emb,
         nlist = 16, kmeansIters = 2)
       val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
@@ -350,7 +350,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfinc").toString)
+        Queries.scratchDir("graft-ivfinc"))
       graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf",
         emb.where(col("vec_id") % 2 === 0), nlist = 16, kmeansIters = 2)
       graft.ops.VectorIndex.appendToIvfIndex(store, "emb_ivf",
@@ -383,7 +383,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfstream").toString)
+        Queries.scratchDir("graft-ivfstream"))
       graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf",
         emb.where(col("vec_id") % 2 === 0), nlist = 16, kmeansIters = 2)
       val b0 = emb.where(col("vec_id") % 4 === 1)
@@ -423,7 +423,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfdel").toString)
+        Queries.scratchDir("graft-ivfdel"))
       graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf", emb,
         nlist = 16, kmeansIters = 2)
       graft.ops.VectorIndex.deleteFromIvfIndex(store, "emb_ivf",
@@ -458,7 +458,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfsync").toString)
+        Queries.scratchDir("graft-ivfsync"))
       store.create("corpus", emb.where(col("vec_id") % 2 === 0))
       graft.ops.VectorIndex.buildIvfIndexFromTable(store, "emb_ivf",
         "corpus", nlist = 16, kmeansIters = 2)
@@ -495,7 +495,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivffil").toString)
+        Queries.scratchDir("graft-ivffil"))
       graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf", emb,
         nlist = 16, kmeansIters = 2, attrCols = Seq("label"))
       val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
@@ -551,7 +551,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfpq").toString)
+        Queries.scratchDir("graft-ivfpq"))
       graft.ops.VectorIndex.buildIvfPqIndex(store, "emb_ivfpq", emb,
         nlist = 16, m = 8, ksub = 16, kmeansIters = 2)
       val cents = store.read(
@@ -670,7 +670,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfpqdel").toString)
+        Queries.scratchDir("graft-ivfpqdel"))
       graft.ops.VectorIndex.buildIvfPqIndex(store, "emb_ivfpq", emb,
         nlist = 16, m = 8, ksub = 16, kmeansIters = 1)
       graft.ops.VectorIndex.deleteFromIvfPqIndex(store, "emb_ivfpq",
@@ -702,7 +702,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfpqfil").toString)
+        Queries.scratchDir("graft-ivfpqfil"))
       graft.ops.VectorIndex.buildIvfPqIndex(store, "emb_ivfpq", emb,
         nlist = 16, m = 8, ksub = 16, kmeansIters = 1,
         attrCols = Seq("label"))
@@ -748,7 +748,7 @@ object VectorQueries {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val store = new graft.lake.TableStore(s,
-        java.nio.file.Files.createTempDirectory("graft-ivfpqsync").toString)
+        Queries.scratchDir("graft-ivfpqsync"))
       store.create("corpus", emb.where(col("vec_id") % 2 === 0))
       graft.ops.VectorIndex.buildIvfPqIndexFromTable(store, "emb_ivfpq",
         "corpus", nlist = 16, m = 8, ksub = 16, kmeansIters = 1)

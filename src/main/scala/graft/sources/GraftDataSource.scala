@@ -475,10 +475,68 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(s, t, s.currentVersion(t).get)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER on graft tables goes through the graft API / GraftSql " +
-        "(schema evolution is a manifest commit, not a catalog change)")
+  /** `ALTER TABLE gq.t ADD COLUMNS (...)` in vanilla SQL: each
+    * AddColumn maps onto the store's metadata-only schema-evolution
+    * commit (one empty schema-bearing manifest entry; earlier files
+    * backfill NULL through the read path's union-by-name — no data
+    * rewrite). Top-level and one-level-nested struct fields, nullable
+    * only, no positions/defaults — the same contract as the GraftSql
+    * front door. Every other change type (drops, renames, type
+    * changes) still routes to GraftSql's column-mapping path. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val s = store
+    val t = nameOf(ident)
+    if (GraftTable.isMaterializedView(s, t) || GraftTable.isLiveCompanion(s, t))
+      throw new UnsupportedOperationException(
+        s"$t belongs to a materialized view — its schema is derived " +
+          "from the view definition, not ALTERable")
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"ALTER change ${other.getClass.getSimpleName} on graft tables " +
+          "goes through the graft API / GraftSql (column mapping is a " +
+          "manifest commit, not a catalog change)")
+    }
+    val current = s.read(t).schema
+
+    def addNested(st: StructType, path: Seq[String],
+                  f: StructField): StructType = path match {
+      case Seq() =>
+        require(!st.fields.exists(_.name.equalsIgnoreCase(f.name)),
+          s"column ${f.name} already exists in $t")
+        StructType(st.fields :+ f)
+      case head +: tail =>
+        val idx = st.fields.indexWhere(_.name.equalsIgnoreCase(head))
+        require(idx >= 0, s"no column $head in $t to nest ${f.name} under")
+        val parent = st.fields(idx)
+        val widened = parent.dataType match {
+          case ps: StructType => parent.copy(dataType = addNested(ps, tail, f))
+          case other => throw new IllegalArgumentException(
+            s"column $head of $t is ${other.catalogString}, not a " +
+              "struct; cannot add a nested field")
+        }
+        StructType(st.fields.updated(idx, widened))
+    }
+
+    val evolved = adds.foldLeft(current) { (st, a) =>
+      require(a.isNullable,
+        s"column ${a.fieldNames.mkString(".")}: NOT NULL is " +
+          "unsatisfiable on ADD COLUMNS (existing rows backfill NULL)")
+      require(a.position() == null,
+        s"column ${a.fieldNames.mkString(".")}: FIRST/AFTER positions " +
+          "are not supported on graft tables")
+      require(a.defaultValue() == null,
+        s"column ${a.fieldNames.mkString(".")}: DEFAULT is not supported " +
+          "on graft tables (existing rows would silently read NULL, " +
+          "not the default)")
+      val names = a.fieldNames.toSeq
+      addNested(st, names.init,
+        StructField(names.last, a.dataType, nullable = true))
+    }
+    s.evolveSchema(t, evolved)
+    new GraftTable(s, t, s.currentVersion(t).get)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (ident.namespace().nonEmpty) return false

@@ -200,6 +200,37 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(!store.exists("m2__def"))
   }
 
+  test("catalog ALTER TABLE ADD COLUMNS evolves the schema; other changes refused") {
+    val root = tmpDir("dsv2alter")
+    val store = new TableStore(spark, root)
+    store.create("a", Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    spark.conf.set("spark.sql.catalog.gal", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gal.root", root)
+    val v0 = store.currentVersion("a").get
+    spark.sql("ALTER TABLE gal.a ADD COLUMNS (score DOUBLE, tag STRING)")
+    // metadata-only: ONE commit, no data rewrite
+    assert(store.currentVersion("a").get == v0 + 1)
+    spark.sql("INSERT INTO gal.a VALUES (3L, 'z', 1.5, 't')")
+    val got = spark.sql(
+      "SELECT id, s, score, tag FROM gal.a ORDER BY id")
+      .as[(Long, String, Option[Double], Option[String])].collect().toSeq
+    assert(got == Seq((1L, "x", None, None), (2L, "y", None, None),
+      (3L, "z", Some(1.5), Some("t"))),
+      s"old rows must backfill NULL: $got")
+    // everything else still routes to the GraftSql column-mapping path
+    intercept[Exception] { spark.sql("ALTER TABLE gal.a DROP COLUMN tag") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gal.a RENAME COLUMN s TO s2")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gal.a ADD COLUMNS (bad INT NOT NULL)")
+    }
+    // refused changes must not have committed anything
+    assert(store.currentVersion("a").get == v0 + 2)
+    assert(store.read("a").columns.toSeq ==
+      Seq("id", "s", "score", "tag"))
+  }
+
   test("catalog TIMESTAMP AS OF resolves by commit time") {
     val root = tmpDir("dsv2ts")
     val store = new TableStore(spark, root)
