@@ -69,6 +69,32 @@ object Bench {
         }.min
       }.sum
     }
+    // IO canary: the three legs above are pure CPU/shuffle/sort, so a
+    // page-cache/IO-contended epoch reads as a HEALTHY (even fast)
+    // canary while every testdata-touching query runs slow — exactly
+    // the round-13 driver artifact (canary 0.84s vs 1.14 baseline,
+    // suite +20%). This leg times full-column scans of the real
+    // fixture files through the noop sink — the same read shape every
+    // measured query starts from. Warmed once (the measured queries
+    // re-read these fixtures every rep, so warm-cache is the honest
+    // comparison state), min-of-3; tools/bench_compare.py scales
+    // baselines by max(cpu ratio, io ratio).
+    val ioCanarySec: Double = {
+      val fixtures = Seq("lineitem.parquet", "events.parquet",
+        "orders.parquet", "embeddings.parquet")
+        .map(new java.io.File(sfDir, _)).filter(_.exists)
+      if (fixtures.isEmpty) 0.0
+      else {
+        val leg = () => fixtures.foreach(f =>
+          run(spark.read.parquet(f.toString)))
+        leg()
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          leg()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+    }
     // Time each query N times and report the MIN: a single contended
     // sample on a shared host can read 5-10x slower than the query's
     // true cost and fake a regression. The max is kept as a noise gauge
@@ -100,7 +126,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"io_canary_sec":$ioCanarySec,"queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
     println(fullJson)
     // The full record must survive log truncation: the driver keeps only
     // the tail of stdout, so round 9's official artifact carried
@@ -124,7 +150,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(5)
       .map { case (k, mn, mx) => s"\"" + k + s"\":[$mn,$mx]" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"nqueries":${results.size},"reps":$reps,"failed":${failed.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"io_canary_sec":$ioCanarySec,"nqueries":${results.size},"reps":$reps,"failed":${failed.size},"errors":$errs,"slowest":$slowest,"sf":"$sfDir"}""")
     if (failed.nonEmpty)
       System.err.println(s"[bench] ${failed.size} queries FAILED all reps: " +
         failed.mkString(", "))

@@ -181,10 +181,19 @@ object Similarity {
                       vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     import org.apache.spark.sql.expressions.Window
-    var cents = corpus.orderBy(col(idCol)).limit(nlist)
+    // Lloyd re-reads the training vectors once per iteration (plus the
+    // seed scan) — localCheckpoint the (id, vec) projection ONCE so
+    // every pass reads executor-local blocks instead of re-decoding
+    // parquet, which made the training cost page-cache-bimodal
+    // (cold-cache epochs measured ~2x). O(training set) block
+    // storage: at scale the caller passes a SAMPLE (IVF training
+    // needs ~[30, 256]x nlist vectors, not the corpus); serving never
+    // touches this path — it reads the persisted index.
+    val vecs = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    var cents = vecs.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cvec"))
     for (_ <- 0 until iterations) {
-      val scored = corpus.select(col(idCol), col(vecCol))
+      val scored = vecs
         .join(broadcast(cents))
         .select(col(idCol), col(vecCol), col("cent_id"),
           cosine(col(vecCol), col("cvec").cast("array<float>")).as("ccos"))
@@ -215,7 +224,10 @@ object Similarity {
         .select(col("cent_id"), coalesce(col("newvec"), col("cvec")).as("cvec"))
       cents = materialize(corpus.sparkSession, next)
     }
-    cents.select(col("cent_id"), col("cvec").cast("array<float>").as("cvec"))
+    // nlist driver-side literal rows; the checkpoint blocks behind
+    // `vecs` are reaped by the ContextCleaner once unreferenced
+    materialize(corpus.sparkSession,
+      cents.select(col("cent_id"), col("cvec").cast("array<float>").as("cvec")))
   }
 
   /** Collect a (cent_id, cvec) frame and rebuild it as a literal local

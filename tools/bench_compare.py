@@ -59,6 +59,11 @@ def main():
                          "max/min rep spread for the query is below this "
                          "(a stable measurement); noisier ones report as "
                          "unstable and never fail the check")
+    ap.add_argument("--max-unstable", type=int, default=6,
+                    help="more unstable queries than this in one run "
+                         "means the WHOLE run was contended — exit 2 "
+                         "(re-adjudicate idle) instead of silently "
+                         "passing with the regression gate vacuous")
     args = ap.parse_args()
 
     try:
@@ -86,15 +91,34 @@ def main():
     cur_canary = cur_doc.get("canary_sec")
     base_canary = base_doc.get("canary_sec")
     if cur_canary and base_canary:
-        ratio = max(1.0, min(3.0, cur_canary / base_canary))
-        print(f"canary: baseline {base_canary:.2f}s -> run {cur_canary:.2f}s; "
-              f"epoch ratio {ratio:.2f}x applied to every baseline")
+        cpu_ratio = cur_canary / base_canary
+        print(f"canary: baseline {base_canary:.2f}s -> run {cur_canary:.2f}s "
+              f"(cpu epoch {cpu_ratio:.2f}x)")
     else:
-        ratio = 1.0
+        cpu_ratio = 1.0
         print("canary: absent on "
               + ("both sides" if not cur_canary and not base_canary
                  else "baseline" if not base_canary else "run")
-              + "; comparing raw (epoch ratio 1.00x)")
+              + "; cpu epoch ratio 1.00x")
+    # IO leg: the CPU canary is blind to page-cache/IO contention (a
+    # sick-IO epoch can even read FASTER on cpu — round 13's driver
+    # artifact). The io canary times fixture scans; the effective
+    # epoch ratio is the WORSE of the two shapes, since every measured
+    # query is some mix of both.
+    cur_io = cur_doc.get("io_canary_sec")
+    base_io = base_doc.get("io_canary_sec")
+    if cur_io and base_io:
+        io_ratio = cur_io / base_io
+        print(f"io canary: baseline {base_io:.2f}s -> run {cur_io:.2f}s "
+              f"(io epoch {io_ratio:.2f}x)")
+    else:
+        io_ratio = 1.0
+        print("io canary: absent on "
+              + ("both sides" if not cur_io and not base_io
+                 else "baseline" if not base_io else "run")
+              + "; io epoch ratio 1.00x")
+    ratio = max(1.0, min(3.0, max(cpu_ratio, io_ratio)))
+    print(f"epoch ratio {ratio:.2f}x applied to every baseline")
 
     # Contention self-identification: the artifact carries min AND max
     # per query (queries / queries_max over the run's reps). A would-be
@@ -137,6 +161,35 @@ def main():
     tot_c = sum(cur.values())
     tot_b = sum(base[q] for q in base if q in cur)
     print(f"total over common queries: {tot_b:.1f}s baseline -> {tot_c - sum(cur[q] for q in new):.1f}s current")
+
+    # Whole-run contention self-identification. Two shapes:
+    #  (a) many queries individually unstable (rep spread) — the
+    #      per-query exemption would silently swallow real regressions
+    #      if the WHOLE run is like that, so cap it;
+    #  (b) steady contention: every rep equally slow (stable spreads),
+    #      the suite uniformly inflated while the canaries say the
+    #      epoch is fine — the run contradicts itself (code changes
+    #      don't slow 100+ independent queries uniformly). Median
+    #      inflation over all common queries is the gauge.
+    # Both exit 2 ("contended — re-adjudicate idle"), distinct from
+    # exit 1 ("believable regression").
+    ratios = sorted(cur[q] / (base[q] * ratio)
+                    for q in sorted(set(cur) & set(base))
+                    if base[q] * ratio > 0.05)
+    med_infl = ratios[len(ratios) // 2] if ratios else 1.0
+    print(f"median per-query inflation vs scaled baseline: {med_infl:.2f}x")
+    if len(unstable) > args.max_unstable:
+        print(f"CONTENDED RUN: {len(unstable)} unstable queries (> "
+              f"{args.max_unstable}) — the spread exemption would make the "
+              "regression gate vacuous; re-adjudicate on an idle host",
+              file=sys.stderr)
+        sys.exit(2)
+    if flagged and med_infl >= 1.15 and ratio <= 1.05:
+        print(f"EPOCH-SHAPED INFLATION: median {med_infl:.2f}x across the "
+              f"whole suite while the canaries read {ratio:.2f}x — "
+              "contention the canaries could not see (io/page-cache "
+              "shaped); re-adjudicate on an idle host", file=sys.stderr)
+        sys.exit(2)
     if flagged:
         print(f"{len(flagged)} regression(s) above {args.factor}x — investigate "
               "before trusting the round's bench", file=sys.stderr)
