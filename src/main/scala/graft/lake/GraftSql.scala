@@ -81,6 +81,8 @@ object GraftSql {
     """(?is)^\s*CONVERT\s+TO\s+GRAFT\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val CloneStmt =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_]\w*)\s+SHALLOW\s+CLONE\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val ExportStmt =
+    """(?is)^\s*EXPORT\s+TABLE\s+([A-Za-z_]\w*)\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*$""".r
   private val BeginStmt =
     """(?is)^\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*$""".r
   private val CommitStmt = """(?is)^\s*COMMIT\s*;?\s*$""".r
@@ -555,6 +557,26 @@ object GraftSql {
         require(store.exists(src), s"unknown graft table $src")
         store.cloneTable(src, dst)
         store.read(dst)
+      case ExportStmt(table, dest, verGrp) =>
+        // cross-engine snapshot hand-off (TableStore.exportSnapshot);
+        // a materialized view exports its CONSOLIDATED rows — the
+        // signed partials are an implementation detail no external
+        // reader must ever see
+        require(store.exists(table), s"unknown graft table $table")
+        val ver = Option(verGrp).map(_.toLong)
+        import spark.implicits._
+        if (!table.endsWith("__def") && store.exists(table + "__def")) {
+          require(ver.isEmpty,
+            s"$table is a materialized view — it exports its CURRENT " +
+              "consolidated state (time-travel the SOURCE table instead)")
+          MaterializedView.read(store, table)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dest)
+          Seq((table, store.currentVersion(table).get, dest))
+            .toDF("table_name", "version", "export_path")
+        } else {
+          val v = store.exportSnapshot(table, dest, ver)
+          Seq((table, v, dest)).toDF("table_name", "version", "export_path")
+        }
       case _ => spark.sessionState.sqlParser.parsePlan(sql) match {
         case m: MergeIntoTable => executeMerge(spark, store, m)
         case u: UpdateTable => executeUpdate(spark, store, u)

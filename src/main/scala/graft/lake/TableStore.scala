@@ -1570,6 +1570,29 @@ final class TableStore(private[graft] val spark: SparkSession,
     * its own root (see vacuumRetain), so reaping shared files remains
     * the source's prerogative — drop or vacuum the SOURCE and the
     * clone dangles, the same caveat Delta's shallow clones carry. */
+  /** Consolidated plain-parquet snapshot ANY engine can read — the
+    * cross-engine hand-off the reference's Athena registration exists
+    * for (delta/delta_tables.py:41-72). A store table's raw directory
+    * is NOT externally readable (husk files superseded by later
+    * commits, merge-on-read delete debt, physical column names under
+    * column mapping, multi-era partition layouts); this resolves the
+    * manifest exactly like [[read]] — version pinned, deletes
+    * applied, logical names restored — and writes the result as flat
+    * vanilla parquet to `destDir` (overwrite). Partition columns
+    * export as regular columns, so the files need no hive-dir
+    * convention on the reading side. O(live data at the exported
+    * version) — a copy by design: the export is a decoupled artifact
+    * external engines may outlive vacuum/compaction with. */
+  def exportSnapshot(table: String, destDir: String,
+                     version: Option[Long] = None): Long = {
+    val v = version.getOrElse(currentVersion(table).getOrElse(
+      throw new IllegalStateException(s"table $table does not exist")))
+    require(versions(table).contains(v),
+      s"version $v of $table is not retained")
+    readVersion(table, v).write.mode(SaveMode.Overwrite).parquet(destDir)
+    v
+  }
+
   def cloneTable(src: String, dst: String): Unit = {
     val cur = currentVersion(src).getOrElse(
       throw new IllegalStateException(s"table $src does not exist"))

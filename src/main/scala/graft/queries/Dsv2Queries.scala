@@ -212,6 +212,48 @@ object Dsv2Queries {
         |  round(sum(bonus), 2) AS sum_bonus, count(bonus) AS n_bonus
         |FROM upd GROUP BY st ORDER BY st""".stripMargin))
 
+  /** Fixed export target: NOT a scratch dir — the DuckDB oracle reads
+    * it AFTER the Verify JVM (and its shutdown reaper) has exited.
+    * One deterministic path, overwritten per run, so repeated
+    * bench/verify runs never accumulate exports. */
+  private val exportDir = new java.io.File(
+    System.getProperty("java.io.tmpdir"), "graft-export-parity").toString
+
+  /** `EXPORT TABLE ... TO '<dir>'`: the cross-engine hand-off. The
+    * store table is deliberately NOT externally readable — husk files
+    * superseded by an append, merge-on-read delete debt, and a column
+    * rename under column mapping (physical names diverge from
+    * logical) — and the oracle is DuckDB itself reading the exported
+    * plain parquet: the check passing IS the cross-engine test
+    * (the reference registers its output for Athena for exactly this,
+    * delta/delta_tables.py:41-72). */
+  val exportParity: Entry = Entry(
+    "export_snapshot_parity",
+    (s, dir) => {
+      val root = tmpDir("graft-exp")
+      val store = new TableStore(s, root)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("price"))
+      store.create("e_t", ord.where(col("k") % 3 =!= 0))
+      store.append("e_t", ord.where(col("k") % 3 === 0))
+      // MoR delete debt: external readers of the RAW dir would see
+      // the deleted keys; the export must not
+      store.appendWithDeletes("e_t", ord.limit(0),
+        deleteKeys = ord.select("k").where(col("k") % 7 === 0))
+      // column mapping: physical file columns still say "st"
+      graft.lake.GraftSql.execute(s, store,
+        "ALTER TABLE e_t RENAME COLUMN st TO status")
+      graft.lake.GraftSql.execute(s, store,
+        s"EXPORT TABLE e_t TO '$exportDir'")
+      store.read("e_t").groupBy("status")
+        .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("sum_price"))
+        .orderBy("status")
+    },
+    Some(s"""SELECT status, count(*) AS n, round(sum(price), 2) AS sum_price
+        |FROM read_parquet('$exportDir/*.parquet')
+        |GROUP BY status ORDER BY status""".stripMargin))
+
   val entries: Seq[Entry] =
-    Seq(dsv2ReadPath, dsv2CatalogSql, dsv2MergeSql, dsv2AlterDml)
+    Seq(dsv2ReadPath, dsv2CatalogSql, dsv2MergeSql, dsv2AlterDml, exportParity)
 }
