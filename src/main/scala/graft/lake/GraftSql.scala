@@ -267,24 +267,31 @@ object GraftSql {
     * maintained); anything else is rejected loudly. */
   private def parseMvMeasures(selectList: String, groupCols: Seq[String])
       : (Seq[String], Seq[String], Seq[String], Seq[String],
-         Map[String, String]) = {
+         Map[String, String], Seq[String]) = {
     val SumItem = """(?i)sum\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val MinItem = """(?i)min\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val MaxItem = """(?i)max\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val AvgItem = """(?i)avg\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val CntItem = """(?i)count\s*\(\s*\*\s*\)""".r
+    // LOUD approximate contract: the view maintains a deterministic
+    // KMV sketch and reads expose `approx_distinct_<c>` — an estimate
+    // past k distinct values, exact below
+    val ApproxItem =
+      """(?i)approx_count_distinct\s*\(\s*([A-Za-z_]\w*)\s*\)""".r
     val Ident = """([A-Za-z_]\w*)""".r
     val ExprAs = """(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)$""".r
     val sumCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val minCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val maxCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val avgCols = scala.collection.mutable.ArrayBuffer.empty[String]
+    val distinctCols = scala.collection.mutable.ArrayBuffer.empty[String]
     val groupExprs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     splitTopLevel(selectList).foreach {
       case SumItem(c) => sumCols += c
       case MinItem(c) => minCols += c
       case MaxItem(c) => maxCols += c
       case AvgItem(c) => avgCols += c
+      case ApproxItem(c) => distinctCols += c
       case CntItem() => () // cnt is always maintained
       case Ident(c) if groupCols.exists(_.equalsIgnoreCase(c)) => ()
       case ExprAs(e, alias)
@@ -293,11 +300,12 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"materialized views maintain only group columns (optionally " +
           s"derived: <expr> AS <group alias>), count(*), sum(col), " +
-          s"avg(col), min(col) and max(col) incrementally; '$other' is " +
+          s"avg(col), min(col), max(col) and " +
+          s"approx_count_distinct(col) incrementally; '$other' is " +
           "not one of those — use a plain query (or CTAS) for it")
     }
     (sumCols.toSeq, minCols.toSeq, maxCols.toSeq, avgCols.toSeq,
-      groupExprs.toMap)
+      groupExprs.toMap, distinctCols.toSeq)
   }
 
   /** A CREATE MATERIALIZED VIEW group item: a plain column name or
@@ -408,8 +416,12 @@ object GraftSql {
           m.group(1) -> m.group(2).split(",").map(_.trim).toSeq
         }.toSeq
         val groupCols = splitTopLevel(groupList).map(groupAlias)
-        val (sumCols, minCols, maxCols, avgCols, exprMap) =
+        val (sumCols, minCols, maxCols, avgCols, exprMap, distinctCols) =
           parseMvMeasures(selectList, groupCols)
+        require(distinctCols.isEmpty,
+          "approx_count_distinct measures are supported on single-table " +
+            "materialized views only (a join view's rows carry join " +
+            "multiplicity the sketch repair cannot scope)")
         val bound = MaterializedView.createStar(store, mv, factT, dims,
           groupCols, sumCols, Option(filterSql).map(_.trim), avgCols,
           groupExprsFor(groupCols, exprMap), minCols, maxCols)
@@ -421,11 +433,12 @@ object GraftSql {
         // The items are single identifiers or 1-arg calls, so a comma
         // split is unambiguous.
         val groupCols = splitTopLevel(groupList).map(groupAlias)
-        val (sumCols, minCols, maxCols, avgCols, exprMap) =
+        val (sumCols, minCols, maxCols, avgCols, exprMap, distinctCols) =
           parseMvMeasures(selectList, groupCols)
         val bound = MaterializedView.create(store, mv, src,
           groupCols, sumCols, Option(filterSql).map(_.trim),
-          minCols, maxCols, avgCols, groupExprsFor(groupCols, exprMap))
+          minCols, maxCols, avgCols, groupExprsFor(groupCols, exprMap),
+          distinctCols = distinctCols)
         import spark.implicits._
         Seq((mv, src, bound)).toDF("view_name", "source", "bound_version")
       case RefreshMvStmt(mv) =>

@@ -60,6 +60,13 @@ object MaterializedView {
   private[lake] def maxCol(c: String): String = "max_" + c
   private def avgCol(c: String): String = "avg_" + c
   private[lake] def cntCol(c: String): String = "cnt_" + c
+  /** Per-group KMV sketch column: the k smallest distinct 48-bit
+    * hashes of the measure's INSERTED values, as a sorted
+    * array<long>. LOUD approximate contract: reads expose it as
+    * `approx_distinct_<c>` — deterministic (md5-derived, engine-
+    * replayable) but an ESTIMATE once a group's distinct count
+    * passes k. */
+  private[lake] def kmvCol(c: String): String = "kmv_" + c
   // group EXPRESSIONS may contain commas, so the def row joins them on
   // a non-printing separator no SQL expression contains
   private val GroupExprSep = "\u0001"
@@ -79,7 +86,9 @@ object MaterializedView {
                                avgCols: Seq[String] = Nil,
                                dims: Seq[String] = Nil,
                                dimJoinCols: Seq[Seq[String]] = Nil,
-                               groupExprs: Seq[String] = Nil) {
+                               groupExprs: Seq[String] = Nil,
+                               distinctCols: Seq[String] = Nil,
+                               kmvK: Int = 64) {
     def joined: Boolean = dims.nonEmpty
     /** Fold a fact-shaped frame through every dim join in declaration
       * order — the ONE place the star's join shape is spelled, so the
@@ -107,6 +116,10 @@ object MaterializedView {
     def admitted(rows: DataFrame): DataFrame =
       filterSql.fold(rows)(f => rows.where(expr(f)))
     def hasMm: Boolean = minCols.nonEmpty || maxCols.nonEmpty
+    /** The epoch/reset fence rides the partial rows whenever a
+      * measure is NOT delete-subtractable: extrema AND KMV sketches
+      * both repair delete-touched groups by recompute + fence. */
+    def hasFence: Boolean = hasMm || distinctCols.nonEmpty
     /** Columns whose signed SUM the view stores: declared sums plus
       * the numerators of declared averages. */
     def storedSumCols: Seq[String] = (sumCols ++ avgCols).distinct
@@ -172,7 +185,11 @@ object MaterializedView {
       dims, dimJoin,
       // expressions may contain commas — they join on the
     // non-printing GroupExprSep
-      opt("group_exprs").split(GroupExprSep).toSeq.filter(_.nonEmpty))
+      opt("group_exprs").split(GroupExprSep).toSeq.filter(_.nonEmpty),
+      // approx-distinct measures arrived after the formats above —
+      // tolerate their absence (pre-existing views have none)
+      split(opt("distinct_cols")),
+      opt("kmv_k") match { case "" => 64; case s => s.toInt })
   }
 
   private def writeDef(store: TableStore, mv: String, d: Def): Unit = {
@@ -191,10 +208,11 @@ object MaterializedView {
         d.maxCols.mkString(","), d.avgCols.mkString(","),
         d.dims.mkString(","),
         d.dimJoinCols.map(_.mkString(",")).mkString("|"),
-        d.groupExprs.mkString(GroupExprSep)))
+        d.groupExprs.mkString(GroupExprSep),
+        d.distinctCols.mkString(","), d.kmvK.toString))
         .toDF("src", "group_cols", "sum_cols", "filter_sql",
           "min_cols", "max_cols", "avg_cols", "dim", "join_cols",
-          "group_exprs"))
+          "group_exprs", "distinct_cols", "kmv_k"))
   }
 
   /** Signed partial rows for one batch: per group, `__cnt` = Σ sign
@@ -219,10 +237,58 @@ object MaterializedView {
         .otherwise(lit(0L))).as(cntCol(c))) ++
       d.minCols.map(c => min(when(sign > 0, col(c))).as(minCol(c))) ++
       d.maxCols.map(c => max(when(sign > 0, col(c))).as(maxCol(c))) ++
-      (if (d.hasMm) Seq(first(lit(epoch)).as(EpochCol),
+      (if (d.hasFence) Seq(first(lit(epoch)).as(EpochCol),
         first(lit(reset)).as(ResetCol)) else Nil)
-    rows.groupBy(d.groupCols.map(col): _*)
+    val base = rows.groupBy(d.groupCols.map(col): _*)
       .agg(sum(sign).as(CntCol), aggs: _*)
+    // KMV sketches fold only INSERT images (a deleted value cannot be
+    // un-hashed from a sketch; the repair path recomputes affected
+    // groups). Computed per measure with the two-stage rank — never
+    // one whole group on one reducer — then joined onto the additive
+    // partials; a group whose batch slice had only deletes carries a
+    // NULL sketch (merge skips it).
+    d.distinctCols.foldLeft(base)((acc, c) =>
+      acc.join(kmvSketchOf(rows.where(sign > 0), d, c),
+        d.groupCols, "left_outer"))
+  }
+
+  /** Per-group KMV sketch of one batch: the k smallest distinct
+    * 48-bit hashes of `c`'s non-NULL values, as a sorted array<long>
+    * named `kmv_<c>`. Same two-stage rank as
+    * [[graft.ops.Sketches.kmvDistinct]] — the first window buckets by
+    * hash mod 32 so no group lands whole on one reducer; the global
+    * k smallest are contained in the union of per-bucket k smallest,
+    * so the pruning is exact. Groups with no surviving value emit no
+    * row. */
+  private def kmvSketchOf(rows: DataFrame, d: Def, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = rows
+      .select(d.groupCols.map(col) :+
+        graft.ops.Sketches.hash48(col(c)).as("__h"): _*)
+      .where(col("__h").isNotNull).distinct()
+    val local = Window
+      .partitionBy(d.groupCols.map(col) :+ pmod(col("__h"), lit(32)): _*)
+      .orderBy("__h")
+    val global = Window.partitionBy(d.groupCols.map(col): _*).orderBy("__h")
+    hashed
+      .withColumn("__lr", row_number().over(local))
+      .where(col("__lr") <= d.kmvK)
+      .withColumn("__r", row_number().over(global))
+      .where(col("__r") <= d.kmvK)
+      .groupBy(d.groupCols.map(col): _*)
+      .agg(sort_array(collect_list("__h")).as(kmvCol(c)))
+  }
+
+  /** Merge stored sketch arrays: the k smallest of the union —
+    * lossless w.r.t. the sketch of the concatenated inputs
+    * (the classic mergeable-summary property). Pure built-ins, stays
+    * in codegen. */
+  private def kmvMergeAgg(d: Def, c: Column): Column = {
+    val merged = slice(array_sort(array_distinct(
+      flatten(collect_list(c)))), 1, d.kmvK)
+    // a group with sketch-bearing rows but zero surviving hashes
+    // (all-NULL measure) merges to an empty array, not NULL
+    merged
   }
 
   /** Create `mv` = SELECT groupCols, count(*), sum/min/max(cols...)
@@ -246,10 +312,13 @@ object MaterializedView {
              filter: Option[String] = None,
              minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
              avgCols: Seq[String] = Nil,
-             groupExprs: Seq[String] = Nil): Long = {
+             groupExprs: Seq[String] = Nil,
+             distinctCols: Seq[String] = Nil, kmvK: Int = 64): Long = {
     require(groupCols.nonEmpty, "at least one group column")
     require(groupExprs.isEmpty || groupExprs.length == groupCols.length,
       "groupExprs must be empty or parallel to groupCols")
+    require(distinctCols.isEmpty || kmvK >= 2,
+      "approx-distinct measures need kmvK >= 2")
     // checked BEFORE the def lands: failing on the create below would
     // leave a valid __def next to the existing plain table,
     // reclassifying the user's data as a materialized view (DROP
@@ -261,7 +330,7 @@ object MaterializedView {
     val v = store.currentVersion(src).getOrElse(
       throw new IllegalStateException(s"table $src does not exist"))
     val d = Def(src, groupCols, sumCols, filter, minCols, maxCols, avgCols,
-      groupExprs = groupExprs)
+      groupExprs = groupExprs, distinctCols = distinctCols, kmvK = kmvK)
     writeDef(store, mv, d)
     val base = partials(
       d.projectGroups(d.admitted(store.readVersion(src, v))), d, lit(1L),
@@ -475,7 +544,7 @@ object MaterializedView {
         .drop("_commit_version")))
       val folded = partials(feed, d, sign, epoch = cur, reset = false)
       val delta =
-        if (!d.hasMm) folded
+        if (!d.hasFence) folded
         else mmRepairDelta(d, folded, feed,
           !feed.where(col("_change_type") === "delete").isEmpty,
           d.projectGroups(d.admitted(store.readVersion(d.src, cur))))
@@ -515,17 +584,28 @@ object MaterializedView {
     else {
       val affected = feedRows.where(col("_change_type") === "delete")
         .select(d.groupCols.map(col): _*).distinct()
+      val slice = currentState.join(affected, d.groupCols, "left_semi")
       val reAggs = d.minCols.map(c => min(col(c)).as("__re_min_" + c)) ++
         d.maxCols.map(c => max(col(c)).as("__re_max_" + c))
-      val re = currentState
-        .join(affected, d.groupCols, "left_semi")
-        .groupBy(d.groupCols.map(col): _*)
-        .agg(reAggs.head, reAggs.tail: _*)
+      val reExtrema =
+        if (reAggs.isEmpty) None
+        else Some(slice.groupBy(d.groupCols.map(col): _*)
+          .agg(reAggs.head, reAggs.tail: _*))
+      // KMV repair mirrors the extremum rule: a deleted value cannot
+      // be un-hashed, so delete-touched groups recompute their sketch
+      // from the CURRENT slice (O(those groups' rows)) and the fence
+      // retires older sketch evidence
+      val reKmv = d.distinctCols.map(c =>
+        kmvSketchOf(slice, d, c)
+          .withColumnRenamed(kmvCol(c), "__re_kmv_" + c))
       // groups the deletes EMPTIED have no source rows left: keep
       // them via the affected side so their fence still lands
-      // (extrema NULL; the group nets to cnt 0 and drops at read)
-      val reAll = affected.withColumn("__is_aff", lit(true))
-        .join(re, d.groupCols, "left_outer")
+      // (extrema/sketch NULL; the group nets to cnt 0 and drops at
+      // read)
+      val reAll = reKmv.foldLeft(
+        reExtrema.foldLeft(affected.withColumn("__is_aff", lit(true)))(
+          (acc, re) => acc.join(re, d.groupCols, "left_outer")))(
+        (acc, re) => acc.join(re, d.groupCols, "left_outer"))
       // project back to the EXACT partial-row schema: every
       // additive column (stored sums AND avg non-null counts)
       // must survive, or the dropped column null-fills on the
@@ -540,6 +620,9 @@ object MaterializedView {
           d.maxCols.map(c => when(col("__is_aff").isNotNull,
             col("__re_max_" + c)).otherwise(col(maxCol(c)))
             .as(maxCol(c))) ++
+          d.distinctCols.map(c => when(col("__is_aff").isNotNull,
+            col("__re_kmv_" + c)).otherwise(col(kmvCol(c)))
+            .as(kmvCol(c))) ++
           Seq(col(EpochCol),
             col("__is_aff").isNotNull.as(ResetCol)): _*)
     }
@@ -555,7 +638,7 @@ object MaterializedView {
     val additive =
       d.storedSumCols.map(c => sum(sumCol(c)).as(sumCol(c))) ++
       d.storedSumCols.map(c => sum(cntCol(c)).as(cntCol(c)))
-    if (!d.hasMm)
+    if (!d.hasFence)
       rows.groupBy(d.groupCols.map(col): _*)
         .agg(sum(CntCol).as(CntCol), additive: _*)
     else {
@@ -569,7 +652,10 @@ object MaterializedView {
             d.minCols.map(c => min(when(admit, col(minCol(c))))
               .as(minCol(c))) ++
             d.maxCols.map(c => max(when(admit, col(maxCol(c))))
-              .as(maxCol(c)))): _*)
+              .as(maxCol(c))) ++
+            d.distinctCols.map(c =>
+              kmvMergeAgg(d, when(admit, col(kmvCol(c))))
+                .as(kmvCol(c)))): _*)
     }
   }
 
@@ -600,7 +686,19 @@ object MaterializedView {
       d.avgCols.map(c => when(col(cntCol(c)) > 0,
         col(sumCol(c)).cast("double") / col(cntCol(c))).as(avgCol(c))) ++
       d.minCols.map(c => col(minCol(c))) ++
-      d.maxCols.map(c => col(maxCol(c)))
+      d.maxCols.map(c => col(maxCol(c))) ++
+      // LOUD approximate contract: the KMV estimate (Bar-Yossef) from
+      // the merged sketch — EXACT while a group's distinct count stays
+      // below k (the sketch then holds every hash), an estimate past
+      // it. Deterministic either way (md5-derived hashes, no RNG), so
+      // it is engine-replayable — unlike HLL registers.
+      d.distinctCols.map { c =>
+        val arr = col(kmvCol(c))
+        when(size(arr) < d.kmvK, size(arr).cast("double"))
+          .otherwise(round(lit((d.kmvK - 1).toDouble) *
+            graft.ops.Sketches.Space / element_at(arr, d.kmvK), 4))
+          .as("approx_distinct_" + c)
+      }
     cons.select(out: _*).where(col("cnt") > 0)
   }
 
@@ -655,7 +753,8 @@ object MaterializedView {
       minCols: Seq[String], maxCols: Seq[String],
       filterSql: Option[String], fresh: Boolean,
       dims: Seq[String] = Nil, dimJoinCols: Seq[Seq[String]] = Nil,
-      groupExprs: Seq[String] = Nil) {
+      groupExprs: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil, kmvK: Int = 64) {
     def joined: Boolean = dims.nonEmpty
     /** IDENTITY group columns — source columns the view carries
       * verbatim (not derived expressions); the only keys a
@@ -678,7 +777,8 @@ object MaterializedView {
     // queries over the SAME join, never a single-table aggregate
     Surface(mv, d.src, d.groupCols, d.storedSumCols, d.minCols, d.maxCols,
       d.filterSql, fresh, dims = d.dims, dimJoinCols = d.dimJoinCols,
-      groupExprs = d.groupExprs)
+      groupExprs = d.groupExprs, distinctCols = d.distinctCols,
+      kmvK = d.kmvK)
   }
 
   /** One consolidated row per SURVIVING group with the INTERNAL
@@ -730,7 +830,7 @@ object MaterializedView {
     // source cursor, join views the cursor-vector sum
     val foldEpoch = bound + dimBounds.map(_._2).sum
     val folded =
-      if (!d.hasMm) folded0
+      if (!d.hasFence) folded0
       else folded0.withColumn(EpochCol, lit(foldEpoch))
         .withColumn(ResetCol, lit(true))
     store.overwriteReassertTxns(mv, folded.coalesce(4), txns,

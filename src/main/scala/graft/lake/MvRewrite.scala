@@ -170,6 +170,11 @@ object MvRewrite {
           case ("count" | "sum" | "avg" | "min" | "max",
                 Seq(UnresolvedAttribute(Seq(n)))) =>
             Some((fn, Some(n.toLowerCase)))
+          // servable from a KMV-sketch measure — OPT-IN only (the
+          // view's deterministic KMV estimate replaces Spark's HLL
+          // estimate; both are approximate, but the numbers differ)
+          case ("approx_count_distinct", Seq(UnresolvedAttribute(Seq(n)))) =>
+            Some(("approx_distinct", Some(n.toLowerCase)))
           case _ => None
         }
       // count(DISTINCT k): servable EXACTLY when k is an identity
@@ -424,6 +429,12 @@ object MvRewrite {
       // unrelated source column — identity only)
       case Meas("count_distinct", Some(c), _) =>
         in(s.identityGroupCols, c)
+      // approx_count_distinct(c) from the view's KMV sketch — the
+      // caller additionally gates this on the session opt-in
+      // (spark.graft.mv.rewrite.approxDistinct), because the served
+      // estimate is KMV, not Spark's HLL
+      case Meas("approx_distinct", Some(c), _) =>
+        in(s.distinctCols, c)
       case _ => false
     }
   }
@@ -545,6 +556,21 @@ object MvRewrite {
       // and countDistinct ignores NULL keys, same as SQL
       case Meas("count_distinct", Some(c), out) =>
         countDistinct(col(actual(s.groupCols, c))).as(out)
+      // the stored KMV sketches merge losslessly (k smallest of the
+      // union), so a coarser grouping re-estimates exactly as a
+      // per-query sketch would; cast long to match Spark's
+      // approx_count_distinct schema. Opt-in only — the estimate is
+      // KMV, deterministic, not Spark's HLL value.
+      case Meas("approx_distinct", Some(c), out) =>
+        val k = s.kmvK
+        val merged = slice(array_sort(array_distinct(flatten(
+          collect_list(col(MaterializedView.kmvCol(
+            actual(s.distinctCols, c))))))), 1, k)
+        when(size(merged) < k, size(merged).cast("long"))
+          .otherwise(round(lit((k - 1).toDouble) *
+            graft.ops.Sketches.Space / element_at(merged, k))
+            .cast("long"))
+          .as(out)
       case m => sys.error(s"untranslatable measure $m") // guarded earlier
     }
     val allMeasures = measures ++ shape.hidden
@@ -640,9 +666,12 @@ object MvRewrite {
                   qMap.get(s.src.toLowerCase) ==
                     vMap.get(s.dims.head.toLowerCase)
             }
+          val approxOk = spark.conf
+            .get("spark.graft.mv.rewrite.approxDistinct", "false").toBoolean
           sourceOk && s.fresh &&
             (shape.outs.collect { case m: Meas => m } ++ shape.hidden)
-              .forall(satisfies(s, _))
+              .forall(m => satisfies(s, m) &&
+                (m.fn != "approx_distinct" || approxOk))
         }
         .sortBy(_.groupCols.length) // cheapest first: fewest view groups
       // the schema-equality guard's DIRECT analysis happens at most

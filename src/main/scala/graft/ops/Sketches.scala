@@ -24,7 +24,7 @@ object Sketches {
   def hash48(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
 
-  private[ops] val Space = math.pow(2, 48)
+  private[graft] val Space = math.pow(2, 48)
 
   /** Per-group KMV distinct-count estimate as (groupCols..., est_distinct).
     * Two-stage rank so no group ever lands on one reducer whole: the

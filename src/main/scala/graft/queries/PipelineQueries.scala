@@ -1245,6 +1245,57 @@ object PipelineQueries {
         |FROM lineitem WHERE l_orderkey % 11 <> 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** TRUE distinct measures in a materialized view — `approx_count_
+    * distinct(c)` where c is NOT a view key — as deterministic KMV
+    * sketch partials: inserts merge (k smallest of the union),
+    * deletes repair the touched groups behind the epoch fence, and
+    * the maintained sketch is BIT-IDENTICAL to a rebuild (the loud
+    * `approx_` contract: an estimate past k, exact below, never
+    * engine-dependent like HLL registers). The lifecycle here folds
+    * an append AND a delete through two refreshes; the oracle replays
+    * the md5-derived KMV estimate over the surviving rows from
+    * scratch — estimate-exact, not just rows-checked. */
+  val mvApproxDistinct: Entry = Entry(
+    "mv_approx_distinct",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvad"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_custkey").as("cust"))
+      store.create("s_ad", ord.where(col("k") % 2 === 0))
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW mad_mv AS
+          |SELECT st, count(*), approx_count_distinct(cust)
+          |FROM s_ad GROUP BY st""".stripMargin)
+      store.append("s_ad", ord.where(col("k") % 2 === 1))
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW mad_mv")
+      store.appendWithDeletes("s_ad", ord.limit(0),
+        deleteKeys = ord.select("k").where(col("k") % 11 === 0))
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW mad_mv")
+      graft.lake.MaterializedView.read(store, "mad_mv")
+        .select("st", "cnt", "approx_distinct_cust")
+        .orderBy("st")
+    },
+    Some(s"""WITH cur AS (
+        |  SELECT o_orderstatus AS st, o_custkey AS cust
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |cnts AS (SELECT st, count(*) AS cnt FROM cur GROUP BY st),
+        |h AS (
+        |  SELECT DISTINCT st, ${OracleSql.hex12ToBigint("hx")} AS h
+        |  FROM (SELECT st, md5(CAST(cust AS VARCHAR)) AS hx FROM cur)),
+        |r AS (
+        |  SELECT st, h, row_number() OVER (
+        |    PARTITION BY st ORDER BY h) AS rn
+        |  FROM h),
+        |est AS (
+        |  SELECT st,
+        |    CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |         ELSE round(63.0 * 281474976710656 / max(h), 4) END
+        |      AS approx_distinct_cust
+        |  FROM r WHERE rn <= 64 GROUP BY st)
+        |SELECT st, cnt, approx_distinct_cust
+        |FROM cnts JOIN est USING (st) ORDER BY st""".stripMargin))
+
   /** min/max on a JOIN view across a fact MoR delete: the deleted
     * extrema are unrecoverable from any delta, so the refresh must
     * run the join-side repair — recompute exactly the affected
@@ -2218,6 +2269,7 @@ object PipelineQueries {
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
     mvRewriteServed, mvJoinIncremental, mvJoinRewrite, mvExprGroupRollup,
     mvJoinOnRewrite, mvStar3Rewrite, mvCountDistinctRewrite, mvJoinMinMax,
+    mvApproxDistinct,
     partitionDisjointWriters,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,
