@@ -753,13 +753,40 @@ object GraftSql {
   /** Non-CHECK constraint forms (PRIMARY KEY / FOREIGN KEY / UNIQUE)
     * would need global state a file store can't validate batch-locally
     * — rejected loudly on graft tables, delegated otherwise. */
+  /** `ALTER TABLE t ADD CONSTRAINT name PRIMARY KEY (cols) [RELY]` /
+    * `UNIQUE (cols)` / `FOREIGN KEY (cols) REFERENCES r (cols)` —
+    * informational RELY constraints ([[TableStore.setKeyConstraint]]/
+    * [[TableStore.addForeignKey]]): validated ONCE at declaration,
+    * trusted thereafter, and consumed by the MV rewrite's star-view
+    * subsumption (a key-preserving dim join may be dropped from a
+    * query the view still serves). */
   private def executeAddConstraint(spark: SparkSession, store: TableStore,
                                    a: AddConstraint, sqlText: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{ForeignKeyConstraint, PrimaryKeyConstraint, UniqueConstraint}
     val target = alterTarget(a.table).getOrElse(return spark.sql(sqlText))
     if (!store.exists(target)) return spark.sql(sqlText)
-    throw new IllegalArgumentException(
-      s"graft tables support only CHECK constraints, got " +
-        a.tableConstraint.getClass.getSimpleName)
+    def named(user: String, fallback: String): String =
+      Option(user).filter(_.nonEmpty).getOrElse(fallback)
+    a.tableConstraint match {
+      case pk: PrimaryKeyConstraint =>
+        store.setKeyConstraint(target,
+          named(pk.userProvidedName, s"${target}_pk"),
+          pk.columns, unique = false)
+      case uq: UniqueConstraint =>
+        store.setKeyConstraint(target,
+          named(uq.userProvidedName,
+            s"${target}_uq_${uq.columns.mkString("_")}"),
+          uq.columns, unique = true)
+      case fk: ForeignKeyConstraint =>
+        store.addForeignKey(target,
+          named(fk.userProvidedName,
+            s"${target}_fk_${fk.childColumns.mkString("_")}"),
+          fk.childColumns, fk.parentTableId.last, fk.parentColumns)
+      case other => throw new IllegalArgumentException(
+        s"graft tables support CHECK, PRIMARY KEY, UNIQUE and FOREIGN " +
+          s"KEY constraints, got ${other.getClass.getSimpleName}")
+    }
+    store.read(target)
   }
 
   /** `ALTER TABLE t DROP CONSTRAINT [IF EXISTS] name`. */
@@ -767,11 +794,14 @@ object GraftSql {
                                     d: DropConstraint, sqlText: String): DataFrame = {
     val target = alterTarget(d.table).getOrElse(return spark.sql(sqlText))
     if (!store.exists(target)) return spark.sql(sqlText)
-    val present = store.constraints(target).contains(d.name)
-    require(present || d.ifExists,
+    val check = store.constraints(target).contains(d.name)
+    val rely = store.relyConstraintNames(target).contains(d.name)
+    require(check || rely || d.ifExists,
       s"no constraint ${d.name} on $target " +
-        s"(have ${store.constraints(target).keys.mkString(", ")})")
-    if (present) store.dropConstraint(target, d.name)
+        s"(have ${(store.constraints(target).keys ++
+          store.relyConstraintNames(target)).mkString(", ")})")
+    if (check) store.dropConstraint(target, d.name)
+    if (rely) store.dropRelyConstraint(target, d.name)
     store.read(target)
   }
 

@@ -413,6 +413,25 @@ object MvRewrite {
 
   // ---- candidate matching ------------------------------------------------
 
+  /** A dim join the query omits is droppable iff RELY constraints
+    * prove it key-preserving for the fact: a PRIMARY KEY / UNIQUE on
+    * exactly the dim's join columns (the join cannot duplicate fact
+    * rows) AND a declared FOREIGN KEY from the fact over those
+    * columns (non-NULL children by graft's FK declaration contract —
+    * the inner join cannot drop fact rows). Metadata-file reads only,
+    * no jobs — same probe-cost discipline as the def cache. */
+  private def keyPreserving(store: TableStore, fact: String, dim: String,
+                            joinColsLc: Set[String]): Boolean =
+    try {
+      store.uniqueKeys(dim)
+        .exists(_.map(_.toLowerCase).toSet == joinColsLc) &&
+      store.foreignKeys(fact).exists { case (_, cols, ref, refCols) =>
+        ref.equalsIgnoreCase(dim) &&
+          cols.map(_.toLowerCase).toSet == joinColsLc &&
+          refCols.map(_.toLowerCase).toSet == joinColsLc
+      }
+    } catch { case NonFatal(_) => false }
+
   private def satisfies(s: MaterializedView.Surface, m: Meas): Boolean = {
     def in(cols: Seq[String], c: String) =
       cols.exists(_.equalsIgnoreCase(c))
@@ -641,31 +660,48 @@ object MvRewrite {
           // joins commute) and the join-column sets equal as a
           // multiset (join multiplicity makes any other pairing
           // wrong). USING and ON spellings land here identically.
-          val sourceOk =
-            if (shape.joins.isEmpty) !s.joined &&
+          val sourceOk = {
+            // each dim is bound by ITS OWN column set — the pairing
+            // must match per table, never as two independently
+            // sorted multisets (dims sharing column names could
+            // otherwise swap bindings and serve a different join's
+            // multiplicity). Same fact: every QUERY join must match
+            // the view's binding for that dim; view dims the query
+            // does NOT join are tolerated iff provably
+            // KEY-PRESERVING from RELY constraints (classic
+            // Goldstein–Larson view subsumption): a PK/UNIQUE on the
+            // dim's join columns means the join cannot duplicate
+            // fact rows, and a declared FK from the fact (non-NULL
+            // child columns by graft's FK contract) means the inner
+            // join cannot drop them — so ignoring the dim's columns
+            // re-aggregates to the query's exact answer. Ambiguity
+            // is structurally impossible: a column name shared
+            // between the fact and a dim would have failed the
+            // view's own creation fold, and a query naming a
+            // missing-dim-only column fails the direct-analysis
+            // schema guard. Different fact: only the symmetric
+            // 2-table case commutes trivially (one USING set binds
+            // both sides), so only that swap is accepted.
+            val qMap = shape.joins
+              .map { case (t, cs) => t -> cs }.toMap
+            val vMap = s.dims.map(_.toLowerCase)
+              .zip(s.dimJoinCols.map(_.map(_.toLowerCase).toSet)).toMap
+            val sameFact = s.src.equalsIgnoreCase(shape.src)
+            if (shape.joins.isEmpty && !s.joined)
               s.src.equalsIgnoreCase(shape.src)
-            else s.joined && {
-              // each dim is bound by ITS OWN column set — the pairing
-              // must match per table, never as two independently
-              // sorted multisets (dims sharing column names could
-              // otherwise swap bindings and serve a different join's
-              // multiplicity). Same fact: dim→cols maps must be
-              // equal. Different fact: only the symmetric 2-table
-              // case commutes trivially (one USING set binds both
-              // sides), so only that swap is accepted.
-              val qMap = shape.joins
-                .map { case (t, cs) => t -> cs }.toMap
-              val vMap = s.dims.map(_.toLowerCase)
-                .zip(s.dimJoinCols.map(_.map(_.toLowerCase).toSet)).toMap
-              val sameFact = s.src.equalsIgnoreCase(shape.src)
-              if (sameFact)
-                shape.joins.size == s.dims.size && qMap == vMap
-              else
-                shape.joins.size == 1 && s.dims.size == 1 &&
-                  shape.src == s.dims.head.toLowerCase &&
-                  qMap.get(s.src.toLowerCase) ==
-                    vMap.get(s.dims.head.toLowerCase)
+            else if (sameFact && s.joined) {
+              val vOrig = s.dims.map(d => d.toLowerCase -> d).toMap
+              qMap.forall { case (t, cs) => vMap.get(t).contains(cs) } &&
+                (vMap.keySet -- qMap.keySet).forall(dim =>
+                  keyPreserving(store, s.src, vOrig(dim), vMap(dim)))
             }
+            else if (s.joined)
+              shape.joins.size == 1 && s.dims.size == 1 &&
+                shape.src == s.dims.head.toLowerCase &&
+                qMap.get(s.src.toLowerCase) ==
+                  vMap.get(s.dims.head.toLowerCase)
+            else false
+          }
           val approxOk = spark.conf
             .get("spark.graft.mv.rewrite.approxDistinct", "false").toBoolean
           sourceOk && s.fresh &&

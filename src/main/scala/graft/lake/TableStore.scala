@@ -2742,6 +2742,112 @@ final class TableStore(private[graft] val spark: SparkSession,
   private def constraintsPath(table: String): Path =
     new Path(tablePath(table), "_CONSTRAINTS")
 
+  /** Informational RELY constraints (Databricks RELY / Snowflake
+    * NOVALIDATE lineage): a declared PRIMARY KEY / UNIQUE / FOREIGN
+    * KEY is VALIDATED ONCE at declaration — one bounded job — and
+    * trusted thereafter, never re-enforced per commit (enforcing
+    * uniqueness on append would be an O(table) shuffle per batch, a
+    * price no lakehouse pays). Consumers: [[MvRewrite]]'s star-view
+    * subsumption uses them to prove a dim join key-preserving — a
+    * PK/UNIQUE on the dim's join columns means the join cannot
+    * duplicate fact rows, and a FOREIGN KEY from the fact (whose
+    * declaration additionally asserts the child columns are
+    * NON-NULL) means the inner join cannot drop them — so a query
+    * over a SUBSET of a star view's tables still serves from the
+    * view. Storage: one `kind\tname\tcols[\tref\trefcols]` line per
+    * constraint in `_RELY`. */
+  def setKeyConstraint(table: String, name: String, cols: Seq[String],
+                       unique: Boolean = false): Unit = {
+    require(cols.nonEmpty, "key constraint needs columns")
+    requireRelyNameFree(table, name)
+    // declare-time validation (the once-only job): the key columns
+    // are non-NULL and jointly unique in the CURRENT state
+    val df = read(table)
+    val nulls = df.where(cols.map(c => col(c).isNull).reduce(_ || _)).count()
+    require(nulls == 0,
+      s"${if (unique) "UNIQUE" else "PRIMARY KEY"} $name rejected: " +
+        s"$nulls row(s) of $table hold NULL in (${cols.mkString(", ")})")
+    val total = df.count()
+    val distinct = df.select(cols.map(col): _*).distinct().count()
+    require(total == distinct,
+      s"${if (unique) "UNIQUE" else "PRIMARY KEY"} $name rejected: " +
+        s"(${cols.mkString(", ")}) has ${total - distinct} duplicate " +
+        s"key(s) in $table")
+    appendRelyLine(table,
+      s"${if (unique) "uq" else "pk"}\t$name\t${cols.mkString(",")}")
+  }
+
+  def addForeignKey(table: String, name: String, cols: Seq[String],
+                    refTable: String, refCols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.length == refCols.length,
+      "foreign key needs matching child/parent column lists")
+    require(exists(refTable), s"referenced table $refTable does not exist")
+    requireRelyNameFree(table, name)
+    val df = read(table)
+    // graft FKs additionally assert NON-NULL child columns: the
+    // subsumption proof needs "every fact row joins", and a NULL FK
+    // value matches nothing
+    val nulls = df.where(cols.map(c => col(c).isNull).reduce(_ || _)).count()
+    require(nulls == 0,
+      s"FOREIGN KEY $name rejected: $nulls row(s) of $table hold NULL " +
+        s"in (${cols.mkString(", ")})")
+    val orphans = df.select(cols.map(col): _*)
+      .join(read(refTable).select(refCols.zip(cols)
+        .map { case (rc, c) => col(rc).as(c) }: _*), cols, "left_anti")
+      .count()
+    require(orphans == 0,
+      s"FOREIGN KEY $name rejected: $orphans row(s) of $table reference " +
+        s"no row of $refTable")
+    appendRelyLine(table,
+      s"fk\t$name\t${cols.mkString(",")}\t$refTable\t${refCols.mkString(",")}")
+  }
+
+  /** Column sets declared jointly unique (PRIMARY KEY or UNIQUE). */
+  def uniqueKeys(table: String): Seq[Seq[String]] =
+    relyLines(table).collect {
+      case Array("pk" | "uq", _, cols) => cols.split(",").toSeq }
+
+  /** (name, childCols, refTable, refCols) per declared FK. */
+  def foreignKeys(table: String): Seq[(String, Seq[String], String, Seq[String])] =
+    relyLines(table).collect {
+      case Array("fk", n, cols, ref, refCols) =>
+        (n, cols.split(",").toSeq, ref, refCols.split(",").toSeq) }
+
+  /** All RELY constraint names on `table`. */
+  def relyConstraintNames(table: String): Seq[String] =
+    relyLines(table).map(_(1))
+
+  def dropRelyConstraint(table: String, name: String): Unit = {
+    val left = relyLines(table).filterNot(_(1) == name)
+    val p = relyPath(table)
+    if (left.isEmpty) fs(p).delete(p, false)
+    else writeSmallFile(p, left.map(_.mkString("\t")).mkString("\n"))
+  }
+
+  private def requireRelyNameFree(table: String, name: String): Unit = {
+    require(!name.contains("\t") && !name.contains("\n") &&
+      !name.contains(","), "bad constraint name")
+    require(!relyConstraintNames(table).contains(name) &&
+      !constraints(table).contains(name),
+      s"constraint $name already exists on $table")
+  }
+
+  private def relyLines(table: String): Seq[Array[String]] = {
+    val p = relyPath(table)
+    if (!fs(p).exists(p)) Nil
+    else readSmallFile(p).split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      .map(_.split("\t", -1))
+  }
+
+  private def appendRelyLine(table: String, line: String): Unit = {
+    val p = relyPath(table)
+    val prior = if (fs(p).exists(p)) readSmallFile(p) + "\n" else ""
+    writeSmallFile(p, prior + line)
+  }
+
+  private def relyPath(table: String): Path =
+    new Path(tablePath(table), "_RELY")
+
   /** Metadata-only COUNT(*): the sum of per-file row counts the commit
     * recorded from parquet footers — answers without a scan or a job,
     * the way Iceberg serves `count(*)` from manifests. None when

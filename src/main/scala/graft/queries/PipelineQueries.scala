@@ -1245,6 +1245,53 @@ object PipelineQueries {
         |FROM lineitem WHERE l_orderkey % 11 <> 0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
 
+  /** Star-view SUBSUMPTION: a query over a SUBSET of the view's
+    * tables (fact ⋈ dims, omitting dimo) is served from the
+    * fact⋈dimo⋈dims view because RELY constraints prove the omitted
+    * join key-preserving — PRIMARY KEY on dimo(okey) (no
+    * duplication) + FOREIGN KEY fact(okey)→dimo (non-NULL children,
+    * no drops) — classic Goldstein–Larson §4.2, previously an
+    * always-abstain. Constraints are validated ONCE at declaration
+    * (bounded jobs), then trusted; routing is load-bearing
+    * (`require(hits increased)`), and the oracle recomputes the
+    * subset join from the fixtures. */
+  val mvStarSubsumption: Entry = Entry(
+    "mv_star_subsumption",
+    (s, dir) => {
+      val store = new TableStore(s, tmpDir("graft-mvsub"))
+      store.create("fact", t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"),
+          col("l_quantity").as("qty")))
+      store.create("dimo", t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          col("o_orderstatus").as("status")))
+      store.create("dims", t(s, dir, "supplier")
+        .select(col("s_suppkey").as("skey"),
+          col("s_nationkey").as("snat")))
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW sub_mv AS
+          |SELECT status, snat, count(*), sum(qty)
+          |FROM fact JOIN dimo USING (okey) JOIN dims USING (skey)
+          |GROUP BY status, snat""".stripMargin)
+      GraftSql.execute(s, store,
+        "ALTER TABLE dimo ADD CONSTRAINT dimo_pk PRIMARY KEY (okey) RELY")
+      GraftSql.execute(s, store,
+        "ALTER TABLE fact ADD CONSTRAINT fact_fk FOREIGN KEY (okey) " +
+          "REFERENCES dimo (okey) RELY")
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT snat, count(*) AS n, sum(qty) AS sum_qty
+          |FROM fact JOIN dims USING (skey) GROUP BY snat""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_star_subsumption expected the subset join to be served " +
+          "from sub_mv via the RELY key-preservation proof")
+      served.orderBy("snat")
+    },
+    Some("""SELECT s_nationkey AS snat, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY snat""".stripMargin))
+
   /** TRUE distinct measures in a materialized view — `approx_count_
     * distinct(c)` where c is NOT a view key — as deterministic KMV
     * sketch partials: inserts merge (k smallest of the union),
@@ -2269,7 +2316,7 @@ object PipelineQueries {
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
     mvRewriteServed, mvJoinIncremental, mvJoinRewrite, mvExprGroupRollup,
     mvJoinOnRewrite, mvStar3Rewrite, mvCountDistinctRewrite, mvJoinMinMax,
-    mvApproxDistinct,
+    mvApproxDistinct, mvStarSubsumption,
     partitionDisjointWriters,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,

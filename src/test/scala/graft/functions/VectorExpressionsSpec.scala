@@ -95,12 +95,21 @@ class VectorExpressionsSpec extends SparkSpec {
           (x, y) => greatest(x.cast("double"), y.cast("double"))),
         lit(0.0), (acc, v) => acc + v).as("m"))
       assert(!notDot.queryExecution.optimizedPlan.toString.contains("graft_dot"))
-      // null semantics survive the rewrite: mismatched lengths -> NULL
-      val mism = spark.sql(
-        "SELECT aggregate(zip_with(array(CAST(1.0 AS FLOAT)), " +
-          "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), (x, y) -> " +
-          "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), " +
-          "(acc, v) -> acc + v) AS d")
+      // null semantics survive the rewrite: mismatched lengths -> NULL.
+      // NON-literal inputs: with the extension-injected rule always on,
+      // a literal-array probe folds to a null literal before the plan
+      // assertion could see graft_dot (constant folding runs after the
+      // in-pipeline rewrite — itself proof the rewrite evaluates)
+      // built over Range (not a LocalRelation), or
+      // ConvertToLocalRelation evaluates the whole projection away
+      val mismDf = spark.range(1).select(
+        array((col("id") + 1).cast("float")).as("a"),
+        array((col("id") + 1).cast("float"),
+          (col("id") + 2).cast("float")).as("b"))
+      val mism = mismDf.select(aggregate(
+        zip_with(col("a"), col("b"),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).as("d"))
       assert(mism.queryExecution.optimizedPlan.toString.contains("graft_dot"))
       assert(mism.collect().head.isNullAt(0))
     } finally {
