@@ -124,9 +124,15 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMax = results.map { case (k, _, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // every successful rep, in run order — the substrate for
+    // median-of-N re-base protocols (min and max alone cannot give a
+    // median past reps=2); rides only the file artifact
+    val qsReps = raw.collect { case (name, good) if good.nonEmpty =>
+      s"\"" + name + "\":" + good.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"io_canary_sec":$ioCanarySec,"queries":$qs,"queries_max":$qsMax,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","canary_sec":$canarySec,"io_canary_sec":$ioCanarySec,"queries":$qs,"queries_max":$qsMax,"queries_reps":$qsReps,"reps":$reps,"failed":${failed.size},"errors":$errs,"sf":"$sfDir"}"""
     println(fullJson)
     // The full record must survive log truncation: the driver keeps only
     // the tail of stdout, so round 9's official artifact carried

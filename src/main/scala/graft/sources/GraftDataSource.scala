@@ -155,7 +155,8 @@ final class GraftTable(store: TableStore, table: String, version: Long,
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.V1_BATCH_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.V1_BATCH_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, table, version, schema, isMv)
@@ -330,21 +331,80 @@ private[sources] object GraftFilters {
   }
 }
 
-/** INSERT INTO / writeTo().append() / truncate-overwrite as store
-  * commits — the write half of the vanilla-Spark surface. */
+/** INSERT INTO / writeTo().append() / truncate- and
+  * partition-overwrite as store commits — the write half of the
+  * vanilla-Spark surface. `INSERT OVERWRITE gq.t PARTITION (p = v)`
+  * arrives as an overwrite-by-filter (one EqualTo per partition
+  * column); a FULL static spec maps onto the store's
+  * O(touched-partitions) [[TableStore.overwritePartitions]] commit —
+  * untouched partitions carry by reference, never rewritten. A
+  * filterless overwrite (or AlwaysTrue) is the whole-table truncate
+  * commit. Anything else (partial specs, non-partition columns,
+  * non-equality predicates) refuses loudly via canOverwrite. */
 private final class GraftWriteBuilder(store: TableStore, table: String,
-                                      truncate: Boolean)
-    extends WriteBuilder with SupportsTruncate {
+                                      truncate: Boolean,
+                                      overwriteFilters: Option[Array[Filter]] = None)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(store, table, truncate = true)
+
+  /** The hive partition dirs a full-spec equality filter set pins, in
+    * LAYOUT order — None when the filters are not a full static
+    * partition spec. */
+  private def touchedOf(filters: Array[Filter]): Option[String] = {
+    val parts = store.partitioning(table)
+    if (parts.isEmpty) return None
+    val eqs = filters.toSeq.map {
+      case sources.EqualTo(a, v) => Some(a.toLowerCase -> v)
+      case sources.EqualNullSafe(a, v) => Some(a.toLowerCase -> v)
+      case _ => None
+    }
+    if (eqs.exists(_.isEmpty)) return None
+    val byCol = eqs.flatten.toMap
+    if (byCol.size != eqs.size) return None // duplicate column
+    if (!parts.map(_.toLowerCase).toSet.equals(byCol.keySet)) return None
+    Some(parts.map { p =>
+      byCol(p.toLowerCase) match {
+        case null => s"$p=__HIVE_DEFAULT_PARTITION__"
+        case v => s"$p=$v"
+      }
+    }.mkString("/"))
+  }
+
+  private def isTruncateAll(filters: Array[Filter]): Boolean =
+    filters.isEmpty || filters.toSeq.forall {
+      case sources.AlwaysTrue() => true
+      case _ => false
+    }
+
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    isTruncateAll(filters) || touchedOf(filters).isDefined
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder =
+    if (isTruncateAll(filters))
+      new GraftWriteBuilder(store, table, truncate = true)
+    else {
+      require(touchedOf(filters).isDefined,
+        s"graft overwrites by filter need a FULL static partition " +
+          s"spec over (${store.partitioning(table).mkString(", ")}); " +
+          s"got ${filters.mkString(", ")}")
+      new GraftWriteBuilder(store, table, truncate = false,
+        overwriteFilters = Some(filters))
+    }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation(): InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          if (truncate || overwrite) store.overwrite(table, data)
-          else store.append(table, data)
+          overwriteFilters.flatMap(touchedOf) match {
+            case Some(touched) =>
+              store.overwritePartitions(table, data, Seq(touched))
+            case None =>
+              if (truncate || overwrite) store.overwrite(table, data)
+              else store.append(table, data)
+          }
       }
   }
 }

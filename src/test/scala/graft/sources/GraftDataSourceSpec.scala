@@ -231,6 +231,34 @@ class GraftDataSourceSpec extends SparkSpec {
       Seq("id", "s", "score", "tag"))
   }
 
+  test("catalog INSERT OVERWRITE PARTITION rewrites only the touched partition") {
+    val root = tmpDir("dsv2ow")
+    val store = new TableStore(spark, root)
+    // partition column LAST: v2 INSERT appends static PARTITION
+    // values after the query columns in by-position resolution
+    store.create("t", Seq((1L, 1.0, "a"), (2L, 2.0, "a"), (3L, 3.0, "b"))
+      .toDF("id", "x", "p"), partitionBy = Seq("p"))
+    spark.conf.set("spark.sql.catalog.gow", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gow.root", root)
+    val m0 = store.manifest("t", store.currentVersion("t").get)
+    val aFiles = m0.filter(_.contains("p=a")).toSet
+    spark.sql("INSERT OVERWRITE gow.t PARTITION (p = 'b') VALUES " +
+      "(9L, 9.5), (10L, 10.5)")
+    val m1 = store.manifest("t", store.currentVersion("t").get)
+    assert(m1.filter(_.contains("p=a")).toSet == aFiles,
+      "untouched partition must carry by reference, not rewrite")
+    assert(!m1.exists(m0.filter(_.contains("p=b")).toSet),
+      "touched partition's old files must be superseded")
+    val got = store.read("t").select("id", "p", "x")
+      .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "a", 1.0), (2L, "a", 2.0), (9L, "b", 9.5),
+      (10L, "b", 10.5)))
+    // filterless INSERT OVERWRITE stays the whole-table truncate commit
+    spark.sql("INSERT OVERWRITE gow.t VALUES (7L, 7.0, 'c')")
+    assert(store.read("t").count() == 1)
+    assert(store.partitioning("t") == Seq("p"))
+  }
+
   test("catalog TIMESTAMP AS OF resolves by commit time") {
     val root = tmpDir("dsv2ts")
     val store = new TableStore(spark, root)
