@@ -2934,12 +2934,20 @@ final class TableStore(private[graft] val spark: SparkSession,
       data.size, dels.size, dvs.size, dvBytes, bytes, fastRowCount(table),
       partitioning(table), constraints(table).keys.toSeq.sorted,
       m.renames.toSeq.sorted.map { case (l, p) => s"$l<-$p" },
-      m.dropped.toSeq.sorted))
+      m.dropped.toSeq.sorted,
+      // informational RELY constraints, rendered for the operator:
+      // pk/uq as "name(cols)", fk as "name(cols)->ref(refcols)"
+      (uniqueKeys(table).zip(relyLines(table).collect {
+        case Array("pk" | "uq", n, _) => n })
+        .map { case (cols, n) => s"$n(${cols.mkString(",")})" } ++
+        foreignKeys(table).map { case (n, cols, ref, refCols) =>
+          s"$n(${cols.mkString(",")})->$ref(${refCols.mkString(",")})" })
+        .sorted))
       .toDF("table", "location", "version", "n_retained_versions",
         "oldest_retained_at", "last_committed_at", "n_files",
         "n_delete_entries", "n_dv_entries", "dv_bytes", "total_bytes",
         "n_rows", "partition_columns", "constraints", "renamed_columns",
-        "dropped_columns")
+        "dropped_columns", "rely_constraints")
   }
 
   /** Cursor-based incremental consumption: the feed from `cursor` to

@@ -103,6 +103,40 @@ class QuickstartSmokeSpec extends SparkSpec {
       .where(col("vid") === 3L).isEmpty)
   }
 
+  test("quickstart: vanilla-Spark access (DSv2 catalog + row-level SQL)") {
+    val root = tmpDir("qs-dsv2")
+    val store = new TableStore(spark, root)
+    store.create("t", Seq((1L, "x"), (2L, "y")).toDF("id", "v"))
+    // path or root+table reader; MoR deletes, renames, stats/bloom file
+    // skipping and time travel all apply
+    assert(spark.read.format("graft").load(s"$root/t").count() == 2)
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(s"$root/t").count() == 2)
+    // or register a catalog once and use plain SQL
+    spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.g.root", root)
+    spark.sql("SELECT v, count(*) FROM g.t GROUP BY v").collect()
+    spark.sql("SELECT * FROM g.t VERSION AS OF 0").collect()
+    spark.sql("INSERT INTO g.t VALUES (9, 'q')")     // a store commit
+    spark.sql("CREATE TABLE g.t2 AS SELECT * FROM g.t WHERE id > 1")
+    // row-level SQL (sessions built with
+    // spark.sql.extensions=graft.functions.GraftExtensions)
+    Seq((2L, "y2"), (7L, "new")).toDF("id", "v")
+      .createOrReplaceTempView("updates")
+    spark.sql("MERGE INTO g.t AS t USING updates AS u ON t.id = u.id " +
+      "WHEN MATCHED THEN UPDATE SET v = u.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, v) VALUES (u.id, u.v)")
+    spark.sql("UPDATE g.t SET v = 'z' WHERE id = 9")
+    spark.sql("DELETE FROM g.t WHERE id = 1")
+    // schema evolution: metadata-only commit, old rows backfill NULL
+    spark.sql("ALTER TABLE g.t ADD COLUMNS (score DOUBLE)")
+    val got = spark.sql("SELECT id, v, score FROM g.t ORDER BY id")
+      .as[(Long, String, Option[Double])].collect().toSeq
+    assert(got == Seq((2L, "y2", None), (7L, "new", None),
+      (9L, "z", None)), s"got $got")
+    assert(store.exists("t2"))
+  }
+
   test("quickstart: the index follows its corpus table (CDF sync)") {
     val store = new TableStore(spark, tmpDir("qs-sync"))
     val emb = (0L until 60L).map(i => (i, Array.tabulate(8)(d =>

@@ -1001,11 +1001,14 @@ class GraftSqlSpec extends SparkSpec {
         "ALTER TABLE tcons ADD CONSTRAINT big_id CHECK (id > 1)")
     }
     assert(e2.getMessage.contains("big_id"))
-    // non-CHECK constraint forms have no batch-local semantics here
-    intercept[IllegalArgumentException] {
-      GraftSql.execute(spark, store,
-        "ALTER TABLE tcons ADD CONSTRAINT pk PRIMARY KEY (id)")
-    }
+    // key constraints land as informational RELY metadata (validated
+    // once at declaration, trusted thereafter — MvSubsumptionSpec
+    // covers the consumption side)
+    GraftSql.execute(spark, store,
+      "ALTER TABLE tcons ADD CONSTRAINT pk PRIMARY KEY (id)")
+    assert(store.uniqueKeys("tcons") == Seq(Seq("id")))
+    GraftSql.execute(spark, store, "ALTER TABLE tcons DROP CONSTRAINT pk")
+    assert(store.uniqueKeys("tcons").isEmpty)
     GraftSql.execute(spark, store, "ALTER TABLE tcons DROP CONSTRAINT pos_id")
     store.append("tcons", Seq((-1, "ok-now")).toDF("id", "v"))
     assert(store.read("tcons").count() == 3)

@@ -135,6 +135,10 @@ class MvSubsumptionSpec extends SparkSpec {
       "ALTER TABLE f3 ADD CONSTRAINT f3_fk FOREIGN KEY (k) " +
         "REFERENCES dd (k) RELY")
     assert(store.foreignKeys("f3").map(_._1) == Seq("f3_fk"))
+    // visible to the operator in DESCRIBE DETAIL
+    assert(store.detail("f3").head()
+      .getAs[scala.collection.Seq[String]]("rely_constraints")
+      .toSeq == Seq("f3_fk(k)->dd(k)"))
     GraftSql.execute(spark, store, "ALTER TABLE f3 DROP CONSTRAINT f3_fk")
     assert(store.foreignKeys("f3").isEmpty)
   }
