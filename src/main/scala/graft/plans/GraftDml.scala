@@ -256,25 +256,66 @@ object GraftDml {
     }
 }
 
+/** Opaque payload wrapper: a plain case class, NOT an Expression, so
+  * TreeNode's product sweep does not surface the held expression as
+  * one of the command's own. The payload was fully resolved and
+  * CheckAnalysis-validated inside its ORIGINAL node (the rule only
+  * claims resolved statements); re-exposing it on a generic leaf
+  * command would re-run placement checks that are node-type-specific
+  * — e.g. IN/EXISTS subqueries are legal under DeleteFromTable but
+  * flagged on an unrecognized command. */
+final case class Held(e: Expression)
+
 /** The analyzed row-level statement, reduced to everything execution
-  * needs. A LEAF command: the target/source plans and the resolved
-  * expressions ride as fields (not children), so the analyzer leaves
-  * them be and CheckAnalysis's missing-attribute sweep (children-only)
-  * doesn't misfire on the cross-plan references. */
+  * needs. A LEAF command: the target/source plans ride as fields (not
+  * children) and every expression rides [[Held]], so the analyzer
+  * leaves them be and CheckAnalysis's sweeps (children- and
+  * own-expression-only) don't misfire on the cross-plan payload. */
 case class GraftDmlCommand(
     kind: String,
     table: GraftTable,
     targetPlan: LogicalPlan,
     sourcePlan: Option[LogicalPlan],
-    condition: Option[Expression],
-    assignments: Seq[Assignment] = Nil,
-    matchedActions: Seq[MergeAction] = Nil,
-    notMatchedActions: Seq[MergeAction] = Nil,
-    notMatchedBySourceActions: Seq[MergeAction] = Nil)
+    heldCondition: Option[Held],
+    heldAssignments: Seq[(Held, Held)] = Nil,
+    heldMatched: Seq[Held] = Nil,
+    heldNotMatched: Seq[Held] = Nil,
+    heldNotMatchedBySource: Seq[Held] = Nil)
     extends LeafNode with Command {
   override def output: Seq[Attribute] = Nil
   override def simpleString(maxFields: Int): String =
     s"GraftDmlCommand $kind ${table.name()}"
+
+  def condition: Option[Expression] = heldCondition.map(_.e)
+  def assignments: Seq[Assignment] =
+    heldAssignments.map { case (k, v) => Assignment(k.e, v.e) }
+  def matchedActions: Seq[MergeAction] =
+    heldMatched.map(_.e.asInstanceOf[MergeAction])
+  def notMatchedActions: Seq[MergeAction] =
+    heldNotMatched.map(_.e.asInstanceOf[MergeAction])
+  def notMatchedBySourceActions: Seq[MergeAction] =
+    heldNotMatchedBySource.map(_.e.asInstanceOf[MergeAction])
+}
+
+object GraftDmlCommand {
+  def delete(table: GraftTable, target: LogicalPlan,
+             cond: Expression): GraftDmlCommand =
+    GraftDmlCommand("DELETE", table, target, None, Some(Held(cond)))
+
+  def update(table: GraftTable, target: LogicalPlan,
+             assignments: Seq[Assignment],
+             cond: Option[Expression]): GraftDmlCommand =
+    GraftDmlCommand("UPDATE", table, target, None, cond.map(Held),
+      heldAssignments = assignments.map(a => (Held(a.key), Held(a.value))))
+
+  def merge(table: GraftTable, target: LogicalPlan, source: LogicalPlan,
+            cond: Expression, matched: Seq[MergeAction],
+            notMatched: Seq[MergeAction],
+            nmbs: Seq[MergeAction]): GraftDmlCommand =
+    GraftDmlCommand("MERGE", table, target, Some(source), Some(Held(cond)),
+      heldMatched = matched.map(Held(_)),
+      heldNotMatched = notMatched.map(Held(_)),
+      heldNotMatchedBySource = nmbs.map(Held(_)))
 }
 
 /** Claims resolved DELETE/UPDATE/MERGE plans whose target is a graft
@@ -291,14 +332,13 @@ case class GraftDmlRule(spark: org.apache.spark.sql.SparkSession)
       case d @ DeleteFromTable(target, cond) if d.resolved =>
         GraftDml.graftTarget(target).map { g =>
           requirePlain(g, "DELETE")
-          GraftDmlCommand("DELETE", g, target, None, Some(cond))
+          GraftDmlCommand.delete(g, target, cond)
         }.getOrElse(d)
 
       case u @ UpdateTable(target, assignments, cond) if u.resolved =>
         GraftDml.graftTarget(target).map { g =>
           requirePlain(g, "UPDATE")
-          GraftDmlCommand("UPDATE", g, target, None, cond,
-            assignments = assignments)
+          GraftDmlCommand.update(g, target, assignments, cond)
         }.getOrElse(u)
 
       case m @ MergeIntoTable(target, source, cond, matched, notMatched,
@@ -309,9 +349,8 @@ case class GraftDmlRule(spark: org.apache.spark.sql.SparkSession)
             "MERGE WITH SCHEMA EVOLUTION on a catalog-addressed graft " +
               "table is not supported — use the GraftSql front door " +
               "(spark.graft.merge.schemaEvolution)")
-          GraftDmlCommand("MERGE", g, target, Some(source), Some(cond),
-            matchedActions = matched, notMatchedActions = notMatched,
-            notMatchedBySourceActions = nmbs)
+          GraftDmlCommand.merge(g, target, source, cond, matched,
+            notMatched, nmbs)
         }.getOrElse(m)
     }
 

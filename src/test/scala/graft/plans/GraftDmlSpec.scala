@@ -174,6 +174,17 @@ class GraftDmlSpec extends SparkSpec {
     intercept[Exception] { spark.sql("DELETE FROM plainv WHERE id = 1") }
   }
 
+  test("catalog DELETE/UPDATE with IN-subquery predicates") {
+    val (store, _) = freshStore("gd11")
+    seed(store)
+    Seq(1L, 3L).toDF("id").createOrReplaceTempView("kill_ids")
+    spark.sql("DELETE FROM gd11.t WHERE id IN (SELECT id FROM kill_ids)")
+    assert(rows(store.read("t")) == Seq((2L, "a", 2.0), (4L, "b", 4.0)))
+    spark.sql("UPDATE gd11.t SET x = x + 100 WHERE id NOT IN " +
+      "(SELECT id FROM kill_ids)")
+    assert(rows(store.read("t")) == Seq((2L, "a", 102.0), (4L, "b", 104.0)))
+  }
+
   test("catalog MERGE onto a partitioned table keeps the layout") {
     val (store, _) = freshStore("gd10")
     store.create("t", Seq(
