@@ -248,8 +248,25 @@ object MaterializedView {
     // partials; a group whose batch slice had only deletes carries a
     // NULL sketch (merge skips it).
     d.distinctCols.foldLeft(base)((acc, c) =>
-      acc.join(kmvSketchOf(rows.where(sign > 0), d, c),
+      joinGroups(acc, kmvSketchOf(rows.where(sign > 0), d, c),
         d.groupCols, "left_outer"))
+  }
+
+  /** Join on the view's group columns with NULL-SAFE equality: SQL
+    * GROUP BY treats NULL keys as one real group, and a plain
+    * equi-join would silently detach that group's fence / repair /
+    * sketch rows (the fence inner join would even DROP it from the
+    * read). The right side's keys are renamed before the join and
+    * dropped after, so the output carries the LEFT side's key columns
+    * exactly once. */
+  private def joinGroups(l: DataFrame, r: DataFrame, cols: Seq[String],
+                         how: String): DataFrame = {
+    val pre = "__gnj_"
+    val rr = cols.foldLeft(r)((d, c) => d.withColumnRenamed(c, pre + c))
+    val cond = cols.map(c => l(c) <=> rr(pre + c)).reduce(_ && _)
+    val j = l.join(rr, cond, how)
+    if (how == "left_semi" || how == "left_anti") j
+    else j.drop(cols.map(pre + _): _*)
   }
 
   /** Per-group KMV sketch of one batch: the k smallest distinct
@@ -584,7 +601,7 @@ object MaterializedView {
     else {
       val affected = feedRows.where(col("_change_type") === "delete")
         .select(d.groupCols.map(col): _*).distinct()
-      val slice = currentState.join(affected, d.groupCols, "left_semi")
+      val slice = joinGroups(currentState, affected, d.groupCols, "left_semi")
       val reAggs = d.minCols.map(c => min(col(c)).as("__re_min_" + c)) ++
         d.maxCols.map(c => max(col(c)).as("__re_max_" + c))
       val reExtrema =
@@ -604,13 +621,13 @@ object MaterializedView {
       // read)
       val reAll = reKmv.foldLeft(
         reExtrema.foldLeft(affected.withColumn("__is_aff", lit(true)))(
-          (acc, re) => acc.join(re, d.groupCols, "left_outer")))(
-        (acc, re) => acc.join(re, d.groupCols, "left_outer"))
+          (acc, re) => joinGroups(acc, re, d.groupCols, "left_outer")))(
+        (acc, re) => joinGroups(acc, re, d.groupCols, "left_outer"))
       // project back to the EXACT partial-row schema: every
       // additive column (stored sums AND avg non-null counts)
       // must survive, or the dropped column null-fills on the
       // merged read and the aggregate silently loses the batch
-      folded.join(reAll, d.groupCols, "left_outer")
+      joinGroups(folded, reAll, d.groupCols, "left_outer")
         .select(d.groupCols.map(col) ++ Seq(col(CntCol)) ++
           d.storedSumCols.map(c => col(sumCol(c))) ++
           d.storedSumCols.map(c => col(cntCol(c))) ++
@@ -644,7 +661,7 @@ object MaterializedView {
     else {
       val fence = rows.groupBy(d.groupCols.map(col): _*)
         .agg(max(when(col(ResetCol), col(EpochCol))).as("__w"))
-      val fenced = rows.join(fence, d.groupCols)
+      val fenced = joinGroups(rows, fence, d.groupCols, "inner")
       val admit = col(EpochCol) >= coalesce(col("__w"), lit(Long.MinValue))
       fenced.groupBy(d.groupCols.map(col): _*)
         .agg(sum(CntCol).as(CntCol),

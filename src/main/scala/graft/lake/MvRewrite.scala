@@ -691,7 +691,14 @@ object MvRewrite {
               s.src.equalsIgnoreCase(shape.src)
             else if (sameFact && s.joined) {
               val vOrig = s.dims.map(d => d.toLowerCase -> d).toMap
-              qMap.forall { case (t, cs) => vMap.get(t).contains(cs) } &&
+              // duplicate table names on either side would collapse in
+              // the maps and hide a join whose multiplicity matters —
+              // subsumption reasons per-distinct-table only
+              val noDupes =
+                shape.joins.map(_._1).distinct.size == shape.joins.size &&
+                  s.dims.map(_.toLowerCase).distinct.size == s.dims.size
+              noDupes &&
+                qMap.forall { case (t, cs) => vMap.get(t).contains(cs) } &&
                 (vMap.keySet -- qMap.keySet).forall(dim =>
                   keyPreserving(store, s.src, vOrig(dim), vMap(dim)))
             }

@@ -166,6 +166,42 @@ class MaterializedViewDistinctSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.mv.rewrite.approxDistinct")
   }
 
+  test("a NULL group key keeps fence, extremum repair and sketch through deletes") {
+    // SQL GROUP BY treats NULL keys as one real group; the internal
+    // fence/repair/sketch joins must be NULL-SAFE or that group's
+    // evidence silently detaches (the fence inner join would drop the
+    // group from reads outright)
+    val store = freshStore()
+    store.create("t", Seq(
+      (1L, Option("a"), 10L, 5.0), (2L, Option("a"), 20L, 7.0),
+      (3L, Option.empty[String], 30L, 9.0),
+      (4L, Option.empty[String], 40L, 1.0),
+      (5L, Option.empty[String], 30L, 3.0))
+      .toDF("id", "g", "u", "x"))
+    MaterializedView.create(store, "m", "t", Seq("g"), Nil,
+      minCols = Seq("x"), maxCols = Seq("x"), distinctCols = Seq("u"))
+    val got0 = MaterializedView.read(store, "m")
+      .select("g", "cnt", "min_x", "max_x", "approx_distinct_u")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got0(None) == ((3L, 1.0, 9.0, 2.0)),
+      s"null group must exist with its own aggregates: $got0")
+    // delete the null group's max AND the only row carrying u=40
+    store.appendWithDeletes("t", spark.emptyDataset[(Long, String, Long, Double)]
+      .toDF("id", "g", "u", "x"), deleteKeys = Seq(3L, 4L).toDF("id"))
+    MaterializedView.refresh(store, "m")
+    val got1 = MaterializedView.read(store, "m")
+      .select("g", "cnt", "min_x", "max_x", "approx_distinct_u")
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got1(None) == ((1L, 3.0, 3.0, 1.0)),
+      s"null group's repair must land (extrema recomputed, deleted " +
+        s"distinct value gone): $got1")
+    assert(got1(Some("a")) == ((2L, 5.0, 7.0, 2.0)))
+  }
+
   test("NULL distinct values are ignored, like SQL count(DISTINCT)") {
     val store = freshStore()
     store.create("t", Seq((1L, "a", Some(10L)), (2L, "a", None),
