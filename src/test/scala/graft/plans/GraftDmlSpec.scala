@@ -185,6 +185,23 @@ class GraftDmlSpec extends SparkSpec {
     assert(rows(store.read("t")) == Seq((2L, "a", 102.0), (4L, "b", 104.0)))
   }
 
+  test("catalog MERGE star actions: UPDATE SET * and INSERT *") {
+    val (store, _) = freshStore("gd12")
+    seed(store)
+    // source column order matches the target (star actions map by name
+    // after resolution expands them)
+    Seq((2L, "up", 20.0), (9L, "new", 90.0)).toDF("id", "g", "x")
+      .createOrReplaceTempView("star_src")
+    spark.sql(
+      """MERGE INTO gd12.t AS t USING star_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(rows(store.read("t")) == Seq(
+      (1L, "a", 1.0), (2L, "up", 20.0), (3L, "b", 3.0), (4L, "b", 4.0),
+      (9L, "new", 90.0)))
+  }
+
   test("catalog MERGE onto a partitioned table keeps the layout") {
     val (store, _) = freshStore("gd10")
     store.create("t", Seq(
