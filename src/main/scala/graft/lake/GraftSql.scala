@@ -1062,7 +1062,11 @@ object GraftSql {
       require(parts.nonEmpty && parts.forall(p => partVals.contains(p.toLowerCase)),
         s"partition-scoped OVERWRITE on $target needs the full partition " +
           s"spec (${parts.mkString(", ")})")
-      val touched = parts.map(p => s"$p=${partVals(p.toLowerCase)}").mkString("/")
+      // Spark's own hive-path escaping, so the declared dir matches
+      // the partitioned writer's rendering for special characters
+      val touched = parts.map(p => s"$p=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(partVals(p.toLowerCase).toString)).mkString("/")
       store.overwritePartitions(target, withParts, Seq(touched))
     } else store.overwrite(target, withParts)
     store.read(target)

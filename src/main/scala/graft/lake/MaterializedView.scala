@@ -520,7 +520,7 @@ object MaterializedView {
       val epoch = curF + curDs.sum
       val folded = partials(feedRows, d, sign, epoch = epoch, reset = false)
       val delta =
-        if (!d.hasMm) folded
+        if (!d.hasFence) folded
         else mmRepairDelta(d, folded, feedRows,
           rawDeltas.exists(r =>
             !r.where(col("_change_type") === "delete").isEmpty),

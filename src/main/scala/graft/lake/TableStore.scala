@@ -2,7 +2,7 @@ package graft.lake
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Observation, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, count, expr, input_file_name, lit, sum, udf, when}
+import org.apache.spark.sql.functions.{coalesce, col, count, countDistinct, expr, input_file_name, lit, sum, udf, when}
 
 import java.nio.charset.StandardCharsets
 import java.util.UUID
@@ -2710,7 +2710,10 @@ final class TableStore(private[graft] val spark: SparkSession,
     * commits. SQL CHECK semantics: a NULL predicate passes. */
   def addConstraint(table: String, name: String, sql: String): Unit = {
     require(!name.contains("\t") && !name.contains("\n"), "bad constraint name")
-    require(!constraints(table).contains(name),
+    // one namespace across CHECK and RELY constraints: DROP CONSTRAINT
+    // drops by bare name, so a shared name would silently delete both
+    require(!constraints(table).contains(name) &&
+      !relyConstraintNames(table).contains(name),
       s"constraint $name already exists on $table")
     // existing rows must satisfy the new constraint (one read job)
     val bad = read(table).where(!coalesce(expr(sql), lit(true))).count()
@@ -2760,19 +2763,25 @@ final class TableStore(private[graft] val spark: SparkSession,
                        unique: Boolean = false): Unit = {
     require(cols.nonEmpty, "key constraint needs columns")
     requireRelyNameFree(table, name)
-    // declare-time validation (the once-only job): the key columns
-    // are non-NULL and jointly unique in the CURRENT state
-    val df = read(table)
-    val nulls = df.where(cols.map(c => col(c).isNull).reduce(_ || _)).count()
+    val kind = if (unique) "UNIQUE" else "PRIMARY KEY"
+    // declare-time validation, ONE aggregation pass over the table:
+    // total rows, rows with a NULL key column, and the distinct key
+    // count (count(DISTINCT cols) skips any-NULL rows, SQL-style, so
+    // uniqueness is total - nulls == distinct)
+    val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
+    val row = read(table).agg(
+      count(lit(1)).as("total"),
+      sum(when(anyNull, 1L).otherwise(0L)).as("nulls"),
+      countDistinct(col(cols.head), cols.tail.map(col): _*).as("dist")).first()
+    val (total, nulls, dist) =
+      (row.getLong(0), Option(row.get(1)).fold(0L)(_ => row.getLong(1)),
+        row.getLong(2))
     require(nulls == 0,
-      s"${if (unique) "UNIQUE" else "PRIMARY KEY"} $name rejected: " +
-        s"$nulls row(s) of $table hold NULL in (${cols.mkString(", ")})")
-    val total = df.count()
-    val distinct = df.select(cols.map(col): _*).distinct().count()
-    require(total == distinct,
-      s"${if (unique) "UNIQUE" else "PRIMARY KEY"} $name rejected: " +
-        s"(${cols.mkString(", ")}) has ${total - distinct} duplicate " +
-        s"key(s) in $table")
+      s"$kind $name rejected: $nulls row(s) of $table hold NULL in " +
+        s"(${cols.mkString(", ")})")
+    require(total == dist,
+      s"$kind $name rejected: (${cols.mkString(", ")}) has " +
+        s"${total - dist} duplicate key(s) in $table")
     appendRelyLine(table,
       s"${if (unique) "uq" else "pk"}\t$name\t${cols.mkString(",")}")
   }
@@ -2783,18 +2792,25 @@ final class TableStore(private[graft] val spark: SparkSession,
       "foreign key needs matching child/parent column lists")
     require(exists(refTable), s"referenced table $refTable does not exist")
     requireRelyNameFree(table, name)
-    val df = read(table)
-    // graft FKs additionally assert NON-NULL child columns: the
-    // subsumption proof needs "every fact row joins", and a NULL FK
-    // value matches nothing
-    val nulls = df.where(cols.map(c => col(c).isNull).reduce(_ || _)).count()
+    // declare-time validation in ONE pass over the outer join: NULL
+    // child keys (graft FKs assert NON-NULL children — the
+    // subsumption proof needs "every fact row joins") and orphans
+    // (non-NULL keys with no parent) fall out of the same scan
+    val anyNull = cols.map(c => col(c).isNull).reduce(_ || _)
+    val parents = read(refTable).select(refCols.zip(cols)
+      .map { case (rc, c) => col(rc).as(c) }: _*)
+      .distinct().withColumn("__fk_m", lit(1))
+    val row = read(table).select(cols.map(col): _*)
+      .join(parents, cols, "left_outer")
+      .agg(
+        sum(when(anyNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(!anyNull && col("__fk_m").isNull, 1L).otherwise(0L))
+          .as("orphans")).first()
+    val nulls = Option(row.get(0)).fold(0L)(_ => row.getLong(0))
+    val orphans = Option(row.get(1)).fold(0L)(_ => row.getLong(1))
     require(nulls == 0,
       s"FOREIGN KEY $name rejected: $nulls row(s) of $table hold NULL " +
         s"in (${cols.mkString(", ")})")
-    val orphans = df.select(cols.map(col): _*)
-      .join(read(refTable).select(refCols.zip(cols)
-        .map { case (rc, c) => col(rc).as(c) }: _*), cols, "left_anti")
-      .count()
     require(orphans == 0,
       s"FOREIGN KEY $name rejected: $orphans row(s) of $table reference " +
         s"no row of $refTable")

@@ -354,10 +354,20 @@ case class GraftDmlRule(spark: org.apache.spark.sql.SparkSession)
         }.getOrElse(m)
     }
 
-  private def requirePlain(g: GraftTable, stmt: String): Unit =
+  private def requirePlain(g: GraftTable, stmt: String): Unit = {
     if (g.isMaterialized) throw new UnsupportedOperationException(
       s"${g.name()} is a materialized view — it is maintained from its " +
         s"source's change feed (REFRESH MATERIALIZED VIEW), not by $stmt")
+    // a live view's __def companion holds the 1-row view definition;
+    // row-level DML commits via store.overwrite directly, so it needs
+    // the same shield the INSERT/TRUNCATE/DROP surfaces already have
+    val n = g.name()
+    if (n.endsWith("__def") && g.graftStore.exists(n.stripSuffix("__def")))
+      throw new UnsupportedOperationException(
+        s"$n is the definition companion of materialized view " +
+          s"'${n.stripSuffix("__def")}' — it is engine-managed and " +
+          s"cannot be modified by $stmt")
+  }
 }
 
 /** Plans [[GraftDmlCommand]]; the exec runs the store commit once on

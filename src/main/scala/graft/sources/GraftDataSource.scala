@@ -365,10 +365,16 @@ private final class GraftWriteBuilder(store: TableStore, table: String,
     val byCol = eqs.flatten.toMap
     if (byCol.size != eqs.size) return None // duplicate column
     if (!parts.map(_.toLowerCase).toSet.equals(byCol.keySet)) return None
+    // values render with Spark's OWN hive-path escaping so the
+    // declared dirs match what the partitioned writer produces
+    // (special characters like ':' '=' '%' are percent-escaped in
+    // the dir name — a raw rendering would make requireWithin reject
+    // every file of a legal statement)
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     Some(parts.map { p =>
       byCol(p.toLowerCase) match {
         case null => s"$p=__HIVE_DEFAULT_PARTITION__"
-        case v => s"$p=$v"
+        case v => s"$p=${esc.escapePathName(v.toString)}"
       }
     }.mkString("/"))
   }

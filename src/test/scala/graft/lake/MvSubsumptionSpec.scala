@@ -141,5 +141,19 @@ class MvSubsumptionSpec extends SparkSpec {
       .toSeq == Seq("f3_fk(k)->dd(k)"))
     GraftSql.execute(spark, store, "ALTER TABLE f3 DROP CONSTRAINT f3_fk")
     assert(store.foreignKeys("f3").isEmpty)
+    // one namespace across CHECK and RELY: DROP drops by bare name, so
+    // a shared name is refused in BOTH declaration orders
+    GraftSql.execute(spark, store,
+      "ALTER TABLE dd ADD CONSTRAINT cx CHECK (k > 0)")
+    intercept[Exception] {
+      GraftSql.execute(spark, store,
+        "ALTER TABLE dd ADD CONSTRAINT cx PRIMARY KEY (k)")
+    }
+    GraftSql.execute(spark, store,
+      "ALTER TABLE dd ADD CONSTRAINT pkx PRIMARY KEY (k)")
+    intercept[Exception] {
+      GraftSql.execute(spark, store,
+        "ALTER TABLE dd ADD CONSTRAINT pkx CHECK (k > 0)")
+    }
   }
 }

@@ -157,6 +157,26 @@ class GraftDmlSpec extends SparkSpec {
     assert(rows(store.read("t")) == rows(front.read("t")))
   }
 
+  test("DML on a live view's __def companion is refused (definition shielded)") {
+    val (store, _) = freshStore("gd13")
+    seed(store)
+    graft.lake.MaterializedView.create(store, "mv", "t", Seq("g"), Seq("x"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for (stmt <- Seq(
+        "DELETE FROM gd13.mv__def WHERE true",
+        "UPDATE gd13.mv__def SET src = 'boom'",
+        """MERGE INTO gd13.mv__def AS d USING (SELECT 'x' AS src) AS s
+          |ON d.src = s.src WHEN MATCHED THEN DELETE""".stripMargin)) {
+      val e = intercept[Exception] { spark.sql(stmt) }
+      assert(messages(e).exists(_.contains("definition companion")),
+        s"expected companion shield for: $stmt, got $e")
+    }
+    assert(store.read("mv__def").count() == 1,
+      "the definition row must be intact after every refused statement")
+  }
+
   test("DML on a materialized view is refused; plain-session tables unaffected") {
     val (store, _) = freshStore("gd9")
     seed(store)

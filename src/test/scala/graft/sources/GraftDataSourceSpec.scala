@@ -257,6 +257,15 @@ class GraftDataSourceSpec extends SparkSpec {
     spark.sql("INSERT OVERWRITE gow.t VALUES (7L, 7.0, 'c')")
     assert(store.read("t").count() == 1)
     assert(store.partitioning("t") == Seq("p"))
+    // special characters in the partition value: the declared dir must
+    // use Spark's hive-path escaping or the commit's requireWithin
+    // check rejects every file of a legal statement
+    spark.sql("INSERT INTO gow.t VALUES (20L, 20.0, 'a:b')")
+    spark.sql("INSERT OVERWRITE gow.t PARTITION (p = 'a:b') VALUES " +
+      "(21L, 21.0)")
+    assert(store.read("t").where(col("p") === "a:b")
+      .select("id").as[Long].collect().toSeq == Seq(21L))
+    assert(store.read("t").count() == 2)
   }
 
   test("catalog TIMESTAMP AS OF resolves by commit time") {
