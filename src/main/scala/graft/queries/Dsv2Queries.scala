@@ -254,6 +254,57 @@ object Dsv2Queries {
         |FROM read_parquet('$exportDir/*.parquet')
         |GROUP BY status ORDER BY status""".stripMargin))
 
+  /** Iceberg-style stored procedures: the maintenance lifecycle —
+    * fold merge-on-read delete debt + bin-pack (`optimize`), trim
+    * history (`vacuum`) — driven entirely by `CALL gc.system.<p>(...)`
+    * statements in a vanilla session (Spark 4 `ProcedureCatalog`;
+    * the reference's Glue jobs run Iceberg catalogs whose maintenance
+    * is exactly this idiom, icberg/iceberg_tables.py:13-20). Every
+    * effect is load-bearing via `require`: debt present before,
+    * gone after, small files folded, exactly one retained version.
+    * Oracle recomputes the surviving rows from scratch. */
+  val dsv2CallProcedures: Entry = Entry(
+    "dsv2_call_procedures",
+    (s, dir) => {
+      val root = tmpDir("graft-dsv2proc")
+      val store = new TableStore(s, root)
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").cast("double").as("price"))
+      store.create("p_t", ord.where(col("k") % 2 === 1).coalesce(2))
+      store.append("p_t", ord.where(col("k") % 2 === 0).coalesce(2))
+      // merge-on-read delete debt the reads pay until OPTIMIZE folds it
+      store.appendWithDeletes("p_t", ord.limit(0),
+        deleteKeys = ord.select("k").where(col("k") % 7 === 0))
+      require(store.deleteDebt("p_t") > 0, "setup must leave MoR debt")
+      def files(): Int = store
+        .manifest("p_t", store.currentVersion("p_t").get)
+        .count(l => !l.startsWith("del|") && !l.startsWith("dv|"))
+      val filesBefore = files()
+      // vanilla from here on: maintenance via stored procedures only
+      s.conf.set("spark.sql.catalog.gc", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gc.root", root)
+      val opt = s.sql("CALL gc.system.optimize(table => 'p_t')").collect()
+      require(opt.length == 1 && opt.head.getAs[Boolean]("debt_folded"),
+        "optimize must report the debt fold")
+      require(store.deleteDebt("p_t") == 0, "optimize must fold MoR debt")
+      require(files() < filesBefore,
+        s"optimize must bin-pack: ${files()} !< $filesBefore")
+      val kept = s.sql(
+        "CALL gc.system.vacuum(table => 'p_t', retain_versions => 1)")
+        .collect()
+      require(kept.length == 1 && store.versions("p_t").size == 1,
+        "vacuum must retain exactly the current version")
+      s.sql(
+        """SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price
+          |FROM gc.p_t GROUP BY st ORDER BY st""".stripMargin)
+    },
+    Some("""SELECT o_orderstatus AS st, count(*) AS n,
+        |  round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY st ORDER BY st""".stripMargin))
+
   val entries: Seq[Entry] =
-    Seq(dsv2ReadPath, dsv2CatalogSql, dsv2MergeSql, dsv2AlterDml, exportParity)
+    Seq(dsv2ReadPath, dsv2CatalogSql, dsv2MergeSql, dsv2AlterDml, exportParity,
+      dsv2CallProcedures)
 }

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableProvider}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -420,8 +421,10 @@ private final class GraftWriteBuilder(store: TableStore, table: String,
   * resolve as `<name>.<table>` in vanilla Spark SQL — SELECT with
   * manifest semantics, `VERSION AS OF` / `TIMESTAMP AS OF` time
   * travel, INSERT INTO, CREATE TABLE (CTAS lands as a store create),
-  * DROP TABLE. */
-class GraftCatalog extends TableCatalog {
+  * DROP TABLE. Maintenance runs as stored procedures under the
+  * `system` namespace ([[GraftProcedures]]):
+  * `CALL <name>.system.optimize(table => 't')`. */
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var initialRoot: Option[String] = None
@@ -467,6 +470,24 @@ class GraftCatalog extends TableCatalog {
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().isEmpty && store.exists(ident.name())
+
+  /** Iceberg-style maintenance procedures: `CALL <cat>.system.<p>(...)`
+    * ([[GraftProcedures]] — each binds onto the GraftSql verb's
+    * machinery and returns its bounded summary rows). */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val procs = GraftProcedures.all(() => store)
+    if (!ident.namespace().sameElements(GraftProcedures.Namespace))
+      throw new NoSuchTableException(ident.namespace().toSeq :+ ident.name())
+    procs.getOrElse(ident.name(), throw new IllegalArgumentException(
+      s"unknown procedure ${ident.name()} — available: " +
+        procs.keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace) || namespace.isEmpty)
+      GraftProcedures.all(() => store).keys.toSeq.sorted
+        .map(Identifier.of(GraftProcedures.Namespace, _)).toArray
+    else Array.empty
 
   override def loadTable(ident: Identifier): Table = {
     val s = store
