@@ -304,7 +304,54 @@ object Dsv2Queries {
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY st ORDER BY st""".stripMargin))
 
+  /** Structured Streaming BETWEEN store tables, vanilla surface only:
+    * `readStream.format("graft")` (offsets = table versions — initial
+    * snapshot, then each append commit serves exactly its own new
+    * files) into `writeStream.format("graft")` (one atomic,
+    * batch-id-idempotent commit per micro-batch). The stream drains,
+    * the source gains an append commit, drains again, then RESTARTS
+    * on the same checkpoint with no new input — the final count must
+    * not move (exactly-once across restarts, REQUIRED in-query).
+    * Oracle: the stream==batch contract — recompute the transform
+    * over all input from scratch. */
+  val dsv2StreamPipeline: Entry = Entry(
+    "dsv2_stream_pipeline",
+    (s, dir) => {
+      val root = tmpDir("graft-dsv2s")
+      val store = new TableStore(s, root)
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          col("value").cast("double").as("v"))
+      store.create("ev_in", ev.where(col("event_id") % 2 === 0))
+      store.create("ev_out", ev.where(lit(false))
+        .select(col("event_type"), col("v")))
+      val ckpt = tmpDir("graft-dsv2s-ckpt")
+      def drainOnce(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("root", root).option("table", "ev_in").load()
+          .where(col("v") > 0).select(col("event_type"), col("v"))
+          .writeStream.format("graft")
+          .option("root", root).option("table", "ev_out")
+          .option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      drainOnce() // initial snapshot
+      store.append("ev_in", ev.where(col("event_id") % 2 =!= 0))
+      drainOnce() // the append commit, incrementally
+      val n = store.read("ev_out").count()
+      drainOnce() // restart, no new input: exactly-once must hold
+      require(store.read("ev_out").count() == n,
+        "a replayed/new-empty batch must not re-land rows")
+      store.read("ev_out").groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("v"), 2).as("sum_v"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, count(*) AS n,
+        |  round(sum(CAST(value AS DOUBLE)), 2) AS sum_v
+        |FROM events WHERE CAST(value AS DOUBLE) > 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val entries: Seq[Entry] =
     Seq(dsv2ReadPath, dsv2CatalogSql, dsv2MergeSql, dsv2AlterDml, exportParity,
-      dsv2CallProcedures)
+      dsv2CallProcedures, dsv2StreamPipeline)
 }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownF
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, Filter, InsertableRelation, StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -60,7 +62,8 @@ import graft.lake.TableStore
   * hive dirs, pushed-filter stats/bloom skipping before any footer
   * opens. The connector adds no per-row or per-file driver state.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
@@ -70,16 +73,61 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     GraftDataSource.resolve(properties.asScala.toMap)
+
+  /** `spark.readStream.format("graft")` — [[GraftStreamSource]]:
+    * offsets = store versions, initial snapshot then per-commit
+    * appends. The schema pins at stream start. */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "a graft stream serves the table's own schema — drop .schema(...)")
+    (shortName(), GraftDataSource.resolve(parameters).schema)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val (root, table) = GraftDataSource.rootTableOf(parameters)
+    val spark = ctx.sparkSession
+    new GraftStreamSource(spark, new TableStore(spark, root), table,
+      parameters)
+  }
+
+  /** `df.writeStream.format("graft")` — [[GraftStreamSink]]: one
+    * atomic, batch-id-idempotent store commit per micro-batch. The
+    * sink table must exist (its schema and partitioning are the
+    * contract); the txn app id defaults to the checkpoint location,
+    * the stable-across-restarts identity of the query. */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val (root, table) = GraftDataSource.rootTableOf(parameters)
+    require(partitionColumns.isEmpty,
+      "partitioning comes from the existing sink table, not partitionBy")
+    require(outputMode == OutputMode.Append() ||
+        outputMode == OutputMode.Complete(),
+      s"graft sink supports Append and Complete, not $outputMode")
+    val ci = parameters.map { case (k, v) => k.toLowerCase -> v }
+    // ':' delimits the store's txn header — strip it from derived ids
+    val appId = ci.get("txnappid").orElse(
+      ci.get("checkpointlocation").map(p =>
+        "graft-sink@" + p.replace(":", "_"))).getOrElse(
+      throw new IllegalArgumentException(
+        "graft sink needs checkpointLocation (or an explicit txnAppId) " +
+          "to key its exactly-once batch watermarks"))
+    new GraftStreamSink(root, table, appId, outputMode)
+  }
 }
 
 object GraftDataSource {
-  /** Resolve (store, table, pinned version) from reader options:
-    * either `root` + `table`, or `path` = `<root>/<table>` (the
-    * `.load(path)` form). `versionAsOf` / `timestampAsOf` pin a
-    * retained version (time travel). */
-  private[sources] def resolve(opts: Map[String, String]): GraftTable = {
+  /** `root` + `table` options, or `path` = `<root>/<table>` (the
+    * `.load(path)` form). */
+  private[sources] def rootTableOf(opts: Map[String, String])
+      : (String, String) = {
     val ci = opts.map { case (k, v) => k.toLowerCase -> v }
-    val (root, table) = (ci.get("root"), ci.get("table")) match {
+    (ci.get("root"), ci.get("table")) match {
       case (Some(r), Some(t)) => (r, t)
       case _ =>
         val path = ci.getOrElse("path",
@@ -91,6 +139,15 @@ object GraftDataSource {
         require(i > 0, s"cannot split '$path' into <storeRoot>/<table>")
         (norm.substring(0, i), norm.substring(i + 1))
     }
+  }
+
+  /** Resolve (store, table, pinned version) from reader options:
+    * either `root` + `table`, or `path` = `<root>/<table>` (the
+    * `.load(path)` form). `versionAsOf` / `timestampAsOf` pin a
+    * retained version (time travel). */
+  private[sources] def resolve(opts: Map[String, String]): GraftTable = {
+    val ci = opts.map { case (k, v) => k.toLowerCase -> v }
+    val (root, table) = rootTableOf(opts)
     val spark = SparkSession.active
     val store = new TableStore(spark, root)
     if (!store.exists(table))

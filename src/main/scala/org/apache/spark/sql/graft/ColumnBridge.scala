@@ -28,4 +28,35 @@ object ColumnBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Pin a V1 streaming sink's micro-batch to its OWN (incremental)
+    * execution — `LogicalRDD.fromDataset(qe.toRdd, ...)`, exactly what
+    * Spark's ForeachBatchSink does before handing the frame to user
+    * code. A sink that instead calls `batch.write...` re-plans
+    * `data.logicalPlan` from scratch, which re-plans stateful
+    * operators as plain per-batch aggregates (losing accumulated
+    * state under Complete mode) and re-executes the source scan. */
+  def materializedBatch(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = data.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, node)
+  }
+
+  /** Mark a composed batch plan as a STREAMING micro-batch — what a
+    * V1 `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`). Same route Delta's source takes
+    * (`internalCreateDataFrame(rdd, schema, isStreaming = true)`):
+    * the RDD lineage is built lazily here, no job runs until the
+    * sink consumes the batch. */
+  def asStreamingBatch(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = data.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = true)
+    org.apache.spark.sql.classic.Dataset.ofRows(ds.sparkSession, node)
+  }
 }
