@@ -280,7 +280,6 @@ object Dsv2Queries {
       def files(): Int = store
         .manifest("p_t", store.currentVersion("p_t").get)
         .count(l => !l.startsWith("del|") && !l.startsWith("dv|"))
-      val filesBefore = files()
       // vanilla from here on: maintenance via stored procedures only
       s.conf.set("spark.sql.catalog.gc", classOf[GraftCatalog].getName)
       s.conf.set("spark.sql.catalog.gc.root", root)
@@ -288,8 +287,17 @@ object Dsv2Queries {
       require(opt.length == 1 && opt.head.getAs[Boolean]("debt_folded"),
         "optimize must report the debt fold")
       require(store.deleteDebt("p_t") == 0, "optimize must fold MoR debt")
-      require(files() < filesBefore,
-        s"optimize must bin-pack: ${files()} !< $filesBefore")
+      // bin-packing, checked scale-invariantly: three DETERMINISTIC
+      // tiny commits (the base key range is fixed — they stay small
+      // at every synthesis factor) must fold into one packed file,
+      // while the big post-fold files carry by reference
+      val tiny = ord.where(col("k") <= 80)
+      val filesAfterFold = files()
+      (1 to 3).foreach(_ => store.append("p_t", tiny.coalesce(1)))
+      require(files() == filesAfterFold + 3, "setup: 3 small files")
+      s.sql("CALL gc.system.optimize('p_t')").collect()
+      require(files() < filesAfterFold + 3,
+        s"optimize must bin-pack the small commits: ${files()}")
       val kept = s.sql(
         "CALL gc.system.vacuum(table => 'p_t', retain_versions => 1)")
         .collect()
@@ -299,9 +307,15 @@ object Dsv2Queries {
         """SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price
           |FROM gc.p_t GROUP BY st ORDER BY st""".stripMargin)
     },
-    Some("""SELECT o_orderstatus AS st, count(*) AS n,
-        |  round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
-        |FROM orders WHERE o_orderkey % 7 <> 0
+    Some("""WITH surv AS (
+        |  SELECT o_orderstatus AS st, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |tiny AS (
+        |  SELECT o_orderstatus AS st, CAST(o_totalprice AS DOUBLE) AS price
+        |  FROM orders WHERE o_orderkey <= 80)
+        |SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price
+        |FROM (SELECT * FROM surv UNION ALL SELECT * FROM tiny
+        |      UNION ALL SELECT * FROM tiny UNION ALL SELECT * FROM tiny)
         |GROUP BY st ORDER BY st""".stripMargin))
 
   /** Structured Streaming BETWEEN store tables, vanilla surface only:

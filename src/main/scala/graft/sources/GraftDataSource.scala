@@ -81,9 +81,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister
                             providerName: String,
                             parameters: Map[String, String])
       : (String, StructType) = {
-    require(schema.isEmpty,
-      "a graft stream serves the table's own schema — drop .schema(...)")
-    (shortName(), GraftDataSource.resolve(parameters).schema)
+    // construct the source so the declared schema can never diverge
+    // from the served one (readChangeFeed adds the CDF columns)
+    val served =
+      createSource(ctx, metadataPath = "", schema, providerName, parameters)
+        .schema
+    // the readStream.table() fallback route passes the catalog
+    // table's schema through — accept it when it matches what the
+    // source serves (modulo the CDF columns it appends); refuse a
+    // genuinely different user schema instead of silently ignoring it
+    schema.foreach(s => require(
+      s == served || served.fields.take(s.length).sameElements(s.fields),
+      "a graft stream serves the table's own schema — drop .schema(...)"))
+    (shortName(), served)
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -188,7 +198,27 @@ object GraftScanMetrics {
   * corrupt the partial algebra). */
 final class GraftTable(store: TableStore, table: String, version: Long,
                        isMv: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.graft.V1FallbackBridge {
+
+  /** `spark.readStream.table("gq.t")`: the analyzer resolves a
+    * streaming catalog relation through this V1 fallback (the same
+    * hook Delta uses) — the fabricated CatalogTable routes back to
+    * the `graft` provider's [[GraftStreamSource]] with root+table as
+    * options, so catalog-addressed and format-addressed streams are
+    * the one code path. Reader options (startingVersion,
+    * readChangeFeed, ...) merge in from `.option(...)`. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    CatalogTable(
+      identifier = TableIdentifier(table, Some("graft")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        properties = Map("root" -> store.rootPath, "table" -> table)),
+      schema = schema,
+      provider = Some("graft"))
+  }
 
   /** Exposed for the row-level DML extension ([[graft.plans.GraftDml]])
     * — the command executes against the SAME pinned version the

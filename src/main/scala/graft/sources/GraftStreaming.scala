@@ -2,10 +2,10 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
 import graft.lake.TableStore
 
@@ -18,6 +18,7 @@ import graft.lake.TableStore
   *     .option("root", r).option("table", t)
   *     [.option("startingVersion", 3)]      // else: initial snapshot
   *     [.option("skipChangeCommits", true)] // else: fail on rewrites
+  *     [.option("readChangeFeed", true)]    // CDF rows: inserts+deletes
   *     .load()
   *   df.writeStream.format("graft")
   *     .option("root", r).option("table", t)
@@ -69,6 +70,16 @@ class GraftStreamSource(spark: SparkSession, store: TableStore,
     opts.get("startingversion").map(_.trim.toLong)
   private val skipChangeCommits: Boolean =
     opts.get("skipchangecommits").exists(_.trim.toBoolean)
+  /** `readChangeFeed=true` — Delta's CDF stream: rows arrive tagged
+    * `_change_type` ∈ {insert, delete} / `_commit_version`, deletes
+    * FLOW as rows instead of failing the stream, and a rewrite range
+    * serves the exact bag diff. The initial snapshot (or a
+    * `startingVersion` CREATE) is all-inserts at its version. */
+  private val readChangeFeed: Boolean =
+    opts.get("readchangefeed").exists(_.trim.toBoolean)
+  require(!(readChangeFeed && skipChangeCommits),
+    "readChangeFeed serves change commits as tagged rows — " +
+      "skipChangeCommits contradicts it")
 
   require(!GraftTable.isMaterializedView(store, table),
     s"$table is a materialized view — its consolidated state changes " +
@@ -77,7 +88,12 @@ class GraftStreamSource(spark: SparkSession, store: TableStore,
   startingVersion.foreach(sv => require(sv >= 0,
     s"startingVersion must be >= 0, got $sv"))
 
-  override val schema: StructType = store.read(table).schema
+  override val schema: StructType = {
+    val base = store.read(table).schema
+    if (readChangeFeed)
+      base.add("_change_type", StringType).add("_commit_version", LongType)
+    else base
+  }
 
   override def getOffset: Option[OffsetV1] =
     store.currentVersion(table).map(GraftStreamOffset(_))
@@ -92,12 +108,12 @@ class GraftStreamSource(spark: SparkSession, store: TableStore,
       case None => startingVersion match {
         // no startingVersion: the first batch is the initial snapshot
         // (the table AS OF the stream-start version), Delta-style
-        case None => conform(store.readVersion(table, endV))
+        case None => conform(tagged(store.readVersion(table, endV), endV))
         // startingVersion=v: serve commits v..end incrementally, no
         // snapshot. v=0 includes the CREATE commit's rows (there is
         // no version before 0 to diff against, so it serves whole).
         case Some(0L) =>
-          conform(store.readVersion(table, 0L))
+          conform(tagged(store.readVersion(table, 0L), 0L))
             .unionByName(incremental(0L, endV))
         case Some(sv) =>
           require(store.versions(table).contains(sv - 1),
@@ -110,15 +126,30 @@ class GraftStreamSource(spark: SparkSession, store: TableStore,
 
   /** Rows appended in `(fromV, toV]`: per-commit classification, then
     * the manifest-aware single-version change feed (O(changed data)
-    * for appends — never a table scan). */
+    * for appends — never a table scan). In CDF mode the whole range
+    * serves directly from [[TableStore.changes]] — deletes flow as
+    * tagged rows, rewrites serve their exact bag diff. */
   private def incremental(fromV: Long, toV: Long): DataFrame = {
+    if (readChangeFeed) {
+      if (fromV >= toV) return emptyBatch(toV)
+      return conform(store.changes(table, fromV, toV))
+    }
     val served = ((fromV + 1) to toV).filter(servesAppends)
     served.map(v => store.changes(table, v - 1, v)
         .where(col("_change_type") === "insert"))
       .reduceOption(_ unionByName _)
       .map(conform)
-      .getOrElse(conform(store.readVersion(table, toV).limit(0)))
+      .getOrElse(emptyBatch(toV))
   }
+
+  private def emptyBatch(toV: Long): DataFrame =
+    conform(tagged(store.readVersion(table, toV).limit(0), 0L))
+
+  /** CDF-tag a snapshot-shaped frame (all rows are inserts at `v`). */
+  private def tagged(df: DataFrame, v: Long): DataFrame =
+    if (!readChangeFeed) df
+    else df.withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v))
 
   /** Content-neutral maintenance ops — the row bag is preserved by
     * contract, so the stream skips them (mirrors

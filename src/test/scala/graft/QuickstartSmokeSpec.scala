@@ -135,6 +135,22 @@ class QuickstartSmokeSpec extends SparkSpec {
     assert(got == Seq((2L, "y2", None), (7L, "new", None),
       (9L, "z", None)), s"got $got")
     assert(store.exists("t2"))
+    // maintenance as stored procedures (Spark 4 CALL — the Iceberg idiom)
+    spark.sql("CALL g.system.optimize(table => 't')").collect()
+    spark.sql("CALL g.system.vacuum(table => 't', retain_versions => 2)")
+      .collect()
+    assert(store.versions("t").size == 2)
+    // Structured Streaming both ways: offsets ARE table versions;
+    // the sink lands one exactly-once atomic commit per micro-batch
+    store.create("t_copy", store.read("t").limit(0))
+    val ckpt = tmpDir("qs-dsv2-ckpt")
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "t").load()
+      .writeStream.format("graft")
+      .option("root", root).option("table", "t_copy")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(store.read("t_copy").count() == store.read("t").count())
   }
 
   test("quickstart: the index follows its corpus table (CDF sync)") {

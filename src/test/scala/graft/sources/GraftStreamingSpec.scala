@@ -163,6 +163,55 @@ class GraftStreamingSpec extends SparkSpec {
       .toSeq == Seq(("g0", 5L), ("g1", 6L)))
   }
 
+  test("readStream.table(catalog.t) resolves through the V1 fallback") {
+    val root = tmpDir("gs-cat")
+    val store = new TableStore(spark, root)
+    store.create("ct", (1 to 5).map(i => (i.toLong, "a")).toDF("id", "g"))
+    spark.conf.set("spark.sql.catalog.gsc", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsc.root", root)
+    val q = spark.readStream.table("gsc.ct")
+      .writeStream.format("memory").queryName("gs_cat")
+      .option("checkpointLocation", tmpDir("gs-cat-ck")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("gs_cat").count() == 5)
+      store.append("ct", Seq((6L, "b")).toDF("id", "g"))
+      q.processAllAvailable()
+      assert(spark.table("gs_cat").select("id").as[Long].collect().sorted
+        .toSeq == (1L to 6L))
+    } finally q.stop()
+  }
+
+  test("readChangeFeed streams tagged inserts AND deletes; feed telescopes") {
+    val root = tmpDir("gs-cdf")
+    val store = new TableStore(spark, root)
+    store.create("f", (1 to 6).map(i => (i.toLong, "a")).toDF("id", "g"))
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "f")
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("gs_cdf")
+      .option("checkpointLocation", tmpDir("gs-cdf-ck")).start()
+    try {
+      q.processAllAvailable()
+      // the initial snapshot is all-inserts at the start version
+      assert(spark.table("gs_cdf").count() == 6)
+      assert(spark.table("gs_cdf").select("_change_type").distinct()
+        .as[String].collect().toSeq == Seq("insert"))
+      // a delete commit FLOWS as tagged rows instead of failing
+      store.deleteWhere("f", col("id") <= 2L)
+      store.append("f", Seq((7L, "b")).toDF("id", "g"))
+      q.processAllAvailable()
+      val feed = spark.table("gs_cdf")
+        .select("id", "_change_type").as[(Long, String)].collect().toSeq
+      assert(feed.count(_._2 == "delete") == 2)
+      // telescoping: snapshot + inserts − deletes == current table
+      val replayed = feed.filter(_._2 == "insert").map(_._1)
+        .diff(feed.filter(_._2 == "delete").map(_._1)).sorted
+      assert(replayed == store.read("f").select("id").as[Long]
+        .collect().sorted.toSeq)
+    } finally q.stop()
+  }
+
   test("refusals: MV source, missing sink table, update mode, partitionBy") {
     val root = tmpDir("gs-ref")
     val store = new TableStore(spark, root)
