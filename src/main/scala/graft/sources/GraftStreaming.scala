@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2Api, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -47,14 +48,15 @@ case class GraftStreamOffset(version: Long) extends OffsetV1 {
 
 object GraftStreamOffset {
   private val Re = """\s*\{\s*"version"\s*:\s*(-?\d+)\s*\}\s*""".r
+  def parse(json: String): GraftStreamOffset = json match {
+    case Re(v) => GraftStreamOffset(v.toLong)
+    case j => throw new IllegalArgumentException(s"not a graft offset: $j")
+  }
   /** Checkpoint recovery hands back a SerializedOffset — resolve any
     * V1 offset through its json. */
   def of(o: OffsetV1): GraftStreamOffset = o match {
     case g: GraftStreamOffset => g
-    case other => other.json() match {
-      case Re(v) => GraftStreamOffset(v.toLong)
-      case j => throw new IllegalArgumentException(s"not a graft offset: $j")
-    }
+    case other => parse(other.json())
   }
 }
 
@@ -63,7 +65,7 @@ object GraftStreamOffset {
   * feed. See [[GraftStreamOffset]] for the full semantics. */
 class GraftStreamSource(spark: SparkSession, store: TableStore,
                         table: String, options: Map[String, String])
-    extends Source {
+    extends Source with SupportsTriggerAvailableNow {
 
   private val opts = options.map { case (k, v) => k.toLowerCase -> v }
   private val startingVersion: Option[Long] =
@@ -80,6 +82,23 @@ class GraftStreamSource(spark: SparkSession, store: TableStore,
   require(!(readChangeFeed && skipChangeCommits),
     "readChangeFeed serves change commits as tagged rows — " +
       "skipChangeCommits contradicts it")
+  /** Admission control (Delta's `maxFilesPerTrigger` analog, in the
+    * store's natural unit): cap each micro-batch at N source COMMITS,
+    * so a backlog drains as bounded batches instead of one giant one.
+    * Best-effort — the initial snapshot is one batch by definition,
+    * and the first batch after a restart recovers whatever range its
+    * checkpoint recorded. */
+  private val maxVersionsPerTrigger: Option[Long] =
+    opts.get("maxversionspertrigger").map(_.trim.toLong)
+  maxVersionsPerTrigger.foreach(n => require(n > 0,
+    s"maxVersionsPerTrigger must be > 0, got $n"))
+
+  /** `Trigger.AvailableNow` target: pinned at stream start so the
+    * drain has a fixed finish line even while writers keep
+    * committing ([[SupportsTriggerAvailableNow]] — without it the
+    * engine would snapshot ONE capped `latestOffset` as the end and
+    * stop after a single batch). */
+  @volatile private var availableTarget: Option[Long] = None
 
   require(!GraftTable.isMaterializedView(store, table),
     s"$table is a materialized view — its consolidated state changes " +
@@ -97,6 +116,30 @@ class GraftStreamSource(spark: SparkSession, store: TableStore,
 
   override def getOffset: Option[OffsetV1] =
     store.currentVersion(table).map(GraftStreamOffset(_))
+
+  /** The engine routes offset discovery here (Source with
+    * SupportsAdmissionControl, the Delta shape), handing us the last
+    * committed END — so the per-trigger cap needs no mutable anchor
+    * and restarts resume capping from the checkpoint exactly. */
+  override def latestOffset(start: OffsetV2Api,
+                            limit: ReadLimit): OffsetV2Api =
+    store.currentVersion(table).map { cur =>
+      val bounded = availableTarget.fold(cur)(math.min(cur, _))
+      val anchor = Option(start).map {
+        case g: GraftStreamOffset => g.version
+        case o => GraftStreamOffset.parse(o.json()).version
+      }.orElse(startingVersion.map(_ - 1L))
+      val capped = (maxVersionsPerTrigger, anchor) match {
+        case (Some(n), Some(l)) => math.max(l, math.min(bounded, l + n))
+        case _ => bounded // snapshot batch: one batch by definition
+      }
+      GraftStreamOffset(capped): OffsetV2Api
+    }.orNull
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = store.currentVersion(table)
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =
     ColumnBridge.asStreamingBatch(batchPlan(start, end))

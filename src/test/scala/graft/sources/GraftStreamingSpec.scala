@@ -163,6 +163,31 @@ class GraftStreamingSpec extends SparkSpec {
       .toSeq == Seq(("g0", 5L), ("g1", 6L)))
   }
 
+  test("maxVersionsPerTrigger drains a backlog as bounded batches") {
+    val root = tmpDir("gs-cap")
+    val store = new TableStore(spark, root)
+    store.create("b", Seq((0L, "v0")).toDF("id", "s"))
+    (1 to 4).foreach(i => store.append("b", Seq((i.toLong, s"v$i"))
+      .toDF("id", "s")))
+    // 5 commits of backlog, one commit per micro-batch
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "b")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("gs_cap")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("gs-cap-ck")).start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("gs_cap").select("id").as[Long].collect().sorted
+        .toSeq == (0L to 4L))
+      // the backlog drained one version per batch, not in one gulp
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+        q.recentProgress.map(p => s"${p.batchId}:${p.numInputRows}")
+          .mkString(","))
+    } finally q.stop()
+  }
+
   test("readStream.table(catalog.t) resolves through the V1 fallback") {
     val root = tmpDir("gs-cat")
     val store = new TableStore(spark, root)
