@@ -218,11 +218,18 @@ class GraftStreamSource(spark: SparkSession, store: TableStore,
   }
 
   /** Serve under the stream-start schema: name-stable column order,
-    * types cast back if a later commit widened them. A column RENAME
-    * mid-stream fails the select loudly — restart with a fresh
-    * checkpoint, same as Delta. */
-  private def conform(df: DataFrame): DataFrame =
-    df.select(schema.map(f => col(f.name).cast(f.dataType)): _*)
+    * types cast back if a later commit widened them. A commit from
+    * BEFORE a schema evolution lacks the added columns — backfill
+    * NULL, the same union-by-name semantic the store's batch read
+    * gives old rows (a startingVersion replay crossing an ALTER
+    * boundary must not fail). A column RENAME mid-stream still fails
+    * loudly — restart with a fresh checkpoint, same as Delta. */
+  private def conform(df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.map(f =>
+      (if (have(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)): _*)
+  }
 
   override def stop(): Unit = ()
 }
@@ -243,6 +250,14 @@ class GraftStreamSink(root: String, table: String, appId: String,
     require(store.exists(table),
       s"graft sink table $table does not exist — create it (with its " +
         "schema and partitioning) before starting the stream")
+    // checked per batch, not once: a view created mid-stream must not
+    // start receiving raw rows (they'd corrupt the partial algebra),
+    // and a live view's __def companion is engine-managed
+    require(!GraftTable.isMaterializedView(store, table),
+      s"$table is a materialized view — it is maintained from its " +
+        "source's change feed, never streamed into directly")
+    require(!GraftTable.isLiveCompanion(store, table),
+      s"$table is a live view's definition companion — engine-managed")
     val batch = ColumnBridge.materializedBatch(data)
     if (mode == OutputMode.Complete())
       store.overwriteTxn(table, batch, appId, batchId)

@@ -237,6 +237,29 @@ class GraftStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a startingVersion replay across ALTER ADD COLUMNS backfills NULL") {
+    val root = tmpDir("gs-evo")
+    val store = new TableStore(spark, root)
+    store.create("e", Seq((1L, "a")).toDF("id", "s"))            // v0
+    graft.lake.GraftSql.execute(spark, store,
+      "ALTER TABLE e ADD COLUMNS (x DOUBLE)")                    // v1
+    store.append("e", Seq((2L, "b", 1.5)).toDF("id", "s", "x"))  // v2
+    // the stream starts AFTER the evolution, so its schema has x;
+    // the pre-evolution commit must serve with x backfilled NULL
+    // (the store read's union-by-name semantic), not fail the select
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "e")
+      .option("startingVersion", "0").load()
+      .writeStream.format("memory").queryName("gs_evo")
+      .option("checkpointLocation", tmpDir("gs-evo-ck")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("gs_evo").orderBy("id")
+        .as[(Long, String, Option[Double])].collect().toSeq
+      assert(got == Seq((1L, "a", None), (2L, "b", Some(1.5))))
+    } finally q.stop()
+  }
+
   test("refusals: MV source, missing sink table, update mode, partitionBy") {
     val root = tmpDir("gs-ref")
     val store = new TableStore(spark, root)
@@ -275,5 +298,15 @@ class GraftStreamingSpec extends SparkSpec {
     assert(Iterator.iterate(e3: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(m =>
         m.contains("Append and Complete") || m.contains("Update"))))
+    // streaming INTO a materialized view would corrupt the partial
+    // algebra — refused per batch
+    val e4 = intercept[Exception] {
+      val q = in.writeStream.format("graft")
+        .option("root", root).option("table", "base_mv")
+        .option("checkpointLocation", tmpDir("gs-ref-ck4")).start()
+      drain(q)
+    }
+    assert(Iterator.iterate(e4: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("materialized view"))))
   }
 }
