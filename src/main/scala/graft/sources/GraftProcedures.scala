@@ -90,6 +90,10 @@ object GraftProcedures {
             case TimestampType =>
               r.getTimestamp(i).getTime * 1000L +
                 (r.getTimestamp(i).getNanos / 1000L) % 1000L
+            case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                r.getSeq[String](i).map(s =>
+                  if (s == null) null else UTF8String.fromString(s)).toArray)
             case dt => throw new IllegalArgumentException(
               s"unsupported procedure result type $dt for ${f.name}")
           }
@@ -192,6 +196,26 @@ object GraftProcedures {
         val mv = requireIdent("view", str(in, 0).orNull)
         val v = MaterializedView.refresh(store, mv)
         summary("view_name" -> StringType, "version" -> LongType)(mv, v)
+      }, storeOf),
+
+    "history" -> new Proc("history",
+      "Per-version commit log: operation, files, delete entries, " +
+        "bytes, rows, commit time — manifest metadata, no data scan " +
+        "(DESCRIBE HISTORY verb).",
+      Array(param("table", StringType)),
+      (spark, store, in) => {
+        val t = requireIdent("table", str(in, 0).orNull)
+        viaFrontDoor(spark, store, s"DESCRIBE HISTORY $t")
+      }, storeOf),
+
+    "detail" -> new Proc("detail",
+      "One row of current-state metadata: location, version, file/" +
+        "byte/row tallies, partitioning, constraints, column mapping " +
+        "(DESCRIBE DETAIL verb).",
+      Array(param("table", StringType)),
+      (spark, store, in) => {
+        val t = requireIdent("table", str(in, 0).orNull)
+        viaFrontDoor(spark, store, s"DESCRIBE DETAIL $t")
       }, storeOf),
 
     "restore" -> new Proc("restore",

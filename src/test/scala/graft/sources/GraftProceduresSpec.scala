@@ -107,6 +107,20 @@ class GraftProceduresSpec extends SparkSpec {
     assert(store.read("src").count() == 3)
   }
 
+  test("CALL system.history / detail surface commit metadata, no scan") {
+    val root = tmpDir("proc-hist")
+    val store = new TableStore(spark, root)
+    store.create("ht", Seq((1L, "a")).toDF("id", "s"))
+    store.append("ht", Seq((2L, "b")).toDF("id", "s"))
+    catalog(root, "gp7")
+    val hist = spark.sql("CALL gp7.system.history(table => 'ht')").collect()
+    assert(hist.map(_.getAs[Long]("version")).sorted.toSeq == Seq(0L, 1L))
+    assert(hist.map(_.getAs[String]("operation")).toSet == Set("CREATE", "APPEND"))
+    val det = spark.sql("CALL gp7.system.detail('ht')").collect()
+    assert(det.length == 1 && det.head.getAs[Long]("version") == 1L)
+    assert(det.head.getAs[Long]("n_rows") == 2L)
+  }
+
   test("SHOW PROCEDURES lists the system namespace; unknown name is loud") {
     val root = tmpDir("proc-show")
     new TableStore(spark, root) // ensure root exists
@@ -114,7 +128,7 @@ class GraftProceduresSpec extends SparkSpec {
     val listed = spark.sql("SHOW PROCEDURES IN gp5.system")
       .select("procedure_name").as[String].collect().toSet
     assert(listed == Set("optimize", "vacuum", "export_snapshot",
-      "refresh_mv", "restore"))
+      "refresh_mv", "restore", "history", "detail"))
     val err = intercept[Exception] {
       spark.sql("CALL gp5.system.compact_everything('t')").collect()
     }
