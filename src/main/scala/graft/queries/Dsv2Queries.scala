@@ -188,9 +188,15 @@ object Dsv2Queries {
       s.sql("ALTER TABLE ga.a_t ADD COLUMNS (bonus DOUBLE)")
       s.sql("INSERT INTO ga.a_t SELECT k, st, price, bonus FROM dsv2_alter_ins")
       s.sql("UPDATE ga.a_t SET bonus = price * 0.1 WHERE st = 'F'")
+      // column mapping through the catalog: rename serves the logical
+      // name over unchanged physical files; a scratch column drops
+      // without touching data — all metadata commits
+      s.sql("ALTER TABLE ga.a_t RENAME COLUMN bonus TO reward")
+      s.sql("ALTER TABLE ga.a_t ADD COLUMNS (tmp INT)")
+      s.sql("ALTER TABLE ga.a_t DROP COLUMN tmp")
       s.sql(
         """SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price,
-          |  round(sum(bonus), 2) AS sum_bonus, count(bonus) AS n_bonus
+          |  round(sum(reward), 2) AS sum_reward, count(reward) AS n_reward
           |FROM ga.a_t GROUP BY st ORDER BY st""".stripMargin)
     },
     Some("""WITH t0 AS (
@@ -206,10 +212,10 @@ object Dsv2Queries {
         |allr AS (SELECT * FROM t0 UNION ALL SELECT * FROM ins),
         |upd AS (
         |  SELECT k, st, price,
-        |         CASE WHEN st = 'F' THEN price * 0.1 ELSE bonus END AS bonus
+        |         CASE WHEN st = 'F' THEN price * 0.1 ELSE bonus END AS reward
         |  FROM allr)
         |SELECT st, count(*) AS n, round(sum(price), 2) AS sum_price,
-        |  round(sum(bonus), 2) AS sum_bonus, count(bonus) AS n_bonus
+        |  round(sum(reward), 2) AS sum_reward, count(reward) AS n_reward
         |FROM upd GROUP BY st ORDER BY st""".stripMargin))
 
   /** Fixed export target: NOT a scratch dir — the DuckDB oracle reads

@@ -665,13 +665,30 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       throw new UnsupportedOperationException(
         s"$t belongs to a materialized view — its schema is derived " +
           "from the view definition, not ALTERable")
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
+    val (addChanges, rest) =
+      changes.partition(_.isInstanceOf[TableChange.AddColumn])
+    val adds = addChanges.map(_.asInstanceOf[TableChange.AddColumn])
+    // RENAME/DROP COLUMN land as the store's column-mapping metadata
+    // commits (files keep the physical name; never a rewrite) — the
+    // same path as the GraftSql verbs, with the store's own guards
+    // (partition columns, constraint references, name reuse)
+    rest.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "nested field renames are not supported on graft tables")
+        s.renameColumn(t, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "nested field drops are not supported on graft tables")
+        val exists = s.read(t).columns
+          .exists(_.equalsIgnoreCase(d.fieldNames.head))
+        if (exists || !d.ifExists()) s.dropColumn(t, d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"ALTER change ${other.getClass.getSimpleName} on graft tables " +
           "goes through the graft API / GraftSql (column mapping is a " +
           "manifest commit, not a catalog change)")
     }
+    if (adds.isEmpty) return new GraftTable(s, t, s.currentVersion(t).get)
     val current = s.read(t).schema
 
     def addNested(st: StructType, path: Seq[String],

@@ -200,7 +200,7 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(!store.exists("m2__def"))
   }
 
-  test("catalog ALTER TABLE ADD COLUMNS evolves the schema; other changes refused") {
+  test("catalog ALTER TABLE: ADD / RENAME / DROP COLUMN, all metadata-only") {
     val root = tmpDir("dsv2alter")
     val store = new TableStore(spark, root)
     store.create("a", Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
@@ -217,18 +217,26 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(got == Seq((1L, "x", None, None), (2L, "y", None, None),
       (3L, "z", Some(1.5), Some("t"))),
       s"old rows must backfill NULL: $got")
-    // everything else still routes to the GraftSql column-mapping path
-    intercept[Exception] { spark.sql("ALTER TABLE gal.a DROP COLUMN tag") }
-    intercept[Exception] {
-      spark.sql("ALTER TABLE gal.a RENAME COLUMN s TO s2")
-    }
+    // RENAME/DROP COLUMN land as the store's column-mapping commits:
+    // files keep the physical name, reads serve the logical one
+    val v2 = store.currentVersion("a").get
+    spark.sql("ALTER TABLE gal.a RENAME COLUMN s TO label")
+    spark.sql("ALTER TABLE gal.a DROP COLUMN tag")
+    assert(store.currentVersion("a").get == v2 + 2, "two metadata commits")
+    assert(store.read("a").columns.toSeq == Seq("id", "label", "score"))
+    assert(spark.sql("SELECT label FROM gal.a WHERE id = 1")
+      .as[String].collect().toSeq == Seq("x"))
+    // still refused: NOT NULL adds, and the store's own guards hold
+    // (e.g. a rename that collides with a live name)
     intercept[Exception] {
       spark.sql("ALTER TABLE gal.a ADD COLUMNS (bad INT NOT NULL)")
     }
-    // refused changes must not have committed anything
-    assert(store.currentVersion("a").get == v0 + 2)
-    assert(store.read("a").columns.toSeq ==
-      Seq("id", "s", "score", "tag"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gal.a RENAME COLUMN label TO score")
+    }
+    assert(store.currentVersion("a").get == v2 + 2,
+      "refused changes must not commit")
+    assert(store.read("a").columns.toSeq == Seq("id", "label", "score"))
   }
 
   test("catalog INSERT OVERWRITE PARTITION rewrites only the touched partition") {
