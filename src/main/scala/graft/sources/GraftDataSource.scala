@@ -199,7 +199,20 @@ object GraftScanMetrics {
 final class GraftTable(store: TableStore, table: String, version: Long,
                        isMv: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.graft.V1FallbackBridge {
+
+  /** `TRUNCATE TABLE gq.t`: one atomic empty-overwrite commit —
+    * history (and time travel to the pre-truncate state) retained,
+    * same as the front door's DELETE-all. */
+  override def truncateTable(): Boolean = {
+    if (isMv || GraftTable.isLiveCompanion(store, table))
+      throw new UnsupportedOperationException(
+        s"$table belongs to a materialized view — TRUNCATE would " +
+          "corrupt the partial algebra")
+    store.overwrite(table, store.read(table).limit(0), op = "TRUNCATE")
+    true
+  }
 
   /** `spark.readStream.table("gq.t")`: the analyzer resolves a
     * streaming catalog relation through this V1 fallback (the same

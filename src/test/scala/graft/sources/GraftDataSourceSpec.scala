@@ -239,6 +239,27 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(store.read("a").columns.toSeq == Seq("id", "label", "score"))
   }
 
+  test("TRUNCATE TABLE is one atomic empty commit; history survives") {
+    val root = tmpDir("dsv2trunc")
+    val store = new TableStore(spark, root)
+    store.create("tr", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    spark.conf.set("spark.sql.catalog.gtr", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gtr.root", root)
+    val v0 = store.currentVersion("tr").get
+    spark.sql("TRUNCATE TABLE gtr.tr")
+    assert(store.read("tr").count() == 0)
+    assert(store.currentVersion("tr").get == v0 + 1, "one commit")
+    // the pre-truncate state stays time-travelable
+    assert(spark.sql(s"SELECT * FROM gtr.tr VERSION AS OF $v0").count() == 2)
+    // a materialized view refuses — raw emptiness would corrupt the
+    // partial algebra
+    graft.lake.MaterializedView.create(store, "tr_mv", "tr",
+      Seq("s"), Seq("id"))
+    val e = intercept[Exception] { spark.sql("TRUNCATE TABLE gtr.tr_mv") }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("materialized view"))))
+  }
+
   test("catalog INSERT OVERWRITE PARTITION rewrites only the touched partition") {
     val root = tmpDir("dsv2ow")
     val store = new TableStore(spark, root)
