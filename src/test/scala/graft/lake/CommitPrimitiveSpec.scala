@@ -23,8 +23,21 @@ final class FakeS3Primitive extends CommitPrimitive {
     bucket.putIfAbsent(key(tableDir, v), System.currentTimeMillis()) == null
 
   override def publish(manifest: Path, content: String): Unit = {
-    // one atomic PUT of the whole object
-    Files.write(Paths.get(manifest.toUri), content.getBytes("UTF-8"))
+    // one atomic PUT of the whole object. S3 readers see the old or
+    // the new object, never a torn one — but a plain Files.write on a
+    // LOCAL filesystem is not atomic, and a concurrent reader (an
+    // appender carrying the current manifest) can observe a prefix
+    // and silently drop the tail's files from every later commit
+    // (caught by DisjointWritersSpec's hammer, rarely). Emulate the
+    // PUT's atomicity with temp + ATOMIC_MOVE; the STORE still never
+    // relies on rename for S3 — this is the fake's internal detail.
+    val target = Paths.get(manifest.toUri)
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.put-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, content.getBytes("UTF-8"))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   override def listClaims(tableDir: Path): Seq[(Long, Long)] = {
