@@ -13,17 +13,22 @@ private[lake] object FsListing {
 
   /** (path, modification time ms) — the mtimes drive COPY INTO's
     * listing watermark. */
-  def dataFilesWithTimes(dir: Path, conf: Configuration): Seq[(String, Long)] = {
+  def dataFilesWithTimes(dir: Path, conf: Configuration): Seq[(String, Long)] =
+    dataFilesWithMeta(dir, conf).map(t => (t._1, t._3))
+
+  /** (path, length, modification time ms) — the identity triple the
+    * schema cache keys on. */
+  def dataFilesWithMeta(dir: Path, conf: Configuration): Seq[(String, Long, Long)] = {
     val f = dir.getFileSystem(conf)
     if (!f.exists(dir)) Seq.empty
     else {
       val it = f.listFiles(dir, true)
-      val buf = Seq.newBuilder[(String, Long)]
+      val buf = Seq.newBuilder[(String, Long, Long)]
       while (it.hasNext) {
         val st = it.next()
         val name = st.getPath.getName
         if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-          buf += ((st.getPath.toString, st.getModificationTime))
+          buf += ((st.getPath.toString, st.getLen, st.getModificationTime))
       }
       buf.result().sortBy(_._1)
     }

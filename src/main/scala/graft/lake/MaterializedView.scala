@@ -158,7 +158,8 @@ object MaterializedView {
 
   private def loadDefUncached(store: TableStore, mv: String): Def = {
     MetaMetrics.mvDefLoads.incrementAndGet()
-    val r = store.read(defTable(mv)).collect() match {
+    val r = JobLabel(store.spark, s"graft:mv def load $mv") {
+      store.read(defTable(mv)).collect() } match {
       case Array(row) => row
       case rows => throw new IllegalStateException(
         s"$mv is not a materialized view (definition rows: ${rows.length})")
@@ -490,12 +491,8 @@ object MaterializedView {
       // term i holds sides before i OLD, side i's delta, sides after
       // i NEW — the exact multi-way Δ expansion
       var terms = List.empty[DataFrame]
-      // the UN-joined change feeds, kept so the extremum repair can
-      // probe for deletes without executing the joined terms
-      var rawDeltas = List.empty[DataFrame]
       if (curF > boundF) {
         val dF = store.changes(d.src, boundF, curF).drop("_commit_version")
-        rawDeltas ::= dF
         terms ::= d.projectGroups(d.admitted(
           d.joinAll(dF, i => store.readVersion(d.dims(i), curDs(i)))))
       }
@@ -503,7 +500,6 @@ object MaterializedView {
         if (curDs(i) > boundDs(i)) {
           val dD = store.changes(d.dims(i), boundDs(i), curDs(i))
             .drop("_commit_version")
-          rawDeltas ::= dD
           terms ::= d.projectGroups(d.admitted(
             d.joinAll(store.readVersion(d.src, boundF), j =>
               if (j < i) store.readVersion(d.dims(j), boundDs(j))
@@ -522,8 +518,11 @@ object MaterializedView {
       val delta =
         if (!d.hasFence) folded
         else mmRepairDelta(d, folded, feedRows,
-          rawDeltas.exists(r =>
-            !r.where(col("_change_type") === "delete").isEmpty),
+          // manifest-metadata probe across fact + dim ranges (see
+          // refreshPlain) — no Spark job on the refresh path
+          (curF > boundF && store.rangeMayDelete(d.src, boundF, curF)) ||
+            d.dims.indices.exists(i => curDs(i) > boundDs(i) &&
+              store.rangeMayDelete(d.dims(i), boundDs(i), curDs(i))),
           d.projectGroups(d.admitted(
             d.joinAll(store.readVersion(d.src, curF),
               i => store.readVersion(d.dims(i), curDs(i))))))
@@ -563,7 +562,10 @@ object MaterializedView {
       val delta =
         if (!d.hasFence) folded
         else mmRepairDelta(d, folded, feed,
-          !feed.where(col("_change_type") === "delete").isEmpty,
+          // manifest-metadata probe — no Spark job; conservative-true
+          // ranges run the repair with an empty affected set, which
+          // reproduces the plain fold exactly (spec-pinned)
+          store.rangeMayDelete(d.src, bound, cur),
           d.projectGroups(d.admitted(store.readVersion(d.src, cur))))
       try {
         // the delta may be EMPTY (a neutral-rewrite range: OPTIMIZE /

@@ -524,9 +524,17 @@ final class TableStore(private[graft] val spark: SparkSession,
       else {
         // mergeSchema: delete files from different commits must agree
         // on the key columns; a missing column would null-fill and a
-        // null key never anti-matches, silently resurrecting rows
-        val delKeys = spark.read.option("mergeSchema", "true")
-          .parquet(applicable: _*)
+        // null key never anti-matches, silently resurrecting rows.
+        // The merged schema is cached on the immutable file set
+        // (SchemaCache) and supplied explicitly, so repeat reads skip
+        // the distributed inference job; per-file missing columns
+        // null-fill identically under a supplied merged schema.
+        val delSchema = SchemaCache.getOrInfer(
+          SchemaCache.keyOf("del" +: applicable)) {
+          spark.read.option("mergeSchema", "true")
+            .parquet(applicable: _*).schema
+        }
+        val delKeys = spark.read.schema(delSchema).parquet(applicable: _*)
         df0.join(org.apache.spark.sql.functions.broadcast(delKeys),
           delKeys.columns.toSeq, "left_anti")
       }
@@ -550,10 +558,19 @@ final class TableStore(private[graft] val spark: SparkSession,
     val opts = Map("mergeSchema" -> "true", "basePath" -> base)
     val inMem = new InMemoryFileIndex(spark, files.map(new Path(_)), opts, None)
     val fmt = new ParquetFileFormat
-    val dataSchema = fmt.inferSchema(spark, opts,
-      inMem.allFiles()).getOrElse(
+    // merge-inference launches a distributed footer job per CALL, and
+    // the group's file set is immutable — cache the merged schema on
+    // the listed (path, size, mtime) identity (SchemaCache doc). The
+    // listing itself already happened (InMemoryFileIndex above), so
+    // the key costs no extra IO.
+    val listed = inMem.allFiles()
+    val key = SchemaCache.keyOf(listed.map(f =>
+      s"${f.getPath}#${f.getLen}#${f.getModificationTime}").toSeq)
+    val dataSchema = SchemaCache.getOrInfer(key) {
+      fmt.inferSchema(spark, opts, listed).getOrElse(
         throw new IllegalStateException(
           s"could not infer parquet schema under $base"))
+    }
     val rel = HadoopFsRelation(new StatsFileIndex(inMem, statsRejects, bloomRejects),
       inMem.partitionSchema, dataSchema, None, fmt, opts)(spark)
     spark.baseRelationToDataFrame(rel)
@@ -2235,8 +2252,10 @@ final class TableStore(private[graft] val spark: SparkSession,
       if (parts.nonEmpty && !preserveLayout) toWrite.hint("rebalance", parts: _*)
       else toWrite
     val writer = shaped.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
-      .parquet(dataDir.toString)
+    JobLabel(spark, s"graft:commit $table op=$op") {
+      (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
+        .parquet(dataDir.toString)
+    }
     obs.foreach { o =>
       val metrics = o.get
       val bad = checks.collect {
@@ -2278,6 +2297,18 @@ final class TableStore(private[graft] val spark: SparkSession,
       val counts = newFiles.map(f => byFile.get(FileStats.fileKey(f)))
       if (counts.forall(_.isDefined)) counts.flatten.sum else -1L
     }
+
+    // Seed the schema cache for this commit's group so its FIRST read
+    // skips the distributed mergeSchema inference job: all newFiles
+    // come from ONE Spark write, so every footer carries the same
+    // schema and a single driver-side footer read IS the merged
+    // schema. Non-fatal — a miss just means the read infers.
+    if (newFiles.nonEmpty) try {
+      val meta = FsListing.dataFilesWithMeta(dataDir, hadoopConf)
+      val key = SchemaCache.keyOf(meta.map(t => s"${t._1}#${t._2}#${t._3}"))
+      SchemaCache.getOrInfer(key)(
+        spark.read.parquet(newFiles.head).schema)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
     try claimLoop(table, mustCreate,
         onExists = () => fs(dataDir).delete(dataDir, true)) { (cur, v) =>
@@ -2698,6 +2729,34 @@ final class TableStore(private[graft] val spark: SparkSession,
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(toV)))
     }
+  }
+
+  /** Whether `changes(table, fromV, toV)` COULD emit any delete-typed
+    * row — answered from MANIFEST METADATA alone, no Spark job. The
+    * change-feed consumers that branch on "any deletes in this batch?"
+    * (the MV extremum/sketch repair) were paying a take(1) job per
+    * refresh to probe the feed; this replays `changes`' own case
+    * analysis instead: a content-neutral range and a pure-append range
+    * without equality-delete lines emit insert-only feeds by
+    * construction. Conservative the other way: del lines whose keys
+    * match nothing return true — the repair then runs with an empty
+    * affected set and reproduces the plain fold exactly (spec-pinned). */
+  private[graft] def rangeMayDelete(table: String, fromV: Long,
+                                    toV: Long): Boolean = {
+    if (fromV >= toV) return false
+    val neutralOps = Set("COMPACT", "OPTIMIZE", "OPTIMIZE (zorder)")
+    if (((fromV + 1) to toV).forall(v => neutralOps(operationOf(table, v))))
+      return false
+    val man = scala.collection.mutable.LongMap.empty[Seq[String]]
+    def mf(v: Long): Seq[String] = man.getOrElseUpdate(v, manifest(table, v))
+    val from = mf(fromV)
+    val perVersion = ((fromV + 1) to toV).map { v =>
+      val prev = mf(v - 1).toSet
+      mf(v).filterNot(prev)
+    }
+    val appendOnly = from.forall(mf(toV).contains) &&
+      perVersion.forall(nl => !nl.exists(_.startsWith(DvPrefix)))
+    !appendOnly || perVersion.exists(_.exists(_.startsWith(DelPrefix)))
   }
 
   /** Declarative write-time CHECK constraints (Delta parity). One

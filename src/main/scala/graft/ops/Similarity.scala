@@ -189,7 +189,25 @@ object Similarity {
     // storage: at scale the caller passes a SAMPLE (IVF training
     // needs ~[30, 256]x nlist vectors, not the corpus); serving never
     // touches this path — it reads the persisted index.
-    val vecs = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    val vecs = graft.lake.JobLabel(corpus.sparkSession, "graft:kmeans checkpoint") {
+      corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    }
+    kmeansCentroidsOn(vecs, nlist, iterations, idCol, vecCol)
+  }
+
+  /** [[kmeansCentroids]] over an ALREADY-materialized training frame
+    * (the caller localCheckpointed it, typically shared with the
+    * assignment/encode passes of an index build — one corpus
+    * materialization instead of one per consumer). Identical
+    * arithmetic: same seeds, same argmax, same per-(cluster, dim)
+    * averages. */
+  private[graft] def kmeansCentroidsOn(vecs0: DataFrame, nlist: Int,
+                                       iterations: Int,
+                                       idCol: String = "vec_id",
+                                       vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs0.sparkSession)
+    val corpus = vecs0
+    val vecs = vecs0.select(col(idCol), col(vecCol))
     var cents = vecs.orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cvec"))
     for (_ <- 0 until iterations) {
@@ -236,7 +254,9 @@ object Similarity {
   private def materialize(spark: org.apache.spark.sql.SparkSession,
                           cents: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame(cents.collect().toSeq.asJava, cents.schema)
+    graft.lake.JobLabel(spark, "graft:kmeans materialize") {
+      spark.createDataFrame(cents.collect().toSeq.asJava, cents.schema)
+    }
   }
 
   /** IVF ANN: partition the corpus into `nlist` inverted lists by
@@ -262,21 +282,9 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     def assign(df: DataFrame, asId: String, asVec: String, keep: Int): DataFrame = {
-      val scored = df.select(col(idCol).as(asId), col(vecCol).as(asVec))
-        .join(broadcast(cents))
-        .select(col(asId), col(asVec), col("cent_id"),
-          round(cosine(col(asVec), col("cvec")), 4).as("ccos"))
-      if (keep == 1)
-        // hash-agg argmax: no per-key sort (see kmeansCentroids)
-        scored.groupBy(col(asId))
-          .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"),
-            col(asVec).as("v"))).as("m"))
-          .select(col(asId), col("m.v").as(asVec), (-col("m.nc")).as("cent_id"))
-      else {
-        val w = Window.partitionBy(asId).orderBy(col("ccos").desc, col("cent_id"))
-        scored.withColumn("crnk", row_number().over(w))
-          .where(col("crnk") <= keep).drop("ccos", "crnk")
-      }
+      val in = df.select(col(idCol).as(asId), col(vecCol).as(asVec))
+      if (keep == 1) assignClusters(in, cents, asId, asVec)
+      else assignTopClusters(in, cents, keep, asId, asVec)
     }
     val lists = assign(corpus, "vid", "vvec", 1)
     val probeLists = assign(probes, "qid", "qvec", nprobe)
@@ -294,7 +302,16 @@ object Similarity {
     * cosine with a cent_id tiebreak (the same 4-dp discipline as
     * [[ivfSearch]], so an oracle holding identical centroid literals
     * reproduces the probed lists exactly). Returns one
-    * (idCol, vecCol, cent_id) row per probed list. */
+    * (idCol, vecCol, cent_id) row per probed list.
+    *
+    * NOTE (round-14 optimization pass): an assignment-as-projection
+    * variant (collect the ≤nlist centroids, argmax via `array_max`
+    * over literal-scored structs — zero exchanges) was measured and
+    * REVERTED: embedding per-training-run centroid values as literals
+    * changes the generated code text every invocation, so Janino
+    * recompiles the projection per rep (~0.1–0.3 s each) — the suite
+    * ran 1.2–2.0× SLOWER than this join+agg form, whose generated
+    * code is value-independent and compiles once. */
   def assignTopClusters(df: DataFrame, cents: DataFrame, keep: Int,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
@@ -315,7 +332,8 @@ object Similarity {
     * holding the identical centroid literals reproduces the partition
     * exactly. Returns (idCol, vecCol, cent_id, carryCols*) —
     * `carryCols` ride the argmax struct, so attribute columns reach
-    * the output without a second corpus-sized join. */
+    * the output without a second corpus-sized join. (See
+    * [[assignTopClusters]] for why this is NOT a literal projection.) */
   def assignClusters(corpus: DataFrame, cents: DataFrame,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding",
@@ -437,11 +455,12 @@ object Similarity {
 
   /** Explode a vector frame into (asId, sub, svec) subvector rows. */
   private[ops] def subVectors(df: DataFrame, m: Int, sd: Int, idCol: String,
-                              vecCol: String, asId: String): DataFrame =
-    df.select(col(idCol).as(asId),
+                              vecCol: String, asId: String,
+                              carryCols: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as(asId) +: carryCols.map(col) :+
       posexplode(expr(
         s"transform(sequence(0, ${m - 1}), s -> slice($vecCol, s * $sd + 1, $sd))"))
-        .as(Seq("sub", "svec")))
+        .as(Seq("sub", "svec")): _*)
 
   /** Train per-subspace codebooks: (sub, cent_id, cvec) with dim/m-wide
     * centroids. At 100 TB the training corpus is a hash-gated sample;
@@ -458,14 +477,18 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val dim = graft.lake.JobLabel(spark, "graft:pq dim probe") {
+      corpus.select(size(col(vecCol))).first().getInt(0)
+    }
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sd = dim / m
     val subs = subVectors(corpus, m, sd, idCol, vecCol, "id")
     // seeds: the lowest ksub ids — the same seed set every per-subspace
     // run would pick, one small job instead of m
-    val seedIds = corpus.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
-      .collect().map(_.get(0))
+    val seedIds = graft.lake.JobLabel(spark, "graft:pq seeds") {
+      corpus.select(col(idCol)).orderBy(col(idCol)).limit(ksub)
+        .collect().map(_.get(0))
+    }
     var cents = materialize(spark,
       subs.where(col("id").isin(seedIds: _*))
         .select(col("sub"), col("id").as("cent_id"),
@@ -510,16 +533,30 @@ object Similarity {
     * join + hash-agg argmax; the corpus never shuffles whole. */
   def pqEncode(corpus: DataFrame, books: DataFrame, m: Int,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               carryCols: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val sd = books.select(size(col("cvec"))).first().getInt(0)
-    subVectors(corpus, m, sd, idCol, vecCol, idCol)
-      .join(broadcast(books), Seq("sub"))
-      .select(col(idCol), col("sub"), col("cent_id"),
-        round(cosine(col("svec"), col("cvec")), 4).as("ccos"))
+    val sd = graft.lake.JobLabel(corpus.sparkSession, "graft:pq book meta") {
+      books.select(size(col("cvec"))).first().getInt(0)
+    }
+    // carryCols (an index build's cent_id + attribute columns) are
+    // constant per id, so `first` inside the per-(id, sub) argmax
+    // group is deterministic — carrying them here removes the
+    // corpus-sized id-join the build otherwise pays to re-attach
+    // them. The codebook's own cent_id is renamed before the join so
+    // a carried coarse `cent_id` never collides with it.
+    val bk = books.select(col("sub"), col("cent_id").as("__cand"),
+      col("cvec"))
+    subVectors(corpus, m, sd, idCol, vecCol, idCol, carryCols)
+      .join(broadcast(bk), Seq("sub"))
+      .select(Seq(col(idCol), col("sub"), col("__cand"),
+        round(cosine(col("svec"), col("cvec")), 4).as("ccos")) ++
+        carryCols.map(col): _*)
       .groupBy(col(idCol), col("sub"))
-      .agg(max(struct(col("ccos"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col(idCol), col("sub"), (-col("m.nc")).as("code"))
+      .agg(max(struct(col("ccos"), (-col("__cand")).as("nc"))).as("m"),
+        carryCols.map(c => first(col(c)).as(c)): _*)
+      .select(Seq(col(idCol), col("sub"), (-col("m.nc")).as("code")) ++
+        carryCols.map(col): _*)
   }
 
   /** ADC top-k: probes stay float, the corpus is only its PQ codes.

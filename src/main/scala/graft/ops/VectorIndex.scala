@@ -70,9 +70,19 @@ object VectorIndex {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     attrCols: Seq[String] = Nil): Unit = {
-    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+    // ONE corpus materialization feeds training AND assignment: the
+    // k-means passes and the list-assignment pass all read executor-
+    // local checkpoint blocks instead of re-decoding parquet per
+    // consumer (guide §2.4 — the passes share the projection, so the
+    // exchange-equivalent work happens once). Same at-scale story as
+    // kmeansCentroids' own checkpoint: the caller samples at 100 TB.
+    val proj = graft.lake.JobLabel(corpus.sparkSession, "graft:ivf build checkpoint") {
+      corpus.select((Seq(idCol, vecCol) ++ attrCols).map(col): _*)
+        .localCheckpoint()
+    }
+    val cents = Similarity.kmeansCentroidsOn(proj, nlist, kmeansIters,
       idCol, vecCol)
-    val lists = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+    val lists = Similarity.assignClusters(proj, cents, idCol, vecCol,
         carryCols = attrCols)
       .select((Seq("cent_id", idCol, vecCol) ++ attrCols).map(col): _*)
     val ct = centroidsTable(name)
@@ -116,20 +126,27 @@ object VectorIndex {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       attrCols: Seq[String] = Nil): Unit = {
-    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+    // ONE corpus materialization feeds coarse training, PQ training,
+    // assignment and encode (see buildIvfIndex)
+    val proj = graft.lake.JobLabel(corpus.sparkSession, "graft:ivfpq build checkpoint") {
+      corpus.select((Seq(idCol, vecCol) ++ attrCols).map(col): _*)
+        .localCheckpoint()
+    }
+    val cents = Similarity.kmeansCentroidsOn(proj, nlist, kmeansIters,
       idCol, vecCol)
-    val books = Similarity.pqTrain(corpus, m, ksub, kmeansIters,
+    val books = Similarity.pqTrain(proj, m, ksub, kmeansIters,
       idCol, vecCol)
-    // one assignment pass + one encode pass; the join keys on idCol so
-    // each vector's m code rows land in its list's partition. attrCols
-    // ride the assignment (m copies per vector in the codes — narrow
+    // assignment first, then the encode CARRIES cent_id + attrCols
+    // through its per-(id, sub) argmax (constant per id) — the old
+    // id-join that re-attached them shuffled the whole code frame;
+    // now the codes pipeline is assign → explode → encode → write
+    // with no join (guide §2.4). attrCols ride as before (narrow
     // values that RLE/dict-compress away in parquet) so
     // [[searchIvfPqIndexFiltered]] can push predicates into the scan.
-    val assigned = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+    val assigned = Similarity.assignClusters(proj, cents, idCol, vecCol,
         carryCols = attrCols)
-      .select((Seq(idCol, "cent_id") ++ attrCols).map(col): _*)
-    val codes = Similarity.pqEncode(corpus, books, m, idCol, vecCol)
-      .join(assigned, Seq(idCol))
+    val codes = Similarity.pqEncode(assigned, books, m, idCol, vecCol,
+        carryCols = "cent_id" +: attrCols)
       .select((Seq("cent_id", idCol, "sub", "code") ++ attrCols).map(col): _*)
     def put(t: String, df: DataFrame, parts: Seq[String] = Nil): Unit =
       if (store.exists(t)) store.overwrite(t, df)
@@ -206,8 +223,10 @@ object VectorIndex {
     val codes00 = store.read(codesTable(name))
     val codes0 = codesFilter.fold(codes00)(codes00.where)
     val dt = codes0.schema("cent_id").dataType
-    val needed = pa.select(col("cent_id").cast(dt)).distinct()
-      .collect().map(_.get(0)).toIndexedSeq
+    val needed = graft.lake.JobLabel(probes.sparkSession, "graft:ivfpq probe assign") {
+      pa.select(col("cent_id").cast(dt)).distinct()
+        .collect().map(_.get(0)).toIndexedSeq
+    }
     if (needed.isEmpty)
       return pa.select(col("qid"), col("qid").as("vid"),
         lit(0.0).as("cos_pq"), lit(0).as("rnk")).where(lit(false))
@@ -256,11 +275,12 @@ object VectorIndex {
     // was built with must come from the batch, loudly, not null-fill
     val cols = cachedCols(store, codesTable(name))
     val attrs = cols.filterNot(Set("cent_id", idCol, "sub", "code"))
+    // assign, then carry cent_id + attrs through the encode's
+    // per-(id, sub) argmax — no id-join (see buildIvfPqIndex)
     val assigned = Similarity.assignClusters(batch, cents, idCol, vecCol,
         carryCols = attrs)
-      .select((Seq(idCol, "cent_id") ++ attrs).map(col): _*)
-    Similarity.pqEncode(batch, books, bookMeta(books, m)._1, idCol, vecCol)
-      .join(assigned, Seq(idCol))
+    Similarity.pqEncode(assigned, books, bookMeta(books, m)._1, idCol,
+        vecCol, carryCols = "cent_id" +: attrs)
       .select(cols.map(col): _*)
   }
 
@@ -271,7 +291,9 @@ object VectorIndex {
     * return plausible-looking but wrong rankings; 0 (the default on
     * every read path) means "use the stored value". */
   private def bookMeta(books: DataFrame, m: Int): (Int, Int) = {
-    val r = books.agg(max(col("sub")), first(size(col("cvec")))).first()
+    val r = graft.lake.JobLabel(books.sparkSession, "graft:pq book meta") {
+      books.agg(max(col("sub")), first(size(col("cvec")))).first()
+    }
     val stored = r.getInt(0) + 1
     require(m <= 0 || m == stored,
       s"m=$m does not match the stored codebooks (index was built with m=$stored)")
@@ -330,9 +352,15 @@ object VectorIndex {
     val v = store.currentVersion(corpusTable).getOrElse(
       throw new IllegalStateException(s"table $corpusTable does not exist"))
     val corpus = store.readVersion(corpusTable, v)
-    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+    // one corpus materialization for training + assignment (see
+    // buildIvfIndex); also pins the version-v rows against the store
+    val proj = graft.lake.JobLabel(corpus.sparkSession, "graft:ivf build checkpoint") {
+      corpus.select((Seq(idCol, vecCol) ++ attrCols).map(col): _*)
+        .localCheckpoint()
+    }
+    val cents = Similarity.kmeansCentroidsOn(proj, nlist, kmeansIters,
       idCol, vecCol)
-    val lists = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+    val lists = Similarity.assignClusters(proj, cents, idCol, vecCol,
         carryCols = attrCols)
       .select((Seq("cent_id", idCol, vecCol) ++ attrCols).map(col): _*)
     val ct = centroidsTable(name)
@@ -362,15 +390,20 @@ object VectorIndex {
     val v = store.currentVersion(corpusTable).getOrElse(
       throw new IllegalStateException(s"table $corpusTable does not exist"))
     val corpus = store.readVersion(corpusTable, v)
-    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+    // one corpus materialization + join-free carry-through encode
+    // (see buildIvfPqIndex)
+    val proj = graft.lake.JobLabel(corpus.sparkSession, "graft:ivfpq build checkpoint") {
+      corpus.select((Seq(idCol, vecCol) ++ attrCols).map(col): _*)
+        .localCheckpoint()
+    }
+    val cents = Similarity.kmeansCentroidsOn(proj, nlist, kmeansIters,
       idCol, vecCol)
-    val books = Similarity.pqTrain(corpus, m, ksub, kmeansIters,
+    val books = Similarity.pqTrain(proj, m, ksub, kmeansIters,
       idCol, vecCol)
-    val assigned = Similarity.assignClusters(corpus, cents, idCol, vecCol,
+    val assigned = Similarity.assignClusters(proj, cents, idCol, vecCol,
         carryCols = attrCols)
-      .select((Seq(idCol, "cent_id") ++ attrCols).map(col): _*)
-    val codes = Similarity.pqEncode(corpus, books, m, idCol, vecCol)
-      .join(assigned, Seq(idCol))
+    val codes = Similarity.pqEncode(assigned, books, m, idCol, vecCol,
+        carryCols = "cent_id" +: attrCols)
       .select((Seq("cent_id", idCol, "sub", "code") ++ attrCols).map(col): _*)
     def put(t: String, df: DataFrame): Unit =
       if (store.exists(t)) store.overwrite(t, df) else store.create(t, df)
@@ -526,12 +559,16 @@ object VectorIndex {
     // the last sync left it (a plain overwrite would strand the
     // watermark in an old manifest and unbind once it's vacuumed)
     val binding = store.lastTxnMatching(lt, "ivf-sync-")
-    // pin the read before the overwrite swings the pointer; the old
-    // version's files stay on disk until a VACUUM, so the rebuild's
-    // write can keep reading them
-    val corpus = store.read(lt)
-      .select((Seq(idCol, vecCol) ++ attrs).map(col): _*)
-    val cents = Similarity.kmeansCentroids(corpus, nlist, kmeansIters,
+    // pin the read before the overwrite swings the pointer; the
+    // checkpoint MATERIALIZES the old version's rows, so the rebuild's
+    // write depends on no store files at all (and training +
+    // re-assignment share the one materialization — see buildIvfIndex)
+    val corpus = graft.lake.JobLabel(store.spark, "graft:ivf rebuild checkpoint") {
+      store.read(lt)
+        .select((Seq(idCol, vecCol) ++ attrs).map(col): _*)
+        .localCheckpoint()
+    }
+    val cents = Similarity.kmeansCentroidsOn(corpus, nlist, kmeansIters,
       idCol, vecCol)
     val lists = Similarity.assignClusters(corpus, cents, idCol, vecCol,
         carryCols = attrs)
@@ -667,8 +704,10 @@ object VectorIndex {
     // literals and the join key to it, or the cast around the
     // partition attribute defeats static pruning
     val dt = lists0.schema("cent_id").dataType
-    val needed = pa.select(col("cent_id").cast(dt)).distinct()
-      .collect().map(_.get(0)).toIndexedSeq
+    val needed = graft.lake.JobLabel(probes.sparkSession, "graft:ivf probe assign") {
+      pa.select(col("cent_id").cast(dt)).distinct()
+        .collect().map(_.get(0)).toIndexedSeq
+    }
     if (needed.isEmpty)
       return pa.select(col("qid"), col("qid").as("vid"),
         lit(0.0).as("cos"), lit(0).as("rnk")).where(lit(false))

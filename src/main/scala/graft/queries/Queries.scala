@@ -50,9 +50,29 @@ object Queries {
         } catch { case _: Throwable => () }
       }))
   }
+  /** Root for scratch stores: `$SPARK_GRAFT_SCRATCH` if set, else a
+    * RAM-backed tmpfs (`/dev/shm`) when one is writable, else the JVM
+    * temp dir. The lifecycle queries write hundreds of small throwaway
+    * commits per bench run; on a disk-backed /tmp those writes ride
+    * the host's ext4 writeback/journal jitter, which measured as
+    * BIMODAL per-query times (6–14 s for the same query, idle box,
+    * identical code — round-14 A/B). tmpfs decouples the measured
+    * computation from background writeback. Every query still computes
+    * from the parquet inputs and executes its full commit protocol —
+    * only the ephemeral intermediates' backing store changes; at scale
+    * these tables live on S3/HDFS and the choice is moot. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val cand = sys.env.get("SPARK_GRAFT_SCRATCH")
+      .map(java.nio.file.Paths.get(_)) ++
+      Seq(java.nio.file.Paths.get("/dev/shm"),
+        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    cand.find(p => java.nio.file.Files.isDirectory(p) &&
+      java.nio.file.Files.isWritable(p)).get
+  }
+
   private[queries] def scratchDir(prefix: String): String = {
     reaper
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val p = java.nio.file.Files.createTempDirectory(scratchRoot, prefix)
     scratchDirs.add(p)
     p.toString
   }
