@@ -102,11 +102,26 @@ final class HadoopCommitPrimitive(hadoopConf: Configuration) extends CommitPrimi
   }
 
   override def publish(manifest: Path, content: String): Unit = {
-    val tmp = new Path(manifest.getParent, s".manifest.${UUID.randomUUID()}.tmp")
-    val out = fs(tmp).create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    FileContext.getFileContext(manifest.toUri, hadoopConf)
-      .rename(tmp, manifest, Options.Rename.OVERWRITE)
+    if (FsListing.isLocal(fs(manifest))) {
+      // same temp + atomic-rename protocol through java.nio: Hadoop's
+      // local create/rename shell out for chmod (one fork per publish
+      // without the native library); ATOMIC_MOVE on a POSIX fs is the
+      // same rename(2) FileContext issues (round-14)
+      val target = Paths.get(manifest.toUri.getPath)
+      val parent = target.getParent
+      if (parent != null) Files.createDirectories(parent)
+      val tmp = target.resolveSibling(s".manifest.${UUID.randomUUID()}.tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(manifest.getParent, s".manifest.${UUID.randomUUID()}.tmp")
+      val out = fs(tmp).create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      FileContext.getFileContext(manifest.toUri, hadoopConf)
+        .rename(tmp, manifest, Options.Rename.OVERWRITE)
+    }
   }
 
   override def listClaims(tableDir: Path): Seq[(Long, Long)] = {

@@ -2301,13 +2301,28 @@ final class TableStore(private[graft] val spark: SparkSession,
     // Seed the schema cache for this commit's group so its FIRST read
     // skips the distributed mergeSchema inference job: all newFiles
     // come from ONE Spark write, so every footer carries the same
-    // schema and a single driver-side footer read IS the merged
-    // schema. Non-fatal — a miss just means the read infers.
+    // Spark-written schema and one DRIVER-side footer read IS the
+    // merged schema. (A spark.read.parquet(...).schema probe here
+    // would itself launch a small job per commit — measured at
+    // ~30 ms, i.e. exactly the cost being saved — so the footer's
+    // "org.apache.spark.sql.parquet.row.metadata" key is read
+    // directly; absent key ⇒ skip, the first read just infers.)
+    // Non-fatal on any error.
     if (newFiles.nonEmpty) try {
-      val meta = FsListing.dataFilesWithMeta(dataDir, hadoopConf)
-      val key = SchemaCache.keyOf(meta.map(t => s"${t._1}#${t._2}#${t._3}"))
-      SchemaCache.getOrInfer(key)(
-        spark.read.parquet(newFiles.head).schema)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(newFiles.head), hadoopConf))
+      val sparkSchema =
+        try Option(footer.getFooter.getFileMetaData.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata"))
+        finally footer.close()
+      sparkSchema.foreach { json =>
+        val st = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val meta = FsListing.dataFilesWithMeta(dataDir, hadoopConf)
+        val key = SchemaCache.keyOf(meta.map(t => s"${t._1}#${t._2}#${t._3}"))
+        SchemaCache.getOrInfer(key)(st)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
     try claimLoop(table, mustCreate,
@@ -3191,7 +3206,9 @@ final class TableStore(private[graft] val spark: SparkSession,
   }
 
   private def writeSmallFile(p: Path, content: String): Unit = {
-    val out = fs(p).create(p, true)
+    // local fast path via FsListing.createOverwrite: Hadoop's local
+    // create shells out for chmod; java.nio doesn't (round-14)
+    val out = FsListing.createOverwrite(p, hadoopConf)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
@@ -3209,7 +3226,7 @@ final class TableStore(private[graft] val spark: SparkSession,
                                 extra: Seq[String]): Unit = {
     val p = statsPath(table, v)
     val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      fs(p).create(p, true), StandardCharsets.UTF_8))
+      FsListing.createOverwrite(p, hadoopConf), StandardCharsets.UTF_8))
     try {
       var first = true
       def emit(line: String): Unit = {
