@@ -64,7 +64,10 @@ private[lake] object FsListing {
     * skipped, mirroring a listing race's best case. */
   private def localDataFilesWithMeta(dir: Path): Seq[(String, Long, Long)] = {
     val root = java.nio.file.Paths.get(dir.toUri.getPath)
-    if (!Files.isDirectory(root)) return Seq.empty
+    // Hadoop's listFiles(path, recursive) returns the file itself when
+    // given a regular file; walkFileTree does the same (visitFile fires
+    // on a regular-file start node), so only a missing root short-circuits.
+    if (!Files.exists(root)) return Seq.empty
     val buf = Seq.newBuilder[(String, Long, Long)]
     Files.walkFileTree(root, new SimpleFileVisitor[java.nio.file.Path] {
       override def visitFile(file: java.nio.file.Path,

@@ -29,10 +29,16 @@ object SchemaCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
-  /** Digest of an immutable file identity list. */
+  /** Digest of an immutable file identity list. A zero byte separates
+    * parts so distinct lists can never collide by concatenation
+    * (["a","bc"] vs ["ab","c"]); part strings are paths/identities and
+    * never contain NUL. */
   def keyOf(parts: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    parts.sorted.foreach(p => md.update(p.getBytes("UTF-8")))
+    parts.sorted.foreach { p =>
+      md.update(p.getBytes("UTF-8"))
+      md.update(0: Byte)
+    }
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 

@@ -62,10 +62,18 @@ object Queries {
     * only the ephemeral intermediates' backing store changes; at scale
     * these tables live on S3/HDFS and the choice is moot. */
   private lazy val scratchRoot: java.nio.file.Path = {
+    // tmpfs is RAM-capped (typically 50% of RAM): only use /dev/shm
+    // when it has generous headroom for the run's scratch footprint,
+    // otherwise a larger SF or a concurrent run can ENOSPC mid-query.
+    // $SPARK_GRAFT_SCRATCH overrides unconditionally.
+    def roomy(p: java.nio.file.Path): Boolean =
+      try java.nio.file.Files.getFileStore(p).getUsableSpace >= (8L << 30)
+      catch { case _: Throwable => false }
+    val shm = java.nio.file.Paths.get("/dev/shm")
     val cand = sys.env.get("SPARK_GRAFT_SCRATCH")
       .map(java.nio.file.Paths.get(_)) ++
-      Seq(java.nio.file.Paths.get("/dev/shm"),
-        java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      Seq(shm).filter(roomy) ++
+      Seq(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     cand.find(p => java.nio.file.Files.isDirectory(p) &&
       java.nio.file.Files.isWritable(p)).get
   }

@@ -36,6 +36,31 @@ class FileIngestSpec extends SparkSpec {
   private def ids(store: TableStore, t: String = "t"): Seq[Int] =
     store.read(t).select("id").as[Int].collect().sorted.toSeq
 
+  test("a regular-FILE source lists as itself (Hadoop listFiles parity): loads once, re-run no-ops") {
+    // COPY INTO callers pass single files, not just directories; the
+    // local nio listing must return the file as a one-element listing
+    // exactly like FileSystem.listFiles(file, true) does.
+    val src = tmpDir("ci-file-src")
+    writeSrc(src, "a", Seq((1, "a"), (2, "b"), (3, "c")))
+    val part = new java.io.File(s"$src/a").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val single = new java.io.File(src, "docs.parquet")
+    java.nio.file.Files.copy(part.toPath, single.toPath)
+
+    val listed = FsListing.dataFilesWithMeta(
+      new Path(single.getAbsolutePath), spark.sparkContext.hadoopConfiguration)
+    assert(listed.map(_._1) == Seq(new Path(single.toURI).toString))
+    assert(listed.head._2 == single.length())
+
+    val store = new TableStore(spark, tmpDir("ci-file-store"))
+    val r1 = FileIngest.copyInto(spark, store, "t", single.getAbsolutePath)
+    assert(r1 == FileIngest.Result(1, 3L))
+    assert(ids(store) == Seq(1, 2, 3))
+    assert(FileIngest.copyInto(spark, store, "t", single.getAbsolutePath) ==
+      FileIngest.Result(0, 0L))
+    assert(ids(store) == Seq(1, 2, 3))
+  }
+
   test("loads a directory once; re-run is a no-op; new files load incrementally") {
     val src = tmpDir("ci-src")
     val store = new TableStore(spark, tmpDir("ci-store"))
