@@ -88,6 +88,25 @@ private[lake] object FsListing {
     buf.result().sortBy(_._1)
   }
 
+  /** (length, modification time ms) of one file — the same local
+    * fast path as the listing (no Hadoop permission loading), used by
+    * the read path to build schema-cache keys for the exact manifest
+    * file set without a Spark job. None when the file is missing. */
+  private[lake] def fileMeta(p: Path, conf: Configuration): Option[(Long, Long)] = {
+    val f = p.getFileSystem(conf)
+    if (isLocal(f)) {
+      try {
+        val attrs = Files.readAttributes(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          classOf[BasicFileAttributes])
+        Some((attrs.size, attrs.lastModifiedTime.toMillis))
+      } catch { case _: Exception => None }
+    } else {
+      try { val st = f.getFileStatus(p); Some((st.getLen, st.getModificationTime)) }
+      catch { case _: Exception => None }
+    }
+  }
+
   /** Driver-side small-file output stream with the same local fast
     * path: Hadoop's local `create` mkdirs + chmods via shell forks;
     * java.nio does neither. Used by the commit protocol's sidecar /

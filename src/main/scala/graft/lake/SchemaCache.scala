@@ -42,6 +42,11 @@ object SchemaCache {
     java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
+  /** Peek without inferring — lets the read path decide whether a
+    * group's schema is already known (commit-seeded or from a prior
+    * read) at zero job cost. */
+  def get(key: String): Option[StructType] = Option(cache.get(key))
+
   def getOrInfer(key: String)(infer: => StructType): StructType = {
     val hit = cache.get(key)
     if (hit != null) hit

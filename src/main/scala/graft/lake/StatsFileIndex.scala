@@ -45,7 +45,7 @@ import org.apache.spark.sql.types.StructType
   * store's own `stats-<v>` sidecar.
   */
 final class StatsFileIndex(
-    inner: InMemoryFileIndex,
+    inner: FileIndex,
     statsRejects: Seq[Expression] => Set[String],
     bloomRejects: (String, String) => Option[Set[String]] =
       (_, _) => None) extends FileIndex {

@@ -493,9 +493,70 @@ final class TableStore(private[graft] val spark: SparkSession,
     val groups = data.groupBy { case (f, _) => baseOf(f) }.toSeq
       .map { case (base, fs) => (base, fs.map(_._1), fs.map(_._2).min) }
       .sortBy(_._3)
-    groups.map { case (base, files, minIdx) =>
-      val raw = statsScan(base, files, statsRejects,
-        (c, k) => bloomRejectsCached(table, c, k))
+    // Scan-run coalescing (round-15, guide §1/§6): one
+    // InMemoryFileIndex + scan branch per commit group makes a read
+    // O(groups) in fixed overhead (~35 ms/group measured) — an
+    // n-append table pays n listings, n relations and an n-way union
+    // EVERY read. Consecutive groups serve from ONE scan when
+    //  (a) the same delete/DV sets apply to both (no delete line
+    //      lands between them in the manifest — the merge-on-read
+    //      case analysis is then identical),
+    //  (b) their footer schemas are IDENTICAL (the merged scan then
+    //      equals what unionByName over the per-group scans produces,
+    //      column order included), and
+    //  (c) every file sits directly under its commit dir (no hive
+    //      partition dirs, so basePath-driven partition resolution is
+    //      a no-op for the multi-root index).
+    // Schemas come from the commit-seeded SchemaCache via a driver
+    // stat of the exact manifest files — no Spark job; a group whose
+    // schema is not cached stays a single-group scan (its statsScan
+    // run caches it for the next read).
+    final case class Grp(base: String, files: Seq[String], minIdx: Int,
+                         delSet: Seq[String], dvSet: Seq[String],
+                         metas: Option[Seq[(String, Long, Long)]],
+                         schema: Option[org.apache.spark.sql.types.StructType])
+    val infos = groups.map { case (base, files, minIdx) =>
+      val flat = files.forall(f => f.length > base.length + 1 &&
+        !f.substring(base.length + 1).contains('/'))
+      val metas =
+        if (!flat) None
+        else {
+          val ms = files.map(f =>
+            FsListing.fileMeta(new Path(f), hadoopConf)
+              .map { case (len, mt) => (f, len, mt) })
+          if (ms.exists(_.isEmpty)) None else Some(ms.flatten)
+        }
+      val schema = metas.flatMap(ms => SchemaCache.get(SchemaCache.keyOf(
+        ms.map { case (f, len, mt) => s"$f#$len#$mt" })))
+      Grp(base, files, minIdx,
+        dels.collect { case (f, i) if i > minIdx => f },
+        dvs.collect { case (f, i) if i > minIdx => f },
+        metas, schema)
+    }
+    val runs = infos.foldLeft(Vector.empty[Vector[Grp]]) { (acc, g) =>
+      acc.lastOption match {
+        case Some(run) if run.head.metas.isDefined && g.metas.isDefined &&
+            run.head.schema.isDefined && run.head.schema == g.schema &&
+            run.head.delSet == g.delSet && run.head.dvSet == g.dvSet =>
+          acc.init :+ (run :+ g)
+        case _ => acc :+ Vector(g)
+      }
+    }
+    runs.map { run =>
+      val files = run.flatMap(_.files)
+      val minIdx = run.head.minIdx
+      val flatMetas =
+        if (run.forall(_.metas.isDefined)) Some(run.flatMap(_.metas.get))
+        else None
+      val raw =
+        if (run.size == 1)
+          statsScan(Some(run.head.base), files, statsRejects,
+            (c, k) => bloomRejectsCached(table, c, k),
+            knownSchema = run.head.schema, flatMetas = flatMetas)
+        else
+          statsScan(None, files, statsRejects,
+            (c, k) => bloomRejectsCached(table, c, k),
+            knownSchema = run.head.schema, flatMetas = flatMetas)
       // positional deletion vectors (Iceberg/Delta DV shape): rows are
       // identified by (file, row position in file) — `_metadata`
       // columns, zero storage cost on the data. A vector applies to
@@ -548,31 +609,52 @@ final class TableStore(private[graft] val spark: SparkSession,
     * per-file min/max/null stats prune files at predicate-pushdown
     * time — the DEFAULT read path's automatic data skipping. With no
     * stats recorded the index degenerates to the plain listing. */
-  private def statsScan(base: String, files: Seq[String],
+  private def statsScan(base: Option[String], files: Seq[String],
                         statsRejects: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => Set[String],
                         bloomRejects: (String, String) => Option[Set[String]] =
-                          (_, _) => None)
+                          (_, _) => None,
+                        knownSchema: Option[org.apache.spark.sql.types.StructType] =
+                          None,
+                        flatMetas: Option[Seq[(String, Long, Long)]] = None)
       : DataFrame = {
-    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val opts = Map("mergeSchema" -> "true", "basePath" -> base)
-    val inMem = new InMemoryFileIndex(spark, files.map(new Path(_)), opts, None)
+    // base is absent for coalesced multi-group scans (flat files only
+    // — no partition resolution to anchor; see readLines), present
+    // for the single-group scan spark.read.parquet would build.
+    val opts = Map("mergeSchema" -> "true") ++ base.map("basePath" -> _)
+    // flat groups (no hive partition dirs) index straight off the
+    // manifest's stat'd metadata — no Hadoop listing, no per-file
+    // permission fork (ManifestFileIndex doc); hive-partitioned /
+    // foreign groups keep InMemoryFileIndex's partition resolution
+    val (index, partSchema, listed) = flatMetas match {
+      case Some(ms) =>
+        val mfi = new ManifestFileIndex(ms)
+        (mfi: FileIndex, mfi.partitionSchema, mfi.allFiles)
+      case None =>
+        val inMem = new InMemoryFileIndex(spark, files.map(new Path(_)),
+          opts, None)
+        (inMem: FileIndex, inMem.partitionSchema, inMem.allFiles())
+    }
     val fmt = new ParquetFileFormat
-    // merge-inference launches a distributed footer job per CALL, and
+    // merge-inference launches a DISTRIBUTED footer job per CALL, and
     // the group's file set is immutable — cache the merged schema on
     // the listed (path, size, mtime) identity (SchemaCache doc). The
-    // listing itself already happened (InMemoryFileIndex above), so
-    // the key costs no extra IO.
-    val listed = inMem.allFiles()
-    val key = SchemaCache.keyOf(listed.map(f =>
-      s"${f.getPath}#${f.getLen}#${f.getModificationTime}").toSeq)
-    val dataSchema = SchemaCache.getOrInfer(key) {
-      fmt.inferSchema(spark, opts, listed).getOrElse(
-        throw new IllegalStateException(
-          s"could not infer parquet schema under $base"))
+    // listing itself already happened above, so the key costs no
+    // extra IO. Coalesced scans supply the schema (their merge
+    // precondition is that every group's schema is cached and equal),
+    // so they never infer.
+    val dataSchema = knownSchema.getOrElse {
+      val key = SchemaCache.keyOf(listed.map(f =>
+        s"${f.getPath}#${f.getLen}#${f.getModificationTime}").toSeq)
+      SchemaCache.getOrInfer(key) {
+        fmt.inferSchema(spark, opts, listed).getOrElse(
+          throw new IllegalStateException(
+            s"could not infer parquet schema under ${base.getOrElse(files.head)}"))
+      }
     }
-    val rel = HadoopFsRelation(new StatsFileIndex(inMem, statsRejects, bloomRejects),
-      inMem.partitionSchema, dataSchema, None, fmt, opts)(spark)
+    val rel = HadoopFsRelation(new StatsFileIndex(index, statsRejects, bloomRejects),
+      partSchema, dataSchema, None, fmt, opts)(spark)
     spark.baseRelationToDataFrame(rel)
   }
 
