@@ -180,19 +180,23 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    import org.apache.spark.sql.expressions.Window
-    // Lloyd re-reads the training vectors once per iteration (plus the
-    // seed scan) — localCheckpoint the (id, vec) projection ONCE so
-    // every pass reads executor-local blocks instead of re-decoding
-    // parquet, which made the training cost page-cache-bimodal
-    // (cold-cache epochs measured ~2x). O(training set) block
-    // storage: at scale the caller passes a SAMPLE (IVF training
-    // needs ~[30, 256]x nlist vectors, not the corpus); serving never
-    // touches this path — it reads the persisted index.
-    val vecs = graft.lake.JobLabel(corpus.sparkSession, "graft:kmeans checkpoint") {
-      corpus.select(col(idCol), col(vecCol)).localCheckpoint()
+    val projected = corpus.select(col(idCol), col(vecCol))
+    // bounded training sets train ON THE DRIVER (one collect job, zero
+    // per-iteration jobs — see kmeansDriver); the distributed Lloyd
+    // loop remains for larger-than-driver training frames, reading a
+    // localCheckpoint so every pass hits executor-local blocks instead
+    // of re-decoding parquet. At scale the caller passes a SAMPLE
+    // (IVF training needs ~[30, 256]x nlist vectors, not the corpus);
+    // serving never touches this path — it reads the persisted index.
+    collectTrainRows(projected) match {
+      case Some((rows, idType)) =>
+        kmeansDriver(corpus.sparkSession, rows, idType, nlist, iterations)
+      case None =>
+        val vecs = graft.lake.JobLabel(corpus.sparkSession, "graft:kmeans checkpoint") {
+          projected.localCheckpoint()
+        }
+        kmeansCentroidsOn(vecs, nlist, iterations, idCol, vecCol)
     }
-    kmeansCentroidsOn(vecs, nlist, iterations, idCol, vecCol)
   }
 
   /** [[kmeansCentroids]] over an ALREADY-materialized training frame
@@ -206,6 +210,11 @@ object Similarity {
                                        idCol: String = "vec_id",
                                        vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(vecs0.sparkSession)
+    collectTrainRows(vecs0.select(col(idCol), col(vecCol))) match {
+      case Some((rows, idType)) =>
+        return kmeansDriver(vecs0.sparkSession, rows, idType, nlist, iterations)
+      case None => ()
+    }
     val corpus = vecs0
     val vecs = vecs0.select(col(idCol), col(vecCol))
     var cents = vecs.orderBy(col(idCol)).limit(nlist)
@@ -257,6 +266,217 @@ object Similarity {
     graft.lake.JobLabel(spark, "graft:kmeans materialize") {
       spark.createDataFrame(cents.collect().toSeq.asJava, cents.schema)
     }
+  }
+
+  // -------------------------------------------------------------------
+  // Driver-side Lloyd (round-15 optimization, guide §1/§2.4): at the
+  // training-set sizes IVF/PQ quantizers actually train on (a sample —
+  // FAISS trains coarse quantizers over ≤ a few 100k vectors even for
+  // billion-vector corpora), the distributed Lloyd loop's cost is pure
+  // fixed overhead: every iteration was 3 exchanges + a driver
+  // materialize = 4-6 Spark jobs of 30-300 ms over KBs of data, and a
+  // full IVF-PQ build paid ~10-15 such jobs. Training now COLLECTS the
+  // (id, vec) projection once (one job, bounded by MaxDriverTrainRows
+  // ≈ 64 MB of floats) and runs the same arithmetic on the driver:
+  // same lowest-id seeds, same raw-cosine scoring against the
+  // float-cast centroid with left-to-right double accumulation, same
+  // argmax (Spark's double total ordering, lowest-cent_id tiebreak),
+  // same per-(cluster, dim) mean, same empty-cluster carry. Rows are
+  // sorted by id before the fold, so the summation order — and hence
+  // the trained centroids — no longer depend on the partition layout
+  // at all (the distributed loop's avg() folded in partition order).
+  // Larger training frames fall back to the distributed loop
+  // unchanged. Downstream parity is unaffected by design: every
+  // oracle embeds the COLLECTED centroids as literals, and
+  // assignment/search arithmetic is untouched.
+  // -------------------------------------------------------------------
+
+  private val MaxDriverTrainRows =
+    sys.env.get("SPARK_GRAFT_KMEANS_DRIVER_MAX").map(_.toInt)
+      .getOrElse(262144)
+
+  /** Spark's sort order for the id types the driver path supports;
+    * None ⇒ distributed fallback. Strings compare as unsigned UTF-8
+    * bytes (UTF8String.compareTo). */
+  private def idOrderingOf(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int]))
+      case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short]))
+      case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes("UTF-8")
+          val y = b.asInstanceOf[String].getBytes("UTF-8")
+          var i = 0
+          while (i < x.length && i < y.length) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
+      case _ => None
+    }
+  }
+
+  /** Collect a bounded (id, vec) training frame for the driver path:
+    * Some((rows sorted by id, id type)) when the frame fits the bound,
+    * has a supported id type, and carries no nulls; None ⇒ use the
+    * distributed loop. One limit-guarded collect job. */
+  private def collectTrainRows(vecs: DataFrame)
+      : Option[(Array[(Any, Array[Double])],
+                org.apache.spark.sql.types.DataType)] = {
+    val idType = vecs.schema(0).dataType
+    val ord = idOrderingOf(idType).getOrElse(return None)
+    val collected = graft.lake.JobLabel(vecs.sparkSession, "graft:kmeans collect") {
+      vecs.limit(MaxDriverTrainRows + 1).collect()
+    }
+    if (collected.length > MaxDriverTrainRows) return None
+    val rows = new Array[(Any, Array[Double])](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      val r = collected(i)
+      if (r.isNullAt(0) || r.isNullAt(1)) return None
+      val seq = r.getSeq[Any](1)
+      val v = new Array[Double](seq.length)
+      var j = 0
+      while (j < seq.length) {
+        seq(j) match {
+          case null => return None
+          case f: Float => v(j) = f.toDouble
+          case d: Double => v(j) = d
+          case n: Number => v(j) = n.doubleValue()
+        }
+        j += 1
+      }
+      rows(i) = (r.get(0), v)
+      i += 1
+    }
+    scala.util.Sorting.stableSort(rows,
+      (a: (Any, Array[Double]), b: (Any, Array[Double])) =>
+        ord.lt(a._1, b._1))
+    Some((rows, idType))
+  }
+
+  /** Spark SQL's double comparison (SQLOrderingUtil.compareDoubles):
+    * -0.0 == 0.0, NaN largest — the ordering max(struct(ccos, ...))
+    * folds with. */
+  private def sqlCompareDoubles(a: Double, b: Double): Int =
+    if (a == b) 0 else java.lang.Double.compare(a, b)
+
+  /** dot of a double vector against the FLOAT-cast centroid,
+    * accumulated left-to-right in double — graft_dot's arithmetic on
+    * `cosine(vec, cvec.cast("array<float>"))` exactly. */
+  private def dotVsFloat(v: Array[Double], cf: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * cf(i).toDouble; i += 1 }
+    s
+  }
+
+  private def normOf(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** One driver-side Lloyd run over pre-sorted rows: returns the
+    * (seed id, centroid double vector) list after `iterations`
+    * rounds. Shared by the coarse and the per-subspace (PQ) trainers. */
+  private def lloydDriver(rows: Array[(Any, Array[Double])], k: Int,
+                          iterations: Int, ord: Ordering[Any])
+      : Array[(Any, Array[Double])] = {
+    var cents: Array[(Any, Array[Double])] =
+      rows.take(k).map { case (id, v) => (id, v.clone()) }
+    if (cents.isEmpty || rows.isEmpty) return cents
+    val dim = rows(0)._2.length
+    val rowNorms = rows.map(r => normOf(r._2))
+    for (_ <- 0 until iterations) {
+      val cf = cents.map(_._2.map(_.toFloat))
+      val cNorms = cf.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i).toDouble * c(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      var r = 0
+      while (r < rows.length) {
+        val v = rows(r)._2
+        var best = -1
+        var bestCos = 0.0
+        var c = 0
+        while (c < cents.length) {
+          val cos = dotVsFloat(v, cf(c)) / (rowNorms(r) * cNorms(c))
+          // max(struct(ccos, -cent_id)): higher cosine wins; ties go
+          // to the LOWEST cent_id — with cents in ascending-id order,
+          // strict improvement only
+          if (best < 0 || sqlCompareDoubles(cos, bestCos) > 0) {
+            best = c; bestCos = cos
+          }
+          c += 1
+        }
+        val s = sums(best)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      cents = cents.zipWithIndex.map { case ((id, old), c) =>
+        if (counts(c) == 0L) (id, old) // empty cluster keeps its centroid
+        else (id, sums(c).map(_ / counts(c)))
+      }
+    }
+    cents
+  }
+
+  /** The driver-path [[kmeansCentroidsOn]]: same output frame shape
+    * ((cent_id: id type, cvec: array<float>)). */
+  private def kmeansDriver(spark: org.apache.spark.sql.SparkSession,
+                           rows: Array[(Any, Array[Double])],
+                           idType: org.apache.spark.sql.types.DataType,
+                           nlist: Int, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ord = idOrderingOf(idType).get
+    val cents = lloydDriver(rows, nlist, iterations, ord)
+    val out = cents.map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v.map(_.toFloat).toSeq) }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.toSeq.asJava, StructType(Seq(
+      StructField("cent_id", idType),
+      StructField("cvec", ArrayType(FloatType)))))
+  }
+
+  /** The driver-path [[pqTrain]]: per-subspace Lloyd over the sliced
+    * training rows — identical arithmetic to the grouped distributed
+    * loop (same lowest-id seeds per subspace, same raw-cosine argmax,
+    * same means), same output frame shape
+    * ((sub: int, cent_id: id type, cvec: array<float>)). */
+  private def pqTrainDriver(spark: org.apache.spark.sql.SparkSession,
+                            rows: Array[(Any, Array[Double])],
+                            idType: org.apache.spark.sql.types.DataType,
+                            m: Int, ksub: Int, iterations: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val ord = idOrderingOf(idType).get
+    val dim = rows(0)._2.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sd = dim / m
+    val out = (0 until m).flatMap { s =>
+      val sliced = rows.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, s * sd, (s + 1) * sd)) }
+      lloydDriver(sliced, ksub, iterations, ord).map { case (id, c) =>
+        org.apache.spark.sql.Row(s, id, c.map(_.toFloat).toSeq) }
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cent_id", idType),
+      StructField("cvec", ArrayType(FloatType)))))
   }
 
   /** IVF ANN: partition the corpus into `nlist` inverted lists by
@@ -477,6 +697,14 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
+    // bounded training sets train on the driver — see the driver-side
+    // Lloyd block above; empty frames keep the distributed path's
+    // fail-loudly dim probe
+    collectTrainRows(corpus.select(col(idCol), col(vecCol))) match {
+      case Some((rows, idType)) if rows.nonEmpty =>
+        return pqTrainDriver(spark, rows, idType, m, ksub, iterations)
+      case _ => ()
+    }
     val dim = graft.lake.JobLabel(spark, "graft:pq dim probe") {
       corpus.select(size(col(vecCol))).first().getInt(0)
     }
