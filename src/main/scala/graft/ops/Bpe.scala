@@ -130,6 +130,33 @@ object Bpe {
     train(words, numMerges)
   }
 
+  /** The FULL (distinct pre-token, count) aggregate, collected — ONE
+    * corpus pass that serves training AND segmentation: the budget /
+    * piece-id queries previously paid a distributed distinct+UDF pass
+    * per consumer (train, vocabPieces, vocabSegments) over the same
+    * token set; with the counts in hand, training picks its capped
+    * head driver-side ([[trainFromWordCounts]]) and segmentation maps
+    * `segment` over the SAME array. Driver-bounded by |V| (distinct
+    * pre-tokens), which these callers collect anyway to embed the
+    * vocabulary in their oracles. */
+  def tokenCounts(df: DataFrame, textCol: String): Array[(String, Long)] =
+    df.select(explode(TextOps.bpeTokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** [[trainFromCorpus]]'s tail over precollected counts — identical
+    * word ranking (count desc, then token in unsigned UTF-8 byte
+    * order, Spark's binary string sort), identical cap. */
+  def trainFromWordCounts(counts: Seq[(String, Long)], numMerges: Int,
+                          maxWords: Int = 50000): Seq[(String, String)] = {
+    def utf8Key(s: String): String =
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => (b & 0xff).toChar).mkString
+    val words = counts.sortBy { case (tk, n) => (-n, utf8Key(tk)) }
+      .take(maxWords)
+    train(words, numMerges)
+  }
+
   /** (distinct pre-token, piece count) under `merges` for every
     * pre-token in the corpus — the broadcastable segmentation map.
     * One corpus-sized shuffle (the token distinct, map-side combined);
@@ -246,9 +273,16 @@ object Bpe {
     * (empty/whitespace-only text) still reports, at 0 — an inner
     * join off the explode would silently drop it. */
   def tokenBudget(df: DataFrame, textCol: String, groupCol: String,
-                  merges: Seq[(String, String)]): DataFrame = {
-    val vocab = vocabPieces(df, textCol, merges)
-      .select("tok", "pieces")
+                  merges: Seq[(String, String)]): DataFrame =
+    tokenBudgetWith(df, textCol, groupCol,
+      vocabPieces(df, textCol, merges).select("tok", "pieces"))
+
+  /** [[tokenBudget]] with the (tok, pieces) vocabulary supplied — a
+    * caller that already collected [[tokenCounts]] and segmented
+    * driver-side passes a local frame and skips the corpus-sized
+    * distinct+segment pass entirely. */
+  def tokenBudgetWith(df: DataFrame, textCol: String, groupCol: String,
+                      vocab: DataFrame): DataFrame = {
     val toks = df.select(col(groupCol),
         explode(TextOps.bpeTokens(col(textCol))).as("tok"))
     val agg = toks.join(broadcast(vocab), Seq("tok"))

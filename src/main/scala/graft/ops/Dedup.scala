@@ -239,6 +239,40 @@ object Dedup {
     * half-propagated labels.
     *
     * Returns (id, component) for every node incident to an edge. */
+  /** Driver-fold bound for [[connectedComponents]]: edge lists at or
+    * under this size union-find on the driver (one materialize + one
+    * cheap collect instead of O(diameter) join+aggregate rounds of
+    * 2 jobs each). Near-dup edge sets are tiny relative to the corpus
+    * by construction (they are the verified duplicate pairs); larger
+    * graphs keep the distributed loop. */
+  private val CcDriverMax =
+    sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX").map(_.toInt).getOrElse(500000)
+
+  /** Spark sort order for the id types the driver fold supports (min
+    * label = min reachable id must match the distributed aggregate). */
+  private def ccOrderingOf(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => Some(Ordering.by((x: Any) => x.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.by((x: Any) => x.asInstanceOf[Int]))
+      case StringType => Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int = {
+          val x = a.asInstanceOf[String].getBytes("UTF-8")
+          val y = b.asInstanceOf[String].getBytes("UTF-8")
+          var i = 0
+          while (i < x.length && i < y.length) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c
+            i += 1
+          }
+          x.length - y.length
+        }
+      })
+      case _ => None
+    }
+  }
+
   def connectedComponents(edges: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxIters: Int = 20): DataFrame = {
     // checkpoint the adjacency ONCE: edges often arrive as the output
@@ -246,8 +280,67 @@ object Dedup {
     // propagation round joins against them — without the checkpoint
     // each round would recompute the whole edge derivation (measured
     // 4-5x the query cost). The checkpointed frame is two ids per edge.
-    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val prj = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val idType = prj.schema(0).dataType
+    // Driver fold (round-15, guide §1/§2.4): min-label propagation ran
+    // a join+aggregate+checkpoint round PER HOP plus a change probe —
+    // ~2 jobs × O(diameter) rounds over an edge list that is KBs for
+    // near-dup graphs. A bounded edge list instead checkpoints once,
+    // collects from the local blocks, and union-finds on the driver —
+    // the SAME fixpoint by construction (each node's component is the
+    // minimum id it can reach). Unsupported id types, mismatched
+    // endpoint types, nulls, or a list over the bound keep the
+    // distributed loop, reusing the same checkpoint.
+    val eCk = prj.localCheckpoint()
+    val driverDone: Option[DataFrame] =
+      if (idType != prj.schema(1).dataType) None
+      else ccOrderingOf(idType).flatMap { ord =>
+        val collected = graft.lake.JobLabel(edges.sparkSession, "graft:cc collect") {
+          eCk.limit(CcDriverMax + 1).collect()
+        }
+        if (collected.length > CcDriverMax ||
+            collected.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+        else {
+          val parent = new java.util.HashMap[Any, Any]()
+          def find(x0: Any): Any = {
+            var x = x0
+            var p = parent.getOrDefault(x, x)
+            while (p != x) { // path halving
+              val gp = parent.getOrDefault(p, p)
+              parent.put(x, gp)
+              x = gp
+              p = parent.getOrDefault(x, x)
+            }
+            x
+          }
+          collected.foreach { r =>
+            val (ra, rb) = (find(r.get(0)), find(r.get(1)))
+            if (ra != rb) parent.put(ra, rb)
+          }
+          // component label = min id per set (the distributed loop's
+          // fixpoint), for every node incident to an edge
+          val minOf = new java.util.HashMap[Any, Any]()
+          val nodes = new java.util.LinkedHashSet[Any]()
+          collected.foreach { r => nodes.add(r.get(0)); nodes.add(r.get(1)) }
+          nodes.forEach { n =>
+            val root = find(n)
+            val cur = minOf.get(root)
+            if (cur == null || ord.lt(n, cur)) minOf.put(root, n)
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](nodes.size)
+          nodes.forEach { n =>
+            out += org.apache.spark.sql.Row(n, minOf.get(find(n)))
+          }
+          import scala.jdk.CollectionConverters._
+          import org.apache.spark.sql.types._
+          Some(edges.sparkSession.createDataFrame(out.asJava, StructType(Seq(
+            StructField("id", idType),
+            StructField("component", idType)))))
+        }
+      }
+    driverDone.foreach(df => return df)
+    val und = eCk
+      .union(eCk.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = und.select(col("src").as("id")).distinct()

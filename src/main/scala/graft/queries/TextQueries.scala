@@ -904,11 +904,16 @@ object TextQueries {
     "bpe_token_budget_by_source",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.ops.Bpe.trainFromCorpus(docs, "text",
-        numMerges = 64)
-      val vocab = graft.ops.Bpe.vocabPieces(docs, "text", merges)
-        .select("tok", "pieces").collect()
-        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      // ONE corpus aggregate feeds training, the oracle's VALUES map,
+      // and the budget join's vocabulary — the previous shape paid a
+      // distributed distinct+segment pass per consumer (train,
+      // vocabPieces for the oracle, tokenBudget's own vocabPieces)
+      // over the same token set
+      val counts = graft.ops.Bpe.tokenCounts(docs, "text")
+      val merges = graft.ops.Bpe.trainFromWordCounts(counts, numMerges = 64)
+      val ranks = merges.zipWithIndex.toMap
+      val vocab = counts.map { case (tk, _) =>
+        tk -> graft.ops.Bpe.segment(tk, ranks).size.toLong }.sortBy(_._1)
       bpeBudgetOracle = Some(s"""WITH seg(tok, pieces) AS (VALUES ${
           vocab.map { case (tk, p) =>
             s"('${tk.replace("'", "''")}', $p)" }.mkString(", ")}),
@@ -925,7 +930,10 @@ object TextQueries {
         |  COALESCE(agg.pre_tokens, 0) AS pre_tokens,
         |  COALESCE(agg.bpe_pieces, 0) AS bpe_pieces
         |FROM d LEFT JOIN agg USING (source) ORDER BY source""".stripMargin)
-      graft.ops.Bpe.tokenBudget(docs, "text", "source", merges)
+      val spark = s
+      import spark.implicits._
+      graft.ops.Bpe.tokenBudgetWith(docs, "text", "source",
+          vocab.toSeq.toDF("tok", "pieces"))
         .select(col("source"), col("docs"), col("pre_tokens"),
           col("bpe_pieces"))
         .orderBy("source")
@@ -946,16 +954,18 @@ object TextQueries {
     "bpe_piece_ids_export",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val merges = graft.ops.Bpe.trainFromCorpus(docs, "text",
-        numMerges = 64)
-      // ONE corpus distinct+segment pass feeds everything driver-side:
-      // the piece-id assignment, the oracle's VALUES map, and (below)
-      // the precomputed segmentation for the assembly — pieceIdMap +
-      // a second vocabSegments + docPieceIds' internal pass would
-      // re-segment the corpus three times for the same |V| rows.
-      val segRows = graft.ops.Bpe.vocabSegments(docs, "text", merges)
-        .collect()
-        .map(r => (r.getString(0), r.getSeq[String](1).toSeq))
+      // ONE corpus aggregate feeds everything driver-side: training
+      // picks its capped head from the counts, and segmentation maps
+      // over the SAME collected token set — the piece-id assignment,
+      // the oracle's VALUES map, and the precomputed segmentation for
+      // the assembly all derive from it with no further corpus pass
+      // (the previous shape paid a separate distributed
+      // distinct+segment pass on top of training's aggregate).
+      val counts = graft.ops.Bpe.tokenCounts(docs, "text")
+      val merges = graft.ops.Bpe.trainFromWordCounts(counts, numMerges = 64)
+      val ranks = merges.zipWithIndex.toMap
+      val segRows = counts.map { case (tk, _) =>
+        (tk, graft.ops.Bpe.segment(tk, ranks)) }
       val pid = graft.ops.Bpe.pieceIdsFromSegments(segRows).toMap
       val tokIds = segRows
         .map { case (tk, ps) => (tk, ps.map(pid).mkString(",")) }

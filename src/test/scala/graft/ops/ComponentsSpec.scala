@@ -30,11 +30,33 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.length == 15 && labels.forall(_._2 == 1L))
   }
 
-  test("connectedComponents throws instead of returning partial labels") {
+  test("the distributed loop throws instead of returning partial labels") {
+    // decimal ids sit outside the driver fold's supported orderings,
+    // so this pins the DISTRIBUTED min-label loop's convergence guard
+    // (bounded long-id graphs now union-find on the driver and always
+    // converge)
     val edges = (1 until 10).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+      .select(col("a").cast("decimal(10,0)").as("a"),
+        col("b").cast("decimal(10,0)").as("b"))
     intercept[IllegalStateException] {
       Dedup.connectedComponents(edges, maxIters = 2)
     }
+  }
+
+  test("driver union-find equals the distributed loop on the same graph") {
+    val raw = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L), (30L, 31L), (30L, 32L), (5L, 2L))
+    val edges = raw.toDF("a", "b")
+    val driver = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    // decimal ids force the distributed loop; cast labels back
+    val dist = Dedup.connectedComponents(
+        edges.select(col("a").cast("decimal(10,0)").as("a"),
+          col("b").cast("decimal(10,0)").as("b")))
+      .select(col("id").cast("long"), col("component").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(driver == dist)
   }
 
   test("star contraction matches min-label CC on a branchy graph") {
@@ -53,12 +75,19 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("star contraction converges on a chain deeper than the min-label bound") {
-    // a 120-node path has diameter 119: min-label's default 20-round
-    // bound throws; star contraction needs only O(log n) rounds
+    // a 120-node path has diameter 119: the DISTRIBUTED min-label
+    // loop's default 20-round bound throws (decimal ids force it —
+    // bounded long-id graphs union-find on the driver and converge
+    // regardless of diameter); star contraction needs O(log n) rounds
     val chain = (1 until 120).map(i => (i.toLong, i + 1L)).toDF("a", "b")
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain)
+      Dedup.connectedComponents(chain.select(
+        col("a").cast("decimal(10,0)").as("a"),
+        col("b").cast("decimal(10,0)").as("b")))
     }
+    // the driver fold labels the same deep chain fine
+    assert(Dedup.connectedComponents(chain)
+      .as[(Long, Long)].collect().forall(_._2 == 1L))
     val labels = Dedup.connectedComponentsStar(chain)
       .as[(Long, Long)].collect()
     assert(labels.length == 120 && labels.forall(_._2 == 1L))
