@@ -513,29 +513,31 @@ final class TableStore(private[graft] val spark: SparkSession,
     // run caches it for the next read).
     final case class Grp(base: String, files: Seq[String], minIdx: Int,
                          delSet: Seq[String], dvSet: Seq[String],
+                         flat: Boolean,
                          metas: Option[Seq[(String, Long, Long)]],
                          schema: Option[org.apache.spark.sql.types.StructType])
     val infos = groups.map { case (base, files, minIdx) =>
       val flat = files.forall(f => f.length > base.length + 1 &&
         !f.substring(base.length + 1).contains('/'))
-      val metas =
+      val ms0 = files.map(f =>
+        FsListing.fileMeta(new Path(f), hadoopConf)
+          .map { case (len, mt) => (f, len, mt) })
+      val metas = if (ms0.exists(_.isEmpty)) None else Some(ms0.flatten)
+      // schema (for run merging) only matters for flat groups —
+      // partitioned groups never coalesce
+      val schema =
         if (!flat) None
-        else {
-          val ms = files.map(f =>
-            FsListing.fileMeta(new Path(f), hadoopConf)
-              .map { case (len, mt) => (f, len, mt) })
-          if (ms.exists(_.isEmpty)) None else Some(ms.flatten)
-        }
-      val schema = metas.flatMap(ms => SchemaCache.get(SchemaCache.keyOf(
-        ms.map { case (f, len, mt) => s"$f#$len#$mt" })))
+        else metas.flatMap(ms => SchemaCache.get(SchemaCache.keyOf(
+          ms.map { case (f, len, mt) => s"$f#$len#$mt" })))
       Grp(base, files, minIdx,
         dels.collect { case (f, i) if i > minIdx => f },
         dvs.collect { case (f, i) if i > minIdx => f },
-        metas, schema)
+        flat, metas, schema)
     }
     val runs = infos.foldLeft(Vector.empty[Vector[Grp]]) { (acc, g) =>
       acc.lastOption match {
-        case Some(run) if run.head.metas.isDefined && g.metas.isDefined &&
+        case Some(run) if run.head.flat && g.flat &&
+            run.head.metas.isDefined && g.metas.isDefined &&
             run.head.schema.isDefined && run.head.schema == g.schema &&
             run.head.delSet == g.delSet && run.head.dvSet == g.dvSet =>
           acc.init :+ (run :+ g)
@@ -545,18 +547,19 @@ final class TableStore(private[graft] val spark: SparkSession,
     runs.map { run =>
       val files = run.flatMap(_.files)
       val minIdx = run.head.minIdx
-      val flatMetas =
+      val metas =
         if (run.forall(_.metas.isDefined)) Some(run.flatMap(_.metas.get))
         else None
       val raw =
         if (run.size == 1)
           statsScan(Some(run.head.base), files, statsRejects,
             (c, k) => bloomRejectsCached(table, c, k),
-            knownSchema = run.head.schema, flatMetas = flatMetas)
+            knownSchema = run.head.schema, metas = metas,
+            flat = run.head.flat)
         else
           statsScan(None, files, statsRejects,
             (c, k) => bloomRejectsCached(table, c, k),
-            knownSchema = run.head.schema, flatMetas = flatMetas)
+            knownSchema = run.head.schema, metas = metas, flat = true)
       // positional deletion vectors (Iceberg/Delta DV shape): rows are
       // identified by (file, row position in file) — `_metadata`
       // columns, zero storage cost on the data. A vector applies to
@@ -615,22 +618,31 @@ final class TableStore(private[graft] val spark: SparkSession,
                           (_, _) => None,
                         knownSchema: Option[org.apache.spark.sql.types.StructType] =
                           None,
-                        flatMetas: Option[Seq[(String, Long, Long)]] = None)
+                        metas: Option[Seq[(String, Long, Long)]] = None,
+                        flat: Boolean = false)
       : DataFrame = {
-    import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, InMemoryFileIndex}
+    import org.apache.spark.sql.execution.datasources.{FileIndex, GraftManifestIndex, HadoopFsRelation, InMemoryFileIndex}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     // base is absent for coalesced multi-group scans (flat files only
     // — no partition resolution to anchor; see readLines), present
     // for the single-group scan spark.read.parquet would build.
     val opts = Map("mergeSchema" -> "true") ++ base.map("basePath" -> _)
-    // flat groups (no hive partition dirs) index straight off the
-    // manifest's stat'd metadata — no Hadoop listing, no per-file
-    // permission fork (ManifestFileIndex doc); hive-partitioned /
-    // foreign groups keep InMemoryFileIndex's partition resolution
-    val (index, partSchema, listed) = flatMetas match {
-      case Some(ms) =>
+    // groups with stat'able manifest metadata index straight off it —
+    // no Hadoop listing, no per-file permission fork: flat groups via
+    // the trivial ManifestFileIndex, hive-partitioned ones via
+    // GraftManifestIndex (PartitioningAwareFileIndex fed our statuses,
+    // so partition inference/pruning are Spark's own code verbatim);
+    // stat failures fall back to InMemoryFileIndex's full listing
+    val (index, partSchema, listed) = metas match {
+      case Some(ms) if flat =>
         val mfi = new ManifestFileIndex(ms)
         (mfi: FileIndex, mfi.partitionSchema, mfi.allFiles)
+      case Some(ms) =>
+        val sts = ms.map { case (p, len, mt) =>
+          new org.apache.hadoop.fs.FileStatus(len, false, 1,
+            128L * 1024 * 1024, mt, new Path(p)) }
+        val gmi = new GraftManifestIndex(spark, opts, sts)
+        (gmi: FileIndex, gmi.partitionSchema, gmi.allFiles())
       case None =>
         val inMem = new InMemoryFileIndex(spark, files.map(new Path(_)),
           opts, None)
