@@ -2300,6 +2300,72 @@ object PipelineQueries {
         |  SELECT 'l_tax', l_tax FROM lineitem)
         |GROUP BY metric ORDER BY metric""".stripMargin))
 
+  // Build-once / serve-many split (round 15 — BASELINE.md's open
+  // bench item; same rationale as VectorQueries' serve entries): the
+  // MV lifecycle queries re-run create+mutate+refresh inside every
+  // timed rep, so the SERVE path (the rewrite-routed dashboard read)
+  // is invisible under lifecycle noise. This store is prebuilt once
+  // per (process, sf dir) with mv_query_rewrite's exact lifecycle —
+  // same source slices, same MoR delete, same refresh — and the timed
+  // query is only the rewrite-served SELECT. Build amortization, not
+  // result caching: the prebuild computes from parquet inside this
+  // run, and the timed read still scans the stored view and
+  // re-aggregates.
+  private val mvServeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def mvServeStore(s: org.apache.spark.sql.SparkSession,
+                           dir: String): TableStore = {
+    val root = mvServeRoots.computeIfAbsent(dir, _ => {
+      val r = tmpDir("graft-mvserve")
+      val store = new TableStore(s, r)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").as("qty"), col("l_extendedprice").as("price"))
+      store.create("li_rw", li.where(col("l_orderkey") % 3 =!= 0))
+      GraftSql.execute(s, store,
+        """CREATE MATERIALIZED VIEW li_rw_mv AS
+          |SELECT l_returnflag, l_linestatus, count(*), sum(qty),
+          |  avg(qty), min(price), max(price)
+          |FROM li_rw GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      store.append("li_rw", li.where(col("l_orderkey") % 3 === 0))
+      store.appendWithDeletes("li_rw", li.limit(0),
+        deleteKeys = li.select("l_orderkey")
+          .where(col("l_orderkey") % 7 === 0).distinct())
+      GraftSql.execute(s, store, "REFRESH MATERIALIZED VIEW li_rw_mv")
+      r
+    })
+    new TableStore(s, root)
+  }
+
+  /** SERVE-ONLY MV rewrite read — mv_query_rewrite's dashboard SELECT
+    * against the per-run prebuilt source+view: what the front door
+    * pays per query once the view is maintained. Same routing check
+    * (must be view-served), same from-scratch oracle. */
+  val mvServeRewrite: Entry = Entry(
+    "mv_serve_rewrite",
+    (s, dir) => {
+      val store = mvServeStore(s, dir)
+      val before = graft.lake.MvRewrite.hits.get()
+      val served = GraftSql.execute(s, store,
+        """SELECT l_returnflag, count(*) AS n, count(qty) AS nq,
+          |  sum(qty) AS sum_qty, avg(qty) AS avg_qty,
+          |  min(price) AS min_price, max(price) AS max_price
+          |FROM li_rw WHERE l_linestatus = 'F'
+          |GROUP BY l_returnflag""".stripMargin)
+      require(graft.lake.MvRewrite.hits.get() > before,
+        "mv_serve_rewrite expected the SELECT to be served from li_rw_mv")
+      served.orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(*) AS n, count(l_quantity) AS nq,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(l_quantity) / count(l_quantity) AS DOUBLE) AS avg_qty,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem WHERE l_orderkey % 7 <> 0 AND l_linestatus = 'F'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
+
   val entries: Seq[Entry] = Seq(cdcPipelineE2e, cdcPipelineE2eMor,
     cdcPipelineE2eDv, unpivotMeasures,
     timeTravel, externalDdl, topkTyped, skewSaltedAgg, skewSaltedJoin,
@@ -2316,7 +2382,7 @@ object PipelineQueries {
     tableChanges, cdfAggregate, rollupRefresh, mvIncremental, mvStreaming,
     mvRewriteServed, mvJoinIncremental, mvJoinRewrite, mvExprGroupRollup,
     mvJoinOnRewrite, mvStar3Rewrite, mvCountDistinctRewrite, mvJoinMinMax,
-    mvApproxDistinct, mvStarSubsumption,
+    mvApproxDistinct, mvStarSubsumption, mvServeRewrite,
     partitionDisjointWriters,
     formatRoundtrip,
     exactPercentiles, groupedPercentiles, q7VolumeShipping,

@@ -1153,11 +1153,86 @@ object VectorQueries {
         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vid, round(mmr, 4) AS mmr
         |FROM sel ORDER BY qid, rnk""".stripMargin))
 
+  // -------------------------------------------------------------------
+  // Build-once / serve-many split (round 15 — BASELINE.md's open bench
+  // item): the lifecycle ANN entries re-run train+commit inside every
+  // timed rep, so serve-path improvements drown in build noise. These
+  // variants time ONLY the search, against an index prebuilt once per
+  // (process, scale-factor dir) — build AMORTIZATION, not result
+  // caching: the prebuild computes from the parquet inputs inside this
+  // same run (nothing persists across runs — scratch dirs are reaped
+  // on exit), and every timed search still scans the STORED index and
+  // the probe frame and re-ranks from scratch. The oracle is the same
+  // shared replay the persisted forms use, over the prebuilt index's
+  // read-back literals — first-class oracle-checked queries, not
+  // bench-only timers.
+  // -------------------------------------------------------------------
+  private val serveRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def serveStore(s: org.apache.spark.sql.SparkSession,
+                         dir: String): graft.lake.TableStore = {
+    val root = serveRoots.computeIfAbsent(dir, _ => {
+      val r = Queries.scratchDir("graft-annserve")
+      val store = new graft.lake.TableStore(s, r)
+      val emb = t(s, dir, "embeddings")
+      graft.ops.VectorIndex.buildIvfIndex(store, "emb_ivf", emb,
+        nlist = 16, kmeansIters = 2)
+      graft.ops.VectorIndex.buildIvfPqIndex(store, "emb_ivfpq", emb,
+        nlist = 16, m = 8, ksub = 16, kmeansIters = 2)
+      r
+    })
+    new graft.lake.TableStore(s, root)
+  }
+
+  @volatile private var ivfServeOracle: Option[String] = None
+
+  /** SERVE-ONLY IVF search — ivf_ann_persisted's search half against
+    * the per-run prebuilt index: what a query node pays per request
+    * once the index exists. Same parameters, same shared IVF replay
+    * oracle over the read-back centroids (training is deterministic,
+    * so the results equal ivf_ann_persisted's). */
+  val ivfServe: Entry = new Entry(
+    "ivf_ann_serve",
+    (s, dir) => {
+      val store = serveStore(s, dir)
+      val cents = store.read(graft.ops.VectorIndex.centroidsTable("emb_ivf"))
+      ivfServeOracle = Some(ivfOracleSql(centValuesSql(cents)))
+      graft.ops.VectorIndex.searchIvfIndex(store, "emb_ivf",
+          t(s, dir, "embeddings").where(col("vec_id") < 5), k = 5, nprobe = 4)
+        .select("qid", "rnk", "vid", "cos")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfServeOracle)
+
+  @volatile private var ivfPqServeOracle: Option[String] = None
+
+  /** SERVE-ONLY IVF-PQ (IVFADC) search against the prebuilt index —
+    * ivfpq_ann_persisted's search half; same shared replay oracle
+    * over the read-back centroid + codebook literals. */
+  val ivfPqServe: Entry = new Entry(
+    "ivfpq_ann_serve",
+    (s, dir) => {
+      val store = serveStore(s, dir)
+      val cents = store.read(
+        graft.ops.VectorIndex.centroidsTable("emb_ivfpq"))
+      val books = store.read(graft.ops.VectorIndex.booksTable("emb_ivfpq"))
+      ivfPqServeOracle = Some(ivfPqOracleSql(centValuesSql(cents),
+        bookValuesSql(books)))
+      graft.ops.VectorIndex.searchIvfPqIndex(store, "emb_ivfpq",
+          t(s, dir, "embeddings").where(col("vec_id") < 5), k = 5,
+          nprobe = 4, m = 8)
+        .select("qid", "rnk", "vid", "cos_pq")
+        .orderBy("qid", "rnk")
+    },
+    () => ivfPqServeOracle)
+
   val entries: Seq[Entry] = Seq(cosineTopK, embeddingNearDup,
     labelCentroids, annLsh, ivfTopK, ivfPersisted, ivfIncremental,
     ivfStreamingIngest, ivfAfterDelete, ivfFiltered, ivfSynced,
     ivfPqPersisted, ivfPqAfterDelete, ivfPqFiltered, ivfPqSynced,
     semanticDedup,
     quantizationError,
-    quantizedTopK, pqTopK, hardNegatives, mmrTopK)
+    quantizedTopK, pqTopK, hardNegatives, mmrTopK,
+    ivfServe, ivfPqServe)
 }
