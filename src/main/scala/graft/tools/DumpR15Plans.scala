@@ -32,7 +32,10 @@ object DumpR15Plans {
     "approx_sketches_lineitem",
     "bpe_token_budget_by_source", "bpe_piece_ids_export",
     // MV refresh family (if touched)
-    "mv_incremental_refresh", "mv_approx_distinct", "mv_query_rewrite")
+    "mv_incremental_refresh", "mv_approx_distinct", "mv_query_rewrite",
+    // round-15 additive serve variants (after-only: they did not exist
+    // at round entry)
+    "ivf_ann_serve", "ivfpq_ann_serve", "mv_serve_rewrite")
 
   def main(args: Array[String]): Unit = {
     val suffix = args.headOption.getOrElse("after")

@@ -158,6 +158,8 @@ class PlanSpec extends SparkSpec {
       "ivfpq_ann_after_delete",   // same cross-scores (post-delete search)
       "ivfpq_ann_filtered",       // same cross-scores (attribute-filtered)
       "ivfpq_ann_synced",         // same cross-scores (CDF-synced codes)
+      "ivf_ann_serve",            // same cross-score (prebuilt-index serve)
+      "ivfpq_ann_serve",          // same cross-scores (prebuilt-index serve)
       "quantized_ann_topk",       // broadcast probes x int8 corpus scan
       "mmr_diversified_topk",     // broadcast probes x int8 corpus scan
       "dq_audit_report",          // 1-row rule-aggregate cross joins
